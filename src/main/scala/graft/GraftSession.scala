@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build a correctly-configured session.
+  *
+  * Local mode is `local[N]` for testing, but every knob here is chosen for
+  * the 1000-executor case: AQE on (runtime coalescing + skew-join
+  * splitting), broadcast threshold left at default so dim tables
+  * auto-broadcast, shuffle partitions sized to the local core count
+  * (at cluster scale AQE coalesces from a higher initial number).
+  */
+object GraftSession {
+  def apply(appName: String = "graft",
+            cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's vanilla
+      // reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

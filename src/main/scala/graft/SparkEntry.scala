@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl._
+import graft.ops._
+import graft.relational.Relational
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 registers here: `queries` is the
+  * runnable surface, `oracleSql` the DuckDB ground truth (omitted only for
+  * sketch/hash-seed-dependent operators, which are spec-verified instead).
+  *
+  * All integral columns are widened to BIGINT and floats to DOUBLE on the
+  * way out so both engines hash identical value representations; decimal
+  * scales are engineered per-query to agree (see Relational's scaladoc).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Cast int-ish → long, float → double (comparison normalization only). */
+  private def widen(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType => col(f.name).cast("long").as(f.name)
+        case FloatType                          => col(f.name).cast("double").as(f.name)
+        case _                                  => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def w(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => widen(f(s, d))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    widen(Relational.q1Agg(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference ETL surface
+    "discover_datasets"   -> w(Discovery.discoverDatasets),
+    "mode_filter"         -> w(Discovery.modeFilter),
+    "assert_requested"    -> w(Discovery.assertRequested),
+    "prioritise"          -> w(Discovery.prioritise),
+    "checksum_md5"        -> w(Checksums.checksumMd5),
+    "checksum_bsd"        -> w(Checksums.checksumBsd),
+    "checksum_verify"     -> w(Checksums.checksumVerify),
+    "mysqldump_roundtrip" -> w(MySqlDump.roundtrip),
+    "split_file_grouping" -> w(SplitFiles.query),
+    "ddl_parse"           -> w(SqlDdl.query),
+    "grant_ddl"           -> w(Discovery.grantDdl),
+    "job_summary"         -> w(Discovery.jobSummary),
+    "table_stats"         -> w(TableStats.query),
+    // B. relational core
+    "q1_agg"            -> w(Relational.q1Agg),
+    "q3_topk"           -> w(Relational.q3TopK),
+    "q5_join"           -> w(Relational.q5Join),
+    "q_window"          -> w(Relational.qWindow),
+    "q_rollup"          -> w(Relational.qRollup),
+    "q_semijoin"        -> w(Relational.qSemiJoin),
+    "q_setops"          -> w(Relational.qSetOps),
+    "q_distinct"        -> w(Relational.qDistinct),
+    "q_approx_distinct" -> w(Relational.qApproxDistinct),
+    "q_subquery"        -> w(Relational.qSubquery),
+    "asof_join"         -> w(Relational.asofJoin),
+    "range_join"        -> w(Relational.rangeJoin),
+    // C. streaming semantics (batch-checked)
+    "stream_tumbling" -> w(Streams.tumbling),
+    "sessionize"      -> w(Streams.sessionize),
+    // D. LLM-training-data operators
+    "dedup_exact"     -> w(Dedup.exact),
+    "dedup_minhash"   -> w(Dedup.minhash),
+    "dedup_simhash"   -> w(Dedup.simhash),
+    "ngram_jaccard"   -> w(Dedup.ngramJaccard),
+    "dedup_embedding" -> w(Similarity.dedupEmbedding),
+    "ann_bruteforce"  -> w(Similarity.annBruteforce),
+    "ann_lsh"         -> w(Similarity.annLsh),
+    "lang_id"         -> w(TextAnalysis.langId),
+    "quality_score"   -> w(TextAnalysis.qualityScore),
+    "token_count"     -> w(TextAnalysis.tokenCount),
+    "fingerprint"     -> w(TextAnalysis.fingerprint),
+    "multimodal_meta" -> w(Multimodal.metaQuery),
+  )
+
+  /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
+  private val dbsCte: String =
+    """WITH dbs AS (
+      |  SELECT lower(replace(n_name, ' ', '_')) || '_core_110_1' AS db FROM nation
+      |  UNION ALL SELECT lower(replace(n_name, ' ', '_')) || '_variation_110_1' AS db FROM nation
+      |  UNION ALL SELECT db FROM (VALUES ('ensembl_mart_110'),('sequence_mart_110'),('ontology_mart_110'),
+      |    ('homo_sapiens_core_110_38'),('homo_sapiens_variation_110_38'),('homo_sapiens_funcgen_110_38'),
+      |    ('mus_musculus_core_110_39'),('mus_musculus_variation_110_39')) v(db)
+      |)""".stripMargin
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys (sketch-/seed-dependent) get a
+    * rows-only check from the driver and a ScalaTest spec here.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "discover_datasets" ->
+      Tables.names.map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY table_name"),
+
+    "mode_filter" -> s"""$dbsCte
+      SELECT db, contains(db, '_mart_') AS mode_mart, NOT contains(db, '_mart_') AS mode_ensembl
+      FROM dbs ORDER BY db""",
+
+    "assert_requested" -> s"""$dbsCte
+      SELECT db FROM (VALUES ('homo_sapiens_core_110_38'),('nation_3_core_110_1'),
+        ('danio_rerio_core_110_11'),('no_such_db_99')) r(db)
+      WHERE db NOT IN (SELECT db FROM dbs) ORDER BY db""",
+
+    "prioritise" -> s"""$dbsCte
+      SELECT db, priority, priority + 2 AS flow FROM (
+        SELECT db,
+          CAST(CASE WHEN starts_with(db,'homo_sapiens') OR starts_with(db,'mus_musculus') OR starts_with(db,'nation_1') THEN 1 ELSE 0 END
+             + CASE WHEN contains(db,'_variation_') OR contains(db,'_funcgen_') THEN 1 ELSE 0 END
+             + CASE WHEN starts_with(db,'homo_sapiens') AND contains(db,'_variation_') THEN 1 ELSE 0 END AS BIGINT) AS priority
+        FROM dbs) t ORDER BY db""",
+
+    "checksum_md5" -> """
+      SELECT doc_id, 'doc_' || doc_id || '.txt' AS file, md5(text) AS md5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "checksum_verify" -> """
+      SELECT doc_id, expected, actual FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN md5(text || 'CORRUPT') ELSE md5(text) END AS expected,
+          md5(text) AS actual
+        FROM documents) t
+      WHERE actual <> expected ORDER BY doc_id""",
+
+    "mysqldump_roundtrip" -> """
+      SELECT doc_id,
+        replace(replace(replace(replace(text, chr(92), chr(92)||chr(92)),
+          chr(9), chr(92)||'t'), chr(10), chr(92)||'n'), chr(13), chr(92)||'r') AS line,
+        TRUE AS ok
+      FROM documents ORDER BY doc_id""",
+
+    "split_file_grouping" -> """
+      WITH f AS (SELECT file FROM (VALUES ('exon.txt.gz'),('gene.0001.txt.gz'),('gene.0002.txt.gz'),
+        ('gene.0010.txt.gz'),('transcript.1.txt.gz'),('transcript.2.txt.gz'),('meta data.txt.gz'),
+        ('protein_feature.txt.gz'),('CHECKSUMS'),('README')) v(file)
+        WHERE file LIKE '%.txt.gz')
+      SELECT regexp_extract(file, '^([A-Za-z_0-9 ]+?)(?:\.(\d+))?\.txt\.gz$', 1) AS table_name,
+             count(*) AS n_parts, string_agg(file, ',' ORDER BY file) AS parts
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "ddl_parse" -> """
+      SELECT obj_name, obj_type, CAST(ord AS BIGINT) AS ord, col_name, col_type FROM (VALUES
+        ('exon','table',1,'exon_id','decimal(20,0)'),
+        ('exon','table',2,'seq','binary'),
+        ('exon','table',3,'is_current','tinyint'),
+        ('gene','table',1,'gene_id','bigint'),
+        ('gene','table',2,'biotype','string'),
+        ('gene','table',3,'description','string'),
+        ('gene','table',4,'created_date','timestamp'),
+        ('gene','table',5,'stable_id','string'),
+        ('gene','table',6,'version','int'),
+        ('gene','table',7,'score','double'),
+        ('gene','table',8,'cost','decimal(10,2)'),
+        ('gene','table',9,'status','string'),
+        ('gene_view','view',0,'','')) t(obj_name, obj_type, ord, col_name, col_type)
+      ORDER BY obj_name, ord""",
+
+    "grant_ddl" -> s"""$dbsCte
+      SELECT db, grantee,
+        'GRANT SELECT, EXECUTE ON `' || db || '`.* TO ''' || grantee || '''@''%''' AS ddl
+      FROM dbs CROSS JOIN (VALUES ('anonymous'),('ensro')) u(grantee)
+      ORDER BY db, grantee""",
+
+    "job_summary" -> """
+      WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,
+        CASE WHEN value < 0.2 THEN 'FAILED' ELSE 'DONE' END AS status FROM events)
+      SELECT stage,
+        count(DISTINCT CASE WHEN status = 'DONE' THEN db END) AS n_success_dbs,
+        count(DISTINCT CASE WHEN status = 'FAILED' THEN db END) AS n_failed_dbs,
+        count(*) AS n_jobs
+      FROM j GROUP BY stage ORDER BY stage""",
+
+    "table_stats" -> """
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS n_distinct,
+          CAST(CAST(min(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS min_s,
+          CAST(CAST(max(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS max_s FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(DISTINCT l_extendedprice),
+          CAST(CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR),
+          CAST(CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(DISTINCT l_discount),
+          CAST(CAST(min(l_discount) AS DECIMAL(18,4)) AS VARCHAR),
+          CAST(CAST(max(l_discount) AS DECIMAL(18,4)) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(DISTINCT l_returnflag),
+          min(l_returnflag), max(l_returnflag) FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*), count(DISTINCT l_shipdate),
+          strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d') FROM lineitem
+      ) t ORDER BY col_name""",
+
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        sum(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS sum_base_price,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS avg_price,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_topk" -> """
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+        AND l_shipdate > TIMESTAMP '1999-01-01'
+      GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q5_join" -> """
+      SELECT n_name,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_window" -> """
+      WITH m AS (
+        SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+          sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+        FROM lineitem GROUP BY 1, 2)
+      SELECT month, l_suppkey, revenue,
+        CAST(row_number() OVER (PARTITION BY month ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS rnk,
+        lag(revenue) OVER (PARTITION BY l_suppkey ORDER BY month) AS prev_rev
+      FROM m QUALIFY rnk <= 5 ORDER BY month, rnk""",
+
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        sum(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty, count(*) AS n,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status""",
+
+    "q_semijoin" -> """
+      SELECT c_mktsegment,
+        CAST(count(CASE WHEN ex THEN 1 END) AS BIGINT) AS n_with,
+        CAST(count(CASE WHEN NOT ex THEN 1 END) AS BIGINT) AS n_without
+      FROM (SELECT c_mktsegment, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS ex
+            FROM customer) t
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_setops" -> """
+      WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+           b AS (SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING count(*) >= 15)
+      SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) x
+      UNION ALL
+      SELECT 'building_only' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b) y
+      ORDER BY tag, k""",
+
+    "q_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_subquery" -> """
+      SELECT p_brand, count(*) AS n_above FROM (
+        SELECT p_brand, CAST(p_retailprice AS DECIMAL(9,2)) AS pr,
+          sum(CAST(p_retailprice AS DECIMAL(9,2))) OVER (PARTITION BY p_brand) AS sp,
+          count(*) OVER (PARTITION BY p_brand) AS np
+        FROM part) x
+      WHERE pr * np > sp GROUP BY p_brand ORDER BY p_brand""",
+
+    "asof_join" -> """
+      SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        o.o_orderkey AS matched_order, CAST(o.o_totalprice AS DECIMAL(12,2)) AS matched_total
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      QUALIFY row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1
+      ORDER BY e.event_id""",
+
+    "range_join" -> """
+      SELECT band, count(*) AS n_parts, sum(CAST(p_retailprice AS DECIMAL(9,2))) AS sum_retail
+      FROM part JOIN (VALUES ('tiny',1,10),('small',11,20),('medium',21,35),('large',36,50)) b(band,lo,hi)
+        ON p_size BETWEEN lo AND hi
+      GROUP BY band ORDER BY band""",
+
+    "stream_tumbling" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
+        count(*) AS n, sum(CAST(value AS DECIMAL(12,4))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sessionize" -> """
+      WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+      x AS (SELECT user_id, ts, us,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+             THEN 1 ELSE 0 END AS is_new FROM e),
+      y AS (SELECT user_id, ts, us,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        count(*) AS n_events,
+        epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_sec
+      FROM y GROUP BY user_id, sid ORDER BY user_id, start_s""",
+
+    "dedup_exact" -> """
+      SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM (
+        SELECT doc_id,
+          min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
+        FROM documents) t ORDER BY doc_id""",
+
+    "ngram_jaccard" -> """
+      WITH d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, lang, n_chars,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+      SELECT a, b,
+        CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS inter_n,
+        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS union_n
+      FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
+      WHERE 2 * len(list_distinct(list_intersect(sa.sh, sb.sh))) >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+      ORDER BY a, b""",
+
+    "dedup_embedding" -> """
+      WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM q),
+      p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+          CAST(list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS BIGINT) AS dot,
+          a.nq AS na, b.nq AS nb
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT i, j, round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_r
+      FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
+      ORDER BY i, j""",
+
+    "ann_bruteforce" -> """
+      WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM q),
+      p AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+          CAST(list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS BIGINT)
+            / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+        FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+        vec_id, round(cos, 6) AS cos_r
+      FROM p QUALIFY rnk <= 10 ORDER BY qid, rnk""",
+
+    "lang_id" -> """
+      WITH wd AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+        CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','en'], t))) AS BIGINT) AS hits_es,
+        CAST(len(list_filter(w, t -> list_contains(['der','die','und','das','ein'], t))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(w, t -> list_contains(['le','la','et','les','un'], t))) AS BIGINT) AS hits_fr
+      FROM wd)
+      SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+        CASE WHEN hits_en + hits_es + hits_de + hits_fr = 0 THEN 'und'
+             WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+             WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS pred
+      FROM h ORDER BY doc_id""",
+
+    "quality_score" -> """
+      WITH x AS (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+      FROM documents)
+      SELECT doc_id, n_chars_m, n_tok, n_stop, n_digit,
+        n_stop * 1000 // n_tok AS stop_ratio_x1000,
+        n_chars_m * 100 // n_tok AS avg_tok_len_x100,
+        n_stop * 1000 // n_tok + least(500, n_tok) - n_digit AS score
+      FROM x ORDER BY doc_id""",
+
+    "token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_ws
+      FROM documents ORDER BY doc_id""",
+
+    "multimodal_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+        CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames,
+        md5(text) AS payload_md5
+      FROM documents ORDER BY doc_id""",
+  )
 }

@@ -1,0 +1,121 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A1–A4, A10, A11: the reference's discovery / routing / admin surface,
+  * re-expressed as distributed relational ops.
+  *
+  * The reference walks an FTP listing and routes each database-name string
+  * through regex filters (RunnableDB/DatabaseFactory.pm:32-53,101-150),
+  * priority scoring (RunnableDB/Prioritise.pm:32-81), grant DDL generation
+  * (RunnableDB/Grant.pm:63-103) and a per-analysis job summary
+  * (RunnableDB/EmailSummary.pm:57-139). Here the "listing" is a DataFrame
+  * of db names derived deterministically from the catalog, and every rule
+  * is a Column expression, so the same logic runs over a billion names
+  * with ordinary partition parallelism.
+  */
+object Discovery {
+
+  /** Extra db names exercising the mart / human-variation / multi-species
+    * branches of the reference's regexes.
+    */
+  val extraDbs: Seq[String] = Seq(
+    "ensembl_mart_110", "sequence_mart_110", "ontology_mart_110",
+    "homo_sapiens_core_110_38", "homo_sapiens_variation_110_38",
+    "homo_sapiens_funcgen_110_38",
+    "mus_musculus_core_110_39", "mus_musculus_variation_110_39")
+
+  /** The candidate "database directory listing": derived from `nation` so
+    * the DuckDB oracle can rebuild the identical relation.
+    */
+  def databases(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val species = Tables.nation(s, d)
+      .select(lower(regexp_replace(col("n_name"), " ", "_")).as("sp"))
+    species.select(concat(col("sp"), lit("_core_110_1")).as("db"))
+      .unionByName(species.select(concat(col("sp"), lit("_variation_110_1")).as("db")))
+      .unionByName(extraDbs.toDF("db"))
+  }
+
+  /** A1: dataset discovery + catalog — table inventory with row counts,
+    * the Spark-side analog of `SHOW DATABASES` + dir listing.
+    */
+  def discoverDatasets(s: SparkSession, d: String): DataFrame =
+    Tables.names.map { n =>
+      Tables(s, d, n).select(lit(n).as("table_name"))
+        .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** A2: mart / ensembl mode classification (DatabaseFactory.pm:32-53). */
+  def modeFilter(s: SparkSession, d: String): DataFrame =
+    databases(s, d)
+      .select(col("db"),
+        col("db").contains("_mart_").as("mode_mart"),
+        !col("db").contains("_mart_") as "mode_ensembl")
+      .orderBy("db")
+
+  /** Databases the pipeline is asked to load in `all` mode — two exist,
+    * two do not (DatabaseFactory.pm:152-167 assert_hardcoded_dbs).
+    */
+  val requestedDbs: Seq[String] = Seq(
+    "homo_sapiens_core_110_38", "nation_3_core_110_1",
+    "danio_rerio_core_110_11", "no_such_db_99")
+
+  /** A3: hardcoded-list assertion — anti-join returns the missing dbs. */
+  def assertRequested(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    requestedDbs.toDF("db")
+      .join(databases(s, d), Seq("db"), "left_anti")
+      .orderBy("db")
+  }
+
+  val prioritySpecies: Seq[String] = Seq("homo_sapiens", "mus_musculus", "nation_1")
+  val priorityGroups: Seq[String]  = Seq("variation", "funcgen")
+
+  /** A4: priority scoring → dataflow tier.
+    * +1 prefix-match on a prioritised species, +1 on `_<group>_`, +1 for
+    * `^homo_sapiens.*_variation_`; flow = {0→2,1→3,2→4,3→5}
+    * (Prioritise.pm:32-81, priority_to_flow map at :71-76).
+    */
+  def prioritise(s: SparkSession, d: String): DataFrame = {
+    val spHit  = prioritySpecies.map(sp => col("db").startsWith(sp)).reduce(_ || _)
+    val grpHit = priorityGroups.map(g => col("db").contains(s"_${g}_")).reduce(_ || _)
+    val hvHit  = col("db").startsWith("homo_sapiens") && col("db").contains("_variation_")
+    databases(s, d)
+      .select(col("db"),
+        (spHit.cast("int") + grpHit.cast("int") + hvHit.cast("int")).as("priority"))
+      .withColumn("flow", col("priority") + 2)
+      .orderBy("db")
+  }
+
+  val grantUsers: Seq[String] = Seq("anonymous", "ensro")
+
+  /** A10: grant DDL generation — users × dbs cross join (Grant.pm:63-103). */
+  def grantDdl(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    databases(s, d)
+      .crossJoin(broadcast(grantUsers.toDF("grantee")))
+      .select(col("db"), col("grantee"),
+        concat(lit("GRANT SELECT, EXECUTE ON `"), col("db"),
+          lit("`.* TO '"), col("grantee"), lit("'@'%'")).as("ddl"))
+      .orderBy("db", "grantee")
+  }
+
+  /** A11: per-stage distinct-database success/failure summary
+    * (EmailSummary.pm:106-139 counts distinct dbs per status per analysis).
+    * Jobs are derived from `events`: stage = event_type, db from user_id,
+    * FAILED when value < 0.2.
+    */
+  def jobSummary(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type").as("stage"),
+        concat(lit("db_"), col("user_id") % 20).as("db"),
+        when(col("value") < 0.2, lit("FAILED")).otherwise(lit("DONE")).as("status"))
+      .groupBy("stage")
+      .agg(countDistinct(when(col("status") === "DONE", col("db"))).as("n_success_dbs"),
+        countDistinct(when(col("status") === "FAILED", col("db"))).as("n_failed_dbs"),
+        count(lit(1)).as("n_jobs"))
+      .orderBy("stage")
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D1–D4: exact and near-duplicate detection over `documents`, built
+  * bucketed from day one (SURVEY §4): no stage ever forms an all-pairs
+  * join — candidates come from hash buckets whose shuffle records are
+  * (doc_id, band_hash) pairs, and quadratic work only happens inside a
+  * bucket (size-capped).
+  */
+object Dedup {
+
+  // ---------- shared text → shingle machinery ----------
+
+  /** Word 3-shingles of lowercased text, deduplicated; empty array when the
+    * doc has fewer than 3 words.
+    */
+  def shingles(text: Column): Column = {
+    val words = split(lower(text), " ")
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(0), size(words) - 3), i =>
+        concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------- D1: exact dedup ----------
+
+  /** Exact dedup on whitespace-normalized lowercase text: hash groupBy,
+    * keep-min representative. One shuffle on the 128-bit content hash; at
+    * 100 TB the payload never moves, only (hash, doc_id).
+    */
+  def exact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val keepers = docs.groupBy("h").agg(min("doc_id").as("keeper"))
+    docs.join(keepers, Seq("h"))
+      .select(col("doc_id"), col("keeper"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- D2: MinHash + LSH ----------
+
+  /** Deterministic universal-hash parameters a·x+b mod P over a 2^32
+    * domain; a is kept < 2^29 so a·x never overflows a signed 64-bit long.
+    */
+  val MinhashP = 4294967311L // smallest prime > 2^32
+  val NumPerms = 64
+  val NumBands = 16 // 4 rows per band
+
+  def permParams(n: Int, seed: Long = 42L): IndexedSeq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    (0 until n).map { _ =>
+      val a = (next() >>> 35) | 1L // odd, < 2^29
+      val b = next() >>> 32       // < 2^32 < P
+      (a, b)
+    }
+  }
+
+  /** doc_id + minhash signature (array of NumPerms longs). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hx", transform(col("sh"), x => pmod(xxhash64(x), lit(4294967296L))))
+    val sigCols = permParams(NumPerms).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hx"), x => (lit(a) * x + lit(b)) % lit(MinhashP))).as(s"s$i")
+    }
+    hashed.select((col("doc_id") +: sigCols): _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banded signatures. Shuffle payload is one
+    * (band_id, band_hash, doc_id) triple per band per doc; a bucket-size
+    * cap bounds intra-bucket pair fan-out against adversarial skew.
+    */
+  def candidatePairs(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val rows = NumPerms / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(":", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy("band", "bh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** All ordered pairs (ids[i], ids[j]) with i<j from a sorted id array. */
+  def pairsFromSorted(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(element_at(ids, i + 1).as("a"), y.as("b")))))
+
+  /** D2 query: verified near-dup pairs — jaccard(shingles) ≥ 0.7, checked
+    * exactly but only on LSH candidates (never all pairs).
+    */
+  def minhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cands = candidatePairs(signatures(docs))
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("union_n"))
+      .filter(col("inter_n") * 10 >= col("union_n") * 7)
+      .orderBy("a", "b")
+  }
+
+  // ---------- D3: SimHash ----------
+
+  /** D3 query: 64-bit simhash near-dups at hamming ≤ 3, candidates from
+    * 16-bit chunk buckets (pigeonhole: ≤3 differing bits leave at least
+    * one of the 4 chunks identical).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    TextKernels.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    val chunks = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val buckets = chunks.groupBy("ci", "cv")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")).between(2, 64))
+    val sigsById = docs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    buckets
+      .select(explode(pairsFromSorted(transform(col("ms"), m => m.getField("doc_id")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .join(sigsById, Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .select(col("a"), col("b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  // ---------- D4: exact n-gram jaccard on banded candidates ----------
+
+  /** D4 query: exact 3-shingle jaccard for candidates sharing
+    * (lang, length-band) — band width 64 chars, each doc probing its own
+    * and the next band so boundary-straddling pairs aren't missed.
+    * Integer cross-multiplied threshold (j ≥ 0.5 ⇔ 2·inter ≥ union) keeps
+    * the compare exact in both engines.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+    val slim = docs.select(col("doc_id"), col("lang"),
+      explode(array(expr("n_chars DIV 64"), expr("n_chars DIV 64 + 1"))).as("bkt"))
+    val cands = slim.as("x").join(slim.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("union_n"))
+      .filter(col("inter_n") * 2 >= col("union_n"))
+      .orderBy("a", "b")
+  }
+}

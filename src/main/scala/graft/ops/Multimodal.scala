@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D12: multimodal columns — media as opaque `binary` payloads with typed
+  * metadata, plus batch-shaped decode plumbing.
+  *
+  * The payloads here are synthesized from document text (no image/audio
+  * codecs exist in this container), but every Spark-side mechanism is
+  * real: binary column + metadata struct schema, partition-batched decode
+  * via `mapPartitions` over a typed Dataset (the Scala analog of
+  * `mapInPandas` batches), and a deterministic fake decoder standing in
+  * for the codec call, which is kept behind a clearly-marked stub.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte],
+                               width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte_x100: Long,
+                                 frames_sampled: Int)
+
+  /** The media table: binary payload + typed metadata derived
+    * deterministically from payload size.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      (lit(64) + octet_length(col("text")) % 512).cast("int").as("width"),
+      (lit(64) + (octet_length(col("text")) * 7) % 512).cast("int").as("height"),
+      (lit(1) + octet_length(col("text")) % 24).cast("int").as("n_frames"))
+
+  /** REAL DECODE STUB — a container with image/audio libs would decode
+    * `payload` here (JPEG→pixels, WAV→PCM, MP4→frames). Deliberately
+    * unimplemented; `fakeDecode` is the deterministic stand-in used by
+    * the pipeline so the distributed plumbing is testable.
+    */
+  def decodePayload(payload: Array[Byte], mediaType: String): Array[Array[Float]] = ???
+
+  /** Deterministic fake "decode": per-record features from raw bytes. */
+  def fakeDecode(r: MediaRecord): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+    val mean = if (r.payload.length == 0) 0L else sum * 100 / r.payload.length
+    MediaFeatures(r.doc_id, r.payload.length, mean, math.min(r.n_frames, 4))
+  }
+
+  /** Batch decode: one decoder invocation per partition iterator, the
+    * shape a native codec wants (amortized init, streaming batches).
+    */
+  def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    val sq = s; import sq.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition decoder init would happen here (once per task)
+      it.map(fakeDecode)
+    }
+  }
+
+  /** D12 query: metadata + payload digest (SQL-checkable: all fields are
+    * integer/string functions of the text payload).
+    */
+  def metaQuery(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      col("width"), col("height"), col("n_frames"),
+      md5(col("payload")).as("payload_md5"))
+      .orderBy("doc_id")
+}

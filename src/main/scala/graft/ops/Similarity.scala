@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D5–D7: embedding similarity.
+  *
+  * Float math is engine- and order-dependent, so every similarity here is
+  * computed over *quantized* vectors (round(x·10⁴) as int64): integer dot
+  * products are exact and order-independent, and the final
+  * dot/(√na·√nb) is a fixed sequence of IEEE ops on identical inputs —
+  * DuckDB reproduces it bit-for-bit.
+  *
+  * Scale story (SURVEY §4): brute force is the correctness baseline only;
+  * the 100 TB path is hyperplane-LSH bucketing (`annLsh`) where each
+  * vector shuffles once into its bucket and queries probe a handful of
+  * buckets (multi-probe on hamming-1 neighbors).
+  */
+object Similarity {
+
+  /** round(x·10⁴) per element, as long. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 10000).cast("long"))
+
+  def sqNorm(qv: Column): Column =
+    aggregate(qv, lit(0L), (acc, v) => acc + v * v)
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def cosine(dotC: Column, na: Column, nb: Column): Column =
+    dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nq", sqNorm(col("qv")))
+
+  /** D5: embedding cosine near-dup pairs (threshold 0.45). Pairwise here —
+    * fine at verification scale; at 100 TB use annLsh buckets as the
+    * candidate generator and this as the verifier.
+    */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val a = e.select(col("vec_id").as("i"), col("qv").as("qa"), col("nq").as("na"))
+    val b = e.select(col("vec_id").as("j"), col("qv").as("qb"), col("nq").as("nb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") > 0.45)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("i", "j")
+  }
+
+  /** D6: brute-force cosine top-k (k=10) for query vectors vec_id < 5 —
+    * the small query side is broadcast, the corpus streams.
+    */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nq").as("nqq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(dot(col("qq"), col("qv")), col("nqq"), col("nq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rnk")
+  }
+
+  // ---------- D7: hyperplane LSH ----------
+
+  val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplanes (integer coords in ±1000). */
+  def planes(dim: Int = 64, n: Int = NumPlanes, seed: Long = 7L): Seq[Seq[Long]] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Seq.fill(n)(Seq.fill(dim)((next() >>> 40) % 2001L - 1000L))
+  }
+
+  /** Sign-pattern bucket id of a quantized vector under the planes. */
+  def bucketOf(qv: Column): Column =
+    planes().zipWithIndex.map { case (p, i) =>
+      when(dot(qv, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** D7: LSH-bucketed ANN — each corpus vector lands in one bucket;
+    * queries multi-probe their own bucket plus all hamming-1 buckets,
+    * then exact-rerank the candidates. Rows-only oracle; recall vs
+    * brute force asserted in SimilaritySpec.
+    */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d).withColumn("bucket", bucketOf(col("qv")))
+    val probes = array((lit(0) +: (0 until NumPlanes).map(i => lit(1 << i))): _*)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nq").as("nqq"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(dot(col("qq"), col("qv")), col("nqq"), col("nq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rnk")
+  }
+}

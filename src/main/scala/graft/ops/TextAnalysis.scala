@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar text kernels used where a composition of built-ins would leave
+  * codegen (a 64-way bit-vote can't be expressed as a sane Column tree).
+  * Each is a native Catalyst Expression whose generated code calls a
+  * static JVM kernel — no Scala-UDF boxing, stays inside WholeStageCodegen.
+  */
+object TextKernelImpl {
+
+  /** FNV-1a 64-bit — public-domain hash, deterministic across JVMs. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the lowercased text:
+    * each token occurrence votes ±1 per bit of its FNV-1a hash.
+    */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val lower = text.toLowerCase
+    var start = 0
+    val n = lower.length
+    while (start < n) {
+      while (start < n && lower.charAt(start) == ' ') start += 1
+      var end = start
+      while (end < n && lower.charAt(end) != ' ') end += 1
+      if (end > start) {
+        val h = fnv1a64(lower.substring(start, end))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      start = end
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Document fingerprint: polynomial rolling hash (base 257, implicit
+    * mod 2^64) over every 8-char window, keep the 4 smallest distinct
+    * window hashes (winnowing-style), render as hex signature.
+    */
+  def fingerprint(text: String): String = {
+    val k = 8
+    if (text.length < k) return f"${fnv1a64(text)}%016x"
+    // rolling: h_{i+1} = (h_i - c_i*257^(k-1)) * 257 + c_{i+k}
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= 257L; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * 257L + text.charAt(i); i += 1 }
+    val best = new java.util.TreeSet[java.lang.Long]()
+    def offer(v: Long): Unit = {
+      best.add(java.lang.Long.valueOf(v))
+      if (best.size > 4) best.remove(best.last())
+    }
+    offer(h)
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * pow) * 257L + text.charAt(i)
+      offer(h)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(4 * 17)
+    val it = best.iterator()
+    while (it.hasNext) {
+      if (sb.length > 0) sb.append(':')
+      sb.append(f"${it.next().longValue()}%016x")
+    }
+    sb.toString
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelImpl.simhash64(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextKernelImpl.simhash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+case class Fingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextKernelImpl.fingerprint(input.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.ops.TextKernelImpl.fingerprint($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+object TextKernels {
+  def register(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "doc_fingerprint", es => Fingerprint(es.head), "built-in")
+  }
+}
+
+/** D8–D11: language-ID, quality scoring, token counting, fingerprinting —
+  * all pure column expressions over `documents` (integer metrics only, so
+  * the DuckDB oracle agrees bit-for-bit).
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "un"))
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** Occurrence count of tokens from `list` (counts duplicates — an
+    * array_intersect would dedup).
+    */
+  private def hits(w: Column, list: Seq[String]): Column =
+    size(filter(w, t => list.map(x => t === x).reduce(_ || _)))
+
+  /** D8: stopword-hit language ID with a deterministic argmax tie-break
+    * (en > es > de > fr, `und` when nothing hits).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val he = hits(w, stopwords("en")); val hs = hits(w, stopwords("es"))
+    val hd = hits(w, stopwords("de")); val hf = hits(w, stopwords("fr"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        he.as("hits_en"), hs.as("hits_es"), hd.as("hits_de"), hf.as("hits_fr"))
+      .withColumn("pred",
+        when(col("hits_en") + col("hits_es") + col("hits_de") + col("hits_fr") === 0, "und")
+          .when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr"), "en")
+          .when(col("hits_es") >= col("hits_de") && col("hits_es") >= col("hits_fr"), "es")
+          .when(col("hits_de") >= col("hits_fr"), "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** D9: quality scoring from integer-exact text statistics. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(w).as("n_tok"),
+        hits(w, stopwords("en")).as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+      .withColumn("stop_ratio_x1000", expr("n_stop * 1000 DIV n_tok"))
+      .withColumn("avg_tok_len_x100", expr("n_chars_m * 100 DIV n_tok"))
+      .withColumn("score", col("stop_ratio_x1000") + least(lit(500), col("n_tok")) - col("n_digit"))
+      .orderBy("doc_id")
+  }
+
+  /** D10: token counting — whitespace tokens plus a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single non-alnum).
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("chars_no_ws"))
+      .orderBy("doc_id")
+
+  /** D11: rolling-hash document fingerprint (rows-only; validated in spec). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    TextKernels.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), call_function("doc_fingerprint", col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,225 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** B-series: the relational/analytic core (SURVEY.md §2 B1–B14).
+  *
+  * Design rules for 100 TB (SURVEY.md §4):
+  *  - money math in DECIMAL (exact, engine-independent — the oracle compares
+  *    hashes, and double sums are partition-order dependent);
+  *  - dims joined via `broadcast(...)`; fact⋈fact left to AQE shuffle join;
+  *  - every scan projects/filters immediately so parquet pushdown fires
+  *    (asserted in PlanSpec);
+  *  - top-k via orderBy+limit which Spark plans as TakeOrderedAndProject
+  *    (no global sort materialization).
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** B1+B2: scan+filter+project with pushdown, multi-aggregate groupBy
+    * (TPC-H Q1 shape). Partial aggregation is map-side automatically.
+    */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val qty  = dec(col("l_quantity"), 8, 2)
+    val ep   = dec(col("l_extendedprice"), 9, 2)
+    val disc = dec(col("l_discount"), 4, 2)
+    val tax  = dec(col("l_tax"), 4, 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).as("sum_qty"),
+        sum(ep).as("sum_base_price"),
+        sum(ep * (lit(1) - disc)).as("sum_disc_price"),
+        sum(ep * (lit(1) - disc) * (lit(1) + tax)).as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** B3+B5: broadcast dim join + top-K via TakeOrderedAndProject (Q3 shape). */
+  def q3TopK(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1999-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1999-01-01"))
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** B3+B4: multi-way join — dims broadcast, lineitem⋈orders shuffled (Q5 shape). */
+  def q5Join(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B6: window functions — per-month supplier revenue rank + prior-month lag. */
+  def qWindow(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+      .groupBy("l_suppkey", "month")
+      .agg(sum("rev").as("revenue"))
+    val byMonth = Window.partitionBy("month").orderBy(col("revenue").desc, col("l_suppkey"))
+    val bySupp  = Window.partitionBy("l_suppkey").orderBy("month")
+    monthly
+      .withColumn("rnk", row_number().over(byMonth))
+      .withColumn("prev_rev", lag("revenue", 1).over(bySupp))
+      .filter(col("rnk") <= 5)
+      .select("month", "l_suppkey", "revenue", "rnk", "prev_rev")
+      .orderBy("month", "rnk")
+  }
+
+  /** B7: ROLLUP with grouping id. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), dec(col("l_quantity"), 8, 2).as("qty"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"), col("gid"))
+      .orderBy("gid", "flag", "status")
+
+  /** B8: semi + anti join — customers with / without orders per segment. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val ok   = Tables.orders(s, d).select("o_custkey")
+    val withO = cust.join(ok, cust("c_custkey") === ok("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+    val withoutO = cust.join(ok, cust("c_custkey") === ok("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** B9: set operations (INTERSECT / EXCEPT) with a tag column. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val heavy = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 15)
+      .select(col("o_custkey").as("k"))
+    val both = building.intersect(heavy).select(lit("both").as("tag"), col("k"))
+    val only = building.except(heavy).select(lit("building_only").as("tag"), col("k"))
+    both.unionByName(only).orderBy("tag", "k")
+  }
+
+  /** B10: exact distinct aggregation. */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_partkey", "l_suppkey")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** B11: approximate distinct (HLL++ sketch) — sketch-dependent, rows-only oracle. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_partkey")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** B12: per-group average filter (correlated scalar subquery semantics),
+    * expressed with an exact cross-multiplied decimal compare so engines agree,
+    * and a broadcast of the (tiny) per-brand aggregate instead of a
+    * re-evaluated correlated subquery.
+    */
+  def qSubquery(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), dec(col("p_retailprice"), 9, 2).as("pr"))
+    val stats = p.groupBy("p_brand")
+      .agg(sum("pr").as("sp"), count(lit(1)).as("np"))
+    p.join(broadcast(stats), Seq("p_brand"))
+      .filter(col("pr") * col("np") > col("sp"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("p_brand")
+  }
+
+  /** B13: as-of join — each event matched to the latest order of the same
+    * customer at-or-before the event timestamp.
+    *
+    * Scalable union-sort formulation: tag+union both inputs, one shuffle on
+    * the key, a running `last(..., ignoreNulls)` window carries the most
+    * recent order forward — never a per-event probe join, never an
+    * event×order blow-up (the oracle uses the naive join+QUALIFY form).
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("decimal(12,2)").as("o_total"),
+      col("event_id"))
+    // Order rows sort before event rows at identical (k,t); among orders the
+    // larger o_orderkey wins the tie (matches oracle DESC,DESC row_number=1).
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("matched_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("matched_total", last(col("o_total"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("matched_order"), col("matched_total"))
+      .orderBy("event_id")
+  }
+
+  /** B14: range (band) join — small band table broadcast, so the non-equi
+    * condition is a broadcast nested-loop, not a shuffled cartesian.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val bands = Seq(("tiny", 1, 10), ("small", 11, 20), ("medium", 21, 35), ("large", 36, 50))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .select(col("p_size"), dec(col("p_retailprice"), 9, 2).as("pr"))
+      .join(broadcast(bands), col("p_size").between(col("lo"), col("hi")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), sum("pr").as("sum_retail"))
+      .orderBy("band")
+  }
+}

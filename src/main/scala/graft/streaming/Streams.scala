@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** C1–C3: Structured Streaming operators, written so the identical
+  * aggregation logic runs in batch (where the DuckDB oracle can check it)
+  * and as a stream (exercised with MemoryStream in StreamingSpec).
+  *
+  * Scale notes (SURVEY §4): watermarks bound all state; sessionization
+  * state is keyed by user, so its size tracks *active users*, not events.
+  */
+object Streams {
+
+  // ---------- C1: tumbling window ----------
+
+  /** Shared batch/stream tumbling aggregation (1-hour event-time windows). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,4)")).as("sum_value"))
+
+  /** C1 query (batch mode — identical semantics to the streaming form). */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingAgg(Tables.events(s, d))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_s", "event_type")
+
+  /** C3: streaming wiring — watermarked event stream through the same agg.
+    * Late data beyond 2 hours is dropped and window state is reclaimed.
+    */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "2 hours"))
+
+  // ---------- C2: sessionization ----------
+
+  /** C2 query: gap-based sessions via Spark's native `session_window`
+    * (streaming-capable as-is). 30-minute gap; duration floored to whole
+    * seconds so µs-vs-ns storage precision can't split hairs with the
+    * oracle.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"),
+        date_format(col("t0"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        col("n_events"),
+        (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("duration_sec"))
+      .orderBy("user_id", "start_s")
+
+  // ---------- C2 streaming form: custom state via flatMapGroupsWithState ----------
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Int)
+  final case class Session(user_id: Long, startUs: Long, n_events: Int, duration_sec: Long)
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** Per-user session assembly with explicit state: closed sessions are
+    * emitted as soon as a batch proves a gap; the open tail stays in
+    * (watermark-bounded) state and flushes on event-time timeout.
+    */
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[Session] = {
+    val sq = events.sparkSession; import sq.implicits._
+    def fn(userId: Long, it: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
+      if (!state.exists && !it.hasNext) return Iterator.empty
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        return Iterator.single(Session(userId, st.startUs, st.n, (st.lastUs - st.startUs) / 1000000))
+      }
+      val sorted = it.map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).toArray.sorted
+      var cur = state.getOption.orNull
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { us =>
+        if (cur == null) cur = SessionState(us, us, 1)
+        else if (us - cur.lastUs > GapUs) {
+          out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
+          cur = SessionState(us, us, 1)
+        } else cur = cur.copy(lastUs = us, n = cur.n + 1)
+      }
+      if (cur != null) {
+        state.update(cur)
+        if (state.getOption.isDefined && events.isStreaming)
+          state.setTimeoutTimestamp(cur.lastUs / 1000 + GapUs / 1000)
+      }
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
