@@ -65,6 +65,10 @@ object Streams {
     */
   def sessionizeStateful(events: Dataset[Ev]): Dataset[Session] = {
     val sq = events.sparkSession; import sq.implicits._
+    // The state function must close over plain locals only — capturing the
+    // Dataset or the enclosing object would fail task serialization.
+    val isStreaming = events.isStreaming
+    val gapUs = GapUs
     def fn(userId: Long, it: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
       if (!state.exists && !it.hasNext) return Iterator.empty
       if (state.hasTimedOut) {
@@ -77,19 +81,20 @@ object Streams {
       val out = Seq.newBuilder[Session]
       sorted.foreach { us =>
         if (cur == null) cur = SessionState(us, us, 1)
-        else if (us - cur.lastUs > GapUs) {
+        else if (us - cur.lastUs > gapUs) {
           out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
           cur = SessionState(us, us, 1)
         } else cur = cur.copy(lastUs = us, n = cur.n + 1)
       }
       if (cur != null) {
         state.update(cur)
-        if (state.getOption.isDefined && events.isStreaming)
-          state.setTimeoutTimestamp(cur.lastUs / 1000 + GapUs / 1000)
+        if (isStreaming)
+          state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
       }
       out.result().iterator
     }
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.relational.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §4 acceptance bar): parquet pushdown
+  * and pruning actually reach the scan, dims actually broadcast, top-k
+  * actually plans as TakeOrderedAndProject, and no query collapses into a
+  * cartesian product.
+  */
+class PlanSpec extends AnyFunSuite {
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val df = Relational.q1Agg(TestSpark.spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // pruned: the 11-column table is read with only the 7 needed columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double"), p)
+    assert(!p.contains("l_orderkey"), "scan should not read l_orderkey\n" + p)
+    // whole-stage codegen only shows in the final adaptive plan, post-execution
+    // (rendered as "*(n)" stage markers in the plan string)
+    df.collect()
+    assert(plan(df).contains("*("), plan(df))
+  }
+
+  test("q5_join broadcasts every dim and shuffles only lineitem⋈orders") {
+    val p = plan(Relational.q5Join(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q3_topk plans the limit as TakeOrderedAndProject") {
+    val p = plan(Relational.q3TopK(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("range_join is a broadcast nested loop, not a shuffled cartesian") {
+    val p = plan(Relational.rangeJoin(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("asof_join is one shuffle + window, no per-event probe join") {
+    val p = plan(Relational.asofJoin(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  test("exact dedup groups normalized duplicates to min doc_id") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "Hello   World"), (1L, "hello world"), (2L, "different doc"),
+      (3L, "HELLO WORLD  ")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.exact(s, tmp).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 0L, false), (1L, 0L, true), (2L, 2L, false), (3L, 0L, true)))
+  }
+
+  test("minhash LSH finds a planted near-dup and skips dissimilar docs") {
+    import s.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 until 160).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhash(s, tmp).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhash signatures are stable and permutation params deterministic") {
+    assert(Dedup.permParams(4) == Dedup.permParams(4))
+    assert(Dedup.permParams(64).map(_._1).forall(a => a > 0 && a < (1L << 29)))
+  }
+
+  test("simhash: small edits stay much closer in hamming than unrelated text") {
+    // wide vocab so one changed token can only flip near-zero vote bits
+    val words = (0 until 300).map(i => s"w$i")
+    val a = TextKernelImpl.simhash64(words.mkString(" "))
+    val b = TextKernelImpl.simhash64(words.updated(150, "CHANGED").mkString(" "))
+    val c = TextKernelImpl.simhash64((1000 until 1300).map(i => s"z$i").mkString(" "))
+    val near = java.lang.Long.bitCount(a ^ b)
+    val far = java.lang.Long.bitCount(a ^ c)
+    assert(near <= 8, s"near=$near")
+    assert(far > 15, s"far=$far")
+    assert(near < far)
+  }
+
+  test("pairsFromSorted emits all i<j pairs") {
+    import s.implicits._
+    val df = Seq(Seq(1L, 2L, 3L)).toDF("ids")
+      .select(explode(Dedup.pairsFromSorted(col("ids"))).as("p"))
+      .select("p.a", "p.b")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("brute-force cosine ranks an identical vector first") {
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.001f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann").toString
+    e.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.annBruteforce(s, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(q0.head == 1L)  // nearest
+    assert(q0.last == 3L)  // opposite direction ranks last
+  }
+
+  test("LSH ANN achieves reasonable recall@10 vs brute force") {
+    val bf = Similarity.annBruteforce(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.annLsh(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.keys.toSeq.sorted.map { q =>
+      val r = lsh.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / bf(q).size
+      r
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@10 $mean; per-query $recalls")
+    // every LSH result list is well-formed top-k
+    assert(lsh.values.forall(_.size <= 10))
+  }
+
+  test("quantized cosine is deterministic and within 1e-3 of true cosine") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq((0L, Array(0.3f, -0.7f, 0.65f)), (1L, Array(0.29f, -0.71f, 0.66f)))
+      .toDF("vec_id", "embedding")
+    val q = e.select(Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Similarity.sqNorm(col("qv")))
+    val Array(r0, r1) = q.collect()
+    val (q0, n0) = (r0.getSeq[Long](0), r0.getLong(1))
+    val (q1, n1) = (r1.getSeq[Long](0), r1.getLong(1))
+    val dot = q0.zip(q1).map { case (a, b) => a * b }.sum
+    val cos = dot / (math.sqrt(n0.toDouble) * math.sqrt(n1.toDouble))
+    val expected = {
+      val a = Array(0.3, -0.7, 0.65); val b = Array(0.29, -0.71, 0.66)
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(cos - expected) < 1e-3)
+  }
+}

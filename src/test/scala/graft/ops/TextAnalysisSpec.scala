@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  test("fingerprint is stable, and local edits keep most of the signature") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val fp1 = TextKernelImpl.fingerprint(text)
+    val fp2 = TextKernelImpl.fingerprint(text)
+    assert(fp1 == fp2)
+    val edited = text.replace("lazy", "hazy")
+    val shared = fp1.split(":").toSet.intersect(
+      TextKernelImpl.fingerprint(edited).split(":").toSet)
+    assert(shared.nonEmpty, "an 8-char-window min-sketch should survive a 1-word edit")
+    assert(TextKernelImpl.fingerprint("short") != TextKernelImpl.fingerprint("shor"))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog of a house", "en", "x", 1L),
+      (1L, "el gato y la casa de el perro", "es", "x", 1L),
+      (2L, "zzz qqq www", "zz", "x", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lang").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.langId(s, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+    assert(out(2L) == "und")
+  }
+
+  test("simhash64 kernel matches a reference bit-vote computation") {
+    val text = "a b a"
+    val ha = TextKernelImpl.fnv1a64("a")
+    val hb = TextKernelImpl.fnv1a64("b")
+    var expected = 0L
+    (0 until 64).foreach { b =>
+      val v = 2 * (((ha >>> b) & 1) * 2 - 1) + (((hb >>> b) & 1) * 2 - 1)
+      if (v > 0) expected |= (1L << b)
+    }
+    assert(TextKernelImpl.simhash64(text) == expected)
+  }
+}

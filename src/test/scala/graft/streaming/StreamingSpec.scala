@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C3: the streaming pipeline runs the same logic as the batch-checked
+  * queries — MemoryStream in, watermarked transforms, memory sink out.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private def ts(str: String): Timestamp = Timestamp.valueOf(str)
+
+  test("tumbling aggregation over a stream matches the batch result") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.tumblingStream(df)
+      .select(col("window.start").as("start"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close hour 10 and 11
+    mem.addData((ts("2024-01-01 15:00:00"), "click", 0.5))
+    q.processAllAvailable()
+    val got = s.sql("SELECT start, event_type, n FROM tumbling_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)), got.toString)
+    assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L)), got.toString)
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    // user 1: two events 5 min apart (one session), then 2h later another
+    mem.addData(
+      Streams.Ev(1L, ts("2024-01-01 10:00:00")),
+      Streams.Ev(1L, ts("2024-01-01 10:05:00")),
+      Streams.Ev(1L, ts("2024-01-01 12:30:00")),
+      Streams.Ev(2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val got = s.sql("SELECT user_id, n_events, duration_sec FROM sess_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    // the 10:00-10:05 session of user 1 closed because 12:30 proved the gap
+    assert(got.contains((1L, 2, 300L)), got.toString)
+  }
+
+  test("batch sessionize agrees with stateful logic on a crafted case") {
+    import s.implicits._
+    val events = Seq(
+      (10L, ts("2024-01-05 09:00:00"), 1L, "click", 0.5, "{}"),
+      (11L, ts("2024-01-05 09:10:00"), 1L, "click", 0.5, "{}"),
+      (12L, ts("2024-01-05 11:00:00"), 1L, "click", 0.5, "{}"),
+      (13L, ts("2024-01-05 09:00:00"), 2L, "view", 0.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Streams.sessionize(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-05 09:00:00", 2L, 600L),
+      (1L, "2024-01-05 11:00:00", 1L, 0L),
+      (2L, "2024-01-05 09:00:00", 1L, 0L)))
+  }
+}
