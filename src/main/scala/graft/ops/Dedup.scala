@@ -59,17 +59,27 @@ object Dedup {
     }
   }
 
-  /** doc_id + minhash signature (array of NumPerms longs). */
+  private def registerKernels(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", es => MinhashSig(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", es => ShingleHashes(es.head), "built-in")
+  }
+
+  /** doc_id + distinct hashed shingles (single-pass kernel). */
+  def hashedShingles(docs: DataFrame): DataFrame = {
+    registerKernels(docs.sparkSession)
+    docs.select(col("doc_id"), call_function("shingle_hashes", col("text")).as("hx"))
+      .filter(size(col("hx")) > 0)
+  }
+
+  /** doc_id + minhash signature (array of NumPerms longs), computed in a
+    * single pass over the hashed shingles by the MinhashSig kernel.
+    */
   def signatures(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hx", transform(col("sh"), x => pmod(xxhash64(x), lit(4294967296L))))
-    val sigCols = permParams(NumPerms).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hx"), x => (lit(a) * x + lit(b)) % lit(MinhashP))).as(s"s$i")
-    }
-    hashed.select((col("doc_id") +: sigCols): _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+    registerKernels(docs.sparkSession)
+    hashedShingles(docs)
+      .select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
   }
 
   /** Candidate pairs from banded signatures. Shuffle payload is one
@@ -104,10 +114,11 @@ object Dedup {
   def minhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val cands = candidatePairs(signatures(docs))
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // verify on hashed shingle sets (exact jaccard up to 32-bit collisions)
+    val sh = hashedShingles(docs)
     cands
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
         size(array_union(col("sh_a"), col("sh_b"))).as("union_n"))
