@@ -1,0 +1,39 @@
+package graft
+
+import graft.etl.{BsdSum, MySqlEscape, MySqlUnescape}
+import graft.ops.{Fingerprint, MinhashSig, ShingleHashes, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-grade registration of graft's native expressions: set
+  * `spark.sql.extensions=graft.GraftExtensions` and every session — SQL
+  * included — gets the kernels without any driver-side registration call.
+  * (The per-operator `registerFunctions` helpers remain for ad-hoc use.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("bsd_sum", "bsd_sum(binary) - BSD sum checksum, '%05d blocks' format",
+        es => BsdSum(es.head)),
+      ("mysql_escape", "mysql_escape(str) - MySQL LOAD DATA INFILE escaping",
+        es => MySqlEscape(es.head)),
+      ("mysql_unescape", "mysql_unescape(str) - inverse of mysql_escape",
+        es => MySqlUnescape(es.head)),
+      ("simhash64", "simhash64(str) - 64-bit simhash over whitespace tokens",
+        es => SimHash64(es.head)),
+      ("doc_fingerprint", "doc_fingerprint(str) - rolling-hash min-sketch signature",
+        es => Fingerprint(es.head)),
+      ("minhash_sig", "minhash_sig(array<long>) - 64-perm minhash signature",
+        es => MinhashSig(es.head)),
+      ("shingle_hashes", "shingle_hashes(str) - distinct hashed word 3-shingles",
+        es => ShingleHashes(es.head)))
+    fns.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+  }
+}
