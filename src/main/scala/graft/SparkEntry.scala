@@ -84,6 +84,8 @@ object SparkEntry {
     "token_count"     -> w(TextAnalysis.tokenCount),
     "fingerprint"     -> w(TextAnalysis.fingerprint),
     "multimodal_meta" -> w(Multimodal.metaQuery),
+    // E. composite curation pipeline
+    "curate_corpus"   -> w(Curate.query),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -408,5 +410,7 @@ object SparkEntry {
         CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames,
         md5(text) AS payload_md5
       FROM documents ORDER BY doc_id""",
+
+    "curate_corpus" -> Curate.oracleSql,
   )
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E1: end-to-end training-corpus curation — the composition a real
+  * LLM-data pipeline runs: exact dedup (keep-min representative) →
+  * token-count bounds → stopword-quality floor, in ONE pass over the
+  * corpus (single shuffle on the content hash; every predicate is a
+  * column expression so the whole filter chain stays in codegen).
+  */
+object Curate {
+
+  def query(s: SparkSession, d: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+    val w = split(lower(col("text")), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .withColumn("keeper", min("doc_id").over(byHash))
+      .filter(col("keeper") === col("doc_id"))
+      .withColumn("n_tok", size(w))
+      .withColumn("n_stop",
+        size(filter(w, t => TextAnalysis.stopwords("en").map(x => t === x).reduce(_ || _))))
+      .filter(col("n_tok").between(20, 500) && col("n_stop") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"))
+      .orderBy("doc_id")
+  }
+
+  val oracleSql: String = """
+    WITH base AS (
+      SELECT doc_id, lang, text,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents),
+    keep AS (
+      SELECT doc_id, lang, text,
+        min(doc_id) OVER (PARTITION BY h) AS keeper FROM base),
+    feat AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop
+      FROM keep WHERE keeper = doc_id)
+    SELECT doc_id, lang, n_tok, n_stop FROM feat
+    WHERE n_tok BETWEEN 20 AND 500 AND n_stop >= 1
+    ORDER BY doc_id"""
+}

@@ -32,10 +32,12 @@ object Dedup {
     * 100 TB the payload never moves, only (hash, doc_id).
     */
   def exact(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
-    val keepers = docs.groupBy("h").agg(min("doc_id").as("keeper"))
-    docs.join(keepers, Seq("h"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      // one shuffle on the content hash (a groupBy+join-back would shuffle twice)
+      .withColumn("keeper", min("doc_id").over(byHash))
       .select(col("doc_id"), col("keeper"), (col("doc_id") =!= col("keeper")).as("is_dup"))
       .orderBy("doc_id")
   }

@@ -112,18 +112,17 @@ object Relational {
         col("sum_qty"), col("n"), col("gid"))
       .orderBy("gid", "flag", "status")
 
-  /** B8: semi + anti join — customers with / without orders per segment. */
+  /** B8: semi + anti join — customers with / without orders per segment.
+    * Both sides of the EXISTS come out of ONE semi-join pass: a separate
+    * left_semi + left_anti would scan and shuffle orders twice.
+    */
   def qSemiJoin(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-    val ok   = Tables.orders(s, d).select("o_custkey")
-    val withO = cust.join(ok, cust("c_custkey") === ok("o_custkey"), "left_semi")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
-    val withoutO = cust.join(ok, cust("c_custkey") === ok("o_custkey"), "left_anti")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
-    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-      .select(col("c_mktsegment"),
-        coalesce(col("n_with"), lit(0L)).as("n_with"),
-        coalesce(col("n_without"), lit(0L)).as("n_without"))
+    val okeys = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    cust.join(okeys, cust("c_custkey") === okeys("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_custkey")).as("n_with"),
+        (count(lit(1)) - count(col("o_custkey"))).as("n_without"))
       .orderBy("c_mktsegment")
   }
 

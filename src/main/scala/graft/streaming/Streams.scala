@@ -34,6 +34,21 @@ object Streams {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts", "2 hours"))
 
+  /** C3: rate-limited file-source wiring — tail a directory of event
+    * parquet files as a stream (`maxFilesPerTrigger` bounds per-batch
+    * intake — new files landing in the dir become micro-batches), with
+    * the same ns→µs timestamp normalization as the batch catalog.
+    */
+  def eventStream(s: SparkSession, eventsDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val rawSchema = s.read.parquet(eventsDir).schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+
   // ---------- C2: sessionization ----------
 
   /** C2 query: gap-based sessions via Spark's native `session_window`

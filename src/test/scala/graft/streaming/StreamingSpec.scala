@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 2, 300L)), got.toString)
   }
 
+  test("rate-limited file-source stream emits watermark-closed windows matching batch") {
+    val sf = graft.TestSpark.sf
+    // file streams tail a directory; stage the single events file into one
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events-0.parquet"))
+    val q = Streams.tumblingStream(Streams.eventStream(s, dir.toString))
+      .writeStream.format("memory").queryName("file_stream_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT window.start AS start, event_type, n FROM file_stream_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode only emits windows the watermark has closed — every
+    // emitted row must agree exactly with the batch aggregation
+    assert(got.nonEmpty, "stream emitted nothing")
+    val batch = Streams.tumblingAgg(graft.Tables.events(s, sf))
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"window $k: stream=$n batch=${batch.get(k)}")
+    }
+  }
+
   test("batch sessionize agrees with stateful logic on a crafted case") {
     import s.implicits._
     val events = Seq(
