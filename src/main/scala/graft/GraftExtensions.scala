@@ -31,7 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("minhash_sig", "minhash_sig(array<long>) - 64-perm minhash signature",
         es => MinhashSig(es.head)),
       ("shingle_hashes", "shingle_hashes(str) - distinct hashed word 3-shingles",
-        es => ShingleHashes(es.head)))
+        es => ShingleHashes(es.head)),
+      ("bitmap_distinct", "bitmap_distinct(col) - exact distinct count via Roaring bitmap",
+        es => graft.functions.BitmapDistinct(es.head).toAggregateExpression()))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

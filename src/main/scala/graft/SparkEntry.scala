@@ -68,6 +68,9 @@ object SparkEntry {
     "q_subquery"        -> w(Relational.qSubquery),
     "asof_join"         -> w(Relational.asofJoin),
     "range_join"        -> w(Relational.rangeJoin),
+    "q_bitmap_distinct" -> w(Relational.qBitmapDistinct),
+    "q_percentile"      -> w(Relational.qPercentile),
+    "q_json"            -> w(Relational.qJson),
     // C. streaming semantics (batch-checked)
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
@@ -412,5 +415,24 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
 
     "curate_corpus" -> Curate.oracleSql,
+
+    "q_bitmap_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS bm_parts,
+        count(DISTINCT l_suppkey) AS bm_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS qty_p25,
+        quantile_cont(l_quantity, 0.5) AS qty_p50,
+        quantile_cont(l_quantity, 0.75) AS qty_p75,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_json" -> """
+      SELECT k % 10 AS k_bucket, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        sum(k) AS sum_k
+      FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id FROM events) t
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -207,6 +207,47 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** B16: exact distinct via RoaringBitmap aggregate (one pass, no Expand
+    * shuffle — see graft.functions.BitmapDistinct). Oracle-exact against
+    * count(DISTINCT ...).
+    */
+  def qBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_distinct",
+      es => graft.functions.BitmapDistinct(es.head).toAggregateExpression(), "built-in")
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_partkey", "l_suppkey")
+      .groupBy("l_returnflag")
+      .agg(call_function("bitmap_distinct", col("l_partkey")).as("bm_parts"),
+        call_function("bitmap_distinct", col("l_suppkey")).as("bm_supps"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B17: exact percentiles (linear interpolation — same definition as
+    * DuckDB quantile_cont; the p90 over doubles is rounded to absorb the
+    * engines' interpolation-order ULPs).
+    */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("qty_p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("qty_p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("qty_p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+      .orderBy("l_returnflag")
+
+  /** B18: semi-structured extraction — JSON path into events.props,
+    * then a grouped rollup of the extracted value.
+    */
+  def qJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("user_id"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
   /** B14: range (band) join — small band table broadcast, so the non-equi
     * condition is a broadcast nested-loop, not a shuffled cartesian.
     */
