@@ -66,6 +66,18 @@ object Streams {
         (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("duration_sec"))
       .orderBy("user_id", "start_s")
 
+  // ---------- C4: streaming dedup ----------
+
+  /** Streaming exact dedup: first arrival of each key wins; duplicate
+    * state is dropped once the event-time watermark passes, so state is
+    * bounded by keys-per-watermark-window, not stream length. The
+    * streaming member of the D1 family (same keep-first semantics).
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, keys: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---------- C2 streaming form: custom state via flatMapGroupsWithState ----------
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)

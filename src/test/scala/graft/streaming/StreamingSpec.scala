@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeps first arrival per key with bounded state") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "payload")
+    val q = Streams.streamingDedup(df, "ts", Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_stream_test").outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "first"),
+      (ts("2024-01-01 10:00:05"), 1L, "dup-same-batch"),
+      (ts("2024-01-01 10:01:00"), 2L, "first"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:02:00"), 1L, "dup-next-batch"))
+    q.processAllAvailable()
+    val got = s.sql("SELECT doc_id, payload FROM dedup_stream_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "first"), (2L, "first")), got.toString)
+  }
+
   test("batch sessionize agrees with stateful logic on a crafted case") {
     import s.implicits._
     val events = Seq(
