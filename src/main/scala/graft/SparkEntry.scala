@@ -71,6 +71,8 @@ object SparkEntry {
     "q_bitmap_distinct" -> w(Relational.qBitmapDistinct),
     "q_percentile"      -> w(Relational.qPercentile),
     "q_json"            -> w(Relational.qJson),
+    "q_pivot"           -> w(Relational.qPivot),
+    "ann_ivf"           -> w((s, d) => Similarity.annIvf(s, d)),
     // C. streaming semantics (batch-checked)
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
@@ -434,5 +436,14 @@ object SparkEntry {
         sum(k) AS sum_k
       FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id FROM events) t
       GROUP BY 1 ORDER BY 1""",
+
+    "q_pivot" -> """
+      SELECT user_id % 10 AS user_bucket,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

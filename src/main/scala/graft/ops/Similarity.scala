@@ -85,6 +85,49 @@ object Similarity {
       when(dot(qv, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // ---------- D13: IVF-style ANN ----------
+
+  /** D13: IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH. Coarse quantizer: per-cluster centroids of the quantized
+    * vectors (exact integer sums ÷ count → deterministic doubles); each
+    * query probes its `nprobe` nearest centroids and exact-reranks only
+    * those clusters' vectors. At 100 TB the corpus is partitioned by
+    * cluster id once (one shuffle at index build), queries touch
+    * nprobe/k of the data. Here the given `label` column is the cluster
+    * assignment (k-means would produce it in a real index build).
+    */
+  def annIvf(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
+    val e = quantized(s, d)
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    // centroid per cluster: elementwise mean of quantized vectors
+    val cents = e.groupBy("label")
+      .agg(transform(
+        aggregate(collect_list(col("qv")), // small per-cluster list at agg time
+          typedlit(Seq.fill(64)(0L)),
+          (acc, v) => zip_with(acc, v, (x, y) => x + y)),
+        x => x.cast("double") / count(lit(1))).as("centroid"))
+    // assign each query to its nprobe nearest centroids (tiny cross join)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nq").as("nqq"))
+    val cw = Window.partitionBy("qid").orderBy(col("cdist"), col("label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qq"), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("crnk", row_number().over(cw))
+      .filter(col("crnk") <= nprobe)
+      .select(col("qid"), col("qq"), col("nqq"), col("label"))
+    // exact rerank within the probed clusters only
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(dot(col("qq"), col("qv")), col("nqq"), col("nq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rnk")
+  }
+
   /** D7: LSH-bucketed ANN — each corpus vector lands in one bucket;
     * queries multi-probe their own bucket plus all hamming-1 buckets,
     * then exact-rerank the candidates. Rows-only oracle; recall vs

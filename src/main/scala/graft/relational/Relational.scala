@@ -248,6 +248,19 @@ object Relational {
         sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
 
+  /** B20: pivot / cross-tab — event-type counts per user bucket. The
+    * pivot values are pinned so the output schema is static (at scale an
+    * unpinned pivot triggers a distinct-values pre-query).
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
   /** B14: range (band) join — small band table broadcast, so the non-equi
     * condition is a broadcast nested-loop, not a shuffled cartesian.
     */

@@ -37,6 +37,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.values.forall(_.size <= 10))
   }
 
+  test("IVF ANN achieves reasonable recall@10 vs brute force") {
+    val bf = Similarity.annBruteforce(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.annIvf(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.keys.toSeq.sorted.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean IVF recall@10 $mean; per-query $recalls")
+    assert(ivf.values.forall(_.size <= 10))
+  }
+
   test("quantized cosine is deterministic and within 1e-3 of true cosine") {
     import s.implicits._
     import org.apache.spark.sql.functions._
