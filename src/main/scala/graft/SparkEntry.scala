@@ -54,6 +54,7 @@ object SparkEntry {
     "ddl_parse"           -> w(SqlDdl.query),
     "grant_ddl"           -> w(Discovery.grantDdl),
     "job_summary"         -> w(Discovery.jobSummary),
+    "job_failures"        -> w(Discovery.jobFailures),
     "table_stats"         -> w(TableStats.query),
     // B. relational core
     "q1_agg"            -> w(Relational.q1Agg),
@@ -189,6 +190,13 @@ object SparkEntry {
         count(DISTINCT CASE WHEN status = 'FAILED' THEN db END) AS n_failed_dbs,
         count(*) AS n_jobs
       FROM j GROUP BY stage ORDER BY stage""",
+
+    "job_failures" -> """
+      SELECT job_id, stage, db,
+        '  * job_id=' || job_id || ' ' || stage || ' input_id=''' || db || '''' AS line
+      FROM (SELECT event_id AS job_id, event_type AS stage, 'db_' || (user_id % 20) AS db
+            FROM events WHERE value < 0.2) t
+      ORDER BY job_id LIMIT 100""",
 
     "table_stats" -> """
       SELECT * FROM (

@@ -118,4 +118,20 @@ object Discovery {
         countDistinct(when(col("status") === "FAILED", col("db"))).as("n_failed_dbs"),
         count(lit(1)).as("n_jobs"))
       .orderBy("stage")
+
+  /** A11b: failed-job detail listing — the second half of the reference's
+    * summary email (`EmailSummary.pm:142-166`, line format at :161). Kept
+    * to the first 100 by job id: the reference emails the whole list, a
+    * 100 TB pipeline wants the bounded head plus the counts above.
+    */
+  def jobFailures(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") < 0.2)
+      .select(col("event_id").as("job_id"), col("event_type").as("stage"),
+        concat(lit("db_"), col("user_id") % 20).as("db"))
+      .withColumn("line",
+        concat(lit("  * job_id="), col("job_id"), lit(" "), col("stage"),
+          lit(" input_id='"), col("db"), lit("'")))
+      .orderBy("job_id")
+      .limit(100)
 }
