@@ -66,6 +66,27 @@ object Streams {
         (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("duration_sec"))
       .orderBy("user_id", "start_s")
 
+  // ---------- C5: stream-stream interval join ----------
+
+  /** Stream⋈stream join with an event-time interval: each `left` row
+    * matches `right` rows of the same key whose timestamp lands in
+    * [left.ts, left.ts + window]. Both sides are watermarked so the join
+    * state is bounded: a buffered left row can be dropped once the right
+    * watermark passes its interval end (attribution joins — click →
+    * purchase — are this exact shape).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
   // ---------- C4: streaming dedup ----------
 
   /** Streaming exact dedup: first arrival of each key wins; duplicate

@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id"), buys.toDF().toDF("ts", "user_id"), "user_id")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_test").outputMode("append").start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData(
+      (ts("2024-01-01 10:30:00"), 1L),  // within 1h of user 1's click → match
+      (ts("2024-01-01 12:30:00"), 2L))  // 2.5h after user 2's click → no match
+    q.processAllAvailable()
+    val got = s.sql("SELECT l_key, r_ts FROM ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    q.stop()
+    assert(got == Set((1L, "2024-01-01 10:30:00.0")), got.toString)
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
