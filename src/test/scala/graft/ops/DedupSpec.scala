@@ -48,6 +48,32 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far)
   }
 
+  test("hashed-shingle kernel counts match the string-shingle Column version") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g"), (1L, "one two three"), (2L, "x y"), (3L, "")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.hashedShingles(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    val slow = docs.select(col("doc_id"), size(Dedup.shingles(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // hashedShingles filters empty; string version reports 0
+    slow.foreach { case (id, n) =>
+      assert(fast.getOrElse(id, 0) == n, s"doc $id")
+    }
+  }
+
+  test("MinhashSig kernel equals the naive per-permutation minimum") {
+    val xs = Array(12345L, 98765L, 42L, 4294967295L)
+    val sig = MinhashKernel.sig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs))
+    val perms = Dedup.permParams(Dedup.NumPerms)
+    perms.zipWithIndex.foreach { case ((a, b), i) =>
+      val want = xs.map(x => (a * x + b) % Dedup.MinhashP).min
+      assert(sig.getLong(i) == want, s"perm $i")
+    }
+  }
+
   test("pairsFromSorted emits all i<j pairs") {
     import s.implicits._
     val df = Seq(Seq(1L, 2L, 3L)).toDF("ids")
