@@ -73,6 +73,8 @@ object SparkEntry {
     "q_percentile"      -> w(Relational.qPercentile),
     "q_json"            -> w(Relational.qJson),
     "q_pivot"           -> w(Relational.qPivot),
+    "q_mincost"         -> w(Relational.qMinCost),
+    "q_custdist"        -> w(Relational.qCustDist),
     "ann_ivf"           -> w((s, d) => Similarity.annIvf(s, d)),
     // C. streaming semantics (batch-checked)
     "stream_tumbling" -> w(Streams.tumbling),
@@ -453,5 +455,19 @@ object SparkEntry {
         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
       FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_mincost" -> """
+      SELECT l_partkey, l_suppkey AS best_supp, cost AS min_cost FROM (
+        SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(9,2))) AS cost
+        FROM lineitem WHERE l_partkey < 100 GROUP BY 1, 2) t
+      QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY cost, l_suppkey) = 1
+      ORDER BY l_partkey""",
+
+    "q_custdist" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
   )
 }

@@ -138,7 +138,9 @@ object MySqlDump {
     val lines = s.read.text(path)
     val parts = split(col("value"), "\t", -1)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      val raw = element_at(parts, i + 1)
+      // try_element_at: a ragged row (fewer fields than the schema) yields
+      // NULLs instead of an ANSI INVALID_ARRAY_INDEX error mid-load
+      val raw = try_element_at(parts, lit(i + 1))
       val unescaped = when(raw === NullMarker, lit(null).cast("string"))
         .otherwise(call_function("mysql_unescape", raw))
       (f.dataType match {

@@ -248,6 +248,37 @@ object Relational {
         sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
 
+  /** B21: argmin-per-group join (TPC-H Q2 shape): cheapest supplier per
+    * part — aggregate to (part, supp) cost, then a rank-1 window picks
+    * the winner with an exact decimal compare and a suppkey tie-break.
+    */
+  def qMinCost(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey").orderBy(col("cost"), col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 100)
+      .select(col("l_partkey"), col("l_suppkey"), dec(col("l_extendedprice"), 9, 2).as("ep"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("ep")).as("cost"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("l_partkey"), col("l_suppkey").as("best_supp"), col("cost").as("min_cost"))
+      .orderBy("l_partkey")
+  }
+
+  /** B22: outer-join histogram (TPC-H Q13 shape): customers bucketed by
+    * how many orders they have, including the zero-order bucket.
+    */
+  def qCustDist(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** B20: pivot / cross-tab — event-type counts per user bucket. The
     * pivot values are pinned so the output schema is static (at scale an
     * unpinned pivot triggers a distinct-values pre-query).

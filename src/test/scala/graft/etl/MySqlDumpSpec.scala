@@ -27,6 +27,20 @@ class MySqlDumpSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged rows load as nulls instead of failing the whole job (ANSI-safe)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType), StructField("b", StringType)))
+    val dir = Files.createTempDirectory("ragged").toString + "/t"
+    Seq("1\tx\ty", "2\tonly-two-fields", "3").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val rows = MySqlDump.readTable(s, dir, schema).collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(2) == "y")
+    assert(rows(1).getString(1) == "only-two-fields" && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
   test("file round-trip with nulls, tabs and timestamps via gzip") {
     val s = TestSpark.spark
     val schema = StructType(Seq(
