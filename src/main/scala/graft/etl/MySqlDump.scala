@@ -123,7 +123,7 @@ object MySqlDump {
       val str = fieldToString(col(f.name), f.dataType)
       coalesce(call_function("mysql_escape", str), lit(NullMarker))
     }
-    df.select(concat_ws("\t", fields: _*).as("value"))
+    df.select(concat_ws("\t", fields.toIndexedSeq: _*).as("value"))
   }
 
   /** Write `df` as (optionally gzipped) MySQL-dump TSV. */
@@ -148,7 +148,7 @@ object MySqlDump {
         case dt            => unescaped.cast(dt)
       }).as(f.name)
     }
-    lines.select(cols: _*)
+    lines.select(cols.toIndexedSeq: _*)
   }
 
   /** A7 query: encode each document the way LOAD DATA would expect it and
