@@ -54,7 +54,9 @@ object Relational {
       .filter(col("l_shipdate") > lit("1999-01-01"))
       .select(col("l_orderkey"),
         (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer SCALES with the dataset — no broadcast hint; AQE broadcasts
+    // at runtime when the filtered side is actually small
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(col("rev")).as("revenue"))
@@ -74,9 +76,11 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
       (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+    // nation/region are BOUNDED dims (25/5 rows at any SF) — hint them;
+    // customer/supplier scale with the data — AQE sizes those joins at runtime
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
