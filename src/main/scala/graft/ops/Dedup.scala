@@ -85,8 +85,12 @@ object Dedup {
   }
 
   /** Candidate pairs from banded signatures. Shuffle payload is one
-    * (band_id, band_hash, doc_id) triple per band per doc; a bucket-size
-    * cap bounds intra-bucket pair fan-out against adversarial skew.
+    * (band_id, band_hash, doc_id) triple per band per doc. Intra-bucket
+    * fan-out is quadratic only up to `maxBucket`; a larger bucket (a
+    * giant duplicate group, or an adversarial band collision) degrades to
+    * a star pattern — first id paired to every other — which keeps the
+    * group CONNECTED for downstream clustering at linear cost instead of
+    * silently dropping it.
     */
   def candidatePairs(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
     val rows = NumPerms / NumBands
@@ -94,12 +98,15 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(concat_ws(":", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)).as("bh"))
     }
+    val star = transform(slice(col("ids"), lit(2), size(col("ids"))), y =>
+      struct(element_at(col("ids"), 1).as("a"), y.as("b")))
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .groupBy("band", "bh")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(when(size(col("ids")) <= maxBucket, pairsFromSorted(col("ids")))
+        .otherwise(star)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }

@@ -48,6 +48,17 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far)
   }
 
+  test("oversized buckets degrade to a connected star, not silence") {
+    import s.implicits._
+    // 80 identical docs (> maxBucket=64): every band bucket holds all 80
+    val docs = (0L until 80L).map(i => (i, "same tokens repeated here ok " * 5)).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(Dedup.signatures(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 79, s"star over 80 ids should give 79 pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L), "star must anchor on the first id")
+    assert(pairs.map(_._2).toSet == (1L until 80L).toSet)
+  }
+
   test("hashed-shingle kernel counts match the string-shingle Column version") {
     import s.implicits._
     val docs = Seq(
