@@ -98,18 +98,23 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(concat_ws(":", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)).as("bh"))
     }
-    val star = transform(slice(col("ids"), lit(2), size(col("ids"))), y =>
-      struct(element_at(col("ids"), 1).as("a"), y.as("b")))
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .groupBy("band", "bh")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(when(size(col("ids")) <= maxBucket, pairsFromSorted(col("ids")))
-        .otherwise(star)).as("p"))
+      .select(explode(cappedPairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
+
+  /** All i<j pairs up to `maxBucket` ids; beyond that, a first-id star
+    * (linear, connectivity-preserving).
+    */
+  def cappedPairs(ids: Column, maxBucket: Int): Column =
+    when(size(ids) <= maxBucket, pairsFromSorted(ids))
+      .otherwise(transform(slice(ids, lit(2), size(ids)), y =>
+        struct(element_at(ids, 1).as("a"), y.as("b"))))
 
   /** All ordered pairs (ids[i], ids[j]) with i<j from a sorted id array. */
   def pairsFromSorted(ids: Column): Column =
@@ -151,10 +156,10 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     val buckets = chunks.groupBy("ci", "cv")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")).between(2, 64))
+      .filter(size(col("ms")) >= 2)
     val sigsById = docs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     buckets
-      .select(explode(pairsFromSorted(transform(col("ms"), m => m.getField("doc_id")))).as("p"))
+      .select(explode(cappedPairs(transform(col("ms"), m => m.getField("doc_id")), 64)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .join(sigsById, Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
