@@ -93,7 +93,8 @@ object SparkEntry {
     "fingerprint"     -> w(TextAnalysis.fingerprint),
     "multimodal_meta" -> w(Multimodal.metaQuery),
     // E. composite curation pipeline
-    "curate_corpus"   -> w(Curate.query),
+    "curate_corpus"    -> w(Curate.query),
+    "sample_stratified" -> w(Curate.sampleStratified),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -427,6 +428,7 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
 
     "curate_corpus" -> Curate.oracleSql,
+    "sample_stratified" -> Curate.sampleOracleSql,
 
     "q_bitmap_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS bm_parts,

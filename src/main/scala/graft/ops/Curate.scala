@@ -29,6 +29,34 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** E3: deterministic stratified sampling — the corpus-mixing primitive
+    * (downsample the dominant language, keep low-resource ones whole).
+    * Selection is a pure hash of the doc id (md5 prefix → bucket in
+    * [0,1000)), so the sample is reproducible across runs, partitionings
+    * and engines — `rand()`-based sampling is none of those.
+    */
+  val sampleRateX1000: Map[String, Int] = Map("en" -> 200) // others: keep all
+
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000).as("bucket")
+    val rate = sampleRateX1000.foldLeft(lit(1000)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket)
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  val sampleOracleSql: String = """
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+      FROM documents) t
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END)
+    ORDER BY doc_id"""
+
   val oracleSql: String = """
     WITH base AS (
       SELECT doc_id, lang, text,
