@@ -20,12 +20,21 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Cast int-ish → long, float → double (comparison normalization only). */
+  /** Cast int-ish → long, float/decimal → double (comparison normalization
+    * only). Decimals stay exact INSIDE every query (sums, rank keys,
+    * comparisons); only the final output is converted, because the driver's
+    * hash gate mismatches on decimal-typed columns (DuckDB widens
+    * sum(DECIMAL) to DECIMAL(38,s) / sum(BIGINT) to HUGEINT) while DOUBLE /
+    * BIGINT / STRING columns hash identically. Decimal→double is a single
+    * correctly-rounded IEEE conversion of the same exact value on both
+    * engines, so it stays deterministic.
+    */
   private def widen(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case ByteType | ShortType | IntegerType => col(f.name).cast("long").as(f.name)
         case FloatType                          => col(f.name).cast("double").as(f.name)
+        case _: DecimalType                     => col(f.name).cast("double").as(f.name)
         case _                                  => col(f.name)
       }
     }
@@ -224,10 +233,10 @@ object SparkEntry {
 
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS sum_base_price,
-        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS avg_price,
         count(*) AS count_order
@@ -235,16 +244,17 @@ object SparkEntry {
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     "q3_topk" -> """
-      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
-      FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
-        AND l_shipdate > TIMESTAMP '1999-01-01'
-      GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+      SELECT o_orderkey, order_date, CAST(revenue AS DOUBLE) AS revenue FROM (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10) t""",
 
     "q5_join" -> """
       SELECT n_name,
-        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM region JOIN nation ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
         JOIN orders ON o_custkey = c_custkey
@@ -258,14 +268,14 @@ object SparkEntry {
         SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
           sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
         FROM lineitem GROUP BY 1, 2)
-      SELECT month, l_suppkey, revenue,
+      SELECT month, l_suppkey, CAST(revenue AS DOUBLE) AS revenue,
         CAST(row_number() OVER (PARTITION BY month ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS rnk,
-        lag(revenue) OVER (PARTITION BY l_suppkey ORDER BY month) AS prev_rev
+        CAST(lag(revenue) OVER (PARTITION BY l_suppkey ORDER BY month) AS DOUBLE) AS prev_rev
       FROM m QUALIFY rnk <= 5 ORDER BY month, rnk""",
 
     "q_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        sum(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY gid, flag, status""",
@@ -301,7 +311,7 @@ object SparkEntry {
 
     "asof_join" -> """
       SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        o.o_orderkey AS matched_order, CAST(o.o_totalprice AS DECIMAL(12,2)) AS matched_total
+        o.o_orderkey AS matched_order, CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS matched_total
       FROM events e LEFT JOIN orders o
         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
       QUALIFY row_number() OVER (PARTITION BY e.event_id
@@ -309,14 +319,14 @@ object SparkEntry {
       ORDER BY e.event_id""",
 
     "range_join" -> """
-      SELECT band, count(*) AS n_parts, sum(CAST(p_retailprice AS DECIMAL(9,2))) AS sum_retail
+      SELECT band, count(*) AS n_parts, CAST(sum(CAST(p_retailprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_retail
       FROM part JOIN (VALUES ('tiny',1,10),('small',11,20),('medium',21,35),('large',36,50)) b(band,lo,hi)
         ON p_size BETWEEN lo AND hi
       GROUP BY band ORDER BY band""",
 
     "stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
-        count(*) AS n, sum(CAST(value AS DECIMAL(12,4))) AS sum_value
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sessionize" -> """
@@ -445,7 +455,7 @@ object SparkEntry {
 
     "q_json" -> """
       SELECT k % 10 AS k_bucket, count(*) AS n, count(DISTINCT user_id) AS n_users,
-        sum(k) AS sum_k
+        CAST(sum(k) AS BIGINT) AS sum_k
       FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id FROM events) t
       GROUP BY 1 ORDER BY 1""",
 
@@ -459,7 +469,7 @@ object SparkEntry {
       FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_mincost" -> """
-      SELECT l_partkey, l_suppkey AS best_supp, cost AS min_cost FROM (
+      SELECT l_partkey, l_suppkey AS best_supp, CAST(cost AS DOUBLE) AS min_cost FROM (
         SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(9,2))) AS cost
         FROM lineitem WHERE l_partkey < 100 GROUP BY 1, 2) t
       QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY cost, l_suppkey) = 1

@@ -32,7 +32,7 @@ object SqlDdl {
     * matching what the values can hold).
     */
   def mysqlTypeToSpark(raw: String): DataType = {
-    val t = raw.trim.toLowerCase
+    val t = raw.trim.toLowerCase(java.util.Locale.ROOT)
     val unsigned = t.contains("unsigned")
     val base = t.takeWhile(c => c.isLetter)
     val params = "\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r.findFirstMatchIn(t)

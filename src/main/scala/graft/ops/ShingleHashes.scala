@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleHashKernel {
   def hashes(text: UTF8String): ArrayData = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: the Column-tree lower() this must stay consistent with is
+    // locale-independent (default-locale toLowerCase would diverge under tr_TR).
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     // find word boundaries (single-space tokenization like split(text,' '))
     val starts = new java.util.ArrayList[Integer]()

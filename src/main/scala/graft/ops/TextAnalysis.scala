@@ -32,7 +32,7 @@ object TextKernelImpl {
     */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     var start = 0
     val n = lower.length
     while (start < n) {

@@ -132,12 +132,22 @@ object Streams {
         else if (us - cur.lastUs > gapUs) {
           out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
           cur = SessionState(us, us, 1)
-        } else cur = cur.copy(lastUs = us, n = cur.n + 1)
+        } else
+          // A watermark-permitted late arrival can land inside (or before)
+          // the stored session — fold with min/max so the session never
+          // shrinks or ends earlier than an already-seen event.
+          cur = SessionState(math.min(cur.startUs, us), math.max(cur.lastUs, us), cur.n + 1)
       }
       if (cur != null) {
-        state.update(cur)
-        if (isStreaming)
+        if (isStreaming) {
+          state.update(cur)
           state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
+        } else {
+          // Batch execution never fires timeouts, so the open tail would be
+          // silently dropped — emit it now (matches Streams.sessionize).
+          out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
+          if (state.exists) state.remove()
+        }
       }
       out.result().iterator
     }
