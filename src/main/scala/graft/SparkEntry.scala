@@ -155,6 +155,43 @@ object SparkEntry {
         FROM documents) t
       WHERE actual <> expected ORDER BY doc_id""",
 
+    // BSD `sum` re-expressed as a DuckDB char-fold: documents are all-ASCII
+    // (checked: octet_length == length), so ord(char) == byte and the 16-bit
+    // rotate-add fold over code points reproduces the byte-level checksum.
+    "checksum_bsd" -> """
+      SELECT doc_id,
+        printf('%05d %d',
+          list_reduce(
+            list_prepend(0, [ord(text[i]) for i in range(1, len(text)+1)]),
+            (acc, x) -> ((acc >> 1) + ((acc & 1) << 15) + x) & 65535),
+          (octet_length(encode(text)) + 1023) // 1024) AS bsd_sum
+      FROM documents ORDER BY doc_id""",
+
+    // Winnowing fingerprint re-expressed in SQL: each 8-char window's base-257
+    // polynomial fits in HUGEINT without wrap for ASCII (max ~9.45e18 < 2^64),
+    // so no modular arithmetic is needed; signed-long ordering (the kernel's
+    // TreeSet[java.lang.Long]) is emulated by shifting values >= 2^63 down.
+    "fingerprint" -> """
+      WITH h AS (
+        SELECT doc_id,
+          list_distinct([
+            list_reduce(list_prepend(0::HUGEINT, [ord(text[j])::HUGEINT for j in range(i, i+8)]),
+                        (acc, c) -> acc*257 + c)
+            for i in range(1, len(text)-6)
+          ]) AS hs
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          list_sort([CASE WHEN v >= 9223372036854775808::HUGEINT
+                          THEN v - 18446744073709551616::HUGEINT ELSE v END
+                     for v in hs]) AS ss
+        FROM h)
+      SELECT doc_id,
+        list_aggregate([lpad(lower(to_hex(CAST(CASE WHEN v < 0
+            THEN v + 18446744073709551616::HUGEINT ELSE v END AS UBIGINT))), 16, '0')
+          for v in list_slice(ss, 1, 4)], 'string_agg', ':') AS fp
+      FROM s ORDER BY doc_id""",
+
     "mysqldump_roundtrip" -> """
       SELECT doc_id,
         replace(replace(replace(replace(text, chr(92), chr(92)||chr(92)),
