@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_minhash"   -> w(Dedup.minhash),
     "dedup_simhash"   -> w(Dedup.simhash),
     "ngram_jaccard"   -> w(Dedup.ngramJaccard),
+    "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
@@ -378,6 +379,36 @@ object SparkEntry {
         count(*) AS n_events,
         epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_sec
       FROM y GROUP BY user_id, sid ORDER BY user_id, start_s""",
+
+    // Dup groups = connected components over (exact-dup ∪ jaccard) edges;
+    // DuckDB computes the same components via recursive reachability closure
+    // (fine at oracle scale — closure is quadratic per component, and dup
+    // groups are small).
+    "dedup_groups" -> """
+      WITH RECURSIVE
+      ex AS (
+        SELECT keeper AS a, doc_id AS b FROM (
+          SELECT doc_id,
+            min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
+          FROM documents) t WHERE doc_id <> keeper),
+      d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, lang, n_chars,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+      jc AS (SELECT a, b FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
+             WHERE 2 * len(list_distinct(list_intersect(sa.sh, sb.sh))) >= len(list_distinct(list_concat(sa.sh, sb.sh)))),
+      e AS (SELECT a, b FROM ex UNION SELECT a, b FROM jc),
+      und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
+      reach(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM und) v
+        UNION
+        SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)
+      SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n
+      FROM comp ORDER BY doc_id""",
 
     "dedup_exact" -> """
       SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM (

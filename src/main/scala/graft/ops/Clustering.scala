@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** D14: duplicate-group resolution — the step the reference pipeline (and
+  * any near-dup detector) needs AFTER candidate pairs are verified: collapse
+  * the pair list into connected components so each dup group gets one
+  * canonical representative.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts labelled
+  * with itself; each round every vertex takes the min label over itself and
+  * its neighbours; converged when no label changes. Rounds = graph diameter.
+  * Our candidate generators bound the diameter by construction (buckets emit
+  * cliques, oversized buckets emit stars — see Dedup.cappedPairs), so this
+  * terminates in a handful of rounds even at 100 TB; per round the work is
+  * one shuffle join (edges ⋈ labels) + one shuffle min-agg, both on the
+  * vertex id, and the edge list is cached once. `localCheckpoint` truncates
+  * the lineage each round so the plan doesn't grow with iteration count.
+  * For adversarial unbounded-diameter graphs the alternating
+  * large-star/small-star contraction (Kiveris et al., MapReduce CC) drops
+  * rounds to O(log n); not needed for LSH dedup graphs.
+  */
+object Clustering {
+
+  /** Connected components of the undirected graph given by `edges` (cols
+    * `a`, `b`). Returns (id, comp) for every vertex that appears in an
+    * edge, where comp = min vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** D14 query: dup groups over the union of exact-dup pairs (normalized
+    * content hash) and verified n-gram-jaccard near-dup pairs. Output one
+    * row per grouped doc: (doc_id, comp = min id in group, group_n).
+    */
+  def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactPairs = docs
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("a"), col("doc_id").as("b"))
+    val jaccPairs = Dedup.ngramJaccard(s, d).select("a", "b")
+    val edges = exactPairs.union(jaccPairs).distinct()
+    connectedComponents(edges)
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy("comp")))
+      .select(col("id").as("doc_id"), col("comp"), col("group_n"))
+      .orderBy("doc_id")
+  }
+}

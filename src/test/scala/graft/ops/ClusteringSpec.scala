@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import s.implicits._
+    Clustering.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, star and disjoint components all resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), star 10-{11,12,13},
+    // isolated pair 20-21
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (13L, 10L), (20L, 21L)))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("two stars linked through their tips merge into one component") {
+    val labels = cc(Seq((1L, 5L), (1L, 6L), (2L, 7L), (2L, 8L), (6L, 7L)))
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == Set(1L, 2L, 5L, 6L, 7L, 8L))
+  }
+
+  test("long path converges within the iteration cap") {
+    // path 0-1-2-...-19: worst case for label propagation (diameter 19);
+    // label flows one hop per round, must still converge under maxIter=25
+    val labels = cc((0L until 19L).map(i => (i, i + 1)))
+    assert(labels.values.toSet == Set(0L))
+    assert(labels.size == 20)
+  }
+}
