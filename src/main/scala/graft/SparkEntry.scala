@@ -101,6 +101,7 @@ object SparkEntry {
     "quality_score"   -> w(TextAnalysis.qualityScore),
     "token_count"     -> w(TextAnalysis.tokenCount),
     "fingerprint"     -> w(TextAnalysis.fingerprint),
+    "pii_redact"      -> w(TextAnalysis.piiRedact),
     "multimodal_meta" -> w(Multimodal.metaQuery),
     // E. composite curation pipeline
     "curate_corpus"    -> w(Curate.query),
@@ -494,6 +495,24 @@ object SparkEntry {
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_ws
       FROM documents ORDER BY doc_id""",
+
+    "pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+               THEN text || ' contact u' || doc_id || '@example.org or 10.0.' ||
+                    (doc_id % 256) || '.1 tel 555-123-4567'
+               ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+      FROM p ORDER BY doc_id""",
 
     "multimodal_meta" -> """
       SELECT doc_id,

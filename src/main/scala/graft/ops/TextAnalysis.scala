@@ -191,6 +191,33 @@ object TextAnalysis {
         length(regexp_replace(col("text"), " ", "")).as("chars_no_ws"))
       .orderBy("doc_id")
 
+  /** D15: PII redaction — regex scrub of emails / IPv4s / phone numbers,
+    * with per-doc match counts. Patterns are RE2-safe (no lookaround, no
+    * backrefs) so Spark's Java regex and DuckDB's RE2 agree exactly. The
+    * corpus is synthetic and PII-free, so every third doc gets a
+    * deterministic planted contact line first — both engines construct the
+    * identical input, and clean docs prove the no-op path.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact u"), col("doc_id"),
+        lit("@example.org or 10.0."), col("doc_id") % lit(256L), lit(".1 tel 555-123-4567")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** D11: rolling-hash document fingerprint (rows-only; validated in spec). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     TextKernels.register(s)

@@ -34,6 +34,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == "und")
   }
 
+  test("piiRedact scrubs planted emails/IPs/phones and leaves clean docs alone") {
+    import s.implicits._
+    val docs = Seq((0L, "plain words only"), (1L, "untouched text"),
+      (3L, "more plain words")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.piiRedact(s, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // doc 0 and 3 (doc_id % 3 == 0) get the planted contact line, doc 1 stays clean
+    assert(out(0L) == ((1, 1, 1, "plain words only contact [EMAIL] or [IP] tel [PHONE]")))
+    assert(out(3L)._4 == "more plain words contact [EMAIL] or [IP] tel [PHONE]")
+    assert(out(1L) == ((0, 0, 0, "untouched text")))
+  }
+
   test("simhash64 kernel matches a reference bit-vote computation") {
     val text = "a b a"
     val ha = TextKernelImpl.fnv1a64("a")
