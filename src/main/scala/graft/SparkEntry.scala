@@ -86,6 +86,7 @@ object SparkEntry {
     "q_custdist"        -> w(Relational.qCustDist),
     "ann_ivf"           -> w((s, d) => Similarity.annIvf(s, d)),
     // C. streaming semantics (batch-checked)
+    "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
     // D. LLM-training-data operators
@@ -362,6 +363,13 @@ object SparkEntry {
       FROM part JOIN (VALUES ('tiny',1,10),('small',11,20),('medium',21,35),('large',36,50)) b(band,lo,hi)
         ON p_size BETWEEN lo AND hi
       GROUP BY band ORDER BY band""",
+
+    // The salt is invisible in the result: oracle is the plain unsalted join.
+    "q_skew_salted" -> """
+      SELECT c_mktsegment, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** B15: skew handling.
@@ -24,6 +25,23 @@ object Skew {
     val salted = big.withColumn("__salt", (rand(42) * n).cast("int"))
     val exploded = small.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** B15 query: salted join of the big/skewed side (events) against a
+    * small dim (customer), aggregated per market segment. The salt is
+    * plumbing only — the result is identical to the unsalted join, which is
+    * exactly what the DuckDB oracle computes. Decimal-cast sum keeps the
+    * aggregate order-independent (see graft-oracle rules).
+    */
+  def qSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(events, cust, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
   }
 
   /** Top-n heavy keys of `df` on `keyCol` — the diagnostic used to decide
