@@ -127,9 +127,15 @@ object Dedup {
     */
   def minhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val cands = candidatePairs(signatures(docs))
-    // verify on hashed shingle sets (exact jaccard up to 32-bit collisions)
+    // One kernel pass: signatures AND the verify step both read the hashed
+    // shingles, so materialize them once (the kernel dominates the cost —
+    // without the persist it runs twice over the whole corpus). At full
+    // scale the equivalent is staging hx to parquet; MEMORY_AND_DISK is the
+    // single-job analog.
     val sh = hashedShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
+    val cands = candidatePairs(sigs)
     cands
       .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
