@@ -107,6 +107,8 @@ object SparkEntry {
     // E. composite curation pipeline
     "curate_corpus"    -> w(Curate.query),
     "sample_stratified" -> w(Curate.sampleStratified),
+    "vocab_topk"        -> w(Curate.vocabTopk),
+    "pack_sequences"    -> w(Curate.packSequences),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -534,6 +536,8 @@ object SparkEntry {
 
     "curate_corpus" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,
+    "vocab_topk" -> Curate.vocabOracleSql,
+    "pack_sequences" -> Curate.packOracleSql,
 
     "q_bitmap_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS bm_parts,

@@ -57,6 +57,59 @@ object Curate {
     WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END)
     ORDER BY doc_id"""
 
+  /** E4: corpus vocabulary top-k — explode tokens, count occurrences and
+    * document frequency, keep the 100 heaviest. The classic heavy-shuffle
+    * op: explode multiplies rows ~90×, but map-side partial aggregation
+    * collapses them back to distinct-tokens-per-partition before the
+    * shuffle, so the wire carries the vocabulary, not the corpus.
+    */
+  def vocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
+  /** E5: sequence packing — concatenate-and-chunk docs into fixed
+    * token-budget training sequences (GPT-style). Docs are spread over
+    * deterministic buckets (at scale: one bucket per output shard), ordered
+    * by doc_id within bucket, and assigned seq_id = exclusive-prefix-sum of
+    * token counts DIV budget. One window pass; no driver-side loop.
+    */
+  val PackBudget = 512
+  val PackBuckets = 8
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % PackBuckets).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(byBucket), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        expr(s"cum_before DIV $PackBudget").as("seq_id"),
+        expr(s"cum_before % $PackBudget").as("seq_off"))
+      .orderBy("doc_id")
+  }
+
+  val vocabOracleSql: String = """
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 100"""
+
+  val packOracleSql: String = """
+    SELECT doc_id, bucket, n_tok,
+      CAST(cum_before // 512 AS BIGINT) AS seq_id,
+      CAST(cum_before % 512 AS BIGINT) AS seq_off FROM (
+      SELECT doc_id, doc_id % 8 AS bucket,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+          PARTITION BY doc_id % 8 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM documents) t
+    ORDER BY doc_id"""
+
   val oracleSql: String = """
     WITH base AS (
       SELECT doc_id, lang, text,
