@@ -43,8 +43,19 @@ object Clustering {
     while (!converged && iter < maxIter) {
       val msgs = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+      // checkpoint before the self-join below: truncates lineage AND gives
+      // the two join sides independent plans (a raw self-join of the
+      // union+agg plan trips Catalyst's Union constraint rewrite)
+      val prop = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
+      // Pointer jump: every label value is itself a vertex id, so follow it
+      // one hop (comp := label[comp]). Label propagation alone needs
+      // diameter rounds; the jump compounds the progress geometrically,
+      // which is what keeps round counts sane on chain-shaped components.
+      val next = prop.as("p")
+        .join(prop.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
+          col("p.comp") === col("j.jid"), "left")
+        .select(col("p.id").as("id"), coalesce(col("j.jcomp"), col("p.comp")).as("comp"))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
