@@ -89,6 +89,7 @@ object SparkEntry {
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
+    "stream_dedup"    -> w(Streams.streamDedupQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
     "dedup_minhash"   -> w(Dedup.minhash),
@@ -377,6 +378,14 @@ object SparkEntry {
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_dedup" -> """
+      SELECT user_id, event_type, event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+      ORDER BY user_id, event_type""",
 
     "sessionize" -> """
       WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -99,6 +99,24 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** C4 batch query: the same keep-first-per-key semantics, oracle-checked.
+    * The streaming form (above) keeps the first ARRIVAL; the deterministic
+    * batch form keeps the first EVENT-TIME occurrence per (user_id,
+    * event_type), tie-broken by event_id — one shuffle + window, the same
+    * plan shape as the as-of join.
+    */
+  def streamDedupQuery(s: SparkSession, d: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
   // ---------- C2 streaming form: custom state via flatMapGroupsWithState ----------
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)
