@@ -104,7 +104,9 @@ object SparkEntry {
     "token_count"     -> w(TextAnalysis.tokenCount),
     "fingerprint"     -> w(TextAnalysis.fingerprint),
     "pii_redact"      -> w(TextAnalysis.piiRedact),
-    "multimodal_meta" -> w(Multimodal.metaQuery),
+    "multimodal_meta"     -> w(Multimodal.metaQuery),
+    "multimodal_features" -> w(Multimodal.featuresQuery),
+    "multimodal_frames"   -> w(Multimodal.framesQuery),
     // E. composite curation pipeline
     "curate_corpus"    -> w(Curate.query),
     "sample_stratified" -> w(Curate.sampleStratified),
@@ -542,6 +544,37 @@ object SparkEntry {
         CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames,
         md5(text) AS payload_md5
       FROM documents ORDER BY doc_id""",
+
+    // The fake decode is byte arithmetic (all-ASCII corpus: ord == byte),
+    // so the mapPartitions decode path is fully oracle-checkable.
+    "multimodal_features" -> """
+      WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          octet_length(encode(text)) AS nb,
+          64 + octet_length(encode(text)) % 512 AS w,
+          64 + (octet_length(encode(text)) * 7) % 512 AS h,
+          1 + octet_length(encode(text)) % 24 AS nf,
+          list_reduce(list_prepend(0, [ord(text[i]) for i in range(1, len(text)+1)]),
+                      (acc, x) -> acc + x) AS bytesum
+        FROM documents)
+      SELECT doc_id, media_type, CAST(nb AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN nb = 0 THEN 0 ELSE bytesum * 100 // nb END AS BIGINT) AS mean_byte_x100,
+        CAST(least(nf, 4) AS BIGINT) AS frames_sampled,
+        CAST(CASE WHEN greatest(w, h) <= 256 THEN w ELSE w * 256 // greatest(w, h) END AS BIGINT) AS out_w,
+        CAST(CASE WHEN greatest(w, h) <= 256 THEN h ELSE h * 256 // greatest(w, h) END AS BIGINT) AS out_h
+      FROM m ORDER BY doc_id""",
+
+    "multimodal_frames" -> """
+      WITH v AS (
+        SELECT doc_id, text, 1 + octet_length(encode(text)) % 24 AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT doc_id, text,
+          unnest(list_distinct([CAST(j * (nf - 1) // 3 AS BIGINT) for j in range(0, 4)])) AS frame_idx
+        FROM v)
+      SELECT doc_id, frame_idx, md5(text || ':' || frame_idx) AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx""",
 
     "curate_corpus" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,

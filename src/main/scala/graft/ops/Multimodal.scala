@@ -71,4 +71,40 @@ object Multimodal {
       col("width"), col("height"), col("n_frames"),
       md5(col("payload")).as("payload_md5"))
       .orderBy("doc_id")
+
+  /** D12b query: the batched decode path itself under the oracle — the
+    * typed-Dataset `mapPartitions` pipeline (the Scala analog of
+    * `mapInPandas`) runs for real; only the codec inside is fake, and the
+    * fake is byte arithmetic DuckDB can replay. Feature extraction,
+    * aspect-preserving resize targets (max side 256, integer math), and
+    * the sampled-frame count all come out of one pass.
+    */
+  def featuresQuery(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d)
+    extractFeatures(s, media).toDF()
+      .join(media.select(col("doc_id"), col("media_type"), col("width"), col("height")), Seq("doc_id"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("mean_byte_x100"),
+        col("frames_sampled"),
+        when(greatest(col("width"), col("height")) <= 256, col("width"))
+          .otherwise(expr("width * 256 DIV greatest(width, height)")).as("out_w"),
+        when(greatest(col("width"), col("height")) <= 256, col("height"))
+          .otherwise(expr("height * 256 DIV greatest(width, height)")).as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  /** D12c query: uniform frame sampling — up to 4 evenly-spaced frame
+    * indices per video (j·(n−1) DIV 3, deduplicated), exploded to one row
+    * per sampled frame with a deterministic frame digest. The explode is
+    * the real fan-out shape of a frame-extraction stage: rows multiply,
+    * payload bytes don't (the digest stands in for the decoded frame).
+    */
+  def framesQuery(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(array_distinct(transform(sequence(lit(0), lit(3)), j =>
+          floor(j * (col("n_frames") - 1) / 3).cast("long")))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("payload").cast("string"), lit(":"), col("frame_idx"))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
 }

@@ -16,6 +16,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.mean_byte_x100 > 3000 && f.mean_byte_x100 < 13000))
   }
 
+  test("frame sampling picks up to 4 evenly-spaced distinct indices") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // framesQuery reads the documents table; replicate its index rule on
+    // controlled n_frames values instead
+    val idx = Seq(1, 2, 4, 24).toDF("n_frames")
+      .select(col("n_frames"),
+        array_distinct(transform(sequence(lit(0), lit(3)), j =>
+          floor(j * (col("n_frames") - 1) / 3).cast("long"))).as("idxs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(idx(1) == Seq(0L))
+    assert(idx(2) == Seq(0L, 1L))
+    assert(idx(4) == Seq(0L, 1L, 2L, 3L))
+    assert(idx(24) == Seq(0L, 7L, 15L, 23L))
+  }
+
   test("real decode remains an explicit stub") {
     intercept[NotImplementedError] {
       Multimodal.decodePayload(Array[Byte](1, 2, 3), "image")
