@@ -21,25 +21,58 @@ object Relational {
 
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** 2-decimal money column → exact cent longs (see q1Agg scaladoc). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer total in 10^-unit-exponent units → the same double the
+    * oracle's CAST(decimal_sum AS DOUBLE) produces (decimal division by a
+    * power of ten at scale 6 is exact for ≤6-dp values, then one
+    * correctly-rounded conversion).
+    */
+  private def unitsToDbl(c: Column, unit: Int): Column =
+    (c.cast(DecimalType(38, 0)) / unit).cast("double")
+
+  /** Per-row revenue ep·(1−disc) in exact 10^-4 units. */
+  private def revUnits(): Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
   /** B1+B2: scan+filter+project with pushdown, multi-aggregate groupBy
     * (TPC-H Q1 shape). Partial aggregation is map-side automatically.
+    *
+    * Money math runs in fixed-point longs: the 2-decimal inputs become
+    * cents, products are exact integers (charge in 10^-6 units), and the
+    * hot sum is sum(LONG) — a decimal(21,6) sum would exceed Spark's
+    * compact-long decimal threshold and accumulate through BigDecimal on
+    * every row. The exact integer totals convert to decimal, then double,
+    * once per output group, so the result is bit-identical to the decimal
+    * formulation (and the DuckDB oracle). Bound: per-row charge ≤ ~2.1e11
+    * of 10^-6 units, so a single group overflows long only past ~4e7
+    * max-value rows — far beyond the bench SFs; at true warehouse scale
+    * the final sums switch to decimal(38) accumulation (one line each).
     */
   def q1Agg(s: SparkSession, d: String): DataFrame = {
-    val qty  = dec(col("l_quantity"), 8, 2)
-    val ep   = dec(col("l_extendedprice"), 9, 2)
-    val disc = dec(col("l_discount"), 4, 2)
-    val tax  = dec(col("l_tax"), 4, 2)
+    val qtyC  = cents(col("l_quantity"))
+    val epC   = cents(col("l_extendedprice"))
+    val discC = cents(col("l_discount"))
+    val taxC  = cents(col("l_tax"))
+    def toDbl(c: Column, unit: Int): Column = unitsToDbl(c, unit)
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") < lit("2000-01-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).as("sum_qty"),
-        sum(ep).as("sum_base_price"),
-        sum(ep * (lit(1) - disc)).as("sum_disc_price"),
-        sum(ep * (lit(1) - disc) * (lit(1) + tax)).as("sum_charge"),
-        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
-        count(lit(1)).as("count_order"))
+        sum(qtyC).as("sq"),
+        sum(epC).as("se"),
+        sum(epC * (lit(100L) - discC)).as("sd"),
+        sum(epC * (lit(100L) - discC) * (lit(100L) + taxC)).as("sc"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        toDbl(col("sq"), 100).as("sum_qty"),
+        toDbl(col("se"), 100).as("sum_base_price"),
+        toDbl(col("sd"), 10000).as("sum_disc_price"),
+        toDbl(col("sc"), 1000000).as("sum_charge"),
+        (toDbl(col("sq"), 100) / col("n")).as("avg_qty"),
+        (toDbl(col("se"), 100) / col("n")).as("avg_price"),
+        col("n").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -52,17 +85,20 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1999-01-01"))
-      .select(col("l_orderkey"),
-        (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+      .select(col("l_orderkey"), revUnits().as("rev_u"))
     // customer SCALES with the dataset — no broadcast hint; AQE broadcasts
-    // at runtime when the filtered side is actually small
+    // at runtime when the filtered side is actually small.
+    // The top-k ORDER runs on the exact long units (same total order as the
+    // oracle's decimal), and only the 10 surviving rows convert to double.
     o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(col("rev")).as("revenue"))
-      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .agg(sum(col("rev_u")).as("rev_su"))
+      .orderBy(col("rev_su").desc, col("o_orderkey"))
       .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        unitsToDbl(col("rev_su"), 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
   }
 
   /** B3+B4: multi-way join — dims broadcast, lineitem⋈orders shuffled (Q5 shape). */
@@ -75,7 +111,7 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
-      (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+      revUnits().as("rev_u"))
     // nation/region are BOUNDED dims (25/5 rows at any SF) — hint them;
     // customer/supplier scale with the data — AQE sizes those joins at runtime
     l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -84,8 +120,9 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev")).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sum(col("rev_u")).as("rev_su"))
+      .orderBy(col("rev_su").desc, col("n_name"))
+      .select(col("n_name"), unitsToDbl(col("rev_su"), 10000).as("revenue"))
   }
 
   /** B6: window functions — per-month supplier revenue rank + prior-month
@@ -98,18 +135,21 @@ object Relational {
     val monthly = Tables.lineitem(s, d)
       .select(col("l_suppkey"),
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mk"),
-        (dec(col("l_extendedprice"), 9, 2) * (lit(1) - dec(col("l_discount"), 4, 2))).as("rev"))
+        revUnits().as("rev_u"))
       .groupBy("l_suppkey", "mk")
-      .agg(sum("rev").as("revenue"))
-    val byMonth = Window.partitionBy("mk").orderBy(col("revenue").desc, col("l_suppkey"))
+      .agg(sum("rev_u").as("rev_su"))
+    // ranks and lags run on the exact long units (same total order as the
+    // oracle's decimal); doubles appear only in the projected output
+    val byMonth = Window.partitionBy("mk").orderBy(col("rev_su").desc, col("l_suppkey"))
     val bySupp  = Window.partitionBy("l_suppkey").orderBy("mk")
     monthly
       .withColumn("rnk", row_number().over(byMonth))
-      .withColumn("prev_rev", lag("revenue", 1).over(bySupp))
+      .withColumn("prev_su", lag("rev_su", 1).over(bySupp))
       .filter(col("rnk") <= 5)
       .select(
         format_string("%04d-%02d", (col("mk") / 100).cast("int"), pmod(col("mk"), lit(100))).as("month"),
-        col("l_suppkey"), col("revenue"), col("rnk"), col("prev_rev"))
+        col("l_suppkey"), unitsToDbl(col("rev_su"), 10000).as("revenue"),
+        col("rnk"), unitsToDbl(col("prev_su"), 10000).as("prev_rev"))
       .orderBy("month", "rnk")
   }
 
