@@ -61,6 +61,7 @@ object SparkEntry {
     "mysqldump_roundtrip" -> w(MySqlDump.roundtrip),
     "split_file_grouping" -> w(SplitFiles.query),
     "ddl_parse"           -> w(SqlDdl.query),
+    "merge_upsert"        -> w(MergeUpsert.query),
     "grant_ddl"           -> w(Discovery.grantDdl),
     "job_summary"         -> w(Discovery.jobSummary),
     "job_failures"        -> w(Discovery.jobFailures),
@@ -199,6 +200,26 @@ object SparkEntry {
             THEN v + 18446744073709551616::HUGEINT ELSE v END AS UBIGINT))), 16, '0')
           for v in list_slice(ss, 1, 4)], 'string_agg', ':') AS fp
       FROM s ORDER BY doc_id""",
+
+    "merge_upsert" -> """
+      WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               o_totalprice + 1.0 AS o_totalprice, o_orderkey % 97 = 0 AS del
+        FROM snap WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT mx + i, CAST(i AS BIGINT), 'N', 0.0, false
+        FROM (SELECT max(o_orderkey) AS mx FROM snap), range(1, 6) r(i)),
+      merged AS (
+        SELECT coalesce(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+          CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE s.o_custkey END AS o_custkey,
+          CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+          CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+          coalesce(u.del, false) AS del
+        FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey)
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+      FROM merged WHERE NOT del ORDER BY o_orderkey""",
 
     "mysqldump_roundtrip" -> """
       SELECT doc_id,
