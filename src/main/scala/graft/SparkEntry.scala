@@ -62,6 +62,7 @@ object SparkEntry {
     "split_file_grouping" -> w(SplitFiles.query),
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
+    "partitioned_scan"    -> w(PartitionedLayout.query),
     "grant_ddl"           -> w(Discovery.grantDdl),
     "job_summary"         -> w(Discovery.jobSummary),
     "job_failures"        -> w(Discovery.jobFailures),
@@ -200,6 +201,12 @@ object SparkEntry {
             THEN v + 18446744073709551616::HUGEINT ELSE v END AS UBIGINT))), 16, '0')
           for v in list_slice(ss, 1, 4)], 'string_agg', ':') AS fp
       FROM s ORDER BY doc_id""",
+
+    // The partitioned copy must answer identically to the flat table.
+    "partitioned_scan" -> """
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang IN ('en', 'de')
+      GROUP BY lang ORDER BY lang""",
 
     "merge_upsert" -> """
       WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

@@ -42,6 +42,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned_scan prunes to the filtered lang partitions") {
+    val s = TestSpark.spark
+    val path = java.nio.file.Files.createTempDirectory("partdocs").toString
+    graft.etl.PartitionedLayout.writePartitioned(
+      graft.Tables.documents(s, TestSpark.sf), path, "lang")
+    val p = plan(graft.etl.PartitionedLayout.prunedScan(s, path))
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"), p)
+    // the lang predicate must be a partition filter, not a data filter
+    val scan = p.split("\n").find(_.contains("FileScan")).getOrElse(p)
+    assert(!scan.replaceAll(".*PartitionFilters", "").startsWith(": []"), p)
+  }
+
   test("asof_join is one shuffle + window, no per-event probe join") {
     val p = plan(Relational.asofJoin(TestSpark.spark, TestSpark.sf))
     assert(p.contains("Window"), p)
