@@ -100,6 +100,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "2024-01-01 10:30:00.0")), got.toString)
   }
 
+  test("stateful sessionization in batch mode emits the open tail and folds out-of-order events") {
+    import s.implicits._
+    // batch execution never fires timeouts — the trailing open session must
+    // still be emitted; and the out-of-order 10:03 arrival must fold into
+    // the 10:00-10:05 session without moving its end backwards
+    val ds = Seq(
+      Streams.Ev(1L, ts("2024-01-01 10:00:00")),
+      Streams.Ev(1L, ts("2024-01-01 10:05:00")),
+      Streams.Ev(1L, ts("2024-01-01 10:03:00")),
+      Streams.Ev(1L, ts("2024-01-01 12:30:00")),
+      Streams.Ev(2L, ts("2024-01-01 10:00:00"))).toDS()
+    val got = Streams.sessionizeStateful(ds).collect()
+      .map(r => (r.user_id, r.n_events, r.duration_sec)).toSet
+    assert(got == Set((1L, 3, 300L), (1L, 1, 0L), (2L, 1, 0L)), got.toString)
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
