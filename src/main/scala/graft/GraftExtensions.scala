@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{BsdSum, MySqlEscape, MySqlUnescape}
-import graft.ops.{Fingerprint, MinhashSig, ShingleHashes, SimHash64}
+import graft.ops.{Fingerprint, MinhashSig, ShingleHashes, SimHash64, SortedInterCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => Fingerprint(es.head)),
       ("minhash_sig", "minhash_sig(array<long>) - 64-perm minhash signature",
         es => MinhashSig(es.head)),
-      ("shingle_hashes", "shingle_hashes(str) - distinct hashed word 3-shingles",
+      ("shingle_hashes", "shingle_hashes(str) - distinct hashed word 3-shingles (sorted)",
         es => ShingleHashes(es.head)),
+      ("sorted_inter_count", "sorted_inter_count(array<long>, array<long>) - |a ∩ b| of sorted arrays",
+        es => SortedInterCount(es.head, es(1))),
       ("bitmap_distinct", "bitmap_distinct(col) - exact distinct count via Roaring bitmap",
         es => graft.functions.BitmapDistinct(es.head).toAggregateExpression()))
     fns.foreach { case (name, usage, builder) =>

@@ -66,6 +66,8 @@ object Dedup {
       "minhash_sig", es => MinhashSig(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", es => ShingleHashes(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_inter_count", es => SortedInterCount(es.head, es(1)), "built-in")
   }
 
   /** doc_id + distinct hashed shingles (single-pass kernel). */
@@ -139,9 +141,13 @@ object Dedup {
     cands
       .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
+      // hx arrays are sorted (ShingleHashKernel) → merge-scan count instead
+      // of materializing intersection/union arrays per candidate pair
       .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("union_n"))
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b")).as("inter_n"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("size_sum"))
+      .select(col("a"), col("b"), col("inter_n"),
+        (col("size_sum") - col("inter_n")).as("union_n"))
       .filter(col("inter_n") * 10 >= col("union_n") * 7)
       .orderBy("a", "b")
   }

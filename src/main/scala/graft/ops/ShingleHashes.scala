@@ -59,8 +59,43 @@ object ShingleHashKernel {
     val arr = new Array[Long](out.size())
     var j = 0
     while (j < arr.length) { arr(j) = out.get(j).longValue(); j += 1 }
+    // sorted output: order is irrelevant to minhash (min over permutations)
+    // but lets the verify stage merge-scan pairs of shingle sets instead of
+    // hashing them (SortedInterCount)
+    java.util.Arrays.sort(arr)
     new GenericArrayData(arr)
   }
+}
+
+/** |a ∩ b| of two SORTED distinct long arrays by merge scan — no per-pair
+  * hash set or materialized intersection array. The minhash verify stage
+  * only needs the two sizes (|a ∪ b| = |a| + |b| − |a ∩ b|), so this
+  * replaces array_intersect + array_union on the candidate-pair hot path.
+  */
+object SortedInterCountKernel {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+case class SortedInterCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterCountKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.SortedInterCountKernel.count($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedInterCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_inter_count"
 }
 
 case class ShingleHashes(child: Expression) extends UnaryExpression {

@@ -59,6 +59,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSet == (1L until 80L).toSet)
   }
 
+  test("sorted_inter_count equals size(array_intersect) on kernel output") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g"), (1L, "c d e f g h i"), (2L, "z z z z")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.hashedShingles(docs).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // kernel output must be sorted (SortedInterCount's contract)
+    sh.values.foreach(a => assert(a == a.sorted, a.toString))
+    for (x <- sh.keys; y <- sh.keys) {
+      val pairs = Seq((sh(x), sh(y))).toDF("a", "b")
+      val fast = pairs.selectExpr("sorted_inter_count(a, b)").collect()(0).getInt(0)
+      assert(fast == sh(x).toSet.intersect(sh(y).toSet).size, s"$x vs $y")
+    }
+  }
+
   test("hashed-shingle kernel counts match the string-shingle Column version") {
     import s.implicits._
     val docs = Seq(
