@@ -29,6 +29,10 @@ class ClusteringSpec extends AnyFunSuite {
     assert(labels.keySet == Set(1L, 2L, 5L, 6L, 7L, 8L))
   }
 
+  test("empty edge set yields an empty labelling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("long path converges within the iteration cap") {
     // path 0-1-2-...-19: worst case for label propagation (diameter 19);
     // label flows one hop per round, must still converge under maxIter=25
