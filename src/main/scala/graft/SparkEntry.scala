@@ -73,6 +73,7 @@ object SparkEntry {
     "q5_join"           -> w(Relational.q5Join),
     "q_window"          -> w(Relational.qWindow),
     "q_rollup"          -> w(Relational.qRollup),
+    "q_cube"            -> w(Relational.qCube),
     "q_semijoin"        -> w(Relational.qSemiJoin),
     "q_setops"          -> w(Relational.qSetOps),
     "q_distinct"        -> w(Relational.qDistinct),
@@ -351,6 +352,13 @@ object SparkEntry {
         CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status""",
+
+    "q_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY gid, flag, status""",
 
     "q_semijoin" -> """

@@ -164,6 +164,19 @@ object Relational {
         col("sum_qty"), col("n"), col("gid"))
       .orderBy("gid", "flag", "status")
 
+  /** B7b: CUBE — all 2^k grouping combinations (vs ROLLUP's hierarchy).
+    * Same single-pass Expand-based plan; fixed-point qty sum like q1.
+    */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qty_c"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("qty_c").as("sum_c"), count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        unitsToDbl(col("sum_c"), 100).as("sum_qty"), col("n"), col("gid"))
+      .orderBy("gid", "flag", "status")
+
   /** B8: semi + anti join — customers with / without orders per segment.
     * Both sides of the EXISTS come out of ONE semi-join pass: a separate
     * left_semi + left_anti would scan and shuffle orders twice.
