@@ -78,6 +78,32 @@ object SqlDdl {
     }.toSeq
   }
 
+  /** A9 reverse: StructType → MySQL CREATE TABLE DDL, the generator the
+    * JDBC bulk-load path needs when the target table doesn't exist yet.
+    * Emits the canonical MySQL type per Spark type, so
+    * parse(toMySqlDdl(schema)) == schema for every representable schema
+    * (the round-trip identity asserted in SqlDdlSpec).
+    */
+  def sparkTypeToMysql(t: DataType): String = t match {
+    case ByteType           => "tinyint"
+    case ShortType          => "smallint"
+    case IntegerType        => "int"
+    case LongType           => "bigint"
+    case FloatType          => "float"
+    case DoubleType         => "double"
+    case d: DecimalType if d.precision == 20 && d.scale == 0 => "bigint unsigned"
+    case d: DecimalType     => s"decimal(${d.precision},${d.scale})"
+    case TimestampType      => "datetime"
+    case DateType           => "date"
+    case BinaryType         => "blob"
+    case BooleanType        => "bit(1)"
+    case _                  => "text"
+  }
+
+  def toMySqlDdl(table: String, schema: StructType): String =
+    schema.fields.map(f => s"  `${f.name}` ${sparkTypeToMysql(f.dataType)}")
+      .mkString(s"CREATE TABLE `$table` (\n", ",\n", "\n);")
+
   /** A representative slice of an Ensembl-style dump DDL (tables + a view). */
   val sampleDdl: String =
     """CREATE TABLE `gene` (

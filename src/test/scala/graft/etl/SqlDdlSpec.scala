@@ -34,4 +34,27 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(st.fieldNames.contains("gene_id"))
     assert(st("cost").dataType == DecimalType(10, 2))
   }
+
+  test("generate∘parse is the identity on every parsed sample schema") {
+    SqlDdl.parse(SqlDdl.sampleDdl).filterNot(_.isView).foreach { obj =>
+      val ddl = SqlDdl.toMySqlDdl(obj.name, obj.toStructType)
+      val reparsed = SqlDdl.parse(ddl)
+      assert(reparsed.size == 1)
+      assert(reparsed.head.name == obj.name)
+      assert(reparsed.head.toStructType == obj.toStructType, ddl)
+    }
+  }
+
+  test("generated DDL covers every Spark type the loader produces") {
+    val schema = StructType(Seq(
+      StructField("a", ByteType), StructField("b", ShortType),
+      StructField("c", IntegerType), StructField("d", LongType),
+      StructField("e", DecimalType(20, 0)), StructField("f", FloatType),
+      StructField("g", DoubleType), StructField("h", DecimalType(12, 3)),
+      StructField("i", TimestampType), StructField("j", DateType),
+      StructField("k", BinaryType), StructField("l", BooleanType),
+      StructField("m", StringType)))
+    val back = SqlDdl.parse(SqlDdl.toMySqlDdl("t", schema)).head.toStructType
+    assert(back == schema, SqlDdl.toMySqlDdl("t", schema))
+  }
 }
