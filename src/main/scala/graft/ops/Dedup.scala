@@ -188,8 +188,15 @@ object Dedup {
     * Integer cross-multiplied threshold (j ≥ 0.5 ⇔ 2·inter ≥ union) keeps
     * the compare exact in both engines.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOn(Tables.documents(s, d))
+
+  /** Same banded exact-jaccard, over an arbitrary (doc_id, lang, n_chars,
+    * text) relation — lets callers pre-collapse exact duplicates so the
+    * within-band quadratic verify runs on unique texts only.
+    */
+  def ngramJaccardOn(documents: DataFrame): DataFrame = {
+    val docs = documents
       .withColumn("sh", shingles(col("text")))
       .filter(size(col("sh")) > 0)
     val slim = docs.select(col("doc_id"), col("lang"),
