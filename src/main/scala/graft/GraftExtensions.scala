@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
+    e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
   }
 }
