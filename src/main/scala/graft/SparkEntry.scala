@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_minhash"   -> w(Dedup.minhash),
     "dedup_simhash"   -> w(Dedup.simhash),
     "ngram_jaccard"   -> w(Dedup.ngramJaccard),
+    "containment"     -> w(Dedup.containment),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
@@ -487,6 +488,21 @@ object SparkEntry {
         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS union_n
       FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
       WHERE 2 * len(list_distinct(list_intersect(sa.sh, sb.sh))) >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+      ORDER BY a, b""",
+
+    "containment" -> """
+      WITH d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, lang, n_chars,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+      SELECT a, b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter_n,
+        CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_n
+      FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
+      WHERE 10 * len(list_intersect(sa.sh, sb.sh)) >= 8 * least(len(sa.sh), len(sb.sh))
       ORDER BY a, b""",
 
     "dedup_embedding" -> """

@@ -152,6 +152,36 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** D16: containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8, the asymmetric
+    * metric that catches excerpt/superset near-dups jaccard misses (a
+    * short doc fully contained in a long one has low jaccard but
+    * containment 1.0). Candidates come from the same deterministic
+    * (lang, length-band) buckets as D4 so the DuckDB oracle can replay
+    * them; at scale the candidate source is the minhash band buckets
+    * (seed-dependent, rows-only), where cross-length pairs also surface.
+    * Integer cross-multiplied threshold keeps the compare exact.
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+    val slim = docs.select(col("doc_id"), col("lang"),
+      explode(array(expr("n_chars DIV 64"), expr("n_chars DIV 64 + 1"))).as("bkt"))
+    val cands = slim.as("x").join(slim.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
+        least(size(col("sh_a")), size(col("sh_b"))).as("min_n"))
+      .filter(col("inter_n") * 10 >= col("min_n") * 8)
+      .orderBy("a", "b")
+  }
+
   // ---------- D3: SimHash ----------
 
   /** D3 query: 64-bit simhash near-dups at hamming ≤ 3, candidates from

@@ -59,6 +59,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSet == (1L until 80L).toSet)
   }
 
+  test("containment flags a same-band superset pair that jaccard scores lower") {
+    import s.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val superset = base + " " + (100 until 110).map(i => s"extra$i").mkString(" ")
+    val docs = Seq((0L, "en", base.length.toLong, base), (1L, "en", superset.length.toLong, superset))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cont").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.containment(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // base has 38 shingles, all contained in superset's 49 → containment 1.0
+    assert(out.toSeq == Seq((0L, 1L, 38, 38)))
+  }
+
   test("sorted_inter_count equals size(array_intersect) on kernel output") {
     import s.implicits._
     val docs = Seq(
