@@ -11,18 +11,21 @@ import org.apache.spark.storage.StorageLevel
   * the pair list into connected components so each dup group gets one
   * canonical representative.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts labelled
-  * with itself; each round every vertex takes the min label over itself and
-  * its neighbours; converged when no label changes. Rounds = graph diameter.
-  * Our candidate generators bound the diameter by construction (buckets emit
-  * cliques, oversized buckets emit stars — see Dedup.cappedPairs), so this
-  * terminates in a handful of rounds even at 100 TB; per round the work is
-  * one shuffle join (edges ⋈ labels) + one shuffle min-agg, both on the
-  * vertex id, and the edge list is cached once. `localCheckpoint` truncates
-  * the lineage each round so the plan doesn't grow with iteration count.
-  * For adversarial unbounded-diameter graphs the alternating
-  * large-star/small-star contraction (Kiveris et al., MapReduce CC) drops
-  * rounds to O(log n); not needed for LSH dedup graphs.
+  * Algorithm: iterative min-label propagation with per-round pointer
+  * jumping. Every vertex starts labelled with itself; each round every
+  * vertex takes the min label over itself and its neighbours, then follows
+  * its label one extra hop (comp := label[comp]) — the jump compounds
+  * progress geometrically, so rounds are O(log diameter) rather than
+  * O(diameter) (the same doubling idea as Shiloach-Vishkin / the
+  * large-star contraction of Kiveris et al.). Converged when no label
+  * changes. Per round the work is one shuffle join (edges ⋈ labels), one
+  * shuffle min-agg, and one self-join on the (shrinking-entropy) label
+  * relation, all keyed on the vertex id; the edge list is cached once and
+  * `localCheckpoint` truncates the lineage each round so the plan doesn't
+  * grow with iteration count. LSH dedup graphs (cliques/stars from
+  * Dedup.cappedPairs) converge in 2-4 rounds; the default 25-round cap
+  * covers diameters up to ~2^25 and non-convergence throws rather than
+  * returning partial labels.
   */
 object Clustering {
 
@@ -66,6 +69,9 @@ object Clustering {
       iter += 1
     }
     und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     labels
   }
 
