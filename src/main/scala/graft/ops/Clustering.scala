@@ -79,13 +79,21 @@ object Clustering {
     * content hash) and verified n-gram-jaccard near-dup pairs. Output one
     * row per grouped doc: (doc_id, comp = min id in group, group_n).
     *
-    * The jaccard stage runs on exact-dedup REPRESENTATIVES only: identical
-    * texts have identical shingle sets, so a copy's near-dup link is
-    * implied by keeper—keeper link + exact edges and the connected
-    * components are provably unchanged — while the within-band quadratic
-    * verify shrinks from (copies·uniques)² to uniques². On a corpus where
-    * every doc has c exact copies that is a c² cut in verify work (the
-    * replicated 10× stress: 100×).
+    * The jaccard stage runs on RAW-text representatives only: byte-equal
+    * texts have identical length bands AND identical shingle sets, so a
+    * copy's near-dup link is implied by rep—rep link + exact edges and
+    * the connected components are provably unchanged — while the
+    * within-band quadratic verify shrinks from (copies·uniques)² to
+    * uniques² (the replicated 10× stress: 100×). Two subtleties, both
+    * caught by the sf0.1 oracle run: the collapse key must be the RAW
+    * text (a whitespace/case variant keeper can sit in a different length
+    * band than its members), and the representative must inherit EVERY
+    * lang label of its raw group — the corpus carries byte-identical
+    * texts under different langs, and banding keys on lang, so a
+    * single-label rep would lose its twins' cross-lang candidates. With
+    * one rep row per (raw text, lang), every band input of every member
+    * (lang, n_chars, shingle set) survives the collapse and the
+    * components are exactly those of the full edge set.
     */
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -95,9 +103,11 @@ object Clustering {
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
     val exactPairs = withKeeper.filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    val reps = withKeeper.filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "lang", "n_chars", "text")
-    val jaccPairs = Dedup.ngramJaccardOn(reps).select("a", "b")
+    val rawReps = withKeeper
+      .withColumn("rkeeper", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .select(col("rkeeper").as("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .distinct() // one row per (raw text, lang); n_chars/text equal within a raw group
+    val jaccPairs = Dedup.ngramJaccardOn(rawReps).select("a", "b")
     val edges = exactPairs.union(jaccPairs).distinct()
     connectedComponents(edges)
       .withColumn("group_n", count(lit(1)).over(Window.partitionBy("comp")))

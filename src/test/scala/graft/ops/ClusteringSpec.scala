@@ -29,6 +29,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(labels.keySet == Set(1L, 2L, 5L, 6L, 7L, 8L))
   }
 
+  test("dedupGroups keeps near-dup links reachable only through a raw twin's lang") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // docs 0 and 1 are byte-identical but labelled zh/en; doc 2 is a near-dup
+    // that can only band-pair under lang=en — the jaccard rep (doc 0, zh)
+    // must inherit doc 1's en label or the group splits (sf0.1 regression)
+    val base = (0 until 12).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word5", "changed")
+    val docs = Seq(
+      (0L, "zh", base.length.toLong, base),
+      (1L, "en", base.length.toLong, base),
+      (2L, "en", near.length.toLong, near))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dg").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Clustering.dedupGroups(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)), out.toSeq.toString)
+  }
+
   test("empty edge set yields an empty labelling") {
     assert(cc(Seq.empty).isEmpty)
   }
