@@ -17,29 +17,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    import GraftExtensions.checked
     val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("bsd_sum", "bsd_sum(binary) - BSD sum checksum, '%05d blocks' format",
-        es => BsdSum(es.head)),
+        checked("bsd_sum", 1)(es => BsdSum(es.head))),
       ("mysql_escape", "mysql_escape(str) - MySQL LOAD DATA INFILE escaping",
-        es => MySqlEscape(es.head)),
+        checked("mysql_escape", 1)(es => MySqlEscape(es.head))),
       ("mysql_unescape", "mysql_unescape(str) - inverse of mysql_escape",
-        es => MySqlUnescape(es.head)),
+        checked("mysql_unescape", 1)(es => MySqlUnescape(es.head))),
       ("simhash64", "simhash64(str) - 64-bit simhash over whitespace tokens",
-        es => SimHash64(es.head)),
+        checked("simhash64", 1)(es => SimHash64(es.head))),
       ("doc_fingerprint", "doc_fingerprint(str) - rolling-hash min-sketch signature",
-        es => Fingerprint(es.head)),
+        checked("doc_fingerprint", 1)(es => Fingerprint(es.head))),
       ("minhash_sig", "minhash_sig(array<long>) - 64-perm minhash signature",
-        es => MinhashSig(es.head)),
+        checked("minhash_sig", 1)(es => MinhashSig(es.head))),
       ("shingle_hashes", "shingle_hashes(str) - distinct hashed word 3-shingles (sorted)",
-        es => ShingleHashes(es.head)),
-      ("sorted_inter_count", "sorted_inter_count(array<long>, array<long>) - |a ∩ b| of sorted arrays",
-        es => SortedInterCount(es.head, es(1))),
+        checked("shingle_hashes", 1)(es => ShingleHashes(es.head))),
+      ("sorted_inter_count",
+        "sorted_inter_count(array<long>, array<long>) - |a ∩ b| of SORTED-ASCENDING arrays (unsorted input gives undefined counts)",
+        checked("sorted_inter_count", 2)(es => SortedInterCount(es.head, es(1)))),
       ("bitmap_distinct", "bitmap_distinct(col) - exact distinct count via Roaring bitmap",
-        es => graft.functions.BitmapDistinct(es.head).toAggregateExpression()))
+        checked("bitmap_distinct", 1)(es => graft.functions.BitmapDistinct(es.head).toAggregateExpression())))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
   }
+}
+
+object GraftExtensions {
+  /** Wrap a builder with an arity gate so a wrong-arg-count SQL call fails
+    * as a proper AnalysisException rather than an
+    * IndexOutOfBounds/NoSuchElement from the builder body.
+    */
+  def checked(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es =>
+      if (es.length == n) b(es)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> es.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
 }

@@ -442,22 +442,29 @@ object SparkEntry {
     // Dup groups = connected components over (exact-dup ∪ jaccard) edges;
     // DuckDB computes the same components via recursive reachability closure
     // (fine at oracle scale — closure is quadratic per component, and dup
-    // groups are small).
+    // groups are small). The jaccard stage replays the Spark side exactly:
+    // raw-text representative collapse (one rep row per raw text × lang),
+    // then capped banded candidates (all pairs when the bucket holds <= 64
+    // reps, else a star from the bucket min).
     "dedup_groups" -> """
       WITH RECURSIVE
-      ex AS (
-        SELECT keeper AS a, doc_id AS b FROM (
-          SELECT doc_id,
-            min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
-          FROM documents) t WHERE doc_id <> keeper),
-      d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+      nk AS (SELECT doc_id, lang, n_chars, text,
+          min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS rkeeper
+        FROM documents),
+      ex AS (SELECT keeper AS a, doc_id AS b FROM nk WHERE doc_id <> keeper),
+      reps AS (SELECT DISTINCT rkeeper AS doc_id, lang, n_chars, text FROM nk),
+      d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM reps),
       s AS (SELECT doc_id, lang, n_chars,
         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
       f AS (SELECT * FROM s WHERE len(sh) > 0),
       bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      bsz AS (SELECT lang, bkt, count(*) AS n, min(doc_id) AS mn FROM bk GROUP BY lang, bkt),
       c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
-            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
-      jc AS (SELECT a, b FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+            JOIN bsz z ON z.lang = x.lang AND z.bkt = x.bkt
+            WHERE z.n <= 64 OR x.doc_id = z.mn),
+      jc AS (SELECT DISTINCT a, b FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
              WHERE 2 * len(list_distinct(list_intersect(sa.sh, sb.sh))) >= len(list_distinct(list_concat(sa.sh, sb.sh)))),
       e AS (SELECT a, b FROM ex UNION SELECT a, b FROM jc),
       und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b AS src, a AS dst FROM e),
@@ -481,8 +488,13 @@ object SparkEntry {
         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
       f AS (SELECT * FROM s WHERE len(sh) > 0),
       bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      -- replay the Spark-side bucket cap: all pairs when the (lang, band)
+      -- bucket holds <= 64 docs, else a star from the bucket's min id
+      bsz AS (SELECT lang, bkt, count(*) AS n, min(doc_id) AS mn FROM bk GROUP BY lang, bkt),
       c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
-            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+            JOIN bsz z ON z.lang = x.lang AND z.bkt = x.bkt
+            WHERE z.n <= 64 OR x.doc_id = z.mn)
       SELECT a, b,
         CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS inter_n,
         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS union_n
@@ -496,8 +508,11 @@ object SparkEntry {
         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
       f AS (SELECT * FROM s WHERE len(sh) > 0),
       bk AS (SELECT doc_id, lang, unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM f),
+      bsz AS (SELECT lang, bkt, count(*) AS n, min(doc_id) AS mn FROM bk GROUP BY lang, bkt),
       c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
-            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+            JOIN bsz z ON z.lang = x.lang AND z.bkt = x.bkt
+            WHERE z.n <= 64 OR x.doc_id = z.mn)
       SELECT a, b,
         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter_n,
         CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_n

@@ -41,6 +41,10 @@ object Clustering {
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    // the checkpoint block that currently backs `labels` — round i's blocks
+    // can be dropped once round i+1's `changed` count has consumed them,
+    // else checkpoint RDDs accumulate linearly with iteration count
+    var backing = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -63,7 +67,10 @@ object Clustering {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
-      labels.unpersist()
+      // `prop` was materialized eagerly and `changed` is an action, so the
+      // previous round's blocks have no remaining consumers — drop them
+      backing.unpersist()
+      backing = prop
       labels = next
       converged = changed == 0
       iter += 1

@@ -62,12 +62,13 @@ object Dedup {
   }
 
   private def registerKernels(s: SparkSession): Unit = {
+    import graft.GraftExtensions.checked
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", es => MinhashSig(es.head), "built-in")
+      "minhash_sig", checked("minhash_sig", 1)(es => MinhashSig(es.head)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", es => ShingleHashes(es.head), "built-in")
+      "shingle_hashes", checked("shingle_hashes", 1)(es => ShingleHashes(es.head)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_inter_count", es => SortedInterCount(es.head, es(1)), "built-in")
+      "sorted_inter_count", checked("sorted_inter_count", 2)(es => SortedInterCount(es.head, es(1))), "built-in")
   }
 
   /** doc_id + distinct hashed shingles (single-pass kernel). */
@@ -124,6 +125,29 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(element_at(ids, i + 1).as("a"), y.as("b")))))
 
+  /** Deterministic (lang, length-band) candidate pairs over a (doc_id,
+    * lang, n_chars) relation, CAPPED exactly like the minhash band buckets:
+    * each bucket collects its sorted member ids, emits all i<j pairs up to
+    * `maxBucket`, and degrades to a first-id star beyond that. A dense
+    * band (10k same-length docs in one lang) therefore costs O(n), not
+    * O(n²) — the one scale hazard the r3 uncapped self-join had. The cap
+    * is fully deterministic (numeric doc_id sort), so the DuckDB oracle
+    * replays it: pairs survive iff bucket_size ≤ maxBucket OR a = bucket
+    * min. Star pairs still go through the downstream exact verify, so the
+    * degrade can only *drop* candidates (same contract as
+    * `candidatePairs`), never emit a false positive.
+    */
+  def bandedCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val slim = docs.select(col("doc_id"), col("lang"),
+      explode(array(expr("n_chars DIV 64"), expr("n_chars DIV 64 + 1"))).as("bkt"))
+    slim.groupBy("lang", "bkt")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(cappedPairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   /** D2 query: verified near-dup pairs — jaccard(shingles) ≥ 0.7, checked
     * exactly but only on LSH candidates (never all pairs).
     */
@@ -133,7 +157,11 @@ object Dedup {
     // shingles, so materialize them once (the kernel dominates the cost —
     // without the persist it runs twice over the whole corpus). At full
     // scale the equivalent is staging hx to parquet; MEMORY_AND_DISK is the
-    // single-job analog.
+    // single-job analog. Contract: the cache lives until the caller clears
+    // it (the returned plan is lazy, so it can't be unpersisted here);
+    // long-lived sessions running many queries should
+    // `sharedState.cacheManager.clearCache()` between them, as Verify and
+    // Bench do.
     val sh = hashedShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
@@ -165,12 +193,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .withColumn("sh", shingles(col("text")))
       .filter(size(col("sh")) > 0)
-    val slim = docs.select(col("doc_id"), col("lang"),
-      explode(array(expr("n_chars DIV 64"), expr("n_chars DIV 64 + 1"))).as("bkt"))
-    val cands = slim.as("x").join(slim.as("y"),
-        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cands = bandedCandidates(docs)
     val sh = docs.select(col("doc_id"), col("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
@@ -229,12 +252,7 @@ object Dedup {
     val docs = documents
       .withColumn("sh", shingles(col("text")))
       .filter(size(col("sh")) > 0)
-    val slim = docs.select(col("doc_id"), col("lang"),
-      explode(array(expr("n_chars DIV 64"), expr("n_chars DIV 64 + 1"))).as("bkt"))
-    val cands = slim.as("x").join(slim.as("y"),
-        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cands = bandedCandidates(docs)
     val sh = docs.select(col("doc_id"), col("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
