@@ -63,7 +63,9 @@ object SparkEntry {
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
     "partitioned_scan"    -> w(PartitionedLayout.query),
-    "grant_ddl"           -> w(Discovery.grantDdl),
+    "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
+    "grant_prerelease"    -> w(Discovery.grantPrerelease),
+    "job_email"           -> w(Discovery.jobEmail),
     "job_summary"         -> w(Discovery.jobSummary),
     "job_failures"        -> w(Discovery.jobFailures),
     "table_stats"         -> w(TableStats.query),
@@ -87,12 +89,14 @@ object SparkEntry {
     "q_pivot"           -> w(Relational.qPivot),
     "q_mincost"         -> w(Relational.qMinCost),
     "q_custdist"        -> w(Relational.qCustDist),
+    "q_waiting"         -> w(Relational.qWaiting),
     "ann_ivf"           -> w((s, d) => Similarity.annIvf(s, d)),
     // C. streaming semantics (batch-checked)
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
     "stream_dedup"    -> w(Streams.streamDedupQuery),
+    "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
     "dedup_minhash"   -> w(Dedup.minhash),
@@ -101,6 +105,7 @@ object SparkEntry {
     "containment"     -> w(Dedup.containment),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
+    "dedup_embedding_lsh" -> w(Similarity.dedupEmbeddingLsh),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
     "lang_id"         -> w(TextAnalysis.langId),
@@ -127,6 +132,25 @@ object SparkEntry {
       |    ('homo_sapiens_core_110_38'),('homo_sapiens_variation_110_38'),('homo_sapiens_funcgen_110_38'),
       |    ('mus_musculus_core_110_39'),('mus_musculus_variation_110_39')) v(db)
       |)""".stripMargin
+
+  /** DuckDB replay of `Similarity.bucketOf`: the hyperplanes are
+    * deterministic integer vectors (LCG seed 7), so the sign-pattern
+    * bucket id is plain integer SQL over the quantized vector `qv` —
+    * which is what lets the LSH-bucketed operators be FULLY
+    * SQL-oracle-checked rather than rows-only.
+    */
+  private val bucketSqlExpr: String =
+    graft.ops.Similarity.planes().zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip(qv, ${p.mkString("[", ",", "]")}), t -> t[1]*t[2])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Shared quantize/norm/bucket CTE prefix for the embedding oracles. */
+  private val lshCte: String =
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM q),
+      |b AS (SELECT vec_id, qv, nq, CAST($bucketSqlExpr AS BIGINT) AS bucket FROM n)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (sketch-/seed-dependent) get a
@@ -268,6 +292,42 @@ object SparkEntry {
         'GRANT SELECT, EXECUTE ON `' || db || '`.* TO ''' || grantee || '''@''%''' AS ddl
       FROM dbs CROSS JOIN (VALUES ('anonymous'),('ensro')) u(grantee)
       ORDER BY db, grantee""",
+
+    // Released pass emits every grant; the prerelease pass is the
+    // reference's Grant.pm:78 gate — it contributes ZERO rows by
+    // construction (WHERE false), proving the empty-grant path.
+    "grant_prerelease" -> s"""$dbsCte
+      SELECT db, grantee,
+        'GRANT SELECT, EXECUTE ON `' || db || '`.* TO ''' || grantee || '''@''%''' AS ddl,
+        false AS prerelease
+      FROM dbs CROSS JOIN (VALUES ('anonymous'),('ensro')) u(grantee)
+      UNION ALL
+      SELECT db, grantee, '' AS ddl, true AS prerelease
+      FROM dbs CROSS JOIN (VALUES ('anonymous'),('ensro')) u2(grantee) WHERE false
+      ORDER BY db, grantee""",
+
+    "job_email" -> """
+      WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,
+          CASE WHEN value < 0.2 THEN 'FAILED' ELSE 'DONE' END AS status FROM events),
+      agg AS (SELECT stage,
+          count(DISTINCT CASE WHEN status = 'DONE' THEN db END) AS ns,
+          count(DISTINCT CASE WHEN status = 'FAILED' THEN db END) AS nf
+        FROM j GROUP BY stage),
+      sl AS (SELECT 10 + row_number() OVER (ORDER BY stage) AS seq,
+          '  * ' || ns || ' databases successfully ' || stage || ' (' || nf || ' failed)' AS line
+        FROM agg),
+      fl AS (SELECT 1000 + row_number() OVER (ORDER BY job_id) AS seq, line FROM (
+          SELECT event_id AS job_id,
+            '  * job_id=' || event_id || ' ' || event_type || ' input_id=''db_' || (user_id % 20) || '''' AS line
+          FROM events WHERE value < 0.2 ORDER BY job_id LIMIT 100) t)
+      SELECT CAST(seq AS BIGINT) AS seq, line FROM (
+        SELECT * FROM (VALUES (0, 'Your Ensembl Mirrors Pipeline has finished. We have:'),
+          (500, ''),
+          (501, 'The following jobs have failed during this run. Please check your hive''s error msg table for the following jobs:'),
+          (502, '')) v(seq, line)
+        UNION ALL SELECT seq, line FROM sl
+        UNION ALL SELECT seq, line FROM fl) z
+      ORDER BY seq""",
 
     "job_summary" -> """
       WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,
@@ -534,6 +594,30 @@ object SparkEntry {
       FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
       ORDER BY i, j""",
 
+    // Bucket assignment is replayed from the deterministic hyperplanes
+    // (bucketSqlExpr), so candidate generation AND verification are both
+    // SQL-checked — the full 100 TB dedup path under the hash gate.
+    "dedup_embedding_lsh" -> s"""$lshCte,
+      p AS (SELECT a.vec_id AS i, c.vec_id AS j, a.bucket AS bucket,
+          CAST(list_sum(list_transform(list_zip(a.qv, c.qv), t -> t[1] * t[2])) AS BIGINT) AS dot,
+          a.nq AS na, c.nq AS nb
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT i, j, round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_r, bucket
+      FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
+      ORDER BY i, j""",
+
+    // Promoted from rows-only (r5): multi-probe buckets replayed via xor.
+    "ann_lsh" -> s"""$lshCte,
+      pr AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq, CAST(xor(bucket, m) AS BIGINT) AS bucket
+        FROM b CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32)) t(m) WHERE vec_id < 5),
+      pj AS (SELECT pr.qid, b.vec_id,
+          CAST(list_sum(list_transform(list_zip(pr.qq, b.qv), t -> t[1] * t[2])) AS BIGINT)
+            / (sqrt(CAST(pr.nqq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+        FROM pr JOIN b ON pr.bucket = b.bucket AND b.vec_id <> pr.qid)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+        vec_id, round(cos, 6) AS cos_r
+      FROM pj QUALIFY rnk <= 10 ORDER BY qid, rnk""",
+
     "ann_bruteforce" -> """
       WITH q AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -682,6 +766,33 @@ object SparkEntry {
         FROM lineitem WHERE l_partkey < 100 GROUP BY 1, 2) t
       QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY cost, l_suppkey) = 1
       ORDER BY l_partkey""",
+
+    // The oracle keeps the textbook three-scan correlated form; the Spark
+    // side derives both EXISTS predicates from one scan (see qWaiting).
+    "q_waiting" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name""",
+
+    // epoch_us on both engines so the µs-truncated Spark timestamps and
+    // DuckDB's ns-precision parquet reads agree exactly at the boundary.
+    "stream_interval_join" -> """
+      SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') l
+      JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id
+       AND epoch_us(r.ts) >= epoch_us(l.ts)
+       AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+      ORDER BY click_id, purchase_id""",
 
     "q_custdist" -> """
       SELECT c_count, count(*) AS custdist FROM (

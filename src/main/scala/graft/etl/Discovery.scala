@@ -92,16 +92,30 @@ object Discovery {
 
   val grantUsers: Seq[String] = Seq("anonymous", "ensro")
 
-  /** A10: grant DDL generation — users × dbs cross join (Grant.pm:63-103). */
-  def grantDdl(s: SparkSession, d: String): DataFrame = {
+  /** A10: grant DDL generation — users × dbs cross join (Grant.pm:63-103).
+    * `prerelease` mirrors Grant.pm:78,97: when set, BOTH the DDL build and
+    * the write-out are skipped entirely (pre-release mirrors stay
+    * ungranted), so the relation is empty — schema intact, zero rows.
+    */
+  def grantDdl(s: SparkSession, d: String, prerelease: Boolean = false): DataFrame = {
     val sq = s; import sq.implicits._
-    databases(s, d)
+    val all = databases(s, d)
       .crossJoin(broadcast(grantUsers.toDF("grantee")))
       .select(col("db"), col("grantee"),
         concat(lit("GRANT SELECT, EXECUTE ON `"), col("db"),
           lit("`.* TO '"), col("grantee"), lit("'@'%'")).as("ddl"))
       .orderBy("db", "grantee")
+    if (prerelease) all.limit(0) else all
   }
+
+  /** A10b query: both gate positions in one checkable relation — the
+    * released pass emits every grant, the prerelease pass contributes
+    * zero rows (the union proves the empty-grant path end-to-end).
+    */
+  def grantPrerelease(s: SparkSession, d: String): DataFrame =
+    grantDdl(s, d).withColumn("prerelease", lit(false))
+      .unionByName(grantDdl(s, d, prerelease = true).withColumn("prerelease", lit(true)))
+      .orderBy("db", "grantee")
 
   /** A11: per-stage distinct-database success/failure summary
     * (EmailSummary.pm:106-139 counts distinct dbs per status per analysis).
@@ -134,4 +148,32 @@ object Discovery {
           lit(" input_id='"), col("db"), lit("'")))
       .orderBy("job_id")
       .limit(100)
+
+  /** A11c: the rendered summary message itself — the reference's actual
+    * output artifact (EmailSummary.pm:88-103 per-stage "%d databases
+    * successfully ... (%d failed)" body + the :142-166 failed-job listing
+    * with its "No jobs failed" / header lines). One ordered (seq, line)
+    * relation: header at 0, per-stage count lines at 10+, the failure
+    * section at 500+, failure detail at 1000+. The windows ordering the
+    * line numbers run over ALREADY-AGGREGATED rows (5 stages / ≤100
+    * failures), so the unpartitioned row_number never sees fact-scale
+    * data.
+    */
+  def jobEmail(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stageLines = jobSummary(s, d)
+      .select((lit(10) + row_number().over(Window.orderBy("stage"))).cast("long").as("seq"),
+        concat(lit("  * "), col("n_success_dbs"), lit(" databases successfully "),
+          col("stage"), lit(" ("), col("n_failed_dbs"), lit(" failed)")).as("line"))
+    val failLines = jobFailures(s, d)
+      .select((lit(1000) + row_number().over(Window.orderBy("job_id"))).cast("long").as("seq"),
+        col("line"))
+    val fixed = Seq(
+      (0L, "Your Ensembl Mirrors Pipeline has finished. We have:"),
+      (500L, ""),
+      (501L, "The following jobs have failed during this run. Please check your hive's error msg table for the following jobs:"),
+      (502L, "")).toDF("seq", "line")
+    fixed.unionByName(stageLines).unionByName(failLines).orderBy("seq")
+  }
 }

@@ -29,6 +29,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clustering {
 
+  /** Free the RDD blocks behind a `localCheckpoint`'d Dataset NOW.
+    * `Dataset.unpersist` is a silent no-op here: localCheckpoint persists
+    * the backing RDD directly (RDD-level), which the CacheManager never
+    * registers, so only ContextCleaner-after-GC would reclaim the blocks.
+    * The checkpointed plan is a `LogicalRDD` leaf — unpersist its RDD.
+    * Caller must guarantee no later consumer: the lineage is truncated,
+    * so a dropped block cannot be recomputed.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components of the undirected graph given by `edges` (cols
     * `a`, `b`). Returns (id, comp) for every vertex that appears in an
     * edge, where comp = min vertex id reachable.
@@ -68,8 +82,10 @@ object Clustering {
         .filter(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
       // `prop` was materialized eagerly and `changed` is an action, so the
-      // previous round's blocks have no remaining consumers — drop them
-      backing.unpersist()
+      // previous round's checkpoint blocks have no remaining consumers —
+      // drop them at the RDD level (Dataset.unpersist wouldn't; see
+      // unpersistCheckpoint)
+      unpersistCheckpoint(backing)
       backing = prop
       labels = next
       converged = changed == 0
@@ -79,7 +95,14 @@ object Clustering {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
-    labels
+    // `labels` is a lazy self-join over the LAST round's checkpoint blocks;
+    // materialize the (tiny — one (id, comp) pair per vertex) result into
+    // its own checkpoint so that round's blocks can be freed too. The
+    // returned Dataset's own blocks are reclaimed by ContextCleaner once
+    // the caller drops the reference.
+    val out = labels.localCheckpoint()
+    unpersistCheckpoint(backing)
+    out
   }
 
   /** D14 query: dup groups over the union of exact-dup pairs (normalized

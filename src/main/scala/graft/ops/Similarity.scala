@@ -52,6 +52,28 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** D5 at scale: LSH-bucketed embedding near-dup — the documented 100 TB
+    * composite. Candidates come from the hyperplane-LSH buckets (each
+    * vector shuffles ONCE into its sign-pattern bucket; same-bucket pairs
+    * only — never the all-pairs cross join of `dedupEmbedding`), the
+    * verifier is the same exact quantized cosine. The hyperplanes are
+    * deterministic integer vectors, so the DuckDB oracle replays bucket
+    * assignment bit-for-bit and the pair set is fully SQL-checkable.
+    * Recall tradeoff vs all-pairs (a near-dup pair split across buckets
+    * is missed) is measured in SimilaritySpec; at 100 TB the bucket
+    * count scales with `NumPlanes` so per-bucket joins stay bounded.
+    */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d).withColumn("bucket", bucketOf(col("qv")))
+    val a = e.select(col("bucket"), col("vec_id").as("i"), col("qv").as("qa"), col("nq").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("j"), col("qv").as("qb"), col("nq").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") > 0.45)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos_r"), col("bucket").cast("long").as("bucket"))
+      .orderBy("i", "j")
+  }
+
   /** D6: brute-force cosine top-k (k=10) for query vectors vec_id < 5 —
     * the small query side is broadcast, the corpus streams.
     */
@@ -99,13 +121,19 @@ object Similarity {
   def annIvf(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
     val e = quantized(s, d)
       .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
-    // centroid per cluster: elementwise mean of quantized vectors
-    val cents = e.groupBy("label")
+    // Centroid per cluster: elementwise mean of quantized vectors, built
+    // scale-safe — posexplode to (label, dim) cells, exact integer sum +
+    // count per cell (partial-agg map-side; each agg buffer holds ONE
+    // long, never a cluster's vector list), then re-assemble the 64-dim
+    // array by sorting the (dim, mean) structs. A skewed billion-vector
+    // cluster costs a bigger shuffle, not a bigger buffer.
+    val cents = e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+      .groupBy("label")
       .agg(transform(
-        aggregate(collect_list(col("qv")), // small per-cluster list at agg time
-          typedlit(Seq.fill(64)(0L)),
-          (acc, v) => zip_with(acc, v, (x, y) => x + y)),
-        x => x.cast("double") / count(lit(1))).as("centroid"))
+        array_sort(collect_list(struct(col("pos"), (col("sv").cast("double") / col("cn")).as("cv")))),
+        t => t.getField("cv")).as("centroid"))
     // assign each query to its nprobe nearest centroids (tiny cross join)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nq").as("nqq"))

@@ -36,6 +36,13 @@ object Relational {
   private def revUnits(): Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
+  /** Overflow-proof merge of partition-local long partial sums: the inputs
+    * are one row per (group, partition), so this decimal(38,0) sum runs
+    * over tiny pre-aggregated data — the long hot path never crosses a
+    * partition boundary. See q1Agg scaladoc for the bound.
+    */
+  private def sumD38(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+
   /** B1+B2: scan+filter+project with pushdown, multi-aggregate groupBy
     * (TPC-H Q1 shape). Partial aggregation is map-side automatically.
     *
@@ -45,10 +52,17 @@ object Relational {
     * compact-long decimal threshold and accumulate through BigDecimal on
     * every row. The exact integer totals convert to decimal, then double,
     * once per output group, so the result is bit-identical to the decimal
-    * formulation (and the DuckDB oracle). Bound: per-row charge ≤ ~2.1e11
-    * of 10^-6 units, so a single group overflows long only past ~4e7
-    * max-value rows — far beyond the bench SFs; at true warehouse scale
-    * the final sums switch to decimal(38) accumulation (one line each).
+    * formulation (and the DuckDB oracle).
+    *
+    * Overflow bound, ENFORCED (r5): the long sums accumulate per
+    * (group, input partition) — the first aggregate also keys on
+    * `spark_partition_id()`, so a long accumulator sees at most one
+    * partition's rows (≤ ~4e6 at 128 MB `maxPartitionBytes`, vs the
+    * ~4e7-max-value-row wrap point for the 10^-6-unit charge). The
+    * cross-partition merge — #groups × #partitions tiny rows — sums
+    * decimal(38,0), which cannot overflow (38 digits ≥ 19-digit partials
+    * × any realistic partition count). Unbounded group size now costs a
+    * slightly wider shuffle of pre-aggregated rows, never silent wrap.
     */
   def q1Agg(s: SparkSession, d: String): DataFrame = {
     val qtyC  = cents(col("l_quantity"))
@@ -58,13 +72,20 @@ object Relational {
     def toDbl(c: Column, unit: Int): Column = unitsToDbl(c, unit)
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") < lit("2000-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), spark_partition_id().as("pid"))
+      .agg(
+        sum(qtyC).as("psq"),
+        sum(epC).as("pse"),
+        sum(epC * (lit(100L) - discC)).as("psd"),
+        sum(epC * (lit(100L) - discC) * (lit(100L) + taxC)).as("psc"),
+        count(lit(1)).as("pn"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qtyC).as("sq"),
-        sum(epC).as("se"),
-        sum(epC * (lit(100L) - discC)).as("sd"),
-        sum(epC * (lit(100L) - discC) * (lit(100L) + taxC)).as("sc"),
-        count(lit(1)).as("n"))
+        sumD38(col("psq")).as("sq"),
+        sumD38(col("pse")).as("se"),
+        sumD38(col("psd")).as("sd"),
+        sumD38(col("psc")).as("sc"),
+        sum(col("pn")).as("n"))
       .select(col("l_returnflag"), col("l_linestatus"),
         toDbl(col("sq"), 100).as("sum_qty"),
         toDbl(col("se"), 100).as("sum_base_price"),
@@ -101,7 +122,12 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_orderkey"))
   }
 
-  /** B3+B4: multi-way join — dims broadcast, lineitem⋈orders shuffled (Q5 shape). */
+  /** B3+B4: multi-way join — dims broadcast, lineitem⋈orders shuffled (Q5 shape).
+    * Nation-level revenue groups are UNBOUNDED (a nation's lineitems grow
+    * with the dataset — ~2.4e10 rows/nation at 100 TB vs the ~9.2e9-row
+    * long wrap point for 10^-4-unit revenue), so the sum uses the same
+    * partition-local-long → decimal(38,0)-merge scheme as q1Agg.
+    */
   def q5Join(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
@@ -119,8 +145,10 @@ object Relational {
       .join(sup, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), spark_partition_id().as("pid"))
+      .agg(sum(col("rev_u")).as("prev_su"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev_u")).as("rev_su"))
+      .agg(sumD38(col("prev_su")).as("rev_su"))
       .orderBy(col("rev_su").desc, col("n_name"))
       .select(col("n_name"), unitsToDbl(col("rev_su"), 10000).as("revenue"))
   }
@@ -165,13 +193,20 @@ object Relational {
       .orderBy("gid", "flag", "status")
 
   /** B7b: CUBE — all 2^k grouping combinations (vs ROLLUP's hierarchy).
-    * Same single-pass Expand-based plan; fixed-point qty sum like q1.
+    * The fact table is FIRST reduced to exact detail groups — long sums
+    * per (flag, status, partition), decimal(38,0) merge like q1Agg — and
+    * the Expand-based cube runs over those few dozen rows. Two wins at
+    * scale: the Expand no longer multiplies the full scan ×2^k, and the
+    * global (ALL, ALL) cell — the worst unbounded group — accumulates in
+    * decimal, never wrapping a long.
     */
   def qCube(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qty_c"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), spark_partition_id().as("pid"))
+      .agg(sum("qty_c").as("pqty"), count(lit(1)).as("pn"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum("qty_c").as("sum_c"), count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .agg(sumD38(col("pqty")).as("sum_c"), sum("pn").as("n"), grouping_id().cast("int").as("gid"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         unitsToDbl(col("sum_c"), 100).as("sum_qty"), col("n"), col("gid"))
@@ -370,5 +405,37 @@ object Relational {
       .groupBy("band")
       .agg(count(lit(1)).as("n_parts"), sum("pr").as("sum_retail"))
       .orderBy("band")
+  }
+
+  /** B23: multi-correlated EXISTS / NOT EXISTS with aggregates (TPC-H Q21
+    * shape) — suppliers who kept orders waiting: the supplier had returned
+    * ('R') lineitems on a finished multi-supplier order where NO other
+    * supplier had returns. The classic formulation scans lineitem three
+    * times (l1, the EXISTS l2, the NOT-EXISTS l3); here ONE scan reduces
+    * to (orderkey, suppkey, n_late_rows), a window over the already-tiny
+    * per-order groups derives both correlated predicates at once
+    * (n_supps > 1 ⇔ EXISTS other-supplier row; n_late_supps = 1 plus "my
+    * rows are late" ⇔ NOT EXISTS other-late-supplier), and orders/supplier
+    * join the survivors — no repeated fact scans, no correlated re-probe.
+    */
+  def qWaiting(s: SparkSession, d: String): DataFrame = {
+    val perOS = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum("late").as("n_late_rows"))
+    val wo = Window.partitionBy("l_orderkey")
+    val soleLate = perOS
+      .withColumn("n_supps", count(lit(1)).over(wo))
+      .withColumn("n_late_supps", sum((col("n_late_rows") > 0).cast("int")).over(wo))
+      .filter(col("n_late_rows") > 0 && col("n_supps") > 1 && col("n_late_supps") === 1)
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    // both joins are over aggregated survivors; AQE broadcasts the small side
+    soleLate.join(f, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum("n_late_rows").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
   }
 }

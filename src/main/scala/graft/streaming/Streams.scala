@@ -77,14 +77,32 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col(key).as("l_key"), col("ts").as("l_ts"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col(key).as("r_key"), col("ts").as("r_ts"))
+    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+      .withWatermark("l_ts", watermark)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+      .withWatermark("r_ts", watermark)
     l.join(r,
-      col("l_key") === col("r_key") &&
+      col(s"l_$key") === col(s"r_$key") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
+  /** C5 query: the SAME `intervalJoin` run in batch mode (`withWatermark`
+    * is a no-op on batch plans, the join predicate is identical) —
+    * purchase events attributed to each click of the same user within the
+    * following hour. This is the oracle-checked form; the streaming form
+    * with bounded state runs in StreamingSpec.
+    */
+  def intervalJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    intervalJoin(clicks, purchases, "user_id")
+      .select(col("l_event_id").as("click_id"), col("r_event_id").as("purchase_id"),
+        col("l_user_id").as("user_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("click_id", "purchase_id")
   }
 
   // ---------- C4: streaming dedup ----------
@@ -142,30 +160,35 @@ object Streams {
         state.remove()
         return Iterator.single(Session(userId, st.startUs, st.n, (st.lastUs - st.startUs) / 1000000))
       }
-      val sorted = it.map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).toArray.sorted
-      var cur = state.getOption.orNull
+      val evs = it.map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).toArray.sorted
       val out = Seq.newBuilder[Session]
-      sorted.foreach { us =>
-        if (cur == null) cur = SessionState(us, us, 1)
-        else if (us - cur.lastUs > gapUs) {
+      // Merge-sweep the stored session (an interval) and the new events in
+      // event-time order: a watermark-permitted late event inside — or
+      // within one gap of — the stored session folds in (the start can
+      // move EARLIER, matching the batch sort); a late event more than one
+      // gap BEFORE the stored session becomes its own closed earlier
+      // session instead of silently stretching the stored one (r5 — the
+      // previous fold coarsened exactly this case). Only the last interval
+      // stays open.
+      val items: Array[SessionState] =
+        (state.getOption.toArray ++ evs.map(us => SessionState(us, us, 1)))
+          .sortBy(iv => (iv.startUs, iv.lastUs))
+      var cur = items.head
+      items.tail.foreach { iv =>
+        if (iv.startUs - cur.lastUs > gapUs) {
           out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
-          cur = SessionState(us, us, 1)
+          cur = iv
         } else
-          // A watermark-permitted late arrival can land inside (or before)
-          // the stored session — fold with min/max so the session never
-          // shrinks or ends earlier than an already-seen event.
-          cur = SessionState(math.min(cur.startUs, us), math.max(cur.lastUs, us), cur.n + 1)
+          cur = SessionState(cur.startUs, math.max(cur.lastUs, iv.lastUs), cur.n + iv.n)
       }
-      if (cur != null) {
-        if (isStreaming) {
-          state.update(cur)
-          state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
-        } else {
-          // Batch execution never fires timeouts, so the open tail would be
-          // silently dropped — emit it now (matches Streams.sessionize).
-          out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
-          if (state.exists) state.remove()
-        }
+      if (isStreaming) {
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
+      } else {
+        // Batch execution never fires timeouts, so the open tail would be
+        // silently dropped — emit it now (matches Streams.sessionize).
+        out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
+        if (state.exists) state.remove()
       }
       out.result().iterator
     }

@@ -94,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 10:30:00"), 1L),  // within 1h of user 1's click → match
       (ts("2024-01-01 12:30:00"), 2L))  // 2.5h after user 2's click → no match
     q.processAllAvailable()
-    val got = s.sql("SELECT l_key, r_ts FROM ssjoin_test").collect()
+    val got = s.sql("SELECT l_user_id, r_ts FROM ssjoin_test").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
     q.stop()
     assert(got == Set((1L, "2024-01-01 10:30:00.0")), got.toString)
