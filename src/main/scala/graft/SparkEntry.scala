@@ -105,7 +105,7 @@ object SparkEntry {
     "containment"     -> w(Dedup.containment),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
-    "dedup_embedding_lsh" -> w(Similarity.dedupEmbeddingLsh),
+    "dedup_embedding_lsh" -> w((s, d) => Similarity.dedupEmbeddingLsh(s, d)),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
     "lang_id"         -> w(TextAnalysis.langId),
@@ -134,15 +134,17 @@ object SparkEntry {
       |)""".stripMargin
 
   /** DuckDB replay of `Similarity.bucketOf`: the hyperplanes are
-    * deterministic integer vectors (LCG seed 7), so the sign-pattern
+    * deterministic integer vectors (seeded LCG), so the sign-pattern
     * bucket id is plain integer SQL over the quantized vector `qv` —
     * which is what lets the LSH-bucketed operators be FULLY
     * SQL-oracle-checked rather than rows-only.
     */
-  private val bucketSqlExpr: String =
-    graft.ops.Similarity.planes().zipWithIndex.map { case (p, i) =>
+  private def bucketSql(planes: Seq[Seq[Long]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_sum(list_transform(list_zip(qv, ${p.mkString("[", ",", "]")}), t -> t[1]*t[2])) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  private val bucketSqlExpr: String = bucketSql(graft.ops.Similarity.planes())
 
   /** Shared quantize/norm/bucket CTE prefix for the embedding oracles. */
   private val lshCte: String =
@@ -594,15 +596,22 @@ object SparkEntry {
       FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
       ORDER BY i, j""",
 
-    // Bucket assignment is replayed from the deterministic hyperplanes
-    // (bucketSqlExpr), so candidate generation AND verification are both
-    // SQL-checked — the full 100 TB dedup path under the hash gate.
+    // Every table's bucket assignment is replayed from the deterministic
+    // hyperplanes (bucketSql per table seed), so candidate generation AND
+    // verification are both SQL-checked — the full 100 TB dedup path
+    // under the hash gate.
     "dedup_embedding_lsh" -> s"""$lshCte,
-      p AS (SELECT a.vec_id AS i, c.vec_id AS j, a.bucket AS bucket,
-          CAST(list_sum(list_transform(list_zip(a.qv, c.qv), t -> t[1] * t[2])) AS BIGINT) AS dot,
-          a.nq AS na, c.nq AS nb
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-      SELECT i, j, round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_r, bucket
+      bk AS (${(0 until graft.ops.Similarity.NumTables).map { t =>
+        val expr = bucketSql(graft.ops.Similarity.planes(seed = graft.ops.Similarity.tableSeed(t)))
+        s"SELECT vec_id, $t AS t, CAST($expr AS BIGINT) AS bkt FROM n"
+      }.mkString("\n        UNION ALL ")}),
+      c AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+        FROM bk x JOIN bk y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      p AS (SELECT i, j,
+          CAST(list_sum(list_transform(list_zip(a.qv, c2.qv), t -> t[1] * t[2])) AS BIGINT) AS dot,
+          a.nq AS na, c2.nq AS nb
+        FROM c JOIN n a ON a.vec_id = c.i JOIN n c2 ON c2.vec_id = c.j)
+      SELECT i, j, round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_r
       FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
       ORDER BY i, j""",
 

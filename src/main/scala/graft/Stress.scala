@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale-stress scenarios behind BASELINE.md's stress lines.
+  * Each scenario replicates the sf0.1 test data in /tmp and times the
+  * production operator code (never a copy of it) at 100×–500× the bench
+  * scale. Usage: `runMain graft.Stress <scenario>` with one of:
+  *
+  *  - `ivf_centroids` — 1M-vector IVF centroid build (ops.Similarity
+  *    .ivfCentroids, the posexplode elementwise-mean path)
+  *  - `q1_100x` — 60M-row q1Agg with the partition-local-long →
+  *    decimal(38,0)-merge overflow-safe aggregation
+  *  - `lsh_dedup_100x` — 200k-vector dedupEmbeddingLsh end-to-end
+  *    (8-table candidates + exact verify)
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession("graft-stress")
+    val sf = "/root/testdata/sf0.1"
+
+    def timed[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label: $r in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    args.headOption.getOrElse("ivf_centroids") match {
+      case "ivf_centroids" =>
+        // 2k base vectors × 500 copies = 1M vectors, ids kept distinct;
+        // labels unchanged so cluster populations scale 500× (the exact
+        // skew shape that killed the old collect_list build)
+        val big = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+          .crossJoin(spark.range(500).select(col("id").as("rep")))
+          .select((col("vec_id") * 500 + col("rep")).as("vec_id"), col("embedding"), col("label"))
+        big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_emb/embeddings.parquet")
+        val e = spark.read.parquet("/tmp/stress_emb/embeddings.parquet")
+          .select(col("label"), ops.Similarity.quantize(col("embedding")).as("qv"))
+        timed("ivf_centroids 1M vectors")(ops.Similarity.ivfCentroids(e).count())
+
+      case "q1_100x" =>
+        val big = Tables.lineitem(spark, sf)
+          .crossJoin(spark.range(100).select(col("id").as("rep"))).drop("rep")
+        // repartition before writing: the crossJoin replica otherwise lands
+        // in ONE parquet row group (great RLE, zero scan parallelism)
+        big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_li/lineitem.parquet")
+        timed("q1_agg 60M rows")(
+          relational.Relational.q1Agg(spark, "/tmp/stress_li")
+            .write.mode("overwrite").format("noop").save())
+
+      case "lsh_dedup_100x" =>
+        // 100× vectors with per-copy jitter on one coordinate so copies are
+        // near-dups (cos ≈ 1) of their seed — a dense-group stress for the
+        // bucketed candidate path. numPlanes scales with the corpus
+        // (2^14 buckets/table for 200k vectors ⇒ ~12 vectors/bucket);
+        // keeping the bench default of 6 planes here would put ~3k vectors
+        // in every bucket and the per-bucket quadratic join blows up —
+        // that scaling rule is the operator's documented contract.
+        val big = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+          .crossJoin(spark.range(100).select(col("id").as("rep")))
+          .select((col("vec_id") * 100 + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + col("rep").cast("float") / lit(1e4f)).otherwise(x))
+              .as("embedding"),
+            col("label"))
+        big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_emb2/embeddings.parquet")
+        timed("dedup_embedding_lsh 200k vectors (14 planes/table)")(
+          ops.Similarity.dedupEmbeddingLsh(spark, "/tmp/stress_emb2", numPlanes = 14).count())
+
+      case "cc_incremental" =>
+        // 1.1M-vertex base graph (100k chains of 10 + a 100k-vertex star),
+        // then a 50k-edge increment linking chains pairwise. The merge
+        // must be bit-identical to a full recompute and much cheaper.
+        val chains = spark.range(100000)
+          .select(col("id"), explode(sequence(lit(0L), lit(8L))).as("i"))
+          .select((col("id") * 10 + col("i")).as("a"), (col("id") * 10 + col("i") + 1).as("b"))
+        val star = spark.range(100000)
+          .select(lit(2000000L).as("a"), (col("id") + 2000001L).as("b"))
+        val base = chains.union(star)
+        val inc = spark.range(50000)
+          .select((col("id") * 20).as("a"), (col("id") * 20 + 10).as("b"))
+        val lab0 = ops.Clustering.connectedComponents(base)
+        var full: org.apache.spark.sql.DataFrame = null
+        timed("cc full recompute 1.15M edges")(
+          { full = ops.Clustering.connectedComponents(base.union(inc)); full.count() })
+        var incr: org.apache.spark.sql.DataFrame = null
+        timed("cc incremental 50k-edge merge")(
+          { incr = ops.Clustering.incrementalComponents(lab0, inc); incr.count() })
+        val diff = incr.exceptAll(full).count() + full.exceptAll(incr).count()
+        println(s"[stress] incremental == full recompute: ${diff == 0} (diff rows: $diff)")
+
+      case "q1_warm" =>
+        // A/B on the already-written 60M-row table, 3 warm runs each:
+        // production two-level overflow-safe agg vs the single-level
+        // long-sum formulation it replaced
+        val li = "/tmp/stress_li"
+        def single() = {
+          def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+          val (qty, ep, disc, tax) =
+            (cents(col("l_quantity")), cents(col("l_extendedprice")),
+              cents(col("l_discount")), cents(col("l_tax")))
+          Tables.lineitem(spark, li)
+            .filter(col("l_shipdate") < lit("2000-01-01"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(qty).as("sq"), sum(ep).as("se"),
+              sum(ep * (lit(100L) - disc)).as("sd"),
+              sum(ep * (lit(100L) - disc) * (lit(100L) + tax)).as("sc"),
+              count(lit(1)).as("n"))
+        }
+        (1 to 3).foreach { i =>
+          timed(s"q1 60M two-level run$i")(
+            relational.Relational.q1Agg(spark, li).write.mode("overwrite").format("noop").save())
+          timed(s"q1 60M single-level run$i")(
+            single().write.mode("overwrite").format("noop").save())
+        }
+
+      case other => sys.error(s"unknown stress scenario: $other")
+    }
+    spark.stop()
+  }
+}

@@ -105,6 +105,44 @@ object Clustering {
     out
   }
 
+  /** Incremental connected components: merge a batch of new edges into an
+    * existing (id, comp) labelling WITHOUT recomputing over the full edge
+    * set — the daily-increment shape of a 100 TB dedup corpus (yesterday's
+    * groups + today's crawl's new pair edges).
+    *
+    * Correctness: contracting every existing component to its label is
+    * component-preserving (labels partition the old graph into connected
+    * pieces), so CC over the CONTRACTED new edges — each endpoint replaced
+    * by its existing label, unseen vertices by themselves — yields exactly
+    * the merged components. Because old labels are min-member-ids and new
+    * vertices carry their own ids, the merged component label is again the
+    * global min id, i.e. bit-identical to a full recompute (asserted in
+    * ClusteringSpec and the 500k-doc stress).
+    *
+    * Cost: two hash joins of the new-edge batch against the labelling
+    * (shuffle bounded by |batch| + |labels|) plus iterative CC on a graph
+    * with one vertex per TOUCHED component/new vertex — typically orders
+    * of magnitude smaller than the corpus. Unreferenced components pass
+    * through untouched.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    val contracted = newEdges.select(col("a"), col("b"))
+      .join(l.select(col("id").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(l.select(col("id").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"), coalesce(col("cb"), col("b")).as("b"))
+    val merged = connectedComponents(contracted)
+    // old members re-label through their component's new label; components
+    // the batch never touched fall through the left join unchanged
+    val relabeled = l
+      .join(merged.select(col("id").as("comp"), col("comp").as("newcomp")), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+    // vertices the batch introduced (present in the contracted graph but
+    // not in the old labelling)
+    val fresh = merged.join(l.select("id"), Seq("id"), "left_anti")
+    relabeled.unionByName(fresh)
+  }
+
   /** D14 query: dup groups over the union of exact-dup pairs (normalized
     * content hash) and verified n-gram-jaccard near-dup pairs. Output one
     * row per grouped doc: (doc_id, comp = min id in group, group_n).

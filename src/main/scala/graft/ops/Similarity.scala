@@ -53,24 +53,37 @@ object Similarity {
   }
 
   /** D5 at scale: LSH-bucketed embedding near-dup — the documented 100 TB
-    * composite. Candidates come from the hyperplane-LSH buckets (each
-    * vector shuffles ONCE into its sign-pattern bucket; same-bucket pairs
-    * only — never the all-pairs cross join of `dedupEmbedding`), the
-    * verifier is the same exact quantized cosine. The hyperplanes are
-    * deterministic integer vectors, so the DuckDB oracle replays bucket
-    * assignment bit-for-bit and the pair set is fully SQL-checkable.
-    * Recall tradeoff vs all-pairs (a near-dup pair split across buckets
-    * is missed) is measured in SimilaritySpec; at 100 TB the bucket
-    * count scales with `NumPlanes` so per-bucket joins stay bounded.
+    * composite. Candidates come from hyperplane-LSH buckets across
+    * `NumTables` independent tables (OR-amplification: one 6-plane table
+    * collides only ~(1−θ/π)^6 of threshold-level pairs, ~7% at cos 0.45;
+    * eight tables lift that to a usable recall, measured vs the all-pairs
+    * ground truth in SimilaritySpec). Each vector shuffles once per table
+    * — a constant ×8 on a (vec_id, 8-byte bucket) record, never the
+    * all-pairs cross join of `dedupEmbedding` — candidate id-pairs are
+    * deduped BEFORE the vectors are rejoined for the exact quantized-
+    * cosine verify, so each surviving pair is verified exactly once. The
+    * hyperplanes are deterministic integer vectors, so the DuckDB oracle
+    * replays every table's bucket assignment bit-for-bit and the pair
+    * set is fully SQL-checkable. At 100 TB, `NumPlanes` scales with
+    * log₂(corpus/target-bucket) to keep per-bucket joins bounded (and
+    * the Dedup.bandedCandidates cap pattern applies to pathological
+    * buckets); `NumTables` buys recall at linear cost.
     */
-  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d).withColumn("bucket", bucketOf(col("qv")))
-    val a = e.select(col("bucket"), col("vec_id").as("i"), col("qv").as("qa"), col("nq").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("j"), col("qv").as("qb"), col("nq").as("nb"))
-    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+  def dedupEmbeddingLsh(s: SparkSession, d: String, numPlanes: Int = NumPlanes): DataFrame = {
+    val e = quantized(s, d)
+    val entries = e.select(col("vec_id"),
+      posexplode(array((0 until NumTables).map(t =>
+        bucketOf(col("qv"), planes(n = numPlanes, seed = tableSeed(t)))): _*)).as(Seq("t", "bkt")))
+    val a = entries.select(col("t"), col("bkt"), col("vec_id").as("i"))
+    val b = entries.select(col("t"), col("bkt"), col("vec_id").as("j"))
+    val cand = a.join(b, Seq("t", "bkt")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val vi = e.select(col("vec_id").as("i"), col("qv").as("qa"), col("nq").as("na"))
+    val vj = e.select(col("vec_id").as("j"), col("qv").as("qb"), col("nq").as("nb"))
+    cand.join(vi, "i").join(vj, "j")
       .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") > 0.45)
-      .select(col("i"), col("j"), round(col("cos"), 6).as("cos_r"), col("bucket").cast("long").as("bucket"))
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos_r"))
       .orderBy("i", "j")
   }
 
@@ -102,10 +115,16 @@ object Similarity {
   }
 
   /** Sign-pattern bucket id of a quantized vector under the planes. */
-  def bucketOf(qv: Column): Column =
-    planes().zipWithIndex.map { case (p, i) =>
+  def bucketOf(qv: Column, ps: Seq[Seq[Long]] = planes()): Column =
+    ps.zipWithIndex.map { case (p, i) =>
       when(dot(qv, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** OR-amplification: independent hash tables for the pair-generation
+    * path (table 0 = the `annLsh` planes).
+    */
+  val NumTables = 8
+  def tableSeed(t: Int): Long = 7L + 13L * t
 
   // ---------- D13: IVF-style ANN ----------
 
@@ -118,22 +137,27 @@ object Similarity {
     * nprobe/k of the data. Here the given `label` column is the cluster
     * assignment (k-means would produce it in a real index build).
     */
-  def annIvf(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
-    val e = quantized(s, d)
-      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
-    // Centroid per cluster: elementwise mean of quantized vectors, built
-    // scale-safe — posexplode to (label, dim) cells, exact integer sum +
-    // count per cell (partial-agg map-side; each agg buffer holds ONE
-    // long, never a cluster's vector list), then re-assemble the 64-dim
-    // array by sorting the (dim, mean) structs. A skewed billion-vector
-    // cluster costs a bigger shuffle, not a bigger buffer.
-    val cents = e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+  /** Centroid per cluster: elementwise mean of quantized vectors, built
+    * scale-safe — posexplode to (label, dim) cells, exact integer sum +
+    * count per cell (partial-agg map-side; each agg buffer holds ONE
+    * long, never a cluster's vector list), then re-assemble the 64-dim
+    * array by sorting the (dim, mean) structs (tiny: one row per label).
+    * A skewed billion-vector cluster costs a bigger shuffle, not a
+    * bigger buffer. Input needs (label, qv) columns.
+    */
+  def ivfCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(sum("v").as("sv"), count(lit(1)).as("cn"))
       .groupBy("label")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), (col("sv").cast("double") / col("cn")).as("cv")))),
         t => t.getField("cv")).as("centroid"))
+
+  def annIvf(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
+    val e = quantized(s, d)
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    val cents = ivfCentroids(e)
     // assign each query to its nprobe nearest centroids (tiny cross join)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nq").as("nqq"))

@@ -49,6 +49,38 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)), out.toSeq.toString)
   }
 
+  test("iteration checkpoint blocks are freed, not accumulated") {
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.size
+    // diameter-19 chain forces several pointer-jumping rounds, each of
+    // which localCheckpoints twice — all of those blocks must be gone
+    // (Dataset.unpersist alone would silently leak them; see
+    // Clustering.unpersistCheckpoint)
+    val labels = Clustering.connectedComponents((0L until 19L).map(i => (i, i + 1)).toDF("a", "b"))
+    labels.count()
+    val after = s.sparkContext.getPersistentRDDs.size
+    // only the returned result's own checkpoint may remain
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
+  }
+
+  test("incremental edge-batch merge equals full recompute") {
+    import s.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+    val inc = Seq(
+      (3L, 10L),  // merges component 1 with component 10
+      (40L, 41L), // brand-new component
+      (21L, 20L), // duplicate edge inside an existing component
+      (11L, 42L)) // new vertex joining the merged component
+    val full = Clustering.connectedComponents((base ++ inc).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab0 = Clustering.connectedComponents(base.toDF("a", "b"))
+    val got = Clustering.incrementalComponents(lab0, inc.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    // untouched component 30-31 must pass through unchanged
+    assert(got(30L) == 30L && got(31L) == 30L)
+  }
+
   test("empty edge set yields an empty labelling") {
     assert(cc(Seq.empty).isEmpty)
   }

@@ -27,6 +27,7 @@ class DedupSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("mh").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val pairs = Dedup.minhash(s, tmp).collect().map(r => (r.getLong(0), r.getLong(1)))
+    s.sharedState.cacheManager.clearCache() // minhash persist contract
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 

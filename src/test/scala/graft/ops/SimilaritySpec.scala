@@ -50,6 +50,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.values.forall(_.size <= 10))
   }
 
+  test("LSH-bucketed embedding dedup finds only true pairs with amplified recall") {
+    val all = Similarity.dedupEmbedding(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.dedupEmbeddingLsh(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verifier ⇒ zero false positives, every LSH pair is a true pair
+    assert(lsh.subsetOf(all), s"false positives: ${lsh -- all}")
+    // OR-amplification across NumTables tables must recover a usable
+    // fraction of the all-pairs ground truth (one 6-plane table alone
+    // collides ~7% at the 0.45 threshold)
+    if (all.nonEmpty) {
+      val recall = lsh.size.toDouble / all.size
+      assert(recall >= 0.3, s"recall $recall over ${all.size} true pairs")
+    }
+  }
+
   test("quantized cosine is deterministic and within 1e-3 of true cosine") {
     import s.implicits._
     import org.apache.spark.sql.functions._

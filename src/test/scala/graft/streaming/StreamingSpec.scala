@@ -116,6 +116,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 3, 300L), (1L, 1, 0L), (2L, 1, 0L)), got.toString)
   }
 
+  test("watermark-permitted event a full gap before the stored session becomes its own closed session") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("sess_late_test").outputMode("append").start()
+    // batch 1: session [12:00, 12:05]; watermark after batch = 11:05
+    mem.addData(Streams.Ev(1L, ts("2024-01-01 12:00:00")), Streams.Ev(1L, ts("2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    // batch 2: 11:20 is above the watermark but a full gap before 12:00 —
+    // it must close as its OWN session, not stretch [12:00, 12:05] back
+    mem.addData(Streams.Ev(1L, ts("2024-01-01 11:20:00")))
+    q.processAllAvailable()
+    // batch 3: prove the gap after 12:05 so the stored session closes too
+    mem.addData(Streams.Ev(1L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    val got = s.sql("SELECT user_id, n_events, duration_sec FROM sess_late_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got.contains((1L, 1, 0L)), s"late singleton session missing: $got")
+    assert(got.contains((1L, 2, 300L)), s"original session must stay [12:00,12:05]: $got")
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
