@@ -69,6 +69,9 @@ object SparkEntry {
     "job_summary"         -> w(Discovery.jobSummary),
     "job_failures"        -> w(Discovery.jobFailures),
     "table_stats"         -> w(TableStats.query),
+    "priority_lanes"      -> w(Lanes.lanesQuery),
+    "corpus_io"           -> w(CorpusIO.query),
+    "bucketed_join"       -> w(relational.Bucketing.query),
     // B. relational core
     "q1_agg"            -> w(Relational.q1Agg),
     "q3_topk"           -> w(Relational.q3TopK),
@@ -95,6 +98,7 @@ object SparkEntry {
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
     "sessionize"      -> w(Streams.sessionize),
+    "sessionize_stateful" -> w(Streams.sessionizeStatefulQuery),
     "stream_dedup"    -> w(Streams.streamDedupQuery),
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
@@ -488,7 +492,36 @@ object SparkEntry {
                                  ORDER BY ts, event_id) = 1
       ORDER BY user_id, event_type""",
 
-    "sessionize" -> """
+    "sessionize" -> sessionizeSql,
+
+    // The custom-state path must agree with the SAME ground truth as the
+    // native session_window path.
+    "sessionize_stateful" -> sessionizeSql,
+
+    "priority_lanes" -> s"""$dbsCte
+      SELECT db, priority + 2 AS flow,
+        CASE priority + 2 WHEN 2 THEN 'basic' WHEN 3 THEN 'high'
+          WHEN 4 THEN 'highest' WHEN 5 THEN 'human_variation' END AS pool
+      FROM (
+        SELECT db,
+          CAST(CASE WHEN starts_with(db,'homo_sapiens') OR starts_with(db,'mus_musculus') OR starts_with(db,'nation_1') THEN 1 ELSE 0 END
+             + CASE WHEN contains(db,'_variation_') OR contains(db,'_funcgen_') THEN 1 ELSE 0 END
+             + CASE WHEN starts_with(db,'homo_sapiens') AND contains(db,'_variation_') THEN 1 ELSE 0 END AS BIGINT) AS priority
+        FROM dbs) t ORDER BY db""",
+
+    "corpus_io" -> """
+      SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents
+      UNION ALL SELECT -1, 'QUARANTINED', 3
+      ORDER BY doc_id""",
+
+    "bucketed_join" -> """
+      SELECT o_orderstatus, count(*) AS n_lines,
+        CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  ) ++ restOracleSql
+
+  private lazy val sessionizeSql: String = """
       WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
       x AS (SELECT user_id, ts, us,
         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
@@ -499,8 +532,9 @@ object SparkEntry {
       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
         count(*) AS n_events,
         epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_sec
-      FROM y GROUP BY user_id, sid ORDER BY user_id, start_s""",
+      FROM y GROUP BY user_id, sid ORDER BY user_id, start_s"""
 
+  private lazy val restOracleSql: Map[String, String] = Map(
     // Dup groups = connected components over (exact-dup ∪ jaccard) edges;
     // DuckDB computes the same components via recursive reachability closure
     // (fine at oracle scale — closure is quadratic per component, and dup

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** A14: priority lanes — the reference throttles each pipeline stage with
   * `analysis_capacity` and routes prioritised databases into faster lanes
@@ -26,4 +27,16 @@ object Lanes {
     try body
     finally sc.setLocalProperty("spark.scheduler.pool", null)
   }
+
+  /** A14 query (r5, oracle-checked): the lane ROUTING — every discovered
+    * db through priority scoring to its scheduler pool. The pool
+    * assignment is the computable half of the reference's capacity
+    * tiers (LoadDBs_conf.pm:108-210); the runtime half (jobs actually
+    * running under the pool) is exercised by LanesSpec via runInLane.
+    */
+  def lanesQuery(s: SparkSession, d: String): DataFrame =
+    Discovery.prioritise(s, d)
+      .select(col("db"), col("flow"),
+        element_at(typedlit(poolForFlow), col("flow").cast("int")).as("pool"))
+      .orderBy("db")
 }

@@ -61,4 +61,26 @@ object CorpusIO {
     s.read.text(path)
       .filter(length(col("value")) > 0)
       .select(xxhash64(col("value")).as("doc_id"), col("value").as("text"))
+
+  /** E2 query (r5, oracle-checked): full JSONL round-trip — documents →
+    * gzip JSONL → read back PERMISSIVE alongside three deliberately
+    * malformed lines. Clean rows must round-trip bit-exact (doc_id,
+    * md5(text), n_chars); the malformed lines must land in quarantine,
+    * surfaced as one summary row (doc_id −1) so the count sits under the
+    * oracle too.
+    */
+  def query(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val out = "/tmp/graft_corpus_io/docs"
+    writeJsonl(graft.Tables.documents(s, d), out, gzip = true)
+    Seq("{oops, not json", "[1, 2, 3]", "plain text line")
+      .toDF("value").coalesce(1).write.mode("append").text(out)
+    val back = readJsonl(s, out)
+    val clean = back.filter(col("_corrupt_record").isNull)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    val quarantined = back.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("doc_id"), lit("QUARANTINED").as("text_md5"), col("n").as("n_chars"))
+    clean.unionByName(quarantined).orderBy("doc_id")
+  }
 }

@@ -1,6 +1,9 @@
 package graft.relational
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** B19: bucketed co-located joins — the §4 answer to "is there a shuffle
   * here that becomes the bottleneck at scale?".
@@ -27,4 +30,39 @@ object Bucketing {
     */
   def coLocatedJoin(s: SparkSession, left: String, right: String, key: String): DataFrame =
     s.table(left).join(s.table(right), key)
+
+  /** Drop a managed table AND its warehouse location: the location
+    * survives the session (the in-memory catalog does not), so a fresh
+    * session's saveAsTable would otherwise hit LOCATION_ALREADY_EXISTS.
+    */
+  private def reset(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File(wh, table)
+    if (loc.exists()) rm(loc)
+  }
+
+  /** B19 query (r5, oracle-checked): bucket-write both fact sides on the
+    * join key, then aggregate over the co-located join. The RESULT is
+    * what the oracle hashes (identical to the plain shuffled join); the
+    * exchange-free PLAN is asserted in BucketingSpec. Managed tables land
+    * in spark-warehouse/ (gitignored); rewritten idempotently per run.
+    */
+  def query(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_quantity").cast(DecimalType(8, 2)).as("qty"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    Seq("graft_li_bucketed", "graft_o_bucketed").foreach(reset(s, _))
+    writeBucketed(li, "graft_li_bucketed", "k")
+    writeBucketed(o, "graft_o_bucketed", "k")
+    coLocatedJoin(s, "graft_li_bucketed", "graft_o_bucketed", "k")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
 }

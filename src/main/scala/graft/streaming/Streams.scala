@@ -158,7 +158,7 @@ object Streams {
       if (state.hasTimedOut) {
         val st = state.get
         state.remove()
-        return Iterator.single(Session(userId, st.startUs, st.n, (st.lastUs - st.startUs) / 1000000))
+        return Iterator.single(Session(userId, st.startUs, st.n, st.lastUs / 1000000 - st.startUs / 1000000))
       }
       val evs = it.map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).toArray.sorted
       val out = Seq.newBuilder[Session]
@@ -176,7 +176,7 @@ object Streams {
       var cur = items.head
       items.tail.foreach { iv =>
         if (iv.startUs - cur.lastUs > gapUs) {
-          out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
+          out += Session(userId, cur.startUs, cur.n, cur.lastUs / 1000000 - cur.startUs / 1000000)
           cur = iv
         } else
           cur = SessionState(cur.startUs, math.max(cur.lastUs, iv.lastUs), cur.n + iv.n)
@@ -187,7 +187,7 @@ object Streams {
       } else {
         // Batch execution never fires timeouts, so the open tail would be
         // silently dropped — emit it now (matches Streams.sessionize).
-        out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000)
+        out += Session(userId, cur.startUs, cur.n, cur.lastUs / 1000000 - cur.startUs / 1000000)
         if (state.exists) state.remove()
       }
       out.result().iterator
@@ -195,5 +195,21 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** C2 query (r5): the CUSTOM-STATE sessionizer run in batch mode over
+    * the events table, formatted to the same shape as `sessionize` — so
+    * the flatMapGroupsWithState logic itself sits under the DuckDB
+    * oracle, not just the native session_window path.
+    */
+  def sessionizeStatefulQuery(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val evs = Tables.events(s, d).select(col("user_id"), col("ts")).as[Ev]
+    sessionizeStateful(evs).toDF()
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("startUs")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        col("n_events").cast("long").as("n_events"),
+        col("duration_sec"))
+      .orderBy("user_id", "start_s")
   }
 }

@@ -59,4 +59,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_waiting scans lineitem once — correlated EXISTS folded into one pass") {
+    val p = plan(Relational.qWaiting(TestSpark.spark, TestSpark.sf))
+    val lineitemScans = p.split("\n").count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stream_interval_join is an equi-join on the key, never a cartesian") {
+    val p = plan(graft.streaming.Streams.intervalJoinQuery(TestSpark.spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_embedding_lsh joins candidates per bucket, never all-pairs") {
+    val p = plan(graft.ops.Similarity.dedupEmbeddingLsh(TestSpark.spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
