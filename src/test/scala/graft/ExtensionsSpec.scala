@@ -29,4 +29,18 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT bitmap_distinct(x) FROM VALUES (1), (2), (2), (9) t(x)").collect()(0)
     assert(agg.getLong(0) == 3L)
   }
+
+  test("wrong arity raises the intended wrong-num-args error, not INTERNAL_ERROR") {
+    // GraftExtensions.checked hardcodes the WRONG_NUM_ARGS error-class
+    // parameter set (incl. docroot); if a Spark upgrade renames the class
+    // or its params, every wrong-arity call would degrade to
+    // SparkException(INTERNAL_ERROR). This pin makes that upgrade hazard
+    // a loud test failure instead (ADVICE r4).
+    val s = TestSpark.spark
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT bsd_sum()").collect()
+    }
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.toString)
+    assert(e.getMessage.contains("bsd_sum") && e.getMessage.contains("1"), e.getMessage)
+  }
 }
