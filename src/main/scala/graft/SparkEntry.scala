@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_simhash"   -> w(Dedup.simhash),
     "ngram_jaccard"   -> w(Dedup.ngramJaccard),
     "containment"     -> w(Dedup.containment),
+    "decontaminate"   -> w((s, d) => Dedup.decontaminate(s, d)),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "dedup_embedding_lsh" -> w((s, d) => Similarity.dedupEmbeddingLsh(s, d)),
@@ -615,6 +616,20 @@ object SparkEntry {
       FROM c JOIN f sa ON sa.doc_id = c.a JOIN f sb ON sb.doc_id = c.b
       WHERE 10 * len(list_intersect(sa.sh, sb.sh)) >= 8 * least(len(sa.sh), len(sb.sh))
       ORDER BY a, b""",
+
+    // Eval slice = doc_id % 23 == 0; a doc is contaminated when it shares
+    // >= 8 distinct word 3-shingles with any eval doc.
+    "decontaminate" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 = 0),
+      co AS (SELECT doc_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 <> 0)
+      SELECT doc_id, eval_id, count(*) AS n_hits
+      FROM co JOIN ev USING (shingle)
+      GROUP BY doc_id, eval_id HAVING count(*) >= 8
+      ORDER BY doc_id, eval_id""",
 
     "dedup_embedding" -> """
       WITH q AS (SELECT vec_id,

@@ -180,6 +180,35 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** D17: benchmark decontamination — the training-corpus hygiene step
+    * every LLM pipeline runs before training: flag corpus documents that
+    * share ≥ `minHits` distinct word 3-shingles with ANY benchmark/eval
+    * document, so eval data never leaks into the training mix. Here the
+    * "benchmark" is the deterministic doc_id % 23 == 0 slice (a stand-in
+    * for a real eval suite).
+    *
+    * Shape at 100 TB: the eval set is tiny (benchmarks are thousands of
+    * docs) → its exploded (shingle, eval_id) relation BROADCASTS; the
+    * corpus explodes its shingles once and the match is a shingle-equality
+    * hash join — never a doc×doc comparison — followed by a (doc, eval)
+    * hit-count aggregate. Cost: one corpus scan + map-side join, shuffle
+    * only the matched (doc_id, eval_id) hits.
+    */
+  def decontaminate(s: SparkSession, d: String, minHits: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val corpusSh = docs.filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    corpusSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** D16: containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8, the asymmetric
     * metric that catches excerpt/superset near-dups jaccard misses (a
     * short doc fully contained in a long one has low jaccard but

@@ -31,6 +31,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("decontamination flags the eval-copy and spares disjoint docs") {
+    import s.implicits._
+    val evalText = (0 until 20).map(i => s"eval$i").mkString(" ")     // 18 shingles
+    val cleanText = (0 until 20).map(i => s"clean$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalText, "en", "w", evalText.length.toLong),   // 0 % 23 == 0 → eval slice
+      (5L, evalText, "en", "w", evalText.length.toLong),   // contaminated copy
+      (7L, cleanText, "en", "w", cleanText.length.toLong)) // disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.decontaminate(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((5L, 0L, 18L)), out.toSeq.toString)
+  }
+
   test("minhash signatures are stable and permutation params deterministic") {
     assert(Dedup.permParams(4) == Dedup.permParams(4))
     assert(Dedup.permParams(64).map(_._1).forall(a => a > 0 && a < (1L << 29)))
