@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   *    .ivfCentroids, the posexplode elementwise-mean path)
   *  - `q1_100x` — 60M-row q1Agg with the partition-local-long →
   *    decimal(38,0)-merge overflow-safe aggregation
+  *  - `q1_warm` — warm A/B of that aggregation vs raw single-level long
+  *    sums on the table `q1_100x` wrote
   *  - `lsh_dedup_100x` — 200k-vector dedupEmbeddingLsh end-to-end
   *    (8-table candidates + exact verify)
+  *  - `skew_100x` — 10M-row join with 90% of rows on one hot key:
+  *    AQE skew-join vs 16-way salt vs naive
+  *  - `cc_incremental` — 50k-edge batch merged into a 1.1M-vertex
+  *    labelling vs full recompute (asserts bit-identical output)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -66,6 +72,35 @@ object Stress {
         big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_emb2/embeddings.parquet")
         timed("dedup_embedding_lsh 200k vectors (14 planes/table)")(
           ops.Similarity.dedupEmbeddingLsh(spark, "/tmp/stress_emb2", numPlanes = 14).count())
+
+      case "skew_100x" =>
+        // 10M-row fact with 90% of rows on ONE hot key, grouped after a
+        // join against a 150k-row dim. Three plans over the same data:
+        // AQE skew-split (GraftSession default), explicit 16-way salt
+        // (ops.Skew.saltedJoin), and the naive join with AQE skew
+        // handling OFF — the §4 pathological-skew story, measured.
+        val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val hot = dim.agg(min("user_id")).head().getLong(0)
+        val fact = spark.range(10000000).select(
+          when(col("id") % 10 < 9, lit(hot)).otherwise(col("id") % 150000).as("user_id"),
+          (col("id") % 1000).cast("double").as("value"))
+        fact.repartition(32).write.mode("overwrite").parquet("/tmp/stress_skew/fact.parquet")
+        val f = spark.read.parquet("/tmp/stress_skew/fact.parquet")
+        def agg(j: org.apache.spark.sql.DataFrame) =
+          j.groupBy("c_mktsegment").agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).as("sv"))
+        // disable broadcast so the join actually shuffles (dim is tiny here;
+        // at real scale the dim side is too big to broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed("skew 10M/90%-hot AQE skew-join")(
+          agg(f.join(dim, "user_id")).write.mode("overwrite").format("noop").save())
+        timed("skew 10M/90%-hot 16-way salted")(
+          agg(ops.Skew.saltedJoin(f, dim, "user_id")).write.mode("overwrite").format("noop").save())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timed("skew 10M/90%-hot naive (AQE skew OFF)")(
+          agg(f.join(dim, "user_id")).write.mode("overwrite").format("noop").save())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
       case "cc_incremental" =>
         // 1.1M-vertex base graph (100k chains of 10 + a 100k-vertex star),
