@@ -109,6 +109,7 @@ object SparkEntry {
     "containment"     -> w(Dedup.containment),
     "decontaminate"   -> w((s, d) => Dedup.decontaminate(s, d)),
     "dedup_groups"    -> w(Clustering.dedupGroups),
+    "dedup_keep_best" -> w(Clustering.keepBest),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "dedup_embedding_lsh" -> w((s, d) => Similarity.dedupEmbeddingLsh(s, d)),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
@@ -535,15 +536,15 @@ object SparkEntry {
         epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_sec
       FROM y GROUP BY user_id, sid ORDER BY user_id, start_s"""
 
-  private lazy val restOracleSql: Map[String, String] = Map(
-    // Dup groups = connected components over (exact-dup ∪ jaccard) edges;
-    // DuckDB computes the same components via recursive reachability closure
-    // (fine at oracle scale — closure is quadratic per component, and dup
-    // groups are small). The jaccard stage replays the Spark side exactly:
-    // raw-text representative collapse (one rep row per raw text × lang),
-    // then capped banded candidates (all pairs when the bucket holds <= 64
-    // reps, else a star from the bucket min).
-    "dedup_groups" -> """
+  // Dup groups = connected components over (exact-dup ∪ jaccard) edges;
+  // DuckDB computes the same components via recursive reachability closure
+  // (fine at oracle scale — closure is quadratic per component, and dup
+  // groups are small). The jaccard stage replays the Spark side exactly:
+  // raw-text representative collapse (one rep row per raw text × lang),
+  // then capped banded candidates (all pairs when the bucket holds <= 64
+  // reps, else a star from the bucket min). Shared by dedup_groups and
+  // dedup_keep_best.
+  private lazy val dupGroupsCte: String = """
       WITH RECURSIVE
       nk AS (SELECT doc_id, lang, n_chars, text,
           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper,
@@ -569,9 +570,28 @@ object SparkEntry {
         SELECT src, src FROM (SELECT DISTINCT src FROM und) v
         UNION
         SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-      comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)
+      comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)"""
+
+  private lazy val restOracleSql: Map[String, String] = Map(
+    "dedup_groups" -> s"""$dupGroupsCte
       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n
       FROM comp ORDER BY doc_id""",
+
+    // Composition: group labels + quality_score, keep the best-scoring
+    // doc per group (ties to min doc_id).
+    "dedup_keep_best" -> s"""$dupGroupsCte,
+      g AS (SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n FROM comp),
+      q AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) * 1000
+            // CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+          + least(500, CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+          - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS score
+        FROM documents)
+      SELECT comp, doc_id AS best_doc, score, group_n
+      FROM g JOIN q USING (doc_id)
+      QUALIFY row_number() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) = 1
+      ORDER BY comp""",
 
     "dedup_exact" -> """
       SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM (

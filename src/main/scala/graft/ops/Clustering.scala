@@ -163,6 +163,25 @@ object Clustering {
     * (lang, n_chars, shingle set) survives the collapse and the
     * components are exactly those of the full edge set.
     */
+  /** E6/D14b: best-representative selection — the step AFTER group
+    * resolution in a real curation pipeline: instead of keeping the
+    * min-id doc of each dup group, keep the HIGHEST-QUALITY one
+    * (quality_score, ties to min doc_id). Pure composition of
+    * `dedupGroups` and `TextAnalysis.qualityScore`: one join on doc_id +
+    * a rank-1 window over the (tiny, one row per grouped doc) labelled
+    * relation — the expensive parts are the operators already measured.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(s, d).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy("comp").orderBy(col("score").desc, col("doc_id"))
+    dedupGroups(s, d)
+      .join(quality, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("comp"), col("doc_id").as("best_doc"), col("score"), col("group_n"))
+      .orderBy("comp")
+  }
+
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val withKeeper = docs
