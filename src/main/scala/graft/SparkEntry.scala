@@ -119,6 +119,7 @@ object SparkEntry {
     "token_count"     -> w(TextAnalysis.tokenCount),
     "fingerprint"     -> w(TextAnalysis.fingerprint),
     "pii_redact"      -> w(TextAnalysis.piiRedact),
+    "repetition_score" -> w(TextAnalysis.repetitionScore),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -738,6 +739,20 @@ object SparkEntry {
         n_chars_m * 100 // n_tok AS avg_tok_len_x100,
         n_stop * 1000 // n_tok + least(500, n_tok) - n_digit AS score
       FROM x ORDER BY doc_id""",
+
+    // Gopher-style repeated-n-gram fractions as exact x1000 integer ratios.
+    "repetition_score" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+        CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))] ELSE [] END AS g2,
+        CASE WHEN len(w) >= 3 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] ELSE [] END AS g3,
+        CASE WHEN len(w) >= 4 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] for i in range(1, len(w) - 2)] ELSE [] END AS g4
+      FROM w)
+      SELECT doc_id,
+        CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2))) * 1000 // len(g2) ELSE 0 END AS dup2_x1000,
+        CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) * 1000 // len(g3) ELSE 0 END AS dup3_x1000,
+        CASE WHEN len(g4) > 0 THEN (len(g4) - len(list_distinct(g4))) * 1000 // len(g4) ELSE 0 END AS dup4_x1000
+      FROM g ORDER BY doc_id""",
 
     "token_count" -> """
       SELECT doc_id,

@@ -180,6 +180,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D18: within-document repetition scoring — the Gopher/MassiveText-
+    * style quality rule (Rae et al. 2021, §A1.1: fraction of duplicated
+    * n-grams): for n ∈ {2,3,4}, the fraction of n-gram occurrences that
+    * are repeats of an earlier occurrence, as an exact ×1000 integer
+    * ratio. Entirely per-row array math (codegen'd, NO shuffle, no
+    * explode) — at 100 TB this is a pure map over the corpus scan.
+    */
+  def repetitionScore(s: SparkSession, d: String): DataFrame = {
+    def counts(n: Int): Seq[Column] = {
+      val w = words(col("text"))
+      val grams = transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+      Seq(when(size(w) >= n, size(grams)).otherwise(0).as(s"tot$n"),
+        when(size(w) >= n, size(array_distinct(grams))).otherwise(0).as(s"uniq$n"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: (2 to 4).flatMap(counts): _*)
+      .select(col("doc_id") +: (2 to 4).map(n =>
+        // integer DIV keeps both engines exact (no float quotient)
+        expr(s"CASE WHEN tot$n > 0 THEN (tot$n - uniq$n) * 1000 DIV tot$n ELSE 0 END")
+          .cast("long").as(s"dup${n}_x1000")): _*)
+      .orderBy("doc_id")
+  }
+
   /** D10: token counting — whitespace tokens plus a BPE-ish regex
     * tokenizer (letter runs / digit runs / single non-alnum).
     */

@@ -1,4 +1,5 @@
 package graft.ops
+// (repetition spec appended r5)
 
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
@@ -46,6 +47,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0L) == ((1, 1, 1, "plain words only contact [EMAIL] or [IP] tel [PHONE]")))
     assert(out(3L)._4 == "more plain words contact [EMAIL] or [IP] tel [PHONE]")
     assert(out(1L) == ((0, 0, 0, "untouched text")))
+  }
+
+  test("repetition score is exact on hand-computed duplicated n-grams") {
+    import graft.TestSpark.spark.implicits._
+    val s = graft.TestSpark.spark
+    // "a b a b a": 2-grams [a b, b a, a b, b a] → 2 dups of 4 → 500;
+    // 3-grams [a b a, b a b, a b a] → 1 dup of 3 → 333; 4-grams
+    // [a b a b, b a b a] → 0
+    val docs = Seq((0L, "a b a b a"), (1L, "x y"), (2L, "w w w w w w"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.repetitionScore(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((500L, 333L, 0L)), out.toString)
+    assert(out(1L) == ((0L, 0L, 0L)), out.toString)     // too short for any n
+    assert(out(2L) == ((800L, 750L, 666L)), out.toString) // all-identical grams
   }
 
   test("simhash64 kernel matches a reference bit-vote computation") {
