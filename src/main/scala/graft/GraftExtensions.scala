@@ -37,7 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_inter_count(array<long>, array<long>) - |a ∩ b| of SORTED-ASCENDING arrays (unsorted input gives undefined counts)",
         checked("sorted_inter_count", 2)(es => SortedInterCount(es.head, es(1)))),
       ("bitmap_distinct", "bitmap_distinct(col) - exact distinct count via Roaring bitmap",
-        checked("bitmap_distinct", 1)(es => graft.functions.BitmapDistinct(es.head).toAggregateExpression())))
+        checked("bitmap_distinct", 1)(es => graft.functions.BitmapDistinct(es.head).toAggregateExpression())),
+      ("dot_q", "dot_q(array<long>, array<long>) - integer dot product (quantized embeddings)",
+        checked("dot_q", 2)(es => graft.ops.DotLong(es.head, es(1)))),
+      ("sqnorm_q", "sqnorm_q(array<long>) - integer squared norm (quantized embeddings)",
+        checked("sqnorm_q", 1)(es => graft.ops.SqNormLong(es.head))))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

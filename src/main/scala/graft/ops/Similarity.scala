@@ -24,18 +24,33 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 10000).cast("long"))
 
-  def sqNorm(qv: Column): Column =
-    aggregate(qv, lit(0L), (acc, v) => acc + v * v)
+  // Both through the codegen'd VecKernel expressions (identical integer
+  // semantics to the aggregate/zip_with higher-order forms they replaced,
+  // but inlined into whole-stage codegen instead of interpreted lambdas —
+  // the verify stages evaluate these per candidate pair). Registered in
+  // the active session's registry on first use (same pattern as
+  // Dedup.registerKernels; GraftExtensions injects them cluster-wide too).
+  def sqNorm(qv: Column): Column = call_function("sqnorm_q", qv)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("dot_q", a, b)
+
+  /** Idempotent per-session registration of the vector kernels. */
+  def registerKernels(s: SparkSession): Unit = {
+    import graft.GraftExtensions.checked
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_q", checked("dot_q", 2)(es => DotLong(es.head, es(1))), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sqnorm_q", checked("sqnorm_q", 1)(es => SqNormLong(es.head)), "built-in")
+  }
 
   def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    registerKernels(s)
     Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", sqNorm(col("qv")))
+  }
 
   /** D5: embedding cosine near-dup pairs (threshold 0.45). Pairwise here —
     * fine at verification scale; at 100 TB use annLsh buckets as the
