@@ -103,6 +103,7 @@ object SparkEntry {
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
+    "dedup_spans"     -> w((s, d) => Dedup.spans(s, d)),
     "dedup_minhash"   -> w(Dedup.minhash),
     "dedup_simhash"   -> w(Dedup.simhash),
     "ngram_jaccard"   -> w(Dedup.ngramJaccard),
@@ -599,6 +600,28 @@ object SparkEntry {
         SELECT doc_id,
           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
         FROM documents) t ORDER BY doc_id""",
+
+    // Window hashes are md5 of the 8-token window text in both engines, so
+    // the whole substring-dedup pipeline (hash → ≥2-distinct-docs test via
+    // min<max → gaps-and-islands merge) replays exactly.
+    "dedup_spans" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      px AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos
+             FROM d WHERE len(w) >= 8),
+      win AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM px),
+      dup AS (SELECT h FROM win GROUP BY h HAVING min(doc_id) < max(doc_id)),
+      dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS brk FROM dw),
+      g AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        max(pos) + 7 - min(pos) + 1 AS span_tokens
+      FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
     "ngram_jaccard" -> """
       WITH d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),

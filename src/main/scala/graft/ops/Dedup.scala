@@ -180,6 +180,59 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ---------- D19: substring-level exact dedup (repeated spans) ----------
+
+  /** D19 query: exact repeated ≥k-token spans ACROSS documents — the
+    * substring-level member of the dedup family (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): document-level (D1) and
+    * near-dup (D2–D5b) dedup miss a boilerplate paragraph pasted into
+    * otherwise-distinct documents; this operator finds it. Every k-token
+    * window is hashed; a window whose hash occurs in ≥2 DISTINCT documents
+    * is duplicated; per document, overlapping/adjacent duplicated windows
+    * merge into maximal spans (1-based token positions, inclusive).
+    *
+    * Shape at 100 TB: window hashing is a narrow per-doc pass. The
+    * duplicated-window set comes from ONE hash-keyed aggregation whose
+    * partial form is (min, max) doc_id — map-side combinable, never a
+    * collect_list, so a window repeated a billion times costs one combiner
+    * cell per partition — and the mark-back is a hash-equality join that
+    * reuses the aggregation's own shuffle partitioning (ReusedExchange).
+    * The only other shuffle keys on doc_id for the island merge. Nothing
+    * is ever doc×doc, and no bucket is ever materialized as a list.
+    */
+  def spans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    spansOn(Tables.documents(s, d).select("doc_id", "text"), k)
+
+  def spansOn(documents: DataFrame, k: Int): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    // md5 of the k-token window text: identical in DuckDB, so the full
+    // pipeline (hash → cross-doc test → island merge) SQL-replays exactly.
+    val wins = documents
+      .select(col("doc_id"),
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)), i =>
+            struct(i.as("pos"), md5(concat_ws(" ", slice(w, i, lit(k)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:string>>")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+    val dupH = wins.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") < col("mx")) // in ≥2 distinct docs, without countDistinct's Expand
+      .select("h")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(dupH, Seq("h"))
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** D17: benchmark decontamination — the training-corpus hygiene step
     * every LLM pipeline runs before training: flag corpus documents that
     * share ≥ `minHits` distinct word 3-shingles with ANY benchmark/eval

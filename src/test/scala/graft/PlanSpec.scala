@@ -72,6 +72,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_spans marks windows via hash-equality join, never doc×doc") {
+    val p = plan(graft.ops.Dedup.spans(TestSpark.spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_embedding_lsh joins candidates per bucket, never all-pairs") {
     val p = plan(graft.ops.Similarity.dedupEmbeddingLsh(TestSpark.spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

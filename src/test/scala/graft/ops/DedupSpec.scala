@@ -31,6 +31,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("dedup_spans merges cross-doc repeated windows into maximal spans") {
+    import s.implicits._
+    val shared = (6 to 15).map(i => s"x$i")                     // 10-token block
+    val doc0 = (1 to 20).map(i => s"x$i").mkString(" ")          // holds block at 6..15
+    val doc1 = ((1 to 5).map(i => s"p$i") ++ shared ++ (1 to 5).map(i => s"q$i")).mkString(" ")
+    val doc2 = (1 to 20).map(i => s"z$i").mkString(" ")          // unrelated
+    val doc3 = (((1 to 8) ++ (1 to 8)).map(i => s"r$i")).mkString(" ") // in-doc repeat only
+    val docs = Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spans(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // the 10-token block is one merged span in both docs; the unrelated doc
+    // and the within-doc-only repeat produce nothing (cross-doc test)
+    assert(out.toSeq == Seq((0L, 6, 15, 10), (1L, 6, 15, 10)), out.toSeq.toString)
+  }
+
   test("decontamination flags the eval-copy and spares disjoint docs") {
     import s.implicits._
     val evalText = (0 until 20).map(i => s"eval$i").mkString(" ")     // 18 shingles
