@@ -574,7 +574,62 @@ object SparkEntry {
         SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
       comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)"""
 
+  /** DuckDB replay of the FULL minhash pipeline (promotes D2 from
+    * rows-only): FNV-1a 32-bit shingle hashes (HUGEINT mod-2^64 fold; the
+    * per-char XOR only touches the low 7 bits on the all-ASCII corpus, so
+    * it is emulated exactly with a BIGINT xor on `h % 128`), the 64
+    * universal-hash permutation minima with the SAME (a,b) constants the
+    * kernel uses (embedded as literals from Dedup.permParams — a·x < 2^61
+    * so plain BIGINT suffices), band keys as the raw 4-sig-value strings
+    * (Spark's xxhash64 of that string partitions docs identically — the
+    * hash is only a grouping key, never output), the 64-cap star degrade
+    * replayed like ngram_jaccard's, and the exact jaccard verify on the
+    * hashed-shingle sets.
+    */
+  private lazy val minhashOracleSql: String = {
+    val perms = Dedup.permParams(Dedup.NumPerms)
+    val rows = Dedup.NumPerms / Dedup.NumBands
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hx, x -> ($a * x + $b) % ${Dedup.MinhashP})) AS s$j"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until Dedup.NumBands).map { bd =>
+      val key = (0 until rows).map(r => s"CAST(s${bd * rows + r} AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $bd AS band, $key AS bh FROM sg"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      ss AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+             FROM w WHERE len(w) >= 3),
+      fn AS (SELECT doc_id,
+          CAST(list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(s[i]) AS HUGEINT) for i in range(1, len(s)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) % 4294967296 AS BIGINT) AS hv
+        FROM ss),
+      hxx AS (SELECT doc_id, list_sort(list_distinct(list(hv))) AS hx FROM fn GROUP BY doc_id),
+      sg AS (SELECT doc_id,
+        $sigExprs
+        FROM hxx),
+      bands AS ($bandSelects),
+      bz AS (SELECT band, bh, count(*) AS n, min(doc_id) AS mn FROM bands GROUP BY band, bh),
+      c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+            JOIN bz z ON z.band = x.band AND z.bh = x.bh
+            WHERE z.n <= 64 OR x.doc_id = z.mn)
+      SELECT a, b,
+        CAST(len(list_intersect(ha.hx, hb.hx)) AS BIGINT) AS inter_n,
+        CAST(len(ha.hx) + len(hb.hx) - len(list_intersect(ha.hx, hb.hx)) AS BIGINT) AS union_n
+      FROM c JOIN hxx ha ON ha.doc_id = c.a JOIN hxx hb ON hb.doc_id = c.b
+      WHERE 10 * len(list_intersect(ha.hx, hb.hx))
+            >= 7 * (len(ha.hx) + len(hb.hx) - len(list_intersect(ha.hx, hb.hx)))
+      ORDER BY a, b"""
+  }
+
   private lazy val restOracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracleSql,
+
     "dedup_groups" -> s"""$dupGroupsCte
       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n
       FROM comp ORDER BY doc_id""",
