@@ -775,6 +775,38 @@ object SparkEntry {
         vec_id, round(cos, 6) AS cos_r
       FROM pj QUALIFY rnk <= 10 ORDER BY qid, rnk""",
 
+    // Promoted from rows-only (r7): centroids are exact integer sums ÷
+    // count (one IEEE divide), probe distances a left-fold of identical
+    // IEEE ops (list_reduce mirrors Spark's aggregate()), rerank the same
+    // quantized cosine as the other embedding oracles.
+    "ann_ivf" -> """
+      WITH q0 AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings),
+      e AS (SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM q0),
+      px AS (SELECT label, qv, unnest(range(1, len(qv)+1)) AS pos FROM e),
+      cell AS (SELECT label, pos, qv[pos] AS v FROM px),
+      cent AS (SELECT label, pos, CAST(sum(v) AS DOUBLE) / count(*) AS cv
+               FROM cell GROUP BY label, pos),
+      cl AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label),
+      qs AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq FROM e WHERE vec_id < 5),
+      pd AS (SELECT qid, qq, nqq, label,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(qq, centroid),
+                t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))),
+            (acc, v) -> acc + v) AS cdist
+        FROM qs CROSS JOIN cl),
+      pr AS (SELECT qid, qq, nqq, label FROM pd
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cdist, label) <= 3),
+      cand AS (SELECT pr.qid, e.vec_id,
+          CAST(list_sum(list_transform(list_zip(pr.qq, e.qv), t -> t[1] * t[2])) AS BIGINT)
+            / (sqrt(CAST(pr.nqq AS DOUBLE)) * sqrt(CAST(e.nq AS DOUBLE))) AS cos
+        FROM pr JOIN e ON e.label = pr.label AND e.vec_id <> pr.qid)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+        vec_id, round(cos, 6) AS cos_r
+      FROM cand QUALIFY rnk <= 10 ORDER BY qid, rnk""",
+
     "ann_bruteforce" -> """
       WITH q AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
