@@ -64,6 +64,7 @@ object SparkEntry {
     "merge_upsert"        -> w(MergeUpsert.query),
     "partitioned_scan"    -> w(PartitionedLayout.query),
     "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
+    "release_paths"       -> w(ReleasePaths.query),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
     "job_email"           -> w(Discovery.jobEmail),
     "job_summary"         -> w(Discovery.jobSummary),
@@ -315,6 +316,25 @@ object SparkEntry {
       SELECT db, grantee, '' AS ddl, true AS prerelease
       FROM dbs CROSS JOIN (VALUES ('anonymous'),('ensro')) u2(grantee) WHERE false
       ORDER BY db, grantee""",
+
+    "release_paths" -> s"""$dbsCte,
+      cfg AS (SELECT * FROM (VALUES
+        ('110', '', false), ('110', '', true),
+        ('110', 'plants', false), ('110', 'plants', true),
+        ('current', '', false), ('current', '', true),
+        ('current', 'plants', false), ('current', 'plants', true))
+        v(release, division, prerelease)),
+      x AS (SELECT db, release, division, prerelease,
+          CASE WHEN release <> 'current'
+               THEN (CASE WHEN prerelease THEN '.' ELSE '' END) || 'release-' || release
+               ELSE release END AS rel_seg,
+          CASE WHEN division <> '' THEN '/' || division ELSE '' END AS div_seg
+        FROM dbs CROSS JOIN cfg)
+      SELECT db, release, division, prerelease,
+        '/pub/' || rel_seg || div_seg || '/mysql' AS ftp_path,
+        '/nfs/ftpsite' || (CASE WHEN prerelease THEN '/.release-' ELSE '/release-' END)
+          || release || div_seg || '/mysql/' || db AS rsync_target
+      FROM x ORDER BY db, release, division, prerelease""",
 
     "job_email" -> """
       WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,

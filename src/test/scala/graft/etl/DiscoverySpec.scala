@@ -26,6 +26,25 @@ class DiscoverySpec extends AnyFunSuite {
     assert(rows("nation_0_variation_110_1") == (1L, 3L))
   }
 
+  test("release paths pin the reference's dot-dir / current / division branches") {
+    val s = TestSpark.spark
+    val rows = ReleasePaths.query(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) ->
+        (r.getString(4), r.getString(5))).toMap
+    val db = "homo_sapiens_core_110_38"
+    // released, no division (Base.pm:62-74)
+    assert(rows((db, "110", "", false))._1 == "/pub/release-110/mysql")
+    // prerelease numbered release → DOT directory (Base.pm:66-68)
+    assert(rows((db, "110", "", true))._1 == "/pub/.release-110/mysql")
+    // 'current' passes through untouched, even prerelease (Base.pm:67)
+    assert(rows((db, "current", "", true))._1 == "/pub/current/mysql")
+    // division segment present only when set (Base.pm:71)
+    assert(rows((db, "110", "plants", false))._1 == "/pub/release-110/plants/mysql")
+    // rsync target: NO current special case (Base.pm:131-139) + catdir join
+    assert(rows((db, "current", "", false))._2 == s"/nfs/ftpsite/release-current/mysql/$db")
+    assert(rows((db, "110", "plants", true))._2 == s"/nfs/ftpsite/.release-110/plants/mysql/$db")
+  }
+
   test("mode filter matches the reference's mart/ensembl split") {
     val s = TestSpark.spark
     val rows = Discovery.modeFilter(s, TestSpark.sf).collect()
