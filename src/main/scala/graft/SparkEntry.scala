@@ -65,6 +65,7 @@ object SparkEntry {
     "partitioned_scan"    -> w(PartitionedLayout.query),
     "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
     "release_paths"       -> w(ReleasePaths.query),
+    "load_retry"          -> w(LoadGate.query),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
     "job_email"           -> w(Discovery.jobEmail),
     "job_summary"         -> w(Discovery.jobSummary),
@@ -335,6 +336,14 @@ object SparkEntry {
         '/nfs/ftpsite' || (CASE WHEN prerelease THEN '/.release-' ELSE '/release-' END)
           || release || div_seg || '/mysql/' || db AS rsync_target
       FROM x ORDER BY db, release, division, prerelease""",
+
+    // Overwrite-on-retry must equal a fresh load of the flat table; the
+    // pinned boolean proves the first-attempt collision actually threw.
+    "load_retry" -> """
+      SELECT o_orderstatus, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+        true AS first_attempt_threw
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "job_email" -> """
       WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,
