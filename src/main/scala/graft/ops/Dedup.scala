@@ -157,27 +157,28 @@ object Dedup {
     // shingles, so materialize them once (the kernel dominates the cost —
     // without the persist it runs twice over the whole corpus). At full
     // scale the equivalent is staging hx to parquet; MEMORY_AND_DISK is the
-    // single-job analog. Contract: the cache lives until the caller clears
-    // it (the returned plan is lazy, so it can't be unpersisted here);
-    // long-lived sessions running many queries should
-    // `sharedState.cacheManager.clearCache()` between them, as Verify and
-    // Bench do.
+    // single-job analog. The cache is self-contained: the (pair-sized)
+    // result is materialized eagerly below and the corpus-sized shingle
+    // cache is dropped before returning — callers hold only the result.
     val sh = hashedShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
-    val cands = candidatePairs(sigs)
-    cands
-      .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
-      // hx arrays are sorted (ShingleHashKernel) → merge-scan count instead
-      // of materializing intersection/union arrays per candidate pair
-      .select(col("a"), col("b"),
-        call_function("sorted_inter_count", col("sh_a"), col("sh_b")).as("inter_n"),
-        (size(col("sh_a")) + size(col("sh_b"))).as("size_sum"))
-      .select(col("a"), col("b"), col("inter_n"),
-        (col("size_sum") - col("inter_n")).as("union_n"))
-      .filter(col("inter_n") * 10 >= col("union_n") * 7)
-      .orderBy("a", "b")
+    try {
+      val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
+      val cands = candidatePairs(sigs)
+      cands
+        .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
+        // hx arrays are sorted (ShingleHashKernel) → merge-scan count instead
+        // of materializing intersection/union arrays per candidate pair
+        .select(col("a"), col("b"),
+          call_function("sorted_inter_count", col("sh_a"), col("sh_b")).as("inter_n"),
+          (size(col("sh_a")) + size(col("sh_b"))).as("size_sum"))
+        .select(col("a"), col("b"), col("inter_n"),
+          (col("size_sum") - col("inter_n")).as("union_n"))
+        .filter(col("inter_n") * 10 >= col("union_n") * 7)
+        .orderBy("a", "b")
+        .localCheckpoint() // eager: pair-sized blocks, reclaimed by ContextCleaner
+    } finally sh.unpersist(blocking = false)
   }
 
   // ---------- D19: substring-level exact dedup (repeated spans) ----------

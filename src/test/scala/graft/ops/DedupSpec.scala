@@ -27,8 +27,25 @@ class DedupSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("mh").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val pairs = Dedup.minhash(s, tmp).collect().map(r => (r.getLong(0), r.getLong(1)))
-    s.sharedState.cacheManager.clearCache() // minhash persist contract
     assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhash leaves no cache behind and survives repeated invocation") {
+    import s.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"shared prefix tokens here plus tail $i extra words padding out"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mhc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    s.sharedState.cacheManager.clearCache()
+    val first = Dedup.minhash(s, tmp).count()
+    // the corpus-sized shingle cache must be gone WITHOUT any caller-side
+    // clearCache (the old cross-file convention); only the pair-sized
+    // checkpoint blocks may remain, and ContextCleaner reclaims those
+    assert(s.sharedState.cacheManager.isEmpty,
+      "minhash left a CacheManager entry behind")
+    val second = Dedup.minhash(s, tmp).count()
+    assert(first == second)
+    assert(s.sharedState.cacheManager.isEmpty)
   }
 
   test("dedup_spans merges cross-doc repeated windows into maximal spans") {
