@@ -32,6 +32,15 @@ object LoadGate {
 
   /** LoadFiles.pm:56-64, re-expressed. Throws on first-attempt collision;
     * drops and reloads on retry.
+    *
+    * Concurrency contract: the exists()/write pair is a driver-side
+    * TOCTOU — two concurrent FIRST-attempt loaders can both observe
+    * exists()==false; the ErrorIfExists write narrows but does not close
+    * the race on non-atomic-rename filesystems (S3A). That matches the
+    * reference (one eHive worker owns one database) and the single-driver
+    * Verify/Bench use here. A multi-writer deployment must take a lease
+    * first (atomic marker-file create, `fs.create(lockPath,
+    * overwrite=false)`) and treat the lease holder as the sole loader.
     */
   def load(df: DataFrame, path: String, retryCount: Int): Unit = {
     val hPath = new Path(path)

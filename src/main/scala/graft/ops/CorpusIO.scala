@@ -71,7 +71,9 @@ object CorpusIO {
     */
   def query(s: SparkSession, d: String): DataFrame = {
     val sq = s; import sq.implicits._
-    val out = "/tmp/graft_corpus_io/docs"
+    // per-application scratch: two concurrent sessions must never race on
+    // the same output directory (VERDICT r6 #8)
+    val out = graft.etl.SessionPaths.scratch(s, "corpus_io/docs")
     writeJsonl(graft.Tables.documents(s, d), out, gzip = true)
     Seq("{oops, not json", "[1, 2, 3]", "plain text line")
       .toDF("value").coalesce(1).write.mode("append").text(out)

@@ -148,6 +148,37 @@ object Dedup {
       .distinct()
   }
 
+  /** The D2 pipeline over a (doc_id, hx) hashed-shingle relation:
+    * signatures → banded candidates → merge-scan jaccard verify ≥ 0.7.
+    * Pure plan construction — no persist, no checkpoint — so PlanDoc and
+    * plan tests can inspect the operator's REAL physical plan (ADVICE r7:
+    * the checkpointed `minhash` documents only a Scan ExistingRDD).
+    */
+  def minhashPipeline(sh: DataFrame): DataFrame = {
+    val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
+    val cands = candidatePairs(sigs)
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
+      // hx arrays are sorted (ShingleHashKernel) → merge-scan count instead
+      // of materializing intersection/union arrays per candidate pair
+      .select(col("a"), col("b"),
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b")).as("inter_n"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("size_sum"))
+      .select(col("a"), col("b"), col("inter_n"),
+        (col("size_sum") - col("inter_n")).as("union_n"))
+      .filter(col("inter_n") * 10 >= col("union_n") * 7)
+      .orderBy("a", "b")
+  }
+
+  /** Lazy, un-persisted form of the D2 plan for plan documentation and
+    * plan assertions: identical operator tree to `minhash` minus the
+    * cache/checkpoint lifecycle (the shingle kernel would run twice if
+    * this were executed — use `minhash` to actually run it).
+    */
+  def minhashPlan(s: SparkSession, d: String): DataFrame =
+    minhashPipeline(hashedShingles(Tables.documents(s, d).select("doc_id", "text")))
+
   /** D2 query: verified near-dup pairs — jaccard(shingles) ≥ 0.7, checked
     * exactly but only on LSH candidates (never all pairs).
     */
@@ -163,20 +194,7 @@ object Dedup {
     val sh = hashedShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = sh.select(col("doc_id"), call_function("minhash_sig", col("hx")).as("sig"))
-      val cands = candidatePairs(sigs)
-      cands
-        .join(sh.select(col("doc_id").as("a"), col("hx").as("sh_a")), Seq("a"))
-        .join(sh.select(col("doc_id").as("b"), col("hx").as("sh_b")), Seq("b"))
-        // hx arrays are sorted (ShingleHashKernel) → merge-scan count instead
-        // of materializing intersection/union arrays per candidate pair
-        .select(col("a"), col("b"),
-          call_function("sorted_inter_count", col("sh_a"), col("sh_b")).as("inter_n"),
-          (size(col("sh_a")) + size(col("sh_b"))).as("size_sum"))
-        .select(col("a"), col("b"), col("inter_n"),
-          (col("size_sum") - col("inter_n")).as("union_n"))
-        .filter(col("inter_n") * 10 >= col("union_n") * 7)
-        .orderBy("a", "b")
+      minhashPipeline(sh)
         .localCheckpoint() // eager: pair-sized blocks, reclaimed by ContextCleaner
     } finally sh.unpersist(blocking = false)
   }

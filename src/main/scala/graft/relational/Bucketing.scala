@@ -57,10 +57,15 @@ object Bucketing {
       .select(col("l_orderkey").as("k"), col("l_quantity").cast(DecimalType(8, 2)).as("qty"))
     val o = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_orderstatus"))
-    Seq("graft_li_bucketed", "graft_o_bucketed").foreach(reset(s, _))
-    writeBucketed(li, "graft_li_bucketed", "k")
-    writeBucketed(o, "graft_o_bucketed", "k")
-    coLocatedJoin(s, "graft_li_bucketed", "graft_o_bucketed", "k")
+    // per-application table names: the managed-table location lives in the
+    // SHARED warehouse dir, so two concurrent sessions writing the same
+    // table name would race on the same directory (VERDICT r6 #8)
+    val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val (liT, oT) = (s"graft_li_bucketed_$tag", s"graft_o_bucketed_$tag")
+    Seq(liT, oT).foreach(reset(s, _))
+    writeBucketed(li, liT, "k")
+    writeBucketed(o, oT, "k")
+    coLocatedJoin(s, liT, oT, "k")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
       .orderBy("o_orderstatus")

@@ -46,6 +46,18 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # The byte-level oracle replays (checksum_bsd, fingerprint,
+    # dedup_minhash/simhash FNV-1a folds) emulate the kernels' per-char
+    # arithmetic with ord(char) == byte, which holds ONLY while the corpus
+    # is pure ASCII (the xor trick touches just the low 7 bits). Fail
+    # loudly at the assumption, not downstream as an opaque hash mismatch.
+    non_ascii = con.execute(
+        "SELECT count(*) FROM documents WHERE NOT regexp_matches(text, '^[\\x00-\\x7f]*$')"
+    ).fetchone()[0]
+    if non_ascii:
+        print(f"FAIL ascii-guard: {non_ascii} documents contain non-ASCII chars; "
+              "the FNV-1a/byte-fold oracle emulations are invalid on this corpus")
+        sys.exit(1)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
