@@ -9,9 +9,16 @@ package graft
   * keeps the line clean of sbt log prefixes.
   */
 object Bench {
+  /** The original 9 headline queries plus (r8, VERDICT r5 task #6) the
+    * 100 TB-path operators — LSH embedding dedup, connected-component dup
+    * groups, benchmark decontamination, repeated-span dedup — so every
+    * scale-path operator is regression-gated per round, not just the
+    * relational core.
+    */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_join", "q_window", "dedup_exact",
-    "dedup_minhash", "ann_bruteforce", "sessionize", "token_count")
+    "dedup_minhash", "ann_bruteforce", "sessionize", "token_count",
+    "dedup_embedding_lsh", "dedup_groups", "decontaminate", "dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

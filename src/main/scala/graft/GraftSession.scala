@@ -26,6 +26,15 @@ object GraftSession {
       // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's vanilla
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate adds size(g)>0/isnotnull(g) above every
+      // explode; predicate pushdown then substitutes the generator's WHOLE
+      // expression into those filters, so an expensive computed array
+      // (shingles, token windows) is evaluated 3× per row instead of once
+      // (measured 3-10× slowdowns on the dedup family, r8). Every explode
+      // input in this library is already pre-filtered by a cheap
+      // predicate, so the inferred filters only burn CPU.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

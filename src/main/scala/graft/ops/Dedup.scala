@@ -14,16 +14,39 @@ object Dedup {
 
   // ---------- shared text → shingle machinery ----------
 
-  /** Word 3-shingles of lowercased text, deduplicated; empty array when the
-    * doc has fewer than 3 words.
+  /** Word 3-shingles over an already-projected words array, deduplicated;
+    * empty array when the doc has fewer than 3 words.
+    *
+    * `words` MUST be a bound column (project `split(lower(text), " ")`
+    * first), never the split expression inline: Catalyst has no
+    * common-subexpression elimination inside higher-order-function
+    * lambdas, so an inline split is re-evaluated by every `element_at`
+    * of every shingle — measured 150× the per-doc split cost (r8; the
+    * whole decontaminate query dropped 14.7s → ~1s at sf0.1 from this).
+    * Because the words alias is referenced several times here,
+    * CollapseProject keeps the projection materialized per row.
     */
-  def shingles(text: Column): Column = {
-    val words = split(lower(text), " ")
+  def shinglesOfWords(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(sequence(lit(0), size(words) - 3), i =>
         concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** (doc_id, sh) shingle relation over a documents-shaped input, with the
+    * words array projected once per row (see `shinglesOfWords`); keeps all
+    * other columns, drops docs with no shingles.
+    */
+  def withShingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("graft_ws", split(lower(col("text")), " "))
+      // same set as filter(size(sh) > 0) — a doc shingles iff it has ≥3
+      // words — but this predicate pushes down as ONE split() per row,
+      // whereas size(sh) > 0 would push past the projections and
+      // re-substitute the full duplicated shingle expression into the
+      // filter (the 150-splits-per-doc trap this helper exists to avoid)
+      .filter(size(col("graft_ws")) >= 3)
+      .withColumn("sh", shinglesOfWords(col("graft_ws")))
+      .drop("graft_ws")
 
   // ---------- D1: exact dedup ----------
 
@@ -223,10 +246,15 @@ object Dedup {
     spansOn(Tables.documents(s, d).select("doc_id", "text"), k)
 
   def spansOn(documents: DataFrame, k: Int): DataFrame = {
-    val w = split(lower(col("text")), " ")
+    // words projected once per row, then referenced as a bound attribute —
+    // an inline split would be re-evaluated by every slice() of every
+    // window (no CSE inside higher-order-function lambdas; see
+    // `shinglesOfWords`)
+    val w = col("graft_w")
     // md5 of the k-token window text: identical in DuckDB, so the full
     // pipeline (hash → cross-doc test → island merge) SQL-replays exactly.
     val wins = documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("graft_w"))
       .select(col("doc_id"),
         when(size(w) >= k,
           transform(sequence(lit(1), size(w) - (k - 1)), i =>
@@ -267,9 +295,7 @@ object Dedup {
     * only the matched (doc_id, eval_id) hits.
     */
   def decontaminate(s: SparkSession, d: String, minHits: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = withShingles(Tables.documents(s, d)).select("doc_id", "sh")
     val evalSh = docs.filter(col("doc_id") % 23 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
     val corpusSh = docs.filter(col("doc_id") % 23 =!= 0)
@@ -291,9 +317,7 @@ object Dedup {
     * Integer cross-multiplied threshold keeps the compare exact.
     */
   def containment(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
+    val docs = withShingles(Tables.documents(s, d))
     val cands = bandedCandidates(docs)
     val sh = docs.select(col("doc_id"), col("sh"))
     cands
@@ -350,9 +374,7 @@ object Dedup {
     * within-band quadratic verify runs on unique texts only.
     */
   def ngramJaccardOn(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
+    val docs = withShingles(documents)
     val cands = bandedCandidates(docs)
     val sh = docs.select(col("doc_id"), col("sh"))
     cands

@@ -188,14 +188,19 @@ object TextAnalysis {
     * explode) — at 100 TB this is a pure map over the corpus scan.
     */
   def repetitionScore(s: SparkSession, d: String): DataFrame = {
+    // words projected once per row: an inline split would be re-evaluated
+    // by every element_at of every n-gram — ~450 splits/doc across
+    // n ∈ {2,3,4} (no CSE inside higher-order-function lambdas; see
+    // Dedup.shinglesOfWords)
     def counts(n: Int): Seq[Column] = {
-      val w = words(col("text"))
+      val w = col("graft_w")
       val grams = transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
       Seq(when(size(w) >= n, size(grams)).otherwise(0).as(s"tot$n"),
         when(size(w) >= n, size(array_distinct(grams))).otherwise(0).as(s"uniq$n"))
     }
     Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("graft_w"))
       .select(col("doc_id") +: (2 to 4).flatMap(counts): _*)
       .select(col("doc_id") +: (2 to 4).map(n =>
         // integer DIV keeps both engines exact (no float quotient)

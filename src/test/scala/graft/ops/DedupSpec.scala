@@ -146,7 +146,9 @@ class DedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val fast = Dedup.hashedShingles(docs)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
-    val slow = docs.select(col("doc_id"), size(Dedup.shingles(col("text"))).as("n"))
+    val slow = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), size(Dedup.shinglesOfWords(col("w"))).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     // hashedShingles filters empty; string version reports 0
     slow.foreach { case (id, n) =>
