@@ -656,8 +656,69 @@ object SparkEntry {
       ORDER BY a, b"""
   }
 
+  /** DuckDB replay of the FULL simhash pipeline (promotes D3 from
+    * rows-only, the last hash-family operator without a SQL oracle):
+    * per-token FNV-1a 64-bit hashes (the same HUGEINT mod-2^64 fold as
+    * minhashOracleSql — exact on the all-ASCII corpus, guarded by
+    * check.py's ascii-guard), the 64 per-bit ±1 occurrence votes as 64
+    * conditional sums, the signature rebuilt as a HUGEINT bit sum
+    * (sign-converted to BIGINT only for the xor/bit_count verify), the
+    * four 16-bit pigeonhole chunks via integer div/mod (identical to the
+    * kernel's arithmetic shiftright+mask because the mask discards the
+    * sign-extension bits), the 64-cap star degrade replayed like
+    * minhash's, and the exact hamming ≤ 3 verify.
+    */
+  private lazy val simhashOracleSql: String = {
+    val votes = (0 until 64).map { b =>
+      s"sum(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n        ")
+    val sig = (0 until 64).map { b =>
+      s"CASE WHEN v$b > 0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        FROM documents),
+      fn AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(t[i]) AS HUGEINT) for i in range(1, len(t)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) AS hu
+        FROM tok),
+      v AS (SELECT doc_id,
+        $votes
+        FROM fn GROUP BY doc_id),
+      sigs AS (
+        SELECT d.doc_id, COALESCE(($sig), 0::HUGEINT) AS su
+        FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id),
+      chunks AS (
+        SELECT doc_id, ci,
+          CAST((su // (CASE ci WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+                       WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END))
+               % 65536 AS BIGINT) AS cv
+        FROM sigs, (SELECT unnest([0,1,2,3]) AS ci)),
+      bz AS (SELECT ci, cv, count(*) AS n, min(doc_id) AS mn FROM chunks GROUP BY ci, cv),
+      c AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM chunks x JOIN chunks y ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+        JOIN bz z ON z.ci = x.ci AND z.cv = x.cv
+        WHERE z.n <= 64 OR x.doc_id = z.mn),
+      sb AS (SELECT doc_id,
+        CAST(su - (CASE WHEN su >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS s
+        FROM sigs)
+      SELECT c.a, c.b, CAST(bit_count(xor(sa.s, sb2.s)) AS BIGINT) AS hamming
+      FROM c JOIN sb sa ON sa.doc_id = c.a JOIN sb sb2 ON sb2.doc_id = c.b
+      WHERE bit_count(xor(sa.s, sb2.s)) <= 3
+      ORDER BY a, b"""
+  }
+
   private lazy val restOracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
 
     "dedup_groups" -> s"""$dupGroupsCte
       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n
