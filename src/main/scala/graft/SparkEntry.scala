@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_keep_best" -> w(Clustering.keepBest),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "dedup_embedding_lsh" -> w((s, d) => Similarity.dedupEmbeddingLsh(s, d)),
+    "semdedup"        -> w((s, d) => Similarity.semDedup(s, d)),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
     "lang_id"         -> w(TextAnalysis.langId),
@@ -123,6 +124,8 @@ object SparkEntry {
     "fingerprint"     -> w(TextAnalysis.fingerprint),
     "pii_redact"      -> w(TextAnalysis.piiRedact),
     "repetition_score" -> w(TextAnalysis.repetitionScore),
+    "gopher_filter"    -> w(TextAnalysis.gopherFilter),
+    "unigram_surprisal" -> w(TextAnalysis.unigramSurprisal),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -853,6 +856,32 @@ object SparkEntry {
       FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45
       ORDER BY i, j""",
 
+    // D20 SemDeDup: the label clustering, per-table hyperplane buckets,
+    // quantized-cosine verify and keep-lowest-id rule all replay exactly.
+    "semdedup" -> s"""
+      WITH q0 AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM q0),
+      bk AS (${(0 until graft.ops.Similarity.NumTables).map { t =>
+        val expr = bucketSql(graft.ops.Similarity.planes(seed = graft.ops.Similarity.tableSeed(t)))
+        s"SELECT vec_id, label, $t AS t, CAST($expr AS BIGINT) AS bkt FROM n"
+      }.mkString("\n        UNION ALL ")}),
+      c AS (SELECT DISTINCT x.label, x.vec_id AS i, y.vec_id AS j
+        FROM bk x JOIN bk y ON x.label = y.label AND x.t = y.t AND x.bkt = y.bkt
+          AND x.vec_id < y.vec_id),
+      p AS (SELECT c.label, i, j,
+          CAST(list_sum(list_transform(list_zip(a.qv, c2.qv), t -> t[1] * t[2])) AS BIGINT) AS dot,
+          a.nq AS na, c2.nq AS nb
+        FROM c JOIN n a ON a.vec_id = c.i JOIN n c2 ON c2.vec_id = c.j),
+      f AS (SELECT label, i, j,
+          round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_r
+        FROM p WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.45)
+      SELECT j AS vec_id, CAST(label AS BIGINT) AS label, min(i) AS kept_by,
+        max(cos_r) AS max_cos_r
+      FROM f GROUP BY label, j ORDER BY vec_id""",
+
     // Promoted from rows-only (r5): multi-probe buckets replayed via xor.
     "ann_lsh" -> s"""$lshCte,
       pr AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq, CAST(xor(bucket, m) AS BIGINT) AS bucket
@@ -953,6 +982,42 @@ object SparkEntry {
         CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) * 1000 // len(g3) ELSE 0 END AS dup3_x1000,
         CASE WHEN len(g4) > 0 THEN (len(g4) - len(list_distinct(g4))) * 1000 // len(g4) ELSE 0 END AS dup4_x1000
       FROM g ORDER BY doc_id""",
+
+    "gopher_filter" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_ws FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_tok,
+          chars_no_ws,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+          CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+        FROM d),
+      r AS (SELECT doc_id, n_tok, chars_no_ws,
+          chars_no_ws * 100 // n_tok AS mean_len_x100,
+          n_stop, n_alpha * 1000 // n_tok AS alpha_x1000
+        FROM m)
+      SELECT doc_id, n_tok, mean_len_x100, n_stop, alpha_x1000,
+        (n_tok BETWEEN 50 AND 100000) AS r_word_count,
+        (mean_len_x100 BETWEEN 300 AND 1000) AS r_mean_len,
+        (n_stop >= 2) AS r_stopword,
+        (alpha_x1000 >= 800) AS r_alpha,
+        ((n_tok BETWEEN 50 AND 100000) AND (mean_len_x100 BETWEEN 300 AND 1000)
+          AND n_stop >= 2 AND alpha_x1000 >= 800) AS keep
+      FROM r ORDER BY doc_id""",
+
+    "unigram_surprisal" -> """
+      WITH tok AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+      bits AS (SELECT doc_id,
+          CAST((len(bin(n_total)) - 1) - (len(bin(cnt)) - 1) AS BIGINT) AS b
+        FROM tok JOIN vocab USING (tok), tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        CAST(sum(b) AS BIGINT) AS total_bits,
+        CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bits_per_tok_x1000
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
     "token_count" -> """
       SELECT doc_id,

@@ -215,4 +215,44 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
       .orderBy("qid", "rnk")
   }
+
+  /** D20: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — semantic dedup via
+    * cluster-then-prune: embeddings are first coarsely clustered (here the
+    * `label` column stands in for the k-means assignment, same convention
+    * as `annIvf`), then near-duplicates are removed WITHIN each cluster
+    * only, keeping the lowest-id member of each near-dup pair. The cluster
+    * constraint is what makes semantic dedup tractable at 100 TB: no
+    * cross-cluster pair is ever considered.
+    *
+    * Within a cluster the candidate pairs come from the same 8-table
+    * OR-amplified hyperplane buckets as `dedupEmbeddingLsh` — bucket key
+    * (label, table, bucket) — so even a billion-vector cluster never goes
+    * all-pairs; the exact quantized-cosine verify runs once per distinct
+    * candidate pair. Deterministic planes → the full pipeline (clustering,
+    * buckets, verify, keep rule) replays in the DuckDB oracle.
+    *
+    * Output: one row per DROPPED vector — (vec_id, label, kept_by =
+    * lowest-id near-dup partner, max_cos_r).
+    */
+  def semDedup(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
+    val e = quantized(s, d)
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    val entries = e.select(col("label"), col("vec_id"),
+      posexplode(array((0 until NumTables).map(t =>
+        bucketOf(col("qv"), planes(n = NumPlanes, seed = tableSeed(t)))): _*)).as(Seq("t", "bkt")))
+    val a = entries.select(col("label"), col("t"), col("bkt"), col("vec_id").as("i"))
+    val b = entries.select(col("label"), col("t"), col("bkt"), col("vec_id").as("j"))
+    val cand = a.join(b, Seq("label", "t", "bkt")).filter(col("i") < col("j"))
+      .select("label", "i", "j").distinct()
+    val vi = e.select(col("vec_id").as("i"), col("qv").as("qa"), col("nq").as("na"))
+    val vj = e.select(col("vec_id").as("j"), col("qv").as("qb"), col("nq").as("nb"))
+    cand.join(vi, "i").join(vj, "j")
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") > threshold)
+      .groupBy(col("label"), col("j").as("vec_id"))
+      .agg(min("i").as("kept_by"), max(round(col("cos"), 6)).as("max_cos_r"))
+      .select(col("vec_id"), col("label"), col("kept_by"), col("max_cos_r"))
+      .orderBy("vec_id")
+  }
 }

@@ -254,4 +254,69 @@ object TextAnalysis {
       .select(col("doc_id"), call_function("doc_fingerprint", col("text")).as("fp"))
       .orderBy("doc_id")
   }
+
+  /** D21: Gopher-rule document filter (Rae et al. 2021, §A1.1) — the
+    * doc-level quality gate every production corpus runs before training:
+    * word count in [50, 100k], mean word length in [3, 10] chars,
+    * stopword hits ≥ 2, ≥80% of words containing an alphabetic character.
+    * All metrics are exact integers (×100/×1000 fixed point), so the
+    * whole rule set replays in the DuckDB oracle; one per-row map over
+    * the corpus scan, zero shuffle at any scale.
+    */
+  def gopherFilter(s: SparkSession, d: String): DataFrame = {
+    val w = col("graft_w") // words projected once; see Dedup.shinglesOfWords
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("graft_w"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"))
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_tok"),
+        col("chars_no_ws"),
+        hits(w, stopwords("en")).cast("long").as("n_stop"),
+        size(filter(w, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"))
+      .withColumn("mean_len_x100", expr("chars_no_ws * 100 DIV n_tok"))
+      .withColumn("alpha_x1000", expr("n_alpha * 1000 DIV n_tok"))
+      .withColumn("r_word_count", col("n_tok").between(50, 100000))
+      .withColumn("r_mean_len", col("mean_len_x100").between(300, 1000))
+      .withColumn("r_stopword", col("n_stop") >= 2)
+      .withColumn("r_alpha", col("alpha_x1000") >= 800)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_stopword") && col("r_alpha"))
+      .select("doc_id", "n_tok", "mean_len_x100", "n_stop", "alpha_x1000",
+        "r_word_count", "r_mean_len", "r_stopword", "r_alpha", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** D22: unigram language-model surprisal — the classic LM-based quality
+    * proxy (CCNet-style "how surprising is this document under a corpus
+    * LM", with the corpus's own unigram distribution as the model).
+    * Per token: floor(log2(N_total)) − floor(log2(count(token))) bits,
+    * computed EXACTLY as length(bin(x))−1 (identical integer results in
+    * Spark and DuckDB — no floating-point log whose last ulp could differ
+    * between engines). Per document: total bits and the ×1000 fixed-point
+    * mean. High bits/token ⇒ rare vocabulary (gibberish or genuinely rare
+    * content); low ⇒ boilerplate.
+    *
+    * Shape at 100 TB: the vocabulary is a corpus-wide groupBy (map-side
+    * partial agg; vocab size ≪ corpus size), the token↔vocab join is a
+    * shuffle join whose hot keys (stopwords) are exactly what AQE skew
+    * handling / Skew.salted exist for, and the single-row total
+    * broadcasts. A production variant would broadcast the top-K head of
+    * the vocabulary and shuffle only the tail.
+    */
+  def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n_total"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        ((length(bin(col("n_total"))) - 1) - (length(bin(col("cnt"))) - 1)).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("bits").as("total_bits"))
+      .select(col("doc_id"), col("n_tok"), col("total_bits"),
+        expr("total_bits * 1000 DIV n_tok").as("bits_per_tok_x1000"))
+      .orderBy("doc_id")
+  }
 }

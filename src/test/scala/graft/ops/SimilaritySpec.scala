@@ -66,6 +66,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup drops only within-cluster near-dups, keeping the lowest id") {
+    val d = "/root/testdata/sf0.001"
+    val labels = graft.Tables.embeddings(s, d)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    val dropped = Similarity.semDedup(s, d).collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, r.getLong(2)))
+    dropped.foreach { case (vecId, label, keptBy) =>
+      assert(labels(vecId) == label, s"$vecId labelled ${labels(vecId)} not $label")
+      assert(labels(keptBy) == label, s"keeper $keptBy crosses clusters")
+      assert(keptBy < vecId, "keeper must be the lower id of the pair")
+    }
+    // every dropped vector must be a true near-dup of its keeper:
+    // cross-check against the all-pairs verifier restricted to same-label
+    val allPairs = Similarity.dedupEmbedding(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    dropped.foreach { case (vecId, _, keptBy) =>
+      assert(allPairs.contains((keptBy, vecId)),
+        s"($keptBy,$vecId) not in the all-pairs ground truth")
+    }
+  }
+
   test("quantized cosine is deterministic and within 1e-3 of true cosine") {
     import s.implicits._
     import org.apache.spark.sql.functions._

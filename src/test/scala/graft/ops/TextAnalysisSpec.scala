@@ -66,6 +66,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((800L, 750L, 666L)), out.toString) // all-identical grams
   }
 
+  test("gopherFilter rules fire on the right documents") {
+    import s.implicits._
+    val good = ("the " + Seq.fill(48)("word").mkString(" ") + " of") // 50 toks, 2 stopwords
+    val short = "the quick fox of it"                    // fails word count
+    val longWords = ("the " + Seq.fill(48)("supercalifragilistic").mkString(" ") + " of")
+    val docs = Seq((0L, good), (1L, short), (2L, longWords)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.gopherFilter(s, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "good doc must pass all rules")
+    assert(!out(1L).getAs[Boolean]("r_word_count") && !out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_mean_len"), "20-char words fail mean length")
+    assert(out(0L).getAs[Long]("n_stop") == 2L)
+  }
+
+  test("unigramSurprisal computes exact floor-log2 bits per token") {
+    import s.implicits._
+    // corpus: a×4, b×2, c×1, d×1 → N=8 (floor_log2=3)
+    // bits: a → 3-2=1, b → 3-1=2, c/d → 3-0=3
+    val docs = Seq((0L, "a a a a"), (1L, "b b c d")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("unigram").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.unigramSurprisal(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((4L, 4L, 1000L)), out.toString)   // 4 tokens × 1 bit
+    assert(out(1L) == ((4L, 10L, 2500L)), out.toString)  // 2+2+3+3 = 10 bits
+  }
+
   test("simhash64 kernel matches a reference bit-vote computation") {
     val text = "a b a"
     val ha = TextKernelImpl.fnv1a64("a")
