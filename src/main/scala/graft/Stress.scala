@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *    AQE skew-join vs 16-way salt vs naive
   *  - `cc_incremental` — 50k-edge batch merged into a 1.1M-vertex
   *    labelling vs full recompute (asserts bit-identical output)
+  *  - `spans_10x` — 50k-doc dedup_spans where every window is duplicated
+  *    (worst-case mark-back fan-out)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -101,6 +103,20 @@ object Stress {
           agg(f.join(dim, "user_id")).write.mode("overwrite").format("noop").save())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      case "spans_10x" =>
+        // 50k docs (10 copies of sf0.1, distinct ids): EVERY window hash
+        // now occurs in ≥2 docs, so the mark-back join matches every
+        // window and each doc merges into one maximal span — the
+        // worst-case output shape (boilerplate-heavy corpora look like
+        // this). Stresses window hashing (2.1M md5s), the min/max-doc_id
+        // hash agg, the full-fanout mark-back join and the island merge.
+        val big = Tables.documents(spark, sf).select("doc_id", "text")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+        big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_docs/documents.parquet")
+        timed("dedup_spans 50k docs, all-duplicated worst case")(
+          ops.Dedup.spans(spark, "/tmp/stress_docs").count())
 
       case "cc_incremental" =>
         // 1.1M-vertex base graph (100k chains of 10 + a 100k-vertex star),

@@ -81,4 +81,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.ops.Similarity.dedupEmbeddingLsh(TestSpark.spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("semdedup pairs only within (label, table, bucket), never all-pairs") {
+    val p = plan(graft.ops.Similarity.semDedup(TestSpark.spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
