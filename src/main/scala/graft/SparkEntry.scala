@@ -134,6 +134,7 @@ object SparkEntry {
     "sample_stratified" -> w(Curate.sampleStratified),
     "vocab_topk"        -> w(Curate.vocabTopk),
     "pack_sequences"    -> w(Curate.packSequences),
+    "curate_pipeline"   -> w(Curate.pipeline),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1089,6 +1090,7 @@ object SparkEntry {
     "sample_stratified" -> Curate.sampleOracleSql,
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
+    "curate_pipeline" -> Curate.pipelineOracleSql,
 
     "q_bitmap_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS bm_parts,

@@ -127,4 +127,119 @@ object Curate {
     SELECT doc_id, lang, n_tok, n_stop FROM feat
     WHERE n_tok BETWEEN 20 AND 500 AND n_stop >= 1
     ORDER BY doc_id"""
+
+  /** E7: the COMPLETE training-corpus pipeline in one DAG — the
+    * composition a FineWeb/MassiveText-style production run executes:
+    *
+    *   eval split-out → exact dedup (keep-min per content hash) →
+    *   Gopher doc gates (word count, mean word length, stopword floor,
+    *   alpha fraction) → repetition gate (dup3 ≤ 0.3) → benchmark
+    *   decontamination (≥8 shared 3-shingles with any eval doc) →
+    *   per-language corpus accounting (docs + tokens).
+    *
+    * One projection computes EVERY per-row metric (content hash, token
+    * stats, 3-gram dup ratio, shingles) in a single pass over the words
+    * array — the fused corpus scan a 100 TB run wants — then: one window
+    * on the content hash (the dedup shuffle), one broadcast
+    * shingle-equality join against the tiny eval side (never doc×doc),
+    * one anti-join, one final per-lang aggregate. The same gate
+    * definitions as the unit operators (D21 `gopher_filter`, D18
+    * `repetition_score`, D17 `decontaminate`, D1 `dedup_exact`), so
+    * each stage is independently oracle-checked and the composite's
+    * per-lang totals pin their composition.
+    *
+    * At 100 TB: the base projection re-executes per consuming subtree
+    * (eval side, corpus side, hit join) — a production run stages `base`
+    * to parquet once (the LoadGate/PartitionedLayout mirror pattern)
+    * instead; everything downstream is unchanged.
+    */
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    val gw = col("graft_w")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.words(col("text")).as("graft_w"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"))
+      .select(col("doc_id"), col("lang"), col("h"), col("chars_no_ws"),
+        size(gw).cast("long").as("n_tok"),
+        TextAnalysis.hits(gw, TextAnalysis.stopwords("en")).cast("long").as("n_stop"),
+        size(filter(gw, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        when(size(gw) >= 3,
+          transform(sequence(lit(0), size(gw) - 3), i =>
+            concat_ws(" ", element_at(gw, i + 1), element_at(gw, i + 2), element_at(gw, i + 3))))
+          .otherwise(array().cast("array<string>")).as("g3"))
+      .withColumn("tot3", size(col("g3")).cast("long"))
+      .withColumn("uniq3", size(array_distinct(col("g3"))).cast("long"))
+      .withColumn("dup3_x1000",
+        expr("CASE WHEN tot3 > 0 THEN (tot3 - uniq3) * 1000 DIV tot3 ELSE 0 END"))
+      .withColumn("sh", array_distinct(col("g3")))
+      .select("doc_id", "lang", "h", "chars_no_ws", "n_tok", "n_stop", "n_alpha",
+        "dup3_x1000", "sh")
+    val evalSh = base.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val corpus = base.filter(col("doc_id") % 23 =!= 0)
+    val keepers = corpus
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+    val gated = keepers.filter(
+      col("n_tok").between(50, 100000) &&
+        expr("chars_no_ws * 100 DIV n_tok").between(300, 1000) &&
+        col("n_stop") >= 2 &&
+        expr("n_alpha * 1000 DIV n_tok") >= 800 &&
+        col("dup3_x1000") <= 300)
+    val contaminated = corpus
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 8)
+      .select("doc_id").distinct()
+    gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  val pipelineOracleSql: String = """
+    WITH base AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS cnw
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang, h, cnw,
+        CAST(len(w) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+        CASE WHEN len(w) >= 3
+          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+          ELSE [] END AS g3
+      FROM base),
+    m AS (
+      SELECT doc_id, lang, h, cnw, n_tok, n_stop, n_alpha,
+        CASE WHEN len(g3) > 0
+          THEN CAST((len(g3) - len(list_distinct(g3))) * 1000 // len(g3) AS BIGINT)
+          ELSE 0 END AS dup3_x1000,
+        list_distinct(g3) AS sh
+      FROM feat),
+    ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM m WHERE doc_id % 23 = 0),
+    corpus AS (SELECT * FROM m WHERE doc_id % 23 <> 0),
+    keepers AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM corpus) t
+      WHERE doc_id = keeper),
+    gated AS (
+      SELECT * FROM keepers
+      WHERE n_tok BETWEEN 50 AND 100000
+        AND cnw * 100 // n_tok BETWEEN 300 AND 1000
+        AND n_stop >= 2
+        AND n_alpha * 1000 // n_tok >= 800
+        AND dup3_x1000 <= 300),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM corpus) c
+      JOIN ev USING (shingle)
+      GROUP BY c.doc_id, ev.eval_id HAVING count(*) >= 8),
+    clean AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY lang ORDER BY lang"""
 }

@@ -138,12 +138,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "un"))
 
-  private def words(text: Column): Column = split(lower(text), " ")
+  private[ops] def words(text: Column): Column = split(lower(text), " ")
 
   /** Occurrence count of tokens from `list` (counts duplicates — an
     * array_intersect would dedup).
     */
-  private def hits(w: Column, list: Seq[String]): Column =
+  private[ops] def hits(w: Column, list: Seq[String]): Column =
     size(filter(w, t => list.map(x => t === x).reduce(_ || _)))
 
   /** D8: stopword-hit language ID with a deterministic argmax tie-break

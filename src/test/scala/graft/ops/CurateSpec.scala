@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E7 `curate_pipeline`: each gate must fire on a doc built to trip it
+  * and ONLY the clean doc may survive into the per-lang accounting.
+  */
+class CurateSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  test("pipeline composes dedup, gopher gates, repetition and decontamination") {
+    import s.implicits._
+    // 50 words, mean length in range, 2 stopwords, distinct trigrams
+    val good = "the " + (1 to 48).map(i => s"word$i").mkString(" ") + " of"
+    // shares its first 12 words with the eval doc → ≥8 shared 3-shingles
+    val evalText = "the " + (1 to 48).map(i => s"eval$i").mkString(" ") + " of"
+    val leaky = "the " + (1 to 11).map(i => s"eval$i").mkString(" ") + " " +
+      (1 to 37).map(i => s"other$i").mkString(" ") + " of"
+    val short = "the tiny doc of it"                          // < 50 words
+    val repetitive = "the of " + Seq.fill(48)("spam").mkString(" ") // dup3 ≫ 0.3
+    val docs = Seq(
+      (0L, evalText, "en", "eval", evalText.length.toLong),  // 0 % 23 == 0 → eval slice
+      (1L, good, "en", "web", good.length.toLong),
+      (2L, short, "en", "web", short.length.toLong),
+      (3L, leaky, "en", "web", leaky.length.toLong),
+      (4L, repetitive, "en", "web", repetitive.length.toLong),
+      (24L, good, "en", "mirror", good.length.toLong)         // exact dup of 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("pipe").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.pipeline(s, tmp).collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 1L, "only the clean doc survives")
+    assert(r.getLong(2) == 50L, "its 50 tokens are accounted")
+  }
+}
