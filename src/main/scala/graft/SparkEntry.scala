@@ -118,6 +118,7 @@ object SparkEntry {
     "semdedup"        -> w((s, d) => Similarity.semDedup(s, d)),
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
+    "bm25_search"     -> w((s, d) => Search.bm25(s, d)),
     "lang_id"         -> w(TextAnalysis.langId),
     "quality_score"   -> w(TextAnalysis.qualityScore),
     "token_count"     -> w(TextAnalysis.tokenCount),
@@ -135,6 +136,8 @@ object SparkEntry {
     "vocab_topk"        -> w(Curate.vocabTopk),
     "pack_sequences"    -> w(Curate.packSequences),
     "curate_pipeline"   -> w(Curate.pipeline),
+    "domain_mix"        -> w(Curate.domainMix),
+    "q_gapfill"         -> w(Relational.qGapfill),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1020,6 +1023,8 @@ object SparkEntry {
         CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bits_per_tok_x1000
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
+    "bm25_search" -> graft.ops.Search.oracleSql,
+
     "token_count" -> """
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -1088,6 +1093,7 @@ object SparkEntry {
 
     "curate_corpus" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,
+    "domain_mix" -> Curate.domainMixOracleSql,
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
     "curate_pipeline" -> Curate.pipelineOracleSql,
@@ -1140,6 +1146,24 @@ object SparkEntry {
                     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                       AND l3.l_returnflag = 'R')
       GROUP BY s_name ORDER BY numwait DESC, s_name""",
+
+    // day-granularity only (dates are timezone-free on both engines; the
+    // session runs UTC), zero-filled counts, LOCF via IGNORE NULLS window.
+    "q_gapfill" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+      daily AS (
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events, max(value) AS peak
+        FROM ev GROUP BY user_id, day),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      grid AS (SELECT user_id, day FROM (SELECT DISTINCT user_id FROM ev) u, days)
+      SELECT user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        coalesce(n_events, 0) AS n_events, peak,
+        last_value(peak IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_locf
+      FROM grid g LEFT JOIN daily USING (user_id, day)
+      ORDER BY user_id, day""",
 
     // epoch_us on both engines so the µs-truncated Spark timestamps and
     // DuckDB's ns-precision parquet reads agree exactly at the boundary.

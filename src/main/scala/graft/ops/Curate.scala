@@ -128,6 +128,64 @@ object Curate {
     WHERE n_tok BETWEEN 20 AND 500 AND n_stop >= 1
     ORDER BY doc_id"""
 
+  /** E8: temperature-weighted domain mixing — the corpus-rebalancing step
+    * (multilingual α-sampling, GPT-3/PaLM style): stratum s gets a sampling
+    * budget ∝ count_s^α with α = 1/2, flattening the head language's
+    * dominance while keeping low-resource strata (rate caps at 1).
+    *
+    * Everything is exact integer arithmetic so the oracle hash-matches:
+    *   w_s        = isqrt(count_s)   (floor-sqrt, FP sqrt + ±1 correction —
+    *                exact for counts < 2^52 in both engines)
+    *   target_s   = (N DIV 2) · w_s DIV Σw      (budget = half the corpus)
+    *   rate_x1e6  = min(10⁶, target_s · 10⁶ DIV count_s)
+    * and selection is the reproducible md5-bucket of sampleStratified (no
+    * rand(): same sample across runs, partitionings and engines).
+    *
+    * Scale shape: stratum stats are a tiny aggregate broadcast back into
+    * the scan; the keep-filter is a per-row hash compare — the corpus is
+    * read once and never shuffled.
+    */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN r0 * r0 > c THEN r0 - 1 WHEN (r0+1) * (r0+1) <= c THEN r0 + 1 ELSE r0 END"))
+    val tot = counts.agg(sum("c").as("n_total"), sum("w").as("sum_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(n_total DIV 2) * w DIV sum_w"))
+      .withColumn("rate_x1e6", expr("least(1000000, target * 1000000 DIV c)"))
+      .select("lang", "rate_x1e6")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000).as("bucket"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("rate_x1e6"))
+      .select("doc_id", "lang", "bucket", "rate_x1e6")
+      .orderBy("doc_id")
+  }
+
+  val domainMixOracleSql: String = """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+    ws AS (
+      SELECT lang, c,
+        CASE WHEN r0 * r0 > c THEN r0 - 1
+             WHEN (r0+1) * (r0+1) <= c THEN r0 + 1 ELSE r0 END AS w
+      FROM (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS r0 FROM counts) t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, CAST(sum(w) AS BIGINT) AS sum_w FROM ws),
+    rates AS (
+      SELECT lang,
+        least(1000000, ((n_total // 2) * w // sum_w) * 1000000 // c) AS rate_x1e6
+      FROM ws, tot)
+    SELECT doc_id, lang, bucket, CAST(rate_x1e6 AS BIGINT) AS rate_x1e6 FROM (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+      FROM documents) d
+    JOIN rates USING (lang)
+    WHERE bucket < rate_x1e6
+    ORDER BY doc_id"""
+
   /** E7: the COMPLETE training-corpus pipeline in one DAG — the
     * composition a FineWeb/MassiveText-style production run executes:
     *

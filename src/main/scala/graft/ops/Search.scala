@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D23: lexical top-k retrieval — fixed-point BM25 over an inverted-posting
+  * aggregation. The keyword-search counterpart of the ANN family (D6/D7/D13):
+  * a user of the engine gets BOTH embedding-space and term-space search over
+  * the same corpus.
+  *
+  * Shape (the one that survives 100 TB):
+  *   - tokenize → explode → filter to the query's terms FIRST, so the
+  *     shuffle carries only matching postings (O(matches), not O(tokens));
+  *   - tf via groupBy(doc, term) — map-side partial agg collapses each
+  *     partition to its distinct (doc, term) pairs before the wire;
+  *   - df and corpus stats (N docs, Σdl) are tiny aggregates, broadcast
+  *     back into the posting stream (no second big shuffle);
+  *   - final ranking is orderBy+limit → TakeOrderedAndProject (per-partition
+  *     top-k, only k rows per partition reach the driver-side merge).
+  *
+  * Scoring is BM25 (k1 = 6/5, b = 3/4) in EXACT integer arithmetic so the
+  * DuckDB oracle hash-matches bit-for-bit (the repo-wide rule: no raw float
+  * aggregation in checked outputs):
+  *
+  *   tf_norm           = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
+  *   tfn_x1000         = 22·Σdl·tf·1000 DIV (10·Σdl·tf + 3·Σdl + 9·dl·N)
+  *                       (both sides of the fraction multiplied by 10·Σdl)
+  *   idf_x1e6          = (N − df + 1)·10⁶ DIV (df + 1)
+  *                       (Robertson's (N − df + 0.5)/(df + 0.5) odds kept as
+  *                       an exact rational; the log is MONOTONE, so dropping
+  *                       it preserves every per-term ranking and keeps the
+  *                       oracle exact — engines disagree in the last ulp of
+  *                       log(), which would break hash parity)
+  *   score             = Σ_terms idf_x1e6 · tfn_x1000
+  *
+  * Overflow bound: 22000·Σdl·tf < 2⁶³ holds to Σdl ≈ 4·10¹⁵ corpus tokens
+  * per scoring domain; beyond that, shard the corpus and rank per shard
+  * before the global top-k merge (which this plan already does).
+  */
+object Search {
+
+  /** Fixed query: one rare term (df≈5% — the planted dup marker), one mid,
+    * two common, so idf spread is actually exercised.
+    */
+  val QueryTerms: Seq[String] = Seq("dup", "spark", "window", "query")
+  val TopK = 20
+
+  def bm25(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_x1e6", expr("(n_docs - df + 1) * 1000000 DIV (df + 1)"))
+      .withColumn("tfn_x1000",
+        expr("22 * sum_dl * tf * 1000 DIV (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("idf_x1e6 * tfn_x1000")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val oracleSql: String = s"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             string_split(lower(text), ' ') AS w
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dl) t
+      WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+      GROUP BY doc_id, dl, tok),
+    dfv AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    sc AS (
+      SELECT doc_id,
+        CAST((n_docs - df + 1) * 1000000 // (df + 1) AS BIGINT)
+          * CAST(22 * sum_dl * tf * 1000 // (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs) AS BIGINT)
+          AS contrib
+      FROM tf JOIN dfv USING (tok), stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
+    FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopK"""
+}

@@ -438,4 +438,38 @@ object Relational {
       .agg(sum("n_late_rows").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** B24: time-series gap fill + last-observation-carried-forward — the
+    * dense-grid resample every monitoring/feature-engineering consumer
+    * needs over an event stream (sparse per-day activity → one row per
+    * (user, day) with zero-filled counts and LOCF'd last peak).
+    *
+    * Shape: the dense axis is generated, never stored — `sequence(min,
+    * max)` over the (tiny, broadcast) global day span crossed with the
+    * distinct users, left-joined to the per-(user, day) aggregate, then
+    * ONE ordered window per user carries the last non-null observation
+    * forward. At 100 TB the grid is |users|×|days| — orders of magnitude
+    * smaller than the event table it summarizes — and the only full-data
+    * shuffle is the initial groupBy(user, day) partial aggregate.
+    *
+    * `peak` is max(double) — order-independent, so LOCF output stays
+    * hash-exact (the repo rule: no order-dependent float aggregation).
+    */
+  def qGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), max("value").as("peak"))
+    val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(days))
+    val locf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("peak_locf", last("peak", ignoreNulls = true).over(locf))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("peak"), col("peak_locf"))
+      .orderBy("user_id", "day")
+  }
 }

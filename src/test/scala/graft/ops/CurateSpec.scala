@@ -36,4 +36,23 @@ class CurateSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L, "only the clean doc survives")
     assert(r.getLong(2) == 50L, "its 50 tokens are accounted")
   }
+
+  test("domain_mix flattens the head stratum: minority kept whole, majority downsampled") {
+    import s.implicits._
+    // 160 docs "big" vs 10 docs "small": w = isqrt → 12 vs 3, budget = 85,
+    // target_big = 85*12/15 = 68 → rate 425000/1e6; target_small = 85*3/15
+    // = 17 ≥ 10 → rate capped at 1e6 (kept whole).
+    val docs = ((0 until 160).map(i => (i.toLong, s"doc $i", "big")) ++
+      (200 until 210).map(i => (i.toLong, s"doc $i", "small")))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.domainMix(s, tmp).collect()
+    val small = out.filter(_.getString(1) == "small")
+    val big = out.filter(_.getString(1) == "big")
+    assert(small.length == 10, "capped rate keeps the minority stratum whole")
+    assert(small.forall(_.getLong(3) == 1000000L))
+    assert(big.forall(_.getLong(3) == 425000L))
+    assert(big.length < 160 && big.length > 0, "majority stratum is downsampled")
+  }
 }
