@@ -19,7 +19,8 @@ object Bench {
     "q1_agg", "q3_topk", "q5_join", "q_window", "dedup_exact",
     "dedup_minhash", "ann_bruteforce", "sessionize", "token_count",
     "dedup_embedding_lsh", "dedup_groups", "decontaminate", "dedup_spans",
-    "semdedup", "gopher_filter", "unigram_surprisal", "curate_pipeline")
+    "semdedup", "gopher_filter", "unigram_surprisal", "curate_pipeline",
+    "bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

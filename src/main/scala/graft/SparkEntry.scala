@@ -119,6 +119,9 @@ object SparkEntry {
     "ann_bruteforce"  -> w(Similarity.annBruteforce),
     "ann_lsh"         -> w(Similarity.annLsh),
     "bm25_search"     -> w((s, d) => Search.bm25(s, d)),
+    "inverted_index"  -> w(Search.invertedIndex),
+    "embed_quantize"  -> w(Similarity.embedQuantize),
+    "classifier_score" -> w(TextAnalysis.classifierScore),
     "lang_id"         -> w(TextAnalysis.langId),
     "quality_score"   -> w(TextAnalysis.qualityScore),
     "token_count"     -> w(TextAnalysis.tokenCount),
@@ -138,6 +141,7 @@ object SparkEntry {
     "curate_pipeline"   -> w(Curate.pipeline),
     "domain_mix"        -> w(Curate.domainMix),
     "q_gapfill"         -> w(Relational.qGapfill),
+    "q_outliers"        -> w(Relational.qOutliers),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1024,6 +1028,36 @@ object SparkEntry {
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
     "bm25_search" -> graft.ops.Search.oracleSql,
+
+    "inverted_index" -> graft.ops.Search.indexOracleSql,
+
+    "q_outliers" -> Relational.outliersOracleSql,
+
+    "embed_quantize" -> Similarity.quantizeOracleSql,
+
+    // token FNV-1a replayed in HUGEINT exactly as in simhashOracleSql
+    // (ASCII-guarded by tools/check.py); weights are the same Knuth
+    // multiplicative hash of the bucket index the kernel uses.
+    "classifier_score" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        FROM documents),
+      fn AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(t[i]) AS HUGEINT) for i in range(1, len(t)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) AS hu
+        FROM tok),
+      lg AS (
+        SELECT doc_id,
+          CAST(sum(CAST(hu % 64 AS BIGINT) * 2654435761 % 4294967296 % 17 - 8) AS BIGINT) AS logit
+        FROM fn GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(logit, 0) AS logit, COALESCE(logit, 0) > 0 AS keep
+      FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
 
     "token_count" -> """
       SELECT doc_id,

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *    labelling vs full recompute (asserts bit-identical output)
   *  - `spans_10x` — 50k-doc dedup_spans where every window is duplicated
   *    (worst-case mark-back fan-out)
+  *  - `search_10x` — 50k-doc bm25_search + inverted_index (31-term vocab
+  *    ⇒ maximal per-term posting skew)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -117,6 +119,21 @@ object Stress {
         big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_docs/documents.parquet")
         timed("dedup_spans 50k docs, all-duplicated worst case")(
           ops.Dedup.spans(spark, "/tmp/stress_docs").count())
+
+      case "search_10x" =>
+        // 50k docs (10× sf0.1, distinct ids): every vocabulary term's
+        // posting list is ~50k entries (31-term vocab ⇒ maximal per-term
+        // skew — each inverted_index window partition is the whole
+        // corpus's postings for that term), and bm25's filtered explode
+        // emits ~matches-only rows. Times both halves of the search pair.
+        val big = Tables.documents(spark, sf).select("doc_id", "text")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+        big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_srch/documents.parquet")
+        timed("bm25_search 50k docs")(
+          ops.Search.bm25(spark, "/tmp/stress_srch").count())
+        timed("inverted_index 50k docs")(
+          ops.Search.invertedIndex(spark, "/tmp/stress_srch").count())
 
       case "cc_incremental" =>
         // 1.1M-vertex base graph (100k chains of 10 + a 100k-vertex star),

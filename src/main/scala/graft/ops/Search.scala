@@ -68,6 +68,47 @@ object Search {
       .limit(k)
   }
 
+  /** D24: inverted-index build — the index-construction half of lexical
+    * search (bm25 is the query half): per term, document frequency,
+    * collection frequency, and the docid-ordered posting-list prefix.
+    *
+    * Scale shape: explode → groupBy(term, doc) tf — map-side partials
+    * collapse each partition to its distinct (term, doc) pairs — then a
+    * per-term window ordered by doc_id. That per-term ordering IS the
+    * posting-build cost of any search engine (docid-sorted lists are what
+    * make intersection/delta-encoding work); a hot term's partition is the
+    * size of its posting list, which a production build segments into
+    * doc-range blocks — here the materialized prefix is capped at
+    * [[PostingCap]] entries and the remainder is carried as counts only,
+    * so no unbounded collect_list ever forms a row.
+    */
+  val PostingCap = 100
+
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val byTok = Window.partitionBy("tok").orderBy("doc_id")
+    tf.withColumn("rn", row_number().over(byTok))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("rn") <= PostingCap, col("doc_id"))))).as("postings_prefix"))
+      .orderBy("tok")
+  }
+
+  val indexOracleSql: String = s"""
+    WITH tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      WHERE len(tok) > 0 GROUP BY tok, doc_id)
+    SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      list_aggregate(list_slice(list_sort(list(doc_id)), 1, $PostingCap),
+        'string_agg', ',') AS postings_prefix
+    FROM tf GROUP BY tok ORDER BY tok"""
+
   val oracleSql: String = s"""
     WITH dl AS (
       SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,

@@ -255,4 +255,59 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("kept_by"), col("max_cos_r"))
       .orderBy("vec_id")
   }
+
+  /** D26: int8 symmetric quantization of the embedding column — the
+    * storage/transport path for 100 TB of vectors (4× smaller than f32,
+    * 8× smaller than the int64 verify form; IVF/LSH rerank quality is set
+    * by the max reconstruction error this emits per vector).
+    *
+    * All arithmetic is integer over the exact round(x·10⁴) grid:
+    *   code_i = sgn(q_i) · (|q_i|·127 DIV max|q|)   ∈ [−127, 127]
+    *   err_i  = |q_i − sgn(code_i)·(|code_i|·max|q| DIV 127)|
+    * Signs are factored out so truncating division only ever sees
+    * non-negative operands — Spark DIV truncates toward zero while
+    * DuckDB // floors, and they only agree on non-negatives.
+    * Zero-shuffle single pass; emitted stats are the audit a quantized
+    * store needs (code checksums + worst/mean reconstruction error).
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("maxabs", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("codes", expr(
+        "CASE WHEN maxabs = 0 THEN transform(qv, x -> 0L) " +
+          "ELSE transform(qv, x -> (CASE WHEN x < 0 THEN -1L ELSE 1L END) * ((abs(x) * 127) DIV maxabs)) END"))
+      .withColumn("errs", expr(
+        "zip_with(qv, codes, (q, c) -> abs(q - (CASE WHEN c < 0 THEN -1L ELSE 1L END) * ((abs(c) * maxabs) DIV 127)))"))
+      .select(col("vec_id"), col("maxabs"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("sum_code"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x * x)").as("sumsq_code"),
+        array_max(col("errs")).as("max_err"),
+        expr("aggregate(errs, 0L, (a, x) -> a + x) * 100 DIV size(errs)").as("mean_err_x100"))
+      .orderBy("vec_id")
+
+  val quantizeOracleSql: String = """
+    WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, qv, list_max(list_transform(qv, x -> abs(x))) AS maxabs FROM q),
+    c AS (
+      SELECT vec_id, qv, maxabs,
+        CASE WHEN maxabs = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(qv, x ->
+               (CASE WHEN x < 0 THEN -1 ELSE 1 END) * ((abs(x) * 127) // maxabs)) END AS codes
+      FROM m),
+    e AS (
+      SELECT vec_id, maxabs, codes,
+        list_transform(list_zip(qv, codes), t ->
+          abs(t[1] - (CASE WHEN t[2] < 0 THEN -1 ELSE 1 END) * ((abs(t[2]) * maxabs) // 127))) AS errs
+      FROM c)
+    SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+      CAST(list_sum(codes) AS BIGINT) AS sum_code,
+      CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS sumsq_code,
+      CAST(list_max(errs) AS BIGINT) AS max_err,
+      CAST(list_sum(errs) * 100 // len(errs) AS BIGINT) AS mean_err_x100
+    FROM e ORDER BY vec_id"""
 }

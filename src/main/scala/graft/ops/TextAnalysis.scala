@@ -58,6 +58,32 @@ object TextKernelImpl {
     sig
   }
 
+  /** Hashed-linear-classifier logit: Σ over whitespace tokens of
+    * weight[fnv1a64(token) mod 64], with the 64 weights derived from a
+    * Knuth multiplicative hash of the bucket index — a deterministic
+    * stand-in for trained fastText-style weights (same feature-hashing
+    * inference shape: no vocabulary, fixed memory, one pass).
+    */
+  def classifierLogit(text: String): Long = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var logit = 0L
+    var start = 0
+    val n = lower.length
+    while (start < n) {
+      while (start < n && lower.charAt(start) == ' ') start += 1
+      var end = start
+      while (end < n && lower.charAt(end) != ' ') end += 1
+      if (end > start) {
+        // h & 63 == unsigned h mod 64 (power of two) — matches the
+        // oracle's `hu % 64` over the HUGEINT unsigned value
+        val b = fnv1a64(lower.substring(start, end)) & 63L
+        logit += (b * 2654435761L) % 4294967296L % 17L - 8L
+      }
+      start = end
+    }
+    logit
+  }
+
   /** Document fingerprint: polynomial rolling hash (base 257, implicit
     * mod 2^64) over every 8-char window, keep the 4 smallest distinct
     * window hashes (winnowing-style), render as hex signature.
@@ -94,6 +120,17 @@ object TextKernelImpl {
   }
 }
 
+case class ClassifierLogit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelImpl.classifierLogit(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextKernelImpl.classifierLogit($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): ClassifierLogit =
+    copy(child = newChild)
+  override def prettyName: String = "classifier_logit"
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -123,6 +160,8 @@ object TextKernels {
       "simhash64", es => SimHash64(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "doc_fingerprint", es => Fingerprint(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "classifier_logit", es => ClassifierLogit(es.head), "built-in")
   }
 }
 
@@ -317,6 +356,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum("bits").as("total_bits"))
       .select(col("doc_id"), col("n_tok"), col("total_bits"),
         expr("total_bits * 1000 DIV n_tok").as("bits_per_tok_x1000"))
+      .orderBy("doc_id")
+  }
+
+  /** D25: hashed-linear quality classifier inference — the fastText-shaped
+    * gate every production corpus runs (trained weights scoring docs at
+    * ingest). Feature hashing (token → FNV-1a mod 64 bucket) means no
+    * vocabulary table, fixed memory, and a single codegen'd pass per row —
+    * zero shuffle, embarrassingly parallel at any corpus size. The weights
+    * here are a deterministic Knuth-hash stand-in (no training data in
+    * env); swapping in trained weights changes the array, not the plan.
+    * The whole token→bucket→weight→sum fold runs inside the
+    * `classifier_logit` kernel because in-SQL FNV (64-bit multiply) would
+    * overflow-throw under ANSI mode; the oracle replays it in HUGEINT.
+    */
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    TextKernels.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("classifier_logit", col("text")).as("logit"))
+      .withColumn("keep", col("logit") > 0)
       .orderBy("doc_id")
   }
 }

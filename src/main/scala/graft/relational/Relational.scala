@@ -455,6 +455,48 @@ object Relational {
     * `peak` is max(double) — order-independent, so LOCF output stays
     * hash-exact (the repo rule: no order-dependent float aggregation).
     */
+  /** B25: exact statistical outlier detection — flag events whose value
+    * deviates > 3σ from their event-type mean. The σ compare runs WITHOUT
+    * sqrt or float aggregation, so the output is hash-exact:
+    *
+    *   |v − mean| > 3σ  ⇔  (n·v − s)² > 9·(n·ss − s²)
+    *
+    * over cent-quantized values (v → vu = round(100·v), exact longs), with
+    * s = Σvu, ss = Σvu² per type. Both sides of the inequality are
+    * decimal(38,0) — exact to n·max(vu) < 10¹⁹, i.e. ~3·10¹⁴ rows per type
+    * at this value range (beyond: shard the group like q1Agg).
+    *
+    * The moment sums follow the q1Agg overflow discipline: long partials
+    * per (type, input partition) — vu² ≤ ~10⁹ stays far from long wrap
+    * within one 128 MB partition — then a decimal(38,0) merge over the
+    * tiny per-partition rows. One scan, one tiny broadcast back.
+    */
+  def qOutliers(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      col("value"), round(col("value") * 100).cast("long").as("vu"))
+    val st = q.groupBy(col("event_type"), spark_partition_id().as("p"))
+      .agg(count(lit(1)).as("n_p"), sum("vu").as("s_p"), sum(expr("vu * vu")).as("ss_p"))
+      .groupBy("event_type")
+      .agg(sumD38(col("n_p")).as("n"), sumD38(col("s_p")).as("s"), sumD38(col("ss_p")).as("ss"))
+    q.join(broadcast(st), "event_type")
+      .filter(expr("(n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)"))
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val outliersOracleSql: String = """
+    WITH q AS (
+      SELECT event_id, event_type, value, CAST(round(value * 100) AS BIGINT) AS vu
+      FROM events),
+    st AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(vu) AS HUGEINT) AS s, CAST(sum(vu * vu) AS HUGEINT) AS ss
+      FROM q GROUP BY event_type)
+    SELECT event_id, event_type, value
+    FROM q JOIN st USING (event_type)
+    WHERE (n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)
+    ORDER BY event_id"""
+
   def qGapfill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))

@@ -30,6 +30,24 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("inverted index caps posting prefix but keeps full df/cf counts") {
+    import s.implicits._
+    // 150 docs all containing "hot"; doc 7 also has "cold" twice
+    val docs = (0 until 150).map(i =>
+      (i.toLong, if (i == 7) "hot cold cold" else "hot")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("idx").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Search.invertedIndex(s, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val hot = out("hot")
+    assert(hot._1 == 150L && hot._2 == 150L, "df/cf count ALL postings")
+    assert(hot._3.split(",").length == Search.PostingCap, "prefix capped")
+    assert(hot._3.split(",").head == "0" && hot._3.split(",").last == "99",
+      "prefix is the docid-ordered head, not an arbitrary subset")
+    val cold = out("cold")
+    assert(cold._1 == 1L && cold._2 == 2L && cold._3 == "7")
+  }
+
   test("bm25 returns at most K rows, scores non-increasing, n_terms bounded") {
     val rows = Search.bm25(s, TestSpark.sf).collect()
     assert(rows.length <= Search.TopK && rows.nonEmpty)

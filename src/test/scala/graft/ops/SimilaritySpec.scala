@@ -107,4 +107,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(math.abs(cos - expected) < 1e-3)
   }
+
+  test("embed_quantize bounds reconstruction error and handles the zero vector") {
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f), "a"),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), "z")).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("quant").toString
+    e.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.embedQuantize(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val (maxabs, _, maxErr) = out(0L)
+    assert(maxabs == 10000L)
+    // truncating int8 grid: per-element error < step = maxabs/127 (+1 for
+    // the double truncation) — far below the 10^4 quantization grid itself
+    assert(maxErr <= maxabs / 127 + 1, s"max_err $maxErr")
+    assert(out(1L) == ((0L, 0L, 0L)), "zero vector → zero codes, zero error")
+  }
 }

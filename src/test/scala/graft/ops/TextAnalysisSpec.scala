@@ -95,6 +95,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 10L, 2500L)), out.toString)  // 2+2+3+3 = 10 bits
   }
 
+  test("classifier logit sums hashed-bucket weights; query agrees with the kernel") {
+    import s.implicits._
+    def w(tok: String): Long = {
+      val b = TextKernelImpl.fnv1a64(tok) & 63L
+      (b * 2654435761L) % 4294967296L % 17L - 8L
+    }
+    assert(TextKernelImpl.classifierLogit("a b a") == 2 * w("a") + w("b"))
+    assert(TextKernelImpl.classifierLogit("  a   b  ") == w("a") + w("b"),
+      "runs of spaces yield no empty-token features")
+    val docs = Seq((0L, "a b a"), (1L, "spark join")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("clf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.classifierScore(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L)._1 == 2 * w("a") + w("b"))
+    assert(out(1L)._1 == w("spark") + w("join"))
+    assert(out.forall { case (_, (l, k)) => k == (l > 0) })
+  }
+
   test("simhash64 kernel matches a reference bit-vote computation") {
     val text = "a b a"
     val ha = TextKernelImpl.fnv1a64("a")
