@@ -142,6 +142,7 @@ object SparkEntry {
     "domain_mix"        -> w(Curate.domainMix),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
+    "q_moving"          -> w(Relational.qMoving),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1032,6 +1033,8 @@ object SparkEntry {
     "inverted_index" -> graft.ops.Search.indexOracleSql,
 
     "q_outliers" -> Relational.outliersOracleSql,
+
+    "q_moving" -> Relational.movingOracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 

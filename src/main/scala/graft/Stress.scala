@@ -130,7 +130,11 @@ object Stress {
           .crossJoin(spark.range(10).select(col("id").as("rep")))
           .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
         big.repartition(32).write.mode("overwrite").parquet("/tmp/stress_srch/documents.parquet")
-        timed("bm25_search 50k docs")(
+        // cold + warm: the first run absorbs session codegen/broadcast
+        // startup (same reason Bench warms up before timing)
+        timed("bm25_search 50k docs (cold)")(
+          ops.Search.bm25(spark, "/tmp/stress_srch").count())
+        timed("bm25_search 50k docs (warm)")(
           ops.Search.bm25(spark, "/tmp/stress_srch").count())
         timed("inverted_index 50k docs")(
           ops.Search.invertedIndex(spark, "/tmp/stress_srch").count())

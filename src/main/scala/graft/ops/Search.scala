@@ -50,14 +50,28 @@ object Search {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+    // ONE corpus-stats scan yields n_docs, Σdl AND per-term df (document
+    // frequency = docs where array_contains hits) as COLUMNS of a single
+    // broadcast row. Deriving df from the tf frame instead re-executes the
+    // whole tokenize+explode subtree — Catalyst prunes the branches
+    // differently, so the exchange is never reused and the corpus is
+    // exploded twice (observed: 2× the query cost at the 10× stress).
+    val dfCols = QueryTerms.map(t =>
+      sum(array_contains(col("w"), t).cast("long")).as(s"df_$t"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").as("sum_dl") +: dfCols): _*)
+    val dfOfTok = QueryTerms.tail.foldLeft(
+      when(col("tok") === QueryTerms.head, col(s"df_${QueryTerms.head}"))) {
+      (acc, t) => acc.when(col("tok") === t, col(s"df_$t"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("tok"))
       .filter(col("tok").isin(QueryTerms: _*))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok")
       .crossJoin(broadcast(stats))
+      .withColumn("df", dfOfTok)
       .withColumn("idf_x1e6", expr("(n_docs - df + 1) * 1000000 DIV (df + 1)"))
       .withColumn("tfn_x1000",
         expr("22 * sum_dl * tf * 1000 DIV (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"))

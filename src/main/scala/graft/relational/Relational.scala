@@ -439,6 +439,44 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** B26: RANGE-frame sliding aggregate — trailing 7-day event count and
+    * value total per user, evaluated AT each event. Semantically distinct
+    * from q_window's ROW frames: the frame is bounded by the ORDER-BY
+    * VALUE (event-time seconds), so gaps shrink the window and ties
+    * (peer rows) are included on both engines by the RANGE contract.
+    *
+    * Exactness: the order key is epoch seconds (integer; the µs→s floor
+    * matches DuckDB's epoch()), the summed measure is cent-quantized
+    * longs, and the one shuffle is the per-user window partition — state
+    * at 100 TB is bounded by a single user's 7-day event history.
+    */
+  def qMoving(s: SparkSession, d: String): DataFrame = {
+    val win = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-7L * 86400, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) DIV 1000000").as("es"),
+        round(col("value") * 100).cast("long").as("vu"))
+      .withColumn("trail_cnt", count(lit(1)).over(win))
+      .withColumn("trail_sum", sum("vu").over(win))
+      .select(col("event_id"), col("user_id"), col("es"),
+        col("trail_cnt"), unitsToDbl(col("trail_sum"), 100).as("trail_value"))
+      .orderBy("event_id")
+  }
+
+  val movingOracleSql: String = """
+    WITH q AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+             CAST(round(value * 100) AS BIGINT) AS vu
+      FROM events)
+    SELECT event_id, user_id, es,
+      CAST(count(*) OVER w AS BIGINT) AS trail_cnt,
+      CAST(CAST(sum(vu) OVER w AS HUGEINT) AS DOUBLE) / 100 AS trail_value
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
   /** B24: time-series gap fill + last-observation-carried-forward — the
     * dense-grid resample every monitoring/feature-engineering consumer
     * needs over an event stream (sparse per-day activity → one row per
