@@ -105,6 +105,7 @@ object SparkEntry {
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
+    "dedup_incremental" -> w(Dedup.incremental),
     "dedup_spans"     -> w((s, d) => Dedup.spans(s, d)),
     "dedup_minhash"   -> w(Dedup.minhash),
     "dedup_simhash"   -> w(Dedup.simhash),
@@ -757,6 +758,8 @@ object SparkEntry {
         SELECT doc_id,
           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
         FROM documents) t ORDER BY doc_id""",
+
+    "dedup_incremental" -> graft.ops.Dedup.incrementalOracleSql,
 
     // Window hashes are md5 of the 8-token window text in both engines, so
     // the whole substring-dedup pipeline (hash → ≥2-distinct-docs test via

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *    (worst-case mark-back fan-out)
   *  - `search_10x` — 50k-doc bm25_search + inverted_index (31-term vocab
   *    ⇒ maximal per-term posting skew)
+  *  - `incdedup_10x` — 500k-doc snapshot + 50k incoming batch:
+  *    bitmap-prefilter incremental dedup vs full re-dedup A/B
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -138,6 +140,51 @@ object Stress {
           ops.Search.bm25(spark, "/tmp/stress_srch").count())
         timed("inverted_index 50k docs")(
           ops.Search.invertedIndex(spark, "/tmp/stress_srch").count())
+
+      case "incdedup_10x" =>
+        // 50k-doc "existing corpus" (10× sf0.1, distinct ids ≡ 1..4 mod 5)
+        // + 5k incoming batch (ids ≡ 0 mod 5, every 10th a byte-identical
+        // copy of an old doc). A/B (warm, cold shown for context): the D27
+        // bitmap-prefilter path vs re-running full dedup_exact over
+        // old ∪ incoming. The win to watch is SHUFFLE VOLUME: the naive
+        // window re-shuffles every doc's hash each refresh, the
+        // incremental path shuffles only tiny bitmap partials + the
+        // candidate set (old corpus scanned map-side only).
+        val old10 = Tables.documents(spark, sf).select("doc_id", "text")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 50 + col("rep") * 5 + 1).as("doc_id"), col("text"))
+        val incoming = Tables.documents(spark, sf).select("doc_id", "text")
+          .select((col("doc_id") * 10).as("doc_id"),
+            when(col("doc_id") % 10 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" novel tail "), col("doc_id"))).as("text"))
+        old10.unionByName(incoming).repartition(32)
+          .write.mode("overwrite").parquet("/tmp/stress_inc/documents.parquet")
+        // shuffle-volume accounting: THE structural contract — at a real
+        // snapshot scale the naive window re-shuffles the whole corpus's
+        // hashes every refresh while the incremental path's shuffle is
+        // bitmap partials + candidates, independent of old-corpus size
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        def shuffleOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); shuffled.set(0L)
+          timed(label)(f)
+          Thread.sleep(1000) // listener bus drain
+          println(f"[stress] $label shuffle-write: ${shuffled.get / 1024.0}%.0f KiB")
+        }
+        timed("dedup_incremental 50k old + 5k incoming (cold)")(
+          ops.Dedup.incremental(spark, "/tmp/stress_inc")
+            .filter(col("is_dup")).count())
+        shuffleOf("dedup_incremental 50k old + 5k incoming (warm)")(
+          ops.Dedup.incremental(spark, "/tmp/stress_inc")
+            .filter(col("is_dup")).count())
+        shuffleOf("full dedup_exact over the same 55k (warm)")(
+          ops.Dedup.exact(spark, "/tmp/stress_inc").filter(col("is_dup")).count())
 
       case "cc_incremental" =>
         // 1.1M-vertex base graph (100k chains of 10 + a 100k-vertex star),

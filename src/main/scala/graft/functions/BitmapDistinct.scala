@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.roaringbitmap.longlong.Roaring64Bitmap
 
 /** Exact distinct-count aggregate over a RoaringBitmap buffer.
@@ -60,4 +60,108 @@ case class BitmapDistinct(
   override def withNewInputAggBufferOffset(offset: Int): BitmapDistinct =
     copy(inputAggBufferOffset = offset)
   override def prettyName: String = "bitmap_distinct"
+}
+
+/** Same Roaring aggregation, but the OUTPUT is the serialized bitmap —
+  * the build half of the incremental-dedup prefilter (D27): aggregate the
+  * existing corpus's key set once, ship the compressed bytes as a plan
+  * constant, and membership-test new rows map-side.
+  */
+case class BitmapBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(b: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) b.addLong(v.asInstanceOf[Number].longValue())
+    b
+  }
+
+  override def merge(b: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    b.or(other); b
+  }
+
+  override def eval(b: Roaring64Bitmap): Any = serialize(b)
+
+  override def serialize(b: Roaring64Bitmap): Array[Byte] = {
+    b.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    b.serialize(new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap()
+    bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BitmapBuild =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapBuild =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapBuild =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "bitmap_build"
+}
+
+/** Serializable carrier that deserializes the bitmap ONCE per JVM use
+  * site (transient lazy), not per row — the codegen'd contains() calls
+  * land on the deserialized structure.
+  */
+class BitmapHolder(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bm: Roaring64Bitmap = {
+    val m = new Roaring64Bitmap()
+    m.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    m
+  }
+  def contains(v: Long): Boolean = bm.contains(v)
+}
+
+/** `bitmap_contains(<serialized-bitmap literal>, key)` — membership test
+  * against a driver-built bitmap shipped as a plan constant (the probe
+  * half of the D27 prefilter). The bitmap literal must be foldable; it is
+  * evaluated once into a [[BitmapHolder]] and referenced from generated
+  * code, so per-row cost is one Roaring lookup inside codegen.
+  */
+case class BitmapContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  @transient private lazy val holder =
+    new BitmapHolder(left.eval(InternalRow.empty).asInstanceOf[Array[Byte]])
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val k = right.eval(input)
+    if (k == null) null else holder.contains(k.asInstanceOf[Number].longValue())
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("graftBmHolder", holder, classOf[BitmapHolder].getName)
+    val childGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) { ${ev.value} = $ref.contains((long)${childGen.value}); }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapContains =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_contains"
 }

@@ -65,6 +65,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D27: incremental exact dedup — dedupe an INCOMING batch against an
+    * existing corpus snapshot without re-shuffling the old corpus (the
+    * shape every recurring crawl/refresh run needs; full-corpus re-dedup
+    * is the thing you stop affording first at 100 TB).
+    *
+    * Prefilter-then-verify:
+    *  1. ONE aggregation over the old corpus builds a Roaring bitmap of
+    *     32-bit content-hash prefixes ([[graft.functions.BitmapBuild]]) —
+    *     map-side partials merge as compressed runs; the result (KBs–MBs)
+    *     ships to the main query as a plan constant, the same way a bloom
+    *     prefilter ships. No false negatives, so bitmap-negative incoming
+    *     rows (the vast majority on a typical refresh) are provably novel
+    *     and never join.
+    *  2. Bitmap-positive candidates (true dups + 32-bit collisions) are
+    *     verified EXACTLY: the tiny candidate hash set broadcasts back
+    *     against the old corpus — a map-side semi-join, so the old corpus
+    *     is scanned but never shuffled — and matches carry min(old_id).
+    *
+    * 32-bit prefix capacity: ~4G distinct keys before saturation (then
+    * every row verifies — correct, just no pruning); widen the prefix to
+    * taste beyond that. Here old = doc_id % 5 != 0, incoming = % 5 == 0.
+    *
+    * The driver-side `.head` materializes ONE aggregated row (the bitmap
+    * bytes) — the broadcast-build pattern, not a driver-side data loop.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_build",
+      es => graft.functions.BitmapBuild(es.head).toAggregateExpression(), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_contains",
+      es => graft.functions.BitmapContains(es.head, es(1)), "built-in")
+    val h = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")
+    val k32 = conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("k")
+    val base = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("old_id"), h)
+    val bmBytes = base.select(k32)
+      .agg(call_function("bitmap_build", col("k")))
+      .head().getAs[Array[Byte]](0)
+    val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), h).withColumn("k", k32)
+    val candidates = incoming
+      .filter(call_function("bitmap_contains", lit(bmBytes), col("k")))
+    val matched = base.join(broadcast(candidates.select("h").distinct()), Seq("h"))
+      .groupBy("h").agg(min("old_id").as("matched_old"))
+    incoming.join(broadcast(matched), Seq("h"), "left")
+      .select(col("doc_id"), col("matched_old").isNotNull.as("is_dup"), col("matched_old"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact ground truth for D27 — the bitmap is a pure prefilter, so the
+    * output must equal the plain hash-join answer.
+    */
+  val incrementalOracleSql: String = """
+    WITH hs AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents),
+    base AS (SELECT doc_id AS old_id, h FROM hs WHERE doc_id % 5 <> 0),
+    inc AS (SELECT doc_id, h FROM hs WHERE doc_id % 5 = 0),
+    m AS (SELECT h, min(old_id) AS matched_old FROM base GROUP BY h)
+    SELECT doc_id, (matched_old IS NOT NULL) AS is_dup, matched_old
+    FROM inc LEFT JOIN m USING (h) ORDER BY doc_id"""
+
   // ---------- D2: MinHash + LSH ----------
 
   /** Deterministic universal-hash parameters a·x+b mod P over a 2^32

@@ -18,6 +18,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L, false), (1L, 0L, true), (2L, 2L, false), (3L, 0L, true)))
   }
 
+  test("incremental dedup flags incoming dups of the old corpus, exactly") {
+    import s.implicits._
+    // old corpus: 1,2,3,4,6 — incoming: 0 (dup of 3), 5 (novel), 10 (dup of 6)
+    val docs = Seq(
+      (0L, "shared text alpha"), (5L, "totally new doc"), (10L, "Shared  Text BETA "),
+      (1L, "one"), (2L, "two"), (3L, "shared text alpha"), (4L, "four"),
+      (6L, "shared text beta")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("incdd").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.incremental(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq((0L, true, 3L), (5L, false, -1L), (10L, true, 6L)))
+  }
+
   test("minhash LSH finds a planted near-dup and skips dissimilar docs") {
     import s.implicits._
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
