@@ -131,6 +131,7 @@ object SparkEntry {
     "repetition_score" -> w(TextAnalysis.repetitionScore),
     "gopher_filter"    -> w(TextAnalysis.gopherFilter),
     "unigram_surprisal" -> w(TextAnalysis.unigramSurprisal),
+    "bigram_surprisal"  -> w(TextAnalysis.bigramSurprisal),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -1029,6 +1030,22 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         CAST(sum(b) AS BIGINT) AS total_bits,
         CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bits_per_tok_x1000
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "bigram_surprisal" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      pp AS (SELECT doc_id, pr['w1'] AS w1, pr['p'] AS p
+        FROM (SELECT doc_id,
+            unnest([{'w1': ws[i], 'p': ws[i] || ' ' || ws[i+1]} for i in range(1, len(ws))]) AS pr
+          FROM w WHERE len(ws) >= 2)),
+      pc AS (SELECT w1, p, CAST(count(*) AS BIGINT) AS cp FROM pp GROUP BY w1, p),
+      wc AS (SELECT w1, CAST(sum(cp) AS BIGINT) AS cw FROM pc GROUP BY w1),
+      bits AS (SELECT doc_id,
+          CAST((len(bin(cw)) - 1) - (len(bin(cp)) - 1) AS BIGINT) AS b
+        FROM pp JOIN pc USING (w1, p) JOIN wc USING (w1))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(b) AS BIGINT) AS total_bits,
+        CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bits_per_pair_x1000
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
     "bm25_search" -> graft.ops.Search.oracleSql,

@@ -146,12 +146,18 @@ object Curate {
     * read once and never shuffled.
     */
   def domainMix(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+    // corpus totals via an unpartitioned window over the ALREADY-AGGREGATED
+    // per-stratum frame (#strata rows): an agg+crossJoin would duplicate
+    // the corpus-scan subtree (DataFrame reuse re-executes it), i.e. one
+    // extra full read per refresh at 100 TB for a 5-row total
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
       .withColumn("r0", expr("CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)"))
       .withColumn("w", expr(
         "CASE WHEN r0 * r0 > c THEN r0 - 1 WHEN (r0+1) * (r0+1) <= c THEN r0 + 1 ELSE r0 END"))
-    val tot = counts.agg(sum("c").as("n_total"), sum("w").as("sum_w"))
-    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("n_total", sum("c").over(all))
+      .withColumn("sum_w", sum("w").over(all))
       .withColumn("target", expr("(n_total DIV 2) * w DIV sum_w"))
       .withColumn("rate_x1e6", expr("least(1000000, target * 1000000 DIV c)"))
       .select("lang", "rate_x1e6")

@@ -359,6 +359,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D28: bigram-LM conditional surprisal — the sequel to D22's unigram
+    * proxy: per token transition, bits ≈ −log₂ P(w₂ | w₁) with the corpus
+    * itself as the LM, P(w₂|w₁) = cnt(w₁w₂) / cnt(w₁·) over predecessor
+    * occurrences. floor-log2 EXACTLY as len(bin(x))−1 on both engines (the
+    * D22 technique), so no FP log drift. High bits-per-transition = locally
+    * incoherent text (the CCNet-style quality axis, one order deeper).
+    *
+    * Shape: pairs are built positionally inside ONE projection (no
+    * self-join on position); pair counts are a map-side-partial groupBy;
+    * predecessor counts derive from the (vocab²-sized) pair counts, not
+    * another corpus pass; both broadcast back into the pair stream.
+    */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val w = col("graft_w")
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("graft_w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(w) - 2), i =>
+          struct(element_at(w, i + 1).as("w1"),
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)).as("p")))).as("pr"))
+      .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.p").as("p"))
+    val pairCnt = pairs.groupBy("w1", "p").agg(count(lit(1)).as("cp"))
+    val predCnt = pairCnt.groupBy("w1").agg(sum("cp").as("cw"))
+    pairs
+      .join(broadcast(pairCnt), Seq("w1", "p"))
+      .join(broadcast(predCnt), Seq("w1"))
+      .select(col("doc_id"),
+        ((length(bin(col("cw"))) - 1) - (length(bin(col("cp"))) - 1)).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("bits").as("total_bits"))
+      .select(col("doc_id"), col("n_pairs"), col("total_bits"),
+        expr("total_bits * 1000 DIV n_pairs").as("bits_per_pair_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** D25: hashed-linear quality classifier inference — the fastText-shaped
     * gate every production corpus runs (trained weights scoring docs at
     * ingest). Feature hashing (token → FNV-1a mod 64 bucket) means no

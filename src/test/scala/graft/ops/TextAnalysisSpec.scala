@@ -95,6 +95,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 10L, 2500L)), out.toString)  // 2+2+3+3 = 10 bits
   }
 
+  test("bigramSurprisal computes exact conditional floor-log2 bits per transition") {
+    import s.implicits._
+    // pairs: doc0 → (a,"a b")×2, (b,"b a"); doc1 → (a,"a b"), (b,"b c")
+    // counts: cp("a b")=3 cp("b a")=1 cp("b c")=1; cw(a)=3 cw(b)=2
+    // bits:  "a b" → fl2(3)-fl2(3)=0; "b a"/"b c" → fl2(2)-fl2(1)=1
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bigram").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bigramSurprisal(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 1L, 333L)), out.toString)
+    assert(out(1L) == ((2L, 1L, 500L)), out.toString)
+    assert(!out.contains(2L), "single-token docs have no transitions")
+  }
+
   test("classifier logit sums hashed-bucket weights; query agrees with the kernel") {
     import s.implicits._
     def w(tok: String): Long = {
