@@ -99,6 +99,7 @@ object SparkEntry {
     // C. streaming semantics (batch-checked)
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
+    "stream_sliding"  -> w(Streams.sliding),
     "sessionize"      -> w(Streams.sessionize),
     "sessionize_stateful" -> w(Streams.sessionizeStatefulQuery),
     "stream_dedup"    -> w(Streams.streamDedupQuery),
@@ -132,6 +133,7 @@ object SparkEntry {
     "gopher_filter"    -> w(TextAnalysis.gopherFilter),
     "unigram_surprisal" -> w(TextAnalysis.unigramSurprisal),
     "bigram_surprisal"  -> w(TextAnalysis.bigramSurprisal),
+    "dsir_weights"      -> w(TextAnalysis.dsirWeights),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -142,6 +144,7 @@ object SparkEntry {
     "pack_sequences"    -> w(Curate.packSequences),
     "curate_pipeline"   -> w(Curate.pipeline),
     "domain_mix"        -> w(Curate.domainMix),
+    "shard_assign"      -> w(Curate.shardAssign),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -530,6 +533,19 @@ object SparkEntry {
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // 30-min time_bucket shares the Unix-epoch alignment of Spark's
+    // window() (the 2000-01-01 DuckDB origin is a multiple of 30 min from
+    // the epoch), so each event's two windows replay as {bucket, bucket−30m}
+    "stream_sliding" -> """
+      WITH x AS (SELECT event_type, value,
+          unnest([b, b - INTERVAL 30 MINUTE]) AS w
+        FROM (SELECT event_type, value,
+            time_bucket(INTERVAL 30 MINUTE, ts) AS b FROM events))
+      SELECT strftime(w, '%Y-%m-%d %H:%M') AS win_s, event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "stream_dedup" -> """
       SELECT user_id, event_type, event_id,
@@ -1048,6 +1064,34 @@ object SparkEntry {
         CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bits_per_pair_x1000
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
+    // fnv64 & 1023 == unsigned FNV % 1024 (power of two); the HUGEINT
+    // fold is the simhash/classifier per-token replay applied to bigrams
+    "dsir_weights" -> """
+      WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+      pp AS (SELECT doc_id, lang,
+          unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS p
+        FROM w WHERE len(ws) >= 2),
+      occ AS (SELECT doc_id, lang,
+          CAST(list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(p[i]) AS HUGEINT) for i in range(1, len(p)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) % 1024 AS BIGINT) AS b
+        FROM pp),
+      dist AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+        FROM occ GROUP BY b),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM dist),
+      bits AS (SELECT doc_id, lang,
+          CAST(((len(bin(ct + 1)) - 1) - (len(bin(nt + 1024)) - 1))
+             - ((len(bin(cr + 1)) - 1) - (len(bin(nr + 1024)) - 1)) AS BIGINT) AS bts
+        FROM occ JOIN dist USING (b), tot)
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(bts) AS BIGINT) AS score_bits,
+        (sum(bts) > 0) AS selected
+      FROM bits GROUP BY doc_id, lang ORDER BY doc_id""",
+
     "bm25_search" -> graft.ops.Search.oracleSql,
 
     "inverted_index" -> graft.ops.Search.indexOracleSql,
@@ -1151,6 +1195,8 @@ object SparkEntry {
     "curate_corpus" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,
     "domain_mix" -> Curate.domainMixOracleSql,
+
+    "shard_assign" -> Curate.shardAssignOracleSql,
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
     "curate_pipeline" -> Curate.pipelineOracleSql,

@@ -192,6 +192,45 @@ object Curate {
     WHERE bucket < rate_x1e6
     ORDER BY doc_id"""
 
+  /** E9: deterministic shard assignment + reproducible training order —
+    * the export step after curation/mixing: every doc gets a shard (16
+    * here; a knob) and a position within it, both pure functions of
+    * doc_id via independent md5 slices (chars 1-8 → shard, 9-16 → order),
+    * so ANY subset of machines can regenerate its shards bit-identically
+    * with no coordination and no global sort. cum_chars (running bytes at
+    * each position) is the shard-fill audit a packing job reads.
+    *
+    * Shape at 100 TB: one shuffle on shard (the partitionBy a real export
+    * writes with — `write.partitionBy(shard)` + sortWithinPartitions
+    * replaces the window with a sort the writer already pays); the
+    * per-shard window never sees more than corpus/S rows per partition.
+    */
+  def shardAssign(s: SparkSession, d: String): DataFrame = {
+    val S = 16
+    val md5hex = md5(col("doc_id").cast("string"))
+    val byShard = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5hex, 1, 8), 16, 10).cast("long") % S).as("shard"),
+        conv(substring(md5hex, 9, 8), 16, 10).cast("long").as("ord_key"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .withColumn("cum_chars", sum("n_chars").over(byShard))
+      .select("doc_id", "shard", "pos", "cum_chars")
+      .orderBy("shard", "pos")
+  }
+
+  val shardAssignOracleSql: String = """
+    WITH a AS (SELECT doc_id, n_chars,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS ord_key
+      FROM documents)
+    SELECT doc_id, shard,
+      CAST(row_number() OVER w AS BIGINT) AS pos,
+      CAST(sum(n_chars) OVER w AS BIGINT) AS cum_chars
+    FROM a
+    WINDOW w AS (PARTITION BY shard ORDER BY ord_key, doc_id)
+    ORDER BY shard, pos"""
+
   /** E7: the COMPLETE training-corpus pipeline in one DAG — the
     * composition a FineWeb/MassiveText-style production run executes:
     *

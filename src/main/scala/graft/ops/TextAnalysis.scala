@@ -142,6 +142,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Bare FNV-1a 64 of a string column — the feature-hashing primitive the
+  * bucketed operators (DSIR importance weights) apply inside higher-order
+  * lambdas, where a pre-hashed array column would lose the positional
+  * pairing. Signed Long; callers mask with a power-of-two-minus-one so the
+  * value agrees with the oracle's unsigned HUGEINT `% 2^k`.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelImpl.fnv1a64(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextKernelImpl.fnv1a64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64"
+}
+
 case class Fingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
@@ -162,6 +179,8 @@ object TextKernels {
       "doc_fingerprint", es => Fingerprint(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "classifier_logit", es => ClassifierLogit(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv64", es => Fnv64(es.head), "built-in")
   }
 }
 
@@ -392,6 +411,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"), sum("bits").as("total_bits"))
       .select(col("doc_id"), col("n_pairs"), col("total_bits"),
         expr("total_bits * 1000 DIV n_pairs").as("bits_per_pair_x1000"))
+      .orderBy("doc_id")
+  }
+
+  /** D29: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like its hashed-bigram distribution is. Features are
+    * FNV-1a(bigram) & 1023 buckets (power-of-two mask == the oracle's
+    * unsigned mod); the target distribution is the lang='en' slice, the
+    * raw distribution the whole corpus. Per bigram occurrence in bucket b,
+    * with +1/+B Laplace smoothing and floor-log2 exact as len(bin(x))−1:
+    *
+    *   bits = [fl2(ct_b+1) − fl2(NT+B)] − [fl2(cr_b+1) − fl2(NR+B)]
+    *
+    * i.e. an integer proxy of log₂ p_target(b) − log₂ p_raw(b); a doc's
+    * score is the sum over its occurrences, and selected = score > 0 (a
+    * deterministic threshold gate in place of DSIR's Gumbel top-k — no
+    * global sort, so selection stays embarrassingly parallel at 100 TB).
+    *
+    * Shape: bucket stream built positionally in ONE projection (the D28
+    * technique); both distributions come from a SINGLE 1024-group
+    * aggregation over that stream (count + count-if — the target slice is
+    * not a second corpus pass); dist (≤1024 rows) and totals (1 row)
+    * broadcast back into the occurrence stream. Corpus scanned twice
+    * (dist build + scoring), payload text never shuffled.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    TextKernels.register(s)
+    val B = 1024
+    val w = col("graft_w")
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("graft_w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(w) - 2), i =>
+          call_function("fnv64",
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+            .bitwiseAND(lit((B - 1).toLong)))).as("b"))
+    val dist = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = dist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    def fl2(c: Column): Column = length(bin(c)) - 1
+    occ.join(broadcast(dist), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        ((fl2(col("ct") + 1) - fl2(col("nt") + B)) -
+          (fl2(col("cr") + 1) - fl2(col("nr") + B))).cast("long").as("bits"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_pairs"), sum("bits").as("score_bits"))
+      .withColumn("selected", col("score_bits") > 0)
       .orderBy("doc_id")
   }
 

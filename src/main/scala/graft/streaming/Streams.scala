@@ -34,6 +34,32 @@ object Streams {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts", "2 hours"))
 
+  /** C6 shared agg: 1-hour windows sliding every 30 minutes — each event
+    * lands in exactly 2 overlapping windows. Spark's `window(ts, len,
+    * slide)` expands the assignment inside the row projection (no
+    * self-join against a window table), so the only shuffle is the
+    * (window, type) aggregation itself, with map-side partials; state per
+    * open window is one agg buffer, bounded by the watermark in the
+    * streaming form.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,4)")).as("sum_value"))
+
+  /** C6 query (batch mode — identical semantics to the streaming form). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    slidingAgg(Tables.events(s, d))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_s", "event_type")
+
+  /** C6 streaming wiring — watermarked; a window's state is dropped once
+    * the watermark passes its END, so ≤ 2·(len/slide) windows per type
+    * are ever open.
+    */
+  def slidingStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
   /** C3: rate-limited file-source wiring — tail a directory of event
     * parquet files as a stream (`maxFilesPerTrigger` bounds per-batch
     * intake — new files landing in the dir become micro-batches), with

@@ -55,4 +55,22 @@ class CurateSpec extends AnyFunSuite {
     assert(big.forall(_.getLong(3) == 425000L))
     assert(big.length < 160 && big.length > 0, "majority stratum is downsampled")
   }
+
+  test("shardAssign gives contiguous positions and monotone fill per shard, reproducibly") {
+    val d = "/root/testdata/sf0.001"
+    val out = Curate.shardAssign(s, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+    assert(out.map(_._3).distinct.length == out.length, "every doc exactly once")
+    assert(out.forall(t => t._1 >= 0 && t._1 < 16))
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be 1..n")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"shard $shard cum_chars must be monotone")
+    }
+    val again = Curate.shardAssign(s, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == again.toSeq, "assignment is a pure function of doc_id")
+  }
 }

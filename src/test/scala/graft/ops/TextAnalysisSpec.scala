@@ -111,6 +111,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(2L), "single-token docs have no transitions")
   }
 
+  test("dsirWeights matches an exact replay and ranks target-like text above off-target") {
+    import s.implicits._
+    val rows = Seq((0L, "a b a b", "en"), (1L, "x y x y", "fr"), (2L, "a b", "fr"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // replay: bucket = fnv1a64(bigram) & 1023; dist over all occurrences,
+    // target slice = en; bits = (fl2(ct+1)-fl2(nt+1024)) - (fl2(cr+1)-fl2(nr+1024))
+    def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val occs = rows.flatMap { case (id, text, lang) =>
+      val w = text.split(" ")
+      w.indices.dropRight(1).map(i =>
+        (id, lang, TextKernelImpl.fnv1a64(w(i) + " " + w(i + 1)) & 1023L))
+    }
+    val cr = occs.groupBy(_._3).map { case (b, o) => b -> o.size.toLong }
+    val ct = occs.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, o) => b -> o.size.toLong }.withDefaultValue(0L)
+    val (nr, nt) = (occs.size.toLong, occs.count(_._2 == "en").toLong)
+    val want = occs.groupBy(o => (o._1, o._2)).map { case ((id, lang), o) =>
+      val bits = o.map(x => (fl2(ct(x._3) + 1) - fl2(nt + 1024)) -
+        (fl2(cr(x._3) + 1) - fl2(nr + 1024))).sum
+      id -> ((lang, o.size.toLong, bits, bits > 0))
+    }
+    val got = TextAnalysis.dsirWeights(s, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(0L)._3 > got(1L)._3, "pure-target doc outscores pure-off-target doc")
+  }
+
   test("classifier logit sums hashed-bucket weights; query agrees with the kernel") {
     import s.implicits._
     def w(tok: String): Long = {

@@ -37,6 +37,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L)), got.toString)
   }
 
+  test("sliding windows assign each event to both overlapping windows") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.slidingStream(df)
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("sliding_test").outputMode("append").start()
+    // 10:40 lands in [10:00,11:00) and [10:30,11:30); 10:50 in the same two
+    mem.addData(
+      (ts("2024-01-01 10:40:00"), "click", 1.0),
+      (ts("2024-01-01 10:50:00"), "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "click", 0.5))
+    q.processAllAvailable()
+    val got = s.sql("SELECT start, event_type, n FROM sliding_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)), got.toString)
+    assert(got.contains(("2024-01-01 10:30:00.0", "click", 2L)), got.toString)
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
