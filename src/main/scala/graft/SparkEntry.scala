@@ -134,6 +134,7 @@ object SparkEntry {
     "unigram_surprisal" -> w(TextAnalysis.unigramSurprisal),
     "bigram_surprisal"  -> w(TextAnalysis.bigramSurprisal),
     "dsir_weights"      -> w(TextAnalysis.dsirWeights),
+    "doc_chunk"         -> w(TextAnalysis.docChunk),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -145,6 +146,7 @@ object SparkEntry {
     "curate_pipeline"   -> w(Curate.pipeline),
     "domain_mix"        -> w(Curate.domainMix),
     "shard_assign"      -> w(Curate.shardAssign),
+    "source_reputation" -> w(Curate.sourceReputation),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1092,6 +1094,33 @@ object SparkEntry {
         (sum(bts) > 0) AS selected
       FROM bits GROUP BY doc_id, lang ORDER BY doc_id""",
 
+    // 32-token chunks on a 24-token stride; chunk_hash = signed FNV-1a of
+    // the space-joined chunk (HUGEINT fold + the simhash signed conversion)
+    "doc_chunk" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tok,
+          CASE WHEN len(ws) <= 32 THEN 1
+               ELSE (CAST(len(ws) AS BIGINT) - 32 + 23) // 24 + 1 END AS n_chunks
+        FROM w),
+      c AS (SELECT doc_id, ws, n_tok, unnest(range(0, n_chunks)) AS chunk_id FROM n),
+      x AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+          CAST(least(32, n_tok - chunk_id * 24) AS BIGINT) AS len_tok,
+          array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + least(32, n_tok - chunk_id * 24)], ' ') AS t
+        FROM c),
+      h AS (SELECT doc_id, chunk_id, start_tok, len_tok,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(t[i]) AS HUGEINT) for i in range(1, len(t)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) AS hu
+        FROM x)
+      SELECT doc_id, chunk_id, start_tok, len_tok,
+        CAST(hu - (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS chunk_hash
+      FROM h ORDER BY doc_id, chunk_id""",
+
     "bm25_search" -> graft.ops.Search.oracleSql,
 
     "inverted_index" -> graft.ops.Search.indexOracleSql,
@@ -1197,6 +1226,8 @@ object SparkEntry {
     "domain_mix" -> Curate.domainMixOracleSql,
 
     "shard_assign" -> Curate.shardAssignOracleSql,
+
+    "source_reputation" -> Curate.sourceReputationOracleSql,
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
     "curate_pipeline" -> Curate.pipelineOracleSql,

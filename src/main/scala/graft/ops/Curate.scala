@@ -192,6 +192,52 @@ object Curate {
     WHERE bucket < rate_x1e6
     ORDER BY doc_id"""
 
+  /** E10: source-reputation aggregation — the domain-level filter every
+    * production corpus runs before any per-document gate (a spammy mirror
+    * or SEO farm is cheaper to drop wholesale than doc-by-doc): per
+    * source, how many of its docs are duplicates of ANYTHING else in the
+    * corpus (same normalized content hash as E1), plus mean token count,
+    * → a block decision (≥30% dup rate here; a knob).
+    *
+    * Shape at 100 TB: one shuffle on the content hash (the same one
+    * exact dedup pays — payload never moves, the window sees 16-byte
+    * keys), then a partial-agg groupBy on source (#sources ≪ corpus).
+    * The emitted relation is #sources rows — the broadcast-sized
+    * blocklist the NEXT pipeline run joins against at scan time.
+    */
+  def sourceReputation(s: SparkSession, d: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+    Tables.documents(s, d)
+      .select(col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("dup", (count(lit(1)).over(byHash) > 1).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("dup").as("n_dup"), sum("n_tok").as("tot_tok"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000 DIV n_docs").as("dup_x1000"),
+        expr("tot_tok * 100 DIV n_docs").as("mean_tok_x100"))
+      .withColumn("blocked", col("dup_x1000") >= 300)
+      .orderBy("source")
+  }
+
+  val sourceReputationOracleSql: String = """
+    WITH d AS (SELECT source,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    f AS (SELECT source, n_tok,
+        CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS dup
+      FROM d),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(dup) AS BIGINT) AS n_dup, CAST(sum(n_tok) AS BIGINT) AS tot_tok
+      FROM f GROUP BY source)
+    SELECT source, n_docs, n_dup,
+      CAST(n_dup * 1000 // n_docs AS BIGINT) AS dup_x1000,
+      CAST(tot_tok * 100 // n_docs AS BIGINT) AS mean_tok_x100,
+      (n_dup * 1000 // n_docs >= 300) AS blocked
+    FROM a ORDER BY source"""
+
   /** E9: deterministic shard assignment + reproducible training order —
     * the export step after curation/mixing: every doc gets a shard (16
     * here; a knob) and a position within it, both pure functions of

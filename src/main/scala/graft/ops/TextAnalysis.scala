@@ -464,6 +464,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D30: fixed-size chunking with overlap — the context-window prep step
+    * before embedding or training on long documents: 32-token chunks on a
+    * 24-token stride (8-token overlap), last chunk truncated, short docs
+    * one chunk. Emits the chunk's FNV-1a hash rather than its text so the
+    * relation stays narrow (downstream joins carry 16 bytes, not the
+    * corpus; the text is reconstructable from (doc_id, start, len)).
+    *
+    * Shape: chunk starts are computed arithmetically per row and exploded
+    * from a `sequence` — no self-join against a positions table, no
+    * shuffle at all before the output sort; one corpus scan.
+    */
+  def docChunk(s: SparkSession, d: String): DataFrame = {
+    TextKernels.register(s)
+    val C = 32; val S = 24 // chunk, stride (overlap = 8)
+    val w = col("graft_w")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("graft_w"))
+      .withColumn("n_tok", size(w).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= C, lit(1L))
+          .otherwise(expr(s"(n_tok - $C + ${S - 1}) DIV $S + 1")))
+      .select(col("doc_id"), w, col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("len_tok", least(lit(C.toLong), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("len_tok"),
+        call_function("fnv64",
+          concat_ws(" ", slice(w, (col("start_tok") + 1).cast("int"), col("len_tok").cast("int"))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** D25: hashed-linear quality classifier inference — the fastText-shaped
     * gate every production corpus runs (trained weights scoring docs at
     * ingest). Feature hashing (token → FNV-1a mod 64 bucket) means no

@@ -56,6 +56,27 @@ class CurateSpec extends AnyFunSuite {
     assert(big.length < 160 && big.length > 0, "majority stratum is downsampled")
   }
 
+  test("sourceReputation counts normalized dups per source and blocks at 30%") {
+    import s.implicits._
+    // d0/d1 differ only in case+whitespace → same normalized hash (both dup);
+    // d4 (srcB) duplicates d0 cross-source → srcA 2/3 dup, srcB 1/3 dup
+    val docs = Seq(
+      (0L, "Hello  world here", "srcA"),
+      (1L, "hello world here", "srcA"),
+      (2L, "something else entirely", "srcA"),
+      (3L, "unique text one", "srcB"),
+      (4L, "HELLO WORLD HERE", "srcB"),
+      (5L, "unique text two", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("srcrep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.sourceReputation(s, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(out("srcA") == ((3L, 2L, 666L, true)), out.toString)
+    assert(out("srcB") == ((3L, 1L, 333L, true)), out.toString)
+  }
+
   test("shardAssign gives contiguous positions and monotone fill per shard, reproducibly") {
     val d = "/root/testdata/sf0.001"
     val out = Curate.shardAssign(s, d).collect()

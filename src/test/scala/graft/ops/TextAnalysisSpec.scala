@@ -141,6 +141,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0L)._3 > got(1L)._3, "pure-target doc outscores pure-off-target doc")
   }
 
+  test("docChunk slides 32-token windows on a 24 stride, truncating the tail") {
+    import s.implicits._
+    val w57 = (1 to 57).map(i => s"w$i")
+    val docs = Seq((0L, w57.mkString(" ")), (1L, "a b c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chunk").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.docChunk(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keys.count(_._1 == 0L) == 3, "57 tokens → chunks at 0/24/48")
+    assert(out((0L, 0L)) == ((0L, 32L, TextKernelImpl.fnv1a64(w57.slice(0, 32).mkString(" ")))))
+    assert(out((0L, 1L)) == ((24L, 32L, TextKernelImpl.fnv1a64(w57.slice(24, 56).mkString(" ")))))
+    assert(out((0L, 2L)) == ((48L, 9L, TextKernelImpl.fnv1a64(w57.slice(48, 57).mkString(" ")))))
+    assert(out((1L, 0L)) == ((0L, 3L, TextKernelImpl.fnv1a64("a b c"))), "short doc = one chunk")
+  }
+
   test("classifier logit sums hashed-bucket weights; query agrees with the kernel") {
     import s.implicits._
     def w(tok: String): Long = {
