@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *    ⇒ maximal per-term posting skew)
   *  - `incdedup_10x` — 500k-doc snapshot + 50k incoming batch:
   *    bitmap-prefilter incremental dedup vs full re-dedup A/B
+  *  - `dsir_10x` — 50k-doc dsir_weights / doc_chunk / source_reputation
+  *    (10× bench corpus: 10× bucket counts, 10× chunk fan-out, 10×
+  *    dup density for the reputation window)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -207,6 +210,28 @@ object Stress {
           { incr = ops.Clustering.incrementalComponents(lab0, inc); incr.count() })
         val diff = incr.exceptAll(full).count() + full.exceptAll(incr).count()
         println(s"[stress] incremental == full recompute: ${diff == 0} (diff rows: $diff)")
+
+      case "dsir_10x" =>
+        // 50k docs with distinct ids but 10×-replicated text: every
+        // bigram bucket count scales 10× (dist stays 1024 rows — the
+        // broadcast is corpus-size-independent, which is the claim),
+        // doc_chunk fans out ~10× chunks, and every source's dup rate
+        // hits 100% (worst case for the reputation hash window).
+        val big = Tables.documents(spark, sf)
+          .select("doc_id", "lang", "text", "source")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            col("lang"), col("text"), col("source"))
+        big.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_dsir/documents.parquet")
+        timed("dsir_weights 50k docs (cold)")(
+          ops.TextAnalysis.dsirWeights(spark, "/tmp/stress_dsir").count())
+        timed("dsir_weights 50k docs (warm)")(
+          ops.TextAnalysis.dsirWeights(spark, "/tmp/stress_dsir").count())
+        timed("doc_chunk 50k docs")(
+          ops.TextAnalysis.docChunk(spark, "/tmp/stress_dsir").count())
+        timed("source_reputation 50k docs")(
+          ops.Curate.sourceReputation(spark, "/tmp/stress_dsir").count())
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:
