@@ -147,6 +147,7 @@ object SparkEntry {
     "domain_mix"        -> w(Curate.domainMix),
     "shard_assign"      -> w(Curate.shardAssign),
     "source_reputation" -> w(Curate.sourceReputation),
+    "heavy_hitters"     -> w(Curate.heavyHitters),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1228,6 +1229,8 @@ object SparkEntry {
     "shard_assign" -> Curate.shardAssignOracleSql,
 
     "source_reputation" -> Curate.sourceReputationOracleSql,
+
+    "heavy_hitters" -> Curate.heavyHittersOracleSql,
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
     "curate_pipeline" -> Curate.pipelineOracleSql,

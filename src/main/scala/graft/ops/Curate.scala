@@ -192,6 +192,53 @@ object Curate {
     WHERE bucket < rate_x1e6
     ORDER BY doc_id"""
 
+  /** E11: heavy hitters via Misra-Gries sketch + exact recount — the
+    * scale path for E4's vocab_topk. A full `groupBy(token)` shuffles the
+    * entire vocabulary (billions of keys at 100 TB) to find the handful
+    * of tokens above a share threshold; this plans two passes instead:
+    *
+    *   1. sketch: [[graft.functions.FrequentItemsSketch]] (k=64) — O(k)
+    *      memory per partition, partial buffers merge as ≤64-entry maps,
+    *      one row out. Guaranteed superset of every token with share
+    *      > 1/65 of all occurrences.
+    *   2. recount: broadcast the candidate array, `array_contains`-filter
+    *      the token stream (map-side — non-candidates never shuffle),
+    *      exact-count only candidates, threshold share > 1/32.
+    *
+    * The exact recount + threshold makes the output deterministic — which
+    * sub-threshold candidates the sketch happened to retain is filtered
+    * out — so the composed operator carries a full SQL oracle even though
+    * the sketch itself is order-sensitive.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_items_64",
+      es => graft.functions.FrequentItemsSketch(es.head, 64).toAggregateExpression(),
+      "built-in")
+    val tok = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sketch = tok.agg(
+      call_function("freq_items_64", col("tok")).as("cand"),
+      count(lit(1)).as("n_total"))
+    tok.crossJoin(broadcast(sketch))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy("tok", "n_total")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * 32 > col("n_total"))
+      .select(col("tok"), col("n"), expr("n * 1000 DIV n_total").as("share_x1000"))
+      .orderBy("tok")
+  }
+
+  val heavyHittersOracleSql: String = """
+    WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+      CAST(count(*) * 1000 // n_total AS BIGINT) AS share_x1000
+    FROM tok, tot GROUP BY tok, n_total HAVING count(*) * 32 > n_total
+    ORDER BY tok"""
+
   /** E10: source-reputation aggregation — the domain-level filter every
     * production corpus runs before any per-document gate (a spammy mirror
     * or SEO farm is cheaper to drop wholesale than doc-by-doc): per

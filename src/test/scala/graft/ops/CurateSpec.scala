@@ -77,6 +77,24 @@ class CurateSpec extends AnyFunSuite {
     assert(out("srcB") == ((3L, 1L, 333L, true)), out.toString)
   }
 
+  test("heavyHitters finds exactly the >1/32-share tokens through the MG sketch") {
+    import s.implicits._
+    // 2 hot tokens + 200 distinct rare fillers (≫ k=64, so the sketch
+    // must decrement and merge); spread across 64 docs/partitions.
+    // N = 300+200+200 = 700; threshold n*32 > 700 → n ≥ 22: hot1, hot2 only.
+    val docs = ((0 until 50).map(i => (i.toLong, Seq.fill(6)("hot1").mkString(" "))) ++
+      (50 until 100).map(i => (i.toLong, Seq.fill(4)("hot2").mkString(" "))) ++
+      (100 until 150).map(i => (i.toLong, (0 until 4).map(j => s"rare${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text").repartition(16)
+    val tmp = java.nio.file.Files.createTempDirectory("hh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.heavyHitters(s, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set("hot1", "hot2"), out.toString)
+    assert(out("hot1") == ((300L, 428L)), out.toString) // 300*1000/700
+    assert(out("hot2") == ((200L, 285L)), out.toString)
+  }
+
   test("shardAssign gives contiguous positions and monotone fill per shard, reproducibly") {
     val d = "/root/testdata/sf0.001"
     val out = Curate.shardAssign(s, d).collect()
