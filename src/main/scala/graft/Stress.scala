@@ -232,6 +232,37 @@ object Stress {
           ops.TextAnalysis.docChunk(spark, "/tmp/stress_dsir").count())
         timed("source_reputation 50k docs")(
           ops.Curate.sourceReputation(spark, "/tmp/stress_dsir").count())
+        // heavy_hitters vs vocab_topk shuffle A/B — on a LARGE vocabulary
+        // (the bench corpus has 31 words, which hides the claim): 50k
+        // docs × (1 hot + 40 globally-unique tokens) ⇒ 2M distinct. The
+        // full groupBy must shuffle a (token, count) partial per distinct
+        // token per partition; the sketch path shuffles 64-entry map
+        // partials + the candidate-filtered recount, vocab-independent.
+        // "hot" twice per doc → share 2/42 ≈ 4.8% > the 1/32 threshold
+        spark.range(50000).select(col("id").as("doc_id"),
+          concat_ws(" ", lit("hot hot"),
+            concat_ws(" ", transform(sequence(lit(0), lit(39)),
+              j => concat(lit("t"), col("id") * 40 + j)))).as("text"))
+          .repartition(32)
+          .write.mode("overwrite").parquet("/tmp/stress_hh/documents.parquet")
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        def shuffleOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); shuffled.set(0L)
+          timed(label)(f)
+          Thread.sleep(1000) // listener bus drain
+          println(f"[stress] $label shuffle-write: ${shuffled.get / 1024.0}%.0f KiB")
+        }
+        shuffleOf("heavy_hitters 2M-distinct vocab (warm)")(
+          ops.Curate.heavyHitters(spark, "/tmp/stress_hh").count())
+        shuffleOf("vocab_topk 2M-distinct vocab (warm)")(
+          ops.Curate.vocabTopk(spark, "/tmp/stress_hh").count())
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:

@@ -31,13 +31,13 @@ case class FrequentItemsSketch(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
 
-  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
-    new java.util.HashMap[String, Long]()
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
 
   override def update(
-      b: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
+      b: java.util.HashMap[String, java.lang.Long], input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
       val key = v.toString
@@ -55,8 +55,8 @@ case class FrequentItemsSketch(
   }
 
   override def merge(
-      b: java.util.HashMap[String, Long],
-      other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+      b: java.util.HashMap[String, java.lang.Long],
+      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
     other.forEach { (key, v) =>
       val cur = b.get(key)
       b.put(key, if (cur == null) v else cur + v)
@@ -77,7 +77,7 @@ case class FrequentItemsSketch(
     b
   }
 
-  override def eval(b: java.util.HashMap[String, Long]): Any = {
+  override def eval(b: java.util.HashMap[String, java.lang.Long]): Any = {
     val keys = new Array[String](b.size)
     var i = 0
     b.forEach((key, _) => { keys(i) = key; i += 1 })
@@ -85,7 +85,7 @@ case class FrequentItemsSketch(
     new GenericArrayData(keys.map(UTF8String.fromString(_)))
   }
 
-  override def serialize(b: java.util.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(b: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
@@ -94,10 +94,10 @@ case class FrequentItemsSketch(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val m = new java.util.HashMap[String, Long](n * 2)
+    val m = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
     while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
     m

@@ -143,6 +143,28 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** C7: the streaming front door of the curation pipeline — the E1
+    * quality gates (word-count bounds + stopword floor, the same
+    * predicates as `Curate.query`) applied as STATELESS column filters,
+    * then first-arrival exact dedup on the normalized content hash. The
+    * only stateful operator is the dedup, whose state the watermark
+    * bounds; every gate runs per-row inside codegen before anything
+    * touches the state store — at ingest rates the filters drop most
+    * volume before the single keyed shuffle, which is what keeps a
+    * continuous corpus feed at pace with a batch backfill.
+    */
+  def ingestStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val gated = docs
+      .withColumn("n_tok", size(w))
+      .withColumn("n_stop", size(filter(w, t =>
+        graft.ops.TextAnalysis.stopwords("en").map(x => t === x).reduce(_ || _))))
+      .filter(col("n_tok").between(20, 500) && col("n_stop") >= 1)
+      .withColumn("h", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    streamingDedup(gated, "ts", Seq("h"), watermark)
+      .select("doc_id", "n_tok", "ts")
+  }
+
   /** C4 batch query: the same keep-first-per-key semantics, oracle-checked.
     * The streaming form (above) keeps the first ARRIVAL; the deterministic
     * batch form keeps the first EVENT-TIME occurrence per (user_id,

@@ -161,6 +161,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 2, 300L)), s"original session must stay [12:00,12:05]: $got")
   }
 
+  test("ingest stream gates quality then dedups first arrival") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val good = "the " + (1 to 24).map(i => s"word$i").mkString(" ")
+    val short = "the tiny one"                       // < 20 words → gated
+    val noStop = (1 to 25).map(i => s"tok$i").mkString(" ") // 0 stopwords → gated
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.ingestStream(df)
+      .writeStream.format("memory").queryName("ingest_test").outputMode("append").start()
+    mem.addData(
+      (0L, good, ts("2024-01-01 10:00:00")),
+      (1L, short, ts("2024-01-01 10:01:00")),
+      (2L, noStop, ts("2024-01-01 10:02:00")),
+      (3L, good.toUpperCase + "  ", ts("2024-01-01 10:03:00"))) // dup of 0 after normalization
+    q.processAllAvailable()
+    val got = s.sql("SELECT doc_id FROM ingest_test").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(0L), s"only the first good unique doc survives, got $got")
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
