@@ -115,6 +115,7 @@ object SparkEntry {
     "decontaminate"   -> w((s, d) => Dedup.decontaminate(s, d)),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_keep_best" -> w(Clustering.keepBest),
+    "graph_rank"      -> w(Clustering.graphRank),
     "dedup_embedding" -> w(Similarity.dedupEmbedding),
     "dedup_embedding_lsh" -> w((s, d) => Similarity.dedupEmbeddingLsh(s, d)),
     "semdedup"        -> w((s, d) => Similarity.semDedup(s, d)),
@@ -756,6 +757,34 @@ object SparkEntry {
     "dedup_groups" -> s"""$dupGroupsCte
       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS group_n
       FROM comp ORDER BY doc_id""",
+
+    // Fixed-point PageRank: 3 unrolled iterations over the capped banded
+    // candidate graph, all-integer (×1e6 ranks, 85/100 damping, // DIV)
+    "graph_rank" -> """
+      WITH bk AS (SELECT doc_id, lang,
+          unnest([n_chars // 64, n_chars // 64 + 1]) AS bkt FROM documents),
+      bsz AS (SELECT lang, bkt, count(*) AS n, min(doc_id) AS mn FROM bk GROUP BY lang, bkt),
+      c AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x
+            JOIN bk y ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+            JOIN bsz z ON z.lang = x.lang AND z.bkt = x.bkt
+            WHERE z.n <= 64 OR x.doc_id = z.mn),
+      e AS (SELECT a AS src, b AS dst FROM c UNION ALL SELECT b AS src, a AS dst FROM c),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+      i1 AS (SELECT e.dst AS v, sum(r.r // d.deg) AS s
+             FROM e JOIN r0 r ON e.src = r.v JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r1 AS (SELECT d.src AS v, CAST(150000 + 85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN i1 i ON i.v = d.src),
+      i2 AS (SELECT e.dst AS v, sum(r.r // d.deg) AS s
+             FROM e JOIN r1 r ON e.src = r.v JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r2 AS (SELECT d.src AS v, CAST(150000 + 85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN i2 i ON i.v = d.src),
+      i3 AS (SELECT e.dst AS v, sum(r.r // d.deg) AS s
+             FROM e JOIN r2 r ON e.src = r.v JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r3 AS (SELECT d.src AS v, CAST(150000 + 85 * coalesce(i.s, 0) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN i3 i ON i.v = d.src)
+      SELECT d.src AS doc_id, d.deg, r3.r AS rank_x1e6
+      FROM deg d JOIN r3 ON r3.v = d.src ORDER BY doc_id""",
 
     // Composition: group labels + quality_score, keep the best-scoring
     // doc per group (ties to min doc_id).

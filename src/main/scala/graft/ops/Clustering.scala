@@ -182,6 +182,52 @@ object Clustering {
       .orderBy("comp")
   }
 
+  /** D31: PageRank-style centrality over the candidate-pair similarity
+    * graph — the "most central representative" signal next to E6's
+    * dedup_keep_best: inside a near-dup neighbourhood, the doc similar to
+    * the most other docs. Fixed-point integer arithmetic throughout
+    * (rank ×1e6, damping 85/100, truncating DIV), so the 3 unrolled
+    * iterations replay bit-exactly in DuckDB CTEs — no FP convergence
+    * tolerance anywhere.
+    *
+    * Shape at 100 TB: edges are D4's capped banded candidates (never
+    * doc×doc), checkpointed ONCE; each iteration is one vertex-keyed
+    * shuffle join + one partial-agg sum, and the plan stays 3 joins deep
+    * instead of growing with a convergence loop. The bucket cap also
+    * bounds degree, which bounds every per-vertex contribution sum well
+    * below long overflow at any corpus size. Dangling mass is absent by
+    * construction (every vertex has deg ≥ 1 — it came from an edge).
+    */
+  def graphRankOn(und: DataFrame): DataFrame = {
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r DIV deg").as("c"))
+        .groupBy("v").agg(sum("c").as("in_sum"))
+      ranks = deg.select(col("src").as("v"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"), expr("150000 + 85 * coalesce(in_sum, 0) DIV 100").as("r"))
+    }
+    deg.select(col("src").as("v"), col("deg"))
+      .join(ranks, "v")
+      .select(col("v").as("doc_id"), col("deg"), col("r").as("rank_x1e6"))
+      .orderBy("doc_id")
+  }
+
+  /** D31 registered query: candidates from the same (lang, length-band)
+    * blocking as D4, eager-checkpointed (pair-sized — the minhash cache
+    * precedent) so the three iterations re-read a materialized edge list
+    * instead of re-deriving candidates seven times.
+    */
+  def graphRank(s: SparkSession, d: String): DataFrame =
+    graphRankOn(Dedup.bandedCandidates(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars")).localCheckpoint())
+
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val withKeeper = docs

@@ -92,4 +92,16 @@ class ClusteringSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(0L))
     assert(labels.size == 20)
   }
+
+  test("graphRank on a 3-path matches the hand-unrolled fixed-point iterations") {
+    import s.implicits._
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2; r0=1e6 each; 3 iterations of
+    // r' = 150000 + 85·(Σ r_u DIV deg_u) DIV 100 give 629187 / 1741625 / 629187
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Clustering.graphRankOn(und).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 629187L)), out.toString)
+    assert(out(2L) == ((2L, 1741625L)), out.toString)
+    assert(out(3L) == ((1L, 629187L)), out.toString)
+  }
 }
