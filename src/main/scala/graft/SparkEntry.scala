@@ -152,6 +152,8 @@ object SparkEntry {
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
+    "q_funnel"          -> w(Relational.qFunnel),
+    "q_cohort"          -> w(Relational.qCohort),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1158,6 +1160,10 @@ object SparkEntry {
     "q_outliers" -> Relational.outliersOracleSql,
 
     "q_moving" -> Relational.movingOracleSql,
+
+    "q_funnel" -> Relational.funnelOracleSql,
+
+    "q_cohort" -> Relational.cohortOracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 

@@ -535,6 +535,82 @@ object Relational {
     WHERE (n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)
     ORDER BY event_id"""
 
+  /** B27: ordered funnel progression — view → click → purchase, each
+    * stage's timestamp strictly after the previous stage's. One pass
+    * over user-sorted events: three stacked running-min window layers
+    * (s2's predicate reads s1, s3's reads s2 — each a window expression
+    * over the SAME user partition/sort, so the whole funnel is ONE
+    * shuffle + one sort, never a per-stage self-join), then a per-user
+    * max over the per-row stage. The canonical product-analytics query
+    * at the canonical scale shape.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("s1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("ts") > col("s1"), col("ts"))).over(byUser))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("s2"), col("ts"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max(when(col("s3").isNotNull, 3L)
+        .when(col("s2").isNotNull, 2L)
+        .when(col("s1").isNotNull, 1L)
+        .otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val funnelOracleSql: String = """
+    WITH w1 AS (SELECT user_id, event_id, ts, event_type,
+        min(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+      FROM events),
+    w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+      FROM w1),
+    w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3
+      FROM w2)
+    SELECT user_id, CAST(max(CASE WHEN s3 IS NOT NULL THEN 3
+                                  WHEN s2 IS NOT NULL THEN 2
+                                  WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+    FROM w3 GROUP BY user_id ORDER BY user_id"""
+
+  /** B28: retention cohorts — users grouped by first-activity day, counted
+    * as distinct actives per whole-week offset. Day-based offsets (DIV 7
+    * from the cohort day) rather than week truncation, so no engine
+    * week-origin convention can disagree. Shape: one user agg for the
+    * cohort day (|users| rows — broadcastable), join back, one
+    * (cohort, offset) distinct-count.
+    */
+  def qCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(broadcast(first), "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        expr("datediff(day, cohort_day) DIV 7").cast("long").as("week_offset"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day_s"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_day_s", "week_offset")
+  }
+
+  val cohortOracleSql: String = """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day_s,
+      CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ev JOIN f USING (user_id)
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day_s, week_offset"""
+
   def qGapfill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
