@@ -218,10 +218,10 @@ object Stress {
         // doc_chunk fans out ~10× chunks, and every source's dup rate
         // hits 100% (worst case for the reputation hash window).
         val big = Tables.documents(spark, sf)
-          .select("doc_id", "lang", "text", "source")
+          .select("doc_id", "lang", "text", "source", "n_chars")
           .crossJoin(spark.range(10).select(col("id").as("rep")))
           .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
-            col("lang"), col("text"), col("source"))
+            col("lang"), col("text"), col("source"), col("n_chars"))
         big.repartition(32).write.mode("overwrite")
           .parquet("/tmp/stress_dsir/documents.parquet")
         timed("dsir_weights 50k docs (cold)")(
@@ -232,6 +232,11 @@ object Stress {
           ops.TextAnalysis.docChunk(spark, "/tmp/stress_dsir").count())
         timed("source_reputation 50k docs")(
           ops.Curate.sourceReputation(spark, "/tmp/stress_dsir").count())
+        // graph_rank at 10×: every length-band bucket is 10× denser, so
+        // the capped candidate graph hits its star-degrade regime — the
+        // worst case for the 3 iteration joins
+        timed("graph_rank 50k docs")(
+          ops.Clustering.graphRank(spark, "/tmp/stress_dsir").count())
         // heavy_hitters vs vocab_topk shuffle A/B — on a LARGE vocabulary
         // (the bench corpus has 31 words, which hides the claim): 50k
         // docs × (1 hot + 40 globally-unique tokens) ⇒ 2M distinct. The
