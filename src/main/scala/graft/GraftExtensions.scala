@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
+    // whole-operator plan node: AsOfJoinNode → AsOfJoinExec (merge scan)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_approx_distinct" -> w(Relational.qApproxDistinct),
     "q_subquery"        -> w(Relational.qSubquery),
     "asof_join"         -> w(Relational.asofJoin),
+    "asof_join_native"  -> w(Relational.asofJoinNative),
     "range_join"        -> w(Relational.rangeJoin),
     "q_bitmap_distinct" -> w(Relational.qBitmapDistinct),
     "q_percentile"      -> w(Relational.qPercentile),
@@ -157,6 +158,16 @@ object SparkEntry {
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
+  /** Shared by asof_join (composed) and asof_join_native (plan node). */
+  private val asofSql: String = """
+      SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        o.o_orderkey AS matched_order, CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS matched_total
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      QUALIFY row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1
+      ORDER BY e.event_id"""
+
   private val dbsCte: String =
     """WITH dbs AS (
       |  SELECT lower(replace(n_name, ' ', '_')) || '_core_110_1' AS db FROM nation
@@ -513,14 +524,11 @@ object SparkEntry {
         FROM part) x
       WHERE pr * np > sp GROUP BY p_brand ORDER BY p_brand""",
 
-    "asof_join" -> """
-      SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        o.o_orderkey AS matched_order, CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS matched_total
-      FROM events e LEFT JOIN orders o
-        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-      QUALIFY row_number() OVER (PARTITION BY e.event_id
-        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1
-      ORDER BY e.event_id""",
+    "asof_join" -> asofSql,
+
+    // the native plan node must agree with the SAME ground truth as the
+    // composed union-window form
+    "asof_join_native" -> asofSql,
 
     "range_join" -> """
       SELECT band, count(*) AS n_parts, CAST(sum(CAST(p_retailprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_retail

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join as a first-class plan node — tier (c) of the
+  * custom-operator ladder: LogicalPlan + Strategy + SparkPlan, injected
+  * via SparkSessionExtensions (GraftExtensions). The composed B13 query
+  * (union + running-last window, Relational.asofJoin) expresses the same
+  * semantics through built-ins; this node gives Catalyst the operator AS
+  * an operator: one merge scan per co-partition instead of a union sort
+  * carrying both sides through a window, with the planner free to satisfy
+  * the distribution/ordering requirements from whatever the children
+  * already provide — and column pruning still works through the node,
+  * because the key/time/tiebreak attributes are declared as `references`
+  * and the exec binds their ordinals by exprId, never by position.
+  *
+  * Each left row joins the latest right row with the same key and
+  * time ≤ the left time (inclusive); among right rows tied on
+  * (key, time), the LAST in (key, time, tiebreak) sort order wins —
+  * matching the composed query's "largest order id" rule. Output = left
+  * columns ++ right columns (right side nullable).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    rightTie: Option[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  // pins the join columns against ColumnPruning; payload columns remain
+  // prunable as usual
+  override def references: AttributeSet =
+    AttributeSet(Seq(leftKey, leftTime, rightKey, rightTime) ++ rightTie)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; everything else falls
+  * through to the built-in strategies.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: requires both children clustered on the key
+  * and sorted by (key, time[, tiebreak]) — EnsureRequirements inserts
+  * exchanges/sorts only where the children don't already satisfy them
+  * (the same contract SortMergeJoinExec rides). Per co-partition, ONE
+  * forward merge scan: right rows are consumed up to each left row's
+  * (key, time) and the most recent same-key row is retained —
+  * O(|L|+|R|) per partition, no per-row probe, no window buffering.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    rightTie: Option[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTie.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // rows are emitted in left iteration order, so the left requirement holds
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val allOut = output
+    val nRight = rightOut.size
+    def ordinal(a: Attribute, out: Seq[Attribute]): Int = {
+      val i = out.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"attribute $a not found in ${out.mkString(",")}")
+      i
+    }
+    val lkOrd = ordinal(leftKey, leftOut)
+    val ltOrd = ordinal(leftTime, leftOut)
+    val rkOrd = ordinal(rightKey, rightOut)
+    val rtOrd = ordinal(rightTime, rightOut)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      val rBuf = rIter.buffered
+      var lastKey = 0L
+      var hasLast = false
+      var lastMatch: InternalRow = null
+      lIter.map { l =>
+        val lk = l.getLong(lkOrd)
+        val lt = l.getLong(ltOrd)
+        while (rBuf.hasNext && {
+          val h = rBuf.head
+          val rk = h.getLong(rkOrd)
+          rk < lk || (rk == lk && h.getLong(rtOrd) <= lt)
+        }) {
+          val r = rBuf.next()
+          if (r.getLong(rkOrd) == lk) { lastMatch = r.copy(); lastKey = lk; hasLast = true }
+        }
+        val m = if (hasLast && lastKey == lk) lastMatch else nullRight
+        proj(joined(l, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

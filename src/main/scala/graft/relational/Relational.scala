@@ -307,6 +307,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** B13b: the same as-of semantics through the NATIVE plan node
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinExec, injected by
+    * GraftExtensions) — one merge scan per co-partition instead of the
+    * composed union-sort + running-last window. Same oracle as B13;
+    * PlanSpec asserts AsOfJoinExec actually plans.
+    *
+    * Children follow the node's positional contract: col0 = key (long),
+    * col1 = time (epoch micros, dates promoted via UTC timestamp), right
+    * col2 = o_orderkey as the deterministic tiebreak (largest wins —
+    * identical to B13's window tie rule).
+    */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+      col("event_id"), col("ts"))
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("rk"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+      col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total"))
+    val el = e.queryExecution.analyzed
+    val ol = o.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.GraftBridge.ofRows(s,
+        graft.plans.AsOfJoinNode(el, ol,
+          a(el, "k"), a(el, "t"), a(ol, "rk"), a(ol, "rt"),
+          Some(a(ol, "o_orderkey"))))
+      .select(col("event_id"), col("k").as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("o_orderkey").as("matched_order"), col("o_total").as("matched_total"))
+      .orderBy("event_id")
+  }
+
   /** B16: exact distinct via RoaringBitmap aggregate (one pass, no Expand
     * shuffle — see graft.functions.BitmapDistinct). Oracle-exact against
     * count(DISTINCT ...).

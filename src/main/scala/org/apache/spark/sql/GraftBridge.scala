@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge for constructing a DataFrame from a custom LogicalPlan
+  * (graft.plans.AsOfJoinNode): `Dataset.ofRows` is private[sql], which is
+  * the sanctioned extension point for libraries adding plan nodes — this
+  * object lives in the sql package solely to reach it. No Spark internals
+  * are modified or shadowed.
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

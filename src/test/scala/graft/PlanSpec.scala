@@ -60,6 +60,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("asof_join_native plans the custom AsOfJoin exec and matches the composed form") {
+    val df = Relational.asofJoinNative(TestSpark.spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), "the native node replaces the union-window composition: " + p)
+    val native = df.collect().map(_.toString).toSeq
+    val composed = Relational.asofJoin(TestSpark.spark, TestSpark.sf).collect().map(_.toString).toSeq
+    assert(native == composed, "merge-scan exec must agree with the composed query")
+  }
+
   test("q_waiting scans lineitem once — correlated EXISTS folded into one pass") {
     val p = plan(Relational.qWaiting(TestSpark.spark, TestSpark.sf))
     val lineitemScans = p.split("\n").count(l => l.contains("FileScan") && l.contains("lineitem"))
