@@ -269,6 +269,55 @@ object Stress {
         shuffleOf("vocab_topk 2M-distinct vocab (warm)")(
           ops.Curate.vocabTopk(spark, "/tmp/stress_hh").count())
 
+      case "asof_10x" =>
+        // 100k events / 150k orders (10× sf0.1): A/B the composed
+        // union-window B13 against the native merge-scan exec (B13b).
+        // The composed form unions BOTH relations and drags every column
+        // through one running-last window; the native exec shuffles each
+        // side once on the key and merge-scans per co-partition.
+        val ev10 = Tables.events(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("event_id") * 10 + col("rep")).as("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        val or10 = Tables.orders(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("o_orderkey") * 10 + col("rep")).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        ev10.repartition(32).write.mode("overwrite").parquet("/tmp/stress_asof/events.parquet")
+        or10.repartition(32).write.mode("overwrite").parquet("/tmp/stress_asof/orders.parquet")
+        timed("asof composed (cold)")(
+          relational.Relational.asofJoin(spark, "/tmp/stress_asof").count())
+        timed("asof composed (warm)")(
+          relational.Relational.asofJoin(spark, "/tmp/stress_asof").count())
+        timed("asof native exec (warm)")(
+          relational.Relational.asofJoinNative(spark, "/tmp/stress_asof").count())
+        timed("asof native exec (warm 2)")(
+          relational.Relational.asofJoinNative(spark, "/tmp/stress_asof").count())
+        // the structural case: both sides BUCKETED on the key. The native
+        // exec's distribution requirement is satisfied by the bucketed
+        // scan → zero exchanges; the composed form's union discards the
+        // bucketing and reshuffles everything, every run.
+        val evB = Tables.events(spark, "/tmp/stress_asof").select(
+          col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("ts"))
+        val orB = Tables.orders(spark, "/tmp/stress_asof").select(
+          col("o_custkey").as("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_total"))
+        relational.Bucketing.writeBucketed(evB, "graft_stress_asof_ev", "k")
+        relational.Bucketing.writeBucketed(orB, "graft_stress_asof_or", "rk")
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+          df.count()
+          "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+        }
+        val nat = relational.Relational.asofJoinNativeOn(spark,
+          spark.table("graft_stress_asof_ev"), spark.table("graft_stress_asof_or"))
+        timed("asof native over bucketed tables (warm)")(nat.count())
+        println(s"[stress] native-over-bucketed exchanges (excl. output sort): " +
+          (exchanges(nat) - 1)) // the final orderBy's rangepartitioning is shared by both forms
+
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:
         // production two-level overflow-safe agg vs the single-level

@@ -318,14 +318,23 @@ object Relational {
     * col2 = o_orderkey as the deterministic tiebreak (largest wins —
     * identical to B13's window tie rule).
     */
-  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select(
-      col("user_id").as("k"), unix_micros(col("ts")).as("t"),
-      col("event_id"), col("ts"))
-    val o = Tables.orders(s, d).select(
-      col("o_custkey").as("rk"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
-      col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total"))
+  def asofJoinNative(s: SparkSession, d: String): DataFrame =
+    asofJoinNativeOn(s,
+      Tables.events(s, d).select(
+        col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("ts")),
+      Tables.orders(s, d).select(
+        col("o_custkey").as("rk"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+        col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total")))
+
+  /** B13b over caller-provided keyed relations — `e` must expose
+    * (k, t, event_id, ts), `o` (rk, rt, o_orderkey, o_total). When both
+    * arrive bucketed on their keys, EnsureRequirements plans NO exchange
+    * (the union-window form always reshuffles — the union discards any
+    * child partitioning), which is the operator's structural win.
+    */
+  def asofJoinNativeOn(s: SparkSession, e: DataFrame, o: DataFrame): DataFrame = {
     val el = e.queryExecution.analyzed
     val ol = o.queryExecution.analyzed
     def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
