@@ -150,6 +150,7 @@ object SparkEntry {
     "shard_assign"      -> w(Curate.shardAssign),
     "source_reputation" -> w(Curate.sourceReputation),
     "heavy_hitters"     -> w(Curate.heavyHitters),
+    "quality_vote"      -> w(Curate.qualityVote),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1274,6 +1275,52 @@ object SparkEntry {
     "source_reputation" -> Curate.sourceReputationOracleSql,
 
     "heavy_hitters" -> Curate.heavyHittersOracleSql,
+
+    // each vote is the corresponding component oracle's keep logic inlined
+    "quality_vote" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_ws FROM documents),
+      gm AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, chars_no_ws,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+          CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+        FROM d),
+      gv AS (SELECT doc_id, ((n_tok BETWEEN 50 AND 100000)
+          AND (chars_no_ws * 100 // n_tok BETWEEN 300 AND 1000)
+          AND n_stop >= 2 AND n_alpha * 1000 // n_tok >= 800) AS v_gopher FROM gm),
+      g3 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+          ELSE [] END AS g3 FROM d),
+      rv AS (SELECT doc_id, (CASE WHEN len(g3) > 0
+          THEN (len(g3) - len(list_distinct(g3))) * 1000 // len(g3) ELSE 0 END) <= 300 AS v_rep
+        FROM g3),
+      tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        FROM documents),
+      fn AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(t[i]) AS HUGEINT) for i in range(1, len(t)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) AS hu
+        FROM tok),
+      cv AS (SELECT d2.doc_id, COALESCE(l.logit, 0) > 0 AS v_clf FROM documents d2
+        LEFT JOIN (SELECT doc_id,
+            CAST(sum(CAST(hu % 64 AS BIGINT) * 2654435761 % 4294967296 % 17 - 8) AS BIGINT) AS logit
+          FROM fn GROUP BY doc_id) l ON l.doc_id = d2.doc_id),
+      vocab AS (SELECT t AS tok2, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+      sb AS (SELECT doc_id, CAST(sum(b) * 1000 // count(*) AS BIGINT) AS bpt FROM
+          (SELECT doc_id,
+            CAST((len(bin(n_total)) - 1) - (len(bin(cnt)) - 1) AS BIGINT) AS b
+          FROM tok JOIN vocab ON tok.t = vocab.tok2, tot) x GROUP BY doc_id),
+      sv AS (SELECT d3.doc_id, COALESCE(bpt BETWEEN 1000 AND 8000, false) AS v_surp
+        FROM documents d3 LEFT JOIN sb ON sb.doc_id = d3.doc_id),
+      v AS (SELECT doc_id, v_gopher, v_rep, v_clf, v_surp,
+          CAST(CAST(v_gopher AS INT) + CAST(v_rep AS INT)
+            + CAST(v_clf AS INT) + CAST(v_surp AS INT) AS BIGINT) AS votes
+        FROM gv JOIN rv USING (doc_id) JOIN cv USING (doc_id) JOIN sv USING (doc_id))
+      SELECT doc_id, v_gopher, v_rep, v_clf, v_surp, votes, votes >= 3 AS keep
+      FROM v ORDER BY doc_id""",
     "vocab_topk" -> Curate.vocabOracleSql,
     "pack_sequences" -> Curate.packOracleSql,
     "curate_pipeline" -> Curate.pipelineOracleSql,

@@ -192,6 +192,37 @@ object Curate {
     WHERE bucket < rate_x1e6
     ORDER BY doc_id"""
 
+  /** E12: ensemble quality gate — the FineWeb-Edu-shaped pattern where
+    * INDEPENDENT signals vote instead of one gate deciding: Gopher rules
+    * (D21), repetition (D18, dup3 ≤ 0.3), the hashed linear classifier
+    * (D25, logit > 0) and the unigram-LM surprisal band (D22,
+    * 1.0–8.0 bits/token — outside it is boilerplate or gibberish). Keep
+    * = ≥3 of 4 votes, so no single noisy signal can veto or admit alone.
+    *
+    * Composed from the four ALREADY-ORACLED queries joined on doc_id
+    * (narrow doc_id+bool relations); a production fusion would compute
+    * the three per-row signals in one projection (E7 does exactly that
+    * for its AND-gates) — the join form is chosen here so each vote
+    * stays the verified component, and the surprisal leg reuses its
+    * corpus-distribution join unchanged.
+    */
+  def qualityVote(s: SparkSession, d: String): DataFrame = {
+    val g = TextAnalysis.gopherFilter(s, d).select(col("doc_id"), col("keep").as("v_gopher"))
+    val r = TextAnalysis.repetitionScore(s, d)
+      .select(col("doc_id"), (col("dup3_x1000") <= 300).as("v_rep"))
+    val c = TextAnalysis.classifierScore(s, d).select(col("doc_id"), col("keep").as("v_clf"))
+    val u = TextAnalysis.unigramSurprisal(s, d)
+      .select(col("doc_id"), col("bits_per_tok_x1000").between(1000, 8000).as("v_surp"))
+    g.join(r, "doc_id").join(c, "doc_id").join(u, Seq("doc_id"), "left")
+      .withColumn("v_surp", coalesce(col("v_surp"), lit(false)))
+      .withColumn("votes",
+        (col("v_gopher").cast("int") + col("v_rep").cast("int") +
+          col("v_clf").cast("int") + col("v_surp").cast("int")).cast("long"))
+      .withColumn("keep", col("votes") >= 3)
+      .select("doc_id", "v_gopher", "v_rep", "v_clf", "v_surp", "votes", "keep")
+      .orderBy("doc_id")
+  }
+
   /** E11: heavy hitters via Misra-Gries sketch + exact recount — the
     * scale path for E4's vocab_topk. A full `groupBy(token)` shuffles the
     * entire vocabulary (billions of keys at 100 TB) to find the handful

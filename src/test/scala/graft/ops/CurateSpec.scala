@@ -77,6 +77,21 @@ class CurateSpec extends AnyFunSuite {
     assert(out("srcB") == ((3L, 1L, 333L, true)), out.toString)
   }
 
+  test("qualityVote counts the component signals and keeps on majority") {
+    val d = "/root/testdata/sf0.001"
+    val qv = Curate.qualityVote(s, d).collect()
+    assert(qv.nonEmpty)
+    qv.foreach { r =>
+      val votes = (1 to 4).map(i => if (r.getBoolean(i)) 1L else 0L).sum
+      assert(r.getLong(5) == votes, s"votes must sum the four signals: $r")
+      assert(r.getBoolean(6) == (votes >= 3), s"keep is the >=3 majority: $r")
+    }
+    val gopher = TextAnalysis.gopherFilter(s, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    qv.foreach(r => assert(r.getBoolean(1) == gopher(r.getLong(0)),
+      "v_gopher must equal the D21 component's keep"))
+  }
+
   test("heavyHitters finds exactly the >1/32-share tokens through the MG sketch") {
     import s.implicits._
     // 2 hot tokens + 200 distinct rare fillers (≫ k=64, so the sketch
