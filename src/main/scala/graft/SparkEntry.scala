@@ -137,6 +137,7 @@ object SparkEntry {
     "bigram_surprisal"  -> w(TextAnalysis.bigramSurprisal),
     "dsir_weights"      -> w(TextAnalysis.dsirWeights),
     "doc_chunk"         -> w(TextAnalysis.docChunk),
+    "ngram_lm"          -> w(TextAnalysis.ngramLm),
     "multimodal_meta"     -> w(Multimodal.metaQuery),
     "multimodal_features" -> w(Multimodal.featuresQuery),
     "multimodal_frames"   -> w(Multimodal.framesQuery),
@@ -1161,6 +1162,8 @@ object SparkEntry {
         CAST(hu - (CASE WHEN hu >= 9223372036854775808::HUGEINT
                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS chunk_hash
       FROM h ORDER BY doc_id, chunk_id""",
+
+    "ngram_lm" -> TextAnalysis.ngramLmOracleSql,
 
     "bm25_search" -> graft.ops.Search.oracleSql,
 

@@ -464,6 +464,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D32: count-based n-gram LM table export (the Google-ngram/KenLM prep
+    * workload): all corpus trigrams with occurrence count and document
+    * frequency, pruned at count ≥ 3 — the pruning IS the point at scale:
+    * the full trigram table is corpus-sized, the pruned table is the
+    * Zipf head. Positional pair construction (the D28 technique), one
+    * groupBy with map-side partials; df via conditional count of
+    * first-occurrence-in-doc flags computed positionally, NOT a second
+    * distinct aggregation.
+    */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val w = col("graft_w")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("graft_w"))
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c_in_doc"))
+      .groupBy("g").agg(sum("c_in_doc").as("n"), count(lit(1)).as("df"))
+      .filter(col("n") >= 3)
+      .orderBy(desc("n"), col("g"))
+  }
+
+  val ngramLmOracleSql: String = """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+        unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS g
+      FROM w WHERE len(ws) >= 3),
+    pd AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c_in_doc FROM g GROUP BY doc_id, g)
+    SELECT g, CAST(sum(c_in_doc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS df
+    FROM pd GROUP BY g HAVING sum(c_in_doc) >= 3
+    ORDER BY n DESC, g"""
+
   /** D30: fixed-size chunking with overlap — the context-window prep step
     * before embedding or training on long documents: 32-token chunks on a
     * 24-token stride (8-token overlap), last chunk truncated, short docs

@@ -141,6 +141,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0L)._3 > got(1L)._3, "pure-target doc outscores pure-off-target doc")
   }
 
+  test("ngramLm counts trigrams with doc frequency and prunes below 3") {
+    import s.implicits._
+    // doc0 trigrams: "a b c"×2, "b c a", "c a b"; doc1: "a b c", "b c x"
+    // → only "a b c" survives n>=3 (n=3, df=2)
+    val docs = Seq((0L, "a b c a b c"), (1L, "a b c x"), (2L, "y z"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("nglm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.ngramLm(s, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b c", 3L, 2L)), out.mkString(","))
+  }
+
   test("docChunk slides 32-token windows on a 24 stride, truncating the tail") {
     import s.implicits._
     val w57 = (1 to 57).map(i => s"w$i")
