@@ -165,6 +165,28 @@ object Streams {
       .select("doc_id", "n_tok", "ts")
   }
 
+  /** C8: streaming frequent tokens — the E11 Misra-Gries sketch inside a
+    * watermarked windowed aggregation. The TypedImperativeAggregate's
+    * serialize/deserialize is exactly what the state store round-trips
+    * between micro-batches, so the sketch accumulates across batches with
+    * O(k) state per open window; the watermark closes windows and emits
+    * one (window, candidates, n_tok) row each. The per-window candidate
+    * set carries the same ⊇-heavy-hitters guarantee as the batch form —
+    * downstream exact recount (E11's second pass) runs batch-side.
+    */
+  def streamTokenSketch(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_items_64",
+      es => graft.functions.FrequentItemsSketch(es.head, 64).toAggregateExpression(),
+      "built-in")
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("freq_items_64", col("tok")).as("cand"),
+        count(lit(1)).as("n_tok"))
+  }
+
   /** C4 batch query: the same keep-first-per-key semantics, oracle-checked.
     * The streaming form (above) keeps the first ARRIVAL; the deterministic
     * batch form keeps the first EVENT-TIME occurrence per (user_id,

@@ -182,6 +182,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(0L), s"only the first good unique doc survives, got $got")
   }
 
+  test("windowed MG sketch accumulates across micro-batches through the state store") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = Streams.streamTokenSketch(df)
+      .select(col("window.start").as("start"), col("cand"), col("n_tok"))
+      .writeStream.format("memory").queryName("sketch_test").outputMode("append").start()
+    // two separate micro-batches into the SAME window: the sketch buffer
+    // must survive state-store serialize/deserialize between them
+    mem.addData((ts("2024-01-01 10:05:00"), "hot " + (1 to 80).map(i => s"a$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:35:00"), "hot hot " + (81 to 160).map(i => s"a$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "closer")) // advance watermark
+    q.processAllAvailable()
+    val rows = s.sql("SELECT start, cand, n_tok FROM sketch_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getSeq[String](1), r.getLong(2)))
+    q.stop()
+    val w10 = rows.find(_._1 == "2024-01-01 10:00:00.0").get
+    assert(w10._3 == 163L, s"both batches counted: $w10")
+    assert(w10._2.contains("hot"), s"cross-batch heavy hitter survives the sketch: $w10")
+    assert(w10._2.length <= 64, s"state stays capped at k: ${w10._2.length}")
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
