@@ -306,6 +306,10 @@ object Stress {
           unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
           col("o_orderkey"),
           col("o_totalprice").cast("decimal(12,2)").as("o_total"))
+        // a prior run's warehouse location survives the in-memory catalog —
+        // drop table AND location or saveAsTable hits LOCATION_ALREADY_EXISTS
+        relational.Bucketing.reset(spark, "graft_stress_asof_ev")
+        relational.Bucketing.reset(spark, "graft_stress_asof_or")
         relational.Bucketing.writeBucketed(evB, "graft_stress_asof_ev", "k")
         relational.Bucketing.writeBucketed(orB, "graft_stress_asof_or", "rk")
         def exchanges(df: org.apache.spark.sql.DataFrame): Int = {

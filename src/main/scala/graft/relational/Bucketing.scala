@@ -35,7 +35,7 @@ object Bucketing {
     * survives the session (the in-memory catalog does not), so a fresh
     * session's saveAsTable would otherwise hit LOCATION_ALREADY_EXISTS.
     */
-  private def reset(s: SparkSession, table: String): Unit = {
+  def reset(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     def rm(f: java.io.File): Unit = {
