@@ -21,7 +21,8 @@ object Bench {
     "dedup_embedding_lsh", "dedup_groups", "decontaminate", "dedup_spans",
     "semdedup", "gopher_filter", "unigram_surprisal", "curate_pipeline",
     "bm25_search", "dsir_weights", "source_reputation", "heavy_hitters",
-    "graph_rank", "q_funnel")
+    "graph_rank", "q_funnel", "quality_vote", "ngram_lm", "q_cohort",
+    "asof_join_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
