@@ -106,7 +106,12 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
-      val proj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // bind against the NULLABLE view of the right schema: the projection's
+      // null checks come from the input-schema nullability, and unmatched
+      // left rows feed an all-null right — binding against the child's
+      // original non-nullable attrs would silently read nulls as 0
+      val proj = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val rBuf = rIter.buffered
       var lastKey = 0L
       var hasLast = false
