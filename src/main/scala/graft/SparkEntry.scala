@@ -152,6 +152,7 @@ object SparkEntry {
     "source_reputation" -> w(Curate.sourceReputation),
     "heavy_hitters"     -> w(Curate.heavyHitters),
     "quality_vote"      -> w(Curate.qualityVote),
+    "curation_funnel"   -> w(Curate.curationFunnel),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1278,6 +1279,8 @@ object SparkEntry {
     "source_reputation" -> Curate.sourceReputationOracleSql,
 
     "heavy_hitters" -> Curate.heavyHittersOracleSql,
+
+    "curation_funnel" -> Curate.curationFunnelOracleSql,
 
     // each vote is the corresponding component oracle's keep logic inlined
     "quality_vote" -> """

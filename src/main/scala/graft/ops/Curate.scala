@@ -469,4 +469,113 @@ object Curate {
     clean AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM hits))
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM clean GROUP BY lang ORDER BY lang"""
+
+  /** E13: curation-funnel attribution — the ops dashboard of E7: every
+    * doc assigned its FIRST failing stage in pipeline order (eval
+    * holdout → exact dup → the four Gopher gates → repetition →
+    * decontamination → kept), with doc and token counts per stage. The
+    * first-fail rule makes the stages a partition of the corpus, so the
+    * report sums to the input — the property a loss dashboard needs.
+    * Same single fused projection + one hash window + one broadcast
+    * shingle join as E7; the attribution is a CASE over already-computed
+    * columns, so the funnel costs what the pipeline costs.
+    */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val gw = col("graft_w")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.words(col("text")).as("graft_w"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"))
+      .select(col("doc_id"), col("lang"), col("h"), col("chars_no_ws"),
+        size(gw).cast("long").as("n_tok"),
+        TextAnalysis.hits(gw, TextAnalysis.stopwords("en")).cast("long").as("n_stop"),
+        size(filter(gw, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        when(size(gw) >= 3,
+          transform(sequence(lit(0), size(gw) - 3), i =>
+            concat_ws(" ", element_at(gw, i + 1), element_at(gw, i + 2), element_at(gw, i + 3))))
+          .otherwise(array().cast("array<string>")).as("g3"))
+      .withColumn("tot3", size(col("g3")).cast("long"))
+      .withColumn("uniq3", size(array_distinct(col("g3"))).cast("long"))
+      .withColumn("dup3_x1000",
+        expr("CASE WHEN tot3 > 0 THEN (tot3 - uniq3) * 1000 DIV tot3 ELSE 0 END"))
+      .withColumn("sh", array_distinct(col("g3")))
+    val evalSh = base.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val corpus = base.filter(col("doc_id") % 23 =!= 0)
+    val contaminated = corpus
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 8)
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(true))
+    val staged = corpus
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") =!= col("keeper"), "2_exact_dup")
+          .when(!col("n_tok").between(50, 100000), "3_word_count")
+          .when(!expr("chars_no_ws * 100 DIV n_tok").between(300, 1000), "4_mean_len")
+          .when(col("n_stop") < 2, "5_stopword")
+          .when(expr("n_alpha * 1000 DIV n_tok") < 800, "6_alpha")
+          .when(col("dup3_x1000") > 300, "7_repetition")
+          .when(coalesce(col("contam"), lit(false)), "8_contaminated")
+          .otherwise("9_kept"))
+      .select("stage", "n_tok")
+    base.filter(col("doc_id") % 23 === 0)
+      .select(lit("1_eval_holdout").as("stage"), col("n_tok"))
+      .unionByName(staged)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("stage")
+  }
+
+  val curationFunnelOracleSql: String = """
+    WITH base AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS cnw
+      FROM documents),
+    feat AS (
+      SELECT doc_id, h, cnw,
+        CAST(len(w) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+        CASE WHEN len(w) >= 3
+          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+          ELSE [] END AS g3
+      FROM base),
+    m AS (
+      SELECT doc_id, h, cnw, n_tok, n_stop, n_alpha,
+        CASE WHEN len(g3) > 0
+          THEN CAST((len(g3) - len(list_distinct(g3))) * 1000 // len(g3) AS BIGINT)
+          ELSE 0 END AS dup3_x1000,
+        list_distinct(g3) AS sh
+      FROM feat),
+    ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM m WHERE doc_id % 23 = 0),
+    corpus AS (SELECT * FROM m WHERE doc_id % 23 <> 0),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM corpus) c
+      JOIN ev USING (shingle)
+      GROUP BY c.doc_id, ev.eval_id HAVING count(*) >= 8),
+    staged AS (
+      SELECT CASE
+          WHEN doc_id <> min(doc_id) OVER (PARTITION BY h) THEN '2_exact_dup'
+          WHEN n_tok NOT BETWEEN 50 AND 100000 THEN '3_word_count'
+          WHEN cnw * 100 // n_tok NOT BETWEEN 300 AND 1000 THEN '4_mean_len'
+          WHEN n_stop < 2 THEN '5_stopword'
+          WHEN n_alpha * 1000 // n_tok < 800 THEN '6_alpha'
+          WHEN dup3_x1000 > 300 THEN '7_repetition'
+          WHEN doc_id IN (SELECT doc_id FROM hits) THEN '8_contaminated'
+          ELSE '9_kept' END AS stage,
+        n_tok
+      FROM corpus),
+    allrows AS (
+      SELECT '1_eval_holdout' AS stage, n_tok FROM m WHERE doc_id % 23 = 0
+      UNION ALL SELECT stage, n_tok FROM staged)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM allrows GROUP BY stage ORDER BY stage"""
 }

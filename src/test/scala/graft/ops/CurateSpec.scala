@@ -77,6 +77,27 @@ class CurateSpec extends AnyFunSuite {
     assert(out("srcB") == ((3L, 1L, 333L, true)), out.toString)
   }
 
+  test("curationFunnel attributes each doc to its first failing stage and partitions the corpus") {
+    import s.implicits._
+    val good = "the " + (1 to 48).map(i => s"word$i").mkString(" ") + " of"
+    val evalText = "the " + (1 to 48).map(i => s"eval$i").mkString(" ") + " of"
+    val leaky = "the " + (1 to 11).map(i => s"eval$i").mkString(" ") + " " +
+      (1 to 37).map(i => s"other$i").mkString(" ") + " of"
+    val short = "the tiny doc of it"
+    val repetitive = "the of " + Seq.fill(48)("spam").mkString(" ")
+    val docs = Seq(
+      (0L, evalText, "en"), (1L, good, "en"), (2L, short, "en"),
+      (3L, leaky, "en"), (4L, repetitive, "en"), (24L, good, "en")
+    ).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("funl").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.curationFunnel(s, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_eval_holdout" -> 1L, "2_exact_dup" -> 1L, "3_word_count" -> 1L,
+      "7_repetition" -> 1L, "8_contaminated" -> 1L, "9_kept" -> 1L), out.toString)
+    assert(out.values.sum == 6L, "stages partition the corpus — the report sums to the input")
+  }
+
   test("qualityVote counts the component signals and keeps on majority") {
     val d = "/root/testdata/sf0.001"
     val qv = Curate.qualityVote(s, d).collect()
