@@ -29,7 +29,7 @@ object MergeUpsert {
       .filter(!coalesce(col(s"__u_$tombstone"), lit(false)))
       .select(
         coalesce(col(s"__u_$key"), snapshot(key)).as(key) +:
-          snapshot.columns.filter(_ != key).map(c =>
+          snapshot.columns.filter(_ != key).toIndexedSeq.map(c =>
             when(col(s"__u_$key").isNotNull, col(s"__u_$c")).otherwise(snapshot(c)).as(c)): _*)
   }
 
