@@ -158,6 +158,7 @@ object SparkEntry {
     "q_moving"          -> w(Relational.qMoving),
     "q_funnel"          -> w(Relational.qFunnel),
     "q_cohort"          -> w(Relational.qCohort),
+    "q_histogram"       -> w(Relational.qHistogram),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1177,6 +1178,8 @@ object SparkEntry {
     "q_funnel" -> Relational.funnelOracleSql,
 
     "q_cohort" -> Relational.cohortOracleSql,
+
+    "q_histogram" -> Relational.histogramOracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 

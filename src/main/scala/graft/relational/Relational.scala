@@ -577,6 +577,31 @@ object Relational {
     WHERE (n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)
     ORDER BY event_id"""
 
+  /** B29: equi-width histogram — the distribution-shape primitive next to
+    * B17's quantiles: 10 fixed-width buckets over exact cents, bounds
+    * from one tiny min/max agg broadcast back into the stream. One scan +
+    * one 10-group partial agg; bucket = (v−lo)·10 DIV (hi−lo+1), integer
+    * throughout, so edges are engine-exact (the max value lands in
+    * bucket 9 by construction, never an 11th bucket).
+    */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("vu"))
+    val mm = li.agg(min("vu").as("lo"), max("vu").as("hi"))
+    li.crossJoin(broadcast(mm))
+      .select(expr("(vu - lo) * 10 DIV (hi - lo + 1)").as("bucket"), col("lo"), col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val histogramOracleSql: String = """
+    WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vu FROM lineitem),
+    mm AS (SELECT min(vu) AS lo, max(vu) AS hi FROM v)
+    SELECT (vu - lo) * 10 // (hi - lo + 1) AS bucket, lo, hi,
+      CAST(count(*) AS BIGINT) AS n
+    FROM v, mm GROUP BY 1, 2, 3 ORDER BY bucket"""
+
   /** B27: ordered funnel progression — view → click → purchase, each
     * stage's timestamp strictly after the previous stage's. One pass
     * over user-sorted events: three stacked running-min window layers

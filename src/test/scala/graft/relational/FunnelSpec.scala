@@ -39,4 +39,18 @@ class FunnelSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L), out.toString)
   }
+
+  test("q_histogram puts min in bucket 0, max in bucket 9, integer edges exact") {
+    import s.implicits._
+    // cents 100..1000, width 901: bucket(v) = (v-100)*10 DIV 901
+    val li = (1 to 10).map(i => i.toDouble).toDF("l_extendedprice")
+    val tmp = java.nio.file.Files.createTempDirectory("hist").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.qHistogram(s, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val want = (1 to 10).map(i => (i * 100L - 100L) * 10L / 901L)
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    assert(out == want, s"got $out want $want")
+    assert(out.keySet.min == 0L && out.keySet.max == 9L)
+  }
 }
