@@ -134,6 +134,27 @@ class BitmapHolder(val bytes: Array[Byte]) extends Serializable {
 case class BitmapContains(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  // the bitmap side is evaluated ONCE against the empty row — anything
+  // non-foldable (or non-binary, or a null literal) must be an analysis
+  // error here, not an NPE inside BitmapHolder at execution time
+  override def checkInputDataTypes()
+    : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bitmap_contains bitmap argument must be BINARY, got ${left.dataType}")
+    else if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bitmap_contains bitmap argument must be a foldable (plan-constant) serialized bitmap")
+    else if (left.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure(
+        "bitmap_contains bitmap argument must not be a null literal")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bitmap_contains key argument must be BIGINT, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   @transient private lazy val holder =
     new BitmapHolder(left.eval(InternalRow.empty).asInstanceOf[Array[Byte]])
 

@@ -199,21 +199,43 @@ object Curate {
     * 1.0–8.0 bits/token — outside it is boilerplate or gibberish). Keep
     * = ≥3 of 4 votes, so no single noisy signal can veto or admit alone.
     *
-    * Composed from the four ALREADY-ORACLED queries joined on doc_id
-    * (narrow doc_id+bool relations); a production fusion would compute
-    * the three per-row signals in one projection (E7 does exactly that
-    * for its AND-gates) — the join form is chosen here so each vote
-    * stays the verified component, and the surprisal leg reuses its
-    * corpus-distribution join unchanged.
+    * The three per-row signals (Gopher rules, dup3 ratio, classifier
+    * logit) are FUSED into ONE projection over a single corpus scan —
+    * exactly the gate definitions of the oracled unit operators (D21,
+    * D18's n=3 leg, D25), whose specs pin each leg independently. Only
+    * the surprisal leg stays a join: it genuinely needs the corpus
+    * unigram distribution (a second pass by nature). 2 corpus scans
+    * total where the r8 join-of-four-queries form paid 4.
     */
   def qualityVote(s: SparkSession, d: String): DataFrame = {
-    val g = TextAnalysis.gopherFilter(s, d).select(col("doc_id"), col("keep").as("v_gopher"))
-    val r = TextAnalysis.repetitionScore(s, d)
-      .select(col("doc_id"), (col("dup3_x1000") <= 300).as("v_rep"))
-    val c = TextAnalysis.classifierScore(s, d).select(col("doc_id"), col("keep").as("v_clf"))
+    TextKernels.register(s)
+    val w = col("graft_w")
+    // D18's n=3 gram construction, guarded exactly as repetitionScore
+    val g3 = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val perRow = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("graft_w"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"),
+        call_function("classifier_logit", col("text")).as("logit"))
+      .select(col("doc_id"), col("chars_no_ws"), col("logit"),
+        size(w).cast("long").as("n_tok"),
+        TextAnalysis.hits(w, TextAnalysis.stopwords("en")).cast("long").as("n_stop"),
+        size(filter(w, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(g3).cast("long").as("tot3"),
+        size(array_distinct(g3)).cast("long").as("uniq3"))
+      .select(col("doc_id"),
+        (col("n_tok").between(50, 100000) &&
+          expr("chars_no_ws * 100 DIV n_tok").between(300, 1000) &&
+          col("n_stop") >= 2 &&
+          expr("n_alpha * 1000 DIV n_tok") >= 800).as("v_gopher"),
+        (expr("CASE WHEN tot3 > 0 THEN (tot3 - uniq3) * 1000 DIV tot3 ELSE 0 END")
+          <= 300).as("v_rep"),
+        (col("logit") > 0).as("v_clf"))
     val u = TextAnalysis.unigramSurprisal(s, d)
       .select(col("doc_id"), col("bits_per_tok_x1000").between(1000, 8000).as("v_surp"))
-    g.join(r, "doc_id").join(c, "doc_id").join(u, Seq("doc_id"), "left")
+    perRow.join(u, Seq("doc_id"), "left")
       .withColumn("v_surp", coalesce(col("v_surp"), lit(false)))
       .withColumn("votes",
         (col("v_gopher").cast("int") + col("v_rep").cast("int") +
@@ -375,14 +397,18 @@ object Curate {
     * each stage is independently oracle-checked and the composite's
     * per-lang totals pin their composition.
     *
-    * At 100 TB: the base projection re-executes per consuming subtree
-    * (eval side, corpus side, hit join) — a production run stages `base`
-    * to parquet once (the LoadGate/PartitionedLayout mirror pattern)
-    * instead; everything downstream is unchanged.
+    * At 100 TB: the base projection feeds THREE consuming subtrees (eval
+    * side, corpus side, hit join), so it is staged ONCE via an eager
+    * `localCheckpoint` — the single-job analog of a production run
+    * staging `base` to parquet (the LoadGate/PartitionedLayout mirror
+    * pattern). The tokenize/hash/shingle kernel — the expensive part —
+    * runs once per query instead of 3×; checkpoint blocks are reclaimed
+    * by ContextCleaner once the result is unreachable (the
+    * Dedup.minhash lifecycle).
     */
-  def pipeline(s: SparkSession, d: String): DataFrame = {
+  private[ops] def fusedBase(s: SparkSession, d: String): DataFrame = {
     val gw = col("graft_w")
-    val base = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.words(col("text")).as("graft_w"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
@@ -402,6 +428,11 @@ object Curate {
       .withColumn("sh", array_distinct(col("g3")))
       .select("doc_id", "lang", "h", "chars_no_ws", "n_tok", "n_stop", "n_alpha",
         "dup3_x1000", "sh")
+      .localCheckpoint()
+  }
+
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    val base = fusedBase(s, d)
     val evalSh = base.filter(col("doc_id") % 23 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
     val corpus = base.filter(col("doc_id") % 23 =!= 0)
@@ -476,30 +507,14 @@ object Curate {
     * decontamination → kept), with doc and token counts per stage. The
     * first-fail rule makes the stages a partition of the corpus, so the
     * report sums to the input — the property a loss dashboard needs.
-    * Same single fused projection + one hash window + one broadcast
-    * shingle join as E7; the attribution is a CASE over already-computed
-    * columns, so the funnel costs what the pipeline costs.
+    * Same single fused projection (staged once via `fusedBase`'s
+    * localCheckpoint — the corpus is scanned once, not 3×) + one hash
+    * window + one broadcast shingle join as E7; the attribution is a
+    * CASE over already-computed columns, so the funnel costs what the
+    * pipeline costs.
     */
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    val gw = col("graft_w")
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.words(col("text")).as("graft_w"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"))
-      .select(col("doc_id"), col("lang"), col("h"), col("chars_no_ws"),
-        size(gw).cast("long").as("n_tok"),
-        TextAnalysis.hits(gw, TextAnalysis.stopwords("en")).cast("long").as("n_stop"),
-        size(filter(gw, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
-        when(size(gw) >= 3,
-          transform(sequence(lit(0), size(gw) - 3), i =>
-            concat_ws(" ", element_at(gw, i + 1), element_at(gw, i + 2), element_at(gw, i + 3))))
-          .otherwise(array().cast("array<string>")).as("g3"))
-      .withColumn("tot3", size(col("g3")).cast("long"))
-      .withColumn("uniq3", size(array_distinct(col("g3"))).cast("long"))
-      .withColumn("dup3_x1000",
-        expr("CASE WHEN tot3 > 0 THEN (tot3 - uniq3) * 1000 DIV tot3 ELSE 0 END"))
-      .withColumn("sh", array_distinct(col("g3")))
+    val base = fusedBase(s, d)
     val evalSh = base.filter(col("doc_id") % 23 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
     val corpus = base.filter(col("doc_id") % 23 =!= 0)

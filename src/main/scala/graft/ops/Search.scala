@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   *   idf_x1e6          = (N − df + 1)·10⁶ DIV (df + 1)
   *                       (Robertson's (N − df + 0.5)/(df + 0.5) odds kept as
   *                       an exact rational; the log is MONOTONE, so dropping
-  *                       it preserves every per-term ranking and keeps the
+  *                       it preserves every PER-TERM ranking and keeps the
   *                       oracle exact — engines disagree in the last ulp of
-  *                       log(), which would break hash parity)
+  *                       log(), which would break hash parity. NOTE: the
+  *                       SUMMED multi-term score is a rank-consistent-per-
+  *                       term BM25 VARIANT, not textbook BM25 — linear odds
+  *                       weight rare terms more heavily than log-idf, so
+  *                       multi-term result ORDER can diverge from log-idf
+  *                       BM25; the oracle pins this variant's semantics)
   *   score             = Σ_terms idf_x1e6 · tfn_x1000
   *
   * Overflow bound: 22000·Σdl·tf < 2⁶³ holds to Σdl ≈ 4·10¹⁵ corpus tokens

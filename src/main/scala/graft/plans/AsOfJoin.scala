@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -33,6 +33,11 @@ case class AsOfJoinNode(
     rightKey: Attribute,
     rightTime: Attribute,
     rightTie: Option[Attribute]) extends BinaryNode {
+  // the exec's merge scan reads key/time as primitive longs; anything else
+  // must fail at construction, not read garbage at runtime
+  for (a <- Seq(leftKey, leftTime, rightKey, rightTime))
+    require(a.dataType == org.apache.spark.sql.types.LongType,
+      s"as-of join key/time must be LongType, got ${a.dataType} for $a")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // pins the join columns against ColumnPruning; payload columns remain
@@ -116,19 +121,46 @@ case class AsOfJoinExec(
       var lastKey = 0L
       var hasLast = false
       var lastMatch: InternalRow = null
+      // sort iterators reuse their row buffer, so a retained right row must
+      // be copied before the next peek — into a REUSED UnsafeRow (bytes
+      // memcpy, no allocation): the per-row copy() alloc was the dominant
+      // cost of the interpreted merge (asof_10x A/B in BASELINE.md).
+      // MUST be pointed at a byte[] before the first copyFrom: copyFrom
+      // grows the buffer but keeps baseOffset, and a fresh UnsafeRow's
+      // offset of 0 would make copyMemory write over the array header
+      val matchBuf = new UnsafeRow(nRight)
+      matchBuf.pointTo(new Array[Byte](64), 64)
       lIter.map { l =>
-        val lk = l.getLong(lkOrd)
-        val lt = l.getLong(ltOrd)
-        while (rBuf.hasNext && {
-          val h = rBuf.head
-          val rk = h.getLong(rkOrd)
-          rk < lk || (rk == lk && h.getLong(rtOrd) <= lt)
-        }) {
-          val r = rBuf.next()
-          if (r.getLong(rkOrd) == lk) { lastMatch = r.copy(); lastKey = lk; hasLast = true }
+        // SQL semantics: NULL never equals — a null-key/time left row takes
+        // the null-extended output without advancing the scan (reading it
+        // as 0 via getLong would spuriously match a real key-0 partner)
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          proj(joined(l, nullRight))
+        } else {
+          val lk = l.getLong(lkOrd)
+          val lt = l.getLong(ltOrd)
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val h = rBuf.head
+            if (h.isNullAt(rkOrd) || h.isNullAt(rtOrd)) {
+              rBuf.next() // null key/time can never join any left row
+            } else {
+              val rk = h.getLong(rkOrd)
+              if (rk < lk || (rk == lk && h.getLong(rtOrd) <= lt)) {
+                val r = rBuf.next()
+                if (rk == lk) {
+                  lastMatch = r match {
+                    case u: UnsafeRow => matchBuf.copyFrom(u); matchBuf
+                    case other => other.copy()
+                  }
+                  lastKey = lk; hasLast = true
+                }
+              } else scanning = false
+            }
+          }
+          val m = if (hasLast && lastKey == lk) lastMatch else nullRight
+          proj(joined(l, m))
         }
-        val m = if (hasLast && lastKey == lk) lastMatch else nullRight
-        proj(joined(l, m))
       }
     }
   }

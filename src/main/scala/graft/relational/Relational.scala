@@ -555,11 +555,20 @@ object Relational {
     val q = Tables.events(s, d).select(col("event_id"), col("event_type"),
       col("value"), round(col("value") * 100).cast("long").as("vu"))
     val st = q.groupBy(col("event_type"), spark_partition_id().as("p"))
-      .agg(count(lit(1)).as("n_p"), sum("vu").as("s_p"), sum(expr("vu * vu")).as("ss_p"))
+      .agg(count(lit(1)).as("n_p"), sum("vu").as("s_p"), sum(expr("vu * vu")).as("ss_p"),
+        max(abs(col("vu"))).as("m_p"))
       .groupBy("event_type")
-      .agg(sumD38(col("n_p")).as("n"), sumD38(col("s_p")).as("s"), sumD38(col("ss_p")).as("ss"))
+      .agg(sumD38(col("n_p")).as("n"), sumD38(col("s_p")).as("s"), sumD38(col("ss_p")).as("ss"),
+        max("m_p").as("maxabs"))
+    // past the documented bound the decimal(38,0) square would overflow to
+    // NULL under non-ANSI mode and silently UNFLAG true outliers — guard
+    // with assert_true so overflow surfaces as an error instead:
+    // |n·vu − s| ≤ 2·n·maxabs must stay below 10¹⁹ for the square to fit
     q.join(broadcast(st), "event_type")
-      .filter(expr("(n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)"))
+      .filter(expr(
+        "assert_true(2 * n * maxabs < CAST(9000000000000000000 AS DECIMAL(38,0)), " +
+          "'qOutliers: (n*vu-s)^2 would overflow decimal(38,0) — shard the group (q1Agg discipline)') IS NULL " +
+          "AND (n * vu - s) * (n * vu - s) > 9 * (n * ss - s * s)"))
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
   }
