@@ -286,14 +286,35 @@ object Stress {
             col("o_orderdate"), col("o_orderpriority"))
         ev10.repartition(32).write.mode("overwrite").parquet("/tmp/stress_asof/events.parquet")
         or10.repartition(32).write.mode("overwrite").parquet("/tmp/stress_asof/orders.parquet")
-        timed("asof composed (cold)")(
-          relational.Relational.asofJoin(spark, "/tmp/stress_asof").count())
-        timed("asof composed (warm)")(
-          relational.Relational.asofJoin(spark, "/tmp/stress_asof").count())
-        timed("asof native exec (warm)")(
-          relational.Relational.asofJoinNative(spark, "/tmp/stress_asof").count())
-        timed("asof native exec (warm 2)")(
-          relational.Relational.asofJoinNative(spark, "/tmp/stress_asof").count())
+        // A/B methodology: consume EVERY output column via sum(xxhash64(*)).
+        // A bare .count() is a degenerate benchmark for the COMPOSED form:
+        // ColumnPruning drops the unused window (no matched_* consumer) and
+        // the filter event_id IS NOT NULL folds the orders branch of the
+        // union to empty - the "composed join" collapses to a count of the
+        // events scan (measured: 16 shuffle records). The native node is
+        // not prunable that way (Catalyst cannot know it preserves left
+        // cardinality), so count() compares a real join against a no-op.
+        def consume(df: org.apache.spark.sql.DataFrame): Long = {
+          df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0).longValue()
+        }
+        // min of 5 warm runs: single-run times at this scale carry
+        // +-0.3 s of JIT/scheduling noise
+        def best(label: String)(f: => Long): Unit = {
+          f // cold
+          val times = (1 to 5).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[stress] $label: min ${times.min}%.2f s of ${times.map(t => f"$t%.2f").mkString("/")}")
+        }
+        val h1 = consume(relational.Relational.asofJoin(spark, "/tmp/stress_asof"))
+        val h2 = consume(relational.Relational.asofJoinNative(spark, "/tmp/stress_asof"))
+        require(h1 == h2, s"asof A/B checksum mismatch: composed=$h1 native=$h2")
+        println(s"[stress] asof A/B output checksums agree: $h1")
+        best("asof composed full-consume (warm x5)")(
+          consume(relational.Relational.asofJoin(spark, "/tmp/stress_asof")))
+        best("asof native exec full-consume (warm x5)")(
+          consume(relational.Relational.asofJoinNative(spark, "/tmp/stress_asof")))
         // the structural case: both sides BUCKETED on the key. The native
         // exec's distribution requirement is satisfied by the bucketed
         // scan → zero exchanges; the composed form's union discards the
@@ -318,9 +339,87 @@ object Stress {
         }
         val nat = relational.Relational.asofJoinNativeOn(spark,
           spark.table("graft_stress_asof_ev"), spark.table("graft_stress_asof_or"))
-        timed("asof native over bucketed tables (warm)")(nat.count())
+        nat.count() // warm
+        best("asof native over bucketed tables full-consume (warm x5)")(consume(nat))
         println(s"[stress] native-over-bucketed exchanges (excl. output sort): " +
           (exchanges(nat) - 1)) // the final orderBy's rangepartitioning is shared by both forms
+
+      case "curate_fused" =>
+        // A/B for the r9 fusion. Two cost observables per query, same data:
+        //  - summed task run time (the cluster-CPU multiplier at 100 TB)
+        //  - wall time (local[CPUS])
+        // Output is consumed via sum(xxhash64(*)) — count() is degenerate
+        // here too (quality_vote's surprisal left join has unique right
+        // keys and no consumed columns, so count() ELIMINATES the join).
+        // "Unfused" = the identical query shape minus the localCheckpoint
+        // staging (pipeline/funnel: base re-executes per subtree, the r8
+        // form), and for quality_vote the r8 join-of-four-unit-queries.
+        // 50k docs (10× sf0.1, distinct ids; doc_id*10+rep keeps the %23
+        // eval split distributed) — big enough that JIT and fixed per-job
+        // overheads stop dominating the A/B
+        val docs10 = Tables.documents(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select(((col("doc_id") * 10 + col("rep")).as("doc_id") +:
+            Tables.documents(spark, sf).columns.filter(_ != "doc_id").map(col)): _*)
+        docs10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_curate/documents.parquet")
+        val cd = "/tmp/stress_curate"
+        val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null) taskMs.addAndGet(te.taskMetrics.executorRunTime)
+          })
+        def consume(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0).longValue()
+        def abRun(label: String)(f: => Long): Long = {
+          val check = f // warm
+          val (walls, tasks) = (1 to 3).map { _ =>
+            Thread.sleep(500); taskMs.set(0)
+            val t0 = System.nanoTime(); f
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500)
+            (wall, taskMs.get / 1000.0)
+          }.unzip
+          println(f"[stress] $label: wall min ${walls.min}%.2f s, " +
+            f"task-time min ${tasks.min}%.2f s of ${tasks.map(t => f"$t%.2f").mkString("/")}")
+          check
+        }
+        val p1 = abRun("curate_pipeline FUSED (staged base)")(
+          consume(ops.Curate.pipelineStaged(spark, cd, stage = true)))
+        val p0 = abRun("curate_pipeline UNFUSED (base x3)")(
+          consume(ops.Curate.pipelineStaged(spark, cd, stage = false)))
+        require(p0 == p1, s"pipeline A/B checksum mismatch: $p0 vs $p1")
+        val f1 = abRun("curation_funnel FUSED (staged base)")(
+          consume(ops.Curate.curationFunnelStaged(spark, cd, stage = true)))
+        val f0 = abRun("curation_funnel UNFUSED (base x3)")(
+          consume(ops.Curate.curationFunnelStaged(spark, cd, stage = false)))
+        require(f0 == f1, s"funnel A/B checksum mismatch: $f0 vs $f1")
+        // r8 quality_vote shape: join of the four oracled unit queries
+        def voteUnfused(): org.apache.spark.sql.DataFrame = {
+          val g = ops.TextAnalysis.gopherFilter(spark, cd)
+            .select(col("doc_id"), col("keep").as("v_gopher"))
+          val r = ops.TextAnalysis.repetitionScore(spark, cd)
+            .select(col("doc_id"), (col("dup3_x1000") <= 300).as("v_rep"))
+          val c = ops.TextAnalysis.classifierScore(spark, cd)
+            .select(col("doc_id"), col("keep").as("v_clf"))
+          val u = ops.TextAnalysis.unigramSurprisal(spark, cd)
+            .select(col("doc_id"), col("bits_per_tok_x1000").between(1000, 8000).as("v_surp"))
+          g.join(r, "doc_id").join(c, "doc_id").join(u, Seq("doc_id"), "left")
+            .withColumn("v_surp", coalesce(col("v_surp"), lit(false)))
+            .withColumn("votes",
+              (col("v_gopher").cast("int") + col("v_rep").cast("int") +
+                col("v_clf").cast("int") + col("v_surp").cast("int")).cast("long"))
+            .withColumn("keep", col("votes") >= 3)
+            .select("doc_id", "v_gopher", "v_rep", "v_clf", "v_surp", "votes", "keep")
+            .orderBy("doc_id")
+        }
+        val v1 = abRun("quality_vote FUSED (one projection + surprisal join)")(
+          consume(ops.Curate.qualityVote(spark, cd)))
+        val v0 = abRun("quality_vote UNFUSED (r8 four-query join)")(
+          consume(voteUnfused()))
+        require(v0 == v1, s"vote A/B checksum mismatch: $v0 vs $v1")
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:

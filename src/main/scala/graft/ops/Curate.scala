@@ -205,7 +205,9 @@ object Curate {
     * D18's n=3 leg, D25), whose specs pin each leg independently. Only
     * the surprisal leg stays a join: it genuinely needs the corpus
     * unigram distribution (a second pass by nature). 2 corpus scans
-    * total where the r8 join-of-four-queries form paid 4.
+    * total where the r8 join-of-four-queries form paid 4 — measured
+    * 2.3× less cluster CPU (12.6 vs 29.2 task-s, 50k docs, Stress
+    * curate_fused min-of-3) and half the wall time.
     */
   def qualityVote(s: SparkSession, d: String): DataFrame = {
     TextKernels.register(s)
@@ -399,16 +401,21 @@ object Curate {
     *
     * At 100 TB: the base projection feeds THREE consuming subtrees (eval
     * side, corpus side, hit join), so it is staged ONCE via an eager
-    * `localCheckpoint` — the single-job analog of a production run
-    * staging `base` to parquet (the LoadGate/PartitionedLayout mirror
-    * pattern). The tokenize/hash/shingle kernel — the expensive part —
-    * runs once per query instead of 3×; checkpoint blocks are reclaimed
-    * by ContextCleaner once the result is unreachable (the
-    * Dedup.minhash lifecycle).
+    * `localCheckpoint` — each subtree then reads node-local checkpoint
+    * blocks instead of re-scanning the SOURCE (on a cluster, remote
+    * storage bandwidth — the expensive side of the trade). The measured
+    * local[32] A/B (Stress curate_fused, 50k docs, min-of-3) is a wash on
+    * task CPU — 22.3 s staged vs 25.0 s recomputed — because locally the
+    * source is also on disk and Catalyst column-prunes `base` per subtree
+    * (the gate path never builds `sh`; the two `sh` consumers cover
+    * disjoint doc_id%23 slices), so "3 scans" was never 3 kernel passes.
+    * The `stage` knob keeps both shapes runnable and the Stress scenario
+    * re-measures the decision; checkpoint blocks are reclaimed by
+    * ContextCleaner once the result is unreachable.
     */
-  private[ops] def fusedBase(s: SparkSession, d: String): DataFrame = {
+  private[graft] def fusedBase(s: SparkSession, d: String, stage: Boolean = true): DataFrame = {
     val gw = col("graft_w")
-    Tables.documents(s, d)
+    val projected = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.words(col("text")).as("graft_w"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
@@ -428,11 +435,15 @@ object Curate {
       .withColumn("sh", array_distinct(col("g3")))
       .select("doc_id", "lang", "h", "chars_no_ws", "n_tok", "n_stop", "n_alpha",
         "dup3_x1000", "sh")
-      .localCheckpoint()
+    // stage=false is the Stress A/B knob (curate_fused): same plan shape,
+    // base re-executed per consuming subtree — the r8 cost being measured
+    if (stage) projected.localCheckpoint() else projected
   }
 
-  def pipeline(s: SparkSession, d: String): DataFrame = {
-    val base = fusedBase(s, d)
+  def pipeline(s: SparkSession, d: String): DataFrame = pipelineStaged(s, d, stage = true)
+
+  private[graft] def pipelineStaged(s: SparkSession, d: String, stage: Boolean): DataFrame = {
+    val base = fusedBase(s, d, stage)
     val evalSh = base.filter(col("doc_id") % 23 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
     val corpus = base.filter(col("doc_id") % 23 =!= 0)
@@ -507,14 +518,18 @@ object Curate {
     * decontamination → kept), with doc and token counts per stage. The
     * first-fail rule makes the stages a partition of the corpus, so the
     * report sums to the input — the property a loss dashboard needs.
-    * Same single fused projection (staged once via `fusedBase`'s
-    * localCheckpoint — the corpus is scanned once, not 3×) + one hash
-    * window + one broadcast shingle join as E7; the attribution is a
-    * CASE over already-computed columns, so the funnel costs what the
-    * pipeline costs.
+    * Same single fused projection + one hash window + one broadcast
+    * shingle join as E7; the attribution is a CASE over already-computed
+    * columns, so the funnel costs what the pipeline costs. Staged base
+    * by default for the same source-bandwidth reason as E7 (see
+    * `pipeline`'s scaladoc; the local[32] A/B is likewise a wash —
+    * 27.3 task-s staged vs 24.4 recomputed at 50k docs).
     */
-  def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    val base = fusedBase(s, d)
+  def curationFunnel(s: SparkSession, d: String): DataFrame =
+    curationFunnelStaged(s, d, stage = true)
+
+  private[graft] def curationFunnelStaged(s: SparkSession, d: String, stage: Boolean): DataFrame = {
+    val base = fusedBase(s, d, stage)
     val evalSh = base.filter(col("doc_id") % 23 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
     val corpus = base.filter(col("doc_id") % 23 =!= 0)

@@ -117,6 +117,20 @@ case class AsOfJoinExec(
       // original non-nullable attrs would silently read nulls as 0
       val proj = UnsafeProjection.create(allOut,
         leftOut ++ rightOut.map(_.withNullability(true)))
+      // hot path: both sides arrive as UnsafeRow off the sort, and output =
+      // left ++ right verbatim, so emit via the codegen'd UnsafeRowJoiner
+      // (two memcpys + bitset splice) instead of a per-field projection —
+      // the same emit shape CartesianProductExec rides; `proj` stays as the
+      // fallback for any non-Unsafe input row
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
+        .create(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(leftOut),
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(
+            rightOut.map(_.withNullability(true))))
+      // the all-null right row as an UnsafeRow, for joiner-path non-matches
+      val nullRightU = UnsafeProjection.create(
+        rightOut.map(_.withNullability(true)), rightOut.map(_.withNullability(true)))
+        .apply(nullRight).copy()
       val rBuf = rIter.buffered
       var lastKey = 0L
       var hasLast = false
@@ -130,12 +144,16 @@ case class AsOfJoinExec(
       // offset of 0 would make copyMemory write over the array header
       val matchBuf = new UnsafeRow(nRight)
       matchBuf.pointTo(new Array[Byte](64), 64)
+      def emit(l: InternalRow, m: InternalRow): InternalRow =
+        if (l.isInstanceOf[UnsafeRow] && m.isInstanceOf[UnsafeRow])
+          joiner.join(l.asInstanceOf[UnsafeRow], m.asInstanceOf[UnsafeRow])
+        else proj(joined(l, m))
       lIter.map { l =>
         // SQL semantics: NULL never equals — a null-key/time left row takes
         // the null-extended output without advancing the scan (reading it
         // as 0 via getLong would spuriously match a real key-0 partner)
         if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
-          proj(joined(l, nullRight))
+          emit(l, nullRightU)
         } else {
           val lk = l.getLong(lkOrd)
           val lt = l.getLong(ltOrd)
@@ -158,8 +176,8 @@ case class AsOfJoinExec(
               } else scanning = false
             }
           }
-          val m = if (hasLast && lastKey == lk) lastMatch else nullRight
-          proj(joined(l, m))
+          val m = if (hasLast && lastKey == lk) lastMatch else nullRightU
+          emit(l, m)
         }
       }
     }
