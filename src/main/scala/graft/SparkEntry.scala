@@ -85,6 +85,7 @@ object SparkEntry {
     "q_setops"          -> w(Relational.qSetOps),
     "q_distinct"        -> w(Relational.qDistinct),
     "q_approx_distinct" -> w(Relational.qApproxDistinct),
+    "q_kmv_distinct"    -> w(Relational.qKmvDistinct),
     "q_subquery"        -> w(Relational.qSubquery),
     "asof_join"         -> w(Relational.asofJoin),
     "asof_join_native"  -> w(Relational.asofJoinNative),
@@ -1338,6 +1339,29 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS bm_parts,
         count(DISTINCT l_suppkey) AS bm_supps
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the KMV sketch replayed exactly: FNV-1a 64 as the dsir_weights
+    // HUGEINT fold (partkey strings are pure digits, all < 128), masked
+    // into [0, 2^63) to match Spark's `& Long.MaxValue`; the k smallest
+    // DISTINCT hashes are just ORDER BY uh LIMIT k per group
+    "q_kmv_distinct" -> """
+      WITH f AS (SELECT DISTINCT l_returnflag,
+          CAST(list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              [CAST(ord(ps[i]) AS HUGEINT) for i in range(1, len(ps)+1)]),
+            (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * 1099511628211) % 18446744073709551616::HUGEINT
+          ) % 9223372036854775808::HUGEINT AS BIGINT) AS uh
+        FROM (SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS ps FROM lineitem) t),
+      r AS (SELECT l_returnflag, uh,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY uh) AS rk
+        FROM f)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS k_actual,
+        max(uh) AS kth_hash,
+        CAST(CASE WHEN count(*) < 256 THEN count(*)
+          ELSE 255 * 9223372036854775808::HUGEINT // max(uh) END AS BIGINT) AS est_distinct
+      FROM r WHERE rk <= 256
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_percentile" -> """
       SELECT l_returnflag,

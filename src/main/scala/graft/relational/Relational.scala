@@ -257,6 +257,43 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** B11b: KMV (k-minimum-values / theta-sketch bottom-k) distinct
+    * estimate — the DETERMINISTIC, fully oracle-checkable counterpart to
+    * B11's HLL: the sketch state is just the k smallest distinct fnv64
+    * hashes, which DuckDB replays exactly as `ORDER BY hash LIMIT k`, so
+    * rows+schema+hash all gate (B11 stays the built-in engine-specific
+    * variant). Estimate = (k−1)·2⁶³ DIV h_k (h_k = k-th smallest hash in
+    * the [0, 2⁶³) masked space), exact-integer on both engines; groups
+    * with <k distinct values report their exact count.
+    *
+    * Scale shape: the `dense_rank ≤ k` filter is recognized by Spark's
+    * WindowGroupLimit rule, which inserts a MAP-SIDE partial group-limit
+    * before the exchange — each task ships only its k smallest hashes per
+    * group, i.e. Catalyst plans the classic distributed KMV merge
+    * (partial sketch per partition, merge of k-bounded states) from the
+    * declarative form. PlanSpec pins the WindowGroupLimit(Partial) node.
+    */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.ops.TextKernels.register(s)
+    val k = 256
+    val hashed = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        call_function("fnv64", col("l_partkey").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)).as("uh"))
+    hashed
+      .withColumn("rk",
+        dense_rank().over(Window.partitionBy("l_returnflag").orderBy("uh")))
+      .filter(col("rk") <= k)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("uh").as("k_actual"), max("uh").as("kth_hash"))
+      .select(col("l_returnflag"), col("k_actual"), col("kth_hash"),
+        expr(s"""CAST(CASE WHEN k_actual < $k THEN k_actual
+          ELSE CAST(${k - 1} AS DECIMAL(38,0)) *
+            CAST('9223372036854775808' AS DECIMAL(38,0)) DIV kth_hash
+          END AS BIGINT)""").as("est_distinct"))
+      .orderBy("l_returnflag")
+  }
+
   /** B12: per-group average filter (correlated scalar subquery semantics),
     * expressed with an exact cross-multiplied decimal compare so engines agree,
     * and a broadcast of the (tiny) per-brand aggregate instead of a

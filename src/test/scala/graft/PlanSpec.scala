@@ -70,6 +70,16 @@ class PlanSpec extends AnyFunSuite {
     assert(native == composed, "merge-scan exec must agree with the composed query")
   }
 
+  test("q_kmv_distinct pushes a map-side WindowGroupLimit before the shuffle") {
+    val df = Relational.qKmvDistinct(TestSpark.spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    // the dense_rank<=k filter must become the partial (pre-exchange)
+    // group-limit: each map task ships only its k smallest hashes per
+    // group — the distributed KMV merge, planned by Catalyst
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("q_waiting scans lineitem once — correlated EXISTS folded into one pass") {
     val p = plan(Relational.qWaiting(TestSpark.spark, TestSpark.sf))
     val lineitemScans = p.split("\n").count(l => l.contains("FileScan") && l.contains("lineitem"))
