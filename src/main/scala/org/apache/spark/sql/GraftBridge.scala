@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop every cached state-store provider (StreamingSpec's crash-recovery
+    * case): a restarted query must then rebuild its state from the
+    * CHECKPOINT FILES, exercising the same recovery path a new JVM takes —
+    * without this, a same-process restart can warm-hit the in-memory
+    * provider cache and prove nothing about durability.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }

@@ -102,6 +102,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream resumes from its checkpoint after a mid-stream stop and matches an uninterrupted run") {
+    val sf = graft.TestSpark.sf
+    val root = java.nio.file.Files.createTempDirectory("ckpt_recovery")
+    val srcDir = root.resolve("src").toString
+    // 6 source files + maxFilesPerTrigger=1 → 6 micro-batches to interrupt
+    graft.Tables.events(s, sf).repartition(6).write.parquet(srcDir)
+
+    def run(outDir: String, ckpt: String, stopAfterBatch: Option[Long]): Unit = {
+      val q = Streams.tumblingStream(Streams.eventStream(s, srcDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      stopAfterBatch match {
+        case Some(n) =>
+          val deadline = System.currentTimeMillis() + 120000
+          while (Option(q.lastProgress).forall(_.batchId < n) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(25)
+          q.stop() // mid-stream: later source files never entered this run
+          q.awaitTermination()
+        case None =>
+          q.processAllAvailable(); q.stop(); q.awaitTermination()
+      }
+    }
+    val refOut = root.resolve("ref_out").toString
+    run(refOut, root.resolve("ref_ckpt").toString, None) // uninterrupted
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    run(out, ckpt, Some(2L)) // killed after ~2 of 6 batches
+    // the restart must rebuild watermark + window state from the
+    // CHECKPOINT FILES, not the warm in-process provider cache — this is
+    // the state the exactly-once contract has to survive across a JVM
+    org.apache.spark.sql.GraftBridge.unloadStateStores()
+    run(out, ckpt, None) // resume the SAME checkpoint to completion
+    def rows(p: String) = s.read.parquet(p)
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val ref = rows(refOut)
+    val got = rows(out)
+    assert(ref.nonEmpty, "reference run emitted nothing")
+    // exactly-once across the stop/restart: same multiset, no loss, no dups
+    assert(got.sorted == ref.sorted,
+      s"resumed output diverged: got ${got.size} rows, ref ${ref.size}")
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
