@@ -108,6 +108,7 @@ object SparkEntry {
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
+    "dedup_bucketed"  -> w(Dedup.exactBucketed),
     "dedup_incremental" -> w(Dedup.incremental),
     "dedup_spans"     -> w((s, d) => Dedup.spans(s, d)),
     "dedup_minhash"   -> w(Dedup.minhash),
@@ -818,6 +819,14 @@ object SparkEntry {
       ORDER BY comp""",
 
     "dedup_exact" -> """
+      SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM (
+        SELECT doc_id,
+          min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
+        FROM documents) t ORDER BY doc_id""",
+
+    // same answer as dedup_exact — the bucketed layout changes the PLAN
+    // (zero shuffle, asserted in BucketingSpec), never the result
+    "dedup_bucketed" -> """
       SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM (
         SELECT doc_id,
           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper

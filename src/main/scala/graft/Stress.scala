@@ -421,6 +421,51 @@ object Stress {
           consume(voteUnfused()))
         require(v0 == v1, s"vote A/B checksum mismatch: $v0 vs $v1")
 
+      case "dedup_bucketed" =>
+        // 50k docs: the B19 layout discipline applied to D1 — shuffle bytes
+        // of the window dedup over a flat corpus vs the same corpus written
+        // bucketed+sorted on the content hash. Output consumed via
+        // sum(xxhash64(*)) (count() would prune the window) and checksums
+        // asserted equal between layouts.
+        val d10 = Tables.documents(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select(((col("doc_id") * 10 + col("rep")).as("doc_id")) +:
+            Tables.documents(spark, sf).columns.filter(_ != "doc_id").map(col): _*)
+        d10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_dedupb/documents.parquet")
+        val shufB = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                shufB.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        def consumeHash(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0).longValue()
+        def shufOf(label: String)(f: => Long): Long = {
+          val check = f // warm
+          Thread.sleep(1000); shufB.set(0)
+          val t0 = System.nanoTime(); f
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000)
+          println(f"[stress] $label: shuffle-write ${shufB.get / 1024.0}%.0f KiB, wall $wall%.2f s")
+          check
+        }
+        val cFlat = shufOf("dedup_exact 50k flat corpus")(
+          consumeHash(ops.Dedup.exact(spark, "/tmp/stress_dedupb")))
+        // bucketed layout staged once (the recurring-refresh warehouse
+        // state); the measured query is the dedup over the standing table
+        relational.Bucketing.reset(spark, "graft_stress_docs_h")
+        relational.Bucketing.writeBucketed(
+          Tables.documents(spark, "/tmp/stress_dedupb").select(col("doc_id"),
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")),
+          "graft_stress_docs_h", "h")
+        val cBuck = shufOf("dedup_exact 50k bucketed-on-hash corpus")(
+          consumeHash(ops.Dedup.exactOn(spark.table("graft_stress_docs_h"))))
+        require(cFlat == cBuck, s"layout A/B checksum mismatch: $cFlat vs $cBuck")
+        println(s"[stress] layout A/B checksums agree: $cFlat")
+
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:
         // production two-level overflow-safe agg vs the single-level

@@ -54,15 +54,44 @@ object Dedup {
     * keep-min representative. One shuffle on the 128-bit content hash; at
     * 100 TB the payload never moves, only (hash, doc_id).
     */
-  def exact(s: SparkSession, d: String): DataFrame = {
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    Tables.documents(s, d)
+  def exact(s: SparkSession, d: String): DataFrame =
+    exactOn(Tables.documents(s, d)
       .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
-      // one shuffle on the content hash (a groupBy+join-back would shuffle twice)
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")))
+
+  /** D1 over a caller-provided `(doc_id, h)` relation. When that relation
+    * is a table BUCKETED (+sorted) on `h` — the warehouse layout a corpus
+    * deduped every refresh should be written in — the window's
+    * ClusteredDistribution is satisfied by the scan and the plan has ZERO
+    * shuffle Exchange (asserted in BucketingSpec; `dedup_bucketed` gates
+    * the result against the same oracle as `dedup_exact`).
+    */
+  def exactOn(hashed: DataFrame): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    hashed
+      // one shuffle on the content hash (a groupBy+join-back would shuffle
+      // twice) — and none at all when the input is bucketed on h
       .withColumn("keeper", min("doc_id").over(byHash))
       .select(col("doc_id"), col("keeper"), (col("doc_id") =!= col("keeper")).as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** D1b `dedup_bucketed`: the zero-exchange layout applied end-to-end —
+    * hash the corpus once, write it bucketed+sorted on `h` (the
+    * per-table-layout discipline a recurring dedup pipeline earns back on
+    * every later run), then dedup with NO shuffle: the bucketed scan
+    * already clusters rows by hash. Result is bit-identical to
+    * `dedup_exact` and gated by the same oracle.
+    */
+  def exactBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val table = s"graft_docs_hashed_$tag"
+    graft.relational.Bucketing.reset(s, table)
+    graft.relational.Bucketing.writeBucketed(
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")),
+      table, "h")
+    exactOn(s.table(table))
   }
 
   /** D27: incremental exact dedup — dedupe an INCOMING batch against an
@@ -91,26 +120,39 @@ object Dedup {
     * bytes) — the broadcast-build pattern, not a driver-side data loop.
     */
   def incremental(s: SparkSession, d: String): DataFrame = {
+    val h = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")
+    incrementalOn(s,
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("old_id"), h),
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), h))
+  }
+
+  /** D27 over caller-provided `base (old_id, h)` / `incoming (doc_id, h)`
+    * relations. The old corpus is scanned, never shuffled; when `base` is
+    * additionally a table bucketed on `h`, the verify leg's `groupBy(h)`
+    * is satisfied by the scan too and the WHOLE plan carries zero shuffle
+    * Exchange (BucketingSpec) — the recurring-refresh layout.
+    */
+  def incrementalOn(s: SparkSession, base: DataFrame, incoming: DataFrame): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmap_build",
       es => graft.functions.BitmapBuild(es.head).toAggregateExpression(), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmap_contains",
       es => graft.functions.BitmapContains(es.head, es(1)), "built-in")
-    val h = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")
     val k32 = conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("k")
-    val base = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id").as("old_id"), h)
     val bmBytes = base.select(k32)
       .agg(call_function("bitmap_build", col("k")))
       .head().getAs[Array[Byte]](0)
-    val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), h).withColumn("k", k32)
-    val candidates = incoming
+    val inc = incoming.withColumn("k", k32)
+    val candidates = inc
       .filter(call_function("bitmap_contains", lit(bmBytes), col("k")))
-    val matched = base.join(broadcast(candidates.select("h").distinct()), Seq("h"))
+    // left-semi: dup candidate hashes dedup inside the broadcast build —
+    // a .distinct() here would add the plan's only shuffle for nothing
+    val matched = base.join(broadcast(candidates.select("h")), Seq("h"), "leftsemi")
       .groupBy("h").agg(min("old_id").as("matched_old"))
-    incoming.join(broadcast(matched), Seq("h"), "left")
+    inc.join(broadcast(matched), Seq("h"), "left")
       .select(col("doc_id"), col("matched_old").isNotNull.as("is_dup"), col("matched_old"))
       .orderBy("doc_id")
   }

@@ -38,4 +38,45 @@ class BucketingSpec extends AnyFunSuite {
       s.sql("DROP TABLE li_bucketed"); s.sql("DROP TABLE o_bucketed")
     }
   }
+
+  // shuffle exchanges only: the final orderBy's rangepartitioning and any
+  // BroadcastExchange are not the per-key shuffle the layout eliminates
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("dedup over a corpus bucketed on the content hash plans zero shuffle") {
+    val s = TestSpark.spark
+    val bucketed = graft.ops.Dedup.exactBucketed(s, TestSpark.sf)
+    assert(hashExchanges(bucketed) == 0,
+      s"bucketed dedup must not shuffle:\n${bucketed.queryExecution.executedPlan}")
+    // the flat form pays exactly the one hash shuffle the layout removes
+    assert(hashExchanges(graft.ops.Dedup.exact(s, TestSpark.sf)) == 1)
+    // and the result is bit-identical to dedup_exact
+    val flat = graft.ops.Dedup.exact(s, TestSpark.sf).collect().toSeq
+    assert(bucketed.collect().toSeq == flat)
+    assert(flat.nonEmpty)
+  }
+
+  test("incremental dedup over a base bucketed on the hash plans zero shuffle") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val table = s"graft_inc_base_$tag"
+    Bucketing.reset(s, table)
+    val h = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h")
+    Bucketing.writeBucketed(
+      Tables.documents(s, TestSpark.sf).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("old_id"), h), table, "h")
+    val incoming = Tables.documents(s, TestSpark.sf).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), h)
+    val inc = graft.ops.Dedup.incrementalOn(s, s.table(table), incoming)
+    inc.collect()
+    assert(hashExchanges(inc) == 0,
+      s"bucketed incremental dedup must not shuffle:\n${inc.queryExecution.executedPlan}")
+    // bit-identical to the flat-scan form
+    assert(inc.collect().toSeq ==
+      graft.ops.Dedup.incremental(s, TestSpark.sf).collect().toSeq)
+    Bucketing.reset(s, table)
+  }
 }
