@@ -2,8 +2,13 @@ package graft.etl
 
 import org.apache.spark.sql.DataFrame
 
-/** A13: JDBC bulk-load sink (design + code; no DB server in this
-  * environment, so exercised only up to plan construction).
+/** A13: JDBC bulk-load sink — EXECUTED end-to-end in JdbcBulkLoadSpec
+  * against embedded Derby (in-memory, no server needed): partitioned
+  * batched write → read-back → count + checksum verify, the reference's
+  * load-then-verify discipline. No MySQL server exists in this
+  * environment; the JDBC write path, connection-bounded parallelism and
+  * batching are identical across drivers, so Derby exercises the real
+  * code path and only the URL/dialect differ in production.
   *
   * The reference loads each table through one `LOAD DATA LOCAL INFILE`
   * statement on one connection, toggling indexes around the load
