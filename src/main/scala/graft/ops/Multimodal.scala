@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata, plus batch-shaped decode plumbing.
   *
   * The payloads here are synthesized from document text (no image/audio
-  * codecs exist in this container), but every Spark-side mechanism is
-  * real: binary column + metadata struct schema, partition-batched decode
-  * via `mapPartitions` over a typed Dataset (the Scala analog of
-  * `mapInPandas` batches), and a deterministic fake decoder standing in
-  * for the codec call, which is kept behind a clearly-marked stub.
+  * codec LIBRARIES exist in this container), but every Spark-side
+  * mechanism is real: binary column + metadata struct schema,
+  * partition-batched decode via `mapPartitions` over a typed Dataset
+  * (the Scala analog of `mapInPandas` batches). `decodePayload` decodes
+  * binary PPM (P6) images natively — a pure-JVM header+pixel parse —
+  * and fails loudly for formats that need a codec; the deterministic
+  * fake decoder remains what the ORACLED queries run, keeping their
+  * results codec-independent.
   */
 object Multimodal {
 
@@ -34,12 +37,57 @@ object Multimodal {
       (lit(64) + (octet_length(col("text")) * 7) % 512).cast("int").as("height"),
       (lit(1) + octet_length(col("text")) % 24).cast("int").as("n_frames"))
 
-  /** REAL DECODE STUB — a container with image/audio libs would decode
-    * `payload` here (JPEG→pixels, WAV→PCM, MP4→frames). Deliberately
-    * unimplemented; `fakeDecode` is the deterministic stand-in used by
-    * the pipeline so the distributed plumbing is testable.
+  /** Decode a media payload to planes of floats. IMPLEMENTED for binary
+    * PPM (P6) images — a pure header+pixel parse needing no codec
+    * library, exercised on crafted bytes in MultimodalSpec. The other
+    * formats (JPEG→pixels, WAV→PCM, MP4→frames) need native codecs this
+    * container doesn't ship and fail loudly; `fakeDecode` remains the
+    * deterministic stand-in the ORACLED pipeline uses, so the
+    * distributed plumbing stays testable independent of codecs.
     */
-  def decodePayload(payload: Array[Byte], mediaType: String): Array[Array[Float]] = ???
+  def decodePayload(payload: Array[Byte], mediaType: String): Array[Array[Float]] =
+    mediaType match {
+      case "image" if payload.length >= 2 && payload(0) == 'P' && payload(1) == '6' =>
+        decodePpm(payload)
+      case other => throw new UnsupportedOperationException(
+        s"no $other codec in this container (PPM/P6 images are decoded natively)")
+    }
+
+  /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` (with `#`
+    * comments), one whitespace byte, then w·h·3 raw RGB bytes. Returns
+    * `h` rows of `w·3` floats in [0,1]. Fails loudly on truncated pixel
+    * data or maxval > 255 (2-byte-sample PPMs are out of scope).
+    */
+  def decodePpm(payload: Array[Byte]): Array[Array[Float]] = {
+    var pos = 2 // past "P6"
+    def skipToToken(): Unit = {
+      var in = true
+      while (in && pos < payload.length) {
+        val c = payload(pos).toChar
+        if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def token(): Int = {
+      skipToToken()
+      var v = 0
+      require(pos < payload.length && payload(pos).toChar.isDigit, "malformed PPM header")
+      while (pos < payload.length && payload(pos).toChar.isDigit) {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val (w, h, maxval) = (token(), token(), token())
+    require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
+    pos += 1 // the single whitespace after maxval
+    require(payload.length - pos >= w * h * 3,
+      s"truncated PPM: need ${w * h * 3} pixel bytes, have ${payload.length - pos}")
+    Array.tabulate(h) { row =>
+      val base = pos + row * w * 3
+      Array.tabulate(w * 3)(i => (payload(base + i) & 0xff).toFloat / maxval)
+    }
+  }
 
   /** Deterministic fake "decode": per-record features from raw bytes. */
   def fakeDecode(r: MediaRecord): MediaFeatures = {

@@ -33,9 +33,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx(24) == Seq(0L, 7L, 15L, 23L))
   }
 
-  test("real decode remains an explicit stub") {
-    intercept[NotImplementedError] {
+  test("PPM P6 payloads decode to normalized pixel rows") {
+    // 2x2 image, maxval 200, with a header comment: pixels are
+    // (0,100,200) (50,150,250→clipped to byte 250) / (10,20,30) (40,50,60)
+    val header = "P6\n# crafted by spec\n2 2\n200\n".getBytes("US-ASCII")
+    val pixels = Array(0, 100, 200, 50, 150, 250, 10, 20, 30, 40, 50, 60).map(_.toByte)
+    val planes = Multimodal.decodePayload(header ++ pixels, "image")
+    assert(planes.length == 2 && planes.forall(_.length == 6))
+    assert(planes(0)(0) == 0f && planes(0)(1) == 0.5f && planes(0)(2) == 1f)
+    assert(planes(0)(5) == 1.25f) // 250/200 — maxval scales, bytes may exceed it
+    assert(planes(1)(3) == 0.2f && planes(1)(5) == 0.3f)
+  }
+
+  test("truncated or non-PPM payloads fail loudly instead of decoding garbage") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePayload("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3), "image")
+    }
+    // non-PPM image bytes and codec-less media types are explicit errors
+    intercept[UnsupportedOperationException] {
       Multimodal.decodePayload(Array[Byte](1, 2, 3), "image")
+    }
+    intercept[UnsupportedOperationException] {
+      Multimodal.decodePayload(Array[Byte](1, 2, 3), "audio")
     }
   }
 }
