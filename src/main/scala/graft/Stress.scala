@@ -466,6 +466,27 @@ object Stress {
         require(cFlat == cBuck, s"layout A/B checksum mismatch: $cFlat vs $cBuck")
         println(s"[stress] layout A/B checksums agree: $cFlat")
 
+      case "graph_star" =>
+        // 100k docs that all land in ONE (lang, length-band) bucket — the
+        // adversarial regime for candidate generation: cappedPairs (cap 64,
+        // the documented knob on bandedCandidates/candidatePairs) degrades
+        // the bucket to a first-id star, so the edge list is O(n) with a
+        // single max-degree hub instead of O(n²). graph_rank's iteration
+        // joins then face that hub: contributions INTO it are one hot
+        // groupBy key (map-side partial agg absorbs it), and its
+        // outbound r DIV deg stays integer-exact — 85·in_sum peaks at
+        // ~10^11 here, 6 orders below the 2^63 bound.
+        val starDocs = spark.range(100000).select(
+          col("id").as("doc_id"), lit("en").as("lang"), lit(4096L).as("n_chars"))
+        val starEdges = ops.Dedup.bandedCandidates(starDocs).localCheckpoint()
+        timed("star candidate edges (expect n-1, not n^2/2)")(starEdges.count())
+        timed("graph_rank over the 100k-vertex star")(
+          ops.Clustering.graphRankOn(starEdges).count())
+        // sanity: the hub really is max-degree and ranks stay in range
+        val ranked = ops.Clustering.graphRankOn(starEdges)
+        val hub = ranked.orderBy(col("deg").desc).head()
+        println(s"[stress] hub degree ${hub.getLong(1)}, hub rank_x1e6 ${hub.getLong(2)}")
+
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:
         // production two-level overflow-safe agg vs the single-level
