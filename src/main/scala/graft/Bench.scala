@@ -22,7 +22,7 @@ object Bench {
     "semdedup", "gopher_filter", "unigram_surprisal", "curate_pipeline",
     "bm25_search", "dsir_weights", "source_reputation", "heavy_hitters",
     "graph_rank", "q_funnel", "quality_vote", "ngram_lm", "q_cohort",
-    "asof_join_native", "curation_funnel")
+    "asof_join_native", "curation_funnel", "q_kmv_distinct", "dedup_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
