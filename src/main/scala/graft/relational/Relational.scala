@@ -320,10 +320,20 @@ object Relational {
     * event×order blow-up (the oracle uses the naive join+QUALIFY form).
     */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select(
-      col("o_custkey").as("k"), col("o_orderdate").as("t"),
-      col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total"),
-      lit(null).cast("long").as("event_id"))
+    // SQL join semantics: a null-key/date order can never match any event,
+    // and MUST be dropped here — the window's PARTITION BY groups nulls,
+    // so an unfiltered null-key order would flow into null-key events'
+    // partition and "match" them (which the oracle's equi-join never
+    // does). Null-key/ts EVENTS need no special handling: their partition
+    // then holds no order rows (and nulls-first t ordering puts a null-ts
+    // event before any order), so the running last is null — the correct
+    // null-extended output. AsofSpec pins this against the native exec.
+    val o = Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("o_total"),
+        lit(null).cast("long").as("event_id"))
     val e = Tables.events(s, d).select(
       col("user_id").as("k"), col("ts").as("t"),
       lit(null).cast("long").as("o_orderkey"),
