@@ -66,6 +66,7 @@ object SparkEntry {
     "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
     "release_paths"       -> w(ReleasePaths.query),
     "load_retry"          -> w(LoadGate.query),
+    "transfer_plan"       -> w(Transfer.transferPlan),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
     "job_email"           -> w(Discovery.jobEmail),
     "job_summary"         -> w(Discovery.jobSummary),
@@ -384,6 +385,8 @@ object SparkEntry {
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
         true AS first_attempt_threw
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "transfer_plan" -> graft.etl.Transfer.transferPlanOracleSql,
 
     "job_email" -> """
       WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,

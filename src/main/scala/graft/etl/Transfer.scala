@@ -1,0 +1,195 @@
+package graft.etl
+
+import graft.Tables
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** A19: the reference's download/mirror loop, split into its two real
+  * parts — a relational SYNC PLAN and a transport-driven executor.
+  *
+  * The reference fetches every file of a database dir over FTP
+  * (DownloadDatabase.pm:93-110 `_ftp_download`: cwd + ls + get-each) or
+  * mirrors it with `rsync --recursive --delete` (:112-146), then
+  * checksums the result (:148-170). No FTP/rsync endpoint exists in this
+  * environment, so the TRANSPORT is an interface (a local-filesystem
+  * implementation ships and is spec-driven end-to-end); everything the
+  * loop actually DECIDES — what to fetch, what is resumable, what to
+  * delete, what to verify — is here for real:
+  *
+  *  - [[syncPlan]] is rsync's decision table as a relation: full-outer
+  *    join of remote and local `(file, size)` listings → fetch / resume
+  *    (local prefix shorter than remote) / refetch (diverged) / delete
+  *    (local-only, rsync `--delete`) / keep. Registered as the
+  *    `transfer_plan` query over deterministic listings derived from
+  *    `documents`, so DuckDB replays it row for row.
+  *  - [[sync]] executes a plan over a [[Transport]] with per-file retry
+  *    (the reference throws on first failure and re-enters via eHive
+  *    retries; here the retry is explicit), byte-offset resume for
+  *    partial files, and post-sync size verification. The per-file loop
+  *    is driver-side BY DESIGN: one sync call covers one database dir
+  *    (dozens of files — the reference's per-db job granularity);
+  *    corpus-scale parallelism comes from many dbs fanned out as
+  *    separate jobs through the A14 priority lanes, exactly like the
+  *    reference.
+  */
+object Transfer {
+
+  /** Minimal transport: list and ranged-fetch. An FTP/rsync/HTTP
+    * implementation plugs in here; [[LocalTransport]] is the in-env one.
+    */
+  trait Transport {
+    /** Remote listing: (file name, size in bytes). */
+    def ls(): Seq[(String, Long)]
+    /** Copy `name` from byte `offset` to the end, appending to `dest`
+      * (which must already hold exactly `offset` bytes). Returns bytes
+      * moved.
+      */
+    def fetch(name: String, offset: Long, dest: Path): Long
+  }
+
+  /** Filesystem-backed transport (the "remote" is a local dir). */
+  final class LocalTransport(root: Path) extends Transport {
+    override def ls(): Seq[(String, Long)] =
+      Files.list(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (p.getFileName.toString, Files.size(p)))
+        .toSeq.sortBy(_._1)
+    override def fetch(name: String, offset: Long, dest: Path): Long = {
+      val src = root.resolve(name)
+      val in = Files.newInputStream(src)
+      try {
+        var skipped = 0L
+        while (skipped < offset) {
+          val n = in.skip(offset - skipped)
+          require(n > 0, s"cannot seek to $offset in $name")
+          skipped += n
+        }
+        val out = Files.newOutputStream(dest,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        try in.transferTo(out) finally out.close()
+      } finally in.close()
+    }
+  }
+
+  /** rsync's decision table as a relation over `(file, size)` listings.
+    * Output: file, action ∈ {fetch, resume, refetch, delete, keep},
+    * offset (resume start, 0 otherwise), bytes_to_move.
+    */
+  def syncPlan(remote: DataFrame, local: DataFrame): DataFrame =
+    remote.select(col("file"), col("size").as("r_size"))
+      .join(local.select(col("file"), col("size").as("l_size")), Seq("file"), "full_outer")
+      .select(col("file"),
+        expr("""CASE
+          WHEN l_size IS NULL THEN 'fetch'
+          WHEN r_size IS NULL THEN 'delete'
+          WHEN l_size = r_size THEN 'keep'
+          WHEN l_size < r_size THEN 'resume'
+          ELSE 'refetch' END""").as("action"),
+        expr("CASE WHEN l_size IS NOT NULL AND r_size IS NOT NULL AND l_size < r_size THEN l_size ELSE CAST(0 AS BIGINT) END").as("offset"),
+        expr("""CASE
+          WHEN r_size IS NULL OR l_size = r_size THEN CAST(0 AS BIGINT)
+          WHEN l_size IS NOT NULL AND l_size < r_size THEN r_size - l_size
+          ELSE r_size END""").as("bytes_to_move"))
+
+  /** A19 registered query: the plan over deterministic listings derived
+    * from `documents` — remote drops doc_id%17=3 (→ local-only deletes),
+    * local drops doc_id%7=0 (→ fetches), truncates %11=0 to half (→
+    * resumes) and inflates %13=0 by 17 bytes (→ refetches). Precedence
+    * quirks (a doc hitting several rules) resolve by rule order here and
+    * identically in the oracle.
+    */
+  def transferPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file"),
+        col("doc_id"), octet_length(col("text")).cast("long").as("size"))
+    val remote = docs.filter(col("doc_id") % 17 =!= 3).select("file", "size")
+    val local = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("file"),
+        expr("""CASE
+          WHEN doc_id % 11 = 0 THEN size DIV 2
+          WHEN doc_id % 13 = 0 THEN size + 17
+          ELSE size END""").as("size"))
+    syncPlan(remote, local).orderBy("file")
+  }
+
+  val transferPlanOracleSql: String = """
+    WITH docs AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file, doc_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size
+      FROM documents),
+    remote AS (SELECT file, size AS r_size FROM docs WHERE doc_id % 17 <> 3),
+    local AS (
+      SELECT file,
+        CASE WHEN doc_id % 11 = 0 THEN size // 2
+             WHEN doc_id % 13 = 0 THEN size + 17
+             ELSE size END AS l_size
+      FROM docs WHERE doc_id % 7 <> 0)
+    SELECT file,
+      CASE WHEN l_size IS NULL THEN 'fetch'
+           WHEN r_size IS NULL THEN 'delete'
+           WHEN l_size = r_size THEN 'keep'
+           WHEN l_size < r_size THEN 'resume'
+           ELSE 'refetch' END AS action,
+      CAST(CASE WHEN l_size IS NOT NULL AND r_size IS NOT NULL AND l_size < r_size
+           THEN l_size ELSE 0 END AS BIGINT) AS offset,
+      CAST(CASE WHEN r_size IS NULL OR l_size = r_size THEN 0
+           WHEN l_size IS NOT NULL AND l_size < r_size THEN r_size - l_size
+           ELSE r_size END AS BIGINT) AS bytes_to_move
+    FROM remote FULL OUTER JOIN local USING (file)
+    ORDER BY file"""
+
+  final case class SyncResult(file: String, action: String, attempts: Int, bytesMoved: Long)
+
+  /** Execute a mirror of `transport` into `localDir`: plan from the live
+    * listings, then fetch / resume / refetch / delete with up to
+    * `retries` attempts per file, and verify every surviving file's size
+    * against the remote listing (the reference's checksum gate runs as
+    * A5/A6 over the mirrored bytes). Throws on any file that exhausts
+    * its retries or fails verification.
+    */
+  def sync(transport: Transport, localDir: Path, retries: Int = 3): Seq[SyncResult] = {
+    Files.createDirectories(localDir)
+    val remote = transport.ls().toMap
+    val localListing = Files.list(localDir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => (p.getFileName.toString, Files.size(p))).toMap
+    val files = (remote.keySet ++ localListing.keySet).toSeq.sorted
+    files.map { f =>
+      val dest = localDir.resolve(f)
+      (remote.get(f), localListing.get(f)) match {
+        case (None, Some(_)) => // rsync --delete
+          Files.delete(dest); SyncResult(f, "delete", 0, 0L)
+        case (Some(r), Some(l)) if l == r =>
+          SyncResult(f, "keep", 0, 0L)
+        case (Some(r), l) =>
+          val action = l match {
+            case None => "fetch"
+            case Some(sz) if sz < r => "resume"
+            case Some(_) => "refetch" // diverged: start over
+          }
+          if (action == "refetch") Files.delete(dest)
+          var attempt = 0
+          var done = false
+          var moved = 0L
+          var lastErr: Throwable = null
+          while (!done && attempt < retries) {
+            attempt += 1
+            // recompute the offset each attempt: a fetch that died
+            // mid-write left a longer prefix on disk, and the retry must
+            // resume after it — not re-append from the planned offset
+            val cur = if (Files.exists(dest)) Files.size(dest) else 0L
+            try { moved += transport.fetch(f, cur, dest); done = true }
+            catch { case e: Throwable => lastErr = e }
+          }
+          if (!done)
+            throw new java.io.IOException(s"$f failed after $attempt attempts", lastErr)
+          val got = Files.size(dest)
+          require(got == r, s"$f verification failed: size $got, remote $r")
+          SyncResult(f, action, attempt, moved)
+        case (None, None) => SyncResult(f, "keep", 0, 0L) // unreachable
+      }
+    }
+  }
+}
