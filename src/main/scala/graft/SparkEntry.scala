@@ -67,6 +67,8 @@ object SparkEntry {
     "release_paths"       -> w(ReleasePaths.query),
     "load_retry"          -> w(LoadGate.query),
     "transfer_plan"       -> w(Transfer.transferPlan),
+    "job_semaphores"      -> w(Lanes.semaphores),
+    "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
     "job_email"           -> w(Discovery.jobEmail),
     "job_summary"         -> w(Discovery.jobSummary),
@@ -387,6 +389,27 @@ object SparkEntry {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "transfer_plan" -> graft.etl.Transfer.transferPlanOracleSql,
+
+    "job_semaphores" -> """
+      WITH j AS (SELECT 'db_' || (user_id % 20) AS db,
+          CASE WHEN value < 0.2 THEN 'FAILED' ELSE 'DONE' END AS status FROM events)
+      SELECT db, CAST(count(*) AS BIGINT) AS n_fan,
+        CAST(count(*) FILTER (WHERE status = 'DONE') AS BIGINT) AS n_done,
+        CAST(count(*) FILTER (WHERE status = 'FAILED') AS BIGINT) AS n_failed,
+        CAST(count(*) - count(*) FILTER (WHERE status = 'DONE') AS BIGINT) AS sema_count,
+        (count(*) = count(*) FILTER (WHERE status = 'DONE')) AS released,
+        (count(*) FILTER (WHERE status = 'FAILED') * 100 // count(*) <= 10) AS within_tolerance
+      FROM j GROUP BY db ORDER BY db""",
+
+    "job_schedule" -> """
+      WITH j AS (SELECT event_id AS job_id, event_type AS stage, ts,
+          CAST(3 + length(event_type) % 3 AS BIGINT) AS capacity
+        FROM events),
+      r AS (SELECT job_id, stage, capacity,
+          CAST(row_number() OVER (PARTITION BY stage ORDER BY ts, job_id) AS BIGINT) AS rnk
+        FROM j)
+      SELECT job_id, stage, capacity, rnk, (rnk - 1) // capacity + 1 AS wave
+      FROM r ORDER BY job_id""",
 
     "job_email" -> """
       WITH j AS (SELECT event_type AS stage, 'db_' || (user_id % 20) AS db,
