@@ -253,7 +253,14 @@ object Streams {
       }
       if (isStreaming) {
         state.update(cur)
-        state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
+        // The watermark is GLOBAL across keys: a group whose newest event
+        // is older than other groups' traffic can compute a timeout below
+        // the current watermark, which Spark rejects and KILLS the query
+        // (found by the checkpoint-restart spec's multi-file batch order).
+        // Clamp to watermark+1ms — the already-expired session then times
+        // out at the next watermark advance, the earliest legal moment.
+        state.setTimeoutTimestamp(
+          math.max(cur.lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
       } else {
         // Batch execution never fires timeouts, so the open tail would be
         // silently dropped — emit it now (matches Streams.sessionize).
