@@ -1376,18 +1376,27 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // the KMV sketch replayed exactly: FNV-1a 64 as the dsir_weights
-    // HUGEINT fold (partkey strings are pure digits, all < 128), masked
-    // into [0, 2^63) to match Spark's `& Long.MaxValue`; the k smallest
-    // DISTINCT hashes are just ORDER BY uh LIMIT k per group
+    // HUGEINT fold (partkey strings are pure digits, all < 128), then the
+    // fnv64mix golden-ratio finalizer — wrap-multiply mod 2^64, top 63
+    // bits — matching Spark's `(fnv * C) >>> 1`; the k smallest DISTINCT
+    // hashes are just ORDER BY uh LIMIT k per group
     "q_kmv_distinct" -> """
-      WITH f AS (SELECT DISTINCT l_returnflag,
-          CAST(list_reduce(
+      WITH f0 AS (SELECT l_returnflag,
+          list_reduce(
             list_prepend(14695981039346656037::HUGEINT,
               [CAST(ord(ps[i]) AS HUGEINT) for i in range(1, len(ps)+1)]),
             (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
                        * 1099511628211) % 18446744073709551616::HUGEINT
-          ) % 9223372036854775808::HUGEINT AS BIGINT) AS uh
+          ) AS fv
         FROM (SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS ps FROM lineitem) t),
+      -- wrap-multiply by the mix constant mod 2^64 in hi/lo 32-bit halves:
+      -- a full 64x64 product overflows INT128
+      f AS (SELECT DISTINCT l_returnflag,
+          CAST((((fv // 4294967296) * 11400714819323198485::HUGEINT
+                  % 18446744073709551616::HUGEINT * 4294967296
+                + (fv % 4294967296) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT) // 2 AS BIGINT) AS uh
+        FROM f0),
       r AS (SELECT l_returnflag, uh,
           row_number() OVER (PARTITION BY l_returnflag ORDER BY uh) AS rk
         FROM f)

@@ -159,6 +159,27 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fnv64"
 }
 
+/** FNV-1a 64 with a multiplicative finalizer, mapped into [0, 2⁶³):
+  * `(fnv1a64(s) · 0x9E3779B97F4A7C15) >>> 1` (wrapping multiply). Raw
+  * FNV top bits mix poorly on short sequential strings — measured 41%
+  * KMV overestimate on digit keys vs ~2% after this mix — and KMV reads
+  * uniformity exactly there. The golden-ratio multiply propagates FNV's
+  * low-bit entropy to the top; DuckDB replays it as
+  * `(fnv · 11400714819323198485) % 2⁶⁴ // 2` in HUGEINT.
+  */
+case class Fnv64Mix(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    (TextKernelImpl.fnv1a64(input.toString) * Fnv64Mix.C) >>> 1
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(graft.ops.TextKernelImpl.fnv1a64($c.toString()) * ${Fnv64Mix.C}L) >>> 1")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Mix =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64mix"
+}
+object Fnv64Mix { val C: Long = 0x9E3779B97F4A7C15L }
+
 case class Fingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
@@ -181,6 +202,8 @@ object TextKernels {
       "classifier_logit", es => ClassifierLogit(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64", es => Fnv64(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv64mix", es => Fnv64Mix(es.head), "built-in")
   }
 }
 

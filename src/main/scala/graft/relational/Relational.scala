@@ -263,8 +263,10 @@ object Relational {
     * hashes, which DuckDB replays exactly as `ORDER BY hash LIMIT k`, so
     * rows+schema+hash all gate (B11 stays the built-in engine-specific
     * variant). Estimate = (k−1)·2⁶³ DIV h_k (h_k = k-th smallest hash in
-    * the [0, 2⁶³) masked space), exact-integer on both engines; groups
-    * with <k distinct values report their exact count.
+    * the [0, 2⁶³) space of `fnv64mix` — FNV finalized by a golden-ratio
+    * multiply, because raw FNV top bits are non-uniform on short keys and
+    * overestimated by 41% here; KmvSpec pins accuracy), exact-integer on
+    * both engines; groups with <k distinct values report exact counts.
     *
     * Scale shape: the `dense_rank ≤ k` filter is recognized by Spark's
     * WindowGroupLimit rule, which inserts a MAP-SIDE partial group-limit
@@ -275,24 +277,29 @@ object Relational {
     */
   def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
     graft.ops.TextKernels.register(s)
-    val k = 256
-    val hashed = Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
-        call_function("fnv64", col("l_partkey").cast("string"))
-          .bitwiseAND(lit(Long.MaxValue)).as("uh"))
+    kmvOn(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        call_function("fnv64mix", col("l_partkey").cast("string")).as("uh")))
+      .select(col("g").as("l_returnflag"), col("k_actual"), col("kth_hash"),
+        col("est_distinct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The KMV estimator over any `(g, uh)` relation, uh uniform in
+    * [0, 2⁶³). KmvSpec checks the estimate's accuracy against known
+    * distinct counts (k=256 → σ ≈ 1/√(k−2) ≈ 6.3%).
+    */
+  def kmvOn(hashed: DataFrame, k: Int = 256): DataFrame =
     hashed
-      .withColumn("rk",
-        dense_rank().over(Window.partitionBy("l_returnflag").orderBy("uh")))
+      .withColumn("rk", dense_rank().over(Window.partitionBy("g").orderBy("uh")))
       .filter(col("rk") <= k)
-      .groupBy("l_returnflag")
+      .groupBy("g")
       .agg(countDistinct("uh").as("k_actual"), max("uh").as("kth_hash"))
-      .select(col("l_returnflag"), col("k_actual"), col("kth_hash"),
+      .select(col("g"), col("k_actual"), col("kth_hash"),
         expr(s"""CAST(CASE WHEN k_actual < $k THEN k_actual
           ELSE CAST(${k - 1} AS DECIMAL(38,0)) *
             CAST('9223372036854775808' AS DECIMAL(38,0)) DIV kth_hash
           END AS BIGINT)""").as("est_distinct"))
-      .orderBy("l_returnflag")
-  }
 
   /** B12: per-group average filter (correlated scalar subquery semantics),
     * expressed with an exact cross-multiplied decimal compare so engines agree,
