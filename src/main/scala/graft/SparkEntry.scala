@@ -158,6 +158,10 @@ object SparkEntry {
     "heavy_hitters"     -> w(Curate.heavyHitters),
     "quality_vote"      -> w(Curate.qualityVote),
     "curation_funnel"   -> w(Curate.curationFunnel),
+    "curriculum_order"  -> w(Curate.curriculumOrder),
+    "shard_manifest"    -> w(Curate.shardManifest),
+    "bpe_train"         -> w(Tokenize.bpeTrain),
+    "bpe_encode"        -> w(Tokenize.bpeEncode),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1320,6 +1324,10 @@ object SparkEntry {
     "heavy_hitters" -> Curate.heavyHittersOracleSql,
 
     "curation_funnel" -> Curate.curationFunnelOracleSql,
+    "curriculum_order" -> Curate.curriculumOrderOracleSql,
+    "shard_manifest" -> Curate.shardManifestOracleSql,
+    "bpe_train" -> Tokenize.bpeTrainOracleSql,
+    "bpe_encode" -> Tokenize.bpeEncodeOracleSql,
 
     // each vote is the corresponding component oracle's keep logic inlined
     "quality_vote" -> """

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *    ⇒ maximal per-term posting skew)
   *  - `incdedup_10x` — 500k-doc snapshot + 50k incoming batch:
   *    bitmap-prefilter incremental dedup vs full re-dedup A/B
+  *  - `bpe_10x` — 50k-doc BPE induction: corpus stage ×10, merge steps
+  *    vocab-bound; asserts learned merges are replication-invariant
   *  - `dsir_10x` — 50k-doc dsir_weights / doc_chunk / source_reputation
   *    (10× bench corpus: 10× bucket counts, 10× chunk fan-out, 10×
   *    dup density for the reputation window)
@@ -486,6 +488,35 @@ object Stress {
         val ranked = ops.Clustering.graphRankOn(starEdges)
         val hub = ranked.orderBy(col("deg").desc).head()
         println(s"[stress] hub degree ${hub.getLong(1)}, hub rank_x1e6 ${hub.getLong(2)}")
+
+      case "bpe_10x" =>
+        // 10× document replication (50k docs): the corpus-sized stage
+        // (word count) grows 10×, but every merge step operates on the
+        // UNCHANGED vocabulary — wall time must grow far less than 10×,
+        // and the learned merges must be bit-identical (frequencies scale
+        // uniformly, so every argmax and tie-break is preserved).
+        val docs10 = Tables.documents(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+        docs10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_bpe/documents.parquet")
+        var m1x: Array[(Int, String, String)] = null
+        var m10x: Array[(Int, String, String)] = null
+        timed("bpe_train 1x (5k docs)") {
+          m1x = ops.Tokenize.bpeTrain(spark, sf).collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          m1x.length
+        }
+        timed("bpe_train 10x (50k docs)") {
+          m10x = ops.Tokenize.bpeTrain(spark, "/tmp/stress_bpe").collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          m10x.length
+        }
+        assert(m1x.sameElements(m10x),
+          s"replication changed the learned merges: ${m1x.mkString(";")} vs ${m10x.mkString(";")}")
+        timed("bpe_encode 10x (50k docs)")(
+          ops.Tokenize.bpeEncode(spark, "/tmp/stress_bpe").count())
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:

@@ -608,4 +608,102 @@ object Curate {
     SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
       CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM allrows GROUP BY stage ORDER BY stage"""
+
+  /** E16 `curriculum_order`: quality-curriculum training order — bucket
+    * docs into Q score-quantile tiers, then interleave the tiers
+    * round-robin so every training-order prefix sees the full quality
+    * mix (the data-ordering step between curation and packing; cf.
+    * curriculum-learning setups à la Bengio et al. 2009).
+    *
+    * The scale trick is that NO global sort or global rank ever runs:
+    *  - tier boundaries come from the exact score HISTOGRAM (distinct
+    *    score values — thousands of rows regardless of corpus size), with
+    *    an exclusive-prefix-sum window over that tiny relation;
+    *  - each doc gets its tier by a broadcast join on score;
+    *  - the within-tier position is a window partitioned by tier (at
+    *    100 TB, subdivide tiers by a hash suffix exactly as `pack_
+    *    sequences` shards its buckets — positions stay per-subshard);
+    *  - the interleaved position is then PURE ARITHMETIC:
+    *    seq_pos = (pos_in_tier − 1)·Q + tier — round-robin by
+    *    construction, no merge pass. Gaps appear once short tiers are
+    *    exhausted; seq_pos is a sort key, not a dense index.
+    *
+    * Docs sharing a score value share a tier (boundaries cut BETWEEN
+    * score values), so the assignment is deterministic and replayable —
+    * the DuckDB oracle recomputes it exactly.
+    */
+  val CurriculumTiers = 8
+
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("score")).agg(count(lit(1)).as("n"))
+    val byScore = Window.orderBy("score")
+    val tiers = hist
+      .withColumn("cum_before",
+        coalesce(sum("n").over(byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum("n").over(byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("score"), expr(s"cum_before * $CurriculumTiers DIV total").as("tier"))
+    val byTier = Window.partitionBy("tier").orderBy("score", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("score"))
+      .join(broadcast(tiers), "score")
+      .withColumn("pos", row_number().over(byTier).cast("long"))
+      .select(col("doc_id"), col("tier"),
+        expr(s"(pos - 1) * $CurriculumTiers + tier").as("seq_pos"))
+      .orderBy("seq_pos")
+  }
+
+  val curriculumOrderOracleSql: String = s"""
+    WITH h AS (SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    t AS (SELECT score,
+        coalesce(sum(n) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        sum(n) OVER () AS total
+      FROM h),
+    m AS (SELECT score,
+        CAST(cum_before * $CurriculumTiers // total AS BIGINT) AS tier FROM t),
+    j AS (SELECT doc_id, tier,
+        CAST(row_number() OVER (PARTITION BY tier ORDER BY d.n_chars, doc_id)
+          AS BIGINT) AS pos
+      FROM documents d JOIN m ON d.n_chars = m.score)
+    SELECT doc_id, tier, (pos - 1) * $CurriculumTiers + tier AS seq_pos
+    FROM j ORDER BY seq_pos"""
+
+  /** E17 `shard_manifest`: export-validation manifest — per shard (E9's
+    * md5 assignment), row count, char total, doc-id range and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of a 48-bit md5 prefix
+    * of each doc's text). The corpus-scale analogue of the reference's
+    * per-file CHECKSUMS loop (Checksums.pm spirit, A5): a consumer
+    * re-reading any shard recomputes count+xor and compares — without
+    * assuming anything about row order, task count or file split, because
+    * xor commutes. One map-side-combinable aggregation to #shards rows;
+    * bit_xor never overflows, so the checksum survives any corpus size.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val S = 16
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % S).as("shard"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10)
+          .cast("long").as("content_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"),
+        expr("bit_xor(content_h)").as("content_xor"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val shardManifestOracleSql: String = """
+    WITH a AS (SELECT doc_id, n_chars,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
+        CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS content_h
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+      bit_xor(content_h) AS content_xor,
+      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM a GROUP BY shard ORDER BY shard"""
 }

@@ -148,4 +148,41 @@ class CurateSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3)))
     assert(out.toSeq == again.toSeq, "assignment is a pure function of doc_id")
   }
+
+  test("curriculumOrder interleaves score tiers round-robin with no global sort") {
+    import s.implicits._
+    // 80 docs, scores 1..80 → 8 tiers of exactly 10 docs each
+    val docs = (1L to 80L).map(i => (i, s"doc $i", "en", "web", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("curr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curate.curriculumOrder(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 80)
+    assert(out.map(_._3).distinct.length == 80, "seq_pos unique")
+    // tier = (score-1)/10 for this uniform histogram
+    assert(out.forall { case (id, tier, _) => tier == (id - 1) / 10 }, out.take(16).mkString("; "))
+    // the first 8 training positions cover all 8 tiers (round-robin prefix)
+    assert(out.sortBy(_._3).take(8).map(_._2).toSet == (0L to 7L).toSet)
+    // interleave is arithmetic: seq_pos = (pos_in_tier-1)*8 + tier
+    val byTier = out.groupBy(_._2)
+    byTier.foreach { case (tier, rows) =>
+      val pos = rows.sortBy(_._1).zipWithIndex
+      assert(pos.forall { case ((_, _, sp), i) => sp == i.toLong * 8 + tier },
+        s"tier $tier positions wrong")
+    }
+  }
+
+  test("shardManifest checksum is order- and partitioning-independent") {
+    val d = "/root/testdata/sf0.001"
+    val base = Curate.shardManifest(s, d).collect().map(_.toSeq)
+    // same corpus, adversarial partitioning → bit-identical manifest
+    val docs = graft.Tables.documents(s, d).repartition(7)
+    val tmp = java.nio.file.Files.createTempDirectory("mani").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val shuffled = Curate.shardManifest(s, tmp).collect().map(_.toSeq)
+    assert(base.toSeq == shuffled.toSeq)
+    assert(base.map(_.apply(1).asInstanceOf[Long]).sum ==
+      graft.Tables.documents(s, d).count(), "every doc in exactly one shard")
+  }
 }
