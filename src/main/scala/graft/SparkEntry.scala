@@ -168,6 +168,7 @@ object SparkEntry {
     "q_funnel"          -> w(Relational.qFunnel),
     "q_cohort"          -> w(Relational.qCohort),
     "q_histogram"       -> w(Relational.qHistogram),
+    "q_topk_group"      -> w(Relational.qTopkGroup),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1220,6 +1221,7 @@ object SparkEntry {
     "q_cohort" -> Relational.cohortOracleSql,
 
     "q_histogram" -> Relational.histogramOracleSql,
+    "q_topk_group" -> Relational.topkGroupOracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 

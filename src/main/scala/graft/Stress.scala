@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *    ⇒ maximal per-term posting skew)
   *  - `incdedup_10x` — 500k-doc snapshot + 50k incoming batch:
   *    bitmap-prefilter incremental dedup vs full re-dedup A/B
+  *  - `topk_10x` — 10M-row top-3-per-group with 90% of rows on one hot
+  *    key: bounded TopKAggregate vs window row_number A/B (same output)
   *  - `bpe_10x` — 50k-doc BPE induction: corpus stage ×10, merge steps
   *    vocab-bound; asserts learned merges are replication-invariant
   *  - `dsir_10x` — 50k-doc dsir_weights / doc_chunk / source_reputation
@@ -488,6 +490,54 @@ object Stress {
         val ranked = ops.Clustering.graphRankOn(starEdges)
         val hub = ranked.orderBy(col("deg").desc).head()
         println(s"[stress] hub degree ${hub.getLong(1)}, hub rank_x1e6 ${hub.getLong(2)}")
+
+      case "topk_10x" =>
+        // 10M rows, 90% on ONE key. Spark 4 partial-WindowGroupLimits the
+        // window form before the exchange, so shuffle volume ties; the A/B
+        // isolates what remains — the window path's two full sorts vs the
+        // aggregate's streaming heap. Both forms must agree exactly.
+        import org.apache.spark.sql.expressions.Window
+        val rows = spark.range(10000000).select(
+          when(col("id") % 10 === 0, col("id") % 1000).otherwise(lit(-1L)).as("g"),
+          ((col("id") * 2654435761L) % 1000000007L).as("price"),
+          col("id").as("pid"))
+        rows.write.mode("overwrite").parquet("/tmp/stress_topk")
+        val t = spark.read.parquet("/tmp/stress_topk")
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "topk_pairs_3",
+          es => functions.TopKAggregate(es(0), es(1), 3).toAggregateExpression(),
+          "built-in")
+        def viaAgg() = t.groupBy("g")
+          .agg(call_function("topk_pairs_3", col("price"), col("pid")).as("top"))
+          .select(col("g"), posexplode(col("top")))
+          .select(col("g"), (col("pos") + 1).as("rnk"), col("col.payload").as("pid"),
+            col("col.sort_key").as("price"))
+        def viaWindow() = {
+          val w = Window.partitionBy("g").orderBy(col("price").desc, col("pid"))
+          t.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+            .select("g", "rnk", "pid", "price")
+        }
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr("bit_xor(xxhash64(g, rnk, pid, price))"))
+            .head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        var ca = 0L; var cw = 0L
+        def shuffleOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); shuffled.set(0L)
+          timed(label)(f)
+          Thread.sleep(1000) // listener bus drain
+          println(f"[stress] $label shuffle-write: ${shuffled.get / 1024.0}%.0f KiB")
+        }
+        shuffleOf("topk via bounded aggregate (hot key 9M rows)") { ca = checksum(viaAgg()); ca }
+        shuffleOf("topk via window row_number (hot key 9M rows)") { cw = checksum(viaWindow()); cw }
+        assert(ca == cw, s"forms disagree: $ca vs $cw")
 
       case "bpe_10x" =>
         // 10× document replication (50k docs): the corpus-sized stage

@@ -758,4 +758,48 @@ object Relational {
         col("n_events"), col("peak"), col("peak_locf"))
       .orderBy("user_id", "day")
   }
+
+  /** B30 `q_topk_group`: top-3 orders per customer by price — via the
+    * bounded [[graft.functions.TopKAggregate]], NOT a window.
+    *
+    * Spark 4 already map-side-limits the window form (Partial
+    * WindowGroupLimit before the exchange — both forms shuffle the same
+    * ≤k rows per group per partition, measured in Stress `topk_10x`);
+    * the aggregate's remaining win is that it never SORTS: the window
+    * path sorts every map partition on (group, key) and re-sorts on the
+    * reduce side (O(n log n) for k rows out per group), while the
+    * bounded heap streams — one comparison per rejected row, O(k)
+    * insertion per accepted one. 1.7× faster end-to-end on the 10M-row
+    * hot-key stress at identical shuffle bytes.
+    *
+    * Price is fixed-pointed to cents (decimal→long, the repo-wide exact-
+    * money rule) and ties break on the smaller orderkey, making the
+    * output a total order both engines replay bit-identically.
+    */
+  def qTopkGroup(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs_3",
+      es => graft.functions.TopKAggregate(es(0), es(1), 3).toAggregateExpression(),
+      "built-in")
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("price_x100"),
+        col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(call_function("topk_pairs_3", col("price_x100"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.payload").as("o_orderkey"), col("col.sort_key").as("price_x100"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val topkGroupOracleSql: String = """
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, price_x100 FROM (
+      SELECT o_custkey, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_x100,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+                   o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3 ORDER BY o_custkey, rnk"""
 }

@@ -187,6 +187,30 @@ object Streams {
         count(lit(1)).as("n_tok"))
   }
 
+  /** C9: streaming per-window top-k — the B30 bounded TopKAggregate
+    * inside a watermarked windowed aggregation: its serialize/merge IS
+    * the state-store round trip, so the running top-3 events by value
+    * accumulates across micro-batches with O(k) state per open window
+    * (never a buffered row set), and the watermark closes each window
+    * into its final exact top-k. Batch counterpart `q_topk_group` (B30)
+    * carries the full SQL oracle; the heap's total order makes the
+    * emitted top-k independent of batch arrival boundaries — pinned in
+    * StreamingSpec by splitting the same events across batches.
+    */
+  def streamTopEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    events.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs_3",
+      es => graft.functions.TopKAggregate(es(0), es(1), 3).toAggregateExpression(),
+      "built-in")
+    events.withWatermark("ts", watermark)
+      .select(col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("value_x100"),
+        col("event_id"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("topk_pairs_3", col("value_x100"), col("event_id")).as("top"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** C4 batch query: the same keep-first-per-key semantics, oracle-checked.
     * The streaming form (above) keeps the first ARRIVAL; the deterministic
     * batch form keeps the first EVENT-TIME occurrence per (user_id,

@@ -293,6 +293,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(w10._2.length <= 64, s"state stays capped at k: ${w10._2.length}")
   }
 
+  test("windowed top-k heap accumulates across micro-batches and ignores batch boundaries") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Double, Long)]
+    val df = mem.toDF().toDF("ts", "value", "event_id")
+    val q = Streams.streamTopEvents(df)
+      .select(col("window.start").as("start"), col("top"), col("n_events"))
+      .writeStream.format("memory").queryName("topk_test").outputMode("append").start()
+    // batch 1 holds the eventual #1 and #3; batch 2 brings #2 plus noise —
+    // the final top-3 must interleave elements of BOTH batches
+    mem.addData((ts("2024-01-01 10:05:00"), 900.0, 1L), (ts("2024-01-01 10:06:00"), 700.0, 2L),
+      (ts("2024-01-01 10:07:00"), 100.0, 3L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:35:00"), 800.0, 4L), (ts("2024-01-01 10:36:00"), 50.0, 5L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), 1.0, 6L)) // advance watermark
+    q.processAllAvailable()
+    val rows = s.sql("SELECT start, top, n_events FROM topk_test").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))),
+        r.getLong(2)))
+    q.stop()
+    val w10 = rows.find(_._1 == "2024-01-01 10:00:00.0").get
+    assert(w10._3 == 5L, s"both batches counted: $w10")
+    assert(w10._2 == Seq((90000L, 1L), (80000L, 4L), (70000L, 2L)),
+      s"cross-batch exact top-3 in heap order: $w10")
+  }
+
   test("streaming dedup keeps first arrival per key with bounded state") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
