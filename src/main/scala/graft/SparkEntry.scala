@@ -162,6 +162,7 @@ object SparkEntry {
     "shard_manifest"    -> w(Curate.shardManifest),
     "bpe_train"         -> w(Tokenize.bpeTrain),
     "bpe_encode"        -> w(Tokenize.bpeEncode),
+    "bpe_segment"       -> w(Tokenize.bpeSegment),
     "q_gapfill"         -> w(Relational.qGapfill),
     "q_outliers"        -> w(Relational.qOutliers),
     "q_moving"          -> w(Relational.qMoving),
@@ -1330,6 +1331,7 @@ object SparkEntry {
     "shard_manifest" -> Curate.shardManifestOracleSql,
     "bpe_train" -> Tokenize.bpeTrainOracleSql,
     "bpe_encode" -> Tokenize.bpeEncodeOracleSql,
+    "bpe_segment" -> Tokenize.bpeSegmentOracleSql,
 
     // each vote is the corresponding component oracle's keep logic inlined
     "quality_vote" -> """

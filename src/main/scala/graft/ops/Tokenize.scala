@@ -139,6 +139,34 @@ object Tokenize {
       .orderBy("doc_id")
   }
 
+  /** E18 `bpe_segment`: the actual token stream — every doc segmented
+    * into its post-merge subword symbols, positioned by (word_pos,
+    * sym_pos). This is the output a training-data exporter feeds to
+    * `pack_sequences` (E5): train (E14) → segment (here) → pack.
+    * Same shape as E15 — broadcast vocab join at the scan, corpus
+    * touched once — but emitting the symbols themselves via one more
+    * posexplode instead of aggregating counts. Output is token-grained
+    * (≈ chars/2 rows per doc), the one relation in the library whose
+    * cardinality EXCEEDS its input's; a production run writes it
+    * sharded (E9) rather than sorting globally — the orderBy here is
+    * oracle-comparison convenience at test scale.
+    */
+  def bpeSegment(s: SparkSession, d: String): DataFrame = {
+    val (_, sK) = unfold(s, d)
+    val vocab = sK.select(col("word"),
+      split(expr(s"trim(BOTH '$Sep' FROM seq)"), Sep + Sep).as("syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab), "word")
+      .select(col("doc_id"), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "sym")))
+      .select(col("doc_id"), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("sym"))
+      .orderBy("doc_id", "word_pos", "sym_pos")
+  }
+
   // ---- DuckDB oracles: the identical K steps unrolled as CTEs ----------
 
   private def oracleCtes: String = {
@@ -174,6 +202,21 @@ object Tokenize {
     }.mkString("\nUNION ALL\n")
     s"$oracleCtes\nSELECT * FROM (\n$union\n) ORDER BY step"
   }
+
+  def bpeSegmentOracleSql: String =
+    s"""$oracleCtes,
+       |vocab AS (SELECT word,
+       |  string_split(trim(seq, '$Sep'), '$Sep$Sep') AS syms FROM s$Merges),
+       |words AS (
+       |  SELECT doc_id, i - 1 AS word_pos, w[i] AS word FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM (
+       |      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0) t1
+       |  WHERE w[i] <> '')
+       |SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos,
+       |  CAST(j - 1 AS BIGINT) AS sym_pos, syms[j] AS sym FROM (
+       |  SELECT doc_id, word_pos, syms, unnest(generate_series(1, len(syms))) AS j
+       |  FROM words JOIN vocab USING (word)) t2
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
   def bpeEncodeOracleSql: String =
     s"""$oracleCtes,

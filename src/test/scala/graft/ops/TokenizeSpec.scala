@@ -55,6 +55,24 @@ class TokenizeSpec extends AnyFunSuite {
     assert(r(4L) == ((4L, 12L, 12L)), r)  // bun untouched by these merges
   }
 
+  test("bpe_segment emits the positioned subword stream") {
+    val d = corpus(Seq(
+      1L -> Seq.fill(10)("hug").mkString(" "),
+      2L -> Seq.fill(5)("pug").mkString(" "),
+      3L -> Seq.fill(12)("pun").mkString(" "),
+      4L -> Seq.fill(4)("bun").mkString(" "),
+      5L -> "hug pug pun bun hugs"))
+    // merges (p,u)(pu,n)(h,u)(hu,g) → hug=[hug] pug=[pu,g] pun=[pun]
+    // bun=[b,u,n] hugs=[hug,s]
+    val got = Tokenize.bpeSegment(s, d).collect()
+      .filter(_.getLong(0) == 5L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, "hug"), (1L, 0L, "pu"), (1L, 1L, "g"), (2L, 0L, "pun"),
+      (3L, 0L, "b"), (3L, 1L, "u"), (3L, 2L, "n"),
+      (4L, 0L, "hug"), (4L, 1L, "s")), got.mkString("; "))
+  }
+
   test("pair-count ties break on (left, right) lexicographic order") {
     // (a,b) and (c,d) both count 3 → (a,b) must win step 1
     val d = corpus(Seq(1L -> "ab ab ab cd cd cd"))
