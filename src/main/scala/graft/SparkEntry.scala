@@ -170,6 +170,8 @@ object SparkEntry {
     "q_cohort"          -> w(Relational.qCohort),
     "q_histogram"       -> w(Relational.qHistogram),
     "q_topk_group"      -> w(Relational.qTopkGroup),
+    "q_volume"          -> w(Relational.qVolume),
+    "q_marketshare"     -> w(Relational.qMarketshare),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1223,6 +1225,8 @@ object SparkEntry {
 
     "q_histogram" -> Relational.histogramOracleSql,
     "q_topk_group" -> Relational.topkGroupOracleSql,
+    "q_volume" -> Relational.volumeOracleSql,
+    "q_marketshare" -> Relational.marketshareOracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 

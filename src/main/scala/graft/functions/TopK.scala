@@ -40,6 +40,13 @@ import org.apache.spark.sql.types._
   * eval() returns the pairs best-first as an array of structs; callers
   * posexplode to recover the dense rank.
   *
+  * Null semantics: rows with a null sort key or payload are SKIPPED
+  * (aggregate-standard null handling), while the window form ranks a
+  * null key NULLS LAST — the two forms can differ only when a group
+  * holds fewer than k non-null rows and also has null-key rows. Feed
+  * the aggregate a null-filtered or coalesced key when those tails
+  * matter.
+  *
   * Spark-side counterpart of the per-group "latest/top N" reports the
   * reference derives per database (most-recent releases per species,
   * Base.pm's per-dataset newest-file selection) — generalized to any

@@ -759,6 +759,118 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** B31 `q_volume` (TPC-H Q7 shape): bilateral shipping volume between
+    * two nations by ship year. The join tree is the q5 discipline at one
+    * more fact hop: lineitem drives, orders/customer/supplier hash-join
+    * (AQE-sized), the 25-row nation dim broadcasts TWICE (supplier side
+    * and customer side — the (A,B)/(B,A) disjunction lands on the tiny
+    * broadcast join output, never as a cartesian), and revenue follows
+    * the exact fixed-point rule: long 10⁻⁴ units per partition, one
+    * decimal(38,0) merge per (group, partition).
+    */
+  def qVolume(s: SparkSession, d: String): DataFrame = {
+    val (na, nb) = ("NATION_10", "NATION_12")
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(na, nb))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(na, nb))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revUnits().as("rev_u"))
+    l.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
+        spark_partition_id().as("pid"))
+      .agg(sum(col("rev_u")).as("pvol_su"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sumD38(col("pvol_su")).as("vol_su"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        unitsToDbl(col("vol_su"), 10000).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val volumeOracleSql: String = """
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS volume FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))) t
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** B32 `q_marketshare` (TPC-H Q8 shape): one nation's share of PROMO-
+    * part revenue into ASIA customers, by order year. Share is a ratio
+    * of two exact sums — emitted as (total, national, share_x1000) with
+    * the division done integer-exact on the decimal(38,0) unit totals,
+    * so the oracle hashes bit-identically (a double division would not).
+    * The conditional numerator is a CASE inside the same aggregation —
+    * one pass, not two queries joined.
+    */
+  def qMarketshare(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nCust = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_regionkey"))
+    val nSupp = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revUnits().as("rev_u"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("ck"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sk"))
+      .groupBy(col("o_year"), spark_partition_id().as("pid"))
+      .agg(sum(col("rev_u")).as("pden_su"),
+        sum(when(col("supp_nation") === "NATION_5", col("rev_u")).otherwise(0L)).as("pnum_su"))
+      .groupBy("o_year")
+      .agg(sumD38(col("pden_su")).as("den_su"), sumD38(col("pnum_su")).as("num_su"))
+      .select(col("o_year"),
+        unitsToDbl(col("den_su"), 10000).as("revenue_all"),
+        unitsToDbl(col("num_su"), 10000).as("revenue_nation"),
+        expr("CAST(num_su * 1000 DIV den_su AS BIGINT)").as("share_x1000"))
+      .orderBy("o_year")
+  }
+
+  val marketshareOracleSql: String = """
+    WITH t AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+        n2.n_name AS supp_nation
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    SELECT o_year, CAST(sum(vol) AS DOUBLE) AS revenue_all,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE) AS revenue_nation,
+      CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) * 10000 AS HUGEINT) * 1000
+        // CAST(sum(vol) * 10000 AS HUGEINT) AS BIGINT) AS share_x1000
+    FROM t GROUP BY o_year ORDER BY o_year"""
+
   /** B30 `q_topk_group`: top-3 orders per customer by price — via the
     * bounded [[graft.functions.TopKAggregate]], NOT a window.
     *
