@@ -23,7 +23,8 @@ object Bench {
     "bm25_search", "dsir_weights", "source_reputation", "heavy_hitters",
     "graph_rank", "q_funnel", "quality_vote", "ngram_lm", "q_cohort",
     "asof_join_native", "curation_funnel", "q_kmv_distinct", "dedup_bucketed",
-    "bpe_train", "curriculum_order", "q_topk_group")
+    "bpe_train", "curriculum_order", "q_topk_group", "q_volume",
+    "q_marketshare")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -149,6 +149,7 @@ object SparkEntry {
     // E. composite curation pipeline
     "curate_corpus"    -> w(Curate.query),
     "sample_stratified" -> w(Curate.sampleStratified),
+    "sample_weighted"   -> w(Curate.sampleWeighted),
     "vocab_topk"        -> w(Curate.vocabTopk),
     "pack_sequences"    -> w(Curate.packSequences),
     "curate_pipeline"   -> w(Curate.pipeline),
@@ -1322,6 +1323,7 @@ object SparkEntry {
 
     "curate_corpus" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,
+    "sample_weighted" -> Curate.sampleWeightedOracleSql,
     "domain_mix" -> Curate.domainMixOracleSql,
 
     "shard_assign" -> Curate.shardAssignOracleSql,

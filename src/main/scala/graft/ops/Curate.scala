@@ -57,6 +57,59 @@ object Curate {
     WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END)
     ORDER BY doc_id"""
 
+  /** E19: weighted sampling WITHOUT replacement — the token-budget subset
+    * selector (pick k docs with inclusion probability proportional to
+    * token count, so the sample's token mass tracks the corpus's). The
+    * Efraimidis–Spirakis one-pass rule: each row draws an exponential
+    * priority key ~ Exp(w) and the k SMALLEST keys are the sample; the
+    * draw is a pure md5 hash of doc_id, so the sample is reproducible
+    * across runs, partitionings and engines.
+    *
+    * The exponential key −ln(u)/w is computed ENTIRELY in fixed-point
+    * integer arithmetic so both engines agree bit-for-bit (no libm
+    * drift — the D22 floor-log2 discipline): with u = m/2³² from the
+    * md5 prefix, −log2(u)·2²⁰ = 32·2²⁰ − (⌊log2 m⌋·2²⁰ + frac), where
+    * ⌊log2 m⌋ = len(bin(m))−1 exactly and frac linearly interpolates
+    * the mantissa (m·2²⁰ div 2^⌊log2 m⌋ − 2²⁰). The interpolation is a
+    * ≤0.0861-bit piecewise-linear overshoot of true log2 applied
+    * IDENTICALLY to every row — a slight, uniform tilt of the key
+    * distribution, not a per-row bias.
+    *
+    * Shape at 100 TB: one corpus scan, zero shuffles before the top-k —
+    * the k smallest keys plan as TakeOrderedAndProject (per-partition
+    * heaps + k-row driver merge), never a global sort. This is the
+    * sampling dual of B30's bounded top-k aggregate.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val Q = 1048576L // 2^20 fixed-point scale
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") + 1L).as("m")) // u = m/2^32, m in [1, 2^32]
+      .withColumn("b", (length(bin(col("m"))) - 1).cast("long")) // floor(log2 m)
+      .withColumn("neg_log2u_q",
+        lit(32L * Q) - (col("b") * Q
+          + expr(s"m * ${Q}L div shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))") - Q))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"neg_log2u_q * ${Q}L div n_tokens").as("priority"))
+      .orderBy("priority", "doc_id")
+      .limit(100)
+  }
+
+  val sampleWeightedOracleSql: String = """
+    WITH w AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS m
+      FROM documents),
+    k AS (SELECT doc_id, n_tokens,
+        32 * 1048576 - ((len(bin(m)) - 1) * 1048576
+          + m * 1048576 // (CAST(1 AS BIGINT) << (len(bin(m)) - 1)) - 1048576) AS neg_log2u_q
+      FROM w)
+    SELECT doc_id, n_tokens,
+      CAST(neg_log2u_q * 1048576 // n_tokens AS BIGINT) AS priority
+    FROM k ORDER BY priority, doc_id LIMIT 100"""
+
   /** E4: corpus vocabulary top-k — explode tokens, count occurrences and
     * document frequency, keep the 100 heaviest. The classic heavy-shuffle
     * op: explode multiplies rows ~90×, but map-side partial aggregation

@@ -87,6 +87,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_volume broadcasts the nation dim twice and never goes cartesian") {
+    val p = plan(Relational.qVolume(TestSpark.spark, TestSpark.sf))
+    // the (A,B)/(B,A) disjunction must land on a BroadcastHashJoin's
+    // post-join condition, not force a nested-loop or cartesian plan
+    // match n_nationkey, not "nation": customer/supplier scans carry
+    // c_nationkey/s_nationkey columns and would inflate the count
+    val nationBroadcasts = p.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("n_nationkey"))
+    assert(nationBroadcasts == 2, s"expected 2 nation scans (supp+cust side), got $nationBroadcasts\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_marketshare aggregates numerator and denominator in one pass") {
+    val p = plan(Relational.qMarketshare(TestSpark.spark, TestSpark.sf))
+    // one lineitem scan: the CASE numerator shares the denominator's
+    // aggregation rather than joining two separately-aggregated queries
+    val lineitemScans = p.split("\n").count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("stream_interval_join is an equi-join on the key, never a cartesian") {
     val p = plan(graft.streaming.Streams.intervalJoinQuery(TestSpark.spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

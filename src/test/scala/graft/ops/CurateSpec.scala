@@ -37,6 +37,22 @@ class CurateSpec extends AnyFunSuite {
     assert(r.getLong(2) == 50L, "its 50 tokens are accounted")
   }
 
+  test("sampleWeighted plans a bounded top-k and tilts the sample toward heavy docs") {
+    val df = Curate.sampleWeighted(s, TestSpark.sf)
+    // the k smallest priorities must be a TakeOrderedAndProject (per-
+    // partition heaps, k-row driver merge) — never a global Sort+Limit
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // Exp(w) priorities: inclusion odds scale with token count, so the
+    // 100-doc sample's mean token count must exceed the corpus mean
+    val sampleMean = df.collect().map(_.getAs[Long]("n_tokens")).sum / 100.0
+    val corpus = graft.Tables.documents(s, TestSpark.sf)
+    val corpusMean = corpus
+      .selectExpr("avg(size(split(text, ' '))) AS m").collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("domain_mix flattens the head stratum: minority kept whole, majority downsampled") {
     import s.implicits._
     // 160 docs "big" vs 10 docs "small": w = isqrt → 12 vs 3, budget = 85,
