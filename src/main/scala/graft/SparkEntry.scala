@@ -62,6 +62,7 @@ object SparkEntry {
     "split_file_grouping" -> w(SplitFiles.query),
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
+    "scd2_history"        -> w(Scd.scd2History),
     "partitioned_scan"    -> w(PartitionedLayout.query),
     "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
     "release_paths"       -> w(ReleasePaths.query),
@@ -297,6 +298,8 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents WHERE lang IN ('en', 'de')
       GROUP BY lang ORDER BY lang""",
+
+    "scd2_history" -> Scd.scd2OracleSql,
 
     "merge_upsert" -> """
       WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

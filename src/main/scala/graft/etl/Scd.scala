@@ -1,0 +1,80 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A22: SCD Type-2 history build — the dimension-versioning counterpart
+  * of A15's MERGE. The reference keeps only the CURRENT release of a
+  * mirrored database (RunnableDB/LoadFiles.pm drops and recreates the
+  * schema per release — type-1, history destroyed); a warehouse wants
+  * the type-2 form: every state an entity passed through, as validity
+  * intervals [valid_from, valid_to) with the live row flagged current.
+  *
+  * Input is a change log (entity key, change time, tracked attribute);
+  * the build is the classic three-step:
+  *   1. change detection — lag(attr) over (key ORDER BY time): a row
+  *      opens a new version only when the attribute actually changed
+  *      (consecutive duplicates collapse into one version);
+  *   2. version numbering — a running sum of the change flags;
+  *   3. intervals — group to (key, version) for valid_from and the
+  *      collapsed row count, then lead(valid_from) closes each interval
+  *      (NULL = still current).
+  *
+  * Shape at 100 TB: ONE exchange for the whole build. Both window layers
+  * and the aggregation share the key partitioning — lag and the running
+  * sum use the same (key, time) sort; hashpartitioning(user_id) already
+  * clusters the (user_id, version) group keys, so the aggregate adds no
+  * shuffle; the closing lead window reuses it again. The plan assertion
+  * in Scd2Spec pins exactly one Exchange.
+  */
+object Scd {
+
+  /** A22 query: event_type as the tracked attribute per user over the
+    * events change log. Times are exact epoch integers end-to-end
+    * (micros for ordering, seconds in the output) — never raw
+    * timestamps, per the oracle-hash discipline.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    val prev = lag("event_type", 1).over(byUser)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(min("event_type").as("event_type"), // constant within a version
+        expr("min(us) DIV 1000000").as("valid_from_sec"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_sec", lead("valid_from_sec", 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_sec").isNull)
+      .select("user_id", "version", "event_type", "valid_from_sec",
+        "valid_to_sec", "is_current", "n_events")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2OracleSql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    x AS (SELECT user_id, event_id, event_type, us,
+        CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    y AS (SELECT user_id, event_type, us,
+        sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS version
+      FROM x),
+    v AS (SELECT user_id, version, min(event_type) AS event_type,
+        min(us) // 1000000 AS valid_from_sec, count(*) AS n_events
+      FROM y GROUP BY user_id, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      CAST(valid_from_sec AS BIGINT) AS valid_from_sec,
+      CAST(lead(valid_from_sec) OVER wv AS BIGINT) AS valid_to_sec,
+      lead(valid_from_sec) OVER wv IS NULL AS is_current,
+      CAST(n_events AS BIGINT) AS n_events
+    FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version"""
+}
