@@ -108,6 +108,7 @@ object SparkEntry {
     "stream_sliding"  -> w(Streams.sliding),
     "sessionize"      -> w(Streams.sessionize),
     "sessionize_stateful" -> w(Streams.sessionizeStatefulQuery),
+    "stream_scd2"         -> w(Streams.scd2StreamQuery),
     "stream_dedup"    -> w(Streams.streamDedupQuery),
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
     // D. LLM-training-data operators
@@ -618,6 +619,8 @@ object SparkEntry {
     // The custom-state path must agree with the SAME ground truth as the
     // native session_window path.
     "sessionize_stateful" -> sessionizeSql,
+    // the streaming SCD2 state function in batch mode IS the A22 build
+    "stream_scd2" -> Scd.scd2OracleSql,
 
     "priority_lanes" -> s"""$dbsCte
       SELECT db, priority + 2 AS flow,

@@ -298,6 +298,91 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---------- C10: streaming SCD Type-2 (the A22 build as a stream) ----------
+
+  final case class Scd2Ev(user_id: Long, event_id: Long, event_type: String,
+                          ts: java.sql.Timestamp)
+  final case class Scd2State(attr: String, startUs: Long, lastUs: Long,
+                             n: Long, version: Long)
+  final case class Scd2Row(user_id: Long, version: Long, event_type: String,
+                           valid_from_sec: Long, valid_to_sec: Option[Long],
+                           is_current: Boolean, n_events: Long)
+
+  /** Streaming SCD Type-2 maintenance: per key, the OPEN version lives in
+    * state; a batch that proves an attribute change emits the closed
+    * interval immediately (Append — closed intervals are immutable
+    * facts) and rolls the state to the new version. The current row is
+    * never emitted by the stream: it IS the state (a real deployment
+    * reads it from the state store or a compacted sink); batch execution
+    * emits it with is_current = true, which makes the batch run
+    * bit-identical to A22's `scd2_history` and puts this exact state
+    * function under the same DuckDB oracle.
+    *
+    * State is O(#entities) — one open version per key, the dimension
+    * size, NOT the event count — so there is no watermark timeout to
+    * tune: a dimension row stays open until its next change, however far
+    * apart changes are. Events inside a micro-batch are sorted
+    * (any within-batch disorder is handled exactly); cross-batch parity
+    * holds for per-key event-time-ordered delivery, and a cross-batch
+    * straggler older than the open run folds into it at
+    * max(us, open.lastUs) — already-emitted intervals are never
+    * retro-split (the same repair bound sessionizeStateful documents).
+    */
+  def scd2Stream(events: Dataset[Scd2Ev]): Dataset[Scd2Row] = {
+    val sq = events.sparkSession; import sq.implicits._
+    val isStreaming = events.isStreaming
+    def fn(userId: Long, it: Iterator[Scd2Ev],
+           state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+      val evs = it.map(e =>
+          (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id, e.event_type))
+        .toArray.sortBy(e => (e._1, e._2))
+      if (evs.isEmpty && !state.exists) return Iterator.empty
+      val out = Seq.newBuilder[Scd2Row]
+      var open = state.getOption.orNull
+      evs.foreach { case (rawUs, _, attr) =>
+        if (open == null)
+          open = Scd2State(attr, rawUs, rawUs,
+            n = 1, version = state.getOption.map(_.version).getOrElse(0L) + 1)
+        else {
+          val us = math.max(rawUs, open.lastUs) // cross-batch straggler clamp
+          if (attr == open.attr)
+            open = open.copy(startUs = math.min(open.startUs, rawUs), lastUs = us,
+              n = open.n + 1)
+          else {
+            out += Scd2Row(userId, open.version, open.attr, open.startUs / 1000000,
+              Some(us / 1000000), is_current = false, open.n)
+            open = Scd2State(attr, us, us, n = 1, version = open.version + 1)
+          }
+        }
+      }
+      if (isStreaming) state.update(open)
+      else { // batch never times out: surface the current version too
+        out += Scd2Row(userId, open.version, open.attr, open.startUs / 1000000,
+          None, is_current = true, open.n)
+        if (state.exists) state.remove()
+      }
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** C10 query: the streaming state function run in batch mode, shaped
+    * exactly like `scd2_history` — same DuckDB oracle, so the stream's
+    * core logic is value-checked, not just spec-eyeballed.
+    */
+  def scd2StreamQuery(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[Scd2Ev]
+    scd2Stream(evs).toDF()
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_sec"), col("valid_to_sec"), col("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   /** C2 query (r5): the CUSTOM-STATE sessionizer run in batch mode over
     * the events table, formatted to the same shape as `sessionize` — so
     * the flatMapGroupsWithState logic itself sits under the DuckDB

@@ -79,6 +79,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 2, 300L)), got.toString)
   }
 
+  test("streaming SCD2 closes versions across micro-batches; current version stays in state") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Scd2Ev]
+    val q = Streams.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_test").outputMode("append").start()
+    // batch 1: user 1 holds 'a' twice — nothing can close yet
+    mem.addData(
+      Streams.Scd2Ev(1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      Streams.Scd2Ev(1L, 2L, "a", ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(s.sql("SELECT * FROM scd2_test").count() == 0,
+      "an open version must never be emitted by the stream")
+    // batch 2: the change to 'b' closes version 1 (2 collapsed events);
+    // a later change back to 'a' closes version 2 — new version, not a
+    // reopen of version 1
+    mem.addData(
+      Streams.Scd2Ev(1L, 3L, "b", ts("2024-01-01 11:00:00")),
+      Streams.Scd2Ev(1L, 4L, "a", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    val got = s.sql(
+      "SELECT version, event_type, valid_from_sec, valid_to_sec, n_events FROM scd2_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    q.stop()
+    val t0 = ts("2024-01-01 10:00:00").getTime / 1000
+    val t2 = ts("2024-01-01 11:00:00").getTime / 1000
+    val t3 = ts("2024-01-01 12:00:00").getTime / 1000
+    assert(got == Seq(
+      (1L, "a", t0, t2, 2L),
+      (2L, "b", t2, t3, 1L)), got.toString)
+  }
+
   test("rate-limited file-source stream emits watermark-closed windows matching batch") {
     val sf = graft.TestSpark.sf
     // file streams tail a directory; stage the single events file into one
