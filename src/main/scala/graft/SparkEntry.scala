@@ -77,6 +77,7 @@ object SparkEntry {
     "table_stats"         -> w(TableStats.query),
     "priority_lanes"      -> w(Lanes.lanesQuery),
     "corpus_io"           -> w(CorpusIO.query),
+    "corpus_io_formats"   -> w(CorpusIO.formatsQuery),
     "bucketed_join"       -> w(relational.Bucketing.query),
     // B. relational core
     "q1_agg"            -> w(Relational.q1Agg),
@@ -632,6 +633,8 @@ object SparkEntry {
              + CASE WHEN contains(db,'_variation_') OR contains(db,'_funcgen_') THEN 1 ELSE 0 END
              + CASE WHEN starts_with(db,'homo_sapiens') AND contains(db,'_variation_') THEN 1 ELSE 0 END AS BIGINT) AS priority
         FROM dbs) t ORDER BY db""",
+
+    "corpus_io_formats" -> CorpusIO.formatsOracleSql,
 
     "corpus_io" -> """
       SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents

@@ -85,4 +85,56 @@ object CorpusIO {
       .select(lit(-1L).as("doc_id"), lit("QUARANTINED").as("text_md5"), col("n").as("n_chars"))
     clean.unionByName(quarantined).orderBy("doc_id")
   }
+
+  /** E2b query: ORC and CSV round-trip fidelity — the two interchange
+    * formats a warehouse meets beyond JSONL/parquet. Each format writes
+    * the corpus and reads it back; fidelity is counted, not assumed: the
+    * read-back joins the source on doc_id and any row whose (text, lang,
+    * source, n_chars) changed — md5-compared on text — counts as a
+    * mismatch. CSV is the adversarial one (quotes, embedded separators,
+    * newlines), so it is written quoted+escaped and read multiLine; ORC
+    * is Spark-native columnar. The oracle pins zero mismatches and the
+    * full row count per format — a lost or altered row under either
+    * format breaks the hash gate.
+    *
+    * Shape at 100 TB: write and read are both format-parallel full
+    * scans; the fidelity join is a hash join on doc_id (the read-back
+    * side arrives pre-partitioned by file split, the join shuffles
+    * once). This is an audit query, run per export, not per batch.
+    */
+  def formatsQuery(s: SparkSession, d: String): DataFrame = {
+    val src = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+        col("source"), col("n_chars"))
+    def fidelity(fmt: String, back: DataFrame): DataFrame = {
+      val b = back.select(col("doc_id"), md5(col("text")).as("bh"),
+        col("lang").as("bl"), col("source").as("bs"), col("n_chars").as("bn"))
+      src.join(b, Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("bh").isNull || col("h").isNull ||
+            col("bh") =!= col("h") || col("bl") =!= col("lang") ||
+            col("bs") =!= col("source") || col("bn") =!= col("n_chars"), 1L)
+            .otherwise(0L)).as("n_mismatch"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("n_mismatch"))
+    }
+    val orcOut = graft.etl.SessionPaths.scratch(s, "corpus_io/orc")
+    graft.Tables.documents(s, d).write.mode("overwrite").orc(orcOut)
+    val csvOut = graft.etl.SessionPaths.scratch(s, "corpus_io/csv")
+    graft.Tables.documents(s, d).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(csvOut)
+    val orcBack = s.read.orc(orcOut)
+    val csvBack = s.read.schema(documentSchema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(csvOut)
+    fidelity("csv", csvBack).unionByName(fidelity("orc", orcBack))
+      .orderBy("format")
+  }
+
+  val formatsOracleSql: String = """
+    SELECT 'csv' AS format, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(0 AS BIGINT) AS n_mismatch FROM documents
+    UNION ALL
+    SELECT 'orc', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM documents
+    ORDER BY format"""
 }

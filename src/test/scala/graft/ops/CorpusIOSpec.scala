@@ -18,6 +18,22 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("CSV round-trip survives embedded quotes, commas and newlines") {
+    import s.implicits._
+    val nasty = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "comma, inside", "en", "web", 13L),
+      (3L, "a \"quoted\" span", "en", "web", 15L),
+      (4L, "line one\nline two", "en", "web", 17L),
+      (5L, "all, of \"it\"\nat once, \"really\"", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("csvnasty").toString + "/documents.parquet"
+    nasty.write.mode("overwrite").parquet(dir)
+    val out = CorpusIO.formatsQuery(s, dir.stripSuffix("/documents.parquet"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("csv", 5L, 0L), ("orc", 5L, 0L)), out.toString)
+  }
+
   test("malformed JSONL lines are quarantined, not fatal") {
     import s.implicits._
     val dir = Files.createTempDirectory("badjsonl").toString + "/docs"
