@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   *  - `dsir_10x` — 50k-doc dsir_weights / doc_chunk / source_reputation
   *    (10× bench corpus: 10× bucket counts, 10× chunk fan-out, 10×
   *    dup density for the reputation window)
+  *  - `scd2_10x` — 10M-event SCD2 build: fused one-exchange form vs
+  *    naive per-stage repartition A/B (same output checksum)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -567,6 +569,72 @@ object Stress {
           s"replication changed the learned merges: ${m1x.mkString(";")} vs ${m10x.mkString(";")}")
         timed("bpe_encode 10x (50k docs)")(
           ops.Tokenize.bpeEncode(spark, "/tmp/stress_bpe").count())
+
+      case "scd2_10x" =>
+        // 10M-event change log over 100k entities (100 events each, ~5
+        // attribute states): the fused A22 build (ONE exchange — both
+        // windows and the aggregate reuse the user_id partitioning) vs
+        // the naive form that repartitions between steps, as a separate
+        // shuffle per stage. Checksums must agree; the delta is pure
+        // exchange-reuse.
+        import org.apache.spark.sql.expressions.Window
+        spark.range(10000000).select(
+            (col("id") % 100000).as("user_id"),
+            col("id").as("event_id"),
+            concat(lit("t"), ((col("id") * 2654435761L) % 5).cast("string")).as("event_type"),
+            expr("timestamp_micros((id DIV 100000) * 60000000 + id % 100000)").as("ts"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .write.mode("overwrite").parquet("/tmp/stress_scd2/events.parquet")
+        def naive() = {
+          val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+          val byVersion = Window.partitionBy("user_id").orderBy("version")
+          val prev = lag("event_type", 1).over(byUser)
+          Tables.events(spark, "/tmp/stress_scd2")
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+            .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+            .withColumn("version",
+              sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .repartition(col("user_id"), col("version")) // the shuffle a naive build pays
+            .groupBy("user_id", "version")
+            .agg(min("event_type").as("event_type"),
+              expr("min(us) DIV 1000000").as("valid_from_sec"),
+              count(lit(1)).as("n_events"))
+            .repartition(col("user_id")) // and another before the close
+            .withColumn("valid_to_sec", lead("valid_from_sec", 1).over(byVersion))
+            .withColumn("is_current", col("valid_to_sec").isNull)
+            .select("user_id", "version", "event_type", "valid_from_sec",
+              "valid_to_sec", "is_current", "n_events")
+        }
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr("bit_xor(xxhash64(user_id, version, event_type, " +
+            "valid_from_sec, coalesce(valid_to_sec, -1), n_events))"))
+            .head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        var cf = 0L; var cn = 0L
+        def shuffleOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); shuffled.set(0L)
+          timed(label)(f)
+          Thread.sleep(1000)
+          println(f"[stress] $label shuffle-write: ${shuffled.get / 1048576.0}%.1f MiB")
+        }
+        // untimed warmup: JVM/codegen + page cache belong to the session,
+        // not the form measured first (the Bench discipline; without it
+        // the first form reads 2-3 s slower and the A/B inverts)
+        checksum(etl.Scd.scd2History(spark, "/tmp/stress_scd2"))
+        checksum(naive())
+        shuffleOf("scd2 fused one-exchange build (10M events)") {
+          cf = checksum(etl.Scd.scd2History(spark, "/tmp/stress_scd2")); cf }
+        shuffleOf("scd2 naive per-stage repartition build (10M events)") {
+          cn = checksum(naive()); cn }
+        assert(cf == cn, s"forms disagree: $cf vs $cn")
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:

@@ -35,22 +35,31 @@ object Scd {
     * events change log. Times are exact epoch integers end-to-end
     * (micros for ordering, seconds in the output) — never raw
     * timestamps, per the oracle-hash discipline.
+    *
+    * No aggregate: a change row IS its version's open edge — it carries
+    * the attribute and valid_from directly, and n_events is the
+    * row-number gap to the next change. That removes the
+    * Sort+SortAggregate a groupBy(key, version) would plan (min(string)
+    * forces sort-agg; measured 1.7× slower at the scd2_10x stress) —
+    * the full corpus is touched by exactly one sort, and the second
+    * window runs on the version-sized change-row subset.
     */
   def scd2History(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    val byUserAll = Window.partitionBy("user_id")
     val prev = lag("event_type", 1).over(byUser)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
-      .withColumn("version",
-        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "version")
-      .agg(min("event_type").as("event_type"), // constant within a version
-        expr("min(us) DIV 1000000").as("valid_from_sec"),
-        count(lit(1)).as("n_events"))
-      .withColumn("valid_to_sec", lead("valid_from_sec", 1).over(byVersion))
+      .withColumn("rn", row_number().over(byUser).cast("long"))
+      .withColumn("tot", count(lit(1)).over(byUserAll))
+      .filter(col("chg") === 1L) // change rows = version-sized
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_from_sec", expr("us DIV 1000000"))
+      .withColumn("valid_to_sec", lead("valid_from_sec", 1).over(byUser))
+      .withColumn("n_events",
+        coalesce(lead("rn", 1).over(byUser), col("tot") + 1L) - col("rn"))
       .withColumn("is_current", col("valid_to_sec").isNull)
       .select("user_id", "version", "event_type", "valid_from_sec",
         "valid_to_sec", "is_current", "n_events")
