@@ -60,6 +60,7 @@ object SparkEntry {
     "checksum_verify"     -> w(Checksums.checksumVerify),
     "mysqldump_roundtrip" -> w(MySqlDump.roundtrip),
     "split_file_grouping" -> w(SplitFiles.query),
+    "compaction_plan"     -> w(Compaction.query),
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
     "scd2_history"        -> w(Scd.scd2History),
@@ -97,6 +98,7 @@ object SparkEntry {
     "range_join"        -> w(Relational.rangeJoin),
     "q_bitmap_distinct" -> w(Relational.qBitmapDistinct),
     "q_percentile"      -> w(Relational.qPercentile),
+    "q_quantile_hist"   -> w(Relational.qQuantileHist),
     "q_json"            -> w(Relational.qJson),
     "q_pivot"           -> w(Relational.qPivot),
     "q_mincost"         -> w(Relational.qMinCost),
@@ -134,6 +136,7 @@ object SparkEntry {
     "inverted_index"  -> w(Search.invertedIndex),
     "embed_quantize"  -> w(Similarity.embedQuantize),
     "classifier_score" -> w(TextAnalysis.classifierScore),
+    "corpus_drift"     -> w(TextAnalysis.corpusDrift),
     "lang_id"         -> w(TextAnalysis.langId),
     "quality_score"   -> w(TextAnalysis.qualityScore),
     "token_count"     -> w(TextAnalysis.tokenCount),
@@ -338,6 +341,8 @@ object SparkEntry {
       SELECT regexp_extract(file, '^([A-Za-z_0-9 ]+?)(?:\.(\d+))?\.txt\.gz$', 1) AS table_name,
              count(*) AS n_parts, string_agg(file, ',' ORDER BY file) AS parts
       FROM f GROUP BY 1 ORDER BY 1""",
+
+    "compaction_plan" -> Compaction.oracleSql,
 
     "ddl_parse" -> """
       SELECT obj_name, obj_type, CAST(ord AS BIGINT) AS ord, col_name, col_type FROM (VALUES
@@ -1264,6 +1269,8 @@ object SparkEntry {
       FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id
       ORDER BY d.doc_id""",
 
+    "corpus_drift" -> TextAnalysis.corpusDriftOracleSql,
+
     "token_count" -> """
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -1435,6 +1442,17 @@ object SparkEntry {
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS qty_p25,
+        quantile_cont(l_quantity, 0.5) AS qty_p50,
+        quantile_cont(l_quantity, 0.75) AS qty_p75,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // B17b computes the SAME definition sort-free; the oracle is
+    // deliberately identical to q_percentile's — the claim under test is
+    // that the histogram form reproduces quantile_cont exactly.
+    "q_quantile_hist" -> """
       SELECT l_returnflag,
         quantile_cont(l_quantity, 0.25) AS qty_p25,
         quantile_cont(l_quantity, 0.5) AS qty_p50,

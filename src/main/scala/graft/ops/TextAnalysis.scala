@@ -572,4 +572,66 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > 0)
       .orderBy("doc_id")
   }
+
+  /** D33: token-distribution drift between two corpus snapshots — the
+    * crawl-over-crawl audit every refreshed training set needs (did the
+    * new drop's language shift? did a spam cluster arrive?). Snapshots
+    * here are the deterministic doc_id parity split; a real run feeds two
+    * crawl dates. Per token the score is a support-weighted squared rate
+    * difference, `(r_a − r_b)² · (o_a + o_b)` with rates in exact
+    * 10⁻⁵ fixed point (`o · 10⁵ DIV n`) — the χ²-flavored ranking signal,
+    * integer-exact on both engines (no float log/ratio whose last ulp
+    * could differ). Top 50 by score, token tiebreak, so the output is a
+    * total order.
+    *
+    * Shape at 100 TB: ONE corpus pass builds per-side counts in the same
+    * vocab-sized map-side-combined aggregate (a side is a CASE inside the
+    * agg, not a second scan); totals are a 1-row broadcast; the top-50
+    * plans as TakeOrderedAndProject (per-partition heaps, no global
+    * sort). The score stays in BIGINT by construction — rate diff ≤ 10⁵
+    * so support up to 9·10⁸ fits — and an assert_true turns the bound
+    * into a loud error instead of a silent wraparound past it.
+    */
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("side"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = tok.groupBy("tok").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("o_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("o_b"))
+    val totals = counts.agg(sum("o_a").as("n_a"), sum("o_b").as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("o_a") + col("o_b") >= 5)
+      .withColumn("r_a", expr("o_a * 100000 DIV n_a"))
+      .withColumn("r_b", expr("o_b * 100000 DIV n_b"))
+      .filter(expr(
+        "assert_true(o_a + o_b < 900000000, " +
+          "'corpusDrift: support past 9e8 would overflow the BIGINT score — rescale rates') IS NULL"))
+      .withColumn("drift",
+        (col("r_a") - col("r_b")) * (col("r_a") - col("r_b")) * (col("o_a") + col("o_b")))
+      .select("tok", "o_a", "o_b", "r_a", "r_b", "drift")
+      .orderBy(col("drift").desc, col("tok"))
+      .limit(50)
+  }
+
+  val corpusDriftOracleSql: String = """
+    WITH tokc AS (
+      SELECT tok,
+        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+      FROM (SELECT doc_id % 2 AS side,
+              unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      WHERE len(tok) > 0 GROUP BY tok),
+    tot AS (SELECT CAST(sum(o_a) AS BIGINT) AS n_a,
+                   CAST(sum(o_b) AS BIGINT) AS n_b FROM tokc)
+    SELECT tok, o_a, o_b,
+      o_a * 100000 // n_a AS r_a,
+      o_b * 100000 // n_b AS r_b,
+      (o_a * 100000 // n_a - o_b * 100000 // n_b)
+        * (o_a * 100000 // n_a - o_b * 100000 // n_b)
+        * (o_a + o_b) AS drift
+    FROM tokc, tot
+    WHERE o_a + o_b >= 5
+    ORDER BY drift DESC, tok LIMIT 50"""
 }

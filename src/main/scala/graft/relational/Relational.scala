@@ -914,4 +914,69 @@ object Relational {
                    o_orderkey) AS rnk
       FROM orders) t
     WHERE rnk <= 3 ORDER BY o_custkey, rnk"""
+
+  /** B17b: the same exact linear-interpolation percentiles as B17, computed
+    * WITHOUT sorting the corpus — the 100 TB scale path. B17's
+    * `percentile()` is a sort-based aggregate: every task sorts its rows
+    * and the merge re-sorts, so cluster CPU is O(N log N) and the
+    * per-group buffer holds every value. Here the corpus collapses to a
+    * value-count histogram first (`groupBy(flag, metric, value)` — the
+    * shuffle carries DISTINCT values with map-side-combined counts, not
+    * rows: l_quantity has 50 distinct values at any scale factor, so the
+    * post-scan state is KB-sized no matter the corpus), then cumulative
+    * counts over the tiny histogram locate the two bracketing values and
+    * the interpolation runs in exact integer cents:
+    * `(v_lo·(den−g) + v_hi·g) / (100·den)` with `t = p_num·(n−1)`,
+    * `i = t DIV den`, `g = t MOD den`. For quarter fractions on
+    * integer-valued quantities the true result is dyadic, so the single
+    * double division reproduces `quantile_cont` bit-exactly; price_p90 is
+    * rounded to 4 decimals like B17 (true value has ≤3 decimals — cents
+    * interpolated in tenths — so rounding absorbs the engines' ULPs).
+    *
+    * Same oracle text as B17: the point is that the histogram form IS the
+    * sort form, at distinct-value cost. QuantileHistSpec asserts the two
+    * queries return identical rows and that this plan sorts only the
+    * histogram (every Sort/Window input is post-aggregation).
+    */
+  def qQuantileHist(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .selectExpr("flag", "stack(2, 'qty', qty_c, 'price', price_c) AS (metric, v)")
+      .groupBy("flag", "metric", "v").agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("flag", "metric").orderBy("v")
+    val whole = Window.partitionBy("flag", "metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sq = s; import sq.implicits._
+    val spec = broadcast(Seq(
+      ("qty", 1L, 4L, "qty_p25"), ("qty", 2L, 4L, "qty_p50"),
+      ("qty", 3L, 4L, "qty_p75"), ("price", 9L, 10L, "price_p90"))
+      .toDF("metric", "p_num", "p_den", "out_name"))
+    val located = hist
+      .withColumn("cum", sum("cnt").over(byVal))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("n", sum("cnt").over(whole))
+      .join(spec, "metric")
+      .withColumn("t", col("p_num") * (col("n") - 1))
+      .withColumn("i", expr("t DIV p_den"))
+      .withColumn("g", col("t") % col("p_den"))
+      .filter((col("prev") <= col("i") && col("i") < col("cum")) ||
+        (col("g") > 0 && col("prev") <= col("i") + 1 && col("i") + 1 < col("cum")))
+      .groupBy("flag", "out_name")
+      .agg(max(when(col("prev") <= col("i") && col("i") < col("cum"), col("v"))).as("v_lo"),
+        max(when(col("prev") <= col("i") + 1 && col("i") + 1 < col("cum"), col("v"))).as("v_hi_raw"),
+        max("g").as("g"), max("p_den").as("p_den"))
+      .withColumn("v_hi", coalesce(col("v_hi_raw"), col("v_lo")))
+      .withColumn("q",
+        (col("v_lo") * (col("p_den") - col("g")) + col("v_hi") * col("g"))
+          .cast("double") / (col("p_den") * 100L).cast("double"))
+    located.groupBy("flag")
+      .agg(max(when(col("out_name") === "qty_p25", col("q"))).as("qty_p25"),
+        max(when(col("out_name") === "qty_p50", col("q"))).as("qty_p50"),
+        max(when(col("out_name") === "qty_p75", col("q"))).as("qty_p75"),
+        round(max(when(col("out_name") === "price_p90", col("q"))), 4).as("price_p90"))
+      .withColumnRenamed("flag", "l_returnflag")
+      .orderBy("l_returnflag")
+  }
 }
