@@ -61,6 +61,8 @@ object SparkEntry {
     "mysqldump_roundtrip" -> w(MySqlDump.roundtrip),
     "split_file_grouping" -> w(SplitFiles.query),
     "compaction_plan"     -> w(Compaction.query),
+    "stats_incremental"   -> w(Incremental.statsIncremental),
+    "ivm_join"            -> w(Incremental.ivmJoin),
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
     "scd2_history"        -> w(Scd.scd2History),
@@ -343,6 +345,10 @@ object SparkEntry {
       FROM f GROUP BY 1 ORDER BY 1""",
 
     "compaction_plan" -> Compaction.oracleSql,
+
+    "stats_incremental" -> Incremental.statsOracleSql,
+
+    "ivm_join" -> Incremental.ivmOracleSql,
 
     "ddl_parse" -> """
       SELECT obj_name, obj_type, CAST(ord AS BIGINT) AS ord, col_name, col_type FROM (VALUES
