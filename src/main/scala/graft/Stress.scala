@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *    dup density for the reputation window)
   *  - `scd2_10x` — 10M-event SCD2 build: fused one-exchange form vs
   *    naive per-stage repartition A/B (same output checksum)
+  *  - `quantile_10x` — 6M-row lineitem: histogram exact quantiles vs
+  *    sort-based percentile() A/B (same output checksum)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -635,6 +637,37 @@ object Stress {
         shuffleOf("scd2 naive per-stage repartition build (10M events)") {
           cn = checksum(naive()); cn }
         assert(cf == cn, s"forms disagree: $cf vs $cn")
+
+      case "quantile_10x" =>
+        // 6M-row lineitem (10× sf0.1): B17's sort-based percentile() vs
+        // B17b's value-histogram form on identical data. The histogram's
+        // post-scan state is distinct-value-sized (l_quantity: 50 values,
+        // l_extendedprice: ~price-list-sized) and does NOT grow with the
+        // 10× replication — the sort path's per-group buffers do. Both
+        // forms must emit identical rows.
+        val liDir = "/tmp/stress_quantile"
+        Tables.lineitem(spark, sf)
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .crossJoin(broadcast(spark.range(10))).drop("id")
+          .repartition(32) // one row group = zero scan parallelism (see BASELINE.md)
+          .write.mode("overwrite").parquet(s"$liDir/lineitem.parquet")
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr(
+            "bit_xor(xxhash64(l_returnflag, qty_p25, qty_p50, qty_p75, price_p90))"))
+            .head().getLong(0)
+        // untimed warmup (JVM/codegen/page cache belong to neither form)
+        checksum(relational.Relational.qQuantileHist(spark, liDir))
+        checksum(relational.Relational.qPercentile(spark, liDir))
+        var ch = 0L; var cs = 0L
+        (1 to 3).foreach { i =>
+          timed(s"quantile 6M histogram run$i") {
+            ch = checksum(relational.Relational.qQuantileHist(spark, liDir)); ch
+          }
+          timed(s"quantile 6M sort-based run$i") {
+            cs = checksum(relational.Relational.qPercentile(spark, liDir)); cs
+          }
+        }
+        assert(ch == cs, s"forms disagree: $ch vs $cs")
 
       case "q1_warm" =>
         // A/B on the already-written 60M-row table, 3 warm runs each:

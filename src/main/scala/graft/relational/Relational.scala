@@ -915,17 +915,22 @@ object Relational {
       FROM orders) t
     WHERE rnk <= 3 ORDER BY o_custkey, rnk"""
 
-  /** B17b: the same exact linear-interpolation percentiles as B17, computed
-    * WITHOUT sorting the corpus — the 100 TB scale path. B17's
-    * `percentile()` is a sort-based aggregate: every task sorts its rows
-    * and the merge re-sorts, so cluster CPU is O(N log N) and the
-    * per-group buffer holds every value. Here the corpus collapses to a
-    * value-count histogram first (`groupBy(flag, metric, value)` — the
-    * shuffle carries DISTINCT values with map-side-combined counts, not
-    * rows: l_quantity has 50 distinct values at any scale factor, so the
-    * post-scan state is KB-sized no matter the corpus), then cumulative
-    * counts over the tiny histogram locate the two bracketing values and
-    * the interpolation runs in exact integer cents:
+  /** B17b: the same exact linear-interpolation percentiles as B17,
+    * restructured for memory discipline at extreme cardinality. Spark's
+    * `percentile()` is itself count-map-based (each group's aggregation
+    * buffer is a distinct-value→count OpenHashMap, sorted only at eval) —
+    * but that map is a SINGLE unspillable buffer per group: one group
+    * with 10⁹ distinct values is a hard executor OOM no matter the
+    * cluster size. Here the same counts live in an ordinary spillable
+    * hash aggregate keyed `(flag, metric, value)` — partial-combined
+    * map-side, spread over the cluster, spilling like any agg — and the
+    * only per-group sequential piece is a streaming (sort-spillable)
+    * window over the value histogram. The measured cost of that safety at
+    * benign shapes is real and recorded (quantile_10x: 2.1 s vs 1.2 s at
+    * 6M rows — the extra exchange + window): this is the form you switch
+    * to when the value domain stops being boundable, not a free win.
+    * Cumulative counts over the histogram locate the two bracketing
+    * values and the interpolation runs in exact integer cents:
     * `(v_lo·(den−g) + v_hi·g) / (100·den)` with `t = p_num·(n−1)`,
     * `i = t DIV den`, `g = t MOD den`. For quarter fractions on
     * integer-valued quantities the true result is dyadic, so the single
