@@ -62,6 +62,7 @@ object SparkEntry {
     "split_file_grouping" -> w(SplitFiles.query),
     "compaction_plan"     -> w(Compaction.query),
     "stats_incremental"   -> w(Incremental.statsIncremental),
+    "release_diff"        -> w(ReleaseDiff.query),
     "ivm_join"            -> w(Incremental.ivmJoin),
     "ddl_parse"           -> w(SqlDdl.query),
     "merge_upsert"        -> w(MergeUpsert.query),
@@ -110,6 +111,7 @@ object SparkEntry {
     // C. streaming semantics (batch-checked)
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
+    "stream_enrich"   -> w(Streams.enrich),
     "stream_sliding"  -> w(Streams.sliding),
     "sessionize"      -> w(Streams.sessionize),
     "sessionize_stateful" -> w(Streams.sessionizeStatefulQuery),
@@ -347,6 +349,8 @@ object SparkEntry {
     "compaction_plan" -> Compaction.oracleSql,
 
     "stats_incremental" -> Incremental.statsOracleSql,
+
+    "release_diff" -> ReleaseDiff.oracleSql,
 
     "ivm_join" -> Incremental.ivmOracleSql,
 
@@ -604,6 +608,12 @@ object SparkEntry {
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_enrich" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, c_mktsegment,
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // 30-min time_bucket shares the Unix-epoch alignment of Spark's
     // window() (the 2000-01-01 DuckDB origin is a multiple of 30 min from

@@ -75,6 +75,35 @@ object Streams {
     else raw
   }
 
+  // ---------- C11: stream-static dimension enrichment ----------
+
+  /** C11 shared batch/stream core: the ingest-time dimension join every
+    * event pipeline runs (event → user → market segment). The dimension
+    * side is STATIC — Spark re-plans it per micro-batch (a dim update is
+    * picked up at the next trigger) and broadcasts it, so the join holds
+    * NO state: no watermark interplay, no join-state store, nothing to
+    * reclaim. The windowed rollup after it is the only stateful node.
+    * At 100 TB of events the dim stays dim-sized; this is the shape that
+    * keeps enrichment off the shuffle entirely.
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,4)")).as("sum_value"))
+
+  /** C11 query (batch mode — identical semantics to the streaming form). */
+  def enrich(s: SparkSession, d: String): DataFrame =
+    enrichAgg(Tables.events(s, d),
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+      .orderBy("hour_s", "c_mktsegment")
+
+  /** C11 streaming wiring — watermarked events through the same join+agg. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    enrichAgg(events.withWatermark("ts", "2 hours"), dim)
+
   // ---------- C2: sessionization ----------
 
   /** C2 query: gap-based sessions via Spark's native `session_window`

@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L)), got.toString)
   }
 
+  test("stream-static enrichment joins the dim per batch without join state") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.enrichStream(df, dim)
+      .select(col("window.start").as("start"), col("c_mktsegment"), col("n"))
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),
+      (ts("2024-01-01 10:20:00"), 2L, 3.0),
+      (ts("2024-01-01 10:30:00"), 9L, 4.0)) // no dim row → dropped by inner join
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), 1L, 0.5)) // close hour 10
+    q.processAllAvailable()
+    val got = s.sql("SELECT start, c_mktsegment, n FROM enrich_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // the stateful node is only the window agg: join state is empty by design
+    val progress = q.lastProgress
+    q.stop()
+    assert(got.contains(("2024-01-01 10:00:00.0", "BUILDING", 2L)), got.toString)
+    assert(got.contains(("2024-01-01 10:00:00.0", "MACHINERY", 1L)), got.toString)
+    assert(!got.exists(_._2 == null), got.toString)
+    assert(progress.stateOperators.length == 1, progress.toString)
+  }
+
   test("sliding windows assign each event to both overlapping windows") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
