@@ -82,6 +82,7 @@ object SparkEntry {
     "priority_lanes"      -> w(Lanes.lanesQuery),
     "corpus_io"           -> w(CorpusIO.query),
     "corpus_io_formats"   -> w(CorpusIO.formatsQuery),
+    "schema_evolution"    -> w(CorpusIO.schemaEvolution),
     "bucketed_join"       -> w(relational.Bucketing.query),
     // B. relational core
     "q1_agg"            -> w(Relational.q1Agg),
@@ -656,6 +657,8 @@ object SparkEntry {
         FROM dbs) t ORDER BY db""",
 
     "corpus_io_formats" -> CorpusIO.formatsOracleSql,
+
+    "schema_evolution" -> CorpusIO.schemaEvolutionOracleSql,
 
     "corpus_io" -> """
       SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents

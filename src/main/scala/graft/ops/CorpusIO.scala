@@ -137,4 +137,49 @@ object CorpusIO {
     UNION ALL
     SELECT 'orc', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM documents
     ORDER BY format"""
+
+  /** E2c: schema-evolution audit. A long-lived corpus accretes schema
+    * versions — an early crawl batch lacks columns later batches carry.
+    * The layout answer is additive evolution under partitioned parquet:
+    * each batch writes its own schema under `batch=<v>`, readers merge
+    * (`mergeSchema`) and old batches surface the new columns as NULL —
+    * no rewrite of petabytes of v1 files, no reader break. The audit
+    * proves three things per batch, counted not assumed: row counts
+    * survived, the v1 batch's missing columns are ALL null (and v2's are
+    * none), and the text payload itself round-tripped bit-exactly
+    * (order-independent bit_xor of md5 prefixes — the E17 technique).
+    *
+    * Shape at 100 TB: the merged read is an ordinary partitioned scan
+    * (schema merge is a footer-only planning step when
+    * `mergeSchema=true`); the audit is one batch-keyed map-side-combined
+    * aggregate.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val base = graft.etl.SessionPaths.scratch(s, "schema_evo")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/batch=v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$base/batch=v2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("batch").cast("string").as("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("source").isNull.cast("long")).as("n_null_source"),
+        sum(col("n_chars").isNull.cast("long")).as("n_null_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT))")
+          .as("text_xor"))
+      .orderBy("batch")
+  }
+
+  val schemaEvolutionOracleSql: String = """
+    SELECT 'v1' AS batch, count(*) AS n_rows, count(*) AS n_null_source,
+      count(*) AS n_null_chars,
+      bit_xor(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS text_xor
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'v2', count(*), 0, 0,
+      bit_xor(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY batch"""
 }
