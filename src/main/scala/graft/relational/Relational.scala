@@ -943,11 +943,19 @@ object Relational {
     * queries return identical rows and that this plan sorts only the
     * histogram (every Sort/Window input is post-aggregation).
     */
-  def qQuantileHist(s: SparkSession, d: String): DataFrame = {
-    val hist = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"),
-        round(col("l_quantity") * 100).cast("long").as("qty_c"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+  def qQuantileHist(s: SparkSession, d: String): DataFrame =
+    quantileHistOn(s,
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c")))
+
+  /** B17b over a caller-provided (flag, qty_c, price_c) cents relation —
+    * exposed so the property spec can fuzz the bracketing/interpolation
+    * arithmetic against `percentile()` on arbitrary distributions.
+    */
+  def quantileHistOn(s: SparkSession, base: DataFrame): DataFrame = {
+    val hist = base
       .selectExpr("flag", "stack(2, 'qty', qty_c, 'price', price_c) AS (metric, v)")
       .groupBy("flag", "metric", "v").agg(count(lit(1)).as("cnt"))
     val byVal = Window.partitionBy("flag", "metric").orderBy("v")
