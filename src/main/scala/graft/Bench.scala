@@ -24,7 +24,8 @@ object Bench {
     "graph_rank", "q_funnel", "quality_vote", "ngram_lm", "q_cohort",
     "asof_join_native", "curation_funnel", "q_kmv_distinct", "dedup_bucketed",
     "bpe_train", "curriculum_order", "q_topk_group", "q_volume",
-    "q_marketshare", "q_quantile_hist", "corpus_drift", "compaction_plan")
+    "q_marketshare", "q_quantile_hist", "corpus_drift", "compaction_plan",
+    "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -184,6 +184,7 @@ object SparkEntry {
     "q_topk_group"      -> w(Relational.qTopkGroup),
     "q_volume"          -> w(Relational.qVolume),
     "q_marketshare"     -> w(Relational.qMarketshare),
+    "q_zorder"          -> w(relational.ZOrder.query),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1261,6 +1262,7 @@ object SparkEntry {
     "q_topk_group" -> Relational.topkGroupOracleSql,
     "q_volume" -> Relational.volumeOracleSql,
     "q_marketshare" -> Relational.marketshareOracleSql,
+    "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,
 
