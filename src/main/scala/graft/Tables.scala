@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central table catalog over a scale-factor directory.
   *
@@ -32,16 +32,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in GraftSession) it
-    * surfaces as a long which we floor-truncate to microseconds — the
-    * same truncation DuckDB applies when casting ns→µs, so oracle
-    * comparisons at second granularity agree.
+  /** events.parquet has carried `ts` in three physical shapes across
+    * testdata generations: TIMESTAMP(NANOS) (surfaced as long via
+    * `spark.sql.legacy.parquet.nanosAsLong`, floor-truncated to µs here —
+    * the same truncation DuckDB applies casting ns→µs), naive
+    * TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ by the parquet NTZ
+    * inference), and tz-adjusted micros (already TimestampType). All are
+    * normalized to TimestampType: the session timezone is pinned to UTC
+    * (GraftSession), so the NTZ→LTZ cast relabels the same wall-clock
+    * instant and every downstream `unix_micros`/`date_format`/window
+    * agrees with the DuckDB oracle's naive-timestamp reading.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

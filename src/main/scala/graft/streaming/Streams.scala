@@ -70,9 +70,14 @@ object Streams {
     val raw = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsDir)
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   // ---------- C11: stream-static dimension enrichment ----------
