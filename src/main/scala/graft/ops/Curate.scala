@@ -690,12 +690,30 @@ object Curate {
   def curriculumOrder(s: SparkSession, d: String): DataFrame = {
     val hist = Tables.documents(s, d)
       .groupBy(col("n_chars").as("score")).agg(count(lit(1)).as("n"))
-    val byScore = Window.orderBy("score")
-    val tiers = hist
-      .withColumn("cum_before",
-        coalesce(sum("n").over(byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total",
-        sum("n").over(byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // Exclusive prefix sum over the histogram WITHOUT a global window
+    // (r9 bench logged `WindowExec: No Partition Defined` here — benign
+    // at this histogram's size, but the two-level form costs nothing and
+    // never degrades): scores fall into range buckets (score DIV 4096 —
+    // n_chars-bounded, so ≤ a few dozen buckets), the within-bucket
+    // running sum is a bucket-PARTITIONED window, and each bucket's
+    // starting offset comes from a broadcast self-join over the
+    // bucket-total relation (≤ dozens of rows, never the corpus). The
+    // corpus total rides the same join (sum over ALL buckets) instead of
+    // a second whole-frame window.
+    val bucketed = hist.withColumn("bkt", expr("score DIV 4096"))
+    val inBucket = Window.partitionBy("bkt").orderBy("score")
+    val bktTotals = bucketed.groupBy("bkt").agg(sum("n").as("bn"))
+    val offsets = bktTotals.as("a")
+      .join(broadcast(bktTotals.as("b")), expr("b.bkt < a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum("b.bn"), lit(0L)).as("bkt_before"))
+    val total = bktTotals.agg(sum("bn").as("total"))
+    val tiers = bucketed
+      .withColumn("cum_in_bkt",
+        coalesce(sum("n").over(inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets.select("bkt", "bkt_before")), "bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before", col("bkt_before") + col("cum_in_bkt"))
       .select(col("score"), expr(s"cum_before * $CurriculumTiers DIV total").as("tier"))
     val byTier = Window.partitionBy("tier").orderBy("score", "doc_id")
     Tables.documents(s, d)
