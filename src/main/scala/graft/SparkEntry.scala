@@ -129,6 +129,7 @@ object SparkEntry {
     "ngram_jaccard"   -> w(Dedup.ngramJaccard),
     "containment"     -> w(Dedup.containment),
     "decontaminate"   -> w((s, d) => Dedup.decontaminate(s, d)),
+    "decontaminate_bloom" -> w((s, d) => Dedup.decontaminateBloom(s, d)),
     "dedup_groups"    -> w(Clustering.dedupGroups),
     "dedup_keep_best" -> w(Clustering.keepBest),
     "graph_rank"      -> w(Clustering.graphRank),
@@ -184,6 +185,9 @@ object SparkEntry {
     "q_topk_group"      -> w(Relational.qTopkGroup),
     "q_volume"          -> w(Relational.qVolume),
     "q_marketshare"     -> w(Relational.qMarketshare),
+    "q_bigorders"       -> w(Relational.qBigorders),
+    "q_disjunct"        -> w(Relational.qDisjunct),
+    "q_idle"            -> w(Relational.qIdle),
     "q_zorder"          -> w(relational.ZOrder.query),
   )
 
@@ -977,6 +981,20 @@ object SparkEntry {
       GROUP BY doc_id, eval_id HAVING count(*) >= 8
       ORDER BY doc_id, eval_id""",
 
+    // The bloom prefilter is exact-verified, so D17b's oracle IS D17's:
+    // identical output by construction (DedupSpec pins the equality too).
+    "decontaminate_bloom" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 = 0),
+      co AS (SELECT doc_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 <> 0)
+      SELECT doc_id, eval_id, count(*) AS n_hits
+      FROM co JOIN ev USING (shingle)
+      GROUP BY doc_id, eval_id HAVING count(*) >= 8
+      ORDER BY doc_id, eval_id""",
+
     "dedup_embedding" -> """
       WITH q AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -1262,6 +1280,9 @@ object SparkEntry {
     "q_topk_group" -> Relational.topkGroupOracleSql,
     "q_volume" -> Relational.volumeOracleSql,
     "q_marketshare" -> Relational.marketshareOracleSql,
+    "q_bigorders" -> Relational.bigordersOracleSql,
+    "q_disjunct" -> Relational.disjunctOracleSql,
+    "q_idle" -> Relational.idleOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

@@ -412,6 +412,56 @@ object Dedup {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** D17b `decontaminate_bloom`: D17's semantics behind a Bloom-filter
+    * prefilter — the shape that survives when the eval suite stops being
+    * broadcast-sized. D17 ships the FULL exploded (shingle, eval_id)
+    * relation to every executor; at a few hundred million eval shingles
+    * that broadcast is gigabytes. Here the eval side first collapses to a
+    * FIXED-SIZE Bloom filter (Spark's own `BloomFilterAggregate` over
+    * xxhash64(shingle) — partials merge by bitwise OR, the result rides
+    * the plan as one scalar-subquery binary), the corpus shingle stream is
+    * membership-tested MAP-SIDE — at typical contamination rates ~every
+    * clean shingle drops before any join — and only the survivors meet
+    * the exact equality join + hit-count threshold. False positives cost
+    * a doomed join probe, never a wrong row: the verify join keeps the
+    * output bit-identical to D17 (same oracle SQL). numBits is the knob
+    * that must grow with |eval shingles| (bits ≈ 10× items for ~1% FP);
+    * both knobs surface as parameters.
+    */
+  def decontaminateBloom(s: SparkSession, d: String, minHits: Int = 8,
+      estItems: Long = 1L << 16, numBits: Long = 1L << 20): DataFrame = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      "built-in")
+    val docs = withShingles(Tables.documents(s, d)).select("doc_id", "sh")
+    val evalSh = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val corpusSh = docs.filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    evalSh.createOrReplaceTempView("graft_eval_sh")
+    corpusSh.createOrReplaceTempView("graft_corpus_sh")
+    // the bloom must be a scalar subquery: BloomFilterMightContain demands
+    // a foldable/subquery filter side (the same contract the runtime-filter
+    // rewrite rides), which is exactly what lets it evaluate as a constant
+    // per task instead of a join
+    val pre = s.sql(s"""
+      SELECT doc_id, shingle FROM graft_corpus_sh
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(shingle),
+           CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))
+         FROM graft_eval_sh),
+        xxhash64(shingle))""")
+    pre.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** D16: containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8, the asymmetric
     * metric that catches excerpt/superset near-dups jaccard misses (a
     * short doc fully contained in a long one has low jaccard but

@@ -992,4 +992,134 @@ object Relational {
       .withColumnRenamed("flag", "l_returnflag")
       .orderBy("l_returnflag")
   }
+
+  /** B33 `q_bigorders` (TPC-H Q18 shape — cf. reference test query
+    * coverage of large-order reporting): orders whose line quantities sum
+    * past a threshold, joined back to order/customer detail, top-100 by
+    * price. The shape that matters at 100 TB: the HAVING runs FIRST as a
+    * map-side-combinable long-sum aggregate over lineitem (one shuffle on
+    * l_orderkey, partials collapse per order), and only the surviving
+    * handful of orderkeys join onward — AQE sees the post-filter size and
+    * broadcasts it against orders, so the big fact table is never
+    * shuffled for the join. The final top-100 is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * (price, date, orderkey) key is unique so the cut is deterministic.
+    */
+  def qBigorders(s: SparkSession, d: String): DataFrame = {
+    val qty = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey").agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > 280)
+    qty
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        dec(col("o_totalprice"), 12, 2).cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_date"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val bigordersOracleSql: String = """
+    WITH q AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 280)
+    SELECT c_name, o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice, sum_qty
+    FROM q JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100"""
+
+  /** B34 `q_disjunct` (TPC-H Q19 shape): revenue under an OR-of-ANDs
+    * predicate spanning both join sides — the disjunctive-pushdown
+    * benchmark. The per-branch bounds don't push down individually, so
+    * the UNION of each side's bounds is stated explicitly as a
+    * conjunctive pre-filter (quantity ≤ 30, size ≤ 15, brand ∈ the three
+    * literals): semantically implied by the disjunction, and it reaches
+    * the parquet scans as PushedFilters — the fact scan skips every
+    * row group outside the quantity band instead of evaluating the full
+    * disjunction row-by-row. Part stays an explicit broadcast; revenue
+    * is the exact 10^-4-unit long sum with the decimal(38,0) partial
+    * merge (see q1Agg).
+    */
+  def qDisjunct(s: SparkSession, d: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#34")
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin(brands: _*) && col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 30))
+      .select(col("l_partkey"), col("l_quantity"), revUnits().as("rev_u"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(spark_partition_id().as("pid")).agg(sum("rev_u").as("p_su"))
+      .agg(sumD38(col("p_su")).as("su"))
+      .select(unitsToDbl(col("su"), 10000).as("revenue"))
+  }
+
+  val disjunctOracleSql: String = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** B35 `q_idle` (TPC-H Q22 shape): above-average-balance customers with
+    * no recent orders, rolled up per market segment. The "average" gate
+    * is a broadcast scalar compared EXACTLY in integers
+    * (bal·n_pos > sum_bal in cents — cross-multiplied, so no engine's
+    * float average decides membership at the boundary), and the
+    * no-recent-orders test is a left-anti hash join against the
+    * date-pruned order scan (the o_orderdate bound reaches parquet as a
+    * PushedFilter; only recent orderers' custkeys shuffle). Both the
+    * anti join and the final rollup key on custkey/segment — no global
+    * structure anywhere.
+    */
+  def qIdle(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (dec(col("c_acctbal"), 12, 2) * 100).cast("long").as("bal_c"))
+      .filter(col("bal_c") > 0)
+    val stats = cust.agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("tot_c"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        unitsToDbl(col("tot_c"), 100).as("tot_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val idleOracleSql: String = """
+    WITH pos AS (
+      SELECT c_custkey, c_mktsegment,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+      FROM customer
+      WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+    st AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        CAST(count(*) AS BIGINT) AS n_pos FROM pos)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+      CAST(CAST(sum(bal_c) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS tot_bal
+    FROM pos, st
+    WHERE bal_c * n_pos > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = pos.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 }

@@ -127,4 +127,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.ops.Similarity.semDedup(TestSpark.spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_bigorders: having-aggregate first, top-100 as TakeOrderedAndProject") {
+    val p = plan(Relational.qBigorders(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // exactly one lineitem scan — the HAVING feeds the join, it is not
+    // re-derived per consumer
+    val lineitemScans = p.split("\n").count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_disjunct pushes the union-of-branches bounds to both scans") {
+    val p = plan(Relational.qDisjunct(TestSpark.spark, TestSpark.sf))
+    // the quantity band (implied by all three OR branches) reaches the
+    // lineitem scan; the brand/size bounds reach the part scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,1.0), LessThanOrEqual(l_quantity,30.0)") ||
+      p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("In(p_brand") || p.contains("EqualTo(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_idle: date bound pushed to the orders scan, anti join is hash-based") {
+    val p = plan(Relational.qIdle(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the only nested-loop is the 1-row broadcast stats scalar; the anti
+    // join itself must be hash-based and nothing may plan a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -189,4 +189,26 @@ class DedupSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("decontaminate_bloom equals exact decontaminate, prefilter in plan") {
+    val exact = Dedup.decontaminate(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBloom = Dedup.decontaminateBloom(s, TestSpark.sf)
+    // a false positive may leak a shingle past the bloom but never a row
+    // past the exact verify join — output must be bit-identical
+    assert(viaBloom.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exact)
+    // and the prefilter must actually be in the plan as the scalar-subquery
+    // membership test, not optimized away
+    val p = viaBloom.queryExecution.optimizedPlan.toString
+    assert(p.contains("graft_might_contain") || p.toLowerCase.contains("might_contain"), p)
+  }
+
+  test("bloom prefilter is tight: a tiny filter still never drops a true hit") {
+    // 64 bits for tens of thousands of shingles — saturated filter, ~every
+    // probe a "maybe": correctness must come from the verify join alone
+    val exact = Dedup.decontaminate(s, TestSpark.sf).count()
+    val saturated = Dedup.decontaminateBloom(s, TestSpark.sf, numBits = 64L).count()
+    assert(saturated == exact)
+  }
 }
