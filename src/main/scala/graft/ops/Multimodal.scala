@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * mechanism is real: binary column + metadata struct schema,
   * partition-batched decode via `mapPartitions` over a typed Dataset
   * (the Scala analog of `mapInPandas` batches). `decodePayload` decodes
-  * binary PPM (P6) images natively — a pure-JVM header+pixel parse —
-  * and fails loudly for formats that need a codec; the deterministic
-  * fake decoder remains what the ORACLED queries run, keeping their
-  * results codec-independent.
+  * binary PPM (P6) images and WAV/PCM audio natively — pure-JVM
+  * header+sample parses — and fails loudly for formats that need a real
+  * codec (JPEG, MP4); the deterministic fake decoder remains what the
+  * ORACLED queries run, keeping their results codec-independent.
   */
 object Multimodal {
 
@@ -38,20 +38,27 @@ object Multimodal {
       (lit(1) + octet_length(col("text")) % 24).cast("int").as("n_frames"))
 
   /** Decode a media payload to planes of floats. IMPLEMENTED for binary
-    * PPM (P6) images — a pure header+pixel parse needing no codec
-    * library, exercised on crafted bytes in MultimodalSpec. The other
-    * formats (JPEG→pixels, WAV→PCM, MP4→frames) need native codecs this
-    * container doesn't ship and fail loudly; `fakeDecode` remains the
-    * deterministic stand-in the ORACLED pipeline uses, so the
-    * distributed plumbing stays testable independent of codecs.
+    * PPM (P6) images and RIFF WAV/PCM audio — pure header+sample parses
+    * needing no codec library, exercised on crafted bytes in
+    * MultimodalSpec. The remaining formats (JPEG→pixels, MP4→frames)
+    * need native codecs this container doesn't ship and fail loudly;
+    * `fakeDecode` remains the deterministic stand-in the ORACLED
+    * pipeline uses, so the distributed plumbing stays testable
+    * independent of codecs.
     */
   def decodePayload(payload: Array[Byte], mediaType: String): Array[Array[Float]] =
     mediaType match {
       case "image" if payload.length >= 2 && payload(0) == 'P' && payload(1) == '6' =>
         decodePpm(payload)
+      case "audio" if payload.length >= 12 && magic(payload, 0, "RIFF") &&
+          magic(payload, 8, "WAVE") =>
+        decodeWavPcm(payload)
       case other => throw new UnsupportedOperationException(
-        s"no $other codec in this container (PPM/P6 images are decoded natively)")
+        s"no $other codec in this container (PPM/P6 images and WAV/PCM audio decode natively)")
     }
+
+  private def magic(p: Array[Byte], off: Int, s: String): Boolean =
+    s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
 
   /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` (with `#`
     * comments), one whitespace byte, then w·h·3 raw RGB bytes. Returns
@@ -86,6 +93,58 @@ object Multimodal {
     Array.tabulate(h) { row =>
       val base = pos + row * w * 3
       Array.tabulate(w * 3)(i => (payload(base + i) & 0xff).toFloat / maxval)
+    }
+  }
+
+  /** WAV (RIFF) with uncompressed PCM samples: `RIFF <size> WAVE`, then
+    * word-aligned chunks — `fmt ` (must be audioFormat 1 = linear PCM,
+    * 8- or 16-bit samples) and `data` (interleaved frames). Returns one
+    * plane per channel, samples normalized to [-1, 1] (8-bit is unsigned
+    * excess-128, 16-bit little-endian two's complement — per the RIFF
+    * spec). Fails loudly on compressed/float formats, missing chunks, or
+    * a data chunk that overruns the payload — a truncated file must not
+    * decode to silence.
+    */
+  def decodeWavPcm(payload: Array[Byte]): Array[Array[Float]] = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    var pos = 12
+    var channels = 0
+    var bits = 0
+    var fmtSeen = false
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(pos + 4)
+      id match {
+        case "fmt " =>
+          val audioFormat = u16(pos + 8)
+          require(audioFormat == 1, s"unsupported WAV audio format $audioFormat (PCM only)")
+          channels = u16(pos + 10)
+          bits = u16(pos + 22)
+          fmtSeen = true
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => () // LIST/INFO and friends: skipped
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    require(fmtSeen, "WAV missing fmt chunk")
+    require(dataOff >= 0, "WAV missing data chunk")
+    require(bits == 8 || bits == 16, s"unsupported PCM sample width $bits")
+    require(channels > 0, "WAV with zero channels")
+    require(dataOff + dataLen <= payload.length,
+      s"truncated WAV: data chunk claims $dataLen bytes, have ${payload.length - dataOff}")
+    val bytesPerSample = bits / 8
+    val frames = (dataLen / (channels * bytesPerSample)).toInt
+    Array.tabulate(channels) { c =>
+      Array.tabulate(frames) { f =>
+        val o = dataOff + (f * channels + c) * bytesPerSample
+        if (bits == 8) ((payload(o) & 0xff) - 128) / 128f
+        else (((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort) / 32768f
+      }
     }
   }
 

@@ -57,4 +57,50 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePayload(Array[Byte](1, 2, 3), "audio")
     }
   }
+
+  /** Little-endian helpers for crafting RIFF bytes. */
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def wav(channels: Int, bits: Int, data: Array[Byte],
+      extraChunk: Boolean = false): Array[Byte] = {
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(8000) ++ le32(8000 * channels * bits / 8) ++ le16(channels * bits / 8) ++ le16(bits)
+    val skip = if (extraChunk) "LIST".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](9, 9, 9, 0) // odd-size chunk + its alignment pad byte
+    else Array.emptyByteArray
+    val dat = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ skip ++ dat
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("WAV 16-bit stereo PCM decodes to per-channel normalized planes") {
+    // frames (L,R): (0, 16384), (-32768, 32767) — two's complement LE
+    val data = le16(0) ++ le16(16384) ++ le16(0x8000) ++ le16(0x7fff)
+    val planes = Multimodal.decodePayload(wav(2, 16, data, extraChunk = true), "audio")
+    assert(planes.length == 2 && planes.forall(_.length == 2))
+    assert(planes(0)(0) == 0f && planes(0)(1) == -1f)
+    assert(planes(1)(0) == 0.5f && planes(1)(1) == 32767f / 32768f)
+  }
+
+  test("WAV 8-bit mono is unsigned excess-128") {
+    val data = Array(0, 128, 255).map(_.toByte)
+    val planes = Multimodal.decodePayload(wav(1, 8, data), "audio")
+    assert(planes.length == 1)
+    assert(planes(0).toSeq == Seq(-1f, 0f, 127f / 128f))
+  }
+
+  test("compressed or truncated WAVs fail loudly") {
+    // audioFormat 3 (IEEE float) must be rejected
+    val floatFmt = wav(1, 16, le16(0))
+    // patch audioFormat field (offset 20: RIFF(12) + id(4) + size(4))
+    floatFmt(20) = 3
+    intercept[IllegalArgumentException] { Multimodal.decodePayload(floatFmt, "audio") }
+    // data chunk claiming more bytes than the payload carries
+    val good = wav(1, 16, le16(0) ++ le16(1))
+    val truncated = good.dropRight(2)
+    intercept[IllegalArgumentException] { Multimodal.decodePayload(truncated, "audio") }
+  }
 }
