@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *    naive per-stage repartition A/B (same output checksum)
   *  - `quantile_10x` — 6M-row lineitem: histogram exact quantiles vs
   *    sort-based percentile() A/B (same output checksum)
+  *  - `bloom_decon_10x` — 50k-doc decontamination: exact eval-shingle
+  *    broadcast vs bloom prefilter A/B (same output checksum) + the
+  *    broadcast-size / prefilter-selectivity accounting
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -693,6 +696,85 @@ object Stress {
           timed(s"q1 60M single-level run$i")(
             single().write.mode("overwrite").format("noop").save())
         }
+
+      case "bloom_decon_10x" =>
+        // 50k docs (10× sf0.1, doc_id*10+rep keeps the %23 eval slice
+        // distributed): D17 exact broadcast decontamination vs D17b's
+        // bloom-prefiltered form on identical data. The numbers that
+        // matter at 100 TB are the SIZES: what D17 must broadcast (the
+        // full exploded eval shingle relation) vs the fixed bloom bytes,
+        // and how many corpus shingles the prefilter kills before the
+        // join. Wall time locally is expected to be a near-wash — in one
+        // JVM the broadcast is a pointer hand-off; the scenario records
+        // that honestly rather than claiming a local speedup.
+        val base = Tables.documents(spark, sf)
+        val docs10 = base
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select(((col("doc_id") * 10 + col("rep")).as("doc_id") +:
+            base.columns.filter(_ != "doc_id").map(col)): _*)
+        docs10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_bloomdecon/documents.parquet")
+        val bd = "/tmp/stress_bloomdecon"
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr("bit_xor(xxhash64(doc_id, eval_id, n_hits))"))
+            .head().getLong(0)
+        // untimed warmup for both forms (Bench discipline)
+        var ce = 0L; var cb = 0L
+        checksum(ops.Dedup.decontaminate(spark, bd))
+        checksum(ops.Dedup.decontaminateBloom(spark, bd))
+        (1 to 3).foreach { i =>
+          timed(s"decontaminate EXACT broadcast run$i") {
+            ce = checksum(ops.Dedup.decontaminate(spark, bd)); ce }
+          timed(s"decontaminate BLOOM prefilter run$i") {
+            cb = checksum(ops.Dedup.decontaminateBloom(spark, bd)); cb }
+        }
+        assert(ce == cb, s"forms disagree: $ce vs $cb")
+        // size accounting on the production relations (the views/functions
+        // the operator itself registered): what the exact form broadcasts
+        // vs what the bloom form ships + what survives to the join
+        def selectivity(tag: String): Unit = {
+          val evalStats = spark.sql(
+            "SELECT count(*), sum(octet_length(shingle)) FROM graft_eval_sh").head()
+          val corpusN = spark.sql("SELECT count(*) FROM graft_corpus_sh").head().getLong(0)
+          val passN = spark.sql("""
+            SELECT count(*) FROM graft_corpus_sh
+            WHERE graft_might_contain(
+              (SELECT graft_bloom_agg(xxhash64(shingle),
+                 CAST(65536 AS BIGINT), CAST(1048576 AS BIGINT))
+               FROM graft_eval_sh),
+              xxhash64(shingle))""").head().getLong(0)
+          println(f"[stress] $tag eval shingles: ${evalStats.getLong(0)} " +
+            f"(~${evalStats.getLong(1) / 1048576.0}%.1f MiB of shingle text broadcast by " +
+            f"D17; with eval_id + row overhead the actual broadcast is larger); " +
+            f"bloom ships ${1048576 / 8 / 1024} KiB regardless")
+          println(f"[stress] $tag corpus shingles: $corpusN, past bloom: $passN " +
+            f"(${passN * 100.0 / corpusN}%.1f%% reach the join)")
+        }
+        selectivity("SATURATED")
+        // The saturated case is the synthetic corpus's worst case: a
+        // 31-word vocabulary means the eval slice covers ~the whole
+        // 3-shingle space and the prefilter can kill almost nothing
+        // (output still exact). Variant B salts every word with
+        // doc_id%97 so cross-group shingles never match — the realistic
+        // regime where eval text is a sliver of the corpus — and the
+        // bloom should now be doing the killing it exists for.
+        val salted = docs10.select(col("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" g"), (col("doc_id") % 97).cast("string"), lit("_"))).as("text"))
+        salted.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_bloomdecon_b/documents.parquet")
+        val bdB = "/tmp/stress_bloomdecon_b"
+        var ceB = 0L; var cbB = 0L
+        checksum(ops.Dedup.decontaminate(spark, bdB))
+        checksum(ops.Dedup.decontaminateBloom(spark, bdB))
+        (1 to 3).foreach { i =>
+          timed(s"decontaminate SALTED exact run$i") {
+            ceB = checksum(ops.Dedup.decontaminate(spark, bdB)); ceB }
+          timed(s"decontaminate SALTED bloom run$i") {
+            cbB = checksum(ops.Dedup.decontaminateBloom(spark, bdB)); cbB }
+        }
+        assert(ceB == cbB, s"salted forms disagree: $ceB vs $cbB")
+        selectivity("SALTED")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }
