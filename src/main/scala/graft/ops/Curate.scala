@@ -199,18 +199,23 @@ object Curate {
     * read once and never shuffled.
     */
   def domainMix(s: SparkSession, d: String): DataFrame = {
-    // corpus totals via an unpartitioned window over the ALREADY-AGGREGATED
-    // per-stratum frame (#strata rows): an agg+crossJoin would duplicate
-    // the corpus-scan subtree (DataFrame reuse re-executes it), i.e. one
-    // extra full read per refresh at 100 TB for a 5-row total
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+    // corpus totals WITHOUT a second corpus scan and WITHOUT a global
+    // window: the per-stratum frame and its grand total both consume the
+    // SAME lang-keyed exchange (partial-agg → shuffle), so ReuseExchange
+    // reads the corpus once (asserted in PlanSpec) while the totals ride
+    // a broadcast scalar instead of an unpartitioned whole-frame window.
+    // lang is filtered non-null EXPLICITLY (a null-lang doc can never be
+    // selected — the rate join drops it — so it must not count toward the
+    // budget either; the oracle states the same bound): without it the
+    // join infers isnotnull into one consumer branch only and the two
+    // exchanges stop being canonically equal — no reuse, corpus read 2×
+    val strat = Tables.documents(s, d).filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
       .withColumn("r0", expr("CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)"))
       .withColumn("w", expr(
         "CASE WHEN r0 * r0 > c THEN r0 - 1 WHEN (r0+1) * (r0+1) <= c THEN r0 + 1 ELSE r0 END"))
-      .withColumn("n_total", sum("c").over(all))
-      .withColumn("sum_w", sum("w").over(all))
+    val tot = strat.agg(sum("c").as("n_total"), sum("w").as("sum_w"))
+    val rates = strat.crossJoin(broadcast(tot))
       .withColumn("target", expr("(n_total DIV 2) * w DIV sum_w"))
       .withColumn("rate_x1e6", expr("least(1000000, target * 1000000 DIV c)"))
       .select("lang", "rate_x1e6")
@@ -226,7 +231,8 @@ object Curate {
 
   val domainMixOracleSql: String = """
     WITH counts AS (
-      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang),
     ws AS (
       SELECT lang, c,
         CASE WHEN r0 * r0 > c THEN r0 - 1

@@ -993,7 +993,7 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** B33 `q_bigorders` (TPC-H Q18 shape — cf. reference test query
+  /** B34 `q_bigorders` (TPC-H Q18 shape — cf. reference test query
     * coverage of large-order reporting): orders whose line quantities sum
     * past a threshold, joined back to order/customer detail, top-100 by
     * price. The shape that matters at 100 TB: the HAVING runs FIRST as a
@@ -1035,7 +1035,7 @@ object Relational {
       JOIN customer ON o_custkey = c_custkey
     ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100"""
 
-  /** B34 `q_disjunct` (TPC-H Q19 shape): revenue under an OR-of-ANDs
+  /** B35 `q_disjunct` (TPC-H Q19 shape): revenue under an OR-of-ANDs
     * predicate spanning both join sides — the disjunctive-pushdown
     * benchmark. The per-branch bounds don't push down individually, so
     * the UNION of each side's bounds is stated explicitly as a
@@ -1076,7 +1076,7 @@ object Relational {
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
 
-  /** B35 `q_idle` (TPC-H Q22 shape): above-average-balance customers with
+  /** B36 `q_idle` (TPC-H Q22 shape): above-average-balance customers with
     * no recent orders, rolled up per market segment. The "average" gate
     * is a broadcast scalar compared EXACTLY in integers
     * (bal·n_pos > sum_bal in cents — cross-multiplied, so no engine's

@@ -128,6 +128,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("domain_mix: totals reuse the stratum exchange, no global window") {
+    val df = graft.ops.Curate.domainMix(TestSpark.spark, TestSpark.sf)
+    // no whole-frame window anywhere (the r9 form moved the stratum frame
+    // to a single partition for the totals)
+    assert(!plan(df).contains("Window"), plan(df))
+    df.collect()
+    // ...and at runtime the grand-total branch consumes the SAME lang
+    // exchange instead of re-scanning the corpus
+    assert(plan(df).contains("ReusedExchange"), plan(df))
+  }
+
   test("q_bigorders: having-aggregate first, top-100 as TakeOrderedAndProject") {
     val p = plan(Relational.qBigorders(TestSpark.spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), p)
