@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -431,5 +431,68 @@ object Streams {
         col("n_events").cast("long").as("n_events"),
         col("duration_sec"))
       .orderBy("user_id", "start_s")
+  }
+
+  // ---------- C12: streaming decontamination gate ----------
+
+  /** C12: the in-stream half of benchmark decontamination (D17b's bloom,
+    * applied at ingest). The eval suite's distinct shingles collapse to
+    * ONE fixed-size Bloom filter snapshot at stream LAUNCH — a single
+    * driver-side head() of a 128 KiB scalar, once per stream, never per
+    * batch or per row — which then rides the stream's codegen as a
+    * foldable literal (a scalar subquery cannot cross the batch→stream
+    * boundary; a snapshot literal is exactly how a production gate pins
+    * its filter at deploy time). Each incoming doc counts its distinct
+    * shingles the bloom says MAYBE belong to the eval set, entirely
+    * map-side and stateless:
+    *
+    *   - `route = quarantine` when ≥ minHits shingles are maybe-eval: the
+    *     doc goes to the offline EXACT verify (D17's join) before any
+    *     training use;
+    *   - `route = clean` is a PROOF, not a guess: a truly contaminated
+    *     doc shares ≥ minHits distinct shingles with some eval doc, the
+    *     bloom has NO false negatives, so every one of those shingles
+    *     tests maybe and the doc cannot route clean. False positives only
+    *     ever over-quarantine (bounded by numBits), never leak.
+    *
+    * StreamingSpec pins the invariant against the batch exact join on a
+    * contaminated corpus split across micro-batches.
+    */
+  def quarantineGate(evalDocs: DataFrame, minHits: Int = 8,
+      estItems: Long = 1L << 16, numBits: Long = 1L << 20): Column => Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    val spark = evalDocs.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    val bloomBytes = graft.ops.Dedup.withShingles(evalDocs)
+      .select(explode(col("sh")).as("shingle"))
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("shingle")), lit(estItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType): Expression, es(0)),
+      "built-in")
+    // caller passes a BOUND words-array column (projected once per row —
+    // an inline split() here would re-evaluate per lambda reference, the
+    // no-CSE-in-HOF trap shinglesOfWords documents)
+    (words: Column) => {
+      val maybeHits = size(filter(graft.ops.Dedup.shinglesOfWords(words), t =>
+        call_function("graft_might_contain", xxhash64(t))))
+      when(maybeHits >= minHits, "quarantine").otherwise("clean")
+    }
+  }
+
+  /** C12 streaming wiring: stateless gate column over a doc stream —
+    * every row routes inside whole-stage codegen, no state store, no
+    * watermark interplay; the only state in a full ingest pipeline
+    * remains C7's dedup.
+    */
+  def quarantineStream(docs: DataFrame, evalDocs: DataFrame, minHits: Int = 8): DataFrame = {
+    val gate = quarantineGate(evalDocs, minHits)
+    docs.withColumn("graft_w", split(lower(col("text")), " "))
+      .withColumn("route", gate(col("graft_w")))
+      .select("doc_id", "ts", "route")
   }
 }

@@ -419,4 +419,46 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "2024-01-05 11:00:00", 1L, 0L),
       (2L, "2024-01-05 09:00:00", 1L, 0L)))
   }
+
+  test("quarantine gate never routes a truly contaminated doc clean") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // eval suite: two docs; contamination = >= 3 shared distinct 3-shingles
+    val evalDocs = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "one two three four five six")).toDF("doc_id", "text")
+    // stream docs: 1 = contaminated (5 shared shingles with eval 1000),
+    // 2 = clean (unique words), 3 = borderline-clean (2 shared shingles)
+    val docs = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha beta gamma delta epsilon zeta xx"),
+      (ts("2024-01-01 10:01:00"), 2L, "totally unrelated words nothing shared here"),
+      (ts("2024-01-01 10:02:00"), 3L, "one two three unrelatedtail wordsdiverge"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.quarantineStream(df, evalDocs, minHits = 3)
+      .writeStream.format("memory").queryName("quarantine_test")
+      .outputMode("append").start()
+    // split across micro-batches: the gate is stateless so batching is
+    // irrelevant to the route — pinned by feeding one doc per batch
+    docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+    val got = s.sql("SELECT doc_id, route FROM quarantine_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    q.stop()
+    // the exact batch decision (the D17 join) on the same frames
+    val evalSh = graft.ops.Dedup.withShingles(evalDocs)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val contaminated = graft.ops.Dedup.withShingles(
+        docs.toDF("ts", "doc_id", "text").select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(evalSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(contaminated == Set(1L), s"fixture drifted: $contaminated")
+    // the invariant: no false negatives — contaminated docs ALWAYS
+    // quarantine; clean routes may over-quarantine (bloom FPs) but on a
+    // 2^20-bit filter with ~20 items these fixtures route exactly
+    contaminated.foreach(id => assert(got(id) == "quarantine", got.toString))
+    assert(got(2L) == "clean" && got(3L) == "clean", got.toString)
+  }
 }
