@@ -52,8 +52,13 @@ object Clustering {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Seed labels with least(id, min neighbor) rather than id: the
+    // groupBy costs exactly what the old vertex-distinct init cost (one
+    // shuffle on the same key), but it IS round 1's min-propagation —
+    // one fewer full label-relation shuffle round at any scale (r10;
+    // ClusteringPropSpec pins equivalence against union-find).
+    var labels = und.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint()
     // the checkpoint block that currently backs `labels` — round i's blocks
     // can be dropped once round i+1's `changed` count has consumed them,
