@@ -173,6 +173,7 @@ object SparkEntry {
     "curation_funnel"   -> w(Curate.curationFunnel),
     "curriculum_order"  -> w(Curate.curriculumOrder),
     "shard_manifest"    -> w(Curate.shardManifest),
+    "sample_group_k"    -> w((s, d) => Curate.sampleGroupK(s, d)),
     "bpe_train"         -> w(Tokenize.bpeTrain),
     "bpe_encode"        -> w(Tokenize.bpeEncode),
     "bpe_segment"       -> w(Tokenize.bpeSegment),
@@ -1393,6 +1394,7 @@ object SparkEntry {
     "curation_funnel" -> Curate.curationFunnelOracleSql,
     "curriculum_order" -> Curate.curriculumOrderOracleSql,
     "shard_manifest" -> Curate.shardManifestOracleSql,
+    "sample_group_k" -> Curate.sampleGroupKOracleSql,
     "bpe_train" -> Tokenize.bpeTrainOracleSql,
     "bpe_encode" -> Tokenize.bpeEncodeOracleSql,
     "bpe_segment" -> Tokenize.bpeSegmentOracleSql,

@@ -783,4 +783,43 @@ object Curate {
       bit_xor(content_h) AS content_xor,
       min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM a GROUP BY shard ORDER BY shard"""
+
+  /** E20 `sample_group_k`: EXACT-k deterministic per-stratum sample — the
+    * fixed-budget companion to E3's rate-based `sample_stratified` (a
+    * rate can only hit k in expectation; an eval holdout or labelling
+    * budget wants exactly k per language). Selection order is the E9
+    * md5 slice of doc_id — reproducible on any engine, any partitioning,
+    * no rand() — and the "top k by hash" is the B30 bounded heap
+    * aggregate, NOT a window: O(k) state per stratum at any corpus size,
+    * map-side partial heaps, only ~k·partitions rows ever shuffle, and
+    * nothing sorts the corpus (the window form's map-side sort is the
+    * cost topk_10x measured at 1.7×). Groups holding < k docs return
+    * all of them, ranked.
+    */
+  def sampleGroupK(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"topk_pairs_$k",
+      es => graft.functions.TopKAggregate(es(0), es(1), k).toAggregateExpression(),
+      "built-in")
+    Tables.documents(s, d)
+      .select(col("lang"),
+        conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+          .cast("long").as("ord_key"),
+        col("doc_id"))
+      .groupBy("lang")
+      .agg(call_function(s"topk_pairs_$k", col("ord_key"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank_in_lang"),
+        col("col.payload").as("doc_id"))
+      .orderBy("lang", "rank_in_lang")
+  }
+
+  val sampleGroupKOracleSql: String = """
+    SELECT lang, CAST(rn AS BIGINT) AS rank_in_lang, doc_id FROM (
+      SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) DESC,
+                   doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 50 ORDER BY lang, rank_in_lang"""
 }
