@@ -109,6 +109,7 @@ object SparkEntry {
     "q_custdist"        -> w(Relational.qCustDist),
     "q_waiting"         -> w(Relational.qWaiting),
     "ann_ivf"           -> w((s, d) => Similarity.annIvf(s, d)),
+    "ann_incremental"   -> w(Similarity.annIncremental),
     // C. streaming semantics (batch-checked)
     "q_skew_salted"   -> w(Skew.qSkewSalted),
     "stream_tumbling" -> w(Streams.tumbling),
@@ -1071,6 +1072,8 @@ object SparkEntry {
     // count (one IEEE divide), probe distances a left-fold of identical
     // IEEE ops (list_reduce mirrors Spark's aggregate()), rerank the same
     // quantized cosine as the other embedding oracles.
+    "ann_incremental" -> Similarity.annIncrementalOracleSql,
+
     "ann_ivf" -> """
       WITH q0 AS (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

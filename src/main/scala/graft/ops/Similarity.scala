@@ -169,6 +169,59 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), (col("sv").cast("double") / col("cn")).as("cv")))),
         t => t.getField("cv")).as("centroid"))
 
+  /** D13b `ann_incremental`: IVF index MAINTENANCE — the path that keeps
+    * a vector index growing without re-clustering. Centroids are built
+    * from the base corpus only (vec_id % 17 != 0 here; in production the
+    * last full build) and the incoming batch (the % 17 == 0 slice)
+    * assigns to its nearest EXISTING centroid: centroids broadcast
+    * (#clusters rows), distances computed map-side over the batch scan,
+    * and the argmin is a `min(struct(cdist, label))` aggregate — map-side
+    * combinable, so the only shuffle carries one pre-reduced row per
+    * incoming vector, and nothing sorts or windows. Cost is
+    * O(batch · #centroids) CPU + one batch-sized shuffle, independent of
+    * the indexed corpus size — the same contract as D27's incremental
+    * dedup. Periodic full re-clustering (drift repair) remains the
+    * batch ivfCentroids path.
+    */
+  def annIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    val cents = ivfCentroids(e.filter(col("vec_id") % 17 =!= 0))
+    e.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qv"), col("centroid"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("label"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("assigned"),
+        round(col("m.cdist"), 6).as("cdist_r"))
+      .orderBy("vec_id")
+  }
+
+  val annIncrementalOracleSql: String = """
+    WITH q0 AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+    px AS (SELECT label, qv, unnest(range(1, len(qv)+1)) AS pos
+           FROM q0 WHERE vec_id % 17 <> 0),
+    cell AS (SELECT label, pos, qv[pos] AS v FROM px),
+    cent AS (SELECT label, pos, CAST(sum(v) AS DOUBLE) / count(*) AS cv
+             FROM cell GROUP BY label, pos),
+    cl AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    inc AS (SELECT vec_id, qv FROM q0 WHERE vec_id % 17 = 0),
+    d AS (SELECT vec_id, cl.label,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(inc.qv, cl.centroid),
+              t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))),
+          (acc, v) -> acc + v) AS cdist
+      FROM inc CROSS JOIN cl)
+    SELECT vec_id, label AS assigned, round(cdist, 6) AS cdist_r
+    FROM d QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, label) = 1
+    ORDER BY vec_id"""
+
   def annIvf(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
     val e = quantized(s, d)
       .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")

@@ -92,6 +92,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planes(0).toSeq == Seq(-1f, 0f, 127f / 128f))
   }
 
+  test("WAV round-trip: random PCM encodes and decodes losslessly") {
+    // seeded LCG — deterministic, no scalacheck needed for byte soup
+    var state = 42L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    (1 to 20).foreach { i =>
+      val channels = 1 + nextInt(4)
+      val bits = if (nextInt(2) == 0) 8 else 16
+      val frames = nextInt(50)
+      val samples = Array.fill(channels, frames)(
+        if (bits == 8) nextInt(256) else nextInt(65536) - 32768)
+      val data = new Array[Byte](frames * channels * bits / 8)
+      for (f <- 0 until frames; c <- 0 until channels) {
+        val v = samples(c)(f)
+        val o = (f * channels + c) * bits / 8
+        if (bits == 8) data(o) = v.toByte
+        else { data(o) = (v & 0xff).toByte; data(o + 1) = ((v >> 8) & 0xff).toByte }
+      }
+      val planes = Multimodal.decodePayload(wav(channels, bits, data), "audio")
+      assert(planes.length == channels, s"case $i")
+      for (c <- 0 until channels; f <- 0 until frames) {
+        val want = if (bits == 8) (samples(c)(f) - 128) / 128f else samples(c)(f) / 32768f
+        assert(planes(c)(f) == want, s"case $i ch $c frame $f")
+      }
+    }
+  }
+
   test("compressed or truncated WAVs fail loudly") {
     // audioFormat 3 (IEEE float) must be rejected
     val floatFmt = wav(1, 16, le16(0))
