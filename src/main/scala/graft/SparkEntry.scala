@@ -191,6 +191,7 @@ object SparkEntry {
     "q_disjunct"        -> w(Relational.qDisjunct),
     "q_idle"            -> w(Relational.qIdle),
     "q_zorder"          -> w(relational.ZOrder.query),
+    "q_rolling_distinct" -> w(Relational.qRollingDistinct),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1287,6 +1288,7 @@ object SparkEntry {
     "q_bigorders" -> Relational.bigordersOracleSql,
     "q_disjunct" -> Relational.disjunctOracleSql,
     "q_idle" -> Relational.idleOracleSql,
+    "q_rolling_distinct" -> Relational.rollingDistinctOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

@@ -1122,4 +1122,43 @@ object Relational {
         WHERE o.o_custkey = pos.c_custkey
           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** B37 `q_rolling_distinct`: EXACT rolling 7-day unique users per day —
+    * the sliding-distinct shape no window frame can compute (DISTINCT
+    * doesn't decompose over frame slides the way sums do). The classic
+    * distributed formulation: each (user, day) fact contributes to the 7
+    * window-ends it falls inside — a bounded ×7 explode of the already
+    * day-deduplicated (user, day) relation, NOT of the raw event stream —
+    * then distinct + count are ONE partial-aggregated shuffle each on
+    * (user, win_end)/(win_end). Nothing holds per-window user sets in
+    * memory and no frame ever materializes; at 100 TB the wire carries
+    * ≤ 7·|distinct (user, day)| rows, independent of event volume. (The
+    * bitmap-merge alternative — B16's Roaring bitmaps per day OR-ed over
+    * a frame — trades this explode for per-day bitmap state; the explode
+    * form wins until per-day distinct cardinality dwarfs the frame
+    * length.) Windows whose end falls beyond the data's last day are
+    * kept: they are real calendar windows with partial trailing
+    * coverage, and the oracle states the same rule.
+    */
+  def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("win_end"))
+      .distinct()
+      .groupBy("win_end")
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end_s"), col("n_users"))
+      .orderBy("win_end_s")
+  }
+
+  val rollingDistinctOracleSql: String = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    x AS (SELECT DISTINCT user_id,
+        day + CAST(unnest(range(0, 7)) AS INTEGER) AS win_end FROM ud)
+    SELECT strftime(win_end, '%Y-%m-%d') AS win_end_s,
+      CAST(count(*) AS BIGINT) AS n_users
+    FROM x GROUP BY win_end ORDER BY win_end_s"""
 }
