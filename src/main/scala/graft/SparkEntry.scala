@@ -79,6 +79,7 @@ object SparkEntry {
     "job_summary"         -> w(Discovery.jobSummary),
     "job_failures"        -> w(Discovery.jobFailures),
     "table_stats"         -> w(TableStats.query),
+    "dq_audit"            -> w(DataQuality.audit),
     "priority_lanes"      -> w(Lanes.lanesQuery),
     "corpus_io"           -> w(CorpusIO.query),
     "corpus_io_formats"   -> w(CorpusIO.formatsQuery),
@@ -487,6 +488,8 @@ object SparkEntry {
       FROM (SELECT event_id AS job_id, event_type AS stage, 'db_' || (user_id % 20) AS db
             FROM events WHERE value < 0.2) t
       ORDER BY job_id LIMIT 100""",
+
+    "dq_audit" -> DataQuality.auditOracleSql,
 
     "table_stats" -> """
       SELECT * FROM (
