@@ -193,6 +193,7 @@ object SparkEntry {
     "q_idle"            -> w(Relational.qIdle),
     "q_zorder"          -> w(relational.ZOrder.query),
     "q_rolling_distinct" -> w(Relational.qRollingDistinct),
+    "q_kmv_setops"      -> w(Relational.qKmvSetops),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1292,6 +1293,7 @@ object SparkEntry {
     "q_disjunct" -> Relational.disjunctOracleSql,
     "q_idle" -> Relational.idleOracleSql,
     "q_rolling_distinct" -> Relational.rollingDistinctOracleSql,
+    "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

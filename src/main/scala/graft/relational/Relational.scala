@@ -301,6 +301,105 @@ object Relational {
             CAST('9223372036854775808' AS DECIMAL(38,0)) DIV kth_hash
           END AS BIGINT)""").as("est_distinct"))
 
+  /** B11c `q_kmv_setops`: sketch SET ALGEBRA — the reason KMV/theta
+    * sketches exist at warehouse scale: distinct-count of a UNION or
+    * INTERSECTION across slices without ever co-shuffling the slices'
+    * raw keys (Theta-sketch algebra à la the DataSketches line). Each
+    * side keeps its k smallest `fnv64mix` hashes (B11b's mergeable
+    * bounded state, map-side WindowGroupLimit); then
+    *   union:        k smallest of the merged sample sets, same
+    *                 (k−1)·2⁶³ DIV h_k estimator;
+    *   intersection: common samples at-or-below θ_min = least of the two
+    *                 k-th hashes, est = m·2⁶³ DIV θ_min (both sides
+    *                 exact → exact m).
+    * All integer arithmetic, so the oracle hash-matches bit-for-bit.
+    * The ≤2k-row sample relation is localCheckpointed: four consumers
+    * (two side stats, union top-k, intersection) read 512 cached rows
+    * instead of re-running the scan+distinct+window per branch — the
+    * same tiny-relation staging precedent as dedup_minhash. KmvSpec
+    * bounds both estimators' error against true distinct counts.
+    */
+  def qKmvSetops(s: SparkSession, d: String): DataFrame = {
+    graft.ops.TextKernels.register(s)
+    val k = 256
+    val sk = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("g"),
+        call_function("fnv64mix", col("l_partkey").cast("string")).as("uh"))
+      .distinct()
+      .withColumn("rk", dense_rank().over(Window.partitionBy("g").orderBy("uh")))
+      .filter(col("rk") <= k)
+      .select("g", "uh")
+      .localCheckpoint()
+    val a = sk.filter(col("g") === "A").select(col("uh").as("ua"))
+    val r = sk.filter(col("g") === "R").select(col("uh").as("ur"))
+    val statsA = a.agg(count(lit(1)).as("n_a"), max("ua").as("theta_a"))
+    val statsR = r.agg(count(lit(1)).as("n_r"), max("ur").as("theta_r"))
+    val statsU = sk.select("uh").distinct().orderBy("uh").limit(k)
+      .agg(count(lit(1)).as("n_u"), max("uh").as("theta_u"))
+    val inter = a.join(r, col("ua") === col("ur"))
+      .crossJoin(broadcast(statsA)).crossJoin(broadcast(statsR))
+      .filter(col("ua") <= least(col("theta_a"), col("theta_r")))
+      .agg(count(lit(1)).as("n_i"))
+    def estSide(n: String, theta: String) = expr(
+      s"""CAST(CASE WHEN $n < $k THEN $n
+        ELSE CAST(${k - 1} AS DECIMAL(38,0)) *
+          CAST('9223372036854775808' AS DECIMAL(38,0)) DIV $theta
+        END AS BIGINT)""")
+    statsA.crossJoin(statsR).crossJoin(statsU).crossJoin(inter)
+      .select(
+        estSide("n_a", "theta_a").as("est_a"),
+        estSide("n_r", "theta_r").as("est_r"),
+        estSide("n_u", "theta_u").as("est_union"),
+        expr(s"""CAST(CASE WHEN n_a < $k AND n_r < $k THEN n_i
+          ELSE CAST(n_i AS DECIMAL(38,0)) *
+            CAST('9223372036854775808' AS DECIMAL(38,0))
+            DIV least(theta_a, theta_r)
+          END AS BIGINT)""").as("est_inter"),
+        col("n_i").cast("long").as("n_common_samples"))
+  }
+
+  val kmvSetopsOracleSql: String = """
+    WITH f0 AS (SELECT l_returnflag AS g,
+        list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            [CAST(ord(ps[i]) AS HUGEINT) for i in range(1, len(ps)+1)]),
+          (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                     * 1099511628211) % 18446744073709551616::HUGEINT
+        ) AS fv
+      FROM (SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS ps
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')) t),
+    f AS (SELECT DISTINCT g,
+        CAST((((fv // 4294967296) * 11400714819323198485::HUGEINT
+                % 18446744073709551616::HUGEINT * 4294967296
+              + (fv % 4294967296) * 11400714819323198485::HUGEINT)
+             % 18446744073709551616::HUGEINT) // 2 AS BIGINT) AS uh
+      FROM f0),
+    sk AS (SELECT g, uh FROM (
+        SELECT g, uh, row_number() OVER (PARTITION BY g ORDER BY uh) AS rk FROM f) t
+      WHERE rk <= 256),
+    a AS (SELECT uh FROM sk WHERE g = 'A'),
+    r AS (SELECT uh FROM sk WHERE g = 'R'),
+    sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(uh) AS theta_a FROM a),
+    sr AS (SELECT CAST(count(*) AS BIGINT) AS n_r, max(uh) AS theta_r FROM r),
+    u AS (SELECT uh FROM (SELECT DISTINCT uh FROM sk) ORDER BY uh LIMIT 256),
+    su AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(uh) AS theta_u FROM u),
+    i AS (SELECT CAST(count(*) AS BIGINT) AS n_i
+      FROM a JOIN r ON a.uh = r.uh, sa, sr
+      WHERE a.uh <= least(theta_a, theta_r))
+    SELECT
+      CAST(CASE WHEN n_a < 256 THEN n_a
+        ELSE 255 * 9223372036854775808::HUGEINT // theta_a END AS BIGINT) AS est_a,
+      CAST(CASE WHEN n_r < 256 THEN n_r
+        ELSE 255 * 9223372036854775808::HUGEINT // theta_r END AS BIGINT) AS est_r,
+      CAST(CASE WHEN n_u < 256 THEN n_u
+        ELSE 255 * 9223372036854775808::HUGEINT // theta_u END AS BIGINT) AS est_union,
+      CAST(CASE WHEN n_a < 256 AND n_r < 256 THEN n_i
+        ELSE CAST(n_i AS HUGEINT) * 9223372036854775808::HUGEINT
+          // least(theta_a, theta_r) END AS BIGINT) AS est_inter,
+      n_i AS n_common_samples
+    FROM sa, sr, su, i"""
+
   /** B12: per-group average filter (correlated scalar subquery semantics),
     * expressed with an exact cross-multiplied decimal compare so engines agree,
     * and a broadcast of the (tiny) per-brand aggregate instead of a

@@ -43,4 +43,31 @@ class KmvSpec extends AnyFunSuite {
     val five = Relational.kmvOn(hashedIds("d", 3000, 5)).collect()(0).getLong(3)
     assert(once == five)
   }
+
+  test("set-algebra estimates land near true union/intersection cardinality") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.01"
+    val out = Relational.qKmvSetops(s, d).collect()(0)
+    val (estA, estR, estU, estI) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    // ground truth from exact distincts on the same slices
+    val li = graft.Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select("l_returnflag", "l_partkey")
+    val nA = li.filter(col("l_returnflag") === "A")
+      .select("l_partkey").distinct().count()
+    val nR = li.filter(col("l_returnflag") === "R")
+      .select("l_partkey").distinct().count()
+    val nU = li.select("l_partkey").distinct().count()
+    val nI = nA + nR - nU
+    // sides and union: ±4σ ≈ 25% at k=256; intersection error compounds
+    // both thetas' noise, so the bound is looser (and the overlap here is
+    // near-total, which is the estimator's FAVORABLE regime)
+    for ((est, n, tag) <- Seq((estA, nA, "A"), (estR, nR, "R"), (estU, nU, "union"))) {
+      val relErr = math.abs(est - n).toDouble / n
+      assert(relErr < 0.25, s"$tag: est $est vs true $n (relErr $relErr)")
+    }
+    val relErrI = math.abs(estI - nI).toDouble / nI
+    assert(relErrI < 0.40, s"inter: est $estI vs true $nI (relErr $relErrI)")
+  }
 }
