@@ -25,7 +25,9 @@ object Bench {
     "asof_join_native", "curation_funnel", "q_kmv_distinct", "dedup_bucketed",
     "bpe_train", "curriculum_order", "q_topk_group", "q_volume",
     "q_marketshare", "q_quantile_hist", "corpus_drift", "compaction_plan",
-    "q_zorder", "decontaminate_bloom", "q_bigorders", "q_disjunct", "q_idle")
+    "q_zorder", "decontaminate_bloom", "q_bigorders", "q_disjunct", "q_idle",
+    "sample_group_k", "ann_incremental", "q_rolling_distinct", "dq_audit",
+    "q_kmv_setops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
