@@ -39,6 +39,8 @@ import org.apache.spark.sql.functions._
   *  - `bloom_decon_10x` — 50k-doc decontamination: exact eval-shingle
   *    broadcast vs bloom prefilter A/B (same output checksum) + the
   *    broadcast-size / prefilter-selectivity accounting
+  *  - `rolling_10x` — 1M-event rolling 7-day distinct: day-dedup-first
+  *    vs raw-event explode, shuffle-record A/B (same output checksum)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -775,6 +777,52 @@ object Stress {
         }
         assert(ceB == cbB, s"salted forms disagree: $ceB vs $cbB")
         selectivity("SALTED")
+
+      case "rolling_10x" =>
+        // 1M events (10× sf0.1, ids distinct, timestamps as-is so per-day
+        // distinct cardinality is UNCHANGED): B37's day-dedup-first
+        // formulation vs the naive raw-event explode. The claim under
+        // test: the production form's wire is ≤ 7·|distinct (user,day)|
+        // rows no matter how many events repeat a (user, day), while the
+        // naive form shuffles 7·|events|.
+        val ev10 = Tables.events(spark, sf).select("user_id", "ts")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select(col("user_id"), col("ts"))
+        ev10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_rolling/events.parquet")
+        val rd = "/tmp/stress_rolling"
+        def naive() = Tables.events(spark, rd)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("win_end"))
+          .distinct()
+          .groupBy("win_end").agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end_s"),
+            col("n_users"))
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr("bit_xor(xxhash64(win_end_s, n_users))")).head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          })
+        var cp = 0L; var cn = 0L
+        checksum(relational.Relational.qRollingDistinct(spark, rd)) // warm
+        checksum(naive())
+        def shufOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); shuffled.set(0L)
+          timed(label)(f)
+          Thread.sleep(1000)
+          println(f"[stress] $label shuffle-records: ${shuffled.get}%d")
+        }
+        shufOf("rolling_distinct day-dedup-first (1M events)") {
+          cp = checksum(relational.Relational.qRollingDistinct(spark, rd)); cp }
+        shufOf("rolling_distinct naive raw explode (1M events)") {
+          cn = checksum(naive()); cn }
+        assert(cp == cn, s"forms disagree: $cp vs $cn")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }
