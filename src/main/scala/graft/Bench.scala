@@ -27,7 +27,7 @@ object Bench {
     "q_marketshare", "q_quantile_hist", "corpus_drift", "compaction_plan",
     "q_zorder", "decontaminate_bloom", "q_bigorders", "q_disjunct", "q_idle",
     "sample_group_k", "ann_incremental", "q_rolling_distinct", "dq_audit",
-    "q_kmv_setops")
+    "q_kmv_setops", "stream_rolling_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

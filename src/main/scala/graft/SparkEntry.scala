@@ -194,6 +194,7 @@ object SparkEntry {
     "q_zorder"          -> w(relational.ZOrder.query),
     "q_rolling_distinct" -> w(Relational.qRollingDistinct),
     "q_kmv_setops"      -> w(Relational.qKmvSetops),
+    "stream_rolling_distinct" -> w(Streams.rollingDistinct),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1294,6 +1295,7 @@ object SparkEntry {
     "q_idle" -> Relational.idleOracleSql,
     "q_rolling_distinct" -> Relational.rollingDistinctOracleSql,
     "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
+    "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

@@ -433,6 +433,48 @@ object Streams {
       .orderBy("user_id", "start_s")
   }
 
+  // ---------- C13: sliding-window exact distinct users ----------
+
+  /** C13 shared batch/stream core: exact unique users per 6-hour window
+    * sliding hourly — B37's rolling-distinct made continuous. The
+    * sliding `window()` IS the bounded explode (≤6 windows per event,
+    * planned natively), the per-(user, window) dedup is the map-side
+    * collapse that keeps repeat events off the wire, and the final count
+    * is a plain windowed aggregate. In streaming BOTH stateful stages
+    * are watermark-bounded: the dedup key includes the event-time window
+    * struct so its state drops with the watermark, and the count's
+    * window state closes the same way (Spark's chained
+    * stateful-operator support in append mode; StreamingSpec drives the
+    * chain across micro-batches, repeats included).
+    */
+  def rollingDistinctAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), window(col("ts"), "6 hours", "1 hour").as("win"))
+      .dropDuplicates("user_id", "win")
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** C13 query (batch mode — identical semantics to the streaming form). */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame =
+    rollingDistinctAgg(Tables.events(s, d))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:00").as("win_s"),
+        col("n_users"))
+      .orderBy("win_s")
+
+  val rollingDistinctOracleSql: String = """
+    WITH x AS (SELECT DISTINCT user_id,
+        date_trunc('hour', ts) - to_hours(CAST(unnest(range(0, 6)) AS BIGINT)) AS win_start
+      FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:00') AS win_s,
+      CAST(count(*) AS BIGINT) AS n_users
+    FROM x GROUP BY win_start ORDER BY win_s"""
+
+  /** C13 streaming wiring — watermarked events through the same
+    * dedup+agg chain.
+    */
+  def rollingDistinctStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    rollingDistinctAgg(events.withWatermark("ts", watermark))
+
   // ---------- C12: streaming decontamination gate ----------
 
   /** C12: the in-stream half of benchmark decontamination (D17b's bloom,

@@ -420,6 +420,37 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-05 09:00:00", 1L, 0L)))
   }
 
+  test("rolling distinct chains dedup and windowed count across batches") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.rollingDistinctStream(df)
+      .select(col("win.start").as("start"), col("n_users"))
+      .writeStream.format("memory").queryName("rolling_test")
+      .outputMode("append").start()
+    // user 1 twice in the same hour (dedup must collapse ACROSS batches),
+    // user 2 in the next hour — windows overlap both
+    mem.addData((ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:40:00"), 1L), (ts("2024-01-01 11:10:00"), 2L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every touched window
+    mem.addData((ts("2024-01-02 12:00:00"), 9L))
+    q.processAllAvailable()
+    val got = s.sql("SELECT start, n_users FROM rolling_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    q.stop()
+    // 10:00-window start 05:00..10:00 see only user 1; windows covering
+    // both hours (06:00..10:00 starts end 11:xx? no — 6h windows starting
+    // 06:00..10:00 contain 10:xx AND 11:xx) count both users
+    assert(got("2024-01-01 05:00:00.0") == 1L, got.toString)
+    assert(got("2024-01-01 10:00:00.0") == 2L, got.toString)
+    assert(got("2024-01-01 06:00:00.0") == 2L, got.toString)
+    // user 2's last covering window sees only user 2
+    assert(got("2024-01-01 11:00:00.0") == 1L, got.toString)
+  }
+
   test("quarantine gate never routes a truly contaminated doc clean") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
