@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
+    // opt-in optimizer rule: drop dim joins proven redundant by declared
+    // (dq_audit-verified) FK integrity
+    e.injectOptimizerRule(_ => graft.plans.EliminateFkJoin())
     // whole-operator plan node: AsOfJoinNode → AsOfJoinExec (merge scan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -195,6 +195,7 @@ object SparkEntry {
     "q_rolling_distinct" -> w(Relational.qRollingDistinct),
     "q_kmv_setops"      -> w(Relational.qKmvSetops),
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
+    "q_fk_elim"         -> w(Relational.qFkElim),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1296,6 +1297,7 @@ object SparkEntry {
     "q_rolling_distinct" -> Relational.rollingDistinctOracleSql,
     "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
+    "q_fk_elim" -> Relational.fkElimOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

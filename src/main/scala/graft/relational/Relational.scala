@@ -1222,6 +1222,36 @@ object Relational {
           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** B38 `q_fk_elim`: the FK join-elimination rule under the oracle — the
+    * query is WRITTEN as lineitem ⋈ orders (the shape every BI view
+    * emits), but with `spark.graft.fkJoinElimination.enabled` and the
+    * (l_orderkey → o_orderkey) integrity declared (what an A27 dq_audit
+    * run proves), [[graft.plans.EliminateFkJoin]] rewrites the join to
+    * `Filter(IsNotNull(l_orderkey))` — the orders scan and its
+    * broadcast/shuffle vanish from the plan (EliminateFkJoinSpec pins
+    * the rewrite and its bailouts). The DuckDB oracle executes the REAL
+    * join, so the rows+schema+hash gate is precisely the rewrite's
+    * soundness proof. The conf/registry stay enabled for the session:
+    * the rule only ever fires on declared pairs over bare dim scans —
+    * any filter, dim-column use, or undeclared key bails out.
+    */
+  def qFkElim(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
+    graft.plans.FkRegistry.declare("l_orderkey", "o_orderkey")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val fkElimOracleSql: String = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** B37 `q_rolling_distinct`: EXACT rolling 7-day unique users per day —
     * the sliding-distinct shape no window frame can compute (DISTINCT
     * doesn't decompose over frame slides the way sums do). The classic

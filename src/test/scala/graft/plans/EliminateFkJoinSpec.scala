@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EliminateFkJoinSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def withRule[A](f: => A): A = {
+    s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
+    FkRegistry.declare("l_orderkey", "o_orderkey")
+    try f
+    finally {
+      s.conf.set("spark.graft.fkJoinElimination.enabled", "false")
+      FkRegistry.clear()
+    }
+  }
+
+  private def joined(o: DataFrame): DataFrame =
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_quantity")
+
+  private def hasJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+
+  test("verified FK join to a bare dim is eliminated, results unchanged") {
+    val orders = Tables.orders(s, d).select("o_orderkey")
+    val without = joined(orders).orderBy("l_orderkey", "l_quantity").collect()
+    val (eliminated, rows) = withRule {
+      val df = joined(orders)
+      (!hasJoin(df), df.orderBy("l_orderkey", "l_quantity").collect())
+    }
+    assert(eliminated, "join should be eliminated under the declared FK")
+    assert(rows.toSeq == without.toSeq)
+  }
+
+  test("bails out when a dim column is consumed") {
+    withRule {
+      val df = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_totalprice")
+      assert(hasJoin(df))
+    }
+  }
+
+  test("bails out on an undeclared pair") {
+    withRule {
+      val df = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_quantity")
+      assert(hasJoin(df))
+    }
+  }
+
+  test("bails out when the dim is filtered — the join is selective there") {
+    withRule {
+      val filtered = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000).select("o_orderkey")
+      val df = joined(filtered)
+      assert(hasJoin(df))
+      // and the results really differ from the unfiltered fact side —
+      // the bailout is semantic, not cosmetic
+      assert(df.count() < Tables.lineitem(s, d).count())
+    }
+  }
+
+  test("rule is inert while the conf gate is off") {
+    FkRegistry.declare("l_orderkey", "o_orderkey")
+    try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
+    finally FkRegistry.clear()
+  }
+}
