@@ -41,6 +41,8 @@ import org.apache.spark.sql.functions._
   *    broadcast-size / prefilter-selectivity accounting
   *  - `rolling_10x` — 1M-event rolling 7-day distinct: day-dedup-first
   *    vs raw-event explode, shuffle-record A/B (same output checksum)
+  *  - `fk_elim_10x` — 6M-row BI-view join: B38 rule ON (join deleted)
+  *    vs OFF (real shuffle join), checksum-asserted identical
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -823,6 +825,59 @@ object Stress {
         shufOf("rolling_distinct naive raw explode (1M events)") {
           cn = checksum(naive()); cn }
         assert(cp == cn, s"forms disagree: $cp vs $cn")
+
+      case "fk_elim_10x" =>
+        // 6M lineitem rows joined to 150k bare order keys — the BI-view
+        // join shape B38 exists for. A/B: rule OFF (real join; broadcast
+        // disabled so it shuffles, the at-scale regime where the dim
+        // outgrows broadcast) vs rule ON (join rewritten to a null
+        // filter). Same aggregate output asserted both ways.
+        val li10 = Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .crossJoin(broadcast(spark.range(10))).drop("id")
+        li10.repartition(32).write.mode("overwrite")
+          .parquet("/tmp/stress_fkelim/lineitem.parquet")
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderdate", "o_orderpriority")
+          .write.mode("overwrite").parquet("/tmp/stress_fkelim/orders.parquet")
+        val fd = "/tmp/stress_fkelim"
+        def q() = relational.Relational.qFkElim(spark, fd)
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(expr("bit_xor(xxhash64(l_returnflag, n, sum_qty))"))
+            .head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          })
+        def shufOf(label: String)(f: => Long): Long = {
+          Thread.sleep(1000); shuffled.set(0L)
+          var r = 0L
+          timed(label) { r = f; r }
+          Thread.sleep(1000)
+          println(f"[stress] $label shuffle-records: ${shuffled.get}%d")
+          r
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // warmups (both shapes). qFkElim re-enables the conf at BUILD
+        // time but the rule reads it at OPTIMIZATION time (first action),
+        // so the OFF leg builds first and flips the conf before consuming
+        checksum(q())
+        val warmOff = q()
+        spark.conf.set("spark.graft.fkJoinElimination.enabled", "false")
+        checksum(warmOff)
+        var cOn = 0L; var cOff = 0L
+        cOn = shufOf("fk_elim ON (join deleted, 6M rows)") { checksum(q()) }
+        cOff = shufOf("fk_elim OFF (real shuffle join, 6M rows)") {
+          val df = q() // builds with rule on; turn it off before execution
+          spark.conf.set("spark.graft.fkJoinElimination.enabled", "false")
+          checksum(df)
+        }
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert(cOn == cOff, s"forms disagree: $cOn vs $cOff")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }
