@@ -196,6 +196,7 @@ object SparkEntry {
     "q_kmv_setops"      -> w(Relational.qKmvSetops),
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
     "q_fk_elim"         -> w(Relational.qFkElim),
+    "q_top_supplier"    -> w(Relational.qTopSupplier),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1298,6 +1299,7 @@ object SparkEntry {
     "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
     "q_fk_elim" -> Relational.fkElimOracleSql,
+    "q_top_supplier" -> Relational.topSupplierOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

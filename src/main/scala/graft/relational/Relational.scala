@@ -1222,6 +1222,46 @@ object Relational {
           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** B39 `q_top_supplier` (TPC-H Q15 shape): the supplier(s) achieving
+    * MAXIMUM quarterly revenue — argmax over an aggregate, the "create
+    * view + where total = (select max...)" pattern. The revenue view
+    * aggregates once (exact 10^-4-unit longs, map-side partials); the
+    * max is a 1-row broadcast scalar joined back, so the view is NEVER
+    * recomputed for the subquery (the naive form's trap) and ties
+    * surface as multiple rows — deterministic because the compare is
+    * exact integers, never a float max.
+    */
+  def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"), revUnits().as("rev_u"))
+      .groupBy(col("l_suppkey"), spark_partition_id().as("pid"))
+      .agg(sum(col("rev_u")).as("p_su"))
+      .groupBy("l_suppkey")
+      .agg(sumD38(col("p_su")).as("total_su"))
+      .localCheckpoint() // two consumers (max + filter) of a supplier-sized frame
+    val mx = rev.agg(max("total_su").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_su") === col("mx"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        unitsToDbl(col("total_su"), 10000).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierOracleSql: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total = (SELECT max(total) FROM rev)
+    ORDER BY s_suppkey"""
+
   /** B38 `q_fk_elim`: the FK join-elimination rule under the oracle — the
     * query is WRITTEN as lineitem ⋈ orders (the shape every BI view
     * emits), but with `spark.graft.fkJoinElimination.enabled` and the
