@@ -197,6 +197,7 @@ object SparkEntry {
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
     "q_fk_elim"         -> w(Relational.qFkElim),
     "q_top_supplier"    -> w(Relational.qTopSupplier),
+    "q_promo"           -> w(Relational.qPromo),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -1300,6 +1301,7 @@ object SparkEntry {
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
     "q_fk_elim" -> Relational.fkElimOracleSql,
     "q_top_supplier" -> Relational.topSupplierOracleSql,
+    "q_promo" -> Relational.promoOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

@@ -1222,6 +1222,40 @@ object Relational {
           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** B40 `q_promo` (TPC-H Q14 shape): promo revenue share for one ship
+    * month — numerator (PROMO-part revenue) as a CASE inside the SAME
+    * aggregation as the denominator, one lineitem pass (the B32
+    * discipline), part broadcast. The share is emitted integer-exact as
+    * promo·10⁶ DIV total on the unit sums (a double division would not
+    * hash-match), alongside both exact totals.
+    */
+  def qPromo(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+      .select(col("l_partkey"), revUnits().as("rev_u"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)).as("pp_su"),
+        sum(col("rev_u")).as("pt_su"))
+      .agg(sumD38(col("pp_su")).as("promo_su"), sumD38(col("pt_su")).as("total_su"))
+      .select(unitsToDbl(col("promo_su"), 10000).as("promo_revenue"),
+        unitsToDbl(col("total_su"), 10000).as("total_revenue"),
+        expr("CAST(promo_su * 1000000 DIV total_su AS BIGINT)").as("promo_share_x1e6"))
+  }
+
+  val promoOracleSql: String = """
+    WITH r AS (
+      SELECT CAST(p_type = 'PROMO' AS INTEGER) AS is_promo,
+        CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+    SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+      CAST(sum(rev) AS DOUBLE) AS total_revenue,
+      CAST(CAST(sum(CASE WHEN is_promo = 1 THEN rev * 10000 ELSE 0 END) AS HUGEINT) * 1000000
+        // CAST(sum(rev * 10000) AS HUGEINT) AS BIGINT) AS promo_share_x1e6
+    FROM r"""
+
   /** B39 `q_top_supplier` (TPC-H Q15 shape): the supplier(s) achieving
     * MAXIMUM quarterly revenue — argmax over an aggregate, the "create
     * view + where total = (select max...)" pattern. The revenue view
