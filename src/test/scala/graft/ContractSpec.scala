@@ -14,6 +14,14 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query carries an oracle, except the documented rows-only sketch") {
+    // the driver records a weaker rows-only check for oracle-less queries;
+    // the ONLY surface allowed to ride that is the HLL sketch (its oracled
+    // counterpart is q_kmv_distinct) — a new query landing here is a bug
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly == Set("q_approx_distinct"), s"un-oracled queries: $rowsOnly")
+  }
+
   test("every Bench headline name is a registered query") {
     val missing = Bench.headline.toSet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"headline without query: $missing")
