@@ -195,6 +195,7 @@ object SparkEntry {
     "q_rolling_distinct" -> w(Relational.qRollingDistinct),
     "q_kmv_setops"      -> w(Relational.qKmvSetops),
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
+    "stream_dq"         -> w(Streams.dq),
     "q_fk_elim"         -> w(Relational.qFkElim),
     "q_top_supplier"    -> w(Relational.qTopSupplier),
     "q_promo"           -> w(Relational.qPromo),
@@ -1299,6 +1300,7 @@ object SparkEntry {
     "q_rolling_distinct" -> Relational.rollingDistinctOracleSql,
     "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
+    "stream_dq" -> Streams.dqOracleSql,
     "q_fk_elim" -> Relational.fkElimOracleSql,
     "q_top_supplier" -> Relational.topSupplierOracleSql,
     "q_promo" -> Relational.promoOracleSql,

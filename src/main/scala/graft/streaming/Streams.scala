@@ -475,6 +475,47 @@ object Streams {
   def rollingDistinctStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     rollingDistinctAgg(events.withWatermark("ts", watermark))
 
+  // ---------- C14: continuous data-quality monitoring ----------
+
+  /** C14 shared batch/stream core: A27's rule discipline on a moving
+    * stream — per hour window, total rows plus one violation counter per
+    * rule, all as `sum(when)` columns inside ONE windowed aggregate (the
+    * same adding-rules-adds-columns contract as the batch audit; nothing
+    * ever collects violating rows). In streaming this is a single
+    * watermark-bounded stateful operator; the per-row rule predicates run
+    * stateless in codegen before it.
+    */
+  def dqAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("v_null_value"),
+        sum(when(col("value") < 0, 1).otherwise(0)).as("v_negative_value"),
+        sum(when(col("event_type").isin("click", "view", "purchase", "signup"), 0)
+          .otherwise(1)).as("v_unknown_type"),
+        sum(when(col("user_id").isNull, 1).otherwise(0)).as("v_null_user"))
+
+  /** C14 query (batch mode — identical semantics to the streaming form). */
+  def dq(s: SparkSession, d: String): DataFrame =
+    dqAgg(Tables.events(s, d))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("n_rows"), col("v_null_value"), col("v_negative_value"),
+        col("v_unknown_type"), col("v_null_user"))
+      .orderBy("hour_s")
+
+  val dqOracleSql: String = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_value,
+      CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_negative_value,
+      CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup')
+        THEN 0 ELSE 1 END) AS BIGINT) AS v_unknown_type,
+      CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_user
+    FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s"""
+
+  /** C14 streaming wiring — watermarked events through the same audit. */
+  def dqStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    dqAgg(events.withWatermark("ts", watermark))
+
   // ---------- C12: streaming decontamination gate ----------
 
   /** C12: the in-stream half of benchmark decontamination (D17b's bloom,

@@ -420,6 +420,31 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-05 09:00:00", 1L, 0L)))
   }
 
+  test("streaming dq audit counts rule violations per window across batches") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Option[Double])]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.dqStream(df)
+      .select(col("window.start").as("start"), col("n_rows"),
+        col("v_negative_value"), col("v_unknown_type"), col("v_null_value"))
+      .writeStream.format("memory").queryName("dq_test")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:05:00"), 1L, "click", Some(1.0)))
+    q.processAllAvailable()
+    // violations land in the SAME open window from a later batch
+    mem.addData(
+      (ts("2024-01-01 10:20:00"), 2L, "error", Some(-5.0)),
+      (ts("2024-01-01 10:40:00"), 3L, "view", None))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), 9L, "click", Some(0.0))) // close hour 10
+    q.processAllAvailable()
+    val got = s.sql("SELECT * FROM dq_test WHERE start = '2024-01-01 10:00:00'")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    q.stop()
+    assert(got.toSeq == Seq((3L, 1L, 1L, 1L)), got.mkString(","))
+  }
+
   test("rolling distinct chains dedup and windowed count across batches") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
