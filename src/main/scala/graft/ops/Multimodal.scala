@@ -117,6 +117,10 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32(pos + 4)
+      // Guard BEFORE advancing: a corrupt/huge u32 size would overflow
+      // `size.toInt` negative and walk pos backward — fail loudly instead.
+      require(size <= payload.length.toLong - pos - 8,
+        s"corrupt WAV: chunk '$id' at $pos claims $size bytes, have ${payload.length - pos - 8}")
       id match {
         case "fmt " =>
           val audioFormat = u16(pos + 8)
@@ -129,7 +133,7 @@ object Multimodal {
           dataLen = size
         case _ => () // LIST/INFO and friends: skipped
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned (size ≤ remaining, so toInt is exact)
     }
     require(fmtSeen, "WAV missing fmt chunk")
     require(dataOff >= 0, "WAV missing data chunk")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -51,6 +51,28 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The registry match is name-based, so the matched pk attribute must BE
+    * the scanned catalog column of that name — not a computed expression a
+    * Project aliased to it (`dim.select((x % 100).as("o_orderkey"))` would
+    * otherwise pass isBareDim + the name check and eliminate a join that
+    * can duplicate or drop fact rows). Walk the dim side: through Projects
+    * the attribute must be a passthrough or a same-name rename of another
+    * bare column, bottoming out at a leaf output of the same name.
+    */
+  private def tracesToLeafColumn(attr: AttributeReference, p: LogicalPlan): Boolean = p match {
+    case leaf: LeafNode =>
+      leaf.output.exists(o => o.exprId == attr.exprId && o.name == attr.name)
+    case SubqueryAlias(_, child) => tracesToLeafColumn(attr, child)
+    case Project(projList, child) =>
+      projList.find(_.exprId == attr.exprId) match {
+        case Some(ar: AttributeReference) => tracesToLeafColumn(ar, child)
+        case Some(Alias(ar: AttributeReference, _)) if ar.name == attr.name =>
+          tracesToLeafColumn(ar, child)
+        case _ => false
+      }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString("spark.graft.fkJoinElimination.enabled", "false") != "true") plan
     else plan.transformUp {
@@ -65,7 +87,7 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
           case Some((fk, pk))
               if p.references.subsetOf(left.outputSet) &&
                 FkRegistry.isVerified(fk.name, pk.name) &&
-                isBareDim(right) =>
+                isBareDim(right) && tracesToLeafColumn(pk, right) =>
             Project(projList, Filter(IsNotNull(fk), left))
           case _ => p
         }

@@ -1305,15 +1305,18 @@ object Relational {
     * broadcast/shuffle vanish from the plan (EliminateFkJoinSpec pins
     * the rewrite and its bailouts). The DuckDB oracle executes the REAL
     * join, so the rows+schema+hash gate is precisely the rewrite's
-    * soundness proof. The conf/registry stay enabled for the session:
-    * the rule only ever fires on declared pairs over bare dim scans —
-    * any filter, dim-column use, or undeclared key bails out.
+    * soundness proof. The rule arming is scoped to a CHILD session
+    * (`newSession()`: same SparkContext + extensions, isolated SQLConf),
+    * so no other query in the parent session — bench sweeps, correctness
+    * runs — ever executes with the elimination rule enabled; the returned
+    * DataFrame carries the child session and stays armed at action time.
     */
   def qFkElim(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.graft.fkJoinElimination.enabled", "true")
     graft.plans.FkRegistry.declare("l_orderkey", "o_orderkey")
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).select("o_orderkey"),
+    Tables.lineitem(scoped, d)
+      .join(Tables.orders(scoped, d).select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))

@@ -543,8 +543,12 @@ object Streams {
     */
   def quarantineGate(evalDocs: DataFrame, minHits: Int = 8,
       estItems: Long = 1L << 16, numBits: Long = 1L << 20): Column => Column = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val spark = evalDocs.sparkSession
+    // graft_bloom_agg is a pure stateless function BUILDER (no captured
+    // bytes) — re-registering it is idempotent, so gates never clobber
+    // each other through it.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2)).toAggregateExpression(), "built-in")
@@ -553,16 +557,20 @@ object Streams {
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("shingle")), lit(estItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_might_contain",
-      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType): Expression, es(0)),
-      "built-in")
+    // The probe side carries PER-GATE state (this gate's bloom bytes), so
+    // it must NOT go through a shared named registry entry — a second gate
+    // in the same session would clobber the first and every plan analyzed
+    // after that would silently probe the wrong filter. Splice the bytes
+    // directly into the expression tree as a foldable Literal instead:
+    // each gate closure owns its own bloom, no session state at all.
+    val bloomLit = Literal(bloomBytes, org.apache.spark.sql.types.BinaryType)
     // caller passes a BOUND words-array column (projected once per row —
     // an inline split() here would re-evaluate per lambda reference, the
     // no-CSE-in-HOF trap shinglesOfWords documents)
     (words: Column) => {
       val maybeHits = size(filter(graft.ops.Dedup.shinglesOfWords(words), t =>
-        call_function("graft_might_contain", xxhash64(t))))
+        GraftBridge.column(BloomFilterMightContain(bloomLit,
+          GraftBridge.expression(xxhash64(t))))))
       when(maybeHits >= minHits, "quarantine").otherwise("clean")
     }
   }

@@ -12,6 +12,16 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column ⇄ catalyst Expression, for splicing a custom Expression into
+    * an otherwise functions._-built tree (e.g. a per-gate bloom literal
+    * that must NOT live in the session function registry). Same sanctioned
+    * private[sql] surface the Column API itself uses.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Drop every cached state-store provider (StreamingSpec's crash-recovery
     * case): a restarted query must then rebuild its state from the
     * CHECKPOINT FILES, exercising the same recovery path a new JVM takes —

@@ -132,4 +132,15 @@ class MultimodalSpec extends AnyFunSuite {
     val truncated = good.dropRight(2)
     intercept[IllegalArgumentException] { Multimodal.decodePayload(truncated, "audio") }
   }
+
+  test("WAV chunk size overflowing Int fails loudly instead of walking backward") {
+    val bytes = wav(1, 16, le16(0) ++ le16(1))
+    // data chunk: RIFF(12) + fmt(8+16) → id at 36, u32 size at 40.
+    // 0xfffffff0 as u32 > Int.MaxValue; pre-guard this wrapped toInt
+    // negative and walked pos backward into a garbage parse.
+    bytes(40) = 0xf0.toByte; bytes(41) = 0xff.toByte
+    bytes(42) = 0xff.toByte; bytes(43) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.decodePayload(bytes, "audio") }
+    assert(e.getMessage.contains("corrupt WAV"))
+  }
 }

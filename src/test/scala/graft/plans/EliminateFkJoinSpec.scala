@@ -70,6 +70,23 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bails out when the dim pk is an alias, not the scanned catalog column") {
+    withRule {
+      // computed expression aliased to the declared PK name: passes the
+      // name check, but the "pk" is not the verified unique column — the
+      // rewrite would silently duplicate/drop fact rows. Must keep the join.
+      val computed = Tables.orders(s, d)
+        .select((col("o_custkey") % 100).as("o_orderkey"))
+      assert(hasJoin(joined(computed)), "computed-alias dim must not eliminate")
+      // a bare rename of a DIFFERENT column to the PK name is just as unsound
+      val renamed = Tables.orders(s, d)
+        .select(col("o_custkey").as("o_orderkey"))
+      assert(hasJoin(joined(renamed)), "renamed-column dim must not eliminate")
+      // while a passthrough projection of the real PK still eliminates
+      assert(!hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
+    }
+  }
+
   test("rule is inert while the conf gate is off") {
     FkRegistry.declare("l_orderkey", "o_orderkey")
     try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))

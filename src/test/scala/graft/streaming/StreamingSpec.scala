@@ -517,4 +517,29 @@ class StreamingSpec extends AnyFunSuite {
     contaminated.foreach(id => assert(got(id) == "quarantine", got.toString))
     assert(got(2L) == "clean" && got(3L) == "clean", got.toString)
   }
+
+  test("two quarantine gates in one session keep their own bloom filters") {
+    import s.implicits._
+    // Before r11 the gate registered its bloom under a shared session
+    // function name — creating a second gate clobbered the first, so any
+    // plan analyzed afterwards silently probed the WRONG filter. The bloom
+    // is now a per-gate expression literal; both gates must stay correct
+    // regardless of creation order and evaluation order.
+    val evalA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val evalB = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+    val gateA = Streams.quarantineGate(evalA, minHits = 3)
+    val gateB = Streams.quarantineGate(evalB, minHits = 3) // would clobber gateA pre-fix
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zz"), // contaminated vs A only
+      (20L, "one two three four five seven"),     // contaminated vs B only
+      (30L, "nothing shared with either suite at all")).toDF("doc_id", "text")
+      .withColumn("graft_w", split(lower(col("text")), " "))
+    val routed = docs
+      .withColumn("route_a", gateA(col("graft_w")))
+      .withColumn("route_b", gateB(col("graft_w")))
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(routed(10L) == ("quarantine", "clean"), routed.toString)
+    assert(routed(20L) == ("clean", "quarantine"), routed.toString)
+    assert(routed(30L) == ("clean", "clean"), routed.toString)
+  }
 }
