@@ -65,6 +65,7 @@ object SparkEntry {
     "release_diff"        -> w(ReleaseDiff.query),
     "ivm_join"            -> w(Incremental.ivmJoin),
     "ddl_parse"           -> w(SqlDdl.query),
+    "load_statements"     -> w(LoadStatements.query),
     "merge_upsert"        -> w(MergeUpsert.query),
     "scd2_history"        -> w(Scd.scd2History),
     "partitioned_scan"    -> w(PartitionedLayout.query),
@@ -386,6 +387,35 @@ object SparkEntry {
         ('gene','table',9,'status','string'),
         ('gene_view','view',0,'','')) t(obj_name, obj_type, ord, col_name, col_type)
       ORDER BY obj_name, ord""",
+
+    // A28: statement text and order pinned ONCE in SQL, sequenced the same
+    // way the loader issues them — the oracle is the hand-derived statement
+    // stream of LoadFiles.pm run(), not a re-run of the Spark derivation.
+    "load_statements" -> """
+      WITH dbs(db, has_drop) AS (VALUES
+        ('homo_sapiens_core_99_38', 1), ('mus_musculus_core_99_39', 0)),
+      ddl(sub, stmt) AS (VALUES
+        (0, 'CREATE TABLE `gene` ( `gene_id` int(10) unsigned NOT NULL AUTO_INCREMENT, `biotype` varchar(40) NOT NULL, `description` text, `created_date` datetime NOT NULL, `stable_id` varchar(128) DEFAULT NULL, `version` smallint(5) unsigned, `score` double DEFAULT NULL, `cost` decimal(10,2), `status` enum(''KNOWN'',''NOVEL''), PRIMARY KEY (`gene_id`), KEY `biotype_idx` (`biotype`) ) ENGINE=MyISAM DEFAULT CHARSET=latin1'),
+        (1, 'CREATE TABLE `exon` ( `exon_id` bigint unsigned NOT NULL, `seq` blob, `is_current` tinyint(1) DEFAULT ''1'' ) ENGINE=MyISAM'),
+        (2, 'CREATE ALGORITHM=UNDEFINED DEFINER=`adm`@`%` SQL SECURITY DEFINER VIEW `gene_view` AS select g.gene_id from gene g')),
+      tbls(tbl) AS (VALUES ('exon'), ('gene')),
+      parts AS (
+        SELECT db, 0 AS stage_rank, '' AS tbl, 0 AS sub, 'drop' AS stage,
+          'drop database `' || db || '`' AS stmt FROM dbs WHERE has_drop = 1
+        UNION ALL SELECT db, 1, '', 0, 'create', 'create database `' || db || '`' FROM dbs
+        UNION ALL SELECT db, 2, '', sub, 'ddl', stmt FROM dbs CROSS JOIN ddl
+        UNION ALL SELECT db, 3, tbl, s.sub, s.stage,
+          CASE s.stage
+            WHEN 'disable_keys' THEN 'alter table `' || tbl || '` disable keys'
+            WHEN 'load' THEN 'LOAD DATA LOCAL INFILE ''' || tbl || '.txt'' INTO TABLE `' || tbl || '` FIELDS ESCAPED BY ''\\'''
+            WHEN 'enable_keys' THEN 'alter table `' || tbl || '` enable keys'
+            ELSE 'analyze table `' || tbl || '`' END
+          FROM dbs CROSS JOIN tbls
+          CROSS JOIN (VALUES (0,'disable_keys'),(1,'load'),(2,'enable_keys'),(3,'analyze')) s(sub, stage))
+      SELECT db,
+        CAST(row_number() OVER (PARTITION BY db ORDER BY stage_rank, tbl, sub) AS BIGINT) AS seq,
+        stage, stmt
+      FROM parts ORDER BY db, seq""",
 
     "grant_ddl" -> s"""$dbsCte
       SELECT db, grantee,
