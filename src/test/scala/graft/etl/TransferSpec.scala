@@ -85,4 +85,69 @@ class TransferSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](Transfer.sync(broken, local, retries = 2))
     assert(e.getMessage.contains("after 2 attempts"))
   }
+
+  // ---- the FTP wire transport against an in-process server double ----
+
+  test("FTP transport drives the full mirror: fetch, resume, refetch, delete, keep") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp1")
+    write(local.resolve("b.txt"), "bravo-c")           // prefix → resume
+    write(local.resolve("c.txt"), "charlie-DIVERGED")  // diverged → refetch
+    write(local.resolve("zombie.txt"), "gone remotely")
+    val server = new MiniFtpServer(remote)
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        assert(ftp.ls() == Seq(("a.txt", 13L), ("b.txt", 20L), ("c.txt", 7L)),
+          "NLST+SIZE listing must match the remote dir")
+        val results = Transfer.sync(ftp, local).map(r => r.file -> r).toMap
+        assert(results("a.txt").action == "fetch" && results("a.txt").bytesMoved == 13L)
+        assert(results("b.txt").action == "resume" && results("b.txt").bytesMoved == 13L)
+        assert(results("c.txt").action == "refetch" && results("c.txt").bytesMoved == 7L)
+        assert(results("zombie.txt").action == "delete")
+        // the resume went over the wire as REST 7, not a refetch
+        assert(server.retrLog.asScala.toSeq.contains(("b.txt", 7L)), server.retrLog.toString)
+        val names = Files.list(local).iterator().asScala.map(_.getFileName.toString).toSet
+        assert(names == Set("a.txt", "b.txt", "c.txt"))
+        names.foreach(n => assert(read(local.resolve(n)) == read(remote.resolve(n)), n))
+        // second sync over the same live connection: all keep
+        assert(Transfer.sync(ftp, local).forall(r => r.action == "keep" && r.bytesMoved == 0L))
+      } finally ftp.close()
+    } finally server.close()
+  }
+
+  test("a RETR aborted mid-stream (426) leaves a prefix the retry RESTs past") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp2")
+    val server = new MiniFtpServer(remote)
+    // first two RETRs of b.txt stream 5 bytes then abort with 426
+    server.failRetr("b.txt", times = 2, afterBytes = 5L)
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        val results = Transfer.sync(ftp, local).map(r => r.file -> r).toMap
+        assert(results("b.txt").attempts == 3, results.toString)
+        // wire evidence of prefix resume: RETR at 0, then REST 5, then REST 10
+        val bRetrs = server.retrLog.asScala.toSeq.filter(_._1 == "b.txt").map(_._2)
+        assert(bRetrs == Seq(0L, 5L, 10L), bRetrs.toString)
+        assert(read(local.resolve("b.txt")) == read(remote.resolve("b.txt")))
+        // the two clean files took one attempt each
+        assert(results("a.txt").attempts == 1 && results("c.txt").attempts == 1)
+      } finally ftp.close()
+    } finally server.close()
+  }
+
+  test("FTP transport surfaces an exhausted-retries failure like any transport") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp3")
+    val server = new MiniFtpServer(remote)
+    server.failRetr("a.txt", times = 99, afterBytes = 0L)
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        val e = intercept[java.io.IOException](Transfer.sync(ftp, local, retries = 2))
+        assert(e.getMessage.contains("a.txt failed after 2 attempts"))
+      } finally ftp.close()
+    } finally server.close()
+  }
 }
