@@ -32,6 +32,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // args = optional query-name subset (noise-envelope re-measures of a
+    // single query without paying the full sweep); no args = the gate set
+    val headline = if (args.nonEmpty) args.toSeq else Bench.headline
     val spark = GraftSession("graft-bench")
     // One untimed warmup so the first timed query doesn't absorb JVM/codegen
     // startup (~5s) that belongs to the session, not the operator.
@@ -63,7 +66,15 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = f"${results.filter(_._3).map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
+    // full per-sweep samples on request — best-of hides the envelope a
+    // regression investigation needs
+    val samples = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL_SAMPLES"))
+      headline.map { name =>
+        val xs = sweeps.map(_.find(_._1 == name).get._2)
+        "\"" + name + "\":[" + xs.map(v => f"$v%.3f").mkString(",") + "]"
+      }.mkString(""","samples":{""", ",", "}")
+    else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs$samples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
