@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Declared-integrity catalog behind [[EliminateFkJoin]]: (fact key name,
@@ -25,7 +25,9 @@ object FkRegistry {
   * an INNER equi-join against a dim table is dropped entirely when
   *
   *  - the join keys are a declared-verified (FK, PK) pair,
-  *  - the consumer projects ONLY fact-side columns, and
+  *  - the consumer (a Project's select list, or an Aggregate's grouping
+  *    keys + aggregate inputs — the BI-view rollup shape) references
+  *    ONLY fact-side columns, and
   *  - the dim side is a bare (possibly column-pruned) scan — any Filter
   *    on the dim would make the join selective and the rewrite unsound.
   *
@@ -73,23 +75,39 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** If `join` is an eliminable verified-FK inner join whose consumer
+    * references only fact-side columns, return the replacement child
+    * (`Filter(IsNotNull(fk), fact)`); None means keep the join.
+    */
+  private def eliminated(join: Join, consumerRefs: AttributeSet): Option[LogicalPlan] = join match {
+    case Join(left, right, Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+      // orient the equality: fact key from the consumed side, pk from the dim
+      val oriented =
+        if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
+        else None
+      oriented.collect {
+        case (fk, pk)
+            if consumerRefs.subsetOf(left.outputSet) &&
+              FkRegistry.isVerified(fk.name, pk.name) &&
+              isBareDim(right) && tracesToLeafColumn(pk, right) =>
+          Filter(IsNotNull(fk), left)
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString("spark.graft.fkJoinElimination.enabled", "false") != "true") plan
     else plan.transformUp {
-      case p @ Project(projList,
-          Join(left, right, Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)) =>
-        // orient the equality: fact key from the projected side, pk from the dim
-        val oriented =
-          if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
-          else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
-          else None
-        oriented match {
-          case Some((fk, pk))
-              if p.references.subsetOf(left.outputSet) &&
-                FkRegistry.isVerified(fk.name, pk.name) &&
-                isBareDim(right) && tracesToLeafColumn(pk, right) =>
-            Project(projList, Filter(IsNotNull(fk), left))
-          case _ => p
-        }
+      case p @ Project(projList, join: Join) =>
+        eliminated(join, p.references)
+          .map(fact => Project(projList, fact)).getOrElse(p)
+      // the BI-view rollup shape: CollapseProject folds the SELECT list
+      // straight into the Aggregate, so the join sits directly under it —
+      // grouping keys and agg inputs play the consumer role the Project's
+      // select list plays above
+      case a @ Aggregate(_, _, join: Join, _) =>
+        eliminated(join, a.references)
+          .map(fact => a.copy(child = fact)).getOrElse(a)
     }
 }

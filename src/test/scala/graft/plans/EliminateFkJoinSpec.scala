@@ -87,6 +87,45 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate directly over the join (BI rollup shape) is eliminated, results unchanged") {
+    // groupBy straight off the join: CollapseProject folds the select list
+    // into the Aggregate, so the optimized plan is Aggregate(Join) with no
+    // intervening Project — the shape the Project-only matcher used to miss
+    def rollup(): DataFrame = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+    val without = rollup().orderBy("l_returnflag").collect()
+    val (eliminated, rows) = withRule {
+      val df = rollup()
+      (!hasJoin(df), df.orderBy("l_returnflag").collect())
+    }
+    assert(eliminated, "Aggregate(Join) should eliminate under the declared FK")
+    assert(rows.toSeq == without.toSeq)
+  }
+
+  test("aggregate bails out when grouping key or agg input is a dim column") {
+    withRule {
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // dim column as grouping key
+      assert(hasJoin(base.groupBy(col("o_orderstatus")).agg(sum("l_quantity"))))
+      // dim column as aggregate input
+      assert(hasJoin(base.groupBy(col("l_returnflag")).agg(sum("o_totalprice"))))
+    }
+  }
+
+  test("aggregate bails out when the dim is filtered") {
+    withRule {
+      val filtered = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000).select("o_orderkey")
+      val df = Tables.lineitem(s, d)
+        .join(filtered, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum("l_quantity"))
+      assert(hasJoin(df))
+    }
+  }
+
   test("rule is inert while the conf gate is off") {
     FkRegistry.declare("l_orderkey", "o_orderkey")
     try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
