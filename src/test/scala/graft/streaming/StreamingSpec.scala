@@ -249,6 +249,54 @@ class StreamingSpec extends AnyFunSuite {
       s"resumed sessions diverged: got ${got.size}, ref ${ref.size}")
   }
 
+  test("chained-stateful rolling distinct survives kills at random batch boundaries (10 seeded runs)") {
+    // C13 chains TWO stateful operators (dedup state + window-agg state);
+    // a crash must restore BOTH consistently or the resumed run double-
+    // counts (dedup state lost) or drops users (agg state lost). Property-
+    // style: kill at a seeded-random micro-batch across 10 runs so the
+    // recovery point lands before, inside, and after watermark closings.
+    val sf = graft.TestSpark.sf
+    val root = java.nio.file.Files.createTempDirectory("ckpt_chaos")
+    val srcDir = root.resolve("src").toString
+    graft.Tables.events(s, sf).repartition(8).write.parquet(srcDir)
+
+    def run(outDir: String, ckpt: String, stopAfterBatch: Option[Long]): Unit = {
+      val q = Streams.rollingDistinctStream(Streams.eventStream(s, srcDir))
+        .select(col("win.start").as("start"), col("n_users"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      stopAfterBatch match {
+        case Some(n) =>
+          val deadline = System.currentTimeMillis() + 120000
+          while (Option(q.lastProgress).forall(_.batchId < n) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(25)
+          q.stop(); q.awaitTermination()
+        case None =>
+          q.processAllAvailable(); q.stop(); q.awaitTermination()
+      }
+    }
+    def rows(p: String) = s.read.parquet(p)
+      .select(col("start").cast("long"), col("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val refOut = root.resolve("ref_out").toString
+    run(refOut, root.resolve("ref_ckpt").toString, None) // uninterrupted
+    val ref = rows(refOut).sorted
+    assert(ref.nonEmpty, "reference run emitted nothing")
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 10).foreach { i =>
+      val kill = rnd.nextInt(7).toLong // boundary within the 8 batches
+      val out = root.resolve(s"out_$i").toString
+      val ckpt = root.resolve(s"ckpt_$i").toString
+      run(out, ckpt, Some(kill))
+      // recovery must come from the checkpoint FILES, not warm providers
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
+      run(out, ckpt, None)
+      val got = rows(out).sorted
+      assert(got == ref,
+        s"run $i (killed after batch $kill): got ${got.size} rows, ref ${ref.size}")
+    }
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
