@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *    vs raw-event explode, shuffle-record A/B (same output checksum)
   *  - `fk_elim_10x` — 6M-row BI-view join: B38 rule ON (join deleted)
   *    vs OFF (real shuffle join), checksum-asserted identical
+  *  - `agg_ceiling` — run under SPARK_DRIVER_MEM=2g: the three
+  *    TypedImperativeAggregates (RoaringBitmap distinct, TopK heap,
+  *    Misra-Gries) over 50M 90%-hot-key rows inside a deliberately
+  *    constrained heap, with heap-pool peaks and bitmap state size
+  *    reported — the O(k)/O(compressed-set) buffer claims measured
+  *    under pressure
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -862,22 +868,102 @@ object Stress {
           r
         }
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        // warmups (both shapes). qFkElim re-enables the conf at BUILD
-        // time but the rule reads it at OPTIMIZATION time (first action),
-        // so the OFF leg builds first and flips the conf before consuming
-        checksum(q())
-        val warmOff = q()
-        spark.conf.set("spark.graft.fkJoinElimination.enabled", "false")
-        checksum(warmOff)
+        // ON leg: qFkElim arms the rule in its own CHILD session (scoped
+        // since the r10 advisor fix — parent conf toggles no longer reach
+        // it, which silently broke the old flip-the-conf OFF leg). OFF
+        // leg: the identical BI query built on the PARENT session, where
+        // the rule is gated off — the real shuffle join.
+        def qOff() = Tables.lineitem(spark, fd)
+          .join(Tables.orders(spark, fd).select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_returnflag")
+        assert(q().queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty, "ON leg: rule failed to eliminate the join")
+        assert(qOff().queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty, "OFF leg: join unexpectedly missing")
+        checksum(q()); checksum(qOff()) // warmups, both shapes
         var cOn = 0L; var cOff = 0L
         cOn = shufOf("fk_elim ON (join deleted, 6M rows)") { checksum(q()) }
-        cOff = shufOf("fk_elim OFF (real shuffle join, 6M rows)") {
-          val df = q() // builds with rule on; turn it off before execution
-          spark.conf.set("spark.graft.fkJoinElimination.enabled", "false")
-          checksum(df)
-        }
+        cOff = shufOf("fk_elim OFF (real shuffle join, 6M rows)") { checksum(qOff()) }
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         assert(cOn == cOff, s"forms disagree: $cOn vs $cOff")
+
+      case "agg_ceiling" =>
+        // Memory-ceiling proof for the three TypedImperativeAggregates.
+        // Run as SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=32 — a 2 GiB heap
+        // shared by 32 concurrent tasks (~35 MiB of execution memory
+        // each under the 0.6 memory fraction) over a 50M-row input with
+        // 90% of rows on ONE hot group. Completion under that ceiling is
+        // the proof the buffers hold what the scaladocs claim:
+        //  - BitmapDistinct: the COMPRESSED key set. 45M dense longs
+        //    run-length collapse to a few MiB; a raw long hash set is
+        //    ≥ 720 MiB higher (45M × 16B entries) and cannot fit.
+        //  - TopKAggregate: O(k)=3 (key, payload) pairs per group.
+        //  - FrequentItemsSketch: O(k)=64 entries per buffer.
+        // Reported: per-leg wall time, per-pool JVM heap high-water
+        // (reset per leg), and the hot bitmap's serialized state size.
+        val heapMiB = Runtime.getRuntime.maxMemory() >> 20
+        println(s"[stress] agg_ceiling: max heap $heapMiB MiB, " +
+          s"${spark.sparkContext.defaultParallelism} local threads")
+        spark.range(50000000L).select(
+            when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 31 + 1).as("g"),
+            col("id").as("v"),
+            ((col("id") * 2654435761L) % 1000000007L).as("price"),
+            when(col("id") % 5 < 2, lit("the"))
+              .otherwise(concat(lit("tok"), (col("id") % 997).cast("string"))).as("tok"))
+          .repartition(32)
+          .write.mode("overwrite").parquet("/tmp/stress_ceiling")
+        val t = spark.read.parquet("/tmp/stress_ceiling")
+        for ((nm, f) <- Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression)](
+          "bitmap_distinct" -> (es => functions.BitmapDistinct(es.head).toAggregateExpression()),
+          "bitmap_build" -> (es => functions.BitmapBuild(es.head).toAggregateExpression()),
+          "topk_pairs_3" -> (es => functions.TopKAggregate(es(0), es(1), 3).toAggregateExpression()),
+          "mg_64" -> (es => functions.FrequentItemsSketch(es.head, 64).toAggregateExpression())))
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(nm, f, "built-in")
+        val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+          .stream().filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .toArray.toSeq.map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
+        def ceilingOf(label: String)(f: => Long): Unit = {
+          Thread.sleep(1000); heapPools.foreach(_.resetPeakUsage())
+          timed(label)(f)
+          // per-pool peaks (eden/survivor/old hit theirs at different
+          // moments — summing them would overstate the ceiling)
+          val peaks = heapPools
+            .map(p => s"${p.getName}:${p.getPeakUsage.getUsed >> 20}M").mkString(" ")
+          println(s"[stress] $label: heap pool peaks $peaks")
+        }
+        ceilingOf("bitmap_distinct 50M rows, 45M distinct on hot key") {
+          val r = t.groupBy("g").agg(call_function("bitmap_distinct", col("v")).as("nd")).collect()
+          val hot = r.find(_.getLong(0) == 0L).get.getLong(1)
+          assert(hot == 45000000L, s"hot-key distinct was $hot")
+          assert(r.length == 32, s"${r.length} groups")
+          r.length
+        }
+        val bmLen = t.filter(col("g") === 0L)
+          .agg(call_function("bitmap_build", col("v")).as("bm"))
+          .select(length(col("bm"))).head().getInt(0)
+        println(f"[stress] hot-key bitmap serialized state: ${bmLen >> 10}%d KiB " +
+          f"(raw 45M-long set would be >= ${45000000L * 16 >> 20}%d MiB)")
+        ceilingOf("topk_3 per group, 50M rows") {
+          val n = t.groupBy("g")
+            .agg(call_function("topk_pairs_3", col("price"), col("v")).as("top"))
+            .select(col("g"), posexplode(col("top"))).count()
+          assert(n == 96L, s"expected 32 groups × 3, got $n") // 32 groups × k=3
+          n
+        }
+        ceilingOf("misra-gries k=64, 50M rows") {
+          val cands = t.agg(call_function("mg_64", col("tok")).as("c"))
+            .select(explode(col("c"))).collect().map(_.getString(0))
+          // 'the' holds a 40% share ≫ N/(k+1): the MG guarantee says it
+          // MUST survive every decrement cascade, any partition order
+          assert(cands.contains("the"), s"heavy hitter lost: ${cands.take(8).mkString(",")}")
+          cands.length
+        }
 
       case other => sys.error(s"unknown stress scenario: $other")
     }
