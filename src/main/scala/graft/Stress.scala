@@ -49,6 +49,10 @@ import org.apache.spark.sql.functions._
   *    constrained heap, with heap-pool peaks and bitmap state size
   *    reported — the O(k)/O(compressed-set) buffer claims measured
   *    under pressure
+  *  - `curation_1000x` — the E7/E13 whole-pipeline soak at 5M docs
+  *    (1000× sf0.1): fused projection + checkpoint staging + hash
+  *    window + shingle broadcast competing for memory at once, with
+  *    task CPU, shuffle, spill and heap peaks recorded per leg
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -964,6 +968,78 @@ object Stress {
           assert(cands.contains("the"), s"heavy hitter lost: ${cands.take(8).mkString(",")}")
           cands.length
         }
+
+      case "curation_1000x" =>
+        // The whole-pipeline soak: E7 + E13 end-to-end at 5M docs
+        // (1000× the sf0.1 corpus) on local[32] — the shape where the
+        // fused projection, its localCheckpoint staging, the content-
+        // hash window and the shingle broadcast all compete for memory
+        // at once. Corpus: each source doc replicated 1000×; every 4th
+        // replica is an EXACT copy (dup groups of 250 per source doc —
+        // the hash window's skew), the rest get a distinct trailing
+        // token (near-dup volume). The eval holdout scales by modulus:
+        // a real deployment holds the benchmark fixed while the corpus
+        // grows, so evalMod goes 23 → 23000 and the broadcast side
+        // stays ~217 docs — the operator's documented contract.
+        // Recorded per leg: wall, summed task CPU, shuffle write,
+        // memory/disk spill, heap pool peaks.
+        val docs = Tables.documents(spark, sf)
+        val rest = docs.columns.filterNot(c => c == "doc_id" || c == "text").map(col)
+        docs.crossJoin(spark.range(1000).select(col("id").as("rep")))
+          .select(((col("doc_id") * 1000 + col("rep")).as("doc_id") +:
+            when(col("rep") % 4 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text") +:
+            rest): _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet("/tmp/stress_curation/documents.parquet")
+        val cd = "/tmp/stress_curation"
+        val nDocs = 5000000L
+        val (taskMs, shufW, memSpill, diskSpill) = (
+          new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.AtomicLong,
+          new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.AtomicLong)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null) {
+                taskMs.addAndGet(te.taskMetrics.executorRunTime)
+                shufW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+                memSpill.addAndGet(te.taskMetrics.memoryBytesSpilled)
+                diskSpill.addAndGet(te.taskMetrics.diskBytesSpilled)
+              }
+          })
+        val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+          .stream().filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .toArray.toSeq.map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
+        def soak(label: String)(f: => Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+          Thread.sleep(1000)
+          Seq(taskMs, shufW, memSpill, diskSpill).foreach(_.set(0L))
+          heapPools.foreach(_.resetPeakUsage())
+          var out: Seq[org.apache.spark.sql.Row] = Nil
+          timed(label) { out = f; out.length }
+          Thread.sleep(1000) // listener bus drain
+          val pools = heapPools
+            .map(p => s"${p.getName.replace("G1 ", "")}:${p.getPeakUsage.getUsed >> 20}M")
+          println(f"[stress] $label: task-cpu ${taskMs.get / 1000.0}%.0f s, " +
+            f"shuffle-write ${shufW.get >> 20}%d MiB, " +
+            f"spill mem ${memSpill.get >> 20}%d MiB / disk ${diskSpill.get >> 20}%d MiB, " +
+            s"heap peaks ${pools.mkString(" ")}")
+          out
+        }
+        val pipe = soak("E7 curate_pipeline, 5M docs") {
+          ops.Curate.pipelineStaged(spark, cd, stage = true, evalMod = 23000L).collect().toSeq
+        }
+        val kept = pipe.map(_.getLong(1)).sum
+        println(s"[stress] pipeline kept $kept docs over ${pipe.length} langs")
+        assert(kept > 0, "pipeline kept nothing")
+        val funnel = soak("E13 curation_funnel, 5M docs") {
+          ops.Curate.curationFunnelStaged(spark, cd, stage = true, evalMod = 23000L).collect().toSeq
+        }
+        funnel.foreach(r => println(s"[stress]   ${r.getString(0)}: " +
+          s"${r.getLong(1)} docs, ${r.getLong(2)} tokens"))
+        // first-fail stages partition the corpus: the funnel must sum to
+        // EXACTLY the input — the loss-dashboard property, held at 5M
+        val total = funnel.map(_.getLong(1)).sum
+        assert(total == nDocs, s"funnel sums to $total, expected $nDocs")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }

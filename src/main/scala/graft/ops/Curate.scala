@@ -496,16 +496,33 @@ object Curate {
         "dup3_x1000", "sh")
     // stage=false is the Stress A/B knob (curate_fused): same plan shape,
     // base re-executed per consuming subtree — the r8 cost being measured
-    if (stage) projected.localCheckpoint() else projected
+    // DISK_ONLY staging: the checkpoint exists to trade SOURCE bandwidth,
+    // not to be a hot cache — at MEMORY_AND_DISK the blocks sit inside
+    // the protected storageFraction and STARVE the window/aggregate
+    // tasks that follow (the 5M-doc curation_1000x soak died with
+    // AGGREGATE_OUT_OF_MEMORY exactly this way: 32 concurrent sorts
+    // could not acquire a first page). On disk the blocks ride the OS
+    // page cache locally and leave the unified pool to execution.
+    if (stage) projected.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else projected
   }
 
   def pipeline(s: SparkSession, d: String): DataFrame = pipelineStaged(s, d, stage = true)
 
-  private[graft] def pipelineStaged(s: SparkSession, d: String, stage: Boolean): DataFrame = {
+  /** `evalMod` is the eval-holdout modulus (1-in-N docs become the
+    * benchmark side). The broadcast decontamination join's contract is a
+    * BROADCAST-SIZED eval relation — a real deployment holds the eval
+    * benchmark fixed while the corpus grows, so a corpus scaled K×
+    * should scale evalMod by K to model it (the curation_1000x soak
+    * does; the oracle-checked default stays 23).
+    */
+  private[graft] def pipelineStaged(
+      s: SparkSession, d: String, stage: Boolean, evalMod: Long = 23L): DataFrame = {
     val base = fusedBase(s, d, stage)
-    val evalSh = base.filter(col("doc_id") % 23 === 0)
+    val evalSh = base.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
-    val corpus = base.filter(col("doc_id") % 23 =!= 0)
+    val corpus = base.filter(col("doc_id") % evalMod =!= 0)
     val keepers = corpus
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("keeper"))
@@ -587,11 +604,12 @@ object Curate {
   def curationFunnel(s: SparkSession, d: String): DataFrame =
     curationFunnelStaged(s, d, stage = true)
 
-  private[graft] def curationFunnelStaged(s: SparkSession, d: String, stage: Boolean): DataFrame = {
+  private[graft] def curationFunnelStaged(
+      s: SparkSession, d: String, stage: Boolean, evalMod: Long = 23L): DataFrame = {
     val base = fusedBase(s, d, stage)
-    val evalSh = base.filter(col("doc_id") % 23 === 0)
+    val evalSh = base.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
-    val corpus = base.filter(col("doc_id") % 23 =!= 0)
+    val corpus = base.filter(col("doc_id") % evalMod =!= 0)
     val contaminated = corpus
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(broadcast(evalSh), Seq("shingle"))
@@ -612,7 +630,7 @@ object Curate {
           .when(coalesce(col("contam"), lit(false)), "8_contaminated")
           .otherwise("9_kept"))
       .select("stage", "n_tok")
-    base.filter(col("doc_id") % 23 === 0)
+    base.filter(col("doc_id") % evalMod === 0)
       .select(lit("1_eval_holdout").as("stage"), col("n_tok"))
       .unionByName(staged)
       .groupBy("stage")
