@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, IsNotNull}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -15,9 +15,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object FkRegistry {
   private val fks = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  private val uniques = scala.collection.concurrent.TrieMap.empty[String, Unit]
   def declare(factKey: String, dimKey: String): Unit = fks.put((factKey, dimKey), ())
   def isVerified(factKey: String, dimKey: String): Boolean = fks.contains((factKey, dimKey))
-  def clear(): Unit = fks.clear()
+  /** The uniqueness half alone (a passing `pk_*_unique` audit with no
+    * claim about fact-side totality) — all a LEFT join needs.
+    */
+  def declareUnique(dimKey: String): Unit = uniques.put(dimKey, ())
+  def isUnique(dimKey: String): Boolean =
+    uniques.contains(dimKey) || fks.keysIterator.exists(_._2 == dimKey)
+  def clear(): Unit = { fks.clear(); uniques.clear() }
 }
 
 /** Opt-in Catalyst rule (injected by GraftExtensions, gated on
@@ -34,9 +41,12 @@ object FkRegistry {
   * Under verified integrity the join can only (a) drop null-FK fact rows
   * and (b) match each remaining row exactly once — so the whole
   * dim-scan + shuffle/broadcast disappears into `Filter(IsNotNull(fk))`.
-  * Classic warehouse join elimination (views and BI tools emit these
-  * joins constantly); Spark itself never does it because it has no FK
-  * catalog. At 100 TB this deletes an entire dim broadcast — or worse, a
+  * A LEFT OUTER join to a declared-unique dim key is eliminable under
+  * weaker premises: unmatched fact rows are preserved anyway, so only
+  * uniqueness matters, no residual filter is needed, and even a filtered
+  * dim is admissible. Classic warehouse join elimination (views and BI
+  * tools emit these joins constantly); Spark itself never does it
+  * because it has no FK catalog. At 100 TB this deletes an entire dim broadcast — or worse, a
   * shuffle — per eliminated join. EliminateFkJoinSpec pins the rewrite,
   * its result-equality against the real join, and every unsound-shape
   * bailout (dim column consumed, undeclared pair, filtered dim).
@@ -45,11 +55,16 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
 
   /** A dim side is "bare" when it is just a (pruned) scan: aliases and
     * projections over a leaf — nothing that filters or multiplies rows.
+    * For the LEFT-join case a Filter is admissible (`allowFilter`): a
+    * left join preserves the fact multiset whatever the dim filters
+    * away, and filtering cannot break the dim key's uniqueness — only
+    * row-multiplying shapes (aggregates, generators, joins) bail.
     */
-  private def isBareDim(p: LogicalPlan): Boolean = p match {
+  private def isBareDim(p: LogicalPlan, allowFilter: Boolean): Boolean = p match {
     case _: LeafNode => true
-    case Project(_, child) => isBareDim(child)
-    case SubqueryAlias(_, child) => isBareDim(child)
+    case Project(_, child) => isBareDim(child, allowFilter)
+    case SubqueryAlias(_, child) => isBareDim(child, allowFilter)
+    case Filter(_, child) if allowFilter => isBareDim(child, allowFilter)
     case _ => false
   }
 
@@ -65,6 +80,7 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
     case leaf: LeafNode =>
       leaf.output.exists(o => o.exprId == attr.exprId && o.name == attr.name)
     case SubqueryAlias(_, child) => tracesToLeafColumn(attr, child)
+    case Filter(_, child) => tracesToLeafColumn(attr, child)
     case Project(projList, child) =>
       projList.find(_.exprId == attr.exprId) match {
         case Some(ar: AttributeReference) => tracesToLeafColumn(ar, child)
@@ -80,18 +96,33 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
     * (`Filter(IsNotNull(fk), fact)`); None means keep the join.
     */
   private def eliminated(join: Join, consumerRefs: AttributeSet): Option[LogicalPlan] = join match {
-    case Join(left, right, Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+    case Join(left, right, jt @ (Inner | LeftOuter),
+        Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
       // orient the equality: fact key from the consumed side, pk from the dim
       val oriented =
         if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
         else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
         else None
       oriented.collect {
+        // INNER: needs the full verified pair — uniqueness (no dup) AND
+        // fact-side totality (no drop beyond null FKs) — and a bare,
+        // unfiltered dim; the join reduces to the null-FK filter.
         case (fk, pk)
-            if consumerRefs.subsetOf(left.outputSet) &&
+            if jt == Inner &&
+              consumerRefs.subsetOf(left.outputSet) &&
               FkRegistry.isVerified(fk.name, pk.name) &&
-              isBareDim(right) && tracesToLeafColumn(pk, right) =>
+              isBareDim(right, allowFilter = false) && tracesToLeafColumn(pk, right) =>
           Filter(IsNotNull(fk), left)
+        // LEFT OUTER: uniqueness alone suffices — the fact multiset is
+        // preserved whether or not a row matches, so the join vanishes
+        // with NO residual filter, and a filtered dim is fine (it can
+        // only turn matches into preserved non-matches nobody reads).
+        case (fk, pk)
+            if jt == LeftOuter &&
+              consumerRefs.subsetOf(left.outputSet) &&
+              FkRegistry.isUnique(pk.name) &&
+              isBareDim(right, allowFilter = true) && tracesToLeafColumn(pk, right) =>
+          left
       }
     case _ => None
   }

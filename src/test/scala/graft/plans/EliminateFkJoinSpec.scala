@@ -126,6 +126,41 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT join to a declared-unique dim is eliminated on uniqueness alone") {
+    // uniqueness is all a left join needs — declare ONLY that (no FK
+    // pair): the left join eliminates, the inner join must NOT
+    s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
+    FkRegistry.declareUnique("o_orderkey")
+    try {
+      val dim = Tables.orders(s, d).select("o_orderkey")
+      def leftJoined(o: DataFrame): DataFrame = Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .select("l_orderkey", "l_quantity")
+      val without = leftJoined(dim).orderBy("l_orderkey", "l_quantity").collect()
+      val df = leftJoined(dim)
+      assert(!hasJoin(df), "left join should eliminate under declared uniqueness")
+      assert(df.orderBy("l_orderkey", "l_quantity").collect().toSeq == without.toSeq)
+      // inner needs totality too — uniqueness alone must keep the join
+      assert(hasJoin(joined(dim)), "inner join must not eliminate on uniqueness alone")
+      // a FILTERED dim is fine for the left join: the fact multiset is
+      // preserved either way and nobody reads the match. Equality is
+      // against the REAL left join to the filtered dim.
+      val filtered = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000).select("o_orderkey")
+      val fdf = leftJoined(filtered)
+      assert(!hasJoin(fdf), "left join to a filtered unique dim should eliminate")
+      assert(fdf.orderBy("l_orderkey", "l_quantity").collect().toSeq == without.toSeq)
+      // consuming a dim column still bails (the null-extension is read)
+      val consuming = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left")
+        .select("l_orderkey", "o_totalprice")
+      assert(hasJoin(consuming), "dim-consuming left join must keep the join")
+    } finally {
+      s.conf.set("spark.graft.fkJoinElimination.enabled", "false")
+      FkRegistry.clear()
+    }
+  }
+
   test("rule is inert while the conf gate is off") {
     FkRegistry.declare("l_orderkey", "o_orderkey")
     try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
