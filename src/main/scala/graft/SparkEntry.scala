@@ -198,6 +198,7 @@ object SparkEntry {
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
     "stream_dq"         -> w(Streams.dq),
     "q_fk_elim"         -> w(Relational.qFkElim),
+    "q_fk_elim_left"    -> w(Relational.qFkElimLeft),
     "q_top_supplier"    -> w(Relational.qTopSupplier),
     "q_promo"           -> w(Relational.qPromo),
   )
@@ -1332,6 +1333,7 @@ object SparkEntry {
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
     "stream_dq" -> Streams.dqOracleSql,
     "q_fk_elim" -> Relational.fkElimOracleSql,
+    "q_fk_elim_left" -> Relational.fkElimLeftOracleSql,
     "q_top_supplier" -> Relational.topSupplierOracleSql,
     "q_promo" -> Relational.promoOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,

@@ -1329,6 +1329,39 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** B38b `q_fk_elim_left`: the LEFT-join half of the elimination rule
+    * under the oracle. A BI view left-joins the fact to a FILTERED dim
+    * (here orders with o_totalprice > 100000) and the consumer reads
+    * only fact columns — the left join preserves the fact multiset
+    * whatever the filter keeps, so under a declared-UNIQUE dim key
+    * ([[graft.plans.FkRegistry.declareUnique]] — the `pk_*_unique` half
+    * of a dq_audit, no totality claim needed) [[graft.plans
+    * .EliminateFkJoin]] drops the join with no residual filter. The
+    * DuckDB oracle executes the REAL left join against the filtered
+    * dim, so the rows+schema+hash gate is the rewrite's soundness
+    * proof, exactly as for B38.
+    */
+  def qFkElimLeft(s: SparkSession, d: String): DataFrame = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.graft.fkJoinElimination.enabled", "true")
+    graft.plans.FkRegistry.declareUnique("o_orderkey")
+    Tables.lineitem(scoped, d)
+      .join(Tables.orders(scoped, d)
+          .filter(col("o_totalprice") > 100000).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val fkElimLeftOracleSql: String = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem LEFT JOIN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000) o
+      ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** B37 `q_rolling_distinct`: EXACT rolling 7-day unique users per day —
     * the sliding-distinct shape no window frame can compute (DISTINCT
     * doesn't decompose over frame slides the way sums do). The classic

@@ -161,6 +161,20 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the registered q_fk_elim / q_fk_elim_left queries really eliminate their joins") {
+    // the oracle gate proves result soundness either way — THIS pins that
+    // the rewrite actually fired in the shipped queries' scoped sessions
+    def joins(df: DataFrame): Int = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    try {
+      assert(joins(graft.relational.Relational.qFkElim(s, d)) == 0,
+        "q_fk_elim kept its join")
+      assert(joins(graft.relational.Relational.qFkElimLeft(s, d)) == 0,
+        "q_fk_elim_left kept its join")
+    } finally FkRegistry.clear()
+  }
+
   test("rule is inert while the conf gate is off") {
     FkRegistry.declare("l_orderkey", "o_orderkey")
     try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
