@@ -27,7 +27,9 @@ object Bench {
     "q_marketshare", "q_quantile_hist", "corpus_drift", "compaction_plan",
     "q_zorder", "decontaminate_bloom", "q_bigorders", "q_disjunct", "q_idle",
     "sample_group_k", "ann_incremental", "q_rolling_distinct", "dq_audit",
-    "q_kmv_setops", "stream_rolling_distinct")
+    "q_kmv_setops", "stream_rolling_distinct",
+    // r11: the TPC-H gap closers (full 22-shape coverage) + the orchestrator
+    "q_returns", "q_profit", "q_suppcnt", "q_smallqty", "q_excess", "dag_run")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -81,6 +81,8 @@ object SparkEntry {
     "job_failures"        -> w(Discovery.jobFailures),
     "table_stats"         -> w(TableStats.query),
     "dq_audit"            -> w(DataQuality.audit),
+    "dag_plan"            -> w(Dag.dagPlan),
+    "dag_run"             -> w(Dag.dagRun),
     "priority_lanes"      -> w(Lanes.lanesQuery),
     "corpus_io"           -> w(CorpusIO.query),
     "corpus_io_formats"   -> w(CorpusIO.formatsQuery),
@@ -201,6 +203,15 @@ object SparkEntry {
     "q_fk_elim_left"    -> w(Relational.qFkElimLeft),
     "q_top_supplier"    -> w(Relational.qTopSupplier),
     "q_promo"           -> w(Relational.qPromo),
+    "q_forecast"        -> w(relational.TpchGaps.qForecast),
+    "q_priority"        -> w(relational.TpchGaps.qPriority),
+    "q_returns"         -> w(relational.TpchGaps.qReturns),
+    "q_profit"          -> w(relational.TpchGaps.qProfit),
+    "q_important"       -> w(relational.TpchGaps.qImportant),
+    "q_shipmode"        -> w(relational.TpchGaps.qShipmode),
+    "q_suppcnt"         -> w(relational.TpchGaps.qSuppcnt),
+    "q_smallqty"        -> w(relational.TpchGaps.qSmallqty),
+    "q_excess"          -> w(relational.TpchGaps.qExcess),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */
@@ -527,6 +538,12 @@ object SparkEntry {
       ORDER BY job_id LIMIT 100""",
 
     "dq_audit" -> DataQuality.auditOracleSql,
+
+    // A28: the executed orchestrator trace and its relational twin sit
+    // under the SAME oracle — the hash gate proves the runtime implements
+    // the declared retry/tolerance/skip semantics.
+    "dag_plan" -> Dag.oracleSql(dbsCte),
+    "dag_run" -> Dag.oracleSql(dbsCte),
 
     "table_stats" -> """
       SELECT * FROM (
@@ -1336,6 +1353,15 @@ object SparkEntry {
     "q_fk_elim_left" -> Relational.fkElimLeftOracleSql,
     "q_top_supplier" -> Relational.topSupplierOracleSql,
     "q_promo" -> Relational.promoOracleSql,
+    "q_forecast" -> relational.TpchGaps.forecastOracleSql,
+    "q_priority" -> relational.TpchGaps.priorityOracleSql,
+    "q_returns" -> relational.TpchGaps.returnsOracleSql,
+    "q_profit" -> relational.TpchGaps.profitOracleSql,
+    "q_important" -> relational.TpchGaps.importantOracleSql,
+    "q_shipmode" -> relational.TpchGaps.shipmodeOracleSql,
+    "q_suppcnt" -> relational.TpchGaps.suppcntOracleSql,
+    "q_smallqty" -> relational.TpchGaps.smallqtyOracleSql,
+    "q_excess" -> relational.TpchGaps.excessOracleSql,
     "q_zorder" -> relational.ZOrder.oracleSql,
 
     "embed_quantize" -> Similarity.quantizeOracleSql,

@@ -19,21 +19,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private[relational] def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
   /** 2-decimal money column → exact cent longs (see q1Agg scaladoc). */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private[relational] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Exact integer total in 10^-unit-exponent units → the same double the
     * oracle's CAST(decimal_sum AS DOUBLE) produces (decimal division by a
     * power of ten at scale 6 is exact for ≤6-dp values, then one
     * correctly-rounded conversion).
     */
-  private def unitsToDbl(c: Column, unit: Int): Column =
+  private[relational] def unitsToDbl(c: Column, unit: Int): Column =
     (c.cast(DecimalType(38, 0)) / unit).cast("double")
 
   /** Per-row revenue ep·(1−disc) in exact 10^-4 units. */
-  private def revUnits(): Column =
+  private[relational] def revUnits(): Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
   /** Overflow-proof merge of partition-local long partial sums: the inputs
@@ -41,7 +41,7 @@ object Relational {
     * over tiny pre-aggregated data — the long hot path never crosses a
     * partition boundary. See q1Agg scaladoc for the bound.
     */
-  private def sumD38(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+  private[relational] def sumD38(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
 
   /** B1+B2: scan+filter+project with pushdown, multi-aggregate groupBy
     * (TPC-H Q1 shape). Partial aggregation is map-side automatically.
