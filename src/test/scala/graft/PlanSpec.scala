@@ -168,4 +168,42 @@ class PlanSpec extends AnyFunSuite {
     // join itself must be hash-based and nothing may plan a cartesian
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_forecast: all three predicate families reach the lineitem scan") {
+    val p = plan(graft.relational.TpchGaps.qForecast(TestSpark.spark, TestSpark.sf))
+    // the PushedFilters list renders truncated; the three IsNotNulls plus
+    // the date bound prefix prove all three families reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+    // pruned: only the 4 consumed columns are read
+    assert(!p.contains("l_orderkey"), "scan should not read l_orderkey\n" + p)
+  }
+
+  test("q_priority plans the EXISTS as a LeftSemi, date bound pushed to orders") {
+    val p = plan(graft.relational.TpchGaps.qPriority(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_returns: top-20 is TakeOrderedAndProject over customer-grain aggregates") {
+    val p = plan(graft.relational.TpchGaps.qReturns(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_profit: name filter pushed to part, dims broadcast, no cartesian") {
+    val p = plan(graft.relational.TpchGaps.qProfit(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("StringStartsWith(p_name,blue)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_smallqty: the per-part threshold joins back hash-based, brand semi-join pushed") {
+    val p = plan(graft.relational.TpchGaps.qSmallqty(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
