@@ -1041,6 +1041,57 @@ object Stress {
         val total = funnel.map(_.getLong(1)).sum
         assert(total == nDocs, s"funnel sums to $total, expected $nDocs")
 
+      case "dag_100k" =>
+        // A29 at a fan three orders past the bench shape: 100k jobs per fan
+        // stage (500k total) through the worker-pull runner. The claim under
+        // test is the scale contract, not speed: thread count stays
+        // O(capacity) — a watcher samples Thread.activeCount through the
+        // run — and the trace relation still matches the sequential
+        // interpreter's outcome arithmetic exactly at this size.
+        val dbs = (0 until 100000).map(i => f"db_$i%06d_core_110_1")
+        val jobsOf = (st: String) =>
+          if (etl.Dag.fanStages.contains(st)) dbs else Seq(etl.Dag.controlJob)
+        val baseThreads = Thread.activeCount()
+        val peakThreads = new java.util.concurrent.atomic.AtomicInteger(0)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val watcher = new Thread(() => {
+          while (!stop.get()) {
+            peakThreads.getAndAccumulate(Thread.activeCount(), Math.max(_, _))
+            Thread.sleep(5)
+          }
+        })
+        watcher.setDaemon(true); watcher.start()
+        var res: etl.Dag.DagResult = null
+        timed("dag_100k: 500k jobs through the beekeeper") {
+          res = etl.Dag.run(etl.Dag.pipeline, jobsOf, (st, j, attempt) =>
+            if (attempt <= etl.Dag.failCount(st, j))
+              throw new RuntimeException(s"injected $st/$j/$attempt"))
+          res.jobs.size
+        }
+        stop.set(true)
+        println(s"[stress] threads: base $baseThreads, peak ${peakThreads.get} " +
+          s"(fan 100000, max stage capacity ${etl.Dag.pipeline.map(_.capacity).max})")
+        // worker-pull contract: extra threads ≤ Σ capacities of stages that
+        // can run concurrently + scheduler/watcher slack, NEVER O(fan)
+        assert(peakThreads.get - baseThreads < 64,
+          s"thread explosion: peak ${peakThreads.get} over base $baseThreads")
+        // outcome arithmetic at 100k: replay the script sequentially
+        val expected = etl.Dag.pipeline.map { st =>
+          val js = jobsOf(st.name)
+          val failed = js.count(j => etl.Dag.failCount(st.name, j) > st.maxRetries)
+          st.name -> (js.size, failed)
+        }.toMap
+        val gotByStage = res.jobs.groupBy(_.stage)
+        etl.Dag.pipeline.foreach { st =>
+          val got = gotByStage(st.name)
+          assert(got.size == expected(st.name)._1, s"${st.name} job count")
+          if (res.stages(st.name).status != "SKIPPED")
+            assert(got.count(_.outcome == "FAILED") == expected(st.name)._2,
+              s"${st.name} failed count")
+        }
+        println(s"[stress] stage statuses: " +
+          etl.Dag.pipeline.map(st => s"${st.name}=${res.stages(st.name).status}").mkString(", "))
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()

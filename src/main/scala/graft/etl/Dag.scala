@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, Semaphore, TimeUnit}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors}
 import java.util.concurrent.atomic.AtomicInteger
 
 import scala.collection.JavaConverters._
@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * is it: `Runner` executes stages under real dependency barriers
   * (a stage starts only after every dependency's last job is terminal —
   * eHive's `'2->A' => [...], 'A->1' => [...]` semaphore contract),
-  * per-stage concurrency caps (`analysis_capacity`, here a JVM semaphore;
+  * per-stage concurrency caps (`analysis_capacity`, here capacity-many queue-pulling workers;
   * on a cluster the same stage routing feeds Lanes' FAIR pools), per-job
   * retry loops (`max_retry_count`), a failed-job tolerance gate
   * (`failed_job_tolerance`, LoadDBs_conf.pm:133) deciding whether the
@@ -189,7 +189,7 @@ object Dag {
   }
 
   // ---------------------------------------------------------------------
-  // The runtime: a beekeeper loop with real threads, semaphores, retries.
+  // The runtime: a beekeeper loop with real threads, capacity workers, retries.
   // ---------------------------------------------------------------------
 
   final case class JobResult(stage: String, job: String, attempts: Int, outcome: String)
@@ -203,11 +203,12 @@ object Dag {
     * `completed` (a resume checkpoint, the reference's `-reg_conf`-style
     * rerun) are recorded DONE with 0 attempts and never invoke the body.
     *
-    * Per stage: a `Semaphore(capacity)` throttles concurrent jobs; a
-    * latch joins the fan before the tolerance gate decides the release
-    * (eHive: the funnel's semaphore count reaching zero). The scheduler
-    * launches every stage whose deps are all terminal, so independent
-    * branches (healthcheck ∥ grant) genuinely overlap.
+    * Per stage: `capacity` worker threads PULL jobs from the stage queue
+    * (eHive's worker model — thread count is O(capacity), never O(fan)),
+    * and a latch joins the workers before the tolerance gate decides the
+    * release (eHive: the funnel's semaphore count reaching zero). The
+    * scheduler launches every stage whose deps are all terminal, so
+    * independent branches (healthcheck ∥ grant) genuinely overlap.
     */
   def run(stages: Seq[StageDef], jobsOf: String => Seq[String],
           body: (String, String, Int) => Unit,
@@ -227,38 +228,44 @@ object Dag {
 
       def runStage(st: StageDef): Unit = {
         val jobs = jobsOf(st.name)
-        val sem = new Semaphore(st.capacity)
-        val latch = new CountDownLatch(jobs.size)
+        // eHive's worker model: `capacity` workers PULL from the stage's
+        // job queue — thread count is O(capacity), never O(fan size), so a
+        // 100k-job fan costs the same handful of threads as a 10-job one.
+        val queue = new ConcurrentLinkedQueue[String]()
+        jobs.foreach(queue.add)
+        val nWorkers = math.max(1, math.min(st.capacity, jobs.size))
+        val latch = new CountDownLatch(nWorkers)
         val running = new AtomicInteger(0)
         val peak = new AtomicInteger(0)
         val failed = new AtomicInteger(0)
         val start = System.nanoTime()
-        jobs.foreach { j =>
+        (0 until nWorkers).foreach { _ =>
           pool.submit(new Runnable {
             override def run(): Unit = {
-              sem.acquire()
-              val now = running.incrementAndGet()
-              peak.getAndAccumulate(now, Math.max(_, _))
               try {
-                if (completed((st.name, j))) {
-                  results.add(JobResult(st.name, j, 0, "DONE"))
-                } else {
-                  var attempt = 0
-                  var ok = false
-                  while (!ok && attempt <= st.maxRetries) {
-                    attempt += 1
-                    invocations.incrementAndGet()
-                    try { body(st.name, j, attempt); ok = true }
-                    catch { case _: Exception => }
-                  }
-                  if (!ok) failed.incrementAndGet()
-                  results.add(JobResult(st.name, j, attempt, if (ok) "DONE" else "FAILED"))
+                var j = queue.poll()
+                while (j != null) {
+                  val now = running.incrementAndGet()
+                  peak.getAndAccumulate(now, Math.max(_, _))
+                  try {
+                    if (completed((st.name, j))) {
+                      results.add(JobResult(st.name, j, 0, "DONE"))
+                    } else {
+                      var attempt = 0
+                      var ok = false
+                      while (!ok && attempt <= st.maxRetries) {
+                        attempt += 1
+                        invocations.incrementAndGet()
+                        try { body(st.name, j, attempt); ok = true }
+                        catch { case _: Exception => }
+                      }
+                      if (!ok) failed.incrementAndGet()
+                      results.add(JobResult(st.name, j, attempt, if (ok) "DONE" else "FAILED"))
+                    }
+                  } finally running.decrementAndGet()
+                  j = queue.poll()
                 }
-              } finally {
-                running.decrementAndGet()
-                sem.release()
-                latch.countDown()
-              }
+              } finally latch.countDown()
             }
           })
         }
