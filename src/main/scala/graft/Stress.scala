@@ -1041,6 +1041,33 @@ object Stress {
         val total = funnel.map(_.getLong(1)).sum
         assert(total == nDocs, s"funnel sums to $total, expected $nDocs")
 
+      case "tpch_gaps_10x" =>
+        // The round's heaviest new shapes at 10× fact growth with FIXED
+        // dims (the realistic scale-up: facts grow, catalogs don't):
+        // 6M-row lineitem against the unchanged orders/part/supplier.
+        // q_suppcnt's distinct-supplier dedup, q_returns' fact-fact join +
+        // TakeOrdered, and q_smallqty's full-fact per-part threshold
+        // aggregate are the three that pay fact-proportional work.
+        val dir = "/tmp/stress_tpch"
+        val big = Tables.lineitem(spark, sf)
+          .crossJoin(spark.range(10).select(col("id").as("rep"))).drop("rep")
+        big.repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        Seq("orders", "part", "supplier", "customer", "nation").foreach { t =>
+          Tables(spark, sf, t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        }
+        // untimed warmup (JVM/codegen)
+        relational.TpchGaps.qForecast(spark, dir).write.mode("overwrite").format("noop").save()
+        timed("q_forecast 6M rows")(
+          relational.TpchGaps.qForecast(spark, dir).write.mode("overwrite").format("noop").save())
+        timed("q_suppcnt 6M rows (distinct suppliers per class)")(
+          relational.TpchGaps.qSuppcnt(spark, dir).write.mode("overwrite").format("noop").save())
+        timed("q_returns 6M rows (fact-fact + top-20)")(
+          relational.TpchGaps.qReturns(spark, dir).write.mode("overwrite").format("noop").save())
+        timed("q_smallqty 6M rows (per-part threshold)")(
+          relational.TpchGaps.qSmallqty(spark, dir).write.mode("overwrite").format("noop").save())
+        timed("q_profit 6M rows (5-way star)")(
+          relational.TpchGaps.qProfit(spark, dir).write.mode("overwrite").format("noop").save())
+
       case "dag_100k" =>
         // A29 at a fan three orders past the bench shape: 100k jobs per fan
         // stage (500k total) through the worker-pull runner. The claim under

@@ -261,13 +261,18 @@ object TpchGaps {
     */
   def qSmallqty(s: SparkSession, d: String): DataFrame = {
     val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#11").select("p_partkey")
+    // partkey determines brand, so semi-filtering BEFORE the threshold
+    // aggregate keeps every line of every brand part — result-identical
+    // to aggregating all parts, but the agg and join run on the ~0.3%
+    // sliver instead of the full fact (tpch_gaps_10x: 8.4 s → measured
+    // again after this change in BASELINE.md)
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         cents(col("l_extendedprice")).as("ep_c"))
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"), "left_semi")
     val th = li.groupBy("l_partkey")
       .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
-    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(th, Seq("l_partkey"))
+    li.join(th, Seq("l_partkey")) // th is #brand-parts rows; AQE broadcasts it
       .filter(col("qty") * 2 * col("n_li") < col("sum_qty"))
       .groupBy(spark_partition_id().as("pid")).agg(sum(col("ep_c")).as("p_su"))
       .agg(sumD38(col("p_su")).as("su"))
