@@ -179,6 +179,7 @@ object SparkEntry {
     "curriculum_order"  -> w(Curate.curriculumOrder),
     "shard_manifest"    -> w(Curate.shardManifest),
     "sample_group_k"    -> w((s, d) => Curate.sampleGroupK(s, d)),
+    "split_leakproof"   -> w(Curate.splitLeakproof),
     "bpe_train"         -> w(Tokenize.bpeTrain),
     "bpe_encode"        -> w(Tokenize.bpeEncode),
     "bpe_segment"       -> w(Tokenize.bpeSegment),
@@ -1473,6 +1474,7 @@ object SparkEntry {
     "curriculum_order" -> Curate.curriculumOrderOracleSql,
     "shard_manifest" -> Curate.shardManifestOracleSql,
     "sample_group_k" -> Curate.sampleGroupKOracleSql,
+    "split_leakproof" -> Curate.splitLeakproofOracleSql,
     "bpe_train" -> Tokenize.bpeTrainOracleSql,
     "bpe_encode" -> Tokenize.bpeEncodeOracleSql,
     "bpe_segment" -> Tokenize.bpeSegmentOracleSql,

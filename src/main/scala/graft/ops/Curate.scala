@@ -840,4 +840,54 @@ object Curate {
                    doc_id) AS rn
       FROM documents) t
     WHERE rn <= 50 ORDER BY lang, rank_in_lang"""
+
+  /** E21 `split_leakproof`: dup-group-aware train/val/test split — the
+    * leakage gate every training pipeline needs: a random PER-DOC split
+    * puts one copy of a duplicated document in train and another in val,
+    * and the eval is contaminated before decontamination (D17) even
+    * runs. The unit of assignment is therefore the DUP GROUP (exact
+    * content groups here via md5(text) — D14's near-dup group ids plug
+    * into the same shape), and the split is a deterministic hash of the
+    * group id (80/10/10) — no rand(), reproducible on any engine and any
+    * partitioning. One shuffle on the content hash builds the groups;
+    * the assignment joins back on the same key (same exchange under
+    * AQE). The output carries the audited `straddle_groups` count
+    * computed from the DOC-level assignments — structurally zero when
+    * the split keys on the group, and the column is exactly what catches
+    * a future regression to per-doc splitting; the oracle recomputes it
+    * independently in SQL.
+    */
+  def splitLeakproof(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val groups = docs.groupBy("h").agg(min(col("doc_id")).as("group_id"))
+    val assigned = docs.join(groups, Seq("h"))
+      .withColumn("bucket", (col("group_id") % 100003L) * 40503L % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    val perSplit = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("group_id")).as("n_groups"))
+    val straddle = assigned.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("straddle_groups"))
+    perSplit.crossJoin(broadcast(straddle)).orderBy("split")
+  }
+
+  val splitLeakproofOracleSql: String = """
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents),
+    grp AS (SELECT h, min(doc_id) AS group_id FROM g GROUP BY h),
+    a AS (
+      SELECT doc_id, group_id,
+        CASE WHEN (group_id % 100003) * 40503 % 100 < 80 THEN 'train'
+             WHEN (group_id % 100003) * 40503 % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM g JOIN grp USING (h)),
+    per AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+      FROM a GROUP BY split),
+    st AS (
+      SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS straddle_groups
+      FROM (SELECT group_id, count(DISTINCT split) AS ns FROM a GROUP BY group_id))
+    SELECT split, n_docs, n_groups, straddle_groups FROM per, st ORDER BY split"""
 }

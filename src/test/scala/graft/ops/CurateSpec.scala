@@ -201,4 +201,32 @@ class CurateSpec extends AnyFunSuite {
     assert(base.map(_.apply(1).asInstanceOf[Long]).sum ==
       graft.Tables.documents(s, d).count(), "every doc in exactly one shard")
   }
+
+  test("split_leakproof: dup groups never straddle splits; per-doc split would") {
+    val d = TestSpark.sf
+    val rows = Curate.splitLeakproof(s, d).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    rows.foreach(r => assert(r.getLong(3) == 0L, "leak: a dup group straddles splits"))
+    // partition property: every doc in exactly one split
+    assert(rows.map(_.getLong(1)).sum == graft.Tables.documents(s, d).count())
+    // train is the bulk (hash split 80/10/10; exact share is group-mass
+    // dependent, so assert the ordering, not the ratio)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.getOrElse("train", 0L) > byName.getOrElse("val", 0L))
+    // negative control: the same corpus split PER DOC (the bug this
+    // operator exists to prevent) DOES put copies of one group on both
+    // sides — proving the gate detects what it claims to.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val groups = docs.groupBy("h").agg(min(col("doc_id")).as("group_id"))
+    // duplicate every doc under a shifted id so every group has ≥2 docs
+    val withCopies = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("h")))
+    val perDoc = withCopies.join(groups, Seq("h"))
+      .withColumn("split", (col("doc_id") % 100003L) * 40503L % 100L < 80)
+    val straddlePerDoc = perDoc.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(straddlePerDoc > 0, "negative control failed to produce a leak")
+  }
 }
