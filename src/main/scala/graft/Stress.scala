@@ -1061,6 +1061,21 @@ object Stress {
           relational.TpchGaps.qForecast(spark, dir).write.mode("overwrite").format("noop").save())
         timed("q_suppcnt 6M rows (distinct suppliers per class)")(
           relational.TpchGaps.qSuppcnt(spark, dir).write.mode("overwrite").format("noop").save())
+        // A/B: the same query under the B16 bitmap rewrite (child session,
+        // rule armed by conf — the query text doesn't change). The
+        // count(DISTINCT suppkey) per (type, size) becomes a roaring-bitmap
+        // aggregate: one shuffle of fixed-size bitmaps instead of the
+        // two-phase distinct expansion.
+        locally {
+          val scoped = spark.newSession()
+          scoped.conf.set("spark.graft.bitmapDistinct.enabled", "true")
+          timed("q_suppcnt 6M rows (B16 bitmap rewrite)")(
+            relational.TpchGaps.qSuppcnt(scoped, dir).write.mode("overwrite").format("noop").save())
+          val a = relational.TpchGaps.qSuppcnt(spark, dir).collect().map(_.toSeq).toSet
+          val b = relational.TpchGaps.qSuppcnt(scoped, dir).collect().map(_.toSeq).toSet
+          assert(a == b, "bitmap rewrite changed q_suppcnt's result")
+          println(s"[stress] bitmap rewrite output identical: ${a.size} rows")
+        }
         timed("q_returns 6M rows (fact-fact + top-20)")(
           relational.TpchGaps.qReturns(spark, dir).write.mode("overwrite").format("noop").save())
         timed("q_smallqty 6M rows (per-part threshold)")(
