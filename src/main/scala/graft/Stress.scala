@@ -1041,6 +1041,36 @@ object Stress {
         val total = funnel.map(_.getLong(1)).sum
         assert(total == nDocs, s"funnel sums to $total, expected $nDocs")
 
+      case "ann_clustered" =>
+        // Executable evidence for the §9 claim that ANN recall is bound by
+        // DATA, not the operators: the testdata vectors are structureless
+        // (recall ≈ probed fraction — measured 0.38 for IVF at nprobe 3/10).
+        // Here the same operators run on CLUSTERED vectors — 10 well-
+        // separated deterministic centroids (LCG, no RNG) + small per-vector
+        // perturbation — where a query's true neighbors share its cluster.
+        // Expectation: IVF recall@10 ≈ 1.0 probing the same 3/10 clusters.
+        val dim = 64
+        var st = 99L
+        def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+        val cents = (0 until 10).map(l => (0 until dim).map(_ => (nxt() % 2000L).toFloat / 1000f))
+        val centLit = typedlit(cents)
+        val base = spark.range(20000).select(
+          col("id").as("vec_id"), (col("id") % 10).cast("int").as("label"))
+        val clustered = base.select(col("vec_id"), col("label"),
+          transform(element_at(centLit, col("label") + 1),
+            (c, i) => c + (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("float") - 50f) / lit(500f))
+            .as("embedding"))
+        clustered.select("vec_id", "embedding", "label").repartition(16)
+          .write.mode("overwrite").parquet("/tmp/stress_annc/embeddings.parquet")
+        val dd = "/tmp/stress_annc"
+        val bf = ops.Similarity.annBruteforce(spark, dd)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivf = ops.Similarity.annIvf(spark, dd)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = ivf.count(bf).toDouble / bf.size
+        println(f"[stress] ann_clustered: IVF recall@10 = $recall%.3f over ${bf.size} truth pairs (nprobe 3/10)")
+        assert(recall >= 0.9, f"clustered recall $recall%.3f — operators should capture the local neighborhood")
+
       case "tpch_gaps_10x" =>
         // The round's heaviest new shapes at 10× fact growth with FIXED
         // dims (the realistic scale-up: facts grow, catalogs don't):
