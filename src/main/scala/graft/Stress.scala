@@ -1070,6 +1070,11 @@ object Stress {
         val recall = ivf.count(bf).toDouble / bf.size
         println(f"[stress] ann_clustered: IVF recall@10 = $recall%.3f over ${bf.size} truth pairs (nprobe 3/10)")
         assert(recall >= 0.9, f"clustered recall $recall%.3f — operators should capture the local neighborhood")
+        val lsh = ops.Similarity.annLsh(spark, dd)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lshRecall = lsh.count(bf).toDouble / bf.size
+        println(f"[stress] ann_clustered: LSH recall@10 = $lshRecall%.3f (own bucket + hamming-1 probes)")
+        assert(lshRecall >= 0.7, f"clustered LSH recall $lshRecall%.3f")
 
       case "tpch_gaps_10x" =>
         // The round's heaviest new shapes at 10× fact growth with FIXED
