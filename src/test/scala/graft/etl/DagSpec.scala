@@ -126,6 +126,24 @@ class DagSpec extends AnyFunSuite {
     assert(res.jobs.filter(_.stage == "download").forall(_.attempts == 3))
   }
 
+  test("jobs run real Spark actions under the stage's FAIR pool (A29 × A14)") {
+    val s = TestSpark.spark
+    val flowOf = Map("discover" -> 2, "prioritise" -> 3, "download" -> 5)
+    val seenPools = collection.concurrent.TrieMap[String, String]()
+    val counted = new AtomicInteger(0)
+    val res = Dag.run(pipeline.take(3), fanJobs(6), (st, j, attempt) =>
+      Lanes.runInLane(s, flowOf(st)) {
+        seenPools.put(st, s.sparkContext.getLocalProperty("spark.scheduler.pool"))
+        counted.addAndGet(s.range(10).count().toInt) // a real distributed job
+        script(st, j, attempt)
+      })
+    assert(res.stages.values.count(_.status == "DONE") == 3)
+    assert(seenPools("discover") == "basic")
+    assert(seenPools("prioritise") == "high")
+    assert(seenPools("download") == "human_variation")
+    assert(counted.get() >= 10 * (2 + 6)) // every first attempt ran a job
+  }
+
   test("static topology: waves and ancestor closure") {
     val wv = waves(pipeline)
     assert(wv("discover") == 1 && wv("prioritise") == 2 && wv("download") == 3)
