@@ -1041,6 +1041,44 @@ object Stress {
         val total = funnel.map(_.getLong(1)).sum
         assert(total == nDocs, s"funnel sums to $total, expected $nDocs")
 
+      case "stream_soak" =>
+        // Long-horizon proof that watermark-bounded state PLATEAUS: the
+        // chained stateful rolling-distinct (dedup → windowed agg, two
+        // state stores) driven for 200 micro-batches / ~33 hours of event
+        // time over a 10k-user universe. If eviction works, state rows
+        // reach keys × in-horizon windows and stay there; a leak (or a
+        // missing watermark) shows as monotonic growth across the run.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+        val events = mem.toDF().toDF("ts", "user_id", "value")
+        val q = streaming.Streams.rollingDistinctStream(events, watermark = "2 hours")
+          .writeStream.format("noop").outputMode("append").start()
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val states = new scala.collection.mutable.ArrayBuffer[Long]
+        timed("stream_soak: 200 micro-batches, 33h event time") {
+          (0 until 200).foreach { b =>
+            val t0 = base + b.toLong * 10 * 60 * 1000 // 10 min per batch
+            val rows = (0 until 1000).map { i =>
+              (new java.sql.Timestamp(t0 + (i % 600) * 1000L),
+                ((b * 7919 + i * 104729) % 10000).toLong,
+                (i % 97).toDouble)
+            }
+            mem.addData(rows)
+            q.processAllAvailable()
+            states += Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+          }
+          states.size
+        }
+        q.stop()
+        val warm = states.slice(60, 120).max
+        val late = states.slice(140, 200).max
+        println(s"[stress] state rows: batch10=${states(10)} batch60=${states(60)} " +
+          s"batch120=${states(119)} batch200=${states.last}; warm-max $warm, late-max $late")
+        assert(late <= (warm * 1.15).toLong,
+          s"state kept growing: warm-max $warm vs late-max $late — eviction not bounding state")
+
       case "ann_clustered" =>
         // Executable evidence for the §9 claim that ANN recall is bound by
         // DATA, not the operators: the testdata vectors are structureless
