@@ -200,6 +200,7 @@ object SparkEntry {
     "q_kmv_setops"      -> w(Relational.qKmvSetops),
     "stream_rolling_distinct" -> w(Streams.rollingDistinct),
     "stream_dq"         -> w(Streams.dq),
+    "asof_stateful"     -> w(Streams.asofStatefulQuery),
     "q_fk_elim"         -> w(Relational.qFkElim),
     "q_fk_elim_left"    -> w(Relational.qFkElimLeft),
     "q_top_supplier"    -> w(Relational.qTopSupplier),
@@ -1350,6 +1351,8 @@ object SparkEntry {
     "q_kmv_setops" -> Relational.kmvSetopsOracleSql,
     "stream_rolling_distinct" -> Streams.rollingDistinctOracleSql,
     "stream_dq" -> Streams.dqOracleSql,
+    // C15 batch mode runs B13's exact relation — same oracle
+    "asof_stateful" -> asofSql,
     "q_fk_elim" -> Relational.fkElimOracleSql,
     "q_fk_elim_left" -> Relational.fkElimLeftOracleSql,
     "q_top_supplier" -> Relational.topSupplierOracleSql,

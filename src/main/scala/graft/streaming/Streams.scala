@@ -586,4 +586,108 @@ object Streams {
       .withColumn("route", gate(col("graft_w")))
       .select("doc_id", "ts", "route")
   }
+
+  // ---------- C15: stream-stream as-of join ----------
+
+  /** One tagged row of the unioned (orders ∪ events) stream. Money rides
+    * as exact cents; `is_order` discriminates the sides.
+    */
+  final case class AsofIn(k: Long, ts: java.sql.Timestamp, is_order: Boolean,
+                          o_orderkey: Long, total_cents: Long, event_id: Long)
+  final case class AsofOrd(tUs: Long, orderKey: Long, totalCents: Long)
+  final case class AsofPending(orders: List[AsofOrd], events: List[(Long, Long)])
+  final case class AsofMatch(event_id: Long, user_id: Long, ts_us: Long,
+                             matched_order: Option[Long], matched_total_cents: Option[Long])
+
+  /** C15: stream-stream AS-OF join — each event matched to the latest
+    * order of the same key at-or-before its timestamp, with B13's exact
+    * tie rule (an order at the event's own instant matches; among equal
+    * times the larger order key wins). Structured Streaming has no
+    * native as-of join (stream-stream joins need range conditions both
+    * ways); this is the `flatMapGroupsWithState` form over the tagged
+    * union of both streams.
+    *
+    * Event rows wait in state until the WATERMARK passes their
+    * timestamp — only then is "no earlier order can still arrive" a
+    * theorem, so every emitted match is final (Append-mode facts, never
+    * retracted). Order state then prunes to ONE row at-or-below the
+    * watermark (the only below-horizon order any future event can match
+    * — larger times dominate) plus the in-horizon tail: state is
+    * O(active keys × in-horizon traffic) + one dimension row per key,
+    * the same contract scd2Stream documents. Late EVENTS beyond the
+    * watermark are dropped by the standard contract; a late ORDER below
+    * the watermark is dropped with it — already-emitted matches are
+    * never retro-corrected (the sessionizeStateful repair bound).
+    *
+    * Batch execution (no watermark ⇒ cutoff = +∞) emits every match in
+    * one pass — bit-identical to B13's union-window form, which puts
+    * THIS state machine under the same DuckDB oracle (`asof_stateful`).
+    */
+  def asofStream(input: Dataset[AsofIn]): Dataset[AsofMatch] = {
+    val sq = input.sparkSession; import sq.implicits._
+    val isStreaming = input.isStreaming
+    def fn(k: Long, it: Iterator[AsofIn], state: GroupState[AsofPending]): Iterator[AsofMatch] = {
+      val st = state.getOption.getOrElse(AsofPending(Nil, Nil))
+      val (newOrders, newEvents) = it.toArray.partition(_.is_order)
+      def us(t: java.sql.Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      // orders ascending by (t, orderKey): the LAST entry ≤ an event's t
+      // is the match — B13's DESC/DESC row_number(1) mirrored
+      val orders = (st.orders ++ newOrders.map(o => AsofOrd(us(o.ts), o.o_orderkey, o.total_cents)))
+        .sortBy(o => (o.tUs, o.orderKey))
+      val events = (st.events ++ newEvents.map(e => (us(e.ts), e.event_id)))
+        .sortBy(identity)
+      val cutoffUs = if (isStreaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
+      val (ready, pending) = events.partition(_._1 <= cutoffUs)
+      val out = ready.map { case (tUs, eventId) =>
+        val m = orders.takeWhile(_.tUs <= tUs).lastOption
+        AsofMatch(eventId, k, tUs, m.map(_.orderKey), m.map(_.totalCents))
+      }
+      if (isStreaming) {
+        // prune: one best order at-or-below the horizon + the tail above it
+        val (below, above) = orders.partition(_.tUs <= cutoffUs)
+        val kept = below.lastOption.toList ++ above
+        if (kept.isEmpty && pending.isEmpty) state.remove()
+        else {
+          state.update(AsofPending(kept, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.head._1 / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+          // order-only state is dimension state: no timeout, lives until
+          // the next event or order for the key (O(#keys), like scd2)
+        }
+      } else if (state.exists) state.remove()
+      out.iterator
+    }
+    input.withWatermark("ts", "2 hours")
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** C15 query (batch mode): the SAME state machine over orders ∪ events,
+    * producing B13's exact relation under B13's oracle. Null-key/date
+    * orders can match nothing and are dropped; null-key/ts events (none
+    * in this catalog, handled for the contract) would bypass the keyed
+    * operator stateless with null-extended output.
+    */
+  def asofStatefulQuery(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val o = Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ts"),
+        lit(true).as("is_order"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        lit(-1L).as("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts"),
+        lit(false).as("is_order"), lit(-1L).as("o_orderkey"),
+        lit(0L).as("total_cents"), col("event_id"))
+    val matches = asofStream(o.unionByName(e).as[AsofIn])
+    matches.toDF()
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("matched_order"),
+        (col("matched_total_cents").cast("decimal(20,0)") / 100).cast("decimal(12,2)")
+          .as("matched_total"))
+      .orderBy("event_id")
+  }
 }

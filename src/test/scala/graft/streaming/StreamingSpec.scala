@@ -590,4 +590,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(routed(20L) == ("clean", "quarantine"), routed.toString)
     assert(routed(30L) == ("clean", "clean"), routed.toString)
   }
+
+  test("C15 as-of join: cross-batch disorder, finality, and state pruning") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.AsofIn]
+    val q = Streams.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream_test").outputMode("append").start()
+    def ord(k: Long, t: String, ok: Long, cents: Long) =
+      Streams.AsofIn(k, ts(t), is_order = true, ok, cents, -1L)
+    def ev(k: Long, t: String, id: Long) =
+      Streams.AsofIn(k, ts(t), is_order = false, -1L, 0L, id)
+
+    // batch 1: an event arrives BEFORE the order that should match it
+    // (event-time 10:30 event; its 10:00 order comes in batch 2)
+    mem.addData(ev(1L, "2024-01-01 10:30:00", 100L), ord(1L, "2024-01-01 09:00:00", 7L, 111L))
+    q.processAllAvailable()
+    // nothing may emit yet: watermark hasn't passed the event
+    assert(s.sql("SELECT * FROM asof_stream_test").count() == 0L)
+
+    // batch 2: the better order arrives late in PROCESSING time but
+    // earlier in event time than the event — plus a key-2 event with no
+    // order ever (null-extended), and two equal-time orders (tie rule)
+    mem.addData(ord(1L, "2024-01-01 10:00:00", 9L, 222L),
+      ev(2L, "2024-01-01 10:40:00", 200L),
+      ord(3L, "2024-01-01 10:00:00", 4L, 300L), ord(3L, "2024-01-01 10:00:00", 5L, 305L),
+      ev(3L, "2024-01-01 10:00:00", 300L)) // same instant as its orders
+    q.processAllAvailable()
+    // batch 3: advance the watermark (2h) far past every event
+    mem.addData(ev(9L, "2024-01-01 20:00:00", 999L))
+    q.processAllAvailable()
+    mem.addData(ev(9L, "2024-01-02 09:00:00", 998L))
+    q.processAllAvailable()
+
+    val got = s.sql("SELECT event_id, matched_order, matched_total_cents FROM asof_stream_test")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // the out-of-(processing)-order 10:00 order is the match, not 09:00
+    assert(got(100L) == (Some(9L), Some(222L)), got.toString)
+    // no order for key 2 → null-extended, still emitted
+    assert(got(200L) == (None, None), got.toString)
+    // order at the event's own instant matches; larger key wins the tie
+    assert(got(300L) == (Some(5L), Some(305L)), got.toString)
+    // finality: each event emitted exactly once
+    assert(s.sql("SELECT count(*) FROM asof_stream_test").head().getLong(0) ==
+      s.sql("SELECT count(DISTINCT event_id) FROM asof_stream_test").head().getLong(0))
+    // state pruned: keys 1-3 hold at most one dimension order row each;
+    // only key 9's pending event + orders survive the final watermark
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= 6, s"state not pruned: $stateRows rows")
+    q.stop()
+  }
 }
