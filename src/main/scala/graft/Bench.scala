@@ -28,8 +28,10 @@ object Bench {
     "q_zorder", "decontaminate_bloom", "q_bigorders", "q_disjunct", "q_idle",
     "sample_group_k", "ann_incremental", "q_rolling_distinct", "dq_audit",
     "q_kmv_setops", "stream_rolling_distinct",
-    // r11: the TPC-H gap closers (full 22-shape coverage) + the orchestrator
-    "q_returns", "q_profit", "q_suppcnt", "q_smallqty", "q_excess", "dag_run")
+    // r11: the TPC-H gap closers (full 22-shape coverage) + the orchestrator,
+    // the leakage-safe splitter and the stateful as-of state machine
+    "q_returns", "q_profit", "q_suppcnt", "q_smallqty", "q_excess", "dag_run",
+    "split_leakproof", "asof_stateful")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

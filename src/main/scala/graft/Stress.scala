@@ -1079,6 +1079,42 @@ object Stress {
         assert(late <= (warm * 1.15).toLong,
           s"state kept growing: warm-max $warm vs late-max $late — eviction not bounding state")
 
+        // Second leg: the C15 as-of state contract — event state DRAINS as
+        // the watermark advances; what persists is one dimension (order)
+        // row per key. 100 batches over 5k keys; final state ≈ keys, not
+        // traffic.
+        val mem2 = MemoryStream[streaming.Streams.AsofIn]
+        val q2 = streaming.Streams.asofStream(mem2.toDS())
+          .writeStream.format("noop").outputMode("append").start()
+        val nKeys = 5000
+        var emitted = 0L
+        timed("stream_soak: C15 as-of, 100 batches, 5k keys") {
+          (0 until 100).foreach { b =>
+            val t0 = base + b.toLong * 10 * 60 * 1000
+            val rows = (0 until 500).map { i =>
+              val k = ((b * 31 + i * 97) % nKeys).toLong
+              if (i % 5 == 0)
+                streaming.Streams.AsofIn(k, new java.sql.Timestamp(t0 + i * 1000L),
+                  is_order = true, b.toLong * 1000 + i, 12345L, -1L)
+              else
+                streaming.Streams.AsofIn(k, new java.sql.Timestamp(t0 + i * 1000L),
+                  is_order = false, -1L, 0L, b.toLong * 100000 + i)
+            }
+            mem2.addData(rows)
+            q2.processAllAvailable()
+          }
+          // push the watermark far past all traffic so event state drains
+          mem2.addData(streaming.Streams.AsofIn(0L,
+            new java.sql.Timestamp(base + 10L * 24 * 3600 * 1000), is_order = false, -1L, 0L, -2L))
+          q2.processAllAvailable()
+          emitted = 1L
+        }
+        val finalState = Option(q2.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        q2.stop()
+        println(s"[stress] C15 final state rows: $finalState over $nKeys keys (dimension rows + 1 pending)")
+        assert(finalState <= nKeys + 10,
+          s"as-of state did not drain to dimension rows: $finalState")
+
       case "ann_clustered" =>
         // Executable evidence for the §9 claim that ANN recall is bound by
         // DATA, not the operators: the testdata vectors are structureless
