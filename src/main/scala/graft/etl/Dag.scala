@@ -192,6 +192,12 @@ object Dag {
   // The runtime: a beekeeper loop with real threads, capacity workers, retries.
   // ---------------------------------------------------------------------
 
+  /** Throw from a job body to mark the failure PERMANENT: the job dies on
+    * this attempt without consuming its remaining retries (eHive's
+    * "job died" vs "job failed, will retry" classification).
+    */
+  final class PermanentFailure(msg: String) extends RuntimeException(msg)
+
   final case class JobResult(stage: String, job: String, attempts: Int, outcome: String)
   final case class StageRun(name: String, status: String, startNs: Long, endNs: Long,
                             maxConcurrent: Int)
@@ -253,11 +259,19 @@ object Dag {
                     } else {
                       var attempt = 0
                       var ok = false
-                      while (!ok && attempt <= st.maxRetries) {
+                      var permanent = false
+                      while (!ok && !permanent && attempt <= st.maxRetries) {
                         attempt += 1
                         invocations.incrementAndGet()
                         try { body(st.name, j, attempt); ok = true }
-                        catch { case _: Exception => }
+                        catch {
+                          // eHive's job-death classification: a permanent
+                          // failure (bad input, missing table) must not
+                          // burn the retry budget a transient one
+                          // (connection drop, lock timeout) earns
+                          case _: PermanentFailure => permanent = true
+                          case _: Exception => ()
+                        }
                       }
                       if (!ok) failed.incrementAndGet()
                       results.add(JobResult(st.name, j, attempt, if (ok) "DONE" else "FAILED"))

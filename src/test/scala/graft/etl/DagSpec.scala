@@ -144,6 +144,23 @@ class DagSpec extends AnyFunSuite {
     assert(counted.get() >= 10 * (2 + 6)) // every first attempt ran a job
   }
 
+  test("a PermanentFailure dies on its attempt without burning the retry budget") {
+    val attemptsSeen = new AtomicInteger(0)
+    val res = Dag.run(pipeline.take(3), fanJobs(4), (st, j, attempt) => {
+      if (st == "download") {
+        attemptsSeen.incrementAndGet()
+        if (j.endsWith("000_core_110_1")) throw new Dag.PermanentFailure("bad input")
+        else throw new RuntimeException("transient") // retries until budget gone
+      }
+    })
+    val dl = res.jobs.filter(_.stage == "download")
+    // the permanent job recorded exactly 1 attempt; transient ones 3
+    assert(dl.find(_.job.endsWith("000_core_110_1")).get.attempts == 1)
+    assert(dl.filterNot(_.job.endsWith("000_core_110_1")).forall(_.attempts == 3))
+    assert(dl.forall(_.outcome == "FAILED"))
+    assert(attemptsSeen.get() == 1 + 3 * 3) // 1 permanent + 3 jobs × 3 attempts
+  }
+
   test("static topology: waves and ancestor closure") {
     val wv = waves(pipeline)
     assert(wv("discover") == 1 && wv("prioritise") == 2 && wv("download") == 3)
