@@ -64,6 +64,7 @@ object SparkEntry {
     "stats_incremental"   -> w(Incremental.statsIncremental),
     "release_diff"        -> w(ReleaseDiff.query),
     "ivm_join"            -> w(Incremental.ivmJoin),
+    "ivm_retract"         -> w(Incremental.ivmRetract),
     "ddl_parse"           -> w(SqlDdl.query),
     "load_statements"     -> w(LoadStatements.query),
     "merge_upsert"        -> w(MergeUpsert.query),
@@ -384,6 +385,7 @@ object SparkEntry {
     "release_diff" -> ReleaseDiff.oracleSql,
 
     "ivm_join" -> Incremental.ivmOracleSql,
+    "ivm_retract" -> Incremental.ivmRetractOracleSql,
 
     "ddl_parse" -> """
       SELECT obj_name, obj_type, CAST(ord AS BIGINT) AS ord, col_name, col_type FROM (VALUES

@@ -100,4 +100,63 @@ object Incremental {
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY 1 ORDER BY 1"""
+
+  /** A25b: IVM with RETRACTIONS — the half of view maintenance A25's
+    * insert-only deltas can't express: deleted orders, updated orders
+    * (retract old + insert new), and deleted customers (which retract
+    * every order they own from the view). Deltas are SIGNED Z-relations;
+    * the same delta algebra Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB applies with
+    * per-row contribution sign(A)·sign(B) — the cross term's (−1)·(−1)
+    * = +1 is exactly the correction when a deleted order's customer is
+    * ALSO deleted (subtracted twice by the outer terms, added back
+    * once). Every delta join is O(|Δ|); the merge into the stored view
+    * is groups-sized. The oracle recomputes the POST-change state from
+    * scratch — equality is the retraction law. Groups whose count
+    * reaches zero drop from the view (the inner-join recompute has no
+    * such row).
+    */
+  def ivmRetract(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents("o_totalprice").as("rev_c"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    // the change batch: %13 orders deleted; %17 (not %13) orders updated
+    // (+500 cents) as retract-old + insert-new; %500 customers deleted
+    val oDel = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_custkey"), lit(-1L).as("osgn"), col("rev_c"))
+    val oUpd = o.filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 13 =!= 0)
+    val dO = oDel
+      .unionByName(oUpd.select(col("o_custkey"), lit(-1L).as("osgn"), col("rev_c")))
+      .unionByName(oUpd.select(col("o_custkey"), lit(1L).as("osgn"),
+        (col("rev_c") + 500).as("rev_c")))
+    val o0 = o.select(col("o_custkey"), lit(1L).as("osgn"), col("rev_c"))
+    val dC = c.filter(col("c_custkey") % 500 === 0)
+      .select(col("c_custkey"), col("c_nationkey"), lit(-1L).as("csgn"))
+    val c0 = c.select(col("c_custkey"), col("c_nationkey"), lit(1L).as("csgn"))
+    def aggS(os: DataFrame, cs: DataFrame) = os
+      .join(cs, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("osgn") * col("csgn")).as("pn"),
+        sum(col("osgn") * col("csgn") * col("rev_c")).as("prev"))
+    val vOld = aggS(o0, c0) // production: read from the stored view
+    aggS(dO, c0).unionByName(aggS(o0, dC)).unionByName(aggS(dO, dC))
+      .unionByName(vOld)
+      .groupBy("n_name")
+      .agg(sum("pn").as("n_orders"), sum("prev").as("rev_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("n_name")
+  }
+
+  val ivmRetractOracleSql: String = """
+    SELECT n_name, count(*) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        + CASE WHEN o_orderkey % 17 = 0 THEN 500 ELSE 0 END) AS BIGINT) AS rev_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderkey % 13 <> 0 AND c_custkey % 500 <> 0
+    GROUP BY 1 ORDER BY 1"""
 }
