@@ -642,4 +642,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 6, s"state not pruned: $stateRows rows")
     q.stop()
   }
+
+  test("C15 fuzz: random batch splits and processing disorder never change the matches") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31337)
+      val base = ts("2024-03-01 08:00:00").getTime
+      // all traffic inside a 90-min event-time span so the 2h watermark
+      // never drops anything — ground truth stays the full relation
+      def t() = new java.sql.Timestamp(base + rnd.nextInt(90 * 60) * 1000L)
+      val orders = (1 to 60).map(i =>
+        Streams.AsofIn(rnd.nextInt(10).toLong, t(), is_order = true, i.toLong, i * 100L, -1L))
+      val events = (1 to 100).map(i =>
+        Streams.AsofIn(rnd.nextInt(10).toLong, t(), is_order = false, -1L, 0L, i.toLong))
+      // expected: per event, latest same-key order at-or-before, larger
+      // key breaking time ties — computed independently in plain Scala
+      val expected = events.map { e =>
+        val m = orders.filter(o => o.k == e.k && !o.ts.after(e.ts))
+          .sortBy(o => (o.ts.getTime, o.o_orderkey)).lastOption
+        e.event_id -> m.map(_.o_orderkey)
+      }.toMap
+      val mixed = rnd.shuffle(orders ++ events)
+      val batches = mixed.grouped(1 + rnd.nextInt(40)).toSeq // random splits
+      val mem = MemoryStream[Streams.AsofIn]
+      val name = s"asof_fuzz_$seed"
+      val q = Streams.asofStream(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // flush: push the watermark far past the span
+      mem.addData(Streams.AsofIn(0L, ts("2024-03-02 12:00:00"), is_order = false, -1L, 0L, -99L))
+      q.processAllAvailable()
+      val got = s.sql(s"SELECT event_id, matched_order FROM $name WHERE event_id > 0")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      q.stop()
+      assert(got == expected, s"seed $seed: ${got.toSeq.diff(expected.toSeq).take(5)}")
+    }
+  }
 }
