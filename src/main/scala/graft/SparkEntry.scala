@@ -69,6 +69,7 @@ object SparkEntry {
     "load_statements"     -> w(LoadStatements.query),
     "merge_upsert"        -> w(MergeUpsert.query),
     "scd2_history"        -> w(Scd.scd2History),
+    "scd2_deletes"        -> w(Scd.scd2Deletes),
     "partitioned_scan"    -> w(PartitionedLayout.query),
     "grant_ddl"           -> w((s, d) => Discovery.grantDdl(s, d)),
     "release_paths"       -> w(ReleasePaths.query),
@@ -341,6 +342,7 @@ object SparkEntry {
       GROUP BY lang ORDER BY lang""",
 
     "scd2_history" -> Scd.scd2OracleSql,
+    "scd2_deletes" -> Scd.scd2DeletesOracleSql,
 
     "merge_upsert" -> """
       WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

@@ -86,4 +86,82 @@ object Scd {
       CAST(n_events AS BIGINT) AS n_events
     FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version)
     ORDER BY user_id, version"""
+
+  /** A22b: SCD2 with DELETES — the retraction half of dimension
+    * versioning (the ivm_retract theme applied to A22): a tombstone in
+    * the change log closes the entity's open version at the tombstone's
+    * time WITHOUT opening a successor; a later change re-creates the
+    * entity as a fresh version. An entity whose last change is a
+    * tombstone has NO current row — `is_current` is false across its
+    * whole history, which type-1 drop-and-reload destroys and the plain
+    * A22 build cannot express.
+    *
+    * Build: tombstones enter the same change-detection pipeline as a
+    * sentinel attribute value, so "close at delete" is just "next change
+    * row's time" — one extra cumulative live-row count (for n_events
+    * arithmetic across tombstone gaps) on the SAME single exchange as
+    * A22; tombstone change rows are dropped after donating their
+    * boundary. Consecutive tombstones collapse (no attribute change).
+    * Tombstone rule: event_id % 41 = 0 (244 tombstones / 122 entities at
+    * sf0.01 — re-creation after delete is exercised).
+    */
+  def scd2Deletes(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byUserAll = Window.partitionBy("user_id")
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("live", col("event_id") % 41 =!= 0)
+      .withColumn("attr", when(col("live"), col("event_type")).otherwise("(deleted)"))
+    val prev = lag("attr", 1).over(byUser)
+    val ch = base
+      .withColumn("chg", when(prev.isNull || prev =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("live_cum", sum(when(col("live"), 1L).otherwise(0L)).over(cum))
+      .withColumn("total_live", sum(when(col("live"), 1L).otherwise(0L)).over(byUserAll))
+      .filter(col("chg") === 1L)
+      .withColumn("cum_before", col("live_cum") - when(col("live"), 1L).otherwise(0L))
+      .withColumn("next_us", lead("us", 1).over(byUser))
+      .withColumn("next_cb", lead("cum_before", 1).over(byUser))
+    ch.filter(col("live"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("version"), col("attr").as("event_type"),
+        expr("us DIV 1000000").as("valid_from_sec"),
+        expr("next_us DIV 1000000").as("valid_to_sec"),
+        col("next_us").isNull.as("is_current"),
+        (coalesce(col("next_cb"), col("total_live")) - col("cum_before")).as("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2DeletesOracleSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        (event_id % 41 <> 0) AS live,
+        CASE WHEN event_id % 41 = 0 THEN '(deleted)' ELSE event_type END AS attr
+      FROM events),
+    x AS (
+      SELECT *,
+        CASE WHEN lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+               OR lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id) <> attr
+             THEN 1 ELSE 0 END AS chg,
+        sum(CASE WHEN live THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS live_cum,
+        sum(CASE WHEN live THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS total_live
+      FROM e),
+    ch AS (
+      SELECT *, live_cum - CASE WHEN live THEN 1 ELSE 0 END AS cum_before
+      FROM x WHERE chg = 1),
+    ch2 AS (
+      SELECT *,
+        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us,
+        lead(cum_before) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_cb
+      FROM ch)
+    SELECT user_id,
+      CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+      attr AS event_type,
+      CAST(us // 1000000 AS BIGINT) AS valid_from_sec,
+      CAST(next_us // 1000000 AS BIGINT) AS valid_to_sec,
+      next_us IS NULL AS is_current,
+      CAST(coalesce(next_cb, total_live) - cum_before AS BIGINT) AS n_events
+    FROM ch2 WHERE live ORDER BY user_id, version"""
 }
