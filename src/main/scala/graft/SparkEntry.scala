@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_exact"     -> w(Dedup.exact),
     "dedup_bucketed"  -> w(Dedup.exactBucketed),
     "dedup_incremental" -> w(Dedup.incremental),
+    "dedup_decremental" -> w(Dedup.decremental),
     "dedup_spans"     -> w((s, d) => Dedup.spans(s, d)),
     "dedup_minhash"   -> w(Dedup.minhash),
     "dedup_simhash"   -> w(Dedup.simhash),
@@ -972,6 +973,7 @@ object SparkEntry {
         FROM documents) t ORDER BY doc_id""",
 
     "dedup_incremental" -> graft.ops.Dedup.incrementalOracleSql,
+    "dedup_decremental" -> graft.ops.Dedup.decrementalOracleSql,
 
     // Window hashes are md5 of the 8-token window text in both engines, so
     // the whole substring-dedup pipeline (hash → ≥2-distinct-docs test via

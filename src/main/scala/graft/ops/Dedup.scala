@@ -157,6 +157,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D27b: exact-dedup maintenance under REMOVALS — the retraction
+    * member of the dedup family (r11 theme: ivm_retract, scd2_deletes).
+    * Removing a document can orphan its group (keeper removed → the
+    * smallest survivor is re-elected) or dissolve it. Hash groups are
+    * removal-LOCAL by construction — a deletion can only change its own
+    * group's keeper — so maintenance touches O(|affected groups|):
+    * untouched keeper rows pass through by anti-join, only groups
+    * holding a removed doc re-elect. That locality is exactly what the
+    * near-dup candidate graph does NOT have (its bucket caps make the
+    * blocking graph globally removal-sensitive — SURVEY §9), which is
+    * why the decremental form covers the exact family and near-dup
+    * removals take the rebuild-affected-components path instead.
+    * Removal set here: doc_id % 23 = 0; the oracle recomputes the
+    * post-removal corpus from scratch — equality is the locality proof.
+    */
+  def decremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val stored = docs.withColumn("keeper", min("doc_id").over(w)) // production: stored relation
+    val affected = stored.filter(col("doc_id") % 23 === 0).select("h").distinct()
+    val untouched = stored.join(affected, Seq("h"), "left_anti")
+    val rebuilt = stored.join(affected, Seq("h"), "left_semi")
+      .filter(col("doc_id") % 23 =!= 0)
+      .withColumn("keeper", min("doc_id").over(w))
+    untouched.unionByName(rebuilt)
+      .select(col("doc_id"), col("keeper"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val decrementalOracleSql: String = """
+    WITH r AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 23 <> 0)
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper,
+      doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+    FROM r ORDER BY doc_id"""
+
   /** Exact ground truth for D27 — the bitmap is a pure prefilter, so the
     * output must equal the plain hash-join answer.
     */
