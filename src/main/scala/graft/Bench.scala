@@ -31,7 +31,8 @@ object Bench {
     // r11: the TPC-H gap closers (full 22-shape coverage) + the orchestrator,
     // the leakage-safe splitter and the stateful as-of state machine
     "q_returns", "q_profit", "q_suppcnt", "q_smallqty", "q_excess", "dag_run",
-    "split_leakproof", "asof_stateful")
+    "split_leakproof", "asof_stateful", "ivm_retract", "scd2_deletes",
+    "dedup_decremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
