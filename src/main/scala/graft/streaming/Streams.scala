@@ -666,8 +666,9 @@ object Streams {
   /** C15 query (batch mode): the SAME state machine over orders ∪ events,
     * producing B13's exact relation under B13's oracle. Null-key/date
     * orders can match nothing and are dropped; null-key/ts events (none
-    * in this catalog, handled for the contract) would bypass the keyed
-    * operator stateless with null-extended output.
+    * in this catalog — the branch unions empty here) bypass the keyed
+    * operator stateless with null-extended output, matching the oracle's
+    * left-join semantics.
     */
   def asofStatefulQuery(s: SparkSession, d: String): DataFrame = {
     val sq = s; import sq.implicits._
@@ -677,12 +678,21 @@ object Streams {
         lit(true).as("is_order"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("total_cents"),
         lit(-1L).as("event_id"))
-    val e = Tables.events(s, d)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val keyed = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as("k"), col("ts"),
         lit(false).as("is_order"), lit(-1L).as("o_orderkey"),
         lit(0L).as("total_cents"), col("event_id"))
-    val matches = asofStream(o.unionByName(e).as[AsofIn])
-    matches.toDF()
+    val matches = asofStream(o.unionByName(keyed).as[AsofIn]).toDF()
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("matched_order"), col("matched_total_cents"))
+    // null-key/ts events can match nothing: stateless null-extended bypass
+    val bypass = ev.filter(col("user_id").isNull || col("ts").isNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(null).cast("long").as("matched_order"),
+        lit(null).cast("long").as("matched_total_cents"))
+    matches.unionByName(bypass)
       .select(col("event_id"), col("user_id"),
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("matched_order"),

@@ -293,7 +293,8 @@ class StreamingSpec extends AnyFunSuite {
       run(out, ckpt, None)
       val got = rows(out).sorted
       assert(got == ref,
-        s"run $i (killed after batch $kill): got ${got.size} rows, ref ${ref.size}")
+        s"run $i (killed after batch $kill): got ${got.size} rows, ref ${ref.size}; " +
+          s"extra=${got.diff(ref).take(5)}; missing=${ref.diff(got).take(5)}")
     }
   }
 
