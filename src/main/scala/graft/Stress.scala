@@ -340,6 +340,13 @@ object Stress {
           consume(relational.Relational.asofJoin(spark, "/tmp/stress_asof")))
         best("asof native exec full-consume (warm x5)")(
           consume(relational.Relational.asofJoinNative(spark, "/tmp/stress_asof")))
+        // third implementation of the same relation: the C15 stateful
+        // machine in batch mode (flatMapGroupsWithState, per-key merge in
+        // executor memory — state the size of one key's traffic)
+        val h3 = consume(streaming.Streams.asofStatefulQuery(spark, "/tmp/stress_asof"))
+        require(h3 == h1, s"asof stateful checksum mismatch: $h3 vs $h1")
+        best("asof C15 stateful full-consume (warm x5)")(
+          consume(streaming.Streams.asofStatefulQuery(spark, "/tmp/stress_asof")))
         // the structural case: both sides BUCKETED on the key. The native
         // exec's distribution requirement is satisfied by the bucketed
         // scan → zero exchanges; the composed form's union discards the
