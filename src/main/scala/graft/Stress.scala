@@ -1157,6 +1157,37 @@ object Stress {
         println(f"[stress] ann_clustered: LSH recall@10 = $lshRecall%.3f (own bucket + hamming-1 probes)")
         assert(lshRecall >= 0.7, f"clustered LSH recall $lshRecall%.3f")
 
+      case "q5_100x" =>
+        // The missing big-shuffle record: the FULL q5 star at 100× — 60M
+        // lineitem ⋈ 1.5M orders (both fact sides shuffle on the order
+        // key; order keys remapped so join multiplicity is preserved),
+        // customer/supplier fixed (AQE picks their join strategy),
+        // nation/region broadcast. q1_100x covers scan+agg, skew_100x
+        // covers hot keys; this is the plain massive equi-join every
+        // warehouse lives on.
+        val dir5 = "/tmp/stress_q5"
+        Tables.lineitem(spark, sf)
+          .crossJoin(spark.range(100).select(col("id").as("rep")))
+          .select((col("l_orderkey") * 100 + col("rep")).as("l_orderkey"),
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir5/lineitem.parquet")
+        Tables.orders(spark, sf)
+          .crossJoin(spark.range(100).select(col("id").as("rep")))
+          .select((col("o_orderkey") * 100 + col("rep")).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir5/orders.parquet")
+        Seq("customer", "supplier", "nation", "region").foreach { t =>
+          Tables(spark, sf, t).write.mode("overwrite").parquet(s"$dir5/$t.parquet")
+        }
+        relational.Relational.q5Join(spark, dir5).write.mode("overwrite").format("noop").save() // warm
+        (1 to 3).foreach { i =>
+          timed(s"q5_join 60M⋈1.5M rows (run $i)")(
+            relational.Relational.q5Join(spark, dir5).write.mode("overwrite").format("noop").save())
+        }
+
       case "tpch_gaps_10x" =>
         // The round's heaviest new shapes at 10× fact growth with FIXED
         // dims (the realistic scale-up: facts grow, catalogs don't):
