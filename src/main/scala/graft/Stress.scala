@@ -1187,6 +1187,43 @@ object Stress {
           timed(s"q5_join 60M⋈1.5M rows (run $i)")(
             relational.Relational.q5Join(spark, dir5).write.mode("overwrite").format("noop").save())
         }
+        // Structural A/B on the expensive edge (l⋈o): the same join over
+        // tables BUCKETED on the order key plans ZERO exchange for that
+        // edge — the layout a recurring warehouse earns back every run.
+        // Bucket count 32 so each bucket's build side fits comfortably.
+        locally {
+          import org.apache.spark.sql.functions._
+          relational.Bucketing.reset(spark, "q5x_li"); relational.Bucketing.reset(spark, "q5x_or")
+          timed("bucket-write lineitem 60M + orders 1.5M (one-time layout cost)") {
+            relational.Bucketing.writeBucketed(spark.read.parquet(s"$dir5/lineitem.parquet")
+              .select("l_orderkey", "l_extendedprice", "l_discount"), "q5x_li", "l_orderkey", 32)
+            relational.Bucketing.writeBucketed(spark.read.parquet(s"$dir5/orders.parquet")
+              .select("o_orderkey", "o_orderpriority"), "q5x_or", "o_orderkey", 32)
+          }
+          def joinAgg(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+            l.join(o, col("l_orderkey") === col("o_orderkey"))
+              .groupBy("o_orderpriority")
+              .agg(count(lit(1)).as("n"), sum((col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+          val shuffled = joinAgg(
+            spark.read.parquet(s"$dir5/lineitem.parquet").select("l_orderkey", "l_extendedprice", "l_discount"),
+            spark.read.parquet(s"$dir5/orders.parquet").select("o_orderkey", "o_orderpriority"))
+          val bucketed = joinAgg(spark.table("q5x_li"), spark.table("q5x_or"))
+          val a = shuffled.collect().map(_.toSeq).toSet
+          val b = bucketed.collect().map(_.toSeq).toSet
+          assert(a == b, "bucketed join changed the result")
+          def best3(label: String)(f: => Unit): Unit = {
+            f
+            val ts = (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+            println(f"[stress] $label: min ${ts.min}%.1f s of ${ts.map(t => f"$t%.1f").mkString("/")}")
+          }
+          best3("l⋈o 60M shuffle join+agg")(shuffled.write.mode("overwrite").format("noop").save())
+          best3("l⋈o 60M BUCKETED join+agg (zero-exchange edge)")(
+            bucketed.write.mode("overwrite").format("noop").save())
+          val p = bucketed.queryExecution.executedPlan.toString
+          val keyExchanges = p.split("\n").count(l => l.contains("Exchange") && l.contains("orderkey"))
+          println(s"[stress] bucketed-plan order-key exchanges: $keyExchanges (expect 0)")
+          assert(keyExchanges == 0, p)
+        }
 
       case "tpch_gaps_10x" =>
         // The round's heaviest new shapes at 10× fact growth with FIXED
