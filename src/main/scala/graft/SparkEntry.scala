@@ -212,11 +212,11 @@ object SparkEntry {
     "q_priority"        -> w(relational.TpchGaps.qPriority),
     "q_returns"         -> w(relational.TpchGaps.qReturns),
     "q_profit"          -> w(relational.TpchGaps.qProfit),
-    "q_important"       -> w(relational.TpchGaps.qImportant),
+    "q_important"       -> w(relational.TpchGaps.qImportant(_, _)),
     "q_shipmode"        -> w(relational.TpchGaps.qShipmode),
     "q_suppcnt"         -> w(relational.TpchGaps.qSuppcnt),
     "q_smallqty"        -> w(relational.TpchGaps.qSmallqty),
-    "q_excess"          -> w(relational.TpchGaps.qExcess),
+    "q_excess"          -> w(relational.TpchGaps.qExcess(_, _)),
   )
 
   /** Shared derived relation for the ETL oracles (mirrors Discovery.databases). */

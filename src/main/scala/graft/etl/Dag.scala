@@ -260,18 +260,30 @@ object Dag {
                       var attempt = 0
                       var ok = false
                       var permanent = false
-                      while (!ok && !permanent && attempt <= st.maxRetries) {
-                        attempt += 1
-                        invocations.incrementAndGet()
-                        try { body(st.name, j, attempt); ok = true }
-                        catch {
-                          // eHive's job-death classification: a permanent
-                          // failure (bad input, missing table) must not
-                          // burn the retry budget a transient one
-                          // (connection drop, lock timeout) earns
-                          case _: PermanentFailure => permanent = true
-                          case _: Exception => ()
+                      try {
+                        while (!ok && !permanent && attempt <= st.maxRetries) {
+                          attempt += 1
+                          invocations.incrementAndGet()
+                          try { body(st.name, j, attempt); ok = true }
+                          catch {
+                            // eHive's job-death classification: a permanent
+                            // failure (bad input, missing table) must not
+                            // burn the retry budget a transient one
+                            // (connection drop, lock timeout) earns
+                            case _: PermanentFailure => permanent = true
+                            case scala.util.control.NonFatal(_) => ()
+                          }
                         }
+                      } catch {
+                        // A fatal throwable (OOM, LinkageError) kills this
+                        // worker — record the job FAILED first so the
+                        // tolerance gate and the trace stay complete, then
+                        // rethrow loudly. Jobs still queued are accounted
+                        // after latch.await() below.
+                        case t: Throwable =>
+                          failed.incrementAndGet()
+                          results.add(JobResult(st.name, j, attempt, "FAILED"))
+                          throw t
                       }
                       if (!ok) failed.incrementAndGet()
                       results.add(JobResult(st.name, j, attempt, if (ok) "DONE" else "FAILED"))
@@ -284,6 +296,16 @@ object Dag {
           })
         }
         latch.await()
+        // If every worker that could drain the queue died on a fatal
+        // throwable, jobs remain queued and unrun: record them FAILED so
+        // a capacity-1 stage can never release DONE over silently-dropped
+        // work.
+        var orphan = queue.poll()
+        while (orphan != null) {
+          failed.incrementAndGet()
+          results.add(JobResult(st.name, orphan, 0, "FAILED"))
+          orphan = queue.poll()
+        }
         val ok = failed.get().toLong * 100 <= st.tolerancePct.toLong * jobs.size
         lock.synchronized {
           status(st.name) = if (ok) "DONE" else "FAILED"
@@ -305,7 +327,28 @@ object Dag {
                 launched += st.name
                 progress = true
                 if (st.deps.forall(d => status(d) == "DONE")) {
-                  pool.submit(new Runnable { override def run(): Unit = runStage(st) })
+                  pool.submit(new Runnable {
+                    override def run(): Unit =
+                      try runStage(st)
+                      catch {
+                        // runStage failing before its own status write
+                        // (e.g. jobsOf throwing for the stage name) must
+                        // still terminate the stage, or the scheduler's
+                        // wait loop re-waits forever: record FAILED and
+                        // wake the scheduler so the error surfaces as a
+                        // failed run instead of a hang.
+                        case t: Throwable =>
+                          lock.synchronized {
+                            if (!status.contains(st.name)) {
+                              val now = System.nanoTime()
+                              status(st.name) = "FAILED"
+                              runs(st.name) = StageRun(st.name, "FAILED", now, now, 0)
+                            }
+                            lock.notifyAll()
+                          }
+                          throw t
+                      }
+                  })
                 } else {
                   val now = System.nanoTime()
                   jobsOf(st.name).foreach(j => results.add(JobResult(st.name, j, 0, "SKIPPED")))

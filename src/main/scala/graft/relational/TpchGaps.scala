@@ -169,15 +169,17 @@ object TpchGaps {
     * (1000·value > total), so no float threshold wobble, and the
     * per-part frame is aggregated once and reused for both sides.
     */
-  def qImportant(s: SparkSession, d: String): DataFrame = {
+  def qImportant(s: SparkSession, d: String, stage: Boolean = true): DataFrame = {
     val sup = Tables.supplier(s, d).filter(col("s_nationkey") === 3).select("s_suppkey")
-    val value = Tables.lineitem(s, d)
+    val valuePlan = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey"), revUnits().as("rev_u"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), spark_partition_id().as("pid"))
       .agg(sum(col("rev_u")).as("p_su"))
       .groupBy("l_partkey").agg(sumD38(col("p_su")).as("val_su"))
-      .localCheckpoint() // consumed by the total and the gate
+    // consumed by the total and the gate; stage=false keeps the full plan
+    // visible for PlanDoc/AllPlansSpec
+    val value = if (stage) valuePlan.localCheckpoint() else valuePlan
     val total = value.agg(sum(col("val_su")).as("total_su"))
     value.crossJoin(broadcast(total))
       .filter(col("val_su") * 1000 > col("total_su"))
@@ -296,14 +298,15 @@ object TpchGaps {
     * (dozens of rows per part, not line grain), then the qualifying
     * pairs semi-join supplier/nation dims.
     */
-  def qExcess(s: SparkSession, d: String): DataFrame = {
+  def qExcess(s: SparkSession, d: String, stage: Boolean = true): DataFrame = {
     val blue = Tables.part(s, d).filter(col("p_name").startsWith("blue")).select("p_partkey")
-    val sp = Tables.lineitem(s, d)
+    val spPlan = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
       .join(broadcast(blue), col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
       .groupBy("l_partkey", "l_suppkey").agg(sum(col("qty")).as("supp_qty"))
-      .localCheckpoint() // reused: part totals + the gate
+    // reused: part totals + the gate; stage=false for plan inspection
+    val sp = if (stage) spPlan.localCheckpoint() else spPlan
     val tot = sp.groupBy("l_partkey").agg(sum(col("supp_qty")).as("part_qty"))
     val qualifying = sp.join(tot, Seq("l_partkey"))
       .filter(col("supp_qty") * 2 > col("part_qty"))

@@ -637,7 +637,14 @@ object Streams {
       val events = (st.events ++ newEvents.map(e => (us(e.ts), e.event_id)))
         .sortBy(identity)
       val cutoffUs = if (isStreaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
-      val (ready, pending) = events.partition(_._1 <= cutoffUs)
+      // STRICTLY below the watermark: Spark's late-data filter drops rows
+      // with ts < watermark, so an order at EXACTLY the watermark can
+      // still arrive in a later batch. Emitting an event at that same
+      // instant now would fix its match one order too early — such events
+      // pend one batch longer, keeping "every emitted match is final"
+      // airtight at the boundary. Batch mode (cutoff = +∞) is unaffected:
+      // every finite event time is strictly below it.
+      val (ready, pending) = events.partition(_._1 < cutoffUs)
       val out = ready.map { case (tUs, eventId) =>
         val m = orders.takeWhile(_.tUs <= tUs).lastOption
         AsofMatch(eventId, k, tUs, m.map(_.orderKey), m.map(_.totalCents))

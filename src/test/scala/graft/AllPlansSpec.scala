@@ -17,7 +17,11 @@ class AllPlansSpec extends AnyFunSuite {
 
   test("no registered query plans a CartesianProduct (sf0.001)") {
     val s = TestSpark.spark
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // For queries that eagerly localCheckpoint, the registered form hides
+    // the pre-checkpoint subtree behind Scan ExistingRDD — guard the
+    // PlanOnly un-staged builder instead, so the WHOLE tree is checked.
+    val all = (SparkEntry.queries ++ PlanOnly.builders).toSeq.sortBy(_._1)
+    val bad = all.flatMap { case (name, fn) =>
       val plan =
         try fn(s, TestSpark.sf).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }

@@ -161,6 +161,37 @@ class DagSpec extends AnyFunSuite {
     assert(attemptsSeen.get() == 1 + 3 * 3) // 1 permanent + 3 jobs × 3 attempts
   }
 
+  test("fatal throwable from a job body: job recorded FAILED, queue never silently dropped") {
+    // capacity-1 stage, 4 jobs, body hurls an Error (not Exception) on
+    // job b — the sole worker dies; the gate must still account ALL jobs
+    val stages = Seq(StageDef("only", Nil, 1, 2, 0))
+    val jobs = Seq("a", "b", "c", "d")
+    val res = Dag.run(stages, _ => jobs, (_, j, _) =>
+      if (j == "b") throw new InternalError("fatal body") else ())
+    assert(res.stages("only").status == "FAILED")
+    val byJob = res.jobs.map(r => r.job -> r.outcome).toMap
+    assert(byJob.keySet == jobs.toSet, s"jobs dropped from the trace: $byJob")
+    assert(byJob("a") == "DONE")
+    assert(byJob("b") == "FAILED") // the fatal job itself, recorded before death
+    // c and d were queued behind the dead worker: accounted FAILED, not lost
+    assert(byJob("c") == "FAILED" && byJob("d") == "FAILED")
+    // fatal must not burn the retry budget like a transient: exactly 1 attempt
+    assert(res.jobs.find(_.job == "b").get.attempts == 1)
+  }
+
+  test("jobsOf throwing for a stage: run fails loudly instead of hanging") {
+    val stages = Seq(
+      StageDef("ok",   Nil,        1, 0, 0),
+      StageDef("boom", Seq("ok"),  1, 0, 0),
+      StageDef("down", Seq("boom"), 1, 0, 0))
+    val res = Dag.run(stages,
+      st => if (st == "boom") throw new IllegalStateException("no jobs for " + st) else Seq("j"),
+      (_, _, _) => ())
+    assert(res.stages("ok").status == "DONE")
+    assert(res.stages("boom").status == "FAILED")
+    assert(res.stages("down").status == "SKIPPED")
+  }
+
   test("static topology: waves and ancestor closure") {
     val wv = waves(pipeline)
     assert(wv("discover") == 1 && wv("prioritise") == 2 && wv("download") == 3)
