@@ -1,29 +1,46 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-/** Declared-integrity catalog behind [[EliminateFkJoin]]: (fact key name,
-  * dim key name) pairs the deployment has VERIFIED — dim key unique, every
-  * non-null fact key present in the dim (exactly what an A27 `dq_audit`
-  * run proves: `pk_*_unique` and `fk_*_exists` both passing). Spark has
-  * no FK metadata of its own, so this is the engine's catalog surface
-  * for it. Name-based on purpose: in this engine column names ARE the
-  * catalog identities (Tables.scala single-sources every scan).
+/** Declared-integrity catalog behind [[EliminateFkJoin]]: per DIM TABLE,
+  * (fact key name, dim key name) pairs the deployment has VERIFIED — dim
+  * key unique, every non-null fact key present in the dim (exactly what
+  * an A27 `dq_audit` run proves: `pk_*_unique` and `fk_*_exists` both
+  * passing). Spark has no FK metadata of its own, so this is the
+  * engine's catalog surface for it.
+  *
+  * Declarations are keyed on the dim's TABLE IDENTITY, not bare column
+  * names: two unrelated tables may both expose a column named
+  * `o_orderkey`, and only the one the audit actually verified may
+  * license the rewrite. The identity is the same one `Tables.scala`
+  * single-sources every scan under — the extension-stripped basename of
+  * the scan's root path (`<dir>/orders.parquet` → `orders`, at any scale
+  * directory), or the catalog identifier for catalog-backed scans; the
+  * rule resolves the matched pk attribute down to its leaf scan and
+  * checks THAT leaf's identity against the declaration
+  * ([[EliminateFkJoin.leafIdent]]).
   */
 object FkRegistry {
-  private val fks = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
-  private val uniques = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  def declare(factKey: String, dimKey: String): Unit = fks.put((factKey, dimKey), ())
-  def isVerified(factKey: String, dimKey: String): Boolean = fks.contains((factKey, dimKey))
+  private val fks = scala.collection.concurrent.TrieMap.empty[(String, String, String), Unit]
+  private val uniques = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  def declare(dimTable: String, factKey: String, dimKey: String): Unit =
+    fks.put((dimTable, factKey, dimKey), ())
+  def isVerified(dimTable: String, factKey: String, dimKey: String): Boolean =
+    fks.contains((dimTable, factKey, dimKey))
   /** The uniqueness half alone (a passing `pk_*_unique` audit with no
     * claim about fact-side totality) — all a LEFT join needs.
     */
-  def declareUnique(dimKey: String): Unit = uniques.put(dimKey, ())
-  def isUnique(dimKey: String): Boolean =
-    uniques.contains(dimKey) || fks.keysIterator.exists(_._2 == dimKey)
+  def declareUnique(dimTable: String, dimKey: String): Unit =
+    uniques.put((dimTable, dimKey), ())
+  def isUnique(dimTable: String, dimKey: String): Boolean =
+    uniques.contains((dimTable, dimKey)) ||
+      fks.keysIterator.exists(k => k._1 == dimTable && k._3 == dimKey)
   def clear(): Unit = { fks.clear(); uniques.clear() }
 }
 
@@ -31,7 +48,10 @@ object FkRegistry {
   * `spark.graft.fkJoinElimination.enabled` + a [[FkRegistry]] entry):
   * an INNER equi-join against a dim table is dropped entirely when
   *
-  *  - the join keys are a declared-verified (FK, PK) pair,
+  *  - the join keys are a declared-verified (FK, PK) pair FOR THE dim
+  *    table the pk column actually scans (declarations are bound to
+  *    table identity — a same-named column on any other table never
+  *    licenses the rewrite),
   *  - the consumer (a Project's select list, or an Aggregate's grouping
   *    keys + aggregate inputs — the BI-view rollup shape) references
   *    ONLY fact-side columns, and
@@ -46,10 +66,12 @@ object FkRegistry {
   * uniqueness matters, no residual filter is needed, and even a filtered
   * dim is admissible. Classic warehouse join elimination (views and BI
   * tools emit these joins constantly); Spark itself never does it
-  * because it has no FK catalog. At 100 TB this deletes an entire dim broadcast — or worse, a
-  * shuffle — per eliminated join. EliminateFkJoinSpec pins the rewrite,
-  * its result-equality against the real join, and every unsound-shape
-  * bailout (dim column consumed, undeclared pair, filtered dim).
+  * because it has no FK catalog. At 100 TB this deletes an entire dim
+  * broadcast — or worse, a shuffle — per eliminated join.
+  * EliminateFkJoinSpec pins the rewrite, its result-equality against the
+  * real join, and every unsound-shape bailout (dim column consumed,
+  * undeclared pair, filtered dim, same-named column on an undeclared
+  * table).
   */
 case class EliminateFkJoin() extends Rule[LogicalPlan] {
 
@@ -68,27 +90,58 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The registry match is name-based, so the matched pk attribute must BE
-    * the scanned catalog column of that name — not a computed expression a
-    * Project aliased to it (`dim.select((x % 100).as("o_orderkey"))` would
-    * otherwise pass isBareDim + the name check and eliminate a join that
-    * can duplicate or drop fact rows). Walk the dim side: through Projects
-    * the attribute must be a passthrough or a same-name rename of another
-    * bare column, bottoming out at a leaf output of the same name.
+  /** Resolve the matched pk attribute down to the LEAF SCAN it reads —
+    * the attribute must BE the scanned catalog column of that name, not
+    * a computed expression a Project aliased to it
+    * (`dim.select((x % 100).as("o_orderkey"))` would otherwise pass
+    * isBareDim + the name check and eliminate a join that can duplicate
+    * or drop fact rows). Walk the dim side: through Projects the
+    * attribute must be a passthrough or a same-name rename of another
+    * bare column, bottoming out at a leaf output of the same name; the
+    * leaf is returned so the caller can bind the registry check to ITS
+    * identity.
     */
-  private def tracesToLeafColumn(attr: AttributeReference, p: LogicalPlan): Boolean = p match {
+  private def leafOf(attr: AttributeReference, p: LogicalPlan): Option[LeafNode] = p match {
     case leaf: LeafNode =>
-      leaf.output.exists(o => o.exprId == attr.exprId && o.name == attr.name)
-    case SubqueryAlias(_, child) => tracesToLeafColumn(attr, child)
-    case Filter(_, child) => tracesToLeafColumn(attr, child)
+      if (leaf.output.exists(o => o.exprId == attr.exprId && o.name == attr.name)) Some(leaf)
+      else None
+    case SubqueryAlias(_, child) => leafOf(attr, child)
+    case Filter(_, child) => leafOf(attr, child)
     case Project(projList, child) =>
       projList.find(_.exprId == attr.exprId) match {
-        case Some(ar: AttributeReference) => tracesToLeafColumn(ar, child)
+        case Some(ar: AttributeReference) => leafOf(ar, child)
         case Some(Alias(ar: AttributeReference, _)) if ar.name == attr.name =>
-          tracesToLeafColumn(ar, child)
-        case _ => false
+          leafOf(ar, child)
+        case _ => None
       }
-    case _ => false
+    case _ => None
+  }
+
+  /** Table identity of a leaf scan, in the registry's terms: the
+    * extension-stripped basename of the file scan's root path (the
+    * engine's `Tables.scala` convention — `<anydir>/orders.parquet` is
+    * the logical table `orders` at every scale factor), the catalog
+    * identifier for catalog/v2 tables. Multi-root scans must agree on
+    * one identity; anything unidentifiable (LocalRelation, in-memory)
+    * yields None and the rewrite never fires.
+    */
+  private def leafIdent(leaf: LeafNode): Option[String] = {
+    def strip(name: String): String = {
+      val exts = Seq(".parquet", ".orc", ".csv", ".json", ".avro")
+      exts.find(name.endsWith).map(name.stripSuffix).getOrElse(name)
+    }
+    leaf match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val idents = fs.location.rootPaths.map(p => strip(p.getName)).distinct
+          if (idents.length == 1) Some(idents.head)
+          else lr.catalogTable.map(_.identifier.unquotedString)
+        case _ => lr.catalogTable.map(_.identifier.unquotedString)
+      }
+      case v2: DataSourceV2Relation => Option(v2.table).map(_.name)
+      case h: HiveTableRelation => Some(h.tableMeta.identifier.unquotedString)
+      case _ => None
+    }
   }
 
   /** If `join` is an eliminable verified-FK inner join whose consumer
@@ -103,15 +156,18 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
         if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
         else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
         else None
+      def dimTable(pk: AttributeReference): Option[String] =
+        leafOf(pk, right).flatMap(leafIdent)
       oriented.collect {
         // INNER: needs the full verified pair — uniqueness (no dup) AND
-        // fact-side totality (no drop beyond null FKs) — and a bare,
-        // unfiltered dim; the join reduces to the null-FK filter.
+        // fact-side totality (no drop beyond null FKs) — declared FOR
+        // this dim table, and a bare, unfiltered dim; the join reduces
+        // to the null-FK filter.
         case (fk, pk)
             if jt == Inner &&
               consumerRefs.subsetOf(left.outputSet) &&
-              FkRegistry.isVerified(fk.name, pk.name) &&
-              isBareDim(right, allowFilter = false) && tracesToLeafColumn(pk, right) =>
+              isBareDim(right, allowFilter = false) &&
+              dimTable(pk).exists(t => FkRegistry.isVerified(t, fk.name, pk.name)) =>
           Filter(IsNotNull(fk), left)
         // LEFT OUTER: uniqueness alone suffices — the fact multiset is
         // preserved whether or not a row matches, so the join vanishes
@@ -120,8 +176,8 @@ case class EliminateFkJoin() extends Rule[LogicalPlan] {
         case (fk, pk)
             if jt == LeftOuter &&
               consumerRefs.subsetOf(left.outputSet) &&
-              FkRegistry.isUnique(pk.name) &&
-              isBareDim(right, allowFilter = true) && tracesToLeafColumn(pk, right) =>
+              isBareDim(right, allowFilter = true) &&
+              dimTable(pk).exists(t => FkRegistry.isUnique(t, pk.name)) =>
           left
       }
     case _ => None

@@ -1314,7 +1314,7 @@ object Relational {
   def qFkElim(s: SparkSession, d: String): DataFrame = {
     val scoped = s.newSession()
     scoped.conf.set("spark.graft.fkJoinElimination.enabled", "true")
-    graft.plans.FkRegistry.declare("l_orderkey", "o_orderkey")
+    graft.plans.FkRegistry.declare("orders", "l_orderkey", "o_orderkey")
     Tables.lineitem(scoped, d)
       .join(Tables.orders(scoped, d).select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1344,7 +1344,7 @@ object Relational {
   def qFkElimLeft(s: SparkSession, d: String): DataFrame = {
     val scoped = s.newSession()
     scoped.conf.set("spark.graft.fkJoinElimination.enabled", "true")
-    graft.plans.FkRegistry.declareUnique("o_orderkey")
+    graft.plans.FkRegistry.declareUnique("orders", "o_orderkey")
     Tables.lineitem(scoped, d)
       .join(Tables.orders(scoped, d)
           .filter(col("o_totalprice") > 100000).select("o_orderkey"),

@@ -11,7 +11,7 @@ class EliminateFkJoinSpec extends AnyFunSuite {
 
   private def withRule[A](f: => A): A = {
     s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
-    FkRegistry.declare("l_orderkey", "o_orderkey")
+    FkRegistry.declare("orders", "l_orderkey", "o_orderkey")
     try f
     finally {
       s.conf.set("spark.graft.fkJoinElimination.enabled", "false")
@@ -87,6 +87,33 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("declaration binds to TABLE identity: a same-named column on another table never eliminates") {
+    // A decoy table whose LEAF genuinely scans a column named o_orderkey
+    // (not an alias — it survives tracing to the leaf) but which is NOT
+    // the audited orders table: its keys are non-unique, so eliminating
+    // the join would change row counts. The registry is declared for
+    // table `orders`; only the real orders scan may fire.
+    val tmp = java.nio.file.Files.createTempDirectory("fk_decoy").resolve("decoy.parquet")
+    Tables.orders(s, d).select(col("o_custkey").as("o_orderkey"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    try withRule {
+      val decoy = s.read.parquet(tmp.toString)
+      assert(hasJoin(joined(decoy)),
+        "join to a same-named column on an undeclared table must survive")
+      // sanity: the identical shape against the DECLARED table eliminates
+      assert(!hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
+      // and declaring the decoy's own identity licenses it there too —
+      // identity comes from the leaf scan, not the column name
+      FkRegistry.declare("decoy", "l_orderkey", "o_orderkey")
+      assert(!hasJoin(joined(s.read.parquet(tmp.toString))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = tmp.getParent
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("aggregate directly over the join (BI rollup shape) is eliminated, results unchanged") {
     // groupBy straight off the join: CollapseProject folds the select list
     // into the Aggregate, so the optimized plan is Aggregate(Join) with no
@@ -130,7 +157,7 @@ class EliminateFkJoinSpec extends AnyFunSuite {
     // uniqueness is all a left join needs — declare ONLY that (no FK
     // pair): the left join eliminates, the inner join must NOT
     s.conf.set("spark.graft.fkJoinElimination.enabled", "true")
-    FkRegistry.declareUnique("o_orderkey")
+    FkRegistry.declareUnique("orders", "o_orderkey")
     try {
       val dim = Tables.orders(s, d).select("o_orderkey")
       def leftJoined(o: DataFrame): DataFrame = Tables.lineitem(s, d)
@@ -176,7 +203,7 @@ class EliminateFkJoinSpec extends AnyFunSuite {
   }
 
   test("rule is inert while the conf gate is off") {
-    FkRegistry.declare("l_orderkey", "o_orderkey")
+    FkRegistry.declare("orders", "l_orderkey", "o_orderkey")
     try assert(hasJoin(joined(Tables.orders(s, d).select("o_orderkey"))))
     finally FkRegistry.clear()
   }
