@@ -32,7 +32,9 @@ object Bench {
     // the leakage-safe splitter and the stateful as-of state machine
     "q_returns", "q_profit", "q_suppcnt", "q_smallqty", "q_excess", "dag_run",
     "split_leakproof", "asof_stateful", "ivm_retract", "scd2_deletes",
-    "dedup_decremental")
+    "dedup_decremental",
+    // r12: the rsync delta kernel and the banded fact-fact range join
+    "rsync_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,7 @@ object SparkEntry {
     "release_paths"       -> w(ReleasePaths.query),
     "load_retry"          -> w(LoadGate.query),
     "transfer_plan"       -> w(Transfer.transferPlan),
+    "rsync_delta"         -> w(RsyncDeltas.rsyncDeltaQuery),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -483,6 +484,8 @@ object SparkEntry {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "transfer_plan" -> graft.etl.Transfer.transferPlanOracleSql,
+
+    "rsync_delta" -> graft.etl.RsyncDeltas.rsyncDeltaOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,
