@@ -107,6 +107,7 @@ object SparkEntry {
     "asof_join"         -> w(Relational.asofJoin),
     "asof_join_native"  -> w(Relational.asofJoinNative),
     "range_join"        -> w(Relational.rangeJoin),
+    "range_join_banded" -> w(Relational.rangeJoinBanded),
     "q_bitmap_distinct" -> w(Relational.qBitmapDistinct),
     "q_percentile"      -> w(Relational.qPercentile),
     "q_quantile_hist"   -> w(Relational.qQuantileHist),
@@ -672,6 +673,8 @@ object SparkEntry {
       FROM part JOIN (VALUES ('tiny',1,10),('small',11,20),('medium',21,35),('large',36,50)) b(band,lo,hi)
         ON p_size BETWEEN lo AND hi
       GROUP BY band ORDER BY band""",
+
+    "range_join_banded" -> graft.relational.Relational.rangeJoinBandedOracleSql,
 
     // The salt is invisible in the result: oracle is the plain unsalted join.
     "q_skew_salted" -> """

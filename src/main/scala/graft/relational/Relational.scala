@@ -602,6 +602,47 @@ object Relational {
       .orderBy("band")
   }
 
+  /** B14b `range_join_banded`: the fact-fact regime of the range join —
+    * neither side broadcastable, so B14's BroadcastNestedLoopJoin form is
+    * off the table and a naive non-equi join would plan the one shape the
+    * fleet guard bans (a shuffled cartesian). The banded technique (the
+    * D16 interval-bucketing idea applied to a numeric band): pick the
+    * bucket width EQUAL to the band width, so every left interval
+    * [x, x+W] spans at most TWO buckets — explode the left to those two,
+    * map each right point to its one bucket, and the range join becomes a
+    * plain shuffled EQUI-join on the bucket key plus a residual BETWEEN
+    * filter. No row is double-counted (a point lies in exactly one
+    * bucket) and the wire carries ≤ 2·|left| + |right| rows whatever the
+    * data size — at 100 TB this is two fact shuffles on a dense integer
+    * key, AQE-balanceable, with no broadcast anywhere. Money stays in
+    * exact cents; the oracle states the plain range join.
+    */
+  def rangeJoinBanded(s: SparkSession, d: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val bandCents = 50000L // 500 currency units
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), (round(col("value") * 100)).cast("long").as("v_c"))
+      .withColumn("lo", col("v_c") * 1000)
+      .withColumn("bucket", explode(array(
+        expr(s"lo DIV $bandCents"), expr(s"lo DIV $bandCents") + 1)))
+    val ord = Tables.orders(s, d)
+      .select((round(col("o_totalprice") * 100)).cast("long").as("o_c"))
+      .withColumn("bucket", expr(s"o_c DIV $bandCents"))
+    ev.join(ord, Seq("bucket"))
+      .filter(col("o_c") >= col("lo") && col("o_c") <= col("lo") + bandCents)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("o_c")).as("sum_total_cents"))
+      .orderBy("event_type")
+  }
+
+  val rangeJoinBandedOracleSql: String = """
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(o.o_c) AS BIGINT) AS sum_total_cents
+    FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c FROM events) e
+    JOIN (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS o_c FROM orders) o
+      ON o.o_c BETWEEN e.v_c*1000 AND e.v_c*1000 + 50000
+    GROUP BY e.event_type ORDER BY e.event_type"""
+
   /** B23: multi-correlated EXISTS / NOT EXISTS with aggregates (TPC-H Q21
     * shape) — suppliers who kept orders waiting: the supplier had returned
     * ('R') lineitems on a finished multi-supplier order where NO other

@@ -42,6 +42,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("range_join_banded is a bucket equi-join: no BNLJ, no cartesian, no broadcast of a fact") {
+    val p = plan(Relational.rangeJoinBanded(TestSpark.spark, TestSpark.sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the residual BETWEEN rides on a hash/sort-merge EQUI join on bucket
+    assert(p.contains("bucket"), p)
+  }
+
   test("partitioned_scan prunes to the filtered lang partitions") {
     val s = TestSpark.spark
     val path = java.nio.file.Files.createTempDirectory("partdocs").toString
