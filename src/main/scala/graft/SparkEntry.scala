@@ -76,6 +76,7 @@ object SparkEntry {
     "load_retry"          -> w(LoadGate.query),
     "transfer_plan"       -> w(Transfer.transferPlan),
     "rsync_delta"         -> w(RsyncDeltas.rsyncDeltaQuery),
+    "snapshot_read"       -> w(Snapshots.snapshotRead),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -487,6 +488,8 @@ object SparkEntry {
     "transfer_plan" -> graft.etl.Transfer.transferPlanOracleSql,
 
     "rsync_delta" -> graft.etl.RsyncDeltas.rsyncDeltaOracleSql,
+
+    "snapshot_read" -> graft.etl.Snapshots.snapshotReadOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

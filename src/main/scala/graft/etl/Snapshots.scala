@@ -1,0 +1,190 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, StandardCopyOption}
+
+import scala.collection.JavaConverters._
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** A31: atomic release publish as a manifest-pointer snapshot layer.
+  *
+  * The reference publishes a release by staging into a DOT-directory and
+  * renaming it live (Base.pm:123-144 `nfs_ftp_site_dir` — the prerelease
+  * `.release-N` dir that A17 models); the rename IS the commit, and a
+  * concurrent FTP reader either sees the old tree or the new one, never
+  * half. This is the warehouse version of that contract, the
+  * manifest-pointer pattern open table formats converge on:
+  *
+  *  - DATA files are immutable once written; a snapshot never mutates a
+  *    file, it adds new ones (or reuses old ones verbatim).
+  *  - Each snapshot N has a MANIFEST: the exact file list it comprises,
+  *    with per-file MD5 + byte size (the E17 shard-manifest idea as the
+  *    table's integrity record — `verify` replays A5's checksum pass).
+  *  - ONE mutable object exists: the `_current` pointer, committed by
+  *    write-temp + atomic rename. Publishing is: write data, write
+  *    manifest, swap pointer — so a reader that resolves the pointer at
+  *    ANY instant gets a fully-written manifest over fully-written
+  *    immutable files. Readers never list directories (a directory scan
+  *    WOULD see in-flight files — SnapshotSpec's negative control), and
+  *    a reader holding manifest N keeps a stable view while any number
+  *    of later snapshots publish: that is snapshot isolation by
+  *    immutability, and `readAt(n)` is time travel for free (A26's
+  *    release_diff across snapshot ids composes directly).
+  *
+  * Single writer by design (the reference's one load pipeline); at
+  * 100 TB the pointer swap stays O(1) regardless of table size, and the
+  * manifest read is one tiny file — no listing of a million-object
+  * prefix on the read path.
+  */
+object Snapshots {
+
+  final case class ManifestEntry(relPath: String, md5: String, bytes: Long)
+
+  private def md5hex(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmp." +
+      java.util.UUID.randomUUID().toString)
+    Files.write(tmp, content.getBytes(UTF_8))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def currentId(root: Path): Option[Int] = {
+    val p = root.resolve("_current")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8).trim.toInt) else None
+  }
+
+  def manifest(root: Path, n: Int): Seq[ManifestEntry] =
+    Files.readAllLines(root.resolve("manifests").resolve(s"manifest-$n")).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(rel, md5, bytes) = line.split('\t')
+        ManifestEntry(rel, md5, bytes.toLong)
+      }
+
+  /** Stage `df` as immutable data files for the NEXT snapshot id and
+    * write that snapshot's manifest — everything EXCEPT the pointer
+    * swap. Exposed separately so SnapshotSpec can hold a fully-staged,
+    * unpublished release and prove readers cannot see it; [[publish]] =
+    * stage + [[commit]]. With `append = true` the new manifest reuses
+    * the previous snapshot's entries verbatim (shared immutable files)
+    * and adds only the new data — the incremental-release shape.
+    */
+  def stage(s: SparkSession, root: Path, df: DataFrame, append: Boolean): Int = {
+    val prev = currentId(root)
+    val id = prev.getOrElse(0) + 1
+    val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
+    Files.createDirectories(dataDir)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val fresh = Files.list(dataDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+    val carried =
+      if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (carried ++ fresh).map(e => s"${e.relPath}\t${e.md5}\t${e.bytes}").mkString("\n"))
+    id
+  }
+
+  /** The commit: one atomic pointer rename. After this returns, every
+    * reader resolves snapshot `id`; before it, none can.
+    */
+  def commit(root: Path, id: Int): Unit =
+    atomicWrite(root.resolve("_current"), id.toString)
+
+  def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false): Int = {
+    val id = stage(s, root, df, append)
+    commit(root, id)
+    id
+  }
+
+  /** Time travel: the exact immutable file set of snapshot `n`. */
+  def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
+    val files = manifest(root, n).map(e => root.resolve(e.relPath).toString)
+    s.read.parquet(files: _*)
+  }
+
+  def readCurrent(s: SparkSession, root: Path): DataFrame =
+    readAt(s, root, currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root")))
+
+  /** A5-style integrity replay over snapshot `n`'s manifest: recompute
+    * every file's MD5 and size, return the mismatches (empty = intact).
+    */
+  def verify(root: Path, n: Int): Seq[(String, String, String)] =
+    manifest(root, n).flatMap { e =>
+      val p = root.resolve(e.relPath)
+      if (!Files.exists(p)) Seq((e.relPath, e.md5, "MISSING"))
+      else {
+        val actual = md5hex(p)
+        if (actual != e.md5 || Files.size(p) != e.bytes) Seq((e.relPath, e.md5, actual))
+        else Nil
+      }
+    }
+
+  /** A31 query `snapshot_read`: a two-release load published through the
+    * snapshot layer — release 1 is a partial load (order keys ≢ 0 mod 3),
+    * release 2 appends the remainder REUSING release 1's files via the
+    * manifest — then both snapshots read back THROUGH their manifests
+    * and aggregated. The oracle states each release's expected state
+    * directly from the source table, so the hash gate proves
+    * `readAt(n)` equals release n's state exactly (time travel is
+    * lossless) and that the append shared, not rewrote, history. The
+    * tiny per-status aggregate (8 rows) is collected and re-lifted so
+    * the scratch store can be deleted before returning.
+    */
+  def snapshotRead(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snap")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 =!= 0))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 0), append = true)
+      val out = (1 to 2).flatMap { n =>
+        readAt(s, root, n)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally {
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  val snapshotReadOracleSql: String = """
+    SELECT * FROM (
+      SELECT 1 AS snapshot_id, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM orders GROUP BY o_orderstatus)
+    ORDER BY snapshot_id, o_orderstatus"""
+}

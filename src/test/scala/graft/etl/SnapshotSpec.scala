@@ -1,0 +1,121 @@
+package graft.etl
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A31 runtime guarantees the oracled `snapshot_read` relation can't
+  * see: commit atomicity under a concurrent reader, invisibility of
+  * staged-but-uncommitted releases (with the directory-listing negative
+  * control showing what the manifest layer buys), reader pinning across
+  * later publishes, and the A5-style integrity verify.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private def tmpRoot(): Path = Files.createTempDirectory("graft_snapspec")
+
+  private def rm(root: Path): Unit =
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
+  private def block(tag: Int, rows: Int = 100) = {
+    val sq = s; import sq.implicits._
+    (0 until rows).map(i => (tag.toLong, i.toLong)).toDF("tag", "i")
+  }
+
+  test("a concurrent reader never sees a half-published release") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      val stop = new AtomicBoolean(false)
+      val torn = new AtomicReference[String](null)
+      val reads = new AtomicInteger(0)
+      val reader = new Thread(() => {
+        while (!stop.get() && torn.get() == null) {
+          // resolve pointer -> manifest -> files: the committed view at
+          // SOME instant. Invariant of every published snapshot n:
+          // exactly the blocks 1..n, 100 rows each.
+          val n = Snapshots.currentId(root).get
+          val rows = Snapshots.readAt(s, root, n).collect()
+          val byTag = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+          if (byTag != (1 to n).map(t => t.toLong -> 100).toMap)
+            torn.set(s"snapshot $n saw $byTag")
+          reads.incrementAndGet()
+        }
+      })
+      reader.start()
+      // publisher: 9 further appended releases while the reader hammers
+      (2 to 10).foreach(t => Snapshots.publish(s, root, block(t), append = true))
+      stop.set(true)
+      reader.join(60000)
+      assert(torn.get() == null, s"torn read: ${torn.get()}")
+      assert(reads.get() > 0, "reader never completed a read")
+      assert(Snapshots.currentId(root).contains(10))
+    } finally rm(root)
+  }
+
+  test("staged-but-uncommitted release is invisible through the manifest; a directory scan DOES see it") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      // stage release 2 completely (data + manifest) but DO NOT commit
+      val staged = Snapshots.stage(s, root, block(2), append = true)
+      assert(staged == 2)
+      assert(Snapshots.currentId(root).contains(1), "pointer must still name release 1")
+      assert(Snapshots.readCurrent(s, root).collect().forall(_.getLong(0) == 1L))
+      // negative control: listing the data directory (what a reader
+      // WITHOUT the manifest layer would do) already sees the staged rows
+      val dirScan = s.read.option("recursiveFileLookup", "true")
+        .parquet(root.resolve("data").toString)
+      assert(dirScan.count() == 200, "directory listing sees the uncommitted release")
+      // the commit is just the pointer swap; afterwards the same staged
+      // files are the current view — nothing is rewritten
+      Snapshots.commit(root, staged)
+      assert(Snapshots.readCurrent(s, root).count() == 200)
+    } finally rm(root)
+  }
+
+  test("reader pinning + time travel + release_diff across snapshot ids") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      val pinned = Snapshots.manifest(root, 1)
+      Snapshots.publish(s, root, block(2), append = true)
+      Snapshots.publish(s, root, block(3), append = true)
+      // the manifest held before the later publishes is byte-identical
+      // now — immutability is what makes the pinned view stable
+      assert(Snapshots.manifest(root, 1) == pinned)
+      assert(Snapshots.readAt(s, root, 1).collect().forall(_.getLong(0) == 1L))
+      assert(Snapshots.readAt(s, root, 3).count() == 300)
+      // snapshot 3's manifest REUSES snapshot 1's files, not copies
+      val m1 = Snapshots.manifest(root, 1).map(_.relPath).toSet
+      val m3 = Snapshots.manifest(root, 3).map(_.relPath).toSet
+      assert(m1.subsetOf(m3), "append must share history files")
+      // A26-style release diff across snapshot ids: exactly the appended rows
+      val diff = Snapshots.readAt(s, root, 2).exceptAll(Snapshots.readAt(s, root, 1))
+      assert(diff.collect().forall(_.getLong(0) == 2L))
+      assert(diff.count() == 100)
+    } finally rm(root)
+  }
+
+  test("verify replays the manifest checksums and flags corruption and loss") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2), append = true)
+      assert(Snapshots.verify(root, 2).isEmpty, "fresh snapshot must verify clean")
+      // corrupt one snapshot-1 data file in place
+      val victim = root.resolve(Snapshots.manifest(root, 1).head.relPath)
+      Files.write(victim, Files.readAllBytes(victim) ++ Array[Byte](0x42))
+      val bad = Snapshots.verify(root, 2)
+      assert(bad.nonEmpty && bad.forall(_._1.contains("snap-00001")))
+      // and a deleted file reports MISSING
+      Files.delete(victim)
+      assert(Snapshots.verify(root, 2).exists(_._3 == "MISSING"))
+    } finally rm(root)
+  }
+}
