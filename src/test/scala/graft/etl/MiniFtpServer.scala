@@ -29,6 +29,20 @@ final class MiniFtpServer(root: Path) extends AutoCloseable {
     failures += name -> (times, afterBytes)
   }
 
+  /** Real-world pathology 1: NLST returns only the first `after` names
+    * but still replies 226 as if the listing were complete — the
+    * truncated listing that turns a mirror's `--delete` into data loss.
+    */
+  @volatile private var nlstTruncateAfter: Option[Int] = None
+  def truncateNlst(after: Int): Unit = { nlstTruncateAfter = Some(after) }
+
+  /** Real-world pathology 2: SIZE reports `claimed` for `name` while
+    * RETR streams the true bytes — the size lie the post-sync verify
+    * exists to catch.
+    */
+  @volatile private var sizeLies = Map.empty[String, Long]
+  def lieSize(name: String, claimed: Long): Unit = { sizeLies += name -> claimed }
+
   private val acceptor = new Thread(() => {
     try {
       while (!listener.isClosed) {
@@ -80,15 +94,17 @@ final class MiniFtpServer(root: Path) extends AutoCloseable {
             send("150 here comes the listing")
             val data = openData()
             try {
-              val names = Files.list(root).iterator().asScala
+              val all = Files.list(root).iterator().asScala
                 .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq.sorted
+              val names = nlstTruncateAfter.fold(all)(all.take)
               data.getOutputStream.write(
                 names.map(_ + "\r\n").mkString.getBytes(StandardCharsets.ISO_8859_1))
             } finally data.close()
             send("226 listing done")
           case "SIZE" =>
             val f = root.resolve(arg)
-            if (Files.isRegularFile(f)) send(s"213 ${Files.size(f)}")
+            if (Files.isRegularFile(f))
+              send(s"213 ${sizeLies.getOrElse(arg, Files.size(f))}")
             else send("550 no such file")
           case "REST" =>
             restOffset = arg.toLong

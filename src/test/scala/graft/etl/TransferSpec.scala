@@ -137,6 +137,106 @@ class TransferSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  // ---- the failure matrix: the two real-world FTP pathologies the ----
+  // ---- reference's BSD-sum verify exists to catch                 ----
+
+  /** The reference's CHECKSUMS-manifest verify (A5/A6), spec-side: BSD
+    * sum of every expected file vs the mirrored bytes; missing files and
+    * content mismatches are the flags.
+    */
+  private def manifestVerify(expected: Map[String, String], local: Path): Map[String, String] =
+    expected.flatMap { case (name, sum) =>
+      val p = local.resolve(name)
+      if (!Files.exists(p)) Some(name -> "MISSING")
+      else {
+        val actual = BsdSumImpl.compute(Files.readAllBytes(p))
+        if (actual != sum) Some(name -> s"MISMATCH($actual)") else None
+      }
+    }
+
+  test("truncated NLST turns --delete into data loss; the manifest verify catches it") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp4")
+    val server = new MiniFtpServer(remote)
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        // clean first mirror; record the release's CHECKSUMS manifest
+        Transfer.sync(ftp, local)
+        val manifest = Seq("a.txt", "b.txt", "c.txt")
+          .map(n => n -> BsdSumImpl.compute(Files.readAllBytes(remote.resolve(n)))).toMap
+        assert(manifestVerify(manifest, local).isEmpty, "clean mirror must verify")
+        // the server now truncates the listing to ONE name but still
+        // replies 226 complete — the sync plan sees b/c as local-only
+        // and rsync-deletes them: the damage is real and silent
+        server.truncateNlst(1)
+        val results = Transfer.sync(ftp, local).map(r => r.file -> r.action).toMap
+        assert(results == Map("a.txt" -> "keep", "b.txt" -> "delete", "c.txt" -> "delete"),
+          results.toString)
+        // ...and ONLY the post-sync manifest verify flags the loss
+        val flags = manifestVerify(manifest, local)
+        assert(flags == Map("b.txt" -> "MISSING", "c.txt" -> "MISSING"), flags.toString)
+      } finally ftp.close()
+    } finally server.close()
+  }
+
+  test("SIZE overstating the stream: fetch lands short and verification fails loudly") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp5")
+    val server = new MiniFtpServer(remote)
+    server.lieSize("a.txt", 99L) // RETR will stream the true 13 bytes
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        val e = intercept[IllegalArgumentException](Transfer.sync(ftp, local))
+        assert(e.getMessage.contains("a.txt verification failed"), e.getMessage)
+        assert(e.getMessage.contains("size 13") && e.getMessage.contains("remote 99"))
+      } finally ftp.close()
+    } finally server.close()
+  }
+
+  test("SIZE understating the stream: a full local copy is needlessly refetched, then flagged") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp6")
+    write(local.resolve("b.txt"), "bravo-content-longer") // already perfect (20 bytes)
+    val server = new MiniFtpServer(remote)
+    server.lieSize("b.txt", 5L) // lie: local 20 > claimed 5 → plan says refetch
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        val e = intercept[IllegalArgumentException](Transfer.sync(ftp, local))
+        assert(e.getMessage.contains("b.txt verification failed"), e.getMessage)
+        assert(e.getMessage.contains("size 20") && e.getMessage.contains("remote 5"))
+      } finally ftp.close()
+    } finally server.close()
+  }
+
+  test("same-size content drift passes every size gate; only the BSD-sum verify flags it") {
+    val remote = mkRemote()
+    val local = Files.createTempDirectory("xfer_ftp7")
+    val server = new MiniFtpServer(remote)
+    try {
+      val ftp = new FtpTransport("127.0.0.1", server.port)
+      try {
+        Transfer.sync(ftp, local)
+        val manifest = Seq("a.txt", "b.txt", "c.txt")
+          .map(n => n -> BsdSumImpl.compute(Files.readAllBytes(remote.resolve(n)))).toMap
+        // remote a.txt mutates to DIFFERENT bytes of the SAME length:
+        // SIZE is honest, the plan says keep, nothing is transferred
+        write(remote.resolve("a.txt"), "ALPHA-CONTENT")
+        assert(Transfer.sync(ftp, local).forall(_.action != "fetch"))
+        // the manifest verify is the only gate that sees the drift
+        val flags = manifestVerify(manifest, local)
+        assert(flags.isEmpty, "local still matches the RECORDED release manifest")
+        val freshManifest = Seq("a.txt", "b.txt", "c.txt")
+          .map(n => n -> BsdSumImpl.compute(Files.readAllBytes(remote.resolve(n)))).toMap
+        val drift = manifestVerify(freshManifest, local)
+        assert(drift.keySet == Set("a.txt") && drift("a.txt").startsWith("MISMATCH"),
+          drift.toString)
+      } finally ftp.close()
+    } finally server.close()
+  }
+
   test("FTP transport surfaces an exhausted-retries failure like any transport") {
     val remote = mkRemote()
     val local = Files.createTempDirectory("xfer_ftp3")
