@@ -1267,6 +1267,131 @@ object Stress {
         timed("q_profit 6M rows (5-way star)")(
           relational.TpchGaps.qProfit(spark, dir).write.mode("overwrite").format("noop").save())
 
+      case "rocksdb_soak" =>
+        // VERDICT r11 item 4: the chained stateful soaks re-run on the
+        // RocksDB state-store provider — at 100 TB state lives off-heap,
+        // and the in-memory-provider plateau proof (stream_soak) says
+        // nothing about the provider a real cluster runs. Two claims:
+        // (1) PARITY — both soak legs emit bit-identical output under
+        // RocksDB and the default HDFS-backed provider (same MemoryStream
+        // batch script ⇒ same appended rows); (2) the state-row PLATEAU
+        // and the C15 drain-to-dimension contract hold unchanged, with
+        // RocksDB's own memory accounting recorded.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val hdfsProvider =
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        val rocksProvider =
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+        def checksum(rows: Seq[org.apache.spark.sql.Row]): Long =
+          rows.map(_.toString.hashCode.toLong).sorted.foldLeft(0L)((a, h) => a * 1048573L + h)
+
+        // ---- leg 1: chained rolling-distinct (two state stores) ----
+        def rollingLeg(provider: String, tag: String): (Long, Long, Long, Long, Seq[String]) = {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+          val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+          val events = mem.toDF().toDF("ts", "user_id", "value")
+          val q = streaming.Streams.rollingDistinctStream(events, watermark = "2 hours")
+            .writeStream.format("memory").queryName(s"rocks_roll_$tag")
+            .outputMode("append").start()
+          val states = new scala.collection.mutable.ArrayBuffer[Long]
+          (0 until 200).foreach { b =>
+            val t0 = base + b.toLong * 10 * 60 * 1000
+            mem.addData((0 until 1000).map { i =>
+              (new java.sql.Timestamp(t0 + (i % 600) * 1000L),
+                ((b * 7919 + i * 104729) % 10000).toLong, (i % 97).toDouble)
+            })
+            q.processAllAvailable()
+            states += Option(q.lastProgress)
+              .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+          }
+          val memBytes = Option(q.lastProgress)
+            .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+          val custom = {
+            import scala.jdk.CollectionConverters._
+            Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+              .flatMap(_.customMetrics.entrySet().iterator().asScala.toSeq)
+              .filter(e => e.getKey.contains("MemoryUsage") || e.getKey.contains("SstFile"))
+              .map(e => s"${e.getKey}=${e.getValue}")
+          }
+          val out = spark.table(s"rocks_roll_$tag").collect().toSeq
+          q.stop()
+          (checksum(out), out.size.toLong,
+            states.slice(60, 120).max, states.slice(140, 200).max, custom)
+        }
+
+        // ---- leg 2: C15 as-of state machine (drain contract) ----
+        def asofLeg(provider: String, tag: String): (Long, Long, Long) = {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+          val mem2 = MemoryStream[streaming.Streams.AsofIn]
+          val q2 = streaming.Streams.asofStream(mem2.toDS())
+            .writeStream.format("memory").queryName(s"rocks_asof_$tag")
+            .outputMode("append").start()
+          val nKeys = 5000
+          (0 until 100).foreach { b =>
+            val t0 = base + b.toLong * 10 * 60 * 1000
+            mem2.addData((0 until 500).map { i =>
+              val k = ((b * 31 + i * 97) % nKeys).toLong
+              if (i % 5 == 0)
+                streaming.Streams.AsofIn(k, new java.sql.Timestamp(t0 + i * 1000L),
+                  is_order = true, b.toLong * 1000 + i, 12345L, -1L)
+              else
+                streaming.Streams.AsofIn(k, new java.sql.Timestamp(t0 + i * 1000L),
+                  is_order = false, -1L, 0L, b.toLong * 100000 + i)
+            })
+            q2.processAllAvailable()
+          }
+          mem2.addData(streaming.Streams.AsofIn(0L,
+            new java.sql.Timestamp(base + 10L * 24 * 3600 * 1000),
+            is_order = false, -1L, 0L, -2L))
+          q2.processAllAvailable()
+          val fin = Option(q2.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          val out = spark.table(s"rocks_asof_$tag").collect().toSeq
+          q2.stop()
+          (checksum(out), out.size.toLong, fin)
+        }
+
+        try {
+          var rolled: (Long, Long, Long, Long, Seq[String]) = null
+          timed("rolling soak, 200 batches, HDFS-backed provider") {
+            rolled = rollingLeg(hdfsProvider, "hdfs"); rolled._2
+          }
+          val rollHdfs = rolled
+          timed("rolling soak, 200 batches, RocksDB provider") {
+            rolled = rollingLeg(rocksProvider, "rocks"); rolled._2
+          }
+          val rollRocks = rolled
+          println(s"[stress] rolling parity: hdfs checksum=${rollHdfs._1} rows=${rollHdfs._2}, " +
+            s"rocksdb checksum=${rollRocks._1} rows=${rollRocks._2}")
+          println(s"[stress] rolling plateau under rocksdb: warm-max ${rollRocks._3}, " +
+            s"late-max ${rollRocks._4}; rocksdb metrics: ${rollRocks._5.mkString(", ")}")
+          assert(rollHdfs._1 == rollRocks._1 && rollHdfs._2 == rollRocks._2,
+            "provider changed the rolling-distinct output")
+          assert(rollRocks._4 <= (rollRocks._3 * 1.15).toLong,
+            s"state grew under RocksDB: warm ${rollRocks._3} late ${rollRocks._4}")
+
+          var asofRes: (Long, Long, Long) = null
+          timed("C15 as-of soak, 100 batches, HDFS-backed provider") {
+            asofRes = asofLeg(hdfsProvider, "hdfs"); asofRes._2
+          }
+          val asofHdfs = asofRes
+          timed("C15 as-of soak, 100 batches, RocksDB provider") {
+            asofRes = asofLeg(rocksProvider, "rocks"); asofRes._2
+          }
+          val asofRocks = asofRes
+          println(s"[stress] C15 parity: hdfs checksum=${asofHdfs._1} rows=${asofHdfs._2}, " +
+            s"rocksdb checksum=${asofRocks._1} rows=${asofRocks._2}; " +
+            s"final state hdfs=${asofHdfs._3} rocksdb=${asofRocks._3} over 5000 keys")
+          assert(asofHdfs._1 == asofRocks._1 && asofHdfs._2 == asofRocks._2,
+            "provider changed the as-of matches")
+          assert(asofRocks._3 <= 5010, s"as-of state did not drain: ${asofRocks._3}")
+        } finally
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", hdfsProvider)
+
       case "dag_100k" =>
         // A29 at a fan three orders past the bench shape: 100k jobs per fan
         // stage (500k total) through the worker-pull runner. The claim under
