@@ -25,12 +25,20 @@ object Relational {
   private[relational] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Exact integer total in 10^-unit-exponent units → the same double the
-    * oracle's CAST(decimal_sum AS DOUBLE) produces (decimal division by a
-    * power of ten at scale 6 is exact for ≤6-dp values, then one
-    * correctly-rounded conversion).
+    * oracle's CAST(decimal_sum AS DOUBLE) produces. DuckDB's decimal→
+    * double cast is TWO-step: unscaled int → double (one rounding), then
+    * a double division by 10^scale (second rounding). Spark's decimal
+    * division + cast is ONE correctly-rounded conversion — the two paths
+    * agree exactly while the integer total stays below 2^53 and can
+    * differ by 1 ulp beyond it (first seen at the r12 sf1 sweep: q1's
+    * 10⁻⁶-unit charge total reached 3.8e16 and sum_charge split in the
+    * 16th digit). So mirror DuckDB's order of operations: cast the exact
+    * integer to double first, then divide by the (exactly-representable)
+    * power of ten in double arithmetic — identical below 2^53, identical
+    * BY CONSTRUCTION above it.
     */
   private[relational] def unitsToDbl(c: Column, unit: Int): Column =
-    (c.cast(DecimalType(38, 0)) / unit).cast("double")
+    c.cast(DecimalType(38, 0)).cast("double") / unit.toDouble
 
   /** Per-row revenue ep·(1−disc) in exact 10^-4 units. */
   private[relational] def revUnits(): Column =
