@@ -1267,6 +1267,41 @@ object Stress {
         timed("q_profit 6M rows (5-way star)")(
           relational.TpchGaps.qProfit(spark, dir).write.mode("overwrite").format("noop").save())
 
+      case "band_10x" =>
+        // B14b's scale story, measured: the banded equi-join form vs the
+        // naive non-equi join (BNLJ when one side broadcasts) on the SAME
+        // band predicate. Naive work is |ev|·|ord| comparisons — ×100 per
+        // decade of scale; banded wire is 2·|ev|+|ord| rows — ×10. The
+        // A/B runs where the quadratic leg is still feasible (sf0.01,
+        // sf0.1), checksum-asserted identical; the 10× leg runs banded
+        // only, with the naive side's comparison count stated as the
+        // reason it is absent.
+        def cks(df: org.apache.spark.sql.DataFrame): Long =
+          df.collect().map(_.toString.hashCode.toLong).sum
+        def legs(d: String, label: String): (Long, Long) = {
+          val (ev, ord) = relational.Relational.bandedInputs(spark, d)
+          var a = 0L; var b = 0L
+          timed(s"banded $label")(
+            { a = cks(relational.Relational.rangeJoinBandedOn(ev, ord)); a })
+          timed(s"naive BNLJ $label")(
+            { b = cks(relational.Relational.rangeJoinNaiveOn(ev, ord)); b })
+          (a, b)
+        }
+        // untimed warmup (codegen + page cache)
+        cks(relational.Relational.rangeJoinBanded(spark, "/root/testdata/sf0.01"))
+        val (a1, b1) = legs("/root/testdata/sf0.01", "sf0.01 (10k ev × 15k ord, 1.5e8 cmp)")
+        assert(a1 == b1, "banded and naive must agree at sf0.01")
+        val (a2, b2) = legs(sf, "sf0.1 (100k ev × 150k ord, 1.5e10 cmp)")
+        assert(a2 == b2, "banded and naive must agree at sf0.1")
+        // 10×: replicate rows verbatim (pair volume ×100, row volume ×10)
+        val (ev10, ord10) = {
+          val (e, o) = relational.Relational.bandedInputs(spark, sf)
+          val reps = broadcast(spark.range(10).select(col("id").as("__r")))
+          (e.crossJoin(reps).drop("__r"), o.crossJoin(reps).drop("__r"))
+        }
+        timed("banded 10x sf0.1 (1M ev × 1.5M ord; naive would be 1.5e12 cmp — not run)")(
+          cks(relational.Relational.rangeJoinBandedOn(ev10, ord10)))
+
       case "rocksdb_soak" =>
         // VERDICT r11 item 4: the chained stateful soaks re-run on the
         // RocksDB state-store provider — at 100 TB state lives off-heap,
