@@ -70,62 +70,66 @@ object RsyncDeltaImpl {
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  /** Greedy rsync scan of `nw` against the block table of `old`;
-    * returns (n_blocks, n_copy, lit_bytes, bytes_saved, instr,
-    * applied_md5) as an InternalRow. `instr` is the run-length
-    * instruction stream: `C<k>` per copied block, `L<n>` per maximal
-    * literal run, '|'-separated.
+  /** Phase 1 (RECEIVER): the block-sum table of the old file — the only
+    * thing that crosses the wire receiver→sender in real rsync
+    * (O(len/b) entries, not the file). `buckets` maps each weak sum to
+    * its block indices in ascending order (= min-k tie-break for
+    * identical blocks); strong MD5s are precomputed per block.
     */
-  def row(old: Array[Byte], nw: Array[Byte], b: Int): InternalRow = {
+  final case class BlockSums(b: Int, nBlocks: Int,
+                             buckets: java.util.HashMap[Integer, java.util.ArrayList[Integer]],
+                             strongs: Array[String])
+
+  def blockSums(old: Array[Byte], b: Int): BlockSums = {
     val nb = old.length / b
-    // weak -> ascending block indices (ascending insert order = min-k
-    // tie-break for identical blocks); strong hashes computed lazily so
-    // unmatched weak buckets never pay the MD5
     val buckets = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
+    val strongs = new Array[String](nb)
     var k = 0
     while (k < nb) {
       buckets.computeIfAbsent(weakInit(old, k * b, b), _ => new java.util.ArrayList[Integer]())
         .add(k)
+      strongs(k) = md5hex(old, k * b, b)
       k += 1
     }
-    val strongOf = new java.util.HashMap[Integer, String]()
-    def strong(ki: Integer): String = {
-      var s = strongOf.get(ki)
-      if (s == null) { s = md5hex(old, ki * b, b); strongOf.put(ki, s) }
-      s
-    }
-    val out = new java.io.ByteArrayOutputStream(nw.length)
+    BlockSums(b, nb, buckets, strongs)
+  }
+
+  /** Phase 2 (SENDER): greedy rolling scan of the NEW file against the
+    * receiver's block sums. Returns the instruction stream (`C<k>` per
+    * copied block, `L<n>` per maximal literal run, '|'-separated) and
+    * the literal byte stream — together, everything the sender ships.
+    */
+  def encode(sums: BlockSums, nw: Array[Byte]): (String, Array[Byte]) = {
+    val b = sums.b
+    val lits = new java.io.ByteArrayOutputStream()
     val instr = new StringBuilder
     def emit(tok: String): Unit = {
       if (instr.nonEmpty) instr.append('|')
       instr.append(tok)
     }
-    var nCopy = 0L
     var litRun = 0
     var pos = 0
     var weak = if (nw.length >= b) weakInit(nw, 0, b) else 0
     var weakValid = nw.length >= b
     while (pos + b <= nw.length) {
       if (!weakValid) { weak = weakInit(nw, pos, b); weakValid = true }
-      val cand = buckets.get(weak)
+      val cand = sums.buckets.get(weak)
       var matched = -1
       if (cand != null) {
         val sn = md5hex(nw, pos, b)
         var i = 0
         while (matched < 0 && i < cand.size()) {
-          if (strong(cand.get(i)) == sn) matched = cand.get(i)
+          if (sums.strongs(cand.get(i)) == sn) matched = cand.get(i)
           i += 1
         }
       }
       if (matched >= 0) {
         if (litRun > 0) { emit("L" + litRun); litRun = 0 }
         emit("C" + matched)
-        out.write(old, matched * b, b)
-        nCopy += 1
         pos += b
         weakValid = false // block jump: next window recomputes from scratch
       } else {
-        out.write(nw(pos))
+        lits.write(nw(pos))
         litRun += 1
         if (pos + b < nw.length) weak = weakRoll(weak, nw(pos), nw(pos + b), b)
         pos += 1
@@ -133,12 +137,41 @@ object RsyncDeltaImpl {
     }
     // trailing bytes shorter than a block are always literal
     val tail = nw.length - pos
-    if (tail > 0) out.write(nw, pos, tail)
+    if (tail > 0) lits.write(nw, pos, tail)
     if (litRun + tail > 0) emit("L" + (litRun + tail))
-    val applied = out.toByteArray
+    (instr.toString, lits.toByteArray)
+  }
+
+  /** Phase 3 (RECEIVER): rebuild the new file from the old file plus the
+    * sender's (instructions, literal stream).
+    */
+  def applyDelta(old: Array[Byte], b: Int, instr: String, lits: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(lits.length)
+    var lp = 0
+    if (instr.nonEmpty) instr.split('|').foreach { tok =>
+      if (tok.charAt(0) == 'C') out.write(old, tok.substring(1).toInt * b, b)
+      else {
+        val n = tok.substring(1).toInt
+        out.write(lits, lp, n)
+        lp += n
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The A30 relation kernel: the full three-phase round trip, returning
+    * (n_blocks, n_copy, lit_bytes, bytes_saved, instr, applied_md5) as
+    * an InternalRow — `applied_md5` hashes the RECONSTRUCTION, so the
+    * oracle's `md5(new)` makes the gate a delta-application proof.
+    */
+  def row(old: Array[Byte], nw: Array[Byte], b: Int): InternalRow = {
+    val sums = blockSums(old, b)
+    val (instr, lits) = encode(sums, nw)
+    val applied = applyDelta(old, b, instr, lits)
+    val nCopy = (nw.length - lits.length).toLong / b
     new GenericInternalRow(Array[Any](
-      nb.toLong, nCopy, (nw.length - b * nCopy).toLong, b * nCopy,
-      UTF8String.fromString(instr.toString),
+      sums.nBlocks.toLong, nCopy, lits.length.toLong, b * nCopy,
+      UTF8String.fromString(instr),
       UTF8String.fromString(md5hex(applied, 0, applied.length))))
   }
 }

@@ -49,8 +49,26 @@ object Transfer {
     def fetch(name: String, offset: Long, dest: Path): Long
   }
 
+  /** A transport that can serve a file as an rsync DELTA against the
+    * receiver's existing copy (the reference's `_rsync_download` on
+    * mutated files, executed by the A30 kernel): the receiver sends its
+    * block sums, the sender answers with instructions + literal bytes,
+    * the receiver rebuilds in place. Returns WIRE bytes moved (sums
+    * request is O(n/b) and counted, literals + instruction tokens are
+    * the payload) — the resume saving over a refetch is exactly
+    * `bytes_saved` from the A30 relation.
+    */
+  trait DeltaCapable { self: Transport =>
+    /** Serve `name` as a delta against `dest`'s current bytes; rewrite
+      * `dest` to the remote content and return wire bytes moved.
+      */
+    def fetchDelta(name: String, dest: Path): Long
+  }
+
+  val deltaBlockSize = 512
+
   /** Filesystem-backed transport (the "remote" is a local dir). */
-  final class LocalTransport(root: Path) extends Transport {
+  class LocalTransport(root: Path) extends Transport {
     override def ls(): Seq[(String, Long)] =
       Files.list(root).iterator().asScala
         .filter(Files.isRegularFile(_))
@@ -70,6 +88,25 @@ object Transfer {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         try in.transferTo(out) finally out.close()
       } finally in.close()
+    }
+  }
+
+  /** [[LocalTransport]] + the rsync delta protocol: phase 1 computes the
+    * receiver-side block sums from `dest`, phases 2-3 run the A30
+    * kernel's encode/apply. In-process the "wire" is accounted, not
+    * serialized: sums (16B weak+strong digest per block, receiver→
+    * sender) + instruction tokens + literal bytes (sender→receiver).
+    */
+  final class LocalDeltaTransport(root: Path) extends LocalTransport(root) with DeltaCapable {
+    override def fetchDelta(name: String, dest: Path): Long = {
+      val old = if (Files.exists(dest)) Files.readAllBytes(dest) else Array.emptyByteArray
+      val nw = Files.readAllBytes(root.resolve(name))
+      val sums = RsyncDeltaImpl.blockSums(old, deltaBlockSize)
+      val (instr, lits) = RsyncDeltaImpl.encode(sums, nw)
+      val rebuilt = RsyncDeltaImpl.applyDelta(old, deltaBlockSize, instr, lits)
+      Files.write(dest, rebuilt,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      sums.nBlocks.toLong * 16 + instr.length + lits.length
     }
   }
 
@@ -164,9 +201,15 @@ object Transfer {
         case (Some(r), Some(l)) if l == r =>
           SyncResult(f, "keep", 0, 0L)
         case (Some(r), l) =>
+          // a diverged file refetches from scratch — unless the transport
+          // speaks the rsync delta protocol, in which case the surviving
+          // local copy becomes the delta base and only literals cross the
+          // wire (DownloadDatabase.pm's rsync on mutated files)
+          val delta = l.isDefined && l.get > r && transport.isInstanceOf[DeltaCapable]
           val action = l match {
             case None => "fetch"
             case Some(sz) if sz < r => "resume"
+            case Some(_) if delta => "delta"
             case Some(_) => "refetch" // diverged: start over
           }
           if (action == "refetch") Files.delete(dest)
@@ -180,7 +223,12 @@ object Transfer {
             // mid-write left a longer prefix on disk, and the retry must
             // resume after it — not re-append from the planned offset
             val cur = if (Files.exists(dest)) Files.size(dest) else 0L
-            try { moved += transport.fetch(f, cur, dest); done = true }
+            try {
+              moved += (if (delta)
+                transport.asInstanceOf[DeltaCapable].fetchDelta(f, dest)
+              else transport.fetch(f, cur, dest))
+              done = true
+            }
             catch { case e: Throwable => lastErr = e }
           }
           if (!done)

@@ -86,6 +86,57 @@ class TransferSpec extends AnyFunSuite {
     assert(e.getMessage.contains("after 2 attempts"))
   }
 
+  test("a diverged file over a delta-capable transport moves the delta, not the file") {
+    val rnd = new scala.util.Random(7)
+    val old = new Array[Byte](8000); rnd.nextBytes(old)
+    // remote mutates: 600 bytes deleted mid-file, 16 inserted — the new
+    // file is SMALLER than the local survivor, the diverged-file branch
+    val marker = "DELTA_MUTATION!!".getBytes("UTF-8")
+    val nw = old.take(3000) ++ marker ++ old.drop(3600)
+    val remote = Files.createTempDirectory("xfer_remote_d")
+    Files.write(remote.resolve("db.dat"), nw)
+    def freshLocal(): Path = {
+      val local = Files.createTempDirectory("xfer_local_d")
+      Files.write(local.resolve("db.dat"), old)
+      local
+    }
+    // A-leg: plain transport refetches — wire cost is the WHOLE file
+    val localA = freshLocal()
+    val refetch = Transfer.sync(new Transfer.LocalTransport(remote), localA)
+      .find(_.file == "db.dat").get
+    assert(refetch.action == "refetch" && refetch.bytesMoved == nw.length.toLong)
+    // B-leg: delta transport rebuilds from the local base — wire cost is
+    // block sums + instructions + literals, a fraction of the file
+    val localB = freshLocal()
+    val delta = Transfer.sync(new Transfer.LocalDeltaTransport(remote), localB)
+      .find(_.file == "db.dat").get
+    assert(delta.action == "delta", delta.toString)
+    assert(delta.bytesMoved < nw.length / 4,
+      s"delta moved ${delta.bytesMoved} of ${nw.length} — no saving")
+    // both mirrors hold the remote bytes exactly; the A5 verify agrees
+    Seq(localA, localB).foreach { l =>
+      assert(java.util.Arrays.equals(Files.readAllBytes(l.resolve("db.dat")), nw), l.toString)
+      assert(BsdSumImpl.compute(Files.readAllBytes(l.resolve("db.dat")))
+        == BsdSumImpl.compute(nw))
+    }
+    // second sync over the delta transport: keep, nothing moves
+    assert(Transfer.sync(new Transfer.LocalDeltaTransport(remote), localB)
+      .forall(r => r.action == "keep" && r.bytesMoved == 0L))
+  }
+
+  test("delta against a missing/garbage base degrades to literals, never corrupts") {
+    val remote = Files.createTempDirectory("xfer_remote_d2")
+    val content = ("x" * 3000).getBytes("UTF-8")
+    Files.write(remote.resolve("f.dat"), content)
+    val dest = Files.createTempDirectory("xfer_local_d2").resolve("f.dat")
+    Files.write(dest, "completely unrelated garbage base".getBytes("UTF-8"))
+    val t = new Transfer.LocalDeltaTransport(remote)
+    val moved = t.fetchDelta("f.dat", dest)
+    assert(java.util.Arrays.equals(Files.readAllBytes(dest), content))
+    // nothing matched, so the wire carried at least the whole file
+    assert(moved >= content.length.toLong)
+  }
+
   // ---- the FTP wire transport against an in-process server double ----
 
   test("FTP transport drives the full mirror: fetch, resume, refetch, delete, keep") {
