@@ -142,6 +142,34 @@ object Snapshots {
       }
     }
 
+  /** Retention GC — the layer's ONLY deletion: drop every snapshot id
+    * below `keepFrom`, deleting (a) their manifest files and (b) every
+    * data file referenced by an expired manifest and by NO retained one.
+    * Retained snapshots are untouched byte-for-byte (readers pinned to
+    * them never notice), files shared into retained manifests survive,
+    * and in-flight staged-but-uncommitted data is never swept (only
+    * expired-manifest-listed files are candidates). Writer-side
+    * operation by the layer's single-writer contract — never run
+    * concurrently with [[stage]]. Returns (files deleted, bytes freed).
+    */
+  def expire(root: Path, keepFrom: Int): (Int, Long) = {
+    val cur = currentId(root).getOrElse(return (0, 0L))
+    require(keepFrom <= cur, s"keepFrom $keepFrom is beyond current $cur")
+    val manifestIds = Files.list(root.resolve("manifests")).iterator().asScala
+      .map(_.getFileName.toString.stripPrefix("manifest-").toInt).toSeq.sorted
+    val (expired, retained) = manifestIds.partition(_ < keepFrom)
+    val keepFiles = retained.flatMap(manifest(root, _)).map(_.relPath).toSet
+    var n = 0
+    var bytes = 0L
+    expired.flatMap(manifest(root, _)).map(_.relPath).distinct
+      .filterNot(keepFiles).foreach { rel =>
+        val p = root.resolve(rel)
+        if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); n += 1 }
+      }
+    expired.foreach(i => Files.delete(root.resolve("manifests").resolve(s"manifest-$i")))
+    (n, bytes)
+  }
+
   /** A31 query `snapshot_read`: a two-release load published through the
     * snapshot layer — release 1 is a partial load (order keys ≢ 0 mod 3),
     * release 2 appends the remainder REUSING release 1's files via the

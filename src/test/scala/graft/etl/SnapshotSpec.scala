@@ -102,6 +102,36 @@ class SnapshotSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("expire deletes only what no retained manifest references; retained reads unaffected") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))                 // snap 1
+      Snapshots.publish(s, root, block(2), append = true)  // snap 2 shares snap 1's files
+      Snapshots.publish(s, root, block(3))                 // snap 3: FULL REWRITE — 1,2's files now history-only
+      Snapshots.publish(s, root, block(4), append = true)  // snap 4 shares snap 3's files
+      val snap1Files = Snapshots.manifest(root, 1).map(_.relPath)
+      // retain from snap 3: snaps 1-2 expire; their files are shared with
+      // NO retained manifest (3 was a rewrite) so they are deletable
+      val (n, bytes) = Snapshots.expire(root, keepFrom = 3)
+      assert(n > 0 && bytes > 0)
+      snap1Files.foreach(rel => assert(!Files.exists(root.resolve(rel)), rel))
+      // retained snapshots read and verify exactly as before
+      assert(Snapshots.readAt(s, root, 3).collect().forall(_.getLong(0) == 3L))
+      assert(Snapshots.readAt(s, root, 4).count() == 200)
+      assert(Snapshots.verify(root, 3).isEmpty && Snapshots.verify(root, 4).isEmpty)
+      // the expired manifest is gone — time travel below the horizon
+      // fails loudly, never silently serves partial data
+      intercept[Exception](Snapshots.manifest(root, 1))
+      // files shared INTO a retained manifest survive an expire
+      Snapshots.publish(s, root, block(5), append = true)  // snap 5 shares snap 3+4's files
+      val shared = Snapshots.manifest(root, 4).map(_.relPath).toSet
+      Snapshots.expire(root, keepFrom = 5)
+      shared.foreach(rel => assert(Files.exists(root.resolve(rel)),
+        s"$rel is referenced by retained snap 5 and must survive"))
+      assert(Snapshots.verify(root, 5).isEmpty)
+    } finally rm(root)
+  }
+
   test("verify replays the manifest checksums and flags corruption and loss") {
     val root = tmpRoot()
     try {
