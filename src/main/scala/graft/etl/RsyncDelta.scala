@@ -181,6 +181,7 @@ object RsyncDeltaImpl {
   */
 case class RsyncDelta(left: Expression, right: Expression, blockSize: Int)
     extends BinaryExpression {
+  require(blockSize > 0, s"rsync_delta block size must be positive, got $blockSize")
   override def dataType: DataType = StructType(Seq(
     StructField("n_blocks", LongType, nullable = false),
     StructField("n_copy", LongType, nullable = false),

@@ -94,10 +94,12 @@ object Snapshots {
     val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val fresh = Files.list(dataDir).iterator().asScala.toSeq
+    val listing = Files.list(dataDir)
+    val fresh = try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
       .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+    finally listing.close()
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
     Files.createDirectories(root.resolve("manifests"))
@@ -155,8 +157,10 @@ object Snapshots {
   def expire(root: Path, keepFrom: Int): (Int, Long) = {
     val cur = currentId(root).getOrElse(return (0, 0L))
     require(keepFrom <= cur, s"keepFrom $keepFrom is beyond current $cur")
-    val manifestIds = Files.list(root.resolve("manifests")).iterator().asScala
+    val listing = Files.list(root.resolve("manifests"))
+    val manifestIds = try listing.iterator().asScala
       .map(_.getFileName.toString.stripPrefix("manifest-").toInt).toSeq.sorted
+    finally listing.close()
     val (expired, retained) = manifestIds.partition(_ < keepFrom)
     val keepFiles = retained.flatMap(manifest(root, _)).map(_.relPath).toSet
     var n = 0
@@ -201,7 +205,9 @@ object Snapshots {
       s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
         .orderBy("snapshot_id", "o_orderstatus")
     } finally {
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

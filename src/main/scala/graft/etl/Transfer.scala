@@ -96,6 +96,10 @@ object Transfer {
     * kernel's encode/apply. In-process the "wire" is accounted, not
     * serialized: sums (16B weak+strong digest per block, receiver→
     * sender) + instruction tokens + literal bytes (sender→receiver).
+    * Both files are held in memory for the exchange — right for this
+    * layer's per-db-file granularity (the reference's dump files); a
+    * multi-GB-file deployment would stream the scan window and spool
+    * literals, which changes none of the kernel's arithmetic.
     */
   final class LocalDeltaTransport(root: Path) extends LocalTransport(root) with DeltaCapable {
     override def fetchDelta(name: String, dest: Path): Long = {

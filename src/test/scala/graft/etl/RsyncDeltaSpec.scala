@@ -80,6 +80,23 @@ class RsyncDeltaSpec extends AnyFunSuite {
     assert(nCopy == 0 && lit == 200 && saved == 0 && instr == "L200")
   }
 
+  test("degenerate shapes: sub-block old, empty files, block larger than both") {
+    val md5empty = "d41d8cd98f00b204e9800998ecf8427e"
+    // old shorter than one block: zero blocks, everything literal
+    val (nb1, c1, l1, _, i1, _) = fields(randBytes(20), randBytes(100), 32)
+    assert(nb1 == 0 && c1 == 0 && l1 == 100 && i1 == "L100")
+    // empty new: no instructions, reconstruction is the empty file
+    val (_, c2, l2, _, i2, m2) = fields(randBytes(100), Array.emptyByteArray, 32)
+    assert(c2 == 0 && l2 == 0 && i2 == "" && m2 == md5empty)
+    // empty old against content: pure literal
+    val nw3 = randBytes(50)
+    val (nb3, c3, l3, _, i3, _) = fields(Array.emptyByteArray, nw3, 32)
+    assert(nb3 == 0 && c3 == 0 && l3 == 50 && i3 == "L50")
+    // block size exceeding both files: degenerates to literal transfer
+    val (nb4, c4, l4, _, _, _) = fields(randBytes(40), randBytes(40), 64)
+    assert(nb4 == 0 && c4 == 0 && l4 == 40)
+  }
+
   test("applied instruction stream rebuilds the new file; BSD-sum verify passes") {
     for (trial <- 1 to 20) {
       val b = Seq(16, 32, 64)(trial % 3)

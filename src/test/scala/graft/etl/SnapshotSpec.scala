@@ -19,8 +19,11 @@ class SnapshotSpec extends AnyFunSuite {
 
   private def tmpRoot(): Path = Files.createTempDirectory("graft_snapspec")
 
-  private def rm(root: Path): Unit =
-    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
 
   private def block(tag: Int, rows: Int = 100) = {
     val sq = s; import sq.implicits._
