@@ -637,13 +637,15 @@ object Streams {
       val events = (st.events ++ newEvents.map(e => (us(e.ts), e.event_id)))
         .sortBy(identity)
       val cutoffUs = if (isStreaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
-      // STRICTLY below the watermark: Spark's late-data filter drops rows
-      // with ts < watermark, so an order at EXACTLY the watermark can
-      // still arrive in a later batch. Emitting an event at that same
-      // instant now would fix its match one order too early — such events
-      // pend one batch longer, keeping "every emitted match is final"
-      // airtight at the boundary. Batch mode (cutoff = +∞) is unaffected:
-      // every finite event time is strictly below it.
+      // STRICTLY below the watermark. Measured (StreamingSpec's boundary
+      // test): Spark's late filter for this operator drops rows AT the
+      // watermark (non-strict), so a same-instant order can never be
+      // admitted later — but the strict emission rule makes "every
+      // emitted match is final" independent of which side of the exact
+      // boundary Spark drops, so a Spark behavior change cannot open a
+      // 1 µs finality hole here. Cost: an event landing exactly on the
+      // watermark pends one batch longer (measure-zero case). Batch mode
+      // (cutoff = +∞) is unaffected: every finite time is strictly below.
       val (ready, pending) = events.partition(_._1 < cutoffUs)
       val out = ready.map { case (tUs, eventId) =>
         val m = orders.takeWhile(_.tUs <= tUs).lastOption

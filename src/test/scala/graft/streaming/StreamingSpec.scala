@@ -644,6 +644,52 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("C15 watermark boundary: an event AT the watermark pends; a later same-instant order is late-dropped") {
+    // The r11 advisor's 1 µs question: what happens at ts == watermark?
+    // Measured here: Spark's late filter for this operator drops rows AT
+    // the watermark (non-strict), so an order timestamped exactly at the
+    // watermark can NEVER be admitted in a later batch — and the strict
+    // (<) emission rule means the boundary event hadn't emitted yet
+    // anyway. Finality therefore holds from BOTH sides; this pins the
+    // exact choreography so a Spark behavior change fails a test, not
+    // production.
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.AsofIn]
+    val q = Streams.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_boundary_test").outputMode("append").start()
+    def ord(k: Long, t: String, ok: Long, cents: Long) =
+      Streams.AsofIn(k, ts(t), is_order = true, ok, cents, -1L)
+    def ev(k: Long, t: String, id: Long) =
+      Streams.AsofIn(k, ts(t), is_order = false, -1L, 0L, id)
+    // batch 1: the event at 10:00, an early order, and a 12:00 rider
+    // that sets max event time — the 2h watermark lands EXACTLY at 10:00
+    mem.addData(ev(1L, "2024-01-01 10:00:00", 100L),
+      ord(1L, "2024-01-01 09:00:00", 7L, 700L),
+      ev(8L, "2024-01-01 12:00:00", 800L))
+    q.processAllAvailable()
+    // watermark == event time: the strict rule keeps the event pending —
+    // emitting now would race whatever Spark does at the exact boundary
+    assert(s.sql("SELECT * FROM asof_boundary_test WHERE event_id = 100").count() == 0L,
+      "event at exactly the watermark must pend one batch longer")
+    // batch 2: an order at the same instant arrives one batch later —
+    // Spark's non-strict late filter DROPS it (ts <= watermark)
+    mem.addData(ord(1L, "2024-01-01 10:00:00", 9L, 900L))
+    q.processAllAvailable()
+    // batch 3: push the watermark strictly past 10:00 → the event emits
+    mem.addData(ev(8L, "2024-01-01 12:00:01", 801L))
+    q.processAllAvailable()
+    val row = s.sql(
+      "SELECT matched_order, matched_total_cents FROM asof_boundary_test WHERE event_id = 100")
+      .collect()
+    assert(row.length == 1, "boundary event must emit exactly once")
+    // the match is the 09:00 order: the same-instant order was LATE by
+    // Spark's own boundary rule, so the emitted match was final all along
+    assert(row.head.getLong(0) == 7L && row.head.getLong(1) == 700L,
+      s"late same-instant order must not alter the match: ${row.head}")
+    q.stop()
+  }
+
   test("C15 fuzz: random batch splits and processing disorder never change the matches") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
