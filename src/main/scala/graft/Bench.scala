@@ -34,7 +34,7 @@ object Bench {
     "split_leakproof", "asof_stateful", "ivm_retract", "scd2_deletes",
     "dedup_decremental",
     // r12: the rsync delta kernel and the banded fact-fact range join
-    "rsync_delta", "range_join_banded", "snapshot_read")
+    "rsync_delta", "range_join_banded", "snapshot_read", "snapshot_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

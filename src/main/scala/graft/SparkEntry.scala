@@ -77,6 +77,7 @@ object SparkEntry {
     "transfer_plan"       -> w(Transfer.transferPlan),
     "rsync_delta"         -> w(RsyncDeltas.rsyncDeltaQuery),
     "snapshot_read"       -> w(Snapshots.snapshotRead),
+    "snapshot_changes"    -> w(Snapshots.snapshotChanges),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -490,6 +491,8 @@ object SparkEntry {
     "rsync_delta" -> graft.etl.RsyncDeltas.rsyncDeltaOracleSql,
 
     "snapshot_read" -> graft.etl.Snapshots.snapshotReadOracleSql,
+
+    "snapshot_changes" -> graft.etl.Snapshots.snapshotChangesOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -144,6 +144,23 @@ object Snapshots {
       }
     }
 
+  /** Incremental (CDC-style) read between snapshots: the rows ADDED
+    * after `from` as of `to`, resolved by MANIFEST DIFF — only files
+    * present in `to`'s manifest and absent from `from`'s are opened.
+    * Because appends reuse prior files verbatim and never rewrite them,
+    * the file-set difference IS the row-set difference: a consumer that
+    * processes `readChanges(n-1, n)` per release sees every row exactly
+    * once, with I/O proportional to the increment, never the table —
+    * the consumption pattern a training-data pipeline runs per release.
+    */
+  def readChanges(s: SparkSession, root: Path, from: Int, to: Int): DataFrame = {
+    val before = manifest(root, from).map(_.relPath).toSet
+    val added = manifest(root, to).map(_.relPath).filterNot(before)
+      .map(p => root.resolve(p).toString)
+    if (added.isEmpty) readAt(s, root, to).limit(0)
+    else s.read.parquet(added: _*)
+  }
+
   /** Retention GC — the layer's ONLY deletion: drop every snapshot id
     * below `keepFrom`, deleting (a) their manifest files and (b) every
     * data file referenced by an expired manifest and by NO retained one.
@@ -210,6 +227,44 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_changes`: the same two-release store, consumed
+    * INCREMENTALLY — the release-2 increment read via manifest diff
+    * (release 1's files are never opened). The oracle states the
+    * remainder (keys ≡ 0 mod 3) directly, so the hash gate proves
+    * exactly-once incremental consumption: the file-set diff delivers
+    * precisely the appended rows.
+    */
+  def snapshotChanges(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapc")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 =!= 0))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 0), append = true)
+      val out = readChanges(s, root, 1, 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .collect()
+        .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotChangesOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   val snapshotReadOracleSql: String = """
     SELECT * FROM (

@@ -135,6 +135,32 @@ class SnapshotSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("readChanges opens ONLY the increment's files and yields exactly the appended rows") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2), append = true)
+      Snapshots.publish(s, root, block(3), append = true)
+      val changes23 = Snapshots.readChanges(s, root, 2, 3)
+      // I/O contract: the files touched are precisely manifest(3) \ manifest(2)
+      val expectFiles = (Snapshots.manifest(root, 3).map(_.relPath).toSet
+        -- Snapshots.manifest(root, 2).map(_.relPath)).map(p => root.resolve(p).toString)
+      assert(changes23.inputFiles.map(_.stripPrefix("file://")).toSet == expectFiles)
+      // row contract: exactly the appended block, matching the data diff
+      assert(changes23.collect().forall(_.getLong(0) == 3L))
+      assert(changes23.count() == 100)
+      val dataDiff = Snapshots.readAt(s, root, 3).exceptAll(Snapshots.readAt(s, root, 2))
+      assert(changes23.exceptAll(dataDiff).isEmpty && dataDiff.exceptAll(changes23).isEmpty)
+      // exactly-once across consecutive increments: 1→2 ∪ 2→3 = 1→3
+      val union = Snapshots.readChanges(s, root, 1, 2)
+        .unionByName(Snapshots.readChanges(s, root, 2, 3))
+      val full = Snapshots.readChanges(s, root, 1, 3)
+      assert(union.exceptAll(full).isEmpty && full.exceptAll(union).isEmpty)
+      // empty increment: same snapshot twice → zero rows, schema intact
+      assert(Snapshots.readChanges(s, root, 3, 3).count() == 0)
+    } finally rm(root)
+  }
+
   test("verify replays the manifest checksums and flags corruption and loss") {
     val root = tmpRoot()
     try {
