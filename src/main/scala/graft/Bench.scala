@@ -34,7 +34,15 @@ object Bench {
     "split_leakproof", "asof_stateful", "ivm_retract", "scd2_deletes",
     "dedup_decremental",
     // r12: the rsync delta kernel and the banded fact-fact range join
-    "rsync_delta", "range_join_banded", "snapshot_read", "snapshot_changes")
+    "rsync_delta", "range_join_banded", "snapshot_read", "snapshot_changes",
+    // r12b: the REAL streaming executions + the JDBC engine roundtrip —
+    // each of these pays genuine stream-startup/commit-protocol (or JDBC
+    // insert) overhead on top of the operator, so their envelopes are
+    // wider than the batch queries'; regression-gating that overhead is
+    // the point (a state-store or commit-path regression shows up here
+    // and nowhere else in the sweep)
+    "stream_ingest", "stream_token_sketch", "stream_topk",
+    "stream_quarantine", "jdbc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

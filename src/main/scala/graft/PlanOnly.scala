@@ -21,5 +21,34 @@ object PlanOnly {
     "q_important" -> ((ss, dd) =>
       graft.relational.TpchGaps.qImportant(ss, dd, stage = false)),
     "q_excess" -> ((ss, dd) =>
-      graft.relational.TpchGaps.qExcess(ss, dd, stage = false)))
+      graft.relational.TpchGaps.qExcess(ss, dd, stage = false)),
+    // The stream_* driver-oracled queries EXECUTE a streaming query and
+    // return its memory sink (a LocalTableScan) — document/guard the
+    // batch-mode application of the same transform instead, so the real
+    // operator tree (gates, windowed aggs, bloom gate) stays visible.
+    "stream_ingest" -> ((ss, dd) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.Streams.ingestGated(
+        graft.Tables.documents(ss, dd)
+          .select(col("doc_id"), col("text"),
+            graft.streaming.Streams.docTs.as("ts")))
+        .dropDuplicates("h")
+    }),
+    "stream_token_sketch" -> ((ss, dd) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.Streams.streamTokenSketch(
+        graft.Tables.documents(ss, dd)
+          .select(graft.streaming.Streams.docTs.as("ts"), col("text")))
+    }),
+    "stream_topk" -> ((ss, dd) =>
+      graft.streaming.Streams.streamTopEvents(
+        graft.Tables.events(ss, dd).select("event_id", "ts", "value"))),
+    "stream_quarantine" -> ((ss, dd) => {
+      import org.apache.spark.sql.functions._
+      val all = graft.Tables.documents(ss, dd)
+      graft.streaming.Streams.quarantineStream(
+        all.filter(col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"), graft.streaming.Streams.docTs.as("ts"), col("text")),
+        all.filter(col("doc_id") % 23 === 0).select("doc_id", "text"))
+    }))
 }

@@ -130,6 +130,13 @@ object SparkEntry {
     "stream_scd2"         -> w(Streams.scd2StreamQuery),
     "stream_dedup"    -> w(Streams.streamDedupQuery),
     "stream_interval_join" -> w(Streams.intervalJoinQuery),
+    // C7/C8/C9/C12 + A13: REAL streaming / JDBC executions under the
+    // oracle gate (StreamRun / embedded-Derby roundtrip)
+    "stream_ingest"       -> w(Streams.streamIngestQuery),
+    "stream_token_sketch" -> w(Streams.streamTokenSketchQuery),
+    "stream_topk"         -> w(Streams.streamTopkQuery),
+    "stream_quarantine"   -> w(Streams.streamQuarantineQuery),
+    "jdbc_roundtrip"      -> w(JdbcBulkLoad.roundtripQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
     "dedup_bucketed"  -> w(Dedup.exactBucketed),
@@ -1060,6 +1067,25 @@ object SparkEntry {
       FROM co JOIN ev USING (shingle)
       GROUP BY doc_id, eval_id HAVING count(*) >= 8
       ORDER BY doc_id, eval_id""",
+
+    // C12's streaming gate + offline exact verify: bloom has no false
+    // negatives, so the verified output is D17's relation — same oracle.
+    "stream_quarantine" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM d),
+      f AS (SELECT * FROM s WHERE len(sh) > 0),
+      ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 = 0),
+      co AS (SELECT doc_id, unnest(sh) AS shingle FROM f WHERE doc_id % 23 <> 0)
+      SELECT doc_id, eval_id, count(*) AS n_hits
+      FROM co JOIN ev USING (shingle)
+      GROUP BY doc_id, eval_id HAVING count(*) >= 8
+      ORDER BY doc_id, eval_id""",
+
+    "stream_ingest" -> Streams.streamIngestOracleSql,
+    "stream_token_sketch" -> Streams.streamTokenSketchOracleSql,
+    "stream_topk" -> Streams.streamTopkOracleSql,
+    "jdbc_roundtrip" -> JdbcBulkLoad.roundtripOracleSql,
 
     // The bloom prefilter is exact-verified, so D17b's oracle IS D17's:
     // identical output by construction (DedupSpec pins the equality too).

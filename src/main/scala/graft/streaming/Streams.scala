@@ -187,17 +187,23 @@ object Streams {
     * volume before the single keyed shuffle, which is what keeps a
     * continuous corpus feed at pace with a batch backfill.
     */
-  def ingestStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+  /** C7's stateless front half — quality gates + normalized-content hash,
+    * all per-row inside codegen (shared by the stream and its PlanOnly
+    * batch twin).
+    */
+  def ingestGated(docs: DataFrame): DataFrame = {
     val w = split(lower(col("text")), " ")
-    val gated = docs
+    docs
       .withColumn("n_tok", size(w))
       .withColumn("n_stop", size(filter(w, t =>
         graft.ops.TextAnalysis.stopwords("en").map(x => t === x).reduce(_ || _))))
       .filter(col("n_tok").between(20, 500) && col("n_stop") >= 1)
       .withColumn("h", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-    streamingDedup(gated, "ts", Seq("h"), watermark)
-      .select("doc_id", "n_tok", "ts")
   }
+
+  def ingestStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    streamingDedup(ingestGated(docs), "ts", Seq("h"), watermark)
+      .select("doc_id", "n_tok", "ts")
 
   /** C8: streaming frequent tokens — the E11 Misra-Gries sketch inside a
     * watermarked windowed aggregation. The TypedImperativeAggregate's
@@ -580,11 +586,203 @@ object Streams {
     * watermark interplay; the only state in a full ingest pipeline
     * remains C7's dedup.
     */
-  def quarantineStream(docs: DataFrame, evalDocs: DataFrame, minHits: Int = 8): DataFrame = {
-    val gate = quarantineGate(evalDocs, minHits)
+  def quarantineStream(docs: DataFrame, evalDocs: DataFrame, minHits: Int = 8,
+      estItems: Long = 1L << 16, numBits: Long = 1L << 20): DataFrame = {
+    val gate = quarantineGate(evalDocs, minHits, estItems, numBits)
     docs.withColumn("graft_w", split(lower(col("text")), " "))
       .withColumn("route", gate(col("graft_w")))
       .select("doc_id", "ts", "route")
+  }
+
+  // ---------- C7/C8/C9/C12 driver-oracled REAL streaming runs ----------
+  //
+  // The four operators above were "spec-only by nature": their streaming
+  // executions ran under ScalaTest while the driver gate checked batch
+  // twins. StreamRun closes that gap — each query below EXECUTES the
+  // stream (file source, maxFilesPerTrigger=1 micro-batches, state-store
+  // round-trips, sentinel-flushed watermark) and hands the sink to the
+  // DuckDB oracle, so the streaming path itself is now rows+schema+hash
+  // gated. Output columns are chosen to be ARRIVAL-INVARIANT (exact-
+  // deterministic under any micro-batch partitioning), so the oracle
+  // stays an equality, not a tolerance.
+
+  /** Synthetic event time for the document corpus (documents.parquet
+    * carries no timestamp): doc_id minutes past 2024-01-01 UTC —
+    * deterministic, replayable by the DuckDB oracle, and it spreads the
+    * corpus across hours so windowed/stateful operators see real
+    * multi-window shapes.
+    */
+  private[graft] def docTs =
+    expr("timestamp_micros(1704067200000000 + doc_id * 60000000)")
+  private val docTsSql = "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE"
+
+  /** A watermark delay exceeding the input's whole event-time span, plus
+    * the sentinel timestamp that still closes every real window. The
+    * file source does NOT guarantee ts-ascending micro-batches (part-file
+    * listing order is mtime/path lore) — with a short delay, one
+    * out-of-order batch would advance the watermark over earlier files
+    * and their rows would be DROPPED as late. A span-exceeding delay
+    * makes every in-data row on-time under any arrival order (watermark
+    * after any batch ≤ min(ts) − 1 h), and the sentinel at
+    * max + delay + 2 h pushes the final watermark to max + 2 h —
+    * strictly past every real window's end, while the sentinel's own
+    * window stays open and unemitted. Short-delay eviction behavior is
+    * pinned separately in StreamingSpec with ordered MemoryStream feeds.
+    */
+  private def spanningWatermark(input: DataFrame, tsCol: String): (String, java.sql.Timestamp) = {
+    val mm = input.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+    val delayMin = (maxTs.getTime - minTs.getTime) / 60000 + 60
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + (delayMin + 120) * 60000)
+    (s"$delayMin minutes", sentinelTs)
+  }
+
+  /** C7 driver-oracled run: the REAL ingest stream (gates → watermarked
+    * first-arrival dedup through the state store) over the corpus split
+    * into 3 micro-batches. WHICH member of a duplicate group survives is
+    * arrival-order-dependent (first arrival wins — that's the operator's
+    * contract), so the output is the arrival-invariant image of the kept
+    * set: the normalized-content hash and token count of each surviving
+    * doc — one row per unique gated content, whatever the batch layout.
+    * The watermark horizon (10 years) exceeds the corpus's synthetic
+    * time span, so no dedup state expires mid-run and the kept set is
+    * exactly one-per-hash; the short-horizon re-emission behavior is
+    * pinned separately in StreamingSpec.
+    */
+  def streamIngestQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), docTs.as("ts"))
+    val kept = graft.streaming.StreamRun.toSink(s, docs, "ts", 3,
+      df => ingestStream(df, watermark = "3650 days"))
+    kept.join(Tables.documents(s, d).select("doc_id", "text"), Seq("doc_id"))
+      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        col("n_tok").cast("long").as("n_tok"))
+      .orderBy("h")
+  }
+
+  val streamIngestOracleSql: String = """
+    WITH t AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+             list_has_any(string_split(lower(text), ' '),
+                          ['the', 'a', 'of', 'and', 'to']) AS has_stop
+      FROM documents)
+    SELECT h, min(n_tok) AS n_tok FROM t
+    WHERE n_tok BETWEEN 20 AND 500 AND has_stop
+    GROUP BY h ORDER BY h"""
+
+  /** C8 driver-oracled run: the REAL windowed Misra-Gries stream (sketch
+    * buffers serialize through the state store between micro-batches, a
+    * sentinel closes every window). The candidate SET is sketch-order-
+    * dependent by design, so the gated output is the pair of facts that
+    * are exact: the per-window token count carried by the same aggregate
+    * row, and `superset_ok` — a batch-side exact recount proving every
+    * true heavy hitter (freq > N/65, the k=64 Misra-Gries bound) appears
+    * among the streamed candidates. The oracle pins `superset_ok` to
+    * literal true: if the sketch ever dropped a heavy hitter across a
+    * state-store round-trip, the hash gate fails.
+    */
+  def streamTokenSketchQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(docTs.as("ts"), col("text"))
+    val (delay, sentinelTs) = spanningWatermark(docs, "ts")
+    val sentinel = s.range(1).select(lit(sentinelTs).as("ts"), lit("").as("text"))
+    val sunk = graft.streaming.StreamRun.toSink(s, docs, "ts", 3,
+      df => streamTokenSketch(df, watermark = delay), Some(sentinel))
+    val toks = docs
+      .select(col("ts"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(window(col("ts"), "1 hour"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val hh = toks
+      .withColumn("n_exact", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("window")))
+      .filter(col("cnt") * 65 > col("n_exact"))
+      .groupBy("window").agg(collect_list("tok").as("hh"))
+    sunk.join(hh, Seq("window"), "left")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("n_tok"),
+        (col("hh").isNull || size(array_except(col("hh"), col("cand"))) === 0)
+          .as("superset_ok"))
+      .orderBy("hour_s")
+  }
+
+  val streamTokenSketchOracleSql: String = s"""
+    WITH t AS (
+      SELECT date_trunc('hour', $docTsSql) AS w,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents)
+    SELECT strftime(w, '%Y-%m-%d %H:00') AS hour_s,
+      CAST(count(*) AS BIGINT) AS n_tok, true AS superset_ok
+    FROM t WHERE tok <> '' GROUP BY w ORDER BY hour_s"""
+
+  /** C9 driver-oracled run: the REAL windowed top-k stream — the bounded
+    * heap accumulates across 5 micro-batches through the state store and
+    * a sentinel closes every real window (the sentinel's own window is
+    * never emitted: the watermark stops 2 h short of it). Unlike C7/C8
+    * the full output is already arrival-invariant — the heap keeps a
+    * TOTAL order (value desc, event_id asc), so the exact per-window
+    * top-3 and event count go under B30's row_number oracle unchanged.
+    */
+  def streamTopkQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "value")
+    val (delay, sentinelTs) = spanningWatermark(ev, "ts")
+    val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+      lit(sentinelTs).as("ts"), lit(0.0).cast(ev.schema("value").dataType).as("value"))
+    val sunk = graft.streaming.StreamRun.toSink(s, ev, "ts", 4,
+      df => streamTopEvents(df, watermark = delay), Some(sentinel))
+    sunk
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("n_events"), posexplode(col("top")))
+      .select(col("hour_s"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.payload").as("event_id"), col("col.sort_key").as("value_x100"),
+        col("n_events"))
+      .orderBy("hour_s", "rnk")
+  }
+
+  val streamTopkOracleSql: String = """
+    WITH e AS (SELECT event_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_x100,
+        date_trunc('hour', ts) AS w
+      FROM events),
+    r AS (SELECT w, event_id, value_x100,
+        row_number() OVER (PARTITION BY w ORDER BY value_x100 DESC, event_id) AS rnk,
+        count(*) OVER (PARTITION BY w) AS n_events
+      FROM e)
+    SELECT strftime(w, '%Y-%m-%d %H:00') AS hour_s, CAST(rnk AS BIGINT) AS rnk,
+      event_id, value_x100, CAST(n_events AS BIGINT) AS n_events
+    FROM r WHERE rnk <= 3 ORDER BY hour_s, rnk"""
+
+  /** C12 driver-oracled run: the REAL quarantine stream (per-gate bloom
+    * Literal inside whole-stage codegen, stateless — 3 micro-batches)
+    * followed by the offline exact verify the `quarantine` route exists
+    * to feed: shingle-join only the quarantined docs against the eval
+    * set. Because the bloom has NO false negatives, every contaminated
+    * doc routes quarantine, so the verified output is bit-identical to
+    * D17's full exact join — same oracle. A false positive costs a
+    * doomed verify probe, never a wrong row; a false NEGATIVE (a
+    * contaminated doc slipping through as `clean`) would drop rows the
+    * oracle expects and fail the hash gate — the no-leak guarantee,
+    * driver-checked. Bloom sized 2^20 items / 2^24 bits so the prefilter
+    * stays selective at self-run sf1 (~3M eval shingles).
+    */
+  def streamQuarantineQuery(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val evalDocs = all.filter(col("doc_id") % 23 === 0).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), docTs.as("ts"), col("text"))
+    val routed = graft.streaming.StreamRun.toSink(s, corpus, "ts", 3,
+      df => quarantineStream(df, evalDocs, minHits = 8,
+        estItems = 1L << 20, numBits = 1L << 24))
+    val qIds = routed.filter(col("route") === "quarantine").select("doc_id")
+    val sh = graft.ops.Dedup.withShingles(all).select("doc_id", "sh")
+    val evalSh = sh.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val corpusSh = sh.join(qIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    corpusSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 8)
+      .orderBy("doc_id", "eval_id")
   }
 
   // ---------- C15: stream-stream as-of join ----------
