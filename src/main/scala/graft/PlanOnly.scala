@@ -43,6 +43,8 @@ object PlanOnly {
     "stream_topk" -> ((ss, dd) =>
       graft.streaming.Streams.streamTopEvents(
         graft.Tables.events(ss, dd).select("event_id", "ts", "value"))),
+    "stream_recovery" -> ((ss, dd) =>
+      graft.streaming.Streams.tumblingAgg(graft.Tables.events(ss, dd))),
     "stream_quarantine" -> ((ss, dd) => {
       import org.apache.spark.sql.functions._
       val all = graft.Tables.documents(ss, dd)

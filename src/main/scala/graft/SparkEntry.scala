@@ -137,6 +137,7 @@ object SparkEntry {
     "stream_topk"         -> w(Streams.streamTopkQuery),
     "stream_quarantine"   -> w(Streams.streamQuarantineQuery),
     "jdbc_roundtrip"      -> w(JdbcBulkLoad.roundtripQuery),
+    "stream_recovery"     -> w(Streams.streamRecoveryQuery),
     // D. LLM-training-data operators
     "dedup_exact"     -> w(Dedup.exact),
     "dedup_bucketed"  -> w(Dedup.exactBucketed),
@@ -1083,6 +1084,11 @@ object SparkEntry {
       ORDER BY doc_id, eval_id""",
 
     "stream_ingest" -> Streams.streamIngestOracleSql,
+    // C3 through a checkpoint restart lands on C1's exact relation
+    "stream_recovery" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type,
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_token_sketch" -> Streams.streamTokenSketchOracleSql,
     "stream_topk" -> Streams.streamTopkOracleSql,
     "jdbc_roundtrip" -> JdbcBulkLoad.roundtripOracleSql,

@@ -785,6 +785,35 @@ object Streams {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** C3 driver-oracled run: crash-recovery as a correctness fact, not a
+    * spec assertion. The tumbling aggregation runs through a REAL
+    * checkpoint restart (StreamRun.throughRestart: 8 ts-ordered file
+    * batches, graceful stop after 4 — by which point a quarter-span
+    * watermark has already committed real windows to the parquet sink —
+    * then a brand-new query on the same checkpoint rebuilds watermark +
+    * window state and drains the rest + sentinel). The sink's
+    * `_spark_metadata` manifest is the exactly-once contract: every
+    * window appears once across both legs, and the final sink must
+    * hash-match the batch aggregation of the whole table — C1's oracle,
+    * now gating recovery. Hard-kill chaos (task-level SIGKILL at random
+    * batch boundaries) stays in the ScalaTest chaos specs.
+    */
+  def streamRecoveryQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+    val delayMin = (maxTs.getTime - minTs.getTime) / 60000 / 4 + 60
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + (delayMin + 120) * 60000)
+    val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+      lit(sentinelTs).as("ts"), lit("sentinel").as("event_type"),
+      lit(0.0).cast(ev.schema("value").dataType).as("value"))
+    val (sunk, _) = graft.streaming.StreamRun.throughRestart(s, ev, "ts", 8, 4,
+      df => tumblingAgg(df.withWatermark("ts", s"$delayMin minutes")), sentinel)
+    sunk.select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
   // ---------- C15: stream-stream as-of join ----------
 
   /** One tagged row of the unioned (orders ∪ events) stream. Money rides
