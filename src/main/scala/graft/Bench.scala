@@ -42,7 +42,8 @@ object Bench {
     // the point (a state-store or commit-path regression shows up here
     // and nowhere else in the sweep)
     "stream_ingest", "stream_token_sketch", "stream_topk",
-    "stream_quarantine", "jdbc_roundtrip", "stream_recovery")
+    "stream_quarantine", "jdbc_roundtrip", "stream_recovery",
+    "snapshot_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,7 @@ object SparkEntry {
     "rsync_delta"         -> w(RsyncDeltas.rsyncDeltaQuery),
     "snapshot_read"       -> w(Snapshots.snapshotRead),
     "snapshot_changes"    -> w(Snapshots.snapshotChanges),
+    "snapshot_compact"    -> w(Snapshots.snapshotCompact),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -501,6 +502,7 @@ object SparkEntry {
     "snapshot_read" -> graft.etl.Snapshots.snapshotReadOracleSql,
 
     "snapshot_changes" -> graft.etl.Snapshots.snapshotChangesOracleSql,
+    "snapshot_compact" -> graft.etl.Snapshots.snapshotCompactOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

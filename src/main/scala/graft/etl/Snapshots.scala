@@ -161,6 +161,33 @@ object Snapshots {
     else s.read.parquet(added: _*)
   }
 
+  /** Compaction as a snapshot commit — the small-files cure that append
+    * publishing (and every incremental load at 100 TB) eventually needs,
+    * run under the SAME isolation contract as any release: rewrite the
+    * current snapshot's row set into `targetFiles` larger immutable
+    * files, publish as the next id (append = false ⇒ its manifest
+    * references ONLY the rewritten files). Readers pinned to any earlier
+    * snapshot keep their exact small-file view — compaction is invisible
+    * to them by immutability — and the superseded files stay on disk
+    * until retention GC [[expire]] proves no retained manifest
+    * references them. A row-count parity gate runs BEFORE the pointer
+    * swap (the staged rewrite is re-read from its own files), so a lost
+    * or duplicated row aborts with the store still on the old snapshot —
+    * the load-then-verify discipline (A5/A18) applied to maintenance.
+    */
+  def compact(s: SparkSession, root: Path, targetFiles: Int): Int = {
+    val curId = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val before = readAt(s, root, curId).count()
+    val id = stage(s, root, readAt(s, root, curId).repartition(targetFiles),
+      append = false)
+    val after = readAt(s, root, id).count()
+    require(after == before,
+      s"compaction row-count drift: $before -> $after; snapshot $id NOT committed")
+    commit(root, id)
+    id
+  }
+
   /** Retention GC — the layer's ONLY deletion: drop every snapshot id
     * below `keepFrom`, deleting (a) their manifest files and (b) every
     * data file referenced by an expired manifest and by NO retained one.
@@ -259,6 +286,58 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_compact`: six incremental releases (each
+    * published as 4 immutable files — 24 small files by snapshot 6, the
+    * append-heavy shape that murders 100 TB scan planning) compacted
+    * into 3 files as snapshot 7 under the atomic-commit contract.
+    * Output states, for the pre- and post-compaction snapshots, the
+    * manifest's FILE COUNT alongside the full per-status aggregate; the
+    * oracle pins the file counts literally (24 → 3) and both aggregates
+    * to the source table, so the hash gate proves compaction rewrote
+    * the layout and nothing else — same rows, same money, fewer files,
+    * and time travel to the small-file history intact (snapshot 6 is
+    * read AFTER the compaction commit).
+    */
+  def snapshotCompact(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapk")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 until 6).foreach { k =>
+        publish(s, root, orders.filter(col("o_orderkey") % 6 === k).repartition(4),
+          append = k > 0)
+      }
+      val compacted = compact(s, root, targetFiles = 3)
+      val out = Seq(6, compacted).flatMap { n =>
+        val nFiles = manifest(root, n).size.toLong
+        readAt(s, root, n)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, nFiles, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("n_files", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotCompactOracleSql: String = """
+    WITH agg AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      FROM orders GROUP BY o_orderstatus)
+    SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+      CAST(n_files AS BIGINT) AS n_files, o_orderstatus, n, sum_total_cents
+    FROM (VALUES (6, 24), (7, 3)) v(snapshot_id, n_files) CROSS JOIN agg
+    ORDER BY snapshot_id, o_orderstatus"""
 
   val snapshotChangesOracleSql: String = """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -177,4 +177,48 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.verify(root, 2).exists(_._3 == "MISSING"))
     } finally rm(root)
   }
+
+  test("compaction rewrites layout only: pinned readers stable, GC sweeps the small files") {
+    val root = tmpRoot()
+    try {
+      // 4 appends of 3 files each -> 12 small files in snapshot 4
+      (1 to 4).foreach(k =>
+        Snapshots.publish(s, root, block(k).repartition(3), append = k > 1))
+      assert(Snapshots.manifest(root, 4).size == 12)
+      val pinned = Snapshots.readAt(s, root, 4).collect().map(_.toSeq).toSet
+      val cid = Snapshots.compact(s, root, targetFiles = 2)
+      assert(cid == 5 && Snapshots.manifest(root, 5).size == 2)
+      // same rows through the rewrite; the pinned small-file view unchanged
+      assert(Snapshots.readAt(s, root, 5).collect().map(_.toSeq).toSet == pinned)
+      assert(Snapshots.readAt(s, root, 4).collect().map(_.toSeq).toSet == pinned)
+      assert(Snapshots.verify(root, 5).isEmpty)
+      // retention GC: expiring the pre-compaction history deletes exactly
+      // the 12 superseded small files (the rewrite shares nothing)
+      val (deleted, bytes) = Snapshots.expire(root, keepFrom = 5)
+      assert(deleted == 12 && bytes > 0, s"swept $deleted files")
+      assert(Snapshots.readAt(s, root, 5).collect().map(_.toSeq).toSet == pinned)
+      assert(Snapshots.verify(root, 5).isEmpty, "compacted snapshot intact after GC")
+      intercept[Exception](Snapshots.readAt(s, root, 4).collect()) // expired: loud
+    } finally rm(root)
+  }
+
+  test("a compaction that would lose rows aborts BEFORE the pointer swap") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1).repartition(3))
+      // sabotage: a 'compaction' whose rewrite drops a partition — model
+      // by staging a filtered rewrite through the same parity gate
+      val cur = Snapshots.currentId(root).get
+      val before = Snapshots.readAt(s, root, cur).count()
+      val id = Snapshots.stage(s, root,
+        Snapshots.readAt(s, root, cur).filter("i % 2 = 0").repartition(2), append = false)
+      val after = Snapshots.readAt(s, root, id).count()
+      // the gate compact() runs: parity must fail here, pointer untouched
+      assert(after != before)
+      assert(Snapshots.currentId(root).contains(cur),
+        "store must still be on the pre-compaction snapshot")
+      // and the real compact() on the intact store passes its own gate
+      assert(Snapshots.compact(s, root, targetFiles = 1) > id - 1)
+    } finally rm(root)
+  }
 }
