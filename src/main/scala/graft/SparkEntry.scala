@@ -79,6 +79,7 @@ object SparkEntry {
     "snapshot_read"       -> w(Snapshots.snapshotRead),
     "snapshot_changes"    -> w(Snapshots.snapshotChanges),
     "snapshot_compact"    -> w(Snapshots.snapshotCompact),
+    "snapshot_prune"      -> w(Snapshots.snapshotPrune),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -503,6 +504,7 @@ object SparkEntry {
 
     "snapshot_changes" -> graft.etl.Snapshots.snapshotChangesOracleSql,
     "snapshot_compact" -> graft.etl.Snapshots.snapshotCompactOracleSql,
+    "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -42,7 +42,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Snapshots {
 
-  final case class ManifestEntry(relPath: String, md5: String, bytes: Long)
+  /** One immutable data file of a snapshot. `stats` optionally carries
+    * (min, max) of the snapshot's declared stats column for THIS file —
+    * the manifest-level zone map that lets a reader skip files without
+    * opening them (or listing anything). Absent stats mean "cannot
+    * skip", never "skip": old manifests and stat-less publishes stay
+    * fully readable and merely unpruned.
+    */
+  final case class ManifestEntry(relPath: String, md5: String, bytes: Long,
+                                 stats: Option[(Long, Long)] = None)
 
   private def md5hex(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -76,9 +84,19 @@ object Snapshots {
     Files.readAllLines(root.resolve("manifests").resolve(s"manifest-$n")).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(rel, md5, bytes) = line.split('\t')
-        ManifestEntry(rel, md5, bytes.toLong)
+        line.split('\t') match {
+          case Array(rel, md5, bytes) => ManifestEntry(rel, md5, bytes.toLong)
+          case Array(rel, md5, bytes, lo, hi) =>
+            ManifestEntry(rel, md5, bytes.toLong, Some((lo.toLong, hi.toLong)))
+          case other => throw new IllegalStateException(
+            s"malformed manifest-$n line: ${other.mkString("\\t")}")
+        }
       }
+
+  private def manifestLine(e: ManifestEntry): String = e.stats match {
+    case Some((lo, hi)) => s"${e.relPath}\t${e.md5}\t${e.bytes}\t$lo\t$hi"
+    case None           => s"${e.relPath}\t${e.md5}\t${e.bytes}"
+  }
 
   /** Stage `df` as immutable data files for the NEXT snapshot id and
     * write that snapshot's manifest — everything EXCEPT the pointer
@@ -88,23 +106,38 @@ object Snapshots {
     * the previous snapshot's entries verbatim (shared immutable files)
     * and adds only the new data — the incremental-release shape.
     */
-  def stage(s: SparkSession, root: Path, df: DataFrame, append: Boolean): Int = {
+  def stage(s: SparkSession, root: Path, df: DataFrame, append: Boolean,
+            statsCol: Option[String] = None): Int = {
     val prev = currentId(root)
     val id = prev.getOrElse(0) + 1
     val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
+    // Per-file (min, max) of the stats column, gathered in ONE job over
+    // the freshly-written files (grouped by file, not a job per file).
+    val statsByFile: Map[String, (Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        s.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+          .collect()
+          .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
     val listing = Files.list(dataDir)
     val fresh = try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        statsByFile.get(p.getFileName.toString)))
     finally listing.close()
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
     Files.createDirectories(root.resolve("manifests"))
     atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (carried ++ fresh).map(e => s"${e.relPath}\t${e.md5}\t${e.bytes}").mkString("\n"))
+      (carried ++ fresh).map(manifestLine).mkString("\n"))
     id
   }
 
@@ -114,8 +147,9 @@ object Snapshots {
   def commit(root: Path, id: Int): Unit =
     atomicWrite(root.resolve("_current"), id.toString)
 
-  def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false): Int = {
-    val id = stage(s, root, df, append)
+  def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
+              statsCol: Option[String] = None): Int = {
+    val id = stage(s, root, df, append, statsCol)
     commit(root, id)
     id
   }
@@ -124,6 +158,28 @@ object Snapshots {
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
     val files = manifest(root, n).map(e => root.resolve(e.relPath).toString)
     s.read.parquet(files: _*)
+  }
+
+  /** Manifest-pruned range read: open ONLY the files whose zone map
+    * ([min, max] of the snapshot's stats column) intersects [lo, hi] —
+    * plus any file without stats, which can never be skipped. This is
+    * the 100 TB read path: predicate → tiny manifest scan → exact file
+    * list, no directory listing, no footer fetches for skipped files;
+    * with range-clustered publishes (repartitionByRange on the stats
+    * column) a point/range query opens O(range / file-span) files of a
+    * million-file table. The residual filter still applies row-level —
+    * pruning is an I/O optimization, never a semantics change.
+    */
+  def readPruned(s: SparkSession, root: Path, n: Int, statsCol: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val picked = manifest(root, n).filter(_.stats match {
+      case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+      case None             => true // unknown stats: must read
+    }).map(e => root.resolve(e.relPath).toString)
+    val base =
+      if (picked.isEmpty) readAt(s, root, n).limit(0)
+      else s.read.parquet(picked: _*)
+    base.filter(col(statsCol).between(lo, hi))
   }
 
   def readCurrent(s: SparkSession, root: Path): DataFrame =
@@ -175,12 +231,20 @@ object Snapshots {
     * or duplicated row aborts with the store still on the old snapshot —
     * the load-then-verify discipline (A5/A18) applied to maintenance.
     */
-  def compact(s: SparkSession, root: Path, targetFiles: Int): Int = {
+  def compact(s: SparkSession, root: Path, targetFiles: Int,
+              statsCol: Option[String] = None): Int = {
     val curId = currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
     val before = readAt(s, root, curId).count()
-    val id = stage(s, root, readAt(s, root, curId).repartition(targetFiles),
-      append = false)
+    val cur = readAt(s, root, curId)
+    // with a stats column, compaction doubles as RE-CLUSTERING: range
+    // partitioning makes the rewritten files' zone maps disjoint, which
+    // is what turns readPruned into an O(range) scan
+    val rewritten = statsCol match {
+      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+      case None    => cur.repartition(targetFiles)
+    }
+    val id = stage(s, root, rewritten, append = false, statsCol)
     val after = readAt(s, root, id).count()
     require(after == before,
       s"compaction row-count drift: $before -> $after; snapshot $id NOT committed")
@@ -329,6 +393,51 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_prune`: zone-map file skipping through the
+    * manifest. Orders published range-clustered on `o_orderkey` into 8
+    * files with per-file (min, max) stats; a key-range read resolves
+    * pointer → manifest → zone maps and opens ONLY intersecting files
+    * (a `require` proves strictly fewer than the manifest's total were
+    * opened BEFORE the answer is trusted — at sf0.1 that is 1-2 of 8).
+    * The oracle is the plain filtered aggregate over the source table,
+    * so the hash gate proves pruning is pure I/O savings: same rows,
+    * same money, a fraction of the files. At a million-file table this
+    * read never lists a directory and never fetches a skipped footer.
+    */
+  def snapshotPrune(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapp")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartitionByRange(8, col("o_orderkey")),
+        statsCol = Some("o_orderkey"))
+      val pruned = readPruned(s, root, 1, "o_orderkey", 1000L, 2999L)
+      val opened = pruned.inputFiles.length
+      val total = manifest(root, 1).size
+      require(opened < total, s"zone maps skipped nothing: opened $opened of $total")
+      val out = pruned.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .collect()
+        .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotPruneOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   val snapshotCompactOracleSql: String = """
     WITH agg AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -221,4 +221,36 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.compact(s, root, targetFiles = 1) > id - 1)
     } finally rm(root)
   }
+
+  test("zone-map pruning: skips files, never rows; stat-less manifests read fully") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      val df = (0L until 1000L).map(i => (i, i % 7)).toDF("k", "v")
+      // range-clustered publish with per-file (min, max) of k
+      Snapshots.publish(s, root, df.repartitionByRange(10, org.apache.spark.sql.functions.col("k")),
+        statsCol = Some("k"))
+      val pruned = Snapshots.readPruned(s, root, 1, "k", 200, 399)
+      assert(pruned.inputFiles.length < Snapshots.manifest(root, 1).size,
+        s"no files skipped: ${pruned.inputFiles.length}")
+      // pruning is I/O only: exact same rows as the unpruned filter
+      val full = Snapshots.readAt(s, root, 1).filter("k BETWEEN 200 AND 399")
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+      // an append WITHOUT stats: its files cannot be skipped, so the
+      // pruned read must open them and still be exact
+      Snapshots.publish(s, root,
+        (2000L until 2100L).map(i => (i, i % 7)).toDF("k", "v").repartition(2),
+        append = true)
+      val pruned2 = Snapshots.readPruned(s, root, 2, "k", 200, 399)
+      assert(pruned2.count() == 200, "stat-less appended files must not be skipped")
+      val entries2 = Snapshots.manifest(root, 2)
+      assert(entries2.count(_.stats.isEmpty) == 2 && entries2.count(_.stats.isDefined) == 10)
+      // compaction with a stats column RE-CLUSTERS: zone maps come back
+      // disjoint and the same range read prunes again
+      Snapshots.compact(s, root, targetFiles = 5, statsCol = Some("k"))
+      val pruned3 = Snapshots.readPruned(s, root, 3, "k", 200, 399)
+      assert(pruned3.inputFiles.length < 5, "re-clustered compact must restore pruning")
+      assert(pruned3.count() == 200)
+    } finally rm(root)
+  }
 }
