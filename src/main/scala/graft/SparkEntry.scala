@@ -80,6 +80,7 @@ object SparkEntry {
     "snapshot_changes"    -> w(Snapshots.snapshotChanges),
     "snapshot_compact"    -> w(Snapshots.snapshotCompact),
     "snapshot_prune"      -> w(Snapshots.snapshotPrune),
+    "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -505,6 +506,7 @@ object SparkEntry {
     "snapshot_changes" -> graft.etl.Snapshots.snapshotChangesOracleSql,
     "snapshot_compact" -> graft.etl.Snapshots.snapshotCompactOracleSql,
     "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
+    "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

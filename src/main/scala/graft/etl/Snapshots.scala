@@ -75,10 +75,29 @@ object Snapshots {
     }
   }
 
-  def currentId(root: Path): Option[Int] = {
+  /** Pointer format: `snapshotId` or `snapshotId\tbatchId` — the second
+    * field records the streaming micro-batch that committed the
+    * snapshot, ATOMICALLY with it (same rename), which is what makes
+    * [[publishBatch]] replay-idempotent. Plain-`id` pointers from
+    * non-streaming publishes parse fine (no batch watermark).
+    */
+  private def pointer(root: Path): Option[(Int, Option[Long])] = {
     val p = root.resolve("_current")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8).trim.toInt) else None
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), UTF_8).trim.split('\t') match {
+      case Array(id)      => Some((id.toInt, None))
+      case Array(id, bid) => Some((id.toInt, Some(bid.toLong)))
+      case other => throw new IllegalStateException(
+        s"malformed _current: ${other.mkString("\\t")}")
+    }
   }
+
+  def currentId(root: Path): Option[Int] = pointer(root).map(_._1)
+
+  /** Highest streaming micro-batch id ever committed (None before the
+    * first streaming publish or after a plain publish).
+    */
+  def lastBatchId(root: Path): Option[Long] = pointer(root).flatMap(_._2)
 
   def manifest(root: Path, n: Int): Seq[ManifestEntry] =
     Files.readAllLines(root.resolve("manifests").resolve(s"manifest-$n")).asScala.toSeq
@@ -142,15 +161,41 @@ object Snapshots {
   }
 
   /** The commit: one atomic pointer rename. After this returns, every
-    * reader resolves snapshot `id`; before it, none can.
+    * reader resolves snapshot `id`; before it, none can. `batchId`
+    * rides in the same rename when a streaming micro-batch commits.
     */
-  def commit(root: Path, id: Int): Unit =
-    atomicWrite(root.resolve("_current"), id.toString)
+  def commit(root: Path, id: Int, batchId: Option[Long] = None): Unit =
+    atomicWrite(root.resolve("_current"),
+      batchId.fold(id.toString)(b => s"$id\t$b"))
+
+  /** Exactly-once streaming ingestion: commit one micro-batch as one
+    * appended snapshot, idempotently. Structured Streaming's foreachBatch
+    * contract is at-least-once — after a crash between sink commit and
+    * checkpoint write, the SAME batch id is re-delivered with the SAME
+    * data. The batch id is committed atomically WITH the snapshot (one
+    * pointer rename), so the replay check (`lastBatchId >= batchId` ⇒
+    * no-op) and the data it guards can never disagree: every micro-batch
+    * lands in the table exactly once, whatever the crash point. Returns
+    * whether this call committed (false = replay skipped). Composes with
+    * everything downstream: per-batch CDC (`readChanges(n-1, n)` = that
+    * batch's rows), pinned readers mid-ingest, compaction after churn.
+    */
+  def publishBatch(s: SparkSession, root: Path, df: DataFrame, batchId: Long): Boolean = {
+    if (lastBatchId(root).exists(_ >= batchId)) false
+    else {
+      val id = stage(s, root, df, append = currentId(root).isDefined)
+      commit(root, id, Some(batchId))
+      true
+    }
+  }
 
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
               statsCol: Option[String] = None): Int = {
     val id = stage(s, root, df, append, statsCol)
-    commit(root, id)
+    // carry any streaming batch watermark forward: a plain publish (or
+    // compaction) on a streamed table must NOT reopen the door to a
+    // micro-batch replay double-ingesting after maintenance
+    commit(root, id, lastBatchId(root))
     id
   }
 
@@ -248,7 +293,7 @@ object Snapshots {
     val after = readAt(s, root, id).count()
     require(after == before,
       s"compaction row-count drift: $before -> $after; snapshot $id NOT committed")
-    commit(root, id)
+    commit(root, id, lastBatchId(root)) // keep the streaming batch watermark
     id
   }
 
@@ -432,6 +477,56 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31×C query `stream_snapshot_ingest`: the lakehouse write path —
+    * a REAL event stream (4 file-source micro-batches) lands in the
+    * snapshot store through `foreachBatch(publishBatch)`, one atomic
+    * appended snapshot per micro-batch. In-query proofs before the
+    * answer: exactly 4 snapshots exist (one per batch), and re-delivering
+    * the last batch id — foreachBatch's at-least-once replay after a
+    * crash between sink commit and checkpoint write — is a no-op with
+    * the pointer unmoved. The final table state then hash-matches the
+    * batch aggregate of the whole source: every event exactly once
+    * through the streaming commit protocol. Downstream, each batch is a
+    * first-class release: time travel, per-batch CDC via readChanges,
+    * compaction after ingest churn — pinned in SnapshotSpec.
+    */
+  def streamSnapshotIngest(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapi")
+    try {
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      graft.streaming.StreamRun.toForeachBatch(s, ev, "ts", 4, df => df,
+        (batch, bid) => { publishBatch(s, root, batch, bid); () })
+      val nSnaps = currentId(root).getOrElse(0)
+      require(nSnaps == 4, s"expected one snapshot per micro-batch, got $nSnaps")
+      val last = lastBatchId(root).getOrElse(-1L)
+      require(!publishBatch(s, root, readCurrent(s, root).limit(1), last),
+        "replayed micro-batch must be skipped")
+      require(currentId(root).contains(nSnaps), "replay must not move the pointer")
+      val out = readCurrent(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .collect()
+        .map(r => Row(nSnaps.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("n_snapshots", LongType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("event_type")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val streamSnapshotIngestOracleSql: String = """
+    SELECT CAST(4 AS BIGINT) AS n_snapshots, event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   val snapshotPruneOracleSql: String = """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

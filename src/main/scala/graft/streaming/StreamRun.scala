@@ -58,6 +58,24 @@ object StreamRun {
     s.table(name)
   }
 
+  /** Like [[toSink]] but the stream lands in a caller-supplied
+    * foreachBatch sink (e.g. the snapshot layer's transactional
+    * [[graft.etl.Snapshots.publishBatch]]) instead of a memory table.
+    */
+  def toForeachBatch(s: SparkSession, input: DataFrame, tsCol: String, nFiles: Int,
+                     transform: DataFrame => DataFrame,
+                     sink: (DataFrame, Long) => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_stream_fb").toString
+    input.repartitionByRange(nFiles, col(tsCol))
+      .write.mode("overwrite").parquet(dir)
+    val src = s.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = transform(src).writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+  }
+
   /** Run `transform` through a CHECKPOINT RESTART into an exactly-once
     * parquet file sink: stage `nFiles` event-time-ranged files, feed the
     * first `firstFiles` into the live source dir ONE PER DRAIN CYCLE

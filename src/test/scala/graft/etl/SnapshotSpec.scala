@@ -253,4 +253,35 @@ class SnapshotSpec extends AnyFunSuite {
       assert(pruned3.count() == 200)
     } finally rm(root)
   }
+
+  test("publishBatch is exactly-once under micro-batch replay at any crash point") {
+    val root = tmpRoot()
+    try {
+      assert(Snapshots.publishBatch(s, root, block(1), 0L))
+      assert(Snapshots.publishBatch(s, root, block(2), 1L))
+      assert(Snapshots.currentId(root).contains(2) && Snapshots.lastBatchId(root).contains(1L))
+      // foreachBatch replay: a crash between sink commit and checkpoint
+      // write re-delivers the SAME batch id — must be a no-op, pointer
+      // unmoved, no duplicate rows
+      assert(!Snapshots.publishBatch(s, root, block(2), 1L))
+      assert(!Snapshots.publishBatch(s, root, block(1), 0L))
+      assert(Snapshots.currentId(root).contains(2))
+      assert(Snapshots.readCurrent(s, root).count() == 200)
+      // each micro-batch is a first-class release: per-batch CDC
+      val cdc = Snapshots.readChanges(s, root, 1, 2)
+      val b2 = block(2)
+      assert(cdc.exceptAll(b2).isEmpty && b2.exceptAll(cdc).isEmpty)
+      // ingestion continues after the replay noise
+      assert(Snapshots.publishBatch(s, root, block(3), 2L))
+      assert(Snapshots.readCurrent(s, root).count() == 300)
+      // maintenance carries the batch watermark FORWARD: a micro-batch
+      // replay arriving after compaction must still be a no-op, or the
+      // compacted table double-ingests
+      Snapshots.compact(s, root, targetFiles = 2)
+      assert(Snapshots.lastBatchId(root).contains(2L),
+        "compaction must preserve the streaming batch watermark")
+      assert(!Snapshots.publishBatch(s, root, block(3), 2L))
+      assert(Snapshots.readCurrent(s, root).count() == 300)
+    } finally rm(root)
+  }
 }
