@@ -81,6 +81,7 @@ object SparkEntry {
     "snapshot_compact"    -> w(Snapshots.snapshotCompact),
     "snapshot_prune"      -> w(Snapshots.snapshotPrune),
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
+    "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -507,6 +508,7 @@ object SparkEntry {
     "snapshot_compact" -> graft.etl.Snapshots.snapshotCompactOracleSql,
     "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
+    "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

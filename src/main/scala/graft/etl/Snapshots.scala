@@ -227,6 +227,71 @@ object Snapshots {
     base.filter(col(statsCol).between(lo, hi))
   }
 
+  private def bloomPath(root: Path, relPath: String): Path =
+    root.resolve("blooms").resolve(relPath + ".bloom")
+
+  /** Decoupled metadata maintenance: build a per-file Bloom filter over
+    * `keyCol` for every data file of snapshot `n` that lacks one — the
+    * POINT-lookup complement to the zone maps (a hash-distributed key
+    * visits every file's [min, max], so range stats prune nothing; the
+    * bloom answers "might this file hold key k" per file). One Spark job
+    * for all missing files (grouped by file), blooms written as
+    * immutable SIDECARS next to the layer's data (`blooms/<relPath>
+    * .bloom`) rather than inline in the manifest — a million-file
+    * table's manifest stays a listing, not a gigabyte of filters.
+    * Sidecars are keyed by data-file path, so they stay valid for every
+    * manifest that references the file and die with it at GC.
+    */
+  def buildBlooms(s: SparkSession, root: Path, n: Int, keyCol: String,
+                  estItems: Long = 1L << 18, numBits: Long = 1L << 23): Int = {
+    val missing = manifest(root, n).filterNot(e => Files.exists(bloomPath(root, e.relPath)))
+    if (missing.isEmpty) return 0
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    val byFile = s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(call_function("graft_bloom_agg",
+        col(keyCol).cast("long"), lit(estItems), lit(numBits)).as("bf"))
+      .collect()
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString -> r.getAs[Array[Byte]](1))
+      .toMap
+    missing.foreach { e =>
+      val fileName = java.nio.file.Paths.get(e.relPath).getFileName.toString
+      byFile.get(fileName).foreach { bytes =>
+        val p = bloomPath(root, e.relPath)
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes)
+      }
+    }
+    missing.size
+  }
+
+  /** Point lookup through the bloom sidecars: open ONLY the files whose
+    * bloom admits at least one probe key — plus files without a bloom,
+    * which can never be skipped. False positives cost a doomed file
+    * read, never a wrong row (the exact `isin` filter still applies);
+    * false negatives don't exist, so a missing row is a true absence.
+    */
+  def readPoint(s: SparkSession, root: Path, n: Int, keyCol: String,
+                keys: Seq[Long]): DataFrame = {
+    val picked = manifest(root, n).filter { e =>
+      val p = bloomPath(root, e.relPath)
+      if (!Files.exists(p)) true // unknown: must read
+      else {
+        val in = Files.newInputStream(p)
+        val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+        keys.exists(bloom.mightContainLong)
+      }
+    }.map(e => root.resolve(e.relPath).toString)
+    val base =
+      if (picked.isEmpty) readAt(s, root, n).limit(0)
+      else s.read.parquet(picked: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
   def readCurrent(s: SparkSession, root: Path): DataFrame =
     readAt(s, root, currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root")))
@@ -322,6 +387,9 @@ object Snapshots {
       .filterNot(keepFiles).foreach { rel =>
         val p = root.resolve(rel)
         if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); n += 1 }
+        // a bloom sidecar is metadata OF the data file: it dies with it
+        val b = bloomPath(root, rel)
+        if (Files.exists(b)) { bytes += Files.size(b); Files.delete(b) }
       }
     expired.foreach(i => Files.delete(root.resolve("manifests").resolve(s"manifest-$i")))
     (n, bytes)
@@ -521,6 +589,57 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_point`: bloom-sidecar point lookups where zone
+    * maps are provably useless — orders HASH-distributed over 8 files
+    * (every file's key range spans the whole table), then three probe
+    * keys answered by opening only the files whose blooms admit them,
+    * and one absent key (max + 12345) answered by opening ZERO files —
+    * both facts `require`d in-query before the rows are trusted. The
+    * oracle restates the probe via plain SQL (lowest three keys ≥ 1000,
+    * a deterministic self-join the DuckDB side replays), so the hash
+    * gate proves bloom skipping returns exactly the true rows: no
+    * false-negative loss, FPs at most cost I/O. The point-read path a
+    * feature store or dedup-by-id check runs against a 100 TB table.
+    */
+  def snapshotPoint(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapb")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartition(8, col("o_orderkey")))
+      buildBlooms(s, root, 1, "o_orderkey")
+      val probes = orders.filter(col("o_orderkey") >= 1000)
+        .orderBy("o_orderkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val absent = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 12345L
+      val hit = readPoint(s, root, 1, "o_orderkey", probes)
+      val total = manifest(root, 1).size
+      require(hit.inputFiles.length < total,
+        s"blooms skipped nothing: opened ${hit.inputFiles.length} of $total")
+      require(readPoint(s, root, 1, "o_orderkey", Seq(absent)).inputFiles.isEmpty,
+        "an absent key must open zero files")
+      val out = hit.collect()
+        .map(r => Row(r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderkey")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotPointOracleSql: String = """
+    SELECT o_orderkey, o_orderstatus,
+      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000
+      ORDER BY o_orderkey LIMIT 3)
+    ORDER BY o_orderkey"""
 
   val streamSnapshotIngestOracleSql: String = """
     SELECT CAST(4 AS BIGINT) AS n_snapshots, event_type,

@@ -284,4 +284,41 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.readCurrent(s, root).count() == 300)
     } finally rm(root)
   }
+
+  test("bloom sidecars: point lookups skip files on hash layouts; GC sweeps them with their data") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      val df = (0L until 4000L).map(i => (i * 7, i % 5)).toDF("k", "v")
+      // hash layout: every file's [min, max] spans the table — zone maps prune nothing
+      Snapshots.publish(s, root, df.repartition(8, org.apache.spark.sql.functions.col("k")))
+      assert(Snapshots.buildBlooms(s, root, 1, "k") == 8)
+      assert(Snapshots.buildBlooms(s, root, 1, "k") == 0, "idempotent: sidecars reused")
+      val hit = Snapshots.readPoint(s, root, 1, "k", Seq(7L, 1400L, 27993L))
+      assert(hit.inputFiles.length < 8, "blooms must skip files")
+      assert(hit.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 1400L, 27993L))
+      // no false negatives: an absent key opens zero files and returns zero rows
+      val miss = Snapshots.readPoint(s, root, 1, "k", Seq(3L)) // 3 not a multiple of 7
+      assert(miss.count() == 0)
+      // an append WITHOUT blooms stays readable (its files never skipped)
+      Snapshots.publish(s, root, Seq((1000001L, 9L)).toDF("k", "v"), append = true)
+      val afterAppend = Snapshots.readPoint(s, root, 2, "k", Seq(1000001L))
+      assert(afterAppend.count() == 1, "bloom-less appended file must not be skipped")
+      // GC: compact then expire — the 9 superseded data files AND their
+      // bloom sidecars disappear together; no orphan metadata
+      Snapshots.compact(s, root, targetFiles = 2)
+      Snapshots.expire(root, keepFrom = 3)
+      val bloomDir = root.resolve("blooms")
+      val leftover =
+        if (!java.nio.file.Files.exists(bloomDir)) Nil
+        else {
+          val walk = java.nio.file.Files.walk(bloomDir)
+          try walk.iterator().asScala.toSeq.filter(p =>
+            p.getFileName.toString.endsWith(".bloom"))
+          finally walk.close()
+        }
+      assert(leftover.isEmpty, s"orphan bloom sidecars: $leftover")
+      assert(Snapshots.readCurrent(s, root).count() == 4001)
+    } finally rm(root)
+  }
 }
