@@ -644,16 +644,19 @@ object Streams {
     * contract), so the output is the arrival-invariant image of the kept
     * set: the normalized-content hash and token count of each surviving
     * doc — one row per unique gated content, whatever the batch layout.
-    * The watermark horizon (10 years) exceeds the corpus's synthetic
-    * time span, so no dedup state expires mid-run and the kept set is
-    * exactly one-per-hash; the short-horizon re-emission behavior is
-    * pinned separately in StreamingSpec.
+    * The watermark horizon EXCEEDS the corpus's synthetic time span
+    * (spanningWatermark — a fixed horizon re-emitted duplicates at the
+    * self-run sf1, whose replica key-shift stretches doc_id minutes
+    * across centuries), so no dedup state expires mid-run and the kept
+    * set is exactly one-per-hash; the short-horizon re-emission behavior
+    * is pinned separately in StreamingSpec.
     */
   def streamIngestQuery(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), docTs.as("ts"))
+    val (delay, _) = spanningWatermark(docs, "ts")
     val kept = graft.streaming.StreamRun.toSink(s, docs, "ts", 3,
-      df => ingestStream(df, watermark = "3650 days"))
+      df => ingestStream(df, watermark = delay))
     kept.join(Tables.documents(s, d).select("doc_id", "text"), Seq("doc_id"))
       .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
         col("n_tok").cast("long").as("n_tok"))
