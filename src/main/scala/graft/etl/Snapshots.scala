@@ -199,6 +199,36 @@ object Snapshots {
     id
   }
 
+  private val writerMutex = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Writer serialization for when the single-writer contract meets
+    * reality. The layer is single-writer by design (the reference runs
+    * ONE load pipeline); if two pipelines share a store anyway, naive
+    * concurrent publishes corrupt silently — both stagers read the same
+    * `currentId`, pick the same next snapshot id, and overwrite each
+    * other's staging dir and manifest. This wraps stage+commit in a
+    * per-store JVM monitor plus an OS file lock (`_writer.lock`), so
+    * concurrent publishes SERIALIZE: every writer gets its own id, every
+    * append chains off the actual latest manifest. Single-host mutual
+    * exclusion; an object-store deployment swaps the lock for the
+    * store's compare-and-swap on the pointer — the commit is already a
+    * single atomic rename precisely so that swap is mechanical.
+    */
+  def publishLocked(s: SparkSession, root: Path, df: DataFrame,
+                    append: Boolean = false, statsCol: Option[String] = None): Int = {
+    val mon = writerMutex.computeIfAbsent(
+      root.toAbsolutePath.toString, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_writer.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try publish(s, root, df, append, statsCol) finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   /** Time travel: the exact immutable file set of snapshot `n`. */
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
     val files = manifest(root, n).map(e => root.resolve(e.relPath).toString)

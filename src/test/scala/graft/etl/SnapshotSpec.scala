@@ -321,4 +321,42 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.readCurrent(s, root).count() == 4001)
     } finally rm(root)
   }
+
+  test("publishLocked serializes a concurrent-writer storm; readers only ever see whole releases") {
+    val root = tmpRoot()
+    try {
+      val writers = 4; val each = 3
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
+      val torn = new AtomicInteger(0)
+      val stopReader = new AtomicBoolean(false)
+      // a reader hammering readCurrent mid-storm: every append is a whole
+      // 100-row block, so any visible count not a multiple of 100 is a
+      // torn read
+      val reader = pool.submit(new Runnable { def run(): Unit =
+        while (!stopReader.get()) {
+          Snapshots.currentId(root).foreach { _ =>
+            if (Snapshots.readCurrent(s, root).count() % 100 != 0) torn.incrementAndGet()
+          }
+        }
+      })
+      // append=true chains off whatever is current WHEN THE LOCK IS HELD
+      // (stage() carries Nil when no snapshot exists yet), so every
+      // writer's releases all land - no outside-the-lock decision racing
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Int]] { def call(): Seq[Int] =
+          (0 until each).map { i =>
+            Snapshots.publishLocked(s, root, block(w * 100 + i), append = true)
+          }
+        })
+      }
+      val ids = tasks.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      stopReader.set(true); reader.get(); pool.shutdown()
+      // every writer got its OWN snapshot id - no clobbered staging dirs
+      assert(ids.sorted == (1 to writers * each), s"id collision/loss: ${ids.sorted}")
+      assert(torn.get() == 0, s"${torn.get()} torn reads during the storm")
+      // and no release was lost: all 12 appended blocks are in the table
+      assert(Snapshots.readCurrent(s, root).count() == writers * each * 100L)
+      assert(Snapshots.verify(root, Snapshots.currentId(root).get).isEmpty)
+    } finally rm(root)
+  }
 }
