@@ -790,8 +790,8 @@ object Streams {
 
   /** C3 driver-oracled run: crash-recovery as a correctness fact, not a
     * spec assertion. The tumbling aggregation runs through a REAL
-    * checkpoint restart (StreamRun.throughRestart: 8 ts-ordered file
-    * batches, graceful stop after 4 — by which point a quarter-span
+    * checkpoint restart (StreamRun.throughRestart: 6 ts-ordered file
+    * batches, graceful stop after 3 — by which point a quarter-span
     * watermark has already committed real windows to the parquet sink —
     * then a brand-new query on the same checkpoint rebuilds watermark +
     * window state and drains the rest + sentinel). The sink's
@@ -810,7 +810,7 @@ object Streams {
     val sentinel = s.range(1).select(lit(-1L).as("event_id"),
       lit(sentinelTs).as("ts"), lit("sentinel").as("event_type"),
       lit(0.0).cast(ev.schema("value").dataType).as("value"))
-    val (sunk, _) = graft.streaming.StreamRun.throughRestart(s, ev, "ts", 8, 4,
+    val (sunk, _) = graft.streaming.StreamRun.throughRestart(s, ev, "ts", 6, 3,
       df => tumblingAgg(df.withWatermark("ts", s"$delayMin minutes")), sentinel)
     sunk.select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_s"),
         col("event_type"), col("n"), col("sum_value"))
