@@ -82,6 +82,7 @@ object SparkEntry {
     "snapshot_prune"      -> w(Snapshots.snapshotPrune),
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
+    "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -509,6 +510,7 @@ object SparkEntry {
     "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
+    "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -189,6 +189,37 @@ object Snapshots {
     }
   }
 
+  /** Row-level delete as a snapshot commit (merge-on-read): write the
+    * distinct keys as ONE tombstone file under `deletes/`, publish a
+    * manifest = previous entries + the tombstone. O(deleted keys) I/O
+    * regardless of table size — no data file is opened, let alone
+    * rewritten; the anti-join cost moves to readers until the next
+    * compaction folds the tombstones in physically. `keys` must be a
+    * single column whose NAME is the key column (the tombstone's schema
+    * carries the join key, so reads need no out-of-band declaration).
+    */
+  def publishDeletes(s: SparkSession, root: Path, keys: DataFrame): Int = {
+    require(keys.columns.length == 1,
+      s"tombstone = one key column, got ${keys.columns.mkString(",")}")
+    val prev = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val id = prev + 1
+    val delDir = root.resolve("deletes").resolve(f"snap-$id%05d")
+    Files.createDirectories(delDir)
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val listing = Files.list(delDir)
+    val fresh = try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+    finally listing.close()
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (manifest(root, prev) ++ fresh).map(manifestLine).mkString("\n"))
+    commit(root, id, lastBatchId(root))
+    id
+  }
+
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
               statsCol: Option[String] = None): Int = {
     val id = stage(s, root, df, append, statsCol)
@@ -229,10 +260,38 @@ object Snapshots {
     }
   }
 
-  /** Time travel: the exact immutable file set of snapshot `n`. */
+  /** Row-level deletes on immutable files are MERGE-ON-READ: a delete
+    * commit adds a tombstone file (one key column — its schema names
+    * the key) under `deletes/` to the manifest; every read path
+    * anti-joins the union of the snapshot's tombstones before
+    * returning. Data files are never touched, so pinned readers and
+    * time travel see pre-delete history; compaction applies deletes
+    * PHYSICALLY (it rewrites the merged view and its fresh manifest
+    * carries no tombstones), after which GC can reclaim both the
+    * superseded data and the tombstones.
+    */
+  private def isDelete(e: ManifestEntry): Boolean = e.relPath.startsWith("deletes/")
+
+  private def dataAndDeletes(root: Path, n: Int): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+    val (dels, datas) = manifest(root, n).partition(isDelete)
+    (datas, dels)
+  }
+
+  private def applyDeletes(s: SparkSession, root: Path,
+                           dels: Seq[ManifestEntry], df: DataFrame): DataFrame =
+    if (dels.isEmpty) df
+    else {
+      val tomb = s.read.parquet(dels.map(e => root.resolve(e.relPath).toString): _*).distinct()
+      df.join(tomb, Seq(tomb.columns.head), "left_anti")
+    }
+
+  /** Time travel: the exact immutable file set of snapshot `n`, with
+    * the snapshot's tombstones applied.
+    */
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
-    val files = manifest(root, n).map(e => root.resolve(e.relPath).toString)
-    s.read.parquet(files: _*)
+    val (datas, dels) = dataAndDeletes(root, n)
+    applyDeletes(s, root, dels,
+      s.read.parquet(datas.map(e => root.resolve(e.relPath).toString): _*))
   }
 
   /** Manifest-pruned range read: open ONLY the files whose zone map
@@ -247,14 +306,15 @@ object Snapshots {
     */
   def readPruned(s: SparkSession, root: Path, n: Int, statsCol: String,
                  lo: Long, hi: Long): DataFrame = {
-    val picked = manifest(root, n).filter(_.stats match {
+    val (datas, dels) = dataAndDeletes(root, n)
+    val picked = datas.filter(_.stats match {
       case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
       case None             => true // unknown stats: must read
     }).map(e => root.resolve(e.relPath).toString)
     val base =
       if (picked.isEmpty) readAt(s, root, n).limit(0)
       else s.read.parquet(picked: _*)
-    base.filter(col(statsCol).between(lo, hi))
+    applyDeletes(s, root, dels, base.filter(col(statsCol).between(lo, hi)))
   }
 
   private def bloomPath(root: Path, relPath: String): Path =
@@ -274,7 +334,8 @@ object Snapshots {
     */
   def buildBlooms(s: SparkSession, root: Path, n: Int, keyCol: String,
                   estItems: Long = 1L << 18, numBits: Long = 1L << 23): Int = {
-    val missing = manifest(root, n).filterNot(e => Files.exists(bloomPath(root, e.relPath)))
+    val missing = manifest(root, n).filterNot(isDelete)
+      .filterNot(e => Files.exists(bloomPath(root, e.relPath)))
     if (missing.isEmpty) return 0
     s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -306,7 +367,8 @@ object Snapshots {
     */
   def readPoint(s: SparkSession, root: Path, n: Int, keyCol: String,
                 keys: Seq[Long]): DataFrame = {
-    val picked = manifest(root, n).filter { e =>
+    val (datas, dels) = dataAndDeletes(root, n)
+    val picked = datas.filter { e =>
       val p = bloomPath(root, e.relPath)
       if (!Files.exists(p)) true // unknown: must read
       else {
@@ -319,7 +381,9 @@ object Snapshots {
     val base =
       if (picked.isEmpty) readAt(s, root, n).limit(0)
       else s.read.parquet(picked: _*)
-    base.filter(col(keyCol).isin(keys: _*))
+    // tombstones apply here too: a bloom admits a DELETED key (blooms
+    // are immutable per data file), the anti-join removes it
+    applyDeletes(s, root, dels, base.filter(col(keyCol).isin(keys: _*)))
   }
 
   def readCurrent(s: SparkSession, root: Path): DataFrame =
@@ -351,10 +415,26 @@ object Snapshots {
     */
   def readChanges(s: SparkSession, root: Path, from: Int, to: Int): DataFrame = {
     val before = manifest(root, from).map(_.relPath).toSet
-    val added = manifest(root, to).map(_.relPath).filterNot(before)
+    // additions only — a delete commit's tombstone file is not row data;
+    // consume deletions via readDeleteChanges
+    val added = manifest(root, to).filterNot(isDelete).map(_.relPath).filterNot(before)
       .map(p => root.resolve(p).toString)
     if (added.isEmpty) readAt(s, root, to).limit(0)
     else s.read.parquet(added: _*)
+  }
+
+  /** The deletion half of CDC: keys tombstoned between `from` and `to`
+    * (the delete files added in that interval). A downstream consumer
+    * applies `readChanges` as upserts and these as deletes and tracks
+    * the table exactly.
+    */
+  def readDeleteChanges(s: SparkSession, root: Path, from: Int, to: Int): DataFrame = {
+    val before = manifest(root, from).map(_.relPath).toSet
+    val added = manifest(root, to).filter(isDelete).map(_.relPath).filterNot(before)
+      .map(p => root.resolve(p).toString)
+    if (added.isEmpty)
+      throw new IllegalArgumentException(s"no delete commits between $from and $to")
+    s.read.parquet(added: _*).distinct()
   }
 
   /** Compaction as a snapshot commit — the small-files cure that append
@@ -413,14 +493,29 @@ object Snapshots {
     val keepFiles = retained.flatMap(manifest(root, _)).map(_.relPath).toSet
     var n = 0
     var bytes = 0L
+    val parents = scala.collection.mutable.LinkedHashSet[Path]()
     expired.flatMap(manifest(root, _)).map(_.relPath).distinct
       .filterNot(keepFiles).foreach { rel =>
         val p = root.resolve(rel)
-        if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); n += 1 }
+        if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); n += 1; parents += p.getParent }
         // a bloom sidecar is metadata OF the data file: it dies with it
         val b = bloomPath(root, rel)
         if (Files.exists(b)) { bytes += Files.size(b); Files.delete(b) }
       }
+    // crumb sweep: a staging dir whose LAST data file was just reclaimed
+    // holds only writer crumbs (_SUCCESS, .crc) — remove them and the
+    // dir itself. Dirs still holding any parquet (shared into retained
+    // manifests, or staged-uncommitted) are untouched.
+    parents.foreach { dir =>
+      if (Files.exists(dir)) {
+        val listing = Files.list(dir)
+        val rest = try listing.iterator().asScala.toSeq finally listing.close()
+        if (!rest.exists(_.getFileName.toString.endsWith(".parquet"))) {
+          rest.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(dir)
+        }
+      }
+    }
     expired.foreach(i => Files.delete(root.resolve("manifests").resolve(s"manifest-$i")))
     (n, bytes)
   }
@@ -662,6 +757,64 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_delete`: the GDPR shape — row-level deletes on
+    * immutable files. Snapshot 1 publishes orders; snapshot 2 deletes
+    * every key ≡ 0 (mod 7) as ONE tombstone commit (no data file
+    * touched); snapshot 3 is a compaction that applies the tombstones
+    * physically. The output states, per snapshot, the manifest's
+    * tombstone-file count and the full per-status aggregate; the oracle
+    * pins tombstone counts literally (0 → 1 → 0) and the aggregates to
+    * the source (full at 1, filtered at 2 AND 3), so the hash gate
+    * proves: merge-on-read removes exactly the tombstoned rows,
+    * pre-delete history stays time-travelable, and compaction folds the
+    * deletes in without changing the visible table.
+    */
+  def snapshotDelete(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapd")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartition(4))
+      publishDeletes(s, root,
+        orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      compact(s, root, targetFiles = 2)
+      val out = (1 to 3).flatMap { n =>
+        val nTombstones = manifest(root, n).count(isDelete).toLong
+        readAt(s, root, n)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, nTombstones, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("n_tombstones", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotDeleteOracleSql: String = """
+    WITH full_agg AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      FROM orders GROUP BY o_orderstatus),
+    del_agg AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(0 AS BIGINT) AS n_tombstones, * FROM full_agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), * FROM del_agg
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), * FROM del_agg
+    ORDER BY snapshot_id, o_orderstatus"""
 
   val snapshotPointOracleSql: String = """
     SELECT o_orderkey, o_orderstatus,

@@ -359,4 +359,48 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.verify(root, Snapshots.currentId(root).get).isEmpty)
     } finally rm(root)
   }
+
+  test("merge-on-read deletes apply on EVERY read path and die physically at compaction") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      val df = (0L until 1000L).map(i => (i, i % 5)).toDF("k", "v")
+      Snapshots.publish(s, root,
+        df.repartitionByRange(5, org.apache.spark.sql.functions.col("k")),
+        statsCol = Some("k"))
+      Snapshots.buildBlooms(s, root, 1, "k")
+      // tombstone 100 keys in one commit; no data file touched
+      val victims = (0L until 1000L by 10L)
+      Snapshots.publishDeletes(s, root, victims.toDF("k"))
+      assert(Snapshots.readCurrent(s, root).count() == 900)
+      // time travel still sees pre-delete history
+      assert(Snapshots.readAt(s, root, 1).count() == 1000)
+      // pruned read: zone maps pick files, tombstones still apply
+      val pruned = Snapshots.readPruned(s, root, 2, "k", 100, 299)
+      assert(pruned.count() == 180, s"pruned saw ${pruned.count()}")
+      // point read: the bloom ADMITS a deleted key (file-level filters
+      // are immutable), the anti-join must remove it
+      assert(Snapshots.readPoint(s, root, 2, "k", Seq(100L)).count() == 0)
+      assert(Snapshots.readPoint(s, root, 2, "k", Seq(101L)).count() == 1)
+      // delete CDC: the tombstoned keys, exactly
+      val cdcDel = Snapshots.readDeleteChanges(s, root, 1, 2)
+      assert(cdcDel.collect().map(_.getLong(0)).sorted.toSeq == victims.toSeq)
+      // deleting already-deleted + absent keys is a no-op on the view
+      Snapshots.publishDeletes(s, root, Seq(100L, 999999L).toDF("k"))
+      assert(Snapshots.readCurrent(s, root).count() == 900)
+      // compaction folds tombstones in physically: fresh manifest has
+      // data files only, same visible rows
+      Snapshots.compact(s, root, targetFiles = 2, statsCol = Some("k"))
+      val cur = Snapshots.currentId(root).get
+      assert(Snapshots.manifest(root, cur).forall(e => !e.relPath.startsWith("deletes/")))
+      assert(Snapshots.readCurrent(s, root).count() == 900)
+      // GC reclaims superseded data AND tombstones together
+      Snapshots.expire(root, keepFrom = cur)
+      assert(!java.nio.file.Files.exists(root.resolve("deletes")) ||
+        { val w = java.nio.file.Files.walk(root.resolve("deletes"))
+          try w.iterator().asScala.forall(p => java.nio.file.Files.isDirectory(p))
+          finally w.close() }, "tombstone files must be swept with their history")
+      assert(Snapshots.readCurrent(s, root).count() == 900)
+    } finally rm(root)
+  }
 }
