@@ -83,6 +83,7 @@ object SparkEntry {
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
+    "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -511,6 +512,7 @@ object SparkEntry {
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
+    "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

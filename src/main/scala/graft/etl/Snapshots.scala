@@ -48,9 +48,15 @@ object Snapshots {
     * opening them (or listing anything). Absent stats mean "cannot
     * skip", never "skip": old manifests and stat-less publishes stay
     * fully readable and merely unpruned.
+    *
+    * `seq` is the snapshot id that ADDED the entry (Iceberg's sequence
+    * number): a tombstone erases a key only from data files with a
+    * strictly smaller seq, which is what lets one upsert commit carry
+    * both the tombstone and the replacement rows without erasing
+    * itself.
     */
   final case class ManifestEntry(relPath: String, md5: String, bytes: Long,
-                                 stats: Option[(Long, Long)] = None)
+                                 stats: Option[(Long, Long)] = None, seq: Int = 0)
 
   private def md5hex(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -104,17 +110,18 @@ object Snapshots {
       .filter(_.nonEmpty)
       .map { line =>
         line.split('\t') match {
-          case Array(rel, md5, bytes) => ManifestEntry(rel, md5, bytes.toLong)
-          case Array(rel, md5, bytes, lo, hi) =>
-            ManifestEntry(rel, md5, bytes.toLong, Some((lo.toLong, hi.toLong)))
+          case Array(rel, md5, bytes, seq) =>
+            ManifestEntry(rel, md5, bytes.toLong, None, seq.toInt)
+          case Array(rel, md5, bytes, seq, lo, hi) =>
+            ManifestEntry(rel, md5, bytes.toLong, Some((lo.toLong, hi.toLong)), seq.toInt)
           case other => throw new IllegalStateException(
             s"malformed manifest-$n line: ${other.mkString("\\t")}")
         }
       }
 
   private def manifestLine(e: ManifestEntry): String = e.stats match {
-    case Some((lo, hi)) => s"${e.relPath}\t${e.md5}\t${e.bytes}\t$lo\t$hi"
-    case None           => s"${e.relPath}\t${e.md5}\t${e.bytes}"
+    case Some((lo, hi)) => s"${e.relPath}\t${e.md5}\t${e.bytes}\t${e.seq}\t$lo\t$hi"
+    case None           => s"${e.relPath}\t${e.md5}\t${e.bytes}\t${e.seq}"
   }
 
   /** Stage `df` as immutable data files for the NEXT snapshot id and
@@ -150,7 +157,7 @@ object Snapshots {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
       .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        statsByFile.get(p.getFileName.toString)))
+        statsByFile.get(p.getFileName.toString), seq = id))
     finally listing.close()
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
@@ -198,24 +205,56 @@ object Snapshots {
     * single column whose NAME is the key column (the tombstone's schema
     * carries the join key, so reads need no out-of-band declaration).
     */
-  def publishDeletes(s: SparkSession, root: Path, keys: DataFrame): Int = {
+  private def writeTombstone(s: SparkSession, root: Path, keys: DataFrame,
+                             id: Int): Seq[ManifestEntry] = {
     require(keys.columns.length == 1,
       s"tombstone = one key column, got ${keys.columns.mkString(",")}")
-    val prev = currentId(root).getOrElse(
-      throw new IllegalStateException(s"no published snapshot under $root"))
-    val id = prev + 1
     val delDir = root.resolve("deletes").resolve(f"snap-$id%05d")
     Files.createDirectories(delDir)
     keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
     val listing = Files.list(delDir)
-    val fresh = try listing.iterator().asScala.toSeq
+    try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        None, seq = id))
     finally listing.close()
+  }
+
+  def publishDeletes(s: SparkSession, root: Path, keys: DataFrame): Int = {
+    val prev = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val id = prev + 1
+    val fresh = writeTombstone(s, root, keys, id)
     Files.createDirectories(root.resolve("manifests"))
     atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
       (manifest(root, prev) ++ fresh).map(manifestLine).mkString("\n"))
+    commit(root, id, lastBatchId(root))
+    id
+  }
+
+  /** Upsert as ONE atomic commit: a tombstone of the upserted keys AND
+    * the replacement rows land in the same manifest, published by one
+    * pointer rename. The sequence rule makes it sound: the tombstone
+    * (seq = id) erases the keys from every EARLIER file, while the new
+    * rows (also seq = id) are untouched by it — a reader at any instant
+    * sees either the old rows or the new ones, never both and never
+    * neither. Inserts ride free (a key absent from history is just
+    * appended). This is the MERGE INTO shape: O(changed rows) I/O, no
+    * data file rewritten, read cost folded away by the next compaction.
+    */
+  def publishUpsert(s: SparkSession, root: Path, rows: DataFrame, keyCol: String,
+                    statsCol: Option[String] = None): Int = {
+    val prev = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val id = prev + 1
+    val delEntries = writeTombstone(s, root, rows.select(keyCol), id)
+    val staged = stage(s, root, rows, append = true, statsCol)
+    require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
+    // fold the tombstone into the staged manifest BEFORE the commit —
+    // pre-commit manifests are invisible, so this is still one atomic publish
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (manifest(root, id) ++ delEntries).map(manifestLine).mkString("\n"))
     commit(root, id, lastBatchId(root))
     id
   }
@@ -277,21 +316,37 @@ object Snapshots {
     (datas, dels)
   }
 
-  private def applyDeletes(s: SparkSession, root: Path,
-                           dels: Seq[ManifestEntry], df: DataFrame): DataFrame =
-    if (dels.isEmpty) df
-    else {
-      val tomb = s.read.parquet(dels.map(e => root.resolve(e.relPath).toString): _*).distinct()
-      df.join(tomb, Seq(tomb.columns.head), "left_anti")
-    }
+  /** Seq-aware merged read: data files grouped by the snapshot that
+    * added them; each group is anti-joined with only the tombstones of
+    * LATER snapshots (strictly greater seq), then the groups union.
+    * `shape` is a per-group residual (filter) applied before the
+    * anti-join — filters commute with both union and anti-join, so
+    * pruned/point reads reuse this unchanged. This is Iceberg's
+    * sequence-number visibility rule: an upsert's own rows are never
+    * erased by its own tombstone.
+    */
+  private def mergeRead(s: SparkSession, root: Path, datas: Seq[ManifestEntry],
+                        dels: Seq[ManifestEntry],
+                        shape: DataFrame => DataFrame): DataFrame = {
+    def read(es: Seq[ManifestEntry]) =
+      s.read.parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+    datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
+      val base = shape(read(files))
+      val ts = dels.filter(_.seq > seq)
+      if (ts.isEmpty) base
+      else {
+        val tomb = read(ts).distinct()
+        base.join(tomb, Seq(tomb.columns.head), "left_anti")
+      }
+    }.reduce(_.unionByName(_))
+  }
 
   /** Time travel: the exact immutable file set of snapshot `n`, with
     * the snapshot's tombstones applied.
     */
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
     val (datas, dels) = dataAndDeletes(root, n)
-    applyDeletes(s, root, dels,
-      s.read.parquet(datas.map(e => root.resolve(e.relPath).toString): _*))
+    mergeRead(s, root, datas, dels, identity)
   }
 
   /** Manifest-pruned range read: open ONLY the files whose zone map
@@ -310,11 +365,9 @@ object Snapshots {
     val picked = datas.filter(_.stats match {
       case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
       case None             => true // unknown stats: must read
-    }).map(e => root.resolve(e.relPath).toString)
-    val base =
-      if (picked.isEmpty) readAt(s, root, n).limit(0)
-      else s.read.parquet(picked: _*)
-    applyDeletes(s, root, dels, base.filter(col(statsCol).between(lo, hi)))
+    })
+    if (picked.isEmpty) readAt(s, root, n).limit(0)
+    else mergeRead(s, root, picked, dels, _.filter(col(statsCol).between(lo, hi)))
   }
 
   private def bloomPath(root: Path, relPath: String): Path =
@@ -377,13 +430,11 @@ object Snapshots {
         finally in.close()
         keys.exists(bloom.mightContainLong)
       }
-    }.map(e => root.resolve(e.relPath).toString)
-    val base =
-      if (picked.isEmpty) readAt(s, root, n).limit(0)
-      else s.read.parquet(picked: _*)
+    }
     // tombstones apply here too: a bloom admits a DELETED key (blooms
-    // are immutable per data file), the anti-join removes it
-    applyDeletes(s, root, dels, base.filter(col(keyCol).isin(keys: _*)))
+    // are immutable per data file), the seq-aware anti-join removes it
+    if (picked.isEmpty) readAt(s, root, n).limit(0)
+    else mergeRead(s, root, picked, dels, _.filter(col(keyCol).isin(keys: _*)))
   }
 
   def readCurrent(s: SparkSession, root: Path): DataFrame =
@@ -799,6 +850,56 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_upsert`: MERGE INTO as one atomic commit.
+    * Snapshot 1 publishes orders; snapshot 2 upserts every key ≡ 0
+    * (mod 5) with its cents bumped by +7 — tombstone + replacement rows
+    * in a single pointer rename. The oracle pins snapshot 1 to the
+    * original aggregates and snapshot 2 to counts UNCHANGED (each
+    * upserted key appears exactly once — no duplicate from old+new
+    * files coexisting, no loss from the tombstone erasing its own
+    * commit) with sums shifted by exactly 7 per upserted row.
+    */
+  def snapshotUpsert(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapu")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartition(4))
+      publishUpsert(s, root,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 7),
+        "o_orderkey")
+      val out = (1 to 2).flatMap { n =>
+        readAt(s, root, n)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotUpsertOracleSql: String = """
+    WITH b AS (SELECT o_orderstatus, o_orderkey,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(count(*) AS BIGINT),
+      CAST(sum(cents + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END) AS BIGINT)
+    FROM b GROUP BY o_orderstatus
+    ORDER BY snapshot_id, o_orderstatus"""
 
   val snapshotDeleteOracleSql: String = """
     WITH full_agg AS (

@@ -403,4 +403,40 @@ class SnapshotSpec extends AnyFunSuite {
       assert(Snapshots.readCurrent(s, root).count() == 900)
     } finally rm(root)
   }
+
+  test("upsert: tombstone + replacement rows in ONE commit; the sequence rule keeps it exact") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      val df = (0L until 1000L).map(i => (i, 1L)).toDF("k", "v")
+      Snapshots.publish(s, root, df.repartition(4, org.apache.spark.sql.functions.col("k")))
+      Snapshots.buildBlooms(s, root, 1, "k")
+      // update 100 existing keys to v=2 and INSERT two brand-new keys
+      val changes = ((0L until 1000L by 10L).map(k => (k, 2L)) ++
+        Seq((5000L, 7L), (5001L, 7L))).toDF("k", "v")
+      Snapshots.publishUpsert(s, root, changes, "k")
+      val cur = Snapshots.readCurrent(s, root)
+      // counts: 1000 originals (each upserted key exactly once) + 2 inserts
+      assert(cur.count() == 1002)
+      assert(cur.filter("v = 2").count() == 100, "updated rows visible exactly once")
+      assert(cur.filter("k >= 5000").count() == 2, "inserts ride the same commit")
+      assert(cur.filter("k = 10 AND v = 1").count() == 0, "old version erased")
+      // time travel: pre-upsert state intact
+      assert(Snapshots.readAt(s, root, 1).filter("v = 2").count() == 0)
+      // point read through the blooms returns the NEW version, once
+      val p = Snapshots.readPoint(s, root, 2, "k", Seq(10L)).collect()
+      assert(p.length == 1 && p.head.getLong(1) == 2L,
+        s"point read must see the upserted row once: ${p.toSeq}")
+      // a second upsert of the SAME keys layers correctly (seq 3 > seq 2)
+      Snapshots.publishUpsert(s, root, Seq((10L, 3L)).toDF("k", "v"), "k")
+      assert(Snapshots.readCurrent(s, root).filter("k = 10").collect()
+        .map(_.getLong(1)).toSeq == Seq(3L))
+      assert(Snapshots.readCurrent(s, root).count() == 1002)
+      // compaction folds the whole merge-on-read stack flat
+      Snapshots.compact(s, root, targetFiles = 2)
+      assert(Snapshots.readCurrent(s, root).count() == 1002)
+      assert(Snapshots.readCurrent(s, root).filter("k = 10").collect()
+        .map(_.getLong(1)).toSeq == Seq(3L))
+    } finally rm(root)
+  }
 }
