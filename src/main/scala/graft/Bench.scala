@@ -44,7 +44,8 @@ object Bench {
     "stream_ingest", "stream_token_sketch", "stream_topk",
     "stream_quarantine", "jdbc_roundtrip", "stream_recovery",
     "snapshot_compact", "snapshot_prune", "snapshot_point",
-    "snapshot_delete", "snapshot_upsert", "stream_snapshot_ingest")
+    "snapshot_delete", "snapshot_upsert", "stream_snapshot_ingest",
+    "curate_cdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

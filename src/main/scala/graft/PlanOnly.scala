@@ -45,6 +45,12 @@ object PlanOnly {
         graft.Tables.events(ss, dd).select("event_id", "ts", "value"))),
     "stream_recovery" -> ((ss, dd) =>
       graft.streaming.Streams.tumblingAgg(graft.Tables.events(ss, dd))),
+    "curate_cdc" -> ((ss, dd) => {
+      import org.apache.spark.sql.functions._
+      // one release's un-checkpointed work unit against a non-empty state
+      val seen = graft.Tables.documents(ss, dd).select(md5(col("text")).as("h")).limit(1)
+      graft.ops.Curate.cdcStep(graft.Tables.documents(ss, dd), Some(seen))._2
+    }),
     "stream_quarantine" -> ((ss, dd) => {
       import org.apache.spark.sql.functions._
       val all = graft.Tables.documents(ss, dd)

@@ -186,6 +186,8 @@ object SparkEntry {
     "multimodal_frames"   -> w(Multimodal.framesQuery),
     // E. composite curation pipeline
     "curate_corpus"    -> w(Curate.query),
+    // E22: the same relation, computed as an incremental CDC consumer
+    "curate_cdc"       -> w(Curate.curateCdc),
     "sample_stratified" -> w(Curate.sampleStratified),
     "sample_weighted"   -> w(Curate.sampleWeighted),
     "vocab_topk"        -> w(Curate.vocabTopk),
@@ -1525,6 +1527,8 @@ object SparkEntry {
       FROM f ORDER BY doc_id, frame_idx""",
 
     "curate_corpus" -> Curate.oracleSql,
+    // incremental ≡ full recompute: E22 rides E1's exact oracle
+    "curate_cdc" -> Curate.oracleSql,
     "sample_stratified" -> Curate.sampleOracleSql,
     "sample_weighted" -> Curate.sampleWeightedOracleSql,
     "domain_mix" -> Curate.domainMixOracleSql,

@@ -29,6 +29,80 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** E22 `curate_cdc`: E1's curation as an INCREMENTAL consumer of the
+    * A31 snapshot store — the per-release refresh a 100 TB corpus
+    * actually runs, where reprocessing the whole table per drop is the
+    * thing that doesn't scale. Documents land as three appended releases
+    * (split by doc_id RANGE — each release is a contiguous id band);
+    * the consumer processes ONLY `readChanges(n-1, n)` per release:
+    * hash → keeper-within-increment (min doc_id) → anti-join against
+    * the already-seen hash state → gates on the fresh keepers only.
+    * Work per release is O(increment + state probe), never O(corpus).
+    *
+    * Exactness argument (why the oracle is E1's own relation): E1 keeps
+    * the GLOBAL min doc_id per hash, gates applied to that keeper row.
+    * With range-split releases, a hash group's global-min doc_id lies in
+    * the EARLIEST release containing any member; within that increment
+    * the window min recovers it, and the anti-join makes later members
+    * invisible — first-seen-wins ≡ global-min-wins. (A hash-partitioned
+    * release split would NOT have this property; the range split is the
+    * point, and it is also the natural shape of monotonically-ID'd
+    * drops.) The hash gate then proves incremental ≡ full recompute.
+    */
+  /** One CDC release's work unit: hash → keeper-within-increment →
+    * anti-join the seen-hash state → gates on fresh keepers only.
+    * Returns (fresh keepers incl. hash, gated output rows). Factored so
+    * PlanOnly/AllPlansSpec see the un-checkpointed increment tree.
+    */
+  private[graft] def cdcStep(inc: DataFrame, seen: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val w = split(lower(col("text")), " ")
+    val keepers = inc
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("keeper") === col("doc_id")).drop("keeper")
+    val fresh = seen.fold(keepers)(st => keepers.join(st, Seq("h"), "left_anti"))
+    val gated = fresh
+      .withColumn("n_tok", size(w))
+      .withColumn("n_stop",
+        size(filter(w, t => TextAnalysis.stopwords("en").map(x => t === x).reduce(_ || _))))
+      .filter(col("n_tok").between(20, 500) && col("n_stop") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"))
+    (fresh, gated)
+  }
+
+  def curateCdc(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc")
+    try {
+      import graft.etl.Snapshots
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Snapshots.publish(s, root, docs.filter(col("doc_id") <= b1))
+      Snapshots.publish(s, root,
+        docs.filter(col("doc_id") > b1 && col("doc_id") <= b2), append = true)
+      Snapshots.publish(s, root, docs.filter(col("doc_id") > b2), append = true)
+      var seen: DataFrame = null
+      var kept: DataFrame = null
+      (1 to 3).foreach { n =>
+        val inc = if (n == 1) Snapshots.readAt(s, root, 1)
+                  else Snapshots.readChanges(s, root, n - 1, n)
+        val (fresh, gated) = cdcStep(inc, Option(seen))
+        // truncate lineage per release: state is a TABLE, not a plan
+        val freshH = fresh.select("h")
+        seen = (if (seen == null) freshH else seen.union(freshH)).localCheckpoint()
+        kept = (if (kept == null) gated else kept.union(gated)).localCheckpoint()
+      }
+      kept.orderBy("doc_id")
+    } finally {
+      import scala.collection.JavaConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** E3: deterministic stratified sampling — the corpus-mixing primitive
     * (downsample the dominant language, keep low-resource ones whole).
     * Selection is a pure hash of the doc id (md5 prefix → bucket in
