@@ -1302,6 +1302,50 @@ object Stress {
         timed("banded 10x sf0.1 (1M ev × 1.5M ord; naive would be 1.5e12 cmp — not run)")(
           cks(relational.Relational.rangeJoinBandedOn(ev10, ord10)))
 
+      case "snap_1000x" =>
+        // A31 at manifest-chain depth: 1,000 appended single-file
+        // releases (the nightly-drop shape, three years of dailies).
+        // Claims measured: (1) per-release publish cost stays flat —
+        // the manifest append is O(chain) lines of text, invisible next
+        // to the file write; (2) the read path scales with FILE COUNT,
+        // never history depth (readAt parses ONE manifest — no walk of
+        // 999 predecessors); (3) per-release CDC opens exactly one
+        // file at ANY depth; (4) maintenance at depth: compaction folds
+        // 1,000 files → 8, retention GC then reclaims the entire
+        // superseded history in one sweep, table intact.
+        val root = java.nio.file.Files.createTempDirectory("graft_snap1000")
+        def release(i: Int) =
+          spark.range((i - 1) * 1000L, i.toLong * 1000L)
+            .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(1)
+        def publishSpan(range: Range): Double = {
+          val t0 = System.nanoTime()
+          range.foreach(i => etl.Snapshots.publish(spark, root, release(i), append = true))
+          (System.nanoTime() - t0) / 1e9 / range.size
+        }
+        val head = publishSpan(1 to 100)
+        publishSpan(101 to 900)
+        val tail = publishSpan(901 to 1000)
+        println(f"[stress] snap_1000x publish per-release: first-100 $head%.3f s, " +
+          f"last-100 $tail%.3f s (flat ⇒ chain depth is free)")
+        timed("readCurrent over the 1000-file manifest (1M rows)")(
+          etl.Snapshots.readCurrent(spark, root).count())
+        timed("time travel to snapshot 500 (500k rows, one manifest parse)")(
+          etl.Snapshots.readAt(spark, root, 500).count())
+        timed("per-release CDC at depth 1000") {
+          val inc = etl.Snapshots.readChanges(spark, root, 999, 1000)
+          val files = inc.inputFiles.length
+          assert(files == 1, s"CDC opened $files files")
+          s"1 file, ${inc.count()} rows"
+        }
+        timed("compact 1000 files -> 8")(etl.Snapshots.compact(spark, root, 8))
+        timed("expire the 1000-release history") {
+          val (n, bytes) = etl.Snapshots.expire(root, keepFrom = 1001)
+          assert(n == 1000, s"swept $n files")
+          f"$n files, ${bytes / 1e6}%.1f MB"
+        }
+        assert(etl.Snapshots.readCurrent(spark, root).count() == 1000000L)
+        println("[stress] snap_1000x: post-GC table intact at 1,000,000 rows")
+
       case "rocksdb_soak" =>
         // VERDICT r11 item 4: the chained stateful soaks re-run on the
         // RocksDB state-store provider — at 100 TB state lives off-heap,
