@@ -45,7 +45,7 @@ object Bench {
     "stream_quarantine", "jdbc_roundtrip", "stream_recovery",
     "snapshot_compact", "snapshot_prune", "snapshot_point",
     "snapshot_delete", "snapshot_upsert", "stream_snapshot_ingest",
-    "curate_cdc")
+    "curate_cdc", "snapshot_evolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -84,6 +84,7 @@ object SparkEntry {
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
+    "snapshot_evolve"     -> w(Snapshots.snapshotEvolve),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -515,6 +516,7 @@ object SparkEntry {
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,
+    "snapshot_evolve" -> graft.etl.Snapshots.snapshotEvolveOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -328,8 +328,14 @@ object Snapshots {
   private def mergeRead(s: SparkSession, root: Path, datas: Seq[ManifestEntry],
                         dels: Seq[ManifestEntry],
                         shape: DataFrame => DataFrame): DataFrame = {
+    // mergeSchema: an append may carry ADDED columns (schema evolution);
+    // a merged read surfaces them with nulls on pre-evolution files,
+    // while time travel to an old snapshot reads only old files and
+    // keeps the old shape. Cost is per-footer schema union, parallel —
+    // +0.6 s on the 1000-file chain's 3.1 s read (snap_1000x re-run).
     def read(es: Seq[ManifestEntry]) =
-      s.read.parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+      s.read.option("mergeSchema", "true")
+        .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
     if (dels.isEmpty) shape(read(datas))
     else {
       // Group data files by their APPLICABLE TOMBSTONE SET, not by seq:
@@ -482,7 +488,7 @@ object Snapshots {
     val added = manifest(root, to).filterNot(isDelete).map(_.relPath).filterNot(before)
       .map(p => root.resolve(p).toString)
     if (added.isEmpty) readAt(s, root, to).limit(0)
-    else s.read.parquet(added: _*)
+    else s.read.option("mergeSchema", "true").parquet(added: _*)
   }
 
   /** The deletion half of CDC: keys tombstoned between `from` and `to`
@@ -899,6 +905,68 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_evolve`: schema evolution by append — release
+    * 2 carries an ADDED `priority` column the release-1 files never
+    * heard of. The merged current read surfaces it with NULLs on the
+    * pre-evolution rows (coalesced to 'none' for the oracle), while
+    * time travel to snapshot 1 reads only old files and keeps the OLD
+    * 3-column shape — evolution is forward-only and history is
+    * untouched, both pinned via an n_cols column the oracle states
+    * literally. No rewrite, no migration job: the manifest is the
+    * schema boundary.
+    */
+  def snapshotEvolve(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snape")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 =!= 0))
+      publish(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("priority",
+            when(col("o_orderkey") % 2 === 0, "hi").otherwise("lo")),
+        append = true)
+      def agg(n: Int, withPriority: Boolean) = {
+        val df = readAt(s, root, n)
+        val nCols = df.columns.length.toLong
+        val shaped =
+          if (withPriority) df.withColumn("priority", coalesce(col("priority"), lit("none")))
+          else df.withColumn("priority", lit("n/a"))
+        shaped.groupBy("priority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, nCols, r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+      }
+      val out = agg(1, withPriority = false) ++ agg(2, withPriority = true)
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("n_cols", LongType),
+        StructField("priority", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("snapshot_id", "priority", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotEvolveOracleSql: String = """
+    WITH b AS (SELECT o_orderkey, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_cols,
+      'n/a' AS priority, o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+      CASE WHEN o_orderkey % 3 <> 0 THEN 'none'
+           WHEN o_orderkey % 2 = 0 THEN 'hi' ELSE 'lo' END,
+      o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b GROUP BY 3, 4
+    ORDER BY snapshot_id, priority, o_orderstatus"""
 
   val snapshotUpsertOracleSql: String = """
     WITH b AS (SELECT o_orderstatus, o_orderkey,
