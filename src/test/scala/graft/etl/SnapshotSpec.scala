@@ -439,4 +439,30 @@ class SnapshotSpec extends AnyFunSuite {
         .map(_.getLong(1)).toSeq == Seq(3L))
     } finally rm(root)
   }
+
+  test("schema evolution composes with tombstones: deletes reach both schema eras") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, (0L until 100L).map(i => (i, 1L)).toDF("k", "v"))
+      // era 2 ADDS a column
+      Snapshots.publish(s, root,
+        (100L until 200L).map(i => (i, 2L, s"x$i")).toDF("k", "v", "extra"), append = true)
+      val cur = Snapshots.readCurrent(s, root)
+      assert(cur.columns.toSeq == Seq("k", "v", "extra"))
+      assert(cur.filter("extra IS NULL").count() == 100, "pre-evolution rows surface NULL")
+      assert(Snapshots.readAt(s, root, 1).columns.toSeq == Seq("k", "v"),
+        "time travel keeps the old shape")
+      // one tombstone commit spanning BOTH eras
+      Snapshots.publishDeletes(s, root, Seq(5L, 150L).toDF("k"))
+      val after = Snapshots.readCurrent(s, root)
+      assert(after.count() == 198)
+      assert(after.filter("k IN (5, 150)").count() == 0,
+        "the anti-join must reach rows on both sides of the schema boundary")
+      // and compaction flattens the evolved, tombstoned table losslessly
+      Snapshots.compact(s, root, targetFiles = 2)
+      val flat = Snapshots.readCurrent(s, root)
+      assert(flat.count() == 198 && flat.columns.toSeq == Seq("k", "v", "extra"))
+    } finally rm(root)
+  }
 }
