@@ -363,6 +363,10 @@ object Snapshots {
     */
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
     val (datas, dels) = dataAndDeletes(root, n)
+    // loud, named failure instead of Spark's opaque "path not specified":
+    // an all-empty manifest (e.g. a first-ever micro-batch that carried
+    // zero rows) has no files to derive even a schema from
+    require(datas.nonEmpty, s"snapshot $n of $root lists no data files")
     mergeRead(s, root, datas, dels, identity)
   }
 
@@ -437,6 +441,7 @@ object Snapshots {
     */
   def readPoint(s: SparkSession, root: Path, n: Int, keyCol: String,
                 keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "readPoint needs at least one probe key")
     val (datas, dels) = dataAndDeletes(root, n)
     val picked = datas.filter { e =>
       val p = bloomPath(root, e.relPath)
