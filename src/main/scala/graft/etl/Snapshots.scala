@@ -189,6 +189,12 @@ object Snapshots {
     */
   def publishBatch(s: SparkSession, root: Path, df: DataFrame, batchId: Long): Boolean = {
     if (lastBatchId(root).exists(_ >= batchId)) false
+    // an empty batch cannot FOUND the table — it would commit an empty
+    // manifest with no schema to read back; skipping leaves the replay
+    // contract intact (the batch stays re-deliverable, and stays empty).
+    // On an existing table an empty batch commits normally: it advances
+    // the batch watermark with the manifest carried forward unchanged.
+    else if (currentId(root).isEmpty && df.isEmpty) false
     else {
       val id = stage(s, root, df, append = currentId(root).isDefined)
       commit(root, id, Some(batchId))
@@ -196,19 +202,19 @@ object Snapshots {
     }
   }
 
-  /** Row-level delete as a snapshot commit (merge-on-read): write the
-    * distinct keys as ONE tombstone file under `deletes/`, publish a
-    * manifest = previous entries + the tombstone. O(deleted keys) I/O
-    * regardless of table size — no data file is opened, let alone
-    * rewritten; the anti-join cost moves to readers until the next
-    * compaction folds the tombstones in physically. `keys` must be a
-    * single column whose NAME is the key column (the tombstone's schema
-    * carries the join key, so reads need no out-of-band declaration).
-    */
   private def writeTombstone(s: SparkSession, root: Path, keys: DataFrame,
                              id: Int): Seq[ManifestEntry] = {
     require(keys.columns.length == 1,
       s"tombstone = one key column, got ${keys.columns.mkString(",")}")
+    // one delete-key column per TABLE: a second tombstone under a
+    // different column name would schema-merge into a two-column frame
+    // whose null-padded anti-join silently deletes nothing (or the
+    // wrong thing) — reject it at write time instead
+    manifest(root, id - 1).find(isDelete).foreach { prior =>
+      val priorCol = s.read.parquet(root.resolve(prior.relPath).toString).columns.head
+      require(priorCol == keys.columns.head,
+        s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
+    }
     val delDir = root.resolve("deletes").resolve(f"snap-$id%05d")
     Files.createDirectories(delDir)
     keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
@@ -221,6 +227,16 @@ object Snapshots {
     finally listing.close()
   }
 
+  /** Row-level delete as a snapshot commit (merge-on-read): write the
+    * distinct keys as ONE tombstone file under `deletes/`, publish a
+    * manifest = previous entries + the tombstone. O(deleted keys) I/O
+    * regardless of table size — no data file is opened, let alone
+    * rewritten; the anti-join cost moves to readers until the next
+    * compaction folds the tombstones in physically. `keys` must be a
+    * single column whose NAME is the key column (the tombstone's schema
+    * carries the join key, so reads need no out-of-band declaration),
+    * and it must match any tombstones already in the manifest.
+    */
   def publishDeletes(s: SparkSession, root: Path, keys: DataFrame): Int = {
     val prev = currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))

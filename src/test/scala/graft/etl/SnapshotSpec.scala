@@ -463,6 +463,22 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshots.compact(s, root, targetFiles = 2)
       val flat = Snapshots.readCurrent(s, root)
       assert(flat.count() == 198 && flat.columns.toSeq == Seq("k", "v", "extra"))
+      // a tombstone under a DIFFERENT key column is rejected at write
+      // time (schema-merging mixed tombstones would null-pad the
+      // anti-join into deleting the wrong thing)
+      Snapshots.publishDeletes(s, root, Seq(7L).toDF("k")) // same column: fine
+      intercept[IllegalArgumentException](
+        Snapshots.publishDeletes(s, root, Seq(7L).toDF("other_key")))
+      // an empty batch cannot FOUND a table; on an existing one it
+      // advances the watermark with the manifest unchanged
+      val fresh = tmpRoot()
+      try {
+        assert(!Snapshots.publishBatch(s, fresh, flat.limit(0), 0L))
+        assert(Snapshots.currentId(fresh).isEmpty)
+      } finally rm(fresh)
+      assert(Snapshots.publishBatch(s, root, flat.limit(0), 99L))
+      assert(Snapshots.lastBatchId(root).contains(99L))
+      assert(Snapshots.readCurrent(s, root).count() == 197)
     } finally rm(root)
   }
 }
