@@ -34,6 +34,16 @@ object StreamRun {
 
   /** Stage `input` as `nFiles` files, stream it through `transform` in
     * Append mode, optionally flush with `sentinel`, return the sink.
+    *
+    * CONTRACT: all staged files are listed at once, and the file
+    * source's batch order ties on same-millisecond mtimes (parallel
+    * write!), so arrival order is NOT event-time order. A watermarked
+    * `transform` must therefore use a delay EXCEEDING the input's whole
+    * event-time span (`Streams.spanningWatermark`) or risk silent
+    * late-row drops; the sentinel still closes every real window
+    * because it arrives strictly last (written after the first drain).
+    * For enforced arrival order, use [[throughRestart]]'s
+    * one-file-per-drain-cycle `leg` instead.
     */
   def toSink(s: SparkSession, input: DataFrame, tsCol: String, nFiles: Int,
              transform: DataFrame => DataFrame,
