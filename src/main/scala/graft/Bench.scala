@@ -45,7 +45,11 @@ object Bench {
     "stream_quarantine", "jdbc_roundtrip", "stream_recovery",
     "snapshot_compact", "snapshot_prune", "snapshot_point",
     "snapshot_delete", "snapshot_upsert", "stream_snapshot_ingest",
-    "curate_cdc", "snapshot_evolve")
+    "curate_cdc", "snapshot_evolve",
+    // r12c: optimistic concurrency — the query pays two staged appends,
+    // a provoked conflict and the retried rewrite, so it prices the
+    // whole commit protocol, not one publish
+    "snapshot_occ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

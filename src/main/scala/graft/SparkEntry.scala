@@ -85,6 +85,7 @@ object SparkEntry {
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
     "snapshot_evolve"     -> w(Snapshots.snapshotEvolve),
+    "snapshot_occ"        -> w(Snapshots.snapshotOcc),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -517,6 +518,7 @@ object SparkEntry {
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,
     "snapshot_evolve" -> graft.etl.Snapshots.snapshotEvolveOracleSql,
+    "snapshot_occ" -> graft.etl.Snapshots.snapshotOccOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -301,7 +301,14 @@ object Snapshots {
     * single atomic rename precisely so that swap is mechanical.
     */
   def publishLocked(s: SparkSession, root: Path, df: DataFrame,
-                    append: Boolean = false, statsCol: Option[String] = None): Int = {
+                    append: Boolean = false, statsCol: Option[String] = None): Int =
+    withWriterLock(root)(publish(s, root, df, append, statsCol))
+
+  /** Per-store JVM monitor + OS file lock, the mutual-exclusion kernel
+    * shared by [[publishLocked]] (which holds it across a whole publish)
+    * and [[commitOcc]] (which holds it only for the metadata commit).
+    */
+  private def withWriterLock[T](root: Path)(f: => T): T = {
     val mon = writerMutex.computeIfAbsent(
       root.toAbsolutePath.toString, _ => new Object)
     mon.synchronized {
@@ -310,8 +317,201 @@ object Snapshots {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try publish(s, root, df, append, statsCol) finally lock.release()
+        try f finally lock.release()
       } finally ch.close()
+    }
+  }
+
+  /** A concurrent commit invalidated an optimistic writer's base
+    * snapshot. Appends never see this (they rebase); rewrites must
+    * re-run from the new base — see [[commitOcc]].
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** What an optimistic commit claims about its relationship to table
+    * history, which decides how it behaves when the table moved while
+    * its data was being written.
+    */
+  sealed trait OccKind
+  /** New rows only: the truth of the commit does not depend on WHICH
+    * snapshot it lands on, so it rebases onto whatever is latest.
+    */
+  case object OccAppend extends OccKind
+  /** The fresh files REPLACE everything the writer read at `baseId`
+    * (compaction, full overwrite). Sound only if nothing changed since:
+    * a concurrent append would be silently dropped by the replacement,
+    * and a concurrent tombstone would be silently UNDELETED — rewritten
+    * files take the new commit's seq, which is greater than the
+    * tombstone's, so the sequence-visibility rule stops applying it.
+    * Any advance of the base is therefore a conflict, never a rebase.
+    */
+  final case class OccRewrite(baseId: Int) extends OccKind
+
+  /** Optimistic concurrency, phase 1 — stage data files WITHOUT
+    * claiming a snapshot id or touching any shared metadata. The files
+    * land under a writer-unique `data/occ-<uuid>/` dir, so any number
+    * of writers stage simultaneously with zero coordination; this is
+    * where all the expensive work (the Spark write, per-file stats, the
+    * MD5 pass) happens, entirely outside the writer lock. The returned
+    * entries carry seq = 0 placeholders — [[commitOcc]] stamps the
+    * real id at commit time, when it is finally known.
+    *
+    * Contrast [[publishLocked]], which holds the lock across the whole
+    * publish: correct, but writers serialize on their DATA writes. At
+    * 100 TB the data write is minutes-to-hours while the metadata
+    * commit is one manifest + one rename — OCC shrinks the critical
+    * section to the latter, which is how every open table format
+    * (and the reference's one-rename release publish) scales writers.
+    */
+  def stageOcc(s: SparkSession, root: Path, df: DataFrame,
+               statsCol: Option[String] = None): Seq[ManifestEntry] = {
+    val dataDir = root.resolve("data").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dataDir)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val statsByFile: Map[String, (Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        s.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+          .collect()
+          .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
+    val listing = Files.list(dataDir)
+    try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        statsByFile.get(p.getFileName.toString), seq = 0))
+    finally listing.close()
+  }
+
+  /** Optimistic concurrency, phase 2 — the metadata commit, under the
+    * writer lock for milliseconds regardless of data volume: allocate
+    * the next id, validate `kind` against the CURRENT table state (not
+    * the state the writer staged against), stamp the fresh entries,
+    * write the manifest, swap the pointer.
+    *
+    *  - [[OccAppend]] rebases: carried = the latest manifest at commit
+    *    time, whatever committed while this writer was staging. The
+    *    fresh rows take the new id as their seq, so a tombstone that
+    *    landed mid-stage does NOT erase them — exactly the serial
+    *    history "delete, then append".
+    *  - [[OccRewrite]] validates: if the current id is not the claimed
+    *    base, throws [[CommitConflictException]] and commits NOTHING —
+    *    the caller re-runs from the new base ([[compactOcc]] does).
+    *
+    * Id allocation scans the manifests dir rather than trusting the
+    * pointer: a crash between manifest write and pointer swap leaves an
+    * abandoned manifest, and the next committer must step OVER it, not
+    * overwrite it. (Abandoned ids were never current, are never read,
+    * and age out with [[expire]].)
+    */
+  def commitOcc(root: Path, fresh: Seq[ManifestEntry], kind: OccKind): Int =
+    withWriterLock(root) {
+      val cur = currentId(root)
+      val carried = kind match {
+        case OccAppend => cur.map(manifest(root, _)).getOrElse(Nil)
+        case OccRewrite(base) =>
+          if (!cur.contains(base)) throw new CommitConflictException(
+            s"rewrite staged against snapshot $base but current is " +
+              s"${cur.getOrElse("<none>")}: concurrent commit(s) landed mid-rewrite")
+          Nil
+      }
+      require(carried.nonEmpty || fresh.nonEmpty,
+        s"refusing to commit an empty founding manifest under $root")
+      val id = nextManifestId(root)
+      val stamped = fresh.map(_.copy(seq = id))
+      Files.createDirectories(root.resolve("manifests"))
+      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+        (carried ++ stamped).map(manifestLine).mkString("\n"))
+      commit(root, id, lastBatchId(root))
+      id
+    }
+
+  private def nextManifestId(root: Path): Int = {
+    val dir = root.resolve("manifests")
+    val maxManifest =
+      if (!Files.exists(dir)) 0
+      else {
+        val l = Files.list(dir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("manifest-"))
+          .map(_.stripPrefix("manifest-").toInt).foldLeft(0)(math.max)
+        finally l.close()
+      }
+    math.max(maxManifest, currentId(root).getOrElse(0)) + 1
+  }
+
+  /** stage + commit, optimistically: concurrent callers overlap their
+    * entire data-write phase and serialize only on the tiny metadata
+    * commit. Appends never conflict — every interleaving commits every
+    * writer's rows exactly once (SnapshotOccSpec storms this).
+    */
+  def publishOcc(s: SparkSession, root: Path, df: DataFrame,
+                 statsCol: Option[String] = None): Int =
+    commitOcc(root, stageOcc(s, root, df, statsCol), OccAppend)
+
+  /** Compaction under optimistic concurrency: rewrite the merged view
+    * of the CURRENT snapshot outside the lock, then attempt an
+    * [[OccRewrite]] commit. A concurrent append or delete invalidates
+    * the rewrite (see [[OccRewrite]] for why a rebase would corrupt);
+    * on conflict the staged files are reclaimed and the whole rewrite
+    * re-runs from the new base. Returns (committed id, conflicts
+    * survived). Row-count parity is verified against the staged files
+    * BEFORE the commit is attempted — a drifting rewrite never reaches
+    * the pointer, conflict or not.
+    */
+  def compactOcc(s: SparkSession, root: Path, targetFiles: Int,
+                 statsCol: Option[String] = None, maxAttempts: Int = 5): (Int, Int) = {
+    var attempt = 0
+    while (true) {
+      val base = currentId(root).getOrElse(
+        throw new IllegalStateException(s"no published snapshot under $root"))
+      val before = readAt(s, root, base).count()
+      val rewritten = statsCol match {
+        case Some(c) => readAt(s, root, base).repartitionByRange(targetFiles, col(c))
+        case None    => readAt(s, root, base).repartition(targetFiles)
+      }
+      val fresh = stageOcc(s, root, rewritten, statsCol)
+      val after = s.read.parquet(
+        fresh.map(e => root.resolve(e.relPath).toString): _*).count()
+      require(after == before,
+        s"compaction row-count drift: $before -> $after; NOT committed")
+      try return (commitOcc(root, fresh, OccRewrite(base)), attempt)
+      catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          discardStaged(root, fresh)
+          if (attempt >= maxAttempts) throw new CommitConflictException(
+            s"compaction lost the commit race $maxAttempts times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Reclaim a staged-but-never-committed OCC write (its files are in
+    * no manifest, so this is the ONLY reference to them).
+    */
+  def discardStaged(root: Path, fresh: Seq[ManifestEntry]): Unit = {
+    val dirs = scala.collection.mutable.LinkedHashSet[Path]()
+    fresh.foreach { e =>
+      val p = root.resolve(e.relPath)
+      Files.deleteIfExists(p)
+      dirs += p.getParent
+    }
+    dirs.foreach { d =>
+      if (Files.exists(d)) {
+        val l = Files.list(d)
+        val rest = try l.iterator().asScala.toSeq finally l.close()
+        if (!rest.exists(_.getFileName.toString.endsWith(".parquet"))) {
+          rest.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(d)
+        }
+      }
     }
   }
 
@@ -973,6 +1173,80 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_occ`: the optimistic commit protocol's three
+    * behaviors, choreographed deterministically and proven by the hash
+    * gate.
+    *
+    *  1. REBASE — two increments are BOTH staged against snapshot 1
+    *     (neither sees the other's files; this is what concurrent
+    *     stagers look like at commit time), then committed in turn: the
+    *     second append rebases onto the first's manifest instead of
+    *     clobbering it.
+    *  2. CONFLICT — a compaction rewrite is staged against snapshot 3;
+    *     a row-level delete then commits (snapshot 4). The rewrite's
+    *     commit MUST throw: rebasing it would resurrect the deleted
+    *     keys (rewritten files would outrank the tombstone's seq). The
+    *     query requires the exception and discards the stale staging.
+    *  3. RETRY — [[compactOcc]] re-runs from the new base and commits
+    *     (snapshot 5) with zero further conflicts.
+    *
+    * The oracle states the final table directly (all orders minus the
+    * deleted keys), plus the literal snapshot count and conflict count
+    * — so a wrong rebase (lost append), a wrong rewrite (undeleted
+    * keys) or a silently-skipped conflict all fail the driver gate.
+    */
+  def snapshotOcc(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapo")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      // both increments staged against base 1, committed after each other
+      val stagedA = stageOcc(s, root, orders.filter(col("o_orderkey") % 3 === 2))
+      val stagedB = stageOcc(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      val idA = commitOcc(root, stagedA, OccAppend)
+      val idB = commitOcc(root, stagedB, OccAppend)
+      require(idA == 2 && idB == 3, s"append ids drifted: $idA, $idB")
+      // stage a rewrite of snapshot 3, let a delete race it in
+      val staleRewrite = stageOcc(s, root, readAt(s, root, idB).repartition(3))
+      publishDeletes(s, root,
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      val conflicts =
+        try {
+          commitOcc(root, staleRewrite, OccRewrite(idB))
+          0L // would be a lost delete — the oracle will catch it too
+        } catch {
+          case _: CommitConflictException => discardStaged(root, staleRewrite); 1L
+        }
+      require(conflicts == 1L, "stale rewrite committed over a concurrent delete")
+      val (cid, retries) = compactOcc(s, root, targetFiles = 3)
+      require(cid == 5 && retries == 0, s"retry from fresh base: id $cid, $retries")
+      val out = readAt(s, root, cid)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .collect()
+        .map(r => Row(conflicts, cid.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("conflicts", LongType), StructField("n_snapshots", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotOccOracleSql: String = """
+    SELECT CAST(1 AS BIGINT) AS conflicts, CAST(5 AS BIGINT) AS n_snapshots,
+      o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   val snapshotEvolveOracleSql: String = """
     WITH b AS (SELECT o_orderkey, o_orderstatus,
