@@ -86,6 +86,7 @@ object SparkEntry {
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
     "snapshot_evolve"     -> w(Snapshots.snapshotEvolve),
     "snapshot_occ"        -> w(Snapshots.snapshotOcc),
+    "snapshot_zorder"     -> w(Snapshots.snapshotZorder),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -519,6 +520,7 @@ object SparkEntry {
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,
     "snapshot_evolve" -> graft.etl.Snapshots.snapshotEvolveOracleSql,
     "snapshot_occ" -> graft.etl.Snapshots.snapshotOccOracleSql,
+    "snapshot_zorder" -> graft.etl.Snapshots.snapshotZorderOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

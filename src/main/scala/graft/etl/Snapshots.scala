@@ -55,8 +55,17 @@ object Snapshots {
     * both the tombstone and the replacement rows without erasing
     * itself.
     */
+  /** `multi` carries NAMED per-file (min, max) ranges — the
+    * multi-column zone map a z-ordered layout needs (a single anonymous
+    * range can only serve one clustering dimension). Serialized as
+    * `name=lo:hi` manifest tokens; legacy 4/6-field lines parse
+    * unchanged with `multi` empty, and old readers of new manifests
+    * would merely not prune — absent stats always mean "cannot skip",
+    * never "skip".
+    */
   final case class ManifestEntry(relPath: String, md5: String, bytes: Long,
-                                 stats: Option[(Long, Long)] = None, seq: Int = 0)
+                                 stats: Option[(Long, Long)] = None, seq: Int = 0,
+                                 multi: Seq[(String, Long, Long)] = Nil)
 
   private def md5hex(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -109,19 +118,34 @@ object Snapshots {
     Files.readAllLines(root.resolve("manifests").resolve(s"manifest-$n")).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        line.split('\t') match {
-          case Array(rel, md5, bytes, seq) =>
-            ManifestEntry(rel, md5, bytes.toLong, None, seq.toInt)
-          case Array(rel, md5, bytes, seq, lo, hi) =>
-            ManifestEntry(rel, md5, bytes.toLong, Some((lo.toLong, hi.toLong)), seq.toInt)
+        val f = line.split('\t')
+        if (f.length < 4) throw new IllegalStateException(
+          s"malformed manifest-$n line: ${f.mkString("\\t")}")
+        // fields past seq: `name=lo:hi` tokens are named zone maps; a
+        // bare (lo, hi) pair is the legacy single anonymous range
+        val (named, positional) = f.drop(4).toSeq.partition(_.contains('='))
+        val stats = positional match {
+          case Seq()       => None
+          case Seq(lo, hi) => Some((lo.toLong, hi.toLong))
           case other => throw new IllegalStateException(
-            s"malformed manifest-$n line: ${other.mkString("\\t")}")
+            s"malformed manifest-$n stats in line: ${other.mkString("\\t")}")
         }
+        val multi = named.map { t =>
+          val Array(name, range) = t.split('=')
+          val Array(lo, hi) = range.split(':')
+          (name, lo.toLong, hi.toLong)
+        }
+        ManifestEntry(f(0), f(1), f(2).toLong, stats, f(3).toInt, multi)
       }
 
-  private def manifestLine(e: ManifestEntry): String = e.stats match {
-    case Some((lo, hi)) => s"${e.relPath}\t${e.md5}\t${e.bytes}\t${e.seq}\t$lo\t$hi"
-    case None           => s"${e.relPath}\t${e.md5}\t${e.bytes}\t${e.seq}"
+  private def manifestLine(e: ManifestEntry): String = {
+    e.multi.foreach { case (name, _, _) =>
+      require(!name.exists(c => c == '=' || c == ':' || c == '\t' || c == '\n'),
+        s"stats column name '$name' would corrupt the manifest encoding")
+    }
+    s"${e.relPath}\t${e.md5}\t${e.bytes}\t${e.seq}" +
+      e.stats.map { case (lo, hi) => s"\t$lo\t$hi" }.getOrElse("") +
+      e.multi.map { case (name, lo, hi) => s"\t$name=$lo:$hi" }.mkString
   }
 
   /** Stage `df` as immutable data files for the NEXT snapshot id and
@@ -466,31 +490,133 @@ object Snapshots {
     * the pointer, conflict or not.
     */
   def compactOcc(s: SparkSession, root: Path, targetFiles: Int,
-                 statsCol: Option[String] = None, maxAttempts: Int = 5): (Int, Int) = {
+                 statsCol: Option[String] = None, maxAttempts: Int = 5): (Int, Int) =
+    rewriteOcc(s, root, maxAttempts) { baseDf =>
+      val rewritten = statsCol match {
+        case Some(c) => baseDf.repartitionByRange(targetFiles, col(c))
+        case None    => baseDf.repartition(targetFiles)
+      }
+      stageOcc(s, root, rewritten, statsCol)
+    }
+
+  /** The stage-validate-commit-retry kernel shared by every optimistic
+    * rewrite — public because it is the extension point for custom
+    * OPTIMIZE shapes: `stageFn` rewrites the CURRENT merged view however
+    * it likes (re-cluster, z-order, fold tombstones); the loop verifies
+    * row-count parity against the staged files BEFORE attempting the
+    * commit, reclaims staging and re-runs from the new base on
+    * conflict. Returns (committed id, conflicts survived).
+    */
+  def rewriteOcc(s: SparkSession, root: Path, maxAttempts: Int = 5)(
+      stageFn: DataFrame => Seq[ManifestEntry]): (Int, Int) = {
     var attempt = 0
     while (true) {
       val base = currentId(root).getOrElse(
         throw new IllegalStateException(s"no published snapshot under $root"))
-      val before = readAt(s, root, base).count()
-      val rewritten = statsCol match {
-        case Some(c) => readAt(s, root, base).repartitionByRange(targetFiles, col(c))
-        case None    => readAt(s, root, base).repartition(targetFiles)
-      }
-      val fresh = stageOcc(s, root, rewritten, statsCol)
+      val baseDf = readAt(s, root, base)
+      val before = baseDf.count()
+      val fresh = stageFn(baseDf)
       val after = s.read.parquet(
         fresh.map(e => root.resolve(e.relPath).toString): _*).count()
       require(after == before,
-        s"compaction row-count drift: $before -> $after; NOT committed")
+        s"rewrite row-count drift: $before -> $after; NOT committed")
       try return (commitOcc(root, fresh, OccRewrite(base)), attempt)
       catch {
         case _: CommitConflictException =>
           attempt += 1
           discardStaged(root, fresh)
           if (attempt >= maxAttempts) throw new CommitConflictException(
-            s"compaction lost the commit race $maxAttempts times under $root")
+            s"rewrite lost the commit race $maxAttempts times under $root")
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Stage with NAMED per-file zone maps over several columns — the
+    * multi-column counterpart of [[stageOcc]]'s single anonymous stats
+    * range. All columns' (min, max) are gathered in ONE job over the
+    * freshly-written files, grouped by file. Columns must be integral
+    * (or integrally-castable): zone maps here are long ranges.
+    */
+  def stageOccMulti(s: SparkSession, root: Path, df: DataFrame,
+                    statsCols: Seq[String]): Seq[ManifestEntry] = {
+    val dataDir = root.resolve("data").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dataDir)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+    val byFile: Map[String, Seq[(String, Long, Long)]] =
+      s.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val fn = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString
+          fn -> statsCols.map(c =>
+            (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
+        }.toMap
+    val listing = Files.list(dataDir)
+    try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        None, seq = 0, multi = byFile.getOrElse(p.getFileName.toString, Nil)))
+    finally listing.close()
+  }
+
+  /** Z-ORDER compaction: rewrite the current merged view in Morton-curve
+    * order over two columns, so every file is a small RECTANGLE in
+    * (c1, c2) space and the manifest's named zone maps prune on EITHER
+    * dimension — single-column range clustering serves one predicate
+    * dimension and leaves the other full-range per file (B33's audit,
+    * now landed physically in the snapshot layer). Keys are
+    * scale-normalized to 16 bits via their broadcast max (exact
+    * integers, SF-independent), interleaved with the codegen'd mask
+    * ladder, range-partitioned AND sorted by the z value, written
+    * without the helper columns. Commits through the optimistic rewrite
+    * loop — a concurrent append/delete conflicts and re-runs, exactly
+    * like [[compactOcc]]. Requires non-negative integral c1/c2.
+    */
+  def compactZOrder(s: SparkSession, root: Path, targetFiles: Int,
+                    c1: String, c2: String, maxAttempts: Int = 5): (Int, Int) =
+    rewriteOcc(s, root, maxAttempts) { baseDf =>
+      val maxes = baseDf.agg(max(col(c1)).as("zmax1"), max(col(c2)).as("zmax2"))
+      val z = baseDf.crossJoin(broadcast(maxes))
+        .withColumn("zn1", expr(s"CAST($c1 AS BIGINT) * 65536 DIV (zmax1 + 1)"))
+        .withColumn("zn2", expr(s"CAST($c2 AS BIGINT) * 65536 DIV (zmax2 + 1)"))
+        .withColumn("zv", graft.relational.ZOrder.morton(col("zn1"), col("zn2")))
+        .repartitionByRange(targetFiles, col("zv"))
+        .sortWithinPartitions("zv")
+        .drop("zmax1", "zmax2", "zn1", "zn2", "zv")
+      stageOccMulti(s, root, z, Seq(c1, c2))
+    }
+
+  /** Raw manifest write, for encoding round-trip tests only. */
+  private[etl] def writeManifestForTest(root: Path, id: Int,
+                                        es: Seq[ManifestEntry]): Unit = {
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      es.map(manifestLine).mkString("\n"))
+  }
+
+  /** Manifest-pruned read on a NAMED zone-map column: open only files
+    * whose `c` range intersects [lo, hi]; files without a `c` zone map
+    * can never be skipped. The named complement of [[readPruned]] —
+    * after [[compactZOrder]] both clustering dimensions prune.
+    */
+  def readPrunedOn(s: SparkSession, root: Path, n: Int, c: String,
+                   lo: Long, hi: Long): DataFrame = {
+    val (datas, dels) = dataAndDeletes(root, n)
+    val picked = datas.filter { e =>
+      e.multi.find(_._1 == c) match {
+        case Some((_, fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None                => true // no zone map for c: must read
+      }
+    }
+    if (picked.isEmpty) readAt(s, root, n).limit(0)
+    else mergeRead(s, root, picked, dels, _.filter(col(c).between(lo, hi)))
   }
 
   /** Reclaim a staged-but-never-committed OCC write (its files are in
@@ -1240,6 +1366,68 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_zorder`: multi-dimensional file skipping after
+    * a z-order compaction. Orders land in a deliberately-unclustered
+    * layout (8 hash-shuffled files), then [[compactZOrder]] rewrites
+    * them Morton-ordered over (o_custkey, o_orderkey) with BOTH
+    * columns' zone maps in the manifest. Two slab reads — a custkey
+    * range and an orderkey range, each the bottom ⅛ of its dimension —
+    * must BOTH open strictly fewer files than the manifest lists
+    * (required in-query before the answer is trusted; single-column
+    * clustering can only ever serve one of the two). The oracle states
+    * both filtered aggregates directly from the source table with the
+    * same max/8 bounds, so the hash gate proves pruning changed I/O and
+    * nothing else.
+    */
+  def snapshotZorder(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapz")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartition(8))
+      val (zid, conflicts) = compactZOrder(s, root, 8, "o_custkey", "o_orderkey")
+      require(conflicts == 0, s"unexpected conflicts in a single-writer run")
+      val Row(maxCust: Long, maxKey: Long) =
+        orders.agg(max(col("o_custkey")).cast("long"),
+          max(col("o_orderkey")).cast("long")).head
+      val total = manifest(root, zid).size
+      def slab(dim: String, c: String, hi: Long) = {
+        val pruned = readPrunedOn(s, root, zid, c, 1L, hi)
+        val opened = pruned.inputFiles.length
+        require(opened < total, s"$c zone maps skipped nothing: $opened of $total")
+        pruned.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(dim, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val out = slab("custkey", "o_custkey", maxCust / 8) ++
+        slab("orderkey", "o_orderkey", maxKey / 8)
+      val schema = StructType(Seq(
+        StructField("dim", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("dim", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotZorderOracleSql: String = """
+    WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    m AS (SELECT CAST(max(o_custkey) AS BIGINT) // 8 AS mc,
+                 CAST(max(o_orderkey) AS BIGINT) // 8 AS mk FROM b)
+    SELECT 'custkey' AS dim, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b, m WHERE o_custkey BETWEEN 1 AND mc GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'orderkey', o_orderstatus, CAST(count(*) AS BIGINT),
+      CAST(sum(cents) AS BIGINT)
+    FROM b, m WHERE o_orderkey BETWEEN 1 AND mk GROUP BY o_orderstatus
+    ORDER BY dim, o_orderstatus"""
 
   val snapshotOccOracleSql: String = """
     SELECT CAST(1 AS BIGINT) AS conflicts, CAST(5 AS BIGINT) AS n_snapshots,
