@@ -87,6 +87,7 @@ object SparkEntry {
     "snapshot_evolve"     -> w(Snapshots.snapshotEvolve),
     "snapshot_occ"        -> w(Snapshots.snapshotOcc),
     "snapshot_zorder"     -> w(Snapshots.snapshotZorder),
+    "snapshot_overwrite"  -> w(Snapshots.snapshotOverwrite),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -521,6 +522,7 @@ object SparkEntry {
     "snapshot_evolve" -> graft.etl.Snapshots.snapshotEvolveOracleSql,
     "snapshot_occ" -> graft.etl.Snapshots.snapshotOccOracleSql,
     "snapshot_zorder" -> graft.etl.Snapshots.snapshotZorderOracleSql,
+    "snapshot_overwrite" -> graft.etl.Snapshots.snapshotOverwriteOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

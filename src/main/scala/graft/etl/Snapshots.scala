@@ -593,6 +593,66 @@ object Snapshots {
       stageOccMulti(s, root, z, Seq(c1, c2))
     }
 
+  private def partValueOf(relPath: String): Option[String] =
+    relPath.split('/').find(_.startsWith("_pv=")).map(_.stripPrefix("_pv="))
+
+  private def listParquetRecursive(dir: Path): Seq[Path] = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.toString)
+    finally walk.close()
+  }
+
+  /** Dynamic partition overwrite as ONE atomic commit: replace exactly
+    * the partitions `df` carries rows for, reuse every other
+    * partition's files verbatim. The table is laid out value-pure — the
+    * partition column is duplicated into a `_pv=<value>` directory key
+    * at write time (and kept as a normal data column, so reads through
+    * explicit file lists need no partition discovery) — which is what
+    * makes "drop the replaced partition's files from the manifest" a
+    * pure metadata operation: no file ever mixes touched and untouched
+    * partitions. I/O is O(replaced partitions); untouched partitions
+    * are carried as the SAME manifest entries (same files, same MD5s),
+    * and time travel to the pre-overwrite snapshot still sees the old
+    * partition. The reference's per-database re-release (a new release
+    * replaces one database's dumps, the FTP tree keeps the rest) is
+    * exactly this shape. Founding call on an empty store publishes the
+    * initial partitioned layout. Partition values must be path-safe
+    * scalars (they become directory names); tombstones carry through —
+    * new files outrank old tombstone seqs, so replaced rows are never
+    * erased by pre-overwrite deletes while untouched partitions keep
+    * theirs applying.
+    */
+  def publishOverwrite(s: SparkSession, root: Path, df: DataFrame,
+                       partCol: String): Int = {
+    val prev = currentId(root)
+    val id = prev.getOrElse(0) + 1
+    val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
+    Files.createDirectories(dataDir)
+    df.withColumn("_pv", col(partCol))
+      .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
+    val fresh = listParquetRecursive(dataDir)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        None, seq = id))
+    require(fresh.nonEmpty, "refusing an empty overwrite: no partitions to replace")
+    val touched = fresh.flatMap(e => partValueOf(e.relPath)).toSet
+    val carried = prev.map(manifest(root, _)).getOrElse(Nil).filter { e =>
+      if (isDelete(e)) true
+      else partValueOf(e.relPath) match {
+        case Some(v) => !touched(v)
+        case None => throw new IllegalStateException(
+          s"non-partitioned data file ${e.relPath}: partition overwrite needs a " +
+            "table founded by publishOverwrite (value-pure _pv= layout)")
+      }
+    }
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (carried ++ fresh).map(manifestLine).mkString("\n"))
+    commit(root, id, lastBatchId(root))
+    id
+  }
+
   /** Raw manifest write, for encoding round-trip tests only. */
   private[etl] def writeManifestForTest(root: Path, id: Int,
                                         es: Seq[ManifestEntry]): Unit = {
@@ -929,6 +989,17 @@ object Snapshots {
           rest.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(dir)
         }
+      }
+    }
+    // partitioned layouts nest one level deeper (snap-N/_pv=V/part-*);
+    // a snap dir whose partition subdirs were all reclaimed holds only
+    // crumbs — verified parquet-free RECURSIVELY before anything goes
+    parents.toSeq.map(_.getParent).filter(p => p != null && p.getParent != null &&
+        p.getParent.getFileName.toString == "data").distinct.foreach { dir =>
+      if (Files.exists(dir) && listParquetRecursive(dir).isEmpty) {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
       }
     }
     expired.foreach(i => Files.delete(root.resolve("manifests").resolve(s"manifest-$i")))
@@ -1414,6 +1485,65 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_overwrite`: dynamic partition overwrite under
+    * the atomic-commit contract. Orders found the table partitioned by
+    * o_orderstatus; release 2 replaces ONLY the 'F' partition with
+    * recomputed rows (every cent total shifted by +11 — a visible,
+    * deterministic change). The query requires, before trusting any
+    * answer, that the untouched partitions' manifest entries are
+    * byte-identical carries (same relPath AND same MD5 — file reuse,
+    * not rewrite) and that no snapshot-1 'F' file survived into
+    * snapshot 2. The oracle states both snapshots' per-status state
+    * directly, so the hash gate proves the overwrite replaced exactly
+    * one partition and time travel kept the pre-overwrite state.
+    */
+  def snapshotOverwrite(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapw")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publishOverwrite(s, root, orders, "o_orderstatus")
+      publishOverwrite(s, root,
+        orders.filter(col("o_orderstatus") === "F")
+          .withColumn("cents", col("cents") + 11L),
+        "o_orderstatus")
+      val m1 = manifest(root, 1).map(e => e.relPath -> e.md5).toMap
+      val m2 = manifest(root, 2)
+      val (fFiles, carried) = m2.partition(_.relPath.contains("_pv=F"))
+      require(fFiles.forall(_.seq == 2), "a snapshot-1 'F' file leaked into snapshot 2")
+      require(carried.nonEmpty && carried.forall(e => m1.get(e.relPath).contains(e.md5)),
+        "untouched partitions were rewritten, not carried")
+      val out = (1 to 2).flatMap { n =>
+        readAt(s, root, n)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotOverwriteOracleSql: String = """
+    WITH b AS (SELECT o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(count(*) AS BIGINT),
+      CAST(sum(cents + CASE WHEN o_orderstatus = 'F' THEN 11 ELSE 0 END) AS BIGINT)
+    FROM b GROUP BY o_orderstatus
+    ORDER BY snapshot_id, o_orderstatus"""
 
   val snapshotZorderOracleSql: String = """
     WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
