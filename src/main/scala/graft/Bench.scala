@@ -49,7 +49,8 @@ object Bench {
     // r12c: optimistic concurrency — the query pays two staged appends,
     // a provoked conflict and the retried rewrite, so it prices the
     // whole commit protocol, not one publish
-    "snapshot_occ", "snapshot_zorder", "snapshot_overwrite")
+    "snapshot_occ", "snapshot_zorder", "snapshot_overwrite",
+    "snapshot_branch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,6 +88,7 @@ object SparkEntry {
     "snapshot_occ"        -> w(Snapshots.snapshotOcc),
     "snapshot_zorder"     -> w(Snapshots.snapshotZorder),
     "snapshot_overwrite"  -> w(Snapshots.snapshotOverwrite),
+    "snapshot_branch"     -> w(Snapshots.snapshotBranch),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -523,6 +524,7 @@ object SparkEntry {
     "snapshot_occ" -> graft.etl.Snapshots.snapshotOccOracleSql,
     "snapshot_zorder" -> graft.etl.Snapshots.snapshotZorderOracleSql,
     "snapshot_overwrite" -> graft.etl.Snapshots.snapshotOverwriteOracleSql,
+    "snapshot_branch" -> graft.etl.Snapshots.snapshotBranchOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

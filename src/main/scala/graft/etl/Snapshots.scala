@@ -159,7 +159,9 @@ object Snapshots {
   def stage(s: SparkSession, root: Path, df: DataFrame, append: Boolean,
             statsCol: Option[String] = None): Int = {
     val prev = currentId(root)
-    val id = prev.getOrElse(0) + 1
+    // allocate PAST any manifest already on disk (a branch head, an
+    // uncommitted staging, a crashed OCC commit) — never overwrite one
+    val id = nextManifestId(root)
     val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -653,6 +655,109 @@ object Snapshots {
     id
   }
 
+  private def refPath(root: Path, name: String, tag: Boolean): Path = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"ref name '$name' must be [A-Za-z0-9_-]")
+    root.resolve("refs").resolve(if (tag) "tags" else "heads").resolve(name)
+  }
+
+  private def readRef(p: Path): Option[Int] =
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), UTF_8).trim.toInt)
+
+  /** A BRANCH: a named mutable pointer, exactly `_current`'s mechanism
+    * under a name — it starts at an existing snapshot and advances
+    * independently as [[publishToBranch]] commits to it, sharing every
+    * file it doesn't change with the lineage it forked from (snapshot
+    * ids are allocated globally, so branch and main manifests never
+    * collide). This is the reference's prerelease world as a ref: build
+    * a release on `dev` over many commits while `_current` keeps
+    * serving, then [[adoptBranch]] swaps it live in one rename.
+    */
+  def createBranch(root: Path, name: String, atId: Int): Unit = {
+    val p = refPath(root, name, tag = false)
+    require(!Files.exists(p), s"branch '$name' already exists")
+    require(Files.exists(root.resolve("manifests").resolve(s"manifest-$atId")),
+      s"cannot branch at snapshot $atId: no such manifest")
+    Files.createDirectories(p.getParent)
+    atomicWrite(p, atId.toString)
+  }
+
+  /** A TAG: an immutable named pointer — same file format, refused by
+    * [[publishToBranch]]. Tags pin history against [[expire]] (a
+    * ref'd manifest and its files are never reclaimed).
+    */
+  def createTag(root: Path, name: String, atId: Int): Unit = {
+    val p = refPath(root, name, tag = true)
+    require(!Files.exists(p), s"tag '$name' already exists")
+    require(Files.exists(root.resolve("manifests").resolve(s"manifest-$atId")),
+      s"cannot tag snapshot $atId: no such manifest")
+    Files.createDirectories(p.getParent)
+    atomicWrite(p, atId.toString)
+  }
+
+  /** Snapshot id a ref names — branch heads move, tags never do. */
+  def refId(root: Path, name: String): Option[Int] =
+    readRef(refPath(root, name, tag = false))
+      .orElse(readRef(refPath(root, name, tag = true)))
+
+  /** Append (or replace, `append = false`) on a BRANCH: carried entries
+    * come from the branch's own head, never from `_current` — the two
+    * lineages evolve independently over shared immutable files. Data
+    * write + manifest + ref swap under the writer lock; tags refuse.
+    */
+  def publishToBranch(s: SparkSession, root: Path, name: String, df: DataFrame,
+                      append: Boolean = true, statsCol: Option[String] = None): Int =
+    withWriterLock(root) {
+      require(!Files.exists(refPath(root, name, tag = true)),
+        s"'$name' is a tag: tags are immutable")
+      val head = readRef(refPath(root, name, tag = false)).getOrElse(
+        throw new IllegalStateException(s"no branch '$name' under $root"))
+      val fresh = stageOcc(s, root, df, statsCol)
+      val id = nextManifestId(root)
+      val carried = if (append) manifest(root, head) else Nil
+      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+        (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
+      atomicWrite(refPath(root, name, tag = false), id.toString)
+      id
+    }
+
+  /** Read a branch or tag head through its manifest. */
+  def readRefAt(s: SparkSession, root: Path, name: String): DataFrame =
+    readAt(s, root, refId(root, name).getOrElse(
+      throw new IllegalStateException(s"no ref '$name' under $root")))
+
+  /** Make a branch's head THE current snapshot — one pointer rename, so
+    * a months-long branch build goes live atomically (and an adoption
+    * of an older head is an equally-atomic rollback). The streaming
+    * batch watermark is carried, as with every maintenance commit.
+    */
+  def adoptBranch(root: Path, name: String): Int = withWriterLock(root) {
+    val head = readRef(refPath(root, name, tag = false)).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root"))
+    commit(root, head, lastBatchId(root))
+    head
+  }
+
+  /** Delete a branch or tag ref. The history it pinned becomes
+    * reclaimable by the NEXT [[expire]] — dropping a ref never deletes
+    * data itself.
+    */
+  def dropRef(root: Path, name: String): Boolean =
+    Files.deleteIfExists(refPath(root, name, tag = false)) ||
+      Files.deleteIfExists(refPath(root, name, tag = true))
+
+  private def allRefIds(root: Path): Set[Int] = {
+    val refsDir = root.resolve("refs")
+    if (!Files.exists(refsDir)) Set.empty
+    else {
+      val walk = Files.walk(refsDir)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .flatMap(readRef).toSet
+      finally walk.close()
+    }
+  }
+
   /** Raw manifest write, for encoding round-trip tests only. */
   private[etl] def writeManifestForTest(root: Path, id: Int,
                                         es: Seq[ManifestEntry]): Unit = {
@@ -964,7 +1069,10 @@ object Snapshots {
     val manifestIds = try listing.iterator().asScala
       .map(_.getFileName.toString.stripPrefix("manifest-").toInt).toSeq.sorted
     finally listing.close()
-    val (expired, retained) = manifestIds.partition(_ < keepFrom)
+    // a ref'd manifest (branch head or tag) is pinned history: neither
+    // it nor its files are reclaimable while the ref exists
+    val refIds = allRefIds(root)
+    val (expired, retained) = manifestIds.partition(i => i < keepFrom && !refIds(i))
     val keepFiles = retained.flatMap(manifest(root, _)).map(_.relPath).toSet
     var n = 0
     var bytes = 0L
@@ -1532,6 +1640,72 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_branch`: branches and tags as named pointers.
+    * Main is founded with keys ≡ 1 (mod 3); `dev` branches at snapshot
+    * 1 and appends the ≡ 2 remainder; main independently appends ≡ 0;
+    * `v1` tags the founding snapshot. The output states all four views
+    * — main, dev, the tag, and main again after [[adoptBranch]] swaps
+    * dev live — and the oracle states each from the source table, so
+    * the hash gate proves lineage isolation (neither append leaked into
+    * the other line), tag stability, and that adoption is exactly the
+    * branch's state. In-query requires pin the ids and that expire
+    * cannot reclaim the tag-pinned founding snapshot.
+    */
+  def snapshotBranch(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapb")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      createBranch(root, "dev", 1)
+      createTag(root, "v1", 1)
+      val devId = publishToBranch(s, root, "dev", orders.filter(col("o_orderkey") % 3 === 2))
+      val mainId = publish(s, root, orders.filter(col("o_orderkey") % 3 === 0), append = true)
+      require(devId == 2 && mainId == 3, s"global id allocation drifted: $devId, $mainId")
+      def agg(ref: String, df: DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(ref, r.getString(0), r.getLong(1), r.getLong(2)))
+      val before =
+        agg("dev", readRefAt(s, root, "dev")) ++
+          agg("main", readCurrent(s, root)) ++
+          agg("v1", readRefAt(s, root, "v1"))
+      val adopted = adoptBranch(root, "dev")
+      require(adopted == devId, s"adopt must land on dev's head, got $adopted")
+      // the tag pins snapshot 1 against GC even though keepFrom passes it
+      expire(root, keepFrom = 2)
+      require(verify(root, 1).isEmpty, "tag-pinned snapshot lost files to expire")
+      val out = before ++ agg("zz_main_adopted", readCurrent(s, root))
+      val schema = StructType(Seq(
+        StructField("ref", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("ref", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotBranchOracleSql: String = """
+    WITH b AS (SELECT o_orderkey % 3 AS r, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT 'dev' AS ref, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b WHERE r IN (1, 2) GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'main', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE r IN (0, 1) GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE r = 1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'zz_main_adopted', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE r IN (1, 2) GROUP BY o_orderstatus
+    ORDER BY ref, o_orderstatus"""
 
   val snapshotOverwriteOracleSql: String = """
     WITH b AS (SELECT o_orderstatus,
