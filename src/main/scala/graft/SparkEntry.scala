@@ -89,6 +89,7 @@ object SparkEntry {
     "snapshot_zorder"     -> w(Snapshots.snapshotZorder),
     "snapshot_overwrite"  -> w(Snapshots.snapshotOverwrite),
     "snapshot_branch"     -> w(Snapshots.snapshotBranch),
+    "snapshot_meta"       -> w(Snapshots.snapshotMeta),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -525,6 +526,7 @@ object SparkEntry {
     "snapshot_zorder" -> graft.etl.Snapshots.snapshotZorderOracleSql,
     "snapshot_overwrite" -> graft.etl.Snapshots.snapshotOverwriteOracleSql,
     "snapshot_branch" -> graft.etl.Snapshots.snapshotBranchOracleSql,
+    "snapshot_meta" -> graft.etl.Snapshots.snapshotMetaOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

@@ -758,6 +758,78 @@ object Snapshots {
     }
   }
 
+  /** Metadata relation over snapshot HISTORY — one row per manifest on
+    * disk, derived purely from metadata (no data file is opened): the
+    * introspection surface open table formats expose as `.snapshots`.
+    * O(#manifests) tiny reads; at a million-file table this never lists
+    * a data directory. Columns: snapshot_id, n_data_files,
+    * n_delete_files, n_fresh (entries this snapshot added), is_current.
+    */
+  def metaSnapshots(s: SparkSession, root: Path): DataFrame = {
+    val cur = currentId(root)
+    val dir = root.resolve("manifests")
+    val ids =
+      if (!Files.exists(dir)) Nil
+      else {
+        val l = Files.list(dir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("manifest-"))
+          .map(_.stripPrefix("manifest-").toInt).toSeq.sorted
+        finally l.close()
+      }
+    val rows = ids.map { n =>
+      val es = manifest(root, n)
+      val (dels, datas) = es.partition(isDelete)
+      Row(n.toLong, datas.size.toLong, dels.size.toLong,
+        es.count(_.seq == n).toLong, if (cur.contains(n)) 1L else 0L)
+    }
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType), StructField("n_data_files", LongType),
+      StructField("n_delete_files", LongType), StructField("n_fresh", LongType),
+      StructField("is_current", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Metadata relation over one snapshot's FILES — the `.files` twin of
+    * [[metaSnapshots]]: rel_path, kind (data|delete), seq, bytes, md5,
+    * the anonymous zone-map bounds if present, and how many named zone
+    * maps the entry carries. Pure manifest read.
+    */
+  def metaFiles(s: SparkSession, root: Path, n: Int): DataFrame = {
+    val rows = manifest(root, n).map { e =>
+      Row(e.relPath, if (isDelete(e)) "delete" else "data", e.seq.toLong, e.bytes,
+        e.md5, e.stats.map(_._1).orNull, e.stats.map(_._2).orNull,
+        e.multi.size.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("rel_path", StringType), StructField("kind", StringType),
+      StructField("seq", LongType), StructField("bytes", LongType),
+      StructField("md5", StringType),
+      StructField("stats_lo", LongType, nullable = true),
+      StructField("stats_hi", LongType, nullable = true),
+      StructField("n_named_stats", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Metadata relation over REFS: name, kind (branch|tag), snapshot_id. */
+  def metaRefs(s: SparkSession, root: Path): DataFrame = {
+    def scan(kind: String): Seq[Row] = {
+      val dir = root.resolve("refs").resolve(if (kind == "tag") "tags" else "heads")
+      if (!Files.exists(dir)) Nil
+      else {
+        val l = Files.list(dir)
+        try l.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          .flatMap(p => readRef(p).map(id =>
+            Row(p.getFileName.toString, kind, id.toLong)))
+        finally l.close()
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("kind", StringType),
+      StructField("snapshot_id", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(scan("branch") ++ scan("tag"), 1), schema)
+  }
+
   /** Raw manifest write, for encoding round-trip tests only. */
   private[etl] def writeManifestForTest(root: Path, id: Int,
                                         es: Seq[ManifestEntry]): Unit = {
@@ -1689,6 +1761,64 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_meta`: the `.snapshots` introspection relation
+    * over a four-commit choreography (found 2 files → append 3 → delete
+    * → compact back to 2), joined with each snapshot's visible row
+    * count. File/fresh/tombstone counts come purely from manifests —
+    * the oracle pins them as literals alongside SQL-computed row
+    * counts, so the hash gate proves the metadata relation reports the
+    * table's true structural history, including the delete commit
+    * carrying all five data files forward and the compaction folding
+    * the tombstone away.
+    */
+  def snapshotMeta(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapm")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 1).repartition(2))
+      publish(s, root, orders.filter(col("o_orderkey") % 3 === 2).repartition(3),
+        append = true)
+      publishDeletes(s, root,
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      compact(s, root, targetFiles = 2)
+      val meta = metaSnapshots(s, root).collect()
+      val out = meta.map { r =>
+        val n = r.getLong(0).toInt
+        Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          readAt(s, root, n).count())
+      }.toSeq
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("n_data_files", LongType),
+        StructField("n_delete_files", LongType), StructField("n_fresh", LongType),
+        StructField("is_current", LongType), StructField("n_rows", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotMetaOracleSql: String = """
+    WITH c AS (SELECT
+        CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN o_orderkey % 3 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+        CAST(sum(CASE WHEN o_orderkey % 3 IN (1, 2) AND o_orderkey % 5 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n12d
+      FROM orders)
+    SELECT CAST(v.snapshot_id AS BIGINT) AS snapshot_id,
+      CAST(v.n_data_files AS BIGINT) AS n_data_files,
+      CAST(v.n_delete_files AS BIGINT) AS n_delete_files,
+      CAST(v.n_fresh AS BIGINT) AS n_fresh,
+      CAST(v.is_current AS BIGINT) AS is_current,
+      CASE v.snapshot_id WHEN 1 THEN c.n1 WHEN 2 THEN c.n12 ELSE c.n12d END AS n_rows
+    FROM (VALUES (1, 2, 0, 2, 0), (2, 5, 0, 3, 0), (3, 5, 1, 1, 0), (4, 2, 0, 2, 1))
+      v(snapshot_id, n_data_files, n_delete_files, n_fresh, is_current)
+    CROSS JOIN c
+    ORDER BY snapshot_id"""
 
   val snapshotBranchOracleSql: String = """
     WITH b AS (SELECT o_orderkey % 3 AS r, o_orderstatus,
