@@ -90,6 +90,7 @@ object SparkEntry {
     "snapshot_overwrite"  -> w(Snapshots.snapshotOverwrite),
     "snapshot_branch"     -> w(Snapshots.snapshotBranch),
     "snapshot_meta"       -> w(Snapshots.snapshotMeta),
+    "snapshot_wap"        -> w(Snapshots.snapshotWap),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -527,6 +528,7 @@ object SparkEntry {
     "snapshot_overwrite" -> graft.etl.Snapshots.snapshotOverwriteOracleSql,
     "snapshot_branch" -> graft.etl.Snapshots.snapshotBranchOracleSql,
     "snapshot_meta" -> graft.etl.Snapshots.snapshotMetaOracleSql,
+    "snapshot_wap" -> graft.etl.Snapshots.snapshotWapOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

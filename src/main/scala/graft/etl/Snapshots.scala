@@ -739,6 +739,54 @@ object Snapshots {
     head
   }
 
+  /** WRITE-AUDIT-PUBLISH: stage `df` as an append on a throwaway audit
+    * branch, run `audit` over the branch's WHOLE post-append view, and
+    * only then swap it live — readers of `_current` can never see
+    * unaudited rows, because until the final pointer rename the new
+    * data exists only behind the branch ref. This is A27's declarative
+    * audit joined to the snapshot layer, and the reference's
+    * prerelease-verify-rename release discipline (checksum the staged
+    * dot-dir, THEN rename it live) as a table operation.
+    *
+    * A rejected publish is erased completely — manifest, data files,
+    * ref — so it needs no GC and leaves no abandoned tip. An accepted
+    * publish re-validates under the writer lock that `_current` still
+    * equals the audited base (a concurrent commit would otherwise be
+    * silently rolled back by the adoption) and conflicts loudly if not,
+    * after the same cleanup; the caller re-runs, exactly like a
+    * [[compactOcc]] retry. Returns whether the release went live.
+    */
+  def publishAudited(s: SparkSession, root: Path, df: DataFrame,
+                     audit: DataFrame => Boolean, branch: String = "wap"): Boolean = {
+    val base = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    require(refId(root, branch).isEmpty, s"audit branch '$branch' already in flight")
+    createBranch(root, branch, base)
+    val id = publishToBranch(s, root, branch, df)
+    def cleanup(): Unit = {
+      val baseEntries = manifest(root, base).toSet
+      val fresh = manifest(root, id).filterNot(baseEntries)
+      dropRef(root, branch)
+      Files.delete(root.resolve("manifests").resolve(s"manifest-$id"))
+      discardStaged(root, fresh)
+    }
+    val ok =
+      try audit(readRefAt(s, root, branch))
+      catch { case e: Throwable => cleanup(); throw e }
+    if (!ok) { cleanup(); false }
+    else withWriterLock(root) {
+      if (!currentId(root).contains(base)) {
+        cleanup()
+        throw new CommitConflictException(
+          s"audited release staged against $base but current moved to " +
+            s"${currentId(root).getOrElse("<none>")}")
+      }
+      commit(root, id, lastBatchId(root))
+      dropRef(root, branch)
+      true
+    }
+  }
+
   /** Delete a branch or tag ref. The history it pinned becomes
     * reclaimable by the NEXT [[expire]] — dropping a ref never deletes
     * data itself.
@@ -1801,6 +1849,64 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_wap`: write-audit-publish under the driver
+    * gate. Main is founded with the even order keys; a DEFECTIVE
+    * increment (odd keys, cents negated where key ≡ 1 mod 100) is
+    * staged through [[publishAudited]] with a cents-positive audit —
+    * it must be rejected with main bit-untouched and the staging fully
+    * erased; the repaired increment must then pass and adopt. The
+    * oracle states the final table (all orders, original money) plus
+    * the SQL-computed defect count and the literal rejection count, so
+    * the hash gate proves the audit gated exactly the bad release and
+    * the good one landed whole.
+    */
+  def snapshotWap(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_wap")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      val defective = orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("cents",
+          when(col("o_orderkey") % 100 === 1, -col("cents")).otherwise(col("cents")))
+      val centsPositive: DataFrame => Boolean =
+        df => df.filter(col("cents") <= 0).count() == 0
+      val badRows = defective.filter(col("cents") <= 0).count()
+      require(badRows > 0, "the sabotage must produce defects at every SF")
+      require(!publishAudited(s, root, defective, centsPositive),
+        "a defective release passed the audit")
+      require(currentId(root).contains(1), "rejection must leave main untouched")
+      require(refId(root, "wap").isEmpty, "rejected audit branch not cleaned up")
+      require(publishAudited(s, root, orders.filter(col("o_orderkey") % 2 === 1),
+        centsPositive), "the repaired release failed the audit")
+      val out = readCurrent(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .collect()
+        .map(r => Row(badRows, 1L, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("bad_rows", LongType), StructField("rejected", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotWapOracleSql: String = """
+    WITH b AS (SELECT o_orderkey, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    m AS (SELECT CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 100 = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS bad FROM b)
+    SELECT m.bad AS bad_rows, CAST(1 AS BIGINT) AS rejected, o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b, m GROUP BY m.bad, o_orderstatus ORDER BY o_orderstatus"""
 
   val snapshotMetaOracleSql: String = """
     WITH c AS (SELECT
