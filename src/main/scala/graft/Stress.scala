@@ -1471,6 +1471,83 @@ object Stress {
         } finally
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", hdfsProvider)
 
+      case "occ_storm" =>
+        // Optimistic concurrency at writer scale: 8 writers × 4 appends
+        // of 250k rows each (8M rows total) land on one store, A/B'd
+        // against publishLocked doing the identical work. The claim:
+        // the OCC critical section is the metadata commit only, so
+        // writers overlap their DATA writes and total wall-clock drops;
+        // correctness is absolute either way (32 distinct snapshots,
+        // exact final count, every manifest verify clean). Order runs
+        // locked-first so warmup favors the INCUMBENT, not the claim.
+        val writers = 8; val each = 4; val rows = 250000L
+        def blockFor(w: Int, i: Int) =
+          spark.range((w * each + i) * rows, (w * each + i + 1) * rows)
+            .select(col("id").as("k"), (col("id") % 97).as("v")).repartition(4)
+        def storm(label: String)(pub: (java.nio.file.Path, Int, Int) => Int): Double = {
+          val root = java.nio.file.Files.createTempDirectory(s"graft_occstorm_$label")
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+          val t0 = System.nanoTime()
+          val tasks = (0 until writers).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+              def call(): Seq[Int] = (0 until each).map(i => pub(root, w, i))
+            })
+          }
+          val ids = tasks.flatMap(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+          val secs = (System.nanoTime() - t0) / 1e9
+          pool.shutdown()
+          assert(ids.sorted == (1 to writers * each), s"$label id loss: ${ids.sorted}")
+          val n = etl.Snapshots.readCurrent(spark, root).count()
+          assert(n == writers * each * rows, s"$label lost rows: $n")
+          assert(etl.Snapshots.verify(root, etl.Snapshots.currentId(root).get).isEmpty)
+          println(f"[stress] occ_storm $label: ${writers * each} commits, $n rows, $secs%.1f s")
+          secs
+        }
+        val locked = storm("locked") { (root, w, i) =>
+          etl.Snapshots.publishLocked(spark, root, blockFor(w, i), append = true)
+        }
+        val occ = storm("occ") { (root, w, i) =>
+          etl.Snapshots.publishOcc(spark, root, blockFor(w, i))
+        }
+        println(f"[stress] occ_storm: locked $locked%.1f s vs occ $occ%.1f s = " +
+          f"${locked / occ}%.2fx (data writes overlap; only the pointer commit serializes)")
+
+      case "zorder_6m" =>
+        // Z-order at 6M rows / 64 files: publish a 2448x2448 grid
+        // unclustered, compactZOrder on (x, y), then measure BOTH
+        // dimensions' slab reads as opened-file fractions and wall-clock
+        // vs the full merged read. The 100 TB claim: a z-ordered layout
+        // bounds EITHER dimension's 1/8-slab to a ~1/8-ish file subset
+        // (single-column clustering leaves one dimension at 100%), and
+        // pruning is pure I/O savings — counts equal the full-scan
+        // filter's exactly.
+        val side = 2448L
+        val root = java.nio.file.Files.createTempDirectory("graft_z6m")
+        val grid = spark.range(side * side).select(
+          (col("id") / side).cast("long").as("x"),
+          (col("id") % side).cast("long").as("y"))
+        timed("publish 6M rows unclustered (32 files)")(
+          etl.Snapshots.publish(spark, root, grid.repartition(32)))
+        timed("compactZOrder -> 64 files, stats on both dims")(
+          etl.Snapshots.compactZOrder(spark, root, 64, "x", "y"))
+        val zid = etl.Snapshots.currentId(root).get
+        val total = etl.Snapshots.manifest(root, zid).size
+        val fullT0 = System.nanoTime()
+        val full = etl.Snapshots.readAt(spark, root, zid)
+          .filter(col("x") < side / 8).count()
+        val fullSecs = (System.nanoTime() - fullT0) / 1e9
+        for (c <- Seq("x", "y")) {
+          val t0 = System.nanoTime()
+          val pruned = etl.Snapshots.readPrunedOn(spark, root, zid, c, 0L, side / 8 - 1)
+          val n = pruned.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val opened = pruned.inputFiles.length
+          assert(n == (side / 8) * side, s"$c slab dropped rows: $n")
+          println(f"[stress] zorder_6m $c-slab: $opened/$total files, $n rows, " +
+            f"$secs%.2f s (full-scan filter: $fullSecs%.2f s)")
+          assert(opened * 4 <= total, s"$c slab pruned weakly: $opened of $total")
+        }
+
       case "dag_100k" =>
         // A29 at a fan three orders past the bench shape: 100k jobs per fan
         // stage (500k total) through the worker-pull runner. The claim under
