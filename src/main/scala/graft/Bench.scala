@@ -50,7 +50,7 @@ object Bench {
     // a provoked conflict and the retried rewrite, so it prices the
     // whole commit protocol, not one publish
     "snapshot_occ", "snapshot_zorder", "snapshot_overwrite",
-    "snapshot_branch", "snapshot_meta", "snapshot_wap")
+    "snapshot_branch", "snapshot_meta", "snapshot_wap", "snapshot_txn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

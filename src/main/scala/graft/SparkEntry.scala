@@ -91,6 +91,7 @@ object SparkEntry {
     "snapshot_branch"     -> w(Snapshots.snapshotBranch),
     "snapshot_meta"       -> w(Snapshots.snapshotMeta),
     "snapshot_wap"        -> w(Snapshots.snapshotWap),
+    "snapshot_txn"        -> w(TxnCatalog.snapshotTxn),
     "job_semaphores"      -> w(Lanes.semaphores),
     "job_schedule"        -> w(Lanes.schedule),
     "grant_prerelease"    -> w(Discovery.grantPrerelease),
@@ -529,6 +530,7 @@ object SparkEntry {
     "snapshot_branch" -> graft.etl.Snapshots.snapshotBranchOracleSql,
     "snapshot_meta" -> graft.etl.Snapshots.snapshotMetaOracleSql,
     "snapshot_wap" -> graft.etl.Snapshots.snapshotWapOracleSql,
+    "snapshot_txn" -> graft.etl.TxnCatalog.snapshotTxnOracleSql,
 
     "job_semaphores" -> """
       WITH j AS (SELECT 'db_' || (user_id % 20) AS db,

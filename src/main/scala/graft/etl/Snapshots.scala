@@ -229,14 +229,14 @@ object Snapshots {
   }
 
   private def writeTombstone(s: SparkSession, root: Path, keys: DataFrame,
-                             id: Int): Seq[ManifestEntry] = {
+                             id: Int, baseId: Int): Seq[ManifestEntry] = {
     require(keys.columns.length == 1,
       s"tombstone = one key column, got ${keys.columns.mkString(",")}")
     // one delete-key column per TABLE: a second tombstone under a
     // different column name would schema-merge into a two-column frame
     // whose null-padded anti-join silently deletes nothing (or the
     // wrong thing) — reject it at write time instead
-    manifest(root, id - 1).find(isDelete).foreach { prior =>
+    manifest(root, baseId).find(isDelete).foreach { prior =>
       val priorCol = s.read.parquet(root.resolve(prior.relPath).toString).columns.head
       require(priorCol == keys.columns.head,
         s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
@@ -266,12 +266,40 @@ object Snapshots {
   def publishDeletes(s: SparkSession, root: Path, keys: DataFrame): Int = {
     val prev = currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    val id = prev + 1
-    val fresh = writeTombstone(s, root, keys, id)
+    val id = stageDeletesOnto(s, root, keys, prev)
+    commit(root, id, lastBatchId(root))
+    id
+  }
+
+  /** Stage a tombstone commit ONTO an explicit base manifest — manifest
+    * written, no pointer moved. The delete half of a cross-table
+    * transaction: [[TxnCatalog]] makes the staged id visible atomically
+    * with the other tables' staged ids.
+    */
+  def stageDeletesOnto(s: SparkSession, root: Path, keys: DataFrame,
+                       baseId: Int): Int = {
+    val id = nextManifestId(root)
+    val fresh = writeTombstone(s, root, keys, id, baseId)
     Files.createDirectories(root.resolve("manifests"))
     atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (manifest(root, prev) ++ fresh).map(manifestLine).mkString("\n"))
-    commit(root, id, lastBatchId(root))
+      (manifest(root, baseId) ++ fresh).map(manifestLine).mkString("\n"))
+    id
+  }
+
+  /** Stage a data append ONTO an explicit base manifest — manifest
+    * written, no pointer moved; the insert half of a cross-table
+    * transaction. `baseId = None` founds the table.
+    */
+  def stageOnto(s: SparkSession, root: Path, df: DataFrame, baseId: Option[Int],
+                statsCol: Option[String] = None): Int = {
+    val fresh = stageOcc(s, root, df, statsCol)
+    val id = nextManifestId(root)
+    val carried = baseId.map(manifest(root, _)).getOrElse(Nil)
+    require(carried.nonEmpty || fresh.nonEmpty,
+      s"refusing to stage an empty founding manifest under $root")
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
     id
   }
 
@@ -289,8 +317,9 @@ object Snapshots {
                     statsCol: Option[String] = None): Int = {
     val prev = currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    val id = prev + 1
-    val delEntries = writeTombstone(s, root, rows.select(keyCol), id)
+    // allocate globally (past branch/staged manifests), like stage() will
+    val id = nextManifestId(root)
+    val delEntries = writeTombstone(s, root, rows.select(keyCol), id, prev)
     val staged = stage(s, root, rows, append = true, statsCol)
     require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
     // fold the tombstone into the staged manifest BEFORE the commit —
