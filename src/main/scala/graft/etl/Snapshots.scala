@@ -507,8 +507,11 @@ object Snapshots {
     * writer's rows exactly once (SnapshotOccSpec storms this).
     */
   def publishOcc(s: SparkSession, root: Path, df: DataFrame,
-                 statsCol: Option[String] = None): Int =
-    commitOcc(root, stageOcc(s, root, df, statsCol), OccAppend)
+                 statsCol: Option[String] = None): Int = {
+    val fresh = stageOcc(s, root, df, statsCol)
+    try commitOcc(root, fresh, OccAppend)
+    catch { case e: Throwable => discardStaged(root, fresh); throw e }
+  }
 
   /** Compaction under optimistic concurrency: rewrite the merged view
     * of the CURRENT snapshot outside the lock, then attempt an
@@ -653,7 +656,10 @@ object Snapshots {
     * scalars (they become directory names); tombstones carry through —
     * new files outrank old tombstone seqs, so replaced rows are never
     * erased by pre-overwrite deletes while untouched partitions keep
-    * theirs applying.
+    * theirs applying. NOTE: [[compact]]/[[compactZOrder]] rewrite to an
+    * UNPARTITIONED layout — the next publishOverwrite then refuses
+    * loudly; re-found the partitioned layout by overwriting with the
+    * full table (one publishOverwrite of the whole current view).
     */
   def publishOverwrite(s: SparkSession, root: Path, df: DataFrame,
                        partCol: String): Int = {
@@ -1212,12 +1218,17 @@ object Snapshots {
     * concurrently with [[stage]]. Returns (files deleted, bytes freed).
     */
   def expire(root: Path, keepFrom: Int): (Int, Long) = {
-    val cur = currentId(root).getOrElse(return (0, 0L))
-    require(keepFrom <= cur, s"keepFrom $keepFrom is beyond current $cur")
+    if (!Files.exists(root.resolve("manifests"))) return (0, 0L)
     val listing = Files.list(root.resolve("manifests"))
     val manifestIds = try listing.iterator().asScala
       .map(_.getFileName.toString.stripPrefix("manifest-").toInt).toSeq.sorted
     finally listing.close()
+    if (manifestIds.isEmpty) return (0, 0L)
+    // the guard floor: the table's pointer if it has one (standalone
+    // stores), else the newest manifest (catalog tables are read via
+    // TxnCatalog versions and never commit a per-table pointer)
+    val floor = currentId(root).getOrElse(manifestIds.max)
+    require(keepFrom <= floor, s"keepFrom $keepFrom is beyond $floor")
     // a ref'd manifest (branch head or tag) is pinned history: neither
     // it nor its files are reclaimable while the ref exists
     val refIds = allRefIds(root)

@@ -133,6 +133,35 @@ object TxnCatalog {
     readTableAt(s, cat, name, version(cat).getOrElse(
       throw new IllegalStateException(s"empty catalog $cat")))
 
+  /** Catalog-level retention GC: drop every catalog version below
+    * `keepFrom`, then delegate per-table reclamation to
+    * [[Snapshots.expire]] with each table's OLDEST snapshot id still
+    * referenced by a retained version — so any manifest (and its files)
+    * some retained catalog version can reach survives, and everything
+    * only expired versions reached is swept. Returns (files deleted,
+    * bytes freed) summed across tables. Writer-side, like the per-table
+    * expire it builds on.
+    */
+  def expire(cat: Path, keepFrom: Int): (Int, Long) = withLock(cat) {
+    val cur = version(cat).getOrElse(return (0, 0L))
+    require(keepFrom <= cur, s"keepFrom $keepFrom is beyond current $cur")
+    val dir = cat.resolve("versions")
+    val listing = Files.list(dir)
+    val all = try listing.iterator().asScala
+      .map(_.getFileName.toString.stripPrefix("version-").toInt).toSeq.sorted
+    finally listing.close()
+    val (expired, retained) = all.partition(_ < keepFrom)
+    val keepIds: Map[String, Int] = retained.flatMap(mapping(cat, _))
+      .groupBy(_._1).map { case (t, ids) => t -> ids.map(_._2).min }
+    var files = 0; var bytes = 0L
+    keepIds.foreach { case (t, minId) =>
+      val (n, b) = Snapshots.expire(tableRoot(cat, t), minId)
+      files += n; bytes += b
+    }
+    expired.foreach(v => Files.delete(dir.resolve(s"version-$v")))
+    (files, bytes)
+  }
+
   /** A31 query `snapshot_txn`: a cross-table transaction under the
     * driver gate. Version 1 founds `hot` (odd order keys) and `cold`
     * (even); one transaction then MOVES the keys ≡ 1 (mod 10) from hot

@@ -114,6 +114,37 @@ class TxnCatalogSpec extends AnyFunSuite {
     } finally rm(cat)
   }
 
+  test("catalog expire reclaims only what expired versions alone reached; retained reads intact") {
+    val sq = s; import sq.implicits._
+    val cat = tmpCat()
+    try {
+      val h = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "hot"), rows(1 to 3), None)
+      val c = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"), rows(0 to 0), None)
+      TxnCatalog.commit(cat, Map("hot" -> h, "cold" -> c), None)
+      (1 to 3).foreach { t =>
+        val v = TxnCatalog.version(cat).get
+        val m = TxnCatalog.mapping(cat, v)
+        TxnCatalog.commit(cat, Map(
+          "hot" -> Snapshots.stageDeletesOnto(s, TxnCatalog.tableRoot(cat, "hot"),
+            Seq(t.toLong).toDF("tag"), m("hot")),
+          "cold" -> Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+            rows(t to t), Some(m("cold")))), Some(v))
+      }
+      // a catalog-level compaction of cold: full replace staged on no base
+      val v4 = TxnCatalog.version(cat).get
+      val compacted = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+        TxnCatalog.readTableAt(s, cat, "cold", v4).repartition(2), None)
+      val v5 = TxnCatalog.commit(cat, Map("cold" -> compacted), Some(v4))
+      val (files, bytes) = TxnCatalog.expire(cat, keepFrom = v5)
+      assert(files > 0 && bytes > 0, "pre-compaction cold chain was not reclaimed")
+      // retained state intact and conserving; expired versions gone
+      assert(TxnCatalog.readTableAt(s, cat, "cold", v5).count() == 400L)
+      assert(TxnCatalog.readTableAt(s, cat, "hot", v5).count() == 0L)
+      assert(!Files.exists(cat.resolve("versions").resolve("version-1")))
+      intercept[Exception] { TxnCatalog.readTableAt(s, cat, "cold", 1).count() }
+    } finally rm(cat)
+  }
+
   test("every historical catalog version stays readable and conserving") {
     val sq = s; import sq.implicits._
     val cat = tmpCat()
