@@ -1548,6 +1548,68 @@ object Stress {
           assert(opened * 4 <= total, s"$c slab pruned weakly: $opened of $total")
         }
 
+      case "txn_scale" =>
+        // A32 at catalog scale: 100 tables founded in ONE transaction
+        // (2M rows), then a 200-version chain of single-table commits.
+        // Claims: (1) the catalog COMMIT itself is metadata-only — one
+        // version file write + rename, milliseconds regardless of table
+        // count or data volume; (2) per-commit cost stays flat as the
+        // version chain deepens; (3) a consistent 100-table read
+        // resolves ONE version and conserves every row; (4) catalog
+        // expire at depth reclaims a rewritten table's superseded chain
+        // without touching retained state.
+        val cat = java.nio.file.Files.createTempDirectory("graft_txnscale")
+        val nTables = 100
+        val names = (0 until nTables).map(i => f"t$i%03d")
+        val founded = names.zipWithIndex.map { case (t, i) =>
+          t -> etl.Snapshots.stageOnto(spark, etl.TxnCatalog.tableRoot(cat, t),
+            spark.range(i * 20000L, (i + 1) * 20000L).select(col("id").as("k")).coalesce(1),
+            None)
+        }.toMap
+        val tCommit0 = System.nanoTime()
+        etl.TxnCatalog.commit(cat, founded, None)
+        println(f"[stress] txn_scale: 100-table founding COMMIT (metadata only): " +
+          f"${(System.nanoTime() - tCommit0) / 1e6}%.1f ms")
+        def chainSpan(range: Range): Double = {
+          val t0 = System.nanoTime()
+          range.foreach { i =>
+            val t = names(i % nTables)
+            val v = etl.TxnCatalog.version(cat).get
+            val base = etl.TxnCatalog.mapping(cat, v)(t)
+            val staged = etl.Snapshots.stageOnto(spark, etl.TxnCatalog.tableRoot(cat, t),
+              spark.range(1000L).select((col("id") + 1000000L * i).as("k")).coalesce(1),
+              Some(base))
+            etl.TxnCatalog.commit(cat, Map(t -> staged), Some(v))
+          }
+          (System.nanoTime() - t0) / 1e9 / range.size
+        }
+        val head = chainSpan(0 until 50)
+        chainSpan(50 until 150)
+        val tail = chainSpan(150 until 200)
+        println(f"[stress] txn_scale per-commit: first-50 $head%.3f s, " +
+          f"last-50 $tail%.3f s (flat => version depth is free)")
+        val tRead0 = System.nanoTime()
+        val vFinal = etl.TxnCatalog.version(cat).get
+        val total = names.map(t =>
+          etl.TxnCatalog.readTableAt(spark, cat, t, vFinal).count()).sum
+        assert(total == nTables * 20000L + 200 * 1000L, s"conservation broke: $total")
+        println(f"[stress] txn_scale: consistent 100-table read at depth $vFinal: " +
+          f"$total rows in ${(System.nanoTime() - tRead0) / 1e9}%.1f s")
+        // rewrite ONE table, expire everything below the new version
+        val rebuiltBase = etl.TxnCatalog.mapping(cat, vFinal)(names.head)
+        val rebuilt = etl.Snapshots.stageOnto(spark, etl.TxnCatalog.tableRoot(cat, names.head),
+          etl.Snapshots.readAt(spark, etl.TxnCatalog.tableRoot(cat, names.head), rebuiltBase)
+            .repartition(2), None)
+        val vLast = etl.TxnCatalog.commit(cat, Map(names.head -> rebuilt), Some(vFinal))
+        timed(s"catalog expire at depth $vLast") {
+          val (files, bytes) = etl.TxnCatalog.expire(cat, keepFrom = vLast)
+          assert(files > 0, "rewrite chain not reclaimed")
+          f"$files files, ${bytes / 1e6}%.1f MB"
+        }
+        val after = names.map(t => etl.TxnCatalog.readTable(spark, cat, t).count()).sum
+        assert(after == total, s"post-GC conservation broke: $after")
+        println("[stress] txn_scale: post-GC catalog intact")
+
       case "dag_100k" =>
         // A29 at a fan three orders past the bench shape: 100k jobs per fan
         // stage (500k total) through the worker-pull runner. The claim under
