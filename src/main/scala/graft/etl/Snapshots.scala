@@ -78,8 +78,14 @@ object Snapshots {
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmp." +
+  /** Write-temp + atomic rename. The temp name is DOT-prefixed so a
+    * crash between write and rename leaves a crumb no directory scan
+    * mistakes for a real manifest/version/ref (every scan below also
+    * pattern-filters — belt and braces; a crumb must never brick the
+    * store). Shared with [[TxnCatalog]].
+    */
+  private[etl] def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.getParent.resolve("." + target.getFileName.toString + ".tmp." +
       java.util.UUID.randomUUID().toString)
     Files.write(tmp, content.getBytes(UTF_8))
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
@@ -89,6 +95,15 @@ object Snapshots {
         Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     }
   }
+
+  /** Parse `name` as `<prefix><number>` — anything else (crash crumbs,
+    * editor droppings) is None, never an exception.
+    */
+  private[etl] def numericSuffix(name: String, prefix: String): Option[Int] =
+    if (name.startsWith(prefix) && name.length > prefix.length &&
+      name.drop(prefix.length).forall(_.isDigit))
+      Some(name.drop(prefix.length).toInt)
+    else None
 
   /** Pointer format: `snapshotId` or `snapshotId\tbatchId` — the second
     * field records the streaming micro-batch that committed the
@@ -277,7 +292,12 @@ object Snapshots {
     * with the other tables' staged ids.
     */
   def stageDeletesOnto(s: SparkSession, root: Path, keys: DataFrame,
-                       baseId: Int): Int = {
+                       baseId: Int): Int = withWriterLock(root) {
+    // id allocation + manifest write under the TABLE's lock: two
+    // transactions staging onto the same table concurrently must get
+    // distinct manifests, or the catalog commit's existence check would
+    // bless one transaction's id pointing at the OTHER's content
+    // (tombstone writes are O(deleted keys) — cheap enough to hold)
     val id = nextManifestId(root)
     val fresh = writeTombstone(s, root, keys, id, baseId)
     Files.createDirectories(root.resolve("manifests"))
@@ -292,15 +312,21 @@ object Snapshots {
     */
   def stageOnto(s: SparkSession, root: Path, df: DataFrame, baseId: Option[Int],
                 statsCol: Option[String] = None): Int = {
+    // the DATA write stays outside any lock (writer-unique occ dir);
+    // only id allocation + manifest write serialize per table, so two
+    // transactions staging onto the same table can never claim the
+    // same manifest id and silently swap contents
     val fresh = stageOcc(s, root, df, statsCol)
-    val id = nextManifestId(root)
-    val carried = baseId.map(manifest(root, _)).getOrElse(Nil)
-    require(carried.nonEmpty || fresh.nonEmpty,
-      s"refusing to stage an empty founding manifest under $root")
-    Files.createDirectories(root.resolve("manifests"))
-    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
-    id
+    withWriterLock(root) {
+      val id = nextManifestId(root)
+      val carried = baseId.map(manifest(root, _)).getOrElse(Nil)
+      require(carried.nonEmpty || fresh.nonEmpty,
+        s"refusing to stage an empty founding manifest under $root")
+      Files.createDirectories(root.resolve("manifests"))
+      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+        (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
+      id
+    }
   }
 
   /** Upsert as ONE atomic commit: a tombstone of the upserted keys AND
@@ -359,16 +385,17 @@ object Snapshots {
                     append: Boolean = false, statsCol: Option[String] = None): Int =
     withWriterLock(root)(publish(s, root, df, append, statsCol))
 
-  /** Per-store JVM monitor + OS file lock, the mutual-exclusion kernel
-    * shared by [[publishLocked]] (which holds it across a whole publish)
-    * and [[commitOcc]] (which holds it only for the metadata commit).
+  /** Per-directory JVM monitor + OS file lock, the mutual-exclusion
+    * kernel shared by [[publishLocked]] (which holds it across a whole
+    * publish), [[commitOcc]] (which holds it only for the metadata
+    * commit), and [[TxnCatalog]]'s version commits.
     */
-  private def withWriterLock[T](root: Path)(f: => T): T = {
+  private[etl] def withDirLock[T](dir: Path)(f: => T): T = {
     val mon = writerMutex.computeIfAbsent(
-      root.toAbsolutePath.toString, _ => new Object)
+      dir.toAbsolutePath.toString, _ => new Object)
     mon.synchronized {
-      Files.createDirectories(root)
-      val ch = java.nio.channels.FileChannel.open(root.resolve("_writer.lock"),
+      Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("_writer.lock"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
@@ -376,6 +403,8 @@ object Snapshots {
       } finally ch.close()
     }
   }
+
+  private def withWriterLock[T](root: Path)(f: => T): T = withDirLock(root)(f)
 
   /** A concurrent commit invalidated an optimistic writer's base
     * snapshot. Appends never see this (they rebase); rewrites must
@@ -419,30 +448,17 @@ object Snapshots {
     * (and the reference's one-rename release publish) scales writers.
     */
   def stageOcc(s: SparkSession, root: Path, df: DataFrame,
-               statsCol: Option[String] = None): Seq[ManifestEntry] = {
-    val dataDir = root.resolve("data").resolve(
-      "occ-" + java.util.UUID.randomUUID().toString)
-    Files.createDirectories(dataDir)
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val statsByFile: Map[String, (Long, Long)] = statsCol match {
-      case None => Map.empty
-      case Some(c) =>
-        s.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
-          .collect()
-          .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-            .getFileName.toString -> (r.getLong(1), r.getLong(2)))
-          .toMap
+               statsCol: Option[String] = None): Seq[ManifestEntry] =
+    // one staging kernel (stageOccMulti); the single anonymous stats
+    // range is just its named form folded back into the legacy slot
+    stageOccMulti(s, root, df, statsCol.toSeq).map { e =>
+      statsCol match {
+        case Some(c) => e.copy(
+          stats = e.multi.find(_._1 == c).map { case (_, lo, hi) => (lo, hi) },
+          multi = Nil)
+        case None => e
+      }
     }
-    val listing = Files.list(dataDir)
-    try listing.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        statsByFile.get(p.getFileName.toString), seq = 0))
-    finally listing.close()
-  }
 
   /** Optimistic concurrency, phase 2 — the metadata commit, under the
     * writer lock for milliseconds regardless of data volume: allocate
@@ -487,19 +503,21 @@ object Snapshots {
       id
     }
 
-  private def nextManifestId(root: Path): Int = {
+  private def manifestIdsOnDisk(root: Path): Seq[Int] = {
     val dir = root.resolve("manifests")
-    val maxManifest =
-      if (!Files.exists(dir)) 0
-      else {
-        val l = Files.list(dir)
-        try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("manifest-"))
-          .map(_.stripPrefix("manifest-").toInt).foldLeft(0)(math.max)
-        finally l.close()
-      }
-    math.max(maxManifest, currentId(root).getOrElse(0)) + 1
+    if (!Files.exists(dir)) Nil
+    else {
+      val l = Files.list(dir)
+      try l.iterator().asScala
+        .flatMap(p => numericSuffix(p.getFileName.toString, "manifest-"))
+        .toSeq.sorted
+      finally l.close()
+    }
   }
+
+  private def nextManifestId(root: Path): Int =
+    math.max(manifestIdsOnDisk(root).foldLeft(0)(math.max),
+      currentId(root).getOrElse(0)) + 1
 
   /** stage + commit, optimistically: concurrent callers overlap their
     * entire data-write phase and serialize only on the tiny metadata
@@ -550,17 +568,24 @@ object Snapshots {
       val baseDf = readAt(s, root, base)
       val before = baseDf.count()
       val fresh = stageFn(baseDf)
-      val after = s.read.parquet(
-        fresh.map(e => root.resolve(e.relPath).toString): _*).count()
-      require(after == before,
-        s"rewrite row-count drift: $before -> $after; NOT committed")
-      try return (commitOcc(root, fresh, OccRewrite(base)), attempt)
-      catch {
+      // a failed rewrite must never leak its staged table copy: parity
+      // failure, I/O error, anything — only a committed rewrite keeps
+      // its files; only a CONFLICT retries
+      try {
+        val after = s.read.parquet(
+          fresh.map(e => root.resolve(e.relPath).toString): _*).count()
+        require(after == before,
+          s"rewrite row-count drift: $before -> $after; NOT committed")
+        return (commitOcc(root, fresh, OccRewrite(base)), attempt)
+      } catch {
         case _: CommitConflictException =>
           attempt += 1
           discardStaged(root, fresh)
           if (attempt >= maxAttempts) throw new CommitConflictException(
             s"rewrite lost the commit race $maxAttempts times under $root")
+        case e: Throwable =>
+          discardStaged(root, fresh)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -578,19 +603,22 @@ object Snapshots {
       "occ-" + java.util.UUID.randomUUID().toString)
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
     val byFile: Map[String, Seq[(String, Long, Long)]] =
-      s.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val fn = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-            .getFileName.toString
-          fn -> statsCols.map(c =>
-            (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
-        }.toMap
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+        s.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val fn = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+              .getFileName.toString
+            fn -> statsCols.map(c =>
+              (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
+          }.toMap
+      }
     val listing = Files.list(dataDir)
     try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -664,7 +692,9 @@ object Snapshots {
   def publishOverwrite(s: SparkSession, root: Path, df: DataFrame,
                        partCol: String): Int = {
     val prev = currentId(root)
-    val id = prev.getOrElse(0) + 1
+    // global allocation, like every other path: never overwrite a
+    // branch head, a staged release, or a crashed commit's manifest
+    val id = nextManifestId(root)
     val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
     Files.createDirectories(dataDir)
     df.withColumn("_pv", col(partCol))
@@ -711,7 +741,10 @@ object Snapshots {
     */
   def createBranch(root: Path, name: String, atId: Int): Unit = {
     val p = refPath(root, name, tag = false)
-    require(!Files.exists(p), s"branch '$name' already exists")
+    // names are unique across KINDS too: a branch shadowing a tag (or
+    // vice versa) would make refId('name') silently change snapshots
+    // when one of them is dropped
+    require(refId(root, name).isEmpty, s"ref '$name' already exists")
     require(Files.exists(root.resolve("manifests").resolve(s"manifest-$atId")),
       s"cannot branch at snapshot $atId: no such manifest")
     Files.createDirectories(p.getParent)
@@ -724,7 +757,7 @@ object Snapshots {
     */
   def createTag(root: Path, name: String, atId: Int): Unit = {
     val p = refPath(root, name, tag = true)
-    require(!Files.exists(p), s"tag '$name' already exists")
+    require(refId(root, name).isEmpty, s"ref '$name' already exists")
     require(Files.exists(root.resolve("manifests").resolve(s"manifest-$atId")),
       s"cannot tag snapshot $atId: no such manifest")
     Files.createDirectories(p.getParent)
@@ -836,6 +869,7 @@ object Snapshots {
     else {
       val walk = Files.walk(refsDir)
       try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith(".")) // crash crumbs
         .flatMap(readRef).toSet
       finally walk.close()
     }
@@ -850,16 +884,7 @@ object Snapshots {
     */
   def metaSnapshots(s: SparkSession, root: Path): DataFrame = {
     val cur = currentId(root)
-    val dir = root.resolve("manifests")
-    val ids =
-      if (!Files.exists(dir)) Nil
-      else {
-        val l = Files.list(dir)
-        try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("manifest-"))
-          .map(_.stripPrefix("manifest-").toInt).toSeq.sorted
-        finally l.close()
-      }
+    val ids = manifestIdsOnDisk(root)
     val rows = ids.map { n =>
       val es = manifest(root, n)
       val (dels, datas) = es.partition(isDelete)
@@ -901,7 +926,9 @@ object Snapshots {
       if (!Files.exists(dir)) Nil
       else {
         val l = Files.list(dir)
-        try l.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        try l.iterator().asScala.toSeq
+          .filterNot(_.getFileName.toString.startsWith(".")) // crash crumbs
+          .sortBy(_.getFileName.toString)
           .flatMap(p => readRef(p).map(id =>
             Row(p.getFileName.toString, kind, id.toLong)))
         finally l.close()
@@ -1217,17 +1244,20 @@ object Snapshots {
     * operation by the layer's single-writer contract — never run
     * concurrently with [[stage]]. Returns (files deleted, bytes freed).
     */
-  def expire(root: Path, keepFrom: Int): (Int, Long) = {
-    if (!Files.exists(root.resolve("manifests"))) return (0, 0L)
-    val listing = Files.list(root.resolve("manifests"))
-    val manifestIds = try listing.iterator().asScala
-      .map(_.getFileName.toString.stripPrefix("manifest-").toInt).toSeq.sorted
-    finally listing.close()
+  def expire(root: Path, keepFrom: Int,
+             allowNoPointer: Boolean = false): (Int, Long) = {
+    val manifestIds = manifestIdsOnDisk(root)
     if (manifestIds.isEmpty) return (0, 0L)
-    // the guard floor: the table's pointer if it has one (standalone
-    // stores), else the newest manifest (catalog tables are read via
-    // TxnCatalog versions and never commit a per-table pointer)
-    val floor = currentId(root).getOrElse(manifestIds.max)
+    // A store without a pointer is either (a) a standalone store whose
+    // releases are all staged-but-uncommitted — the scaladoc promises
+    // those are NEVER swept, so GC is a no-op — or (b) a catalog table,
+    // whose commits live in TxnCatalog versions: only the catalog's own
+    // expire may assert that (allowNoPointer) and bound by the newest
+    // manifest instead.
+    val floor = currentId(root).getOrElse {
+      if (!allowNoPointer) return (0, 0L)
+      manifestIds.max
+    }
     require(keepFrom <= floor, s"keepFrom $keepFrom is beyond $floor")
     // a ref'd manifest (branch head or tag) is pinned history: neither
     // it nor its files are reclaimable while the ref exists

@@ -33,32 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnCatalog {
 
-  private val mutex = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withLock[T](cat: Path)(f: => T): T = {
-    val mon = mutex.computeIfAbsent(cat.toAbsolutePath.toString, _ => new Object)
-    mon.synchronized {
-      Files.createDirectories(cat)
-      val ch = java.nio.channels.FileChannel.open(cat.resolve("_writer.lock"),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f finally lock.release()
-      } finally ch.close()
-    }
-  }
-
-  private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmp." +
-      java.util.UUID.randomUUID().toString)
-    Files.write(tmp, content.getBytes(UTF_8))
-    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  // one crash-safety kernel for the whole layer: the catalog shares the
+  // snapshot store's write-temp+rename and dir-lock primitives rather
+  // than carrying a second copy that could drift
+  private def withLock[T](cat: Path)(f: => T): T = Snapshots.withDirLock(cat)(f)
+  private def atomicWrite(target: Path, content: String): Unit =
+    Snapshots.atomicWrite(target, content)
 
   def tableRoot(cat: Path, name: String): Path = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
@@ -148,14 +128,17 @@ object TxnCatalog {
     val dir = cat.resolve("versions")
     val listing = Files.list(dir)
     val all = try listing.iterator().asScala
-      .map(_.getFileName.toString.stripPrefix("version-").toInt).toSeq.sorted
+      .flatMap(p => Snapshots.numericSuffix(p.getFileName.toString, "version-"))
+      .toSeq.sorted
     finally listing.close()
     val (expired, retained) = all.partition(_ < keepFrom)
     val keepIds: Map[String, Int] = retained.flatMap(mapping(cat, _))
       .groupBy(_._1).map { case (t, ids) => t -> ids.map(_._2).min }
     var files = 0; var bytes = 0L
     keepIds.foreach { case (t, minId) =>
-      val (n, b) = Snapshots.expire(tableRoot(cat, t), minId)
+      // catalog tables have no per-table pointer — their commits ARE the
+      // retained catalog versions, which is exactly the bound passed here
+      val (n, b) = Snapshots.expire(tableRoot(cat, t), minId, allowNoPointer = true)
       files += n; bytes += b
     }
     expired.foreach(v => Files.delete(dir.resolve(s"version-$v")))
@@ -187,13 +170,16 @@ object TxnCatalog {
       val coldId = Snapshots.stageOnto(s, tableRoot(cat, "cold"),
         orders.filter(col("o_orderkey") % 2 === 0), None)
       val v1 = commit(cat, Map("hot" -> hotId, "cold" -> coldId), None)
+      // pin the pre-staging view BEFORE anything is staged, so the
+      // invisibility check below compares against independent state
+      val hotBefore = readTable(s, cat, "hot").count()
       val moved = orders.filter(col("o_orderkey") % 10 === 1)
       val hotId2 = Snapshots.stageDeletesOnto(s, tableRoot(cat, "hot"),
         moved.select("o_orderkey"), hotId)
       val coldId2 = Snapshots.stageOnto(s, tableRoot(cat, "cold"), moved, Some(coldId))
       // staged halves are invisible: the catalog still serves version 1
-      require(readTable(s, cat, "hot").count() ==
-        readTableAt(s, cat, "hot", v1).count(),
+      require(TxnCatalog.version(cat).contains(v1) &&
+        readTable(s, cat, "hot").count() == hotBefore,
         "staged transaction leaked before the catalog commit")
       val v2 = commit(cat, Map("hot" -> hotId2, "cold" -> coldId2), Some(v1))
       val out = for {

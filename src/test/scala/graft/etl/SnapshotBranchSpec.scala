@@ -100,6 +100,38 @@ class SnapshotBranchSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("no write path can clobber a branch head: overwrite/delete/upsert allocate past it") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      Snapshots.publishOverwrite(s, root,
+        Seq(("a", 1L), ("b", 2L)).toDF("p", "v"), "p")
+      Snapshots.createBranch(root, "dev", 1)
+      Snapshots.publishToBranch(s, root, "dev", block(7)) // dev head = manifest-2
+      val devHead = Snapshots.refId(root, "dev").get
+      val devRows = Snapshots.readRefAt(s, root, "dev").count()
+      // each of these once allocated currentId+1 (= 2) and would have
+      // overwritten dev's manifest
+      Snapshots.publishOverwrite(s, root, Seq(("a", 10L)).toDF("p", "v"), "p")
+      Snapshots.publishDeletes(s, root, Seq(2L).toDF("v"))
+      assert(Snapshots.refId(root, "dev").contains(devHead))
+      assert(Snapshots.readRefAt(s, root, "dev").count() == devRows,
+        "a main-line write clobbered the branch head's manifest")
+    } finally rm(root)
+  }
+
+  test("a branch and a tag cannot share a name — refId would silently re-point on drop") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2), append = true)
+      Snapshots.createBranch(root, "x", 1)
+      intercept[IllegalArgumentException] { Snapshots.createTag(root, "x", 2) }
+      Snapshots.createTag(root, "y", 2)
+      intercept[IllegalArgumentException] { Snapshots.createBranch(root, "y", 1) }
+    } finally rm(root)
+  }
+
   test("main and a branch take concurrent writers without losing a commit") {
     val root = tmpRoot()
     try {

@@ -129,6 +129,62 @@ class SnapshotOccSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("crash crumbs from atomicWrite never brick the store: scans skip them") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(0))
+      Snapshots.createTag(root, "v1", 1)
+      // simulate crashes mid-atomicWrite in every scanned directory
+      Files.write(root.resolve("manifests").resolve(".manifest-2.tmp.deadbeef"),
+        "junk".getBytes)
+      Files.write(root.resolve("manifests").resolve("manifest-old.bak"),
+        "junk".getBytes)
+      Files.write(root.resolve("refs").resolve("tags").resolve(".v2.tmp.deadbeef"),
+        "junk".getBytes)
+      // every scan-based operation still works
+      assert(Snapshots.publishOcc(s, root, block(1)) == 2)
+      assert(Snapshots.metaSnapshots(s, root).count() == 2)
+      assert(Snapshots.metaRefs(s, root).count() == 1)
+      val (n, _) = Snapshots.expire(root, keepFrom = 2)
+      assert(n == 0, "tag-pinned founding snapshot must survive")
+      assert(Snapshots.readCurrent(s, root).count() == 200)
+    } finally rm(root)
+  }
+
+  test("a failed rewrite (parity, not conflict) leaks no staged files") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(0))
+      intercept[IllegalArgumentException] {
+        Snapshots.rewriteOcc(s, root) { base =>
+          Snapshots.stageOcc(s, root, base.filter("i % 2 = 0")) // drops rows
+        }
+      }
+      val referenced = (1 to Snapshots.currentId(root).get)
+        .flatMap(n => Snapshots.manifest(root, n)).map(_.relPath).toSet
+      val walk = Files.walk(root.resolve("data"))
+      val onDisk = try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSet
+      finally walk.close()
+      assert((onDisk -- referenced).isEmpty,
+        s"failed rewrite leaked: ${onDisk -- referenced}")
+    } finally rm(root)
+  }
+
+  test("expire on a pointer-less standalone store is a no-op: staged releases are never swept") {
+    val root = tmpRoot()
+    try {
+      Snapshots.stage(s, root, block(1), append = false)
+      Snapshots.stage(s, root, block(2), append = false)
+      val (n, b) = Snapshots.expire(root, keepFrom = 2)
+      assert(n == 0 && b == 0, "GC swept staged-but-uncommitted releases")
+      // both staged releases still committable
+      Snapshots.commit(root, 1)
+      assert(Snapshots.readCurrent(s, root).count() == 100)
+    } finally rm(root)
+  }
+
   test("a crash between manifest write and pointer swap is stepped over, never overwritten") {
     val root = tmpRoot()
     try {

@@ -100,6 +100,28 @@ class TxnCatalogSpec extends AnyFunSuite {
     } finally rm(cat)
   }
 
+  test("concurrent transactions staging onto the SAME table get distinct manifests") {
+    val cat = tmpCat()
+    try {
+      val base = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "t"), rows(0 to 0), None)
+      TxnCatalog.commit(cat, Map("t" -> base), None)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val tasks = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int =
+          Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "t"), rows(i to i), Some(base))
+        })
+      }
+      val ids = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(ids.distinct.size == 8, s"staged-id collision: ${ids.sorted}")
+      // every staged manifest holds ITS OWN content (base + one tag)
+      ids.foreach { id =>
+        val n = Snapshots.readAt(s, TxnCatalog.tableRoot(cat, "t"), id).count()
+        assert(n == 200L, s"staged manifest $id holds wrong content: $n rows")
+      }
+    } finally rm(cat)
+  }
+
   test("commit refuses staged ids with no manifest and empty transactions") {
     val cat = tmpCat()
     try {
