@@ -50,7 +50,13 @@ object Bench {
     // a provoked conflict and the retried rewrite, so it prices the
     // whole commit protocol, not one publish
     "snapshot_occ", "snapshot_zorder", "snapshot_overwrite",
-    "snapshot_branch", "snapshot_meta", "snapshot_wap", "snapshot_txn")
+    "snapshot_branch", "snapshot_meta", "snapshot_wap", "snapshot_txn",
+    // r12d: the layer consumed as a first-class Spark data source —
+    // snapshot_scan prices manifest-planned scanning (FileIndex listing +
+    // plan-time zone-map skip + parquet pushdown), stream_snapshot_source
+    // the V1 micro-batch source's offset/commit loop incl. a mid-stream
+    // publish
+    "snapshot_scan", "stream_snapshot_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -81,6 +81,8 @@ object SparkEntry {
     "snapshot_compact"    -> w(Snapshots.snapshotCompact),
     "snapshot_prune"      -> w(Snapshots.snapshotPrune),
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
+    "snapshot_scan"       -> w(graft.sources.SnapshotSourceQueries.snapshotScan),
+    "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -520,6 +522,8 @@ object SparkEntry {
     "snapshot_compact" -> graft.etl.Snapshots.snapshotCompactOracleSql,
     "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
+    "snapshot_scan" -> graft.sources.SnapshotSourceQueries.snapshotScanOracleSql,
+    "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

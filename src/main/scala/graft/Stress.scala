@@ -49,6 +49,10 @@ import org.apache.spark.sql.functions._
   *    constrained heap, with heap-pool peaks and bitmap state size
   *    reported — the O(k)/O(compressed-set) buffer claims measured
   *    under pressure
+  *  - `source_6m` — the graft-snapshot data source at 6M rows / 64
+  *    files: plan-time zone-map slab pruning + bloom point lookup
+  *    through `spark.read.format`, opened-file fractions, planning
+  *    latency and full-scan A/B
   *  - `curation_1000x` — the E7/E13 whole-pipeline soak at 5M docs
   *    (1000× sf0.1): fused projection + checkpoint staging + hash
   *    window + shingle broadcast competing for memory at once, with
@@ -1660,6 +1664,70 @@ object Stress {
         }
         println(s"[stress] stage statuses: " +
           etl.Dag.pipeline.map(st => s"${st.name}=${res.stages(st.name).status}").mkString(", "))
+
+      case "source_6m" =>
+        // A33 at 6M rows / 64 files: the graft-snapshot DATA SOURCE's
+        // plan-time skipping measured as opened-file fractions and
+        // wall-clock, against the full scan through the same source.
+        // Claims: (1) a pushed range predicate opens ~1/8 of the files
+        // for a 1/8 key slab (zone maps fed by Catalyst dataFilters);
+        // (2) a bloom point lookup on a HASH layout opens O(1) files of
+        // 64; (3) planning is manifest-driven — the slab query plans in
+        // milliseconds with zero directory listing; (4) pruning is pure
+        // I/O savings: counts equal the full-scan filter's exactly.
+        val n6 = 6L * 1000 * 1000
+        val rootR = java.nio.file.Files.createTempDirectory("graft_src6r")
+        val rootH = java.nio.file.Files.createTempDirectory("graft_src6h")
+        val rows6 = spark.range(n6).select(col("id").as("k"), (col("id") % 97).as("g"))
+        timed("publish 6M range-clustered (64 files, zone maps)")(
+          etl.Snapshots.publish(spark, rootR,
+            rows6.repartitionByRange(64, col("k")), statsCol = Some("k")))
+        timed("publish 6M hash-layout (64 files) + blooms") {
+          etl.Snapshots.publish(spark, rootH, rows6.repartition(64, col("k")))
+          etl.Snapshots.buildBlooms(spark, rootH, 1, "k", estItems = 1L << 17)
+        }
+        def viaSource(root: java.nio.file.Path, extra: (String, String)*) = {
+          val r = spark.read.format("graft-snapshot").option("path", root.toString)
+          extra.foldLeft(r) { case (acc, (kv)) => acc.option(kv._1, kv._2) }.load()
+        }
+        def openedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          def find(p: org.apache.spark.sql.execution.SparkPlan): Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => find(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+            case other => other.children.view.flatMap(find(_)).headOption
+          }
+          find(df.queryExecution.executedPlan).get.metrics("numFiles").value
+        }
+        val tFull0 = System.nanoTime()
+        val fullCnt = viaSource(rootR, "statscol" -> "k")
+          .filter(col("k") < n6 / 8).count()
+        val fullSecs = (System.nanoTime() - tFull0) / 1e9
+        // planning cost alone: force the physical plan of a fresh slab query
+        val tPlan0 = System.nanoTime()
+        val slabDf = viaSource(rootR, "statscol" -> "k").filter(col("k") < n6 / 8)
+        slabDf.queryExecution.executedPlan
+        println(f"[stress] source_6m slab PLANNING: ${(System.nanoTime() - tPlan0) / 1e6}%.1f ms (manifest-driven, no listing)")
+        // metrics must come from the plan that EXECUTED: count() builds
+        // its own QueryExecution, so aggregate and inspect the same frame
+        val slabAgg = slabDf.groupBy().count()
+        val tSlab0 = System.nanoTime()
+        val slabCnt = slabAgg.collect().head.getLong(0)
+        val slabSecs = (System.nanoTime() - tSlab0) / 1e9
+        val slabOpened = openedFiles(slabAgg)
+        assert(slabCnt == n6 / 8 && fullCnt == slabCnt,
+          s"slab read wrong: $slabCnt vs $fullCnt")
+        assert(slabOpened * 4 <= 64, s"zone maps pruned weakly: $slabOpened of 64")
+        println(f"[stress] source_6m range slab: $slabOpened/64 files, " +
+          f"$slabSecs%.2f s (full source scan + filter: $fullSecs%.2f s)")
+        val tPt0 = System.nanoTime()
+        val ptDf = viaSource(rootH).filter(col("k") === 4999999L)
+        val ptRows = ptDf.collect()
+        val ptSecs = (System.nanoTime() - tPt0) / 1e9
+        val ptOpened = openedFiles(ptDf)
+        assert(ptRows.length == 1 && ptRows.head.getLong(0) == 4999999L)
+        assert(ptOpened <= 4, s"blooms pruned weakly: $ptOpened of 64")
+        println(f"[stress] source_6m bloom point: $ptOpened/64 files, $ptSecs%.2f s")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }

@@ -998,7 +998,7 @@ object Snapshots {
     * carries no tombstones), after which GC can reclaim both the
     * superseded data and the tombstones.
     */
-  private def isDelete(e: ManifestEntry): Boolean = e.relPath.startsWith("deletes/")
+  private[graft] def isDelete(e: ManifestEntry): Boolean = e.relPath.startsWith("deletes/")
 
   private def dataAndDeletes(root: Path, n: Int): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val (dels, datas) = manifest(root, n).partition(isDelete)
@@ -1080,7 +1080,7 @@ object Snapshots {
     else mergeRead(s, root, picked, dels, _.filter(col(statsCol).between(lo, hi)))
   }
 
-  private def bloomPath(root: Path, relPath: String): Path =
+  private[graft] def bloomPath(root: Path, relPath: String): Path =
     root.resolve("blooms").resolve(relPath + ".bloom")
 
   /** Decoupled metadata maintenance: build a per-file Bloom filter over

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles, Path => JPath, Paths => JPaths}
+
+import graft.etl.Snapshots
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graftshim.GraftSqlShims
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft-snapshot")` / `spark.readStream.format(
+  * "graft-snapshot")` — the A31 snapshot layer as a first-class Spark
+  * data source, batch and streaming.
+  *
+  * BATCH: resolves `_current` (or a pinned `snapshot` id / named `ref`
+  * branch|tag) to a manifest and hands Spark a [[HadoopFsRelation]]
+  * whose [[SnapshotFileIndex]] lists the manifest's exact file set —
+  * planning never lists a directory, pushed predicates prune whole
+  * files via zone maps + bloom sidecars, and Spark's own vectorized
+  * parquet scan (pushdown, column pruning, codegen) reads the
+  * survivors. This is the read architecture of the open table formats,
+  * expressed in the narrowest possible integration: a FileIndex.
+  *
+  * Options:
+  *  - `path` (required): snapshot store root.
+  *  - `snapshot`: pin a snapshot id (time travel). Default: `_current`.
+  *  - `ref`: read a branch/tag head by name (mutually exclusive with
+  *    `snapshot`).
+  *  - `statscol`: column name the manifest's LEGACY anonymous (lo, hi)
+  *    zone range describes; named `name=lo:hi` ranges need no option.
+  *
+  * Tombstone-bearing snapshots are REFUSED loudly: a file-scan relation
+  * cannot apply merge-on-read deletes, and silently surfacing deleted
+  * rows would be a wrong answer. `Snapshots.readAt` applies them; a
+  * compaction folds them away and makes the snapshot scannable here.
+  *
+  * STREAMING: the store as a micro-batch CDC source — offsets ARE
+  * snapshot ids, `getBatch(a, b)` is the manifest diff (exactly the
+  * `readChanges` contract: appends reuse files verbatim, so the file-set
+  * difference is the row-set difference and every appended row is
+  * delivered exactly once). Append-only contract: delete commits
+  * surface only their additions (documented, like the add-stream half
+  * of a CDF feed). `startsnapshot` (exclusive, default 0) bounds the
+  * initial batch; retention (`expire`) must cover a resuming stream's
+  * lag, as with any log-compacted source.
+  */
+final class SnapshotSource extends RelationProvider
+    with DataSourceRegister with StreamSourceProvider {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def rootOf(parameters: Map[String, String]): JPath = {
+    val opts = CaseInsensitiveMap(parameters)
+    JPaths.get(opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot requires option 'path'")))
+  }
+
+  private def resolveId(root: JPath, opts: CaseInsensitiveMap[String]): Int = {
+    require(!(opts.contains("snapshot") && opts.contains("ref")),
+      "options 'snapshot' and 'ref' are mutually exclusive")
+    opts.get("snapshot").map(_.toInt)
+      .orElse(opts.get("ref").map { r =>
+        Snapshots.refId(root, r).getOrElse(
+          throw new IllegalArgumentException(s"no branch or tag named '$r' under $root"))
+      })
+      .orElse(Snapshots.currentId(root))
+      .getOrElse(throw new IllegalStateException(s"no published snapshot under $root"))
+  }
+
+  private def dataEntries(root: JPath, n: Int): Seq[Snapshots.ManifestEntry] = {
+    val (dels, datas) = Snapshots.manifest(root, n).partition(Snapshots.isDelete)
+    require(dels.isEmpty,
+      s"snapshot $n of $root carries ${dels.size} merge-on-read tombstone file(s); " +
+        "a file-scan relation cannot apply them — read via Snapshots.readAt or compact first")
+    require(datas.nonEmpty, s"snapshot $n of $root lists no data files")
+    datas
+  }
+
+  private def schemaOf(s: SparkSession, root: JPath,
+                       datas: Seq[Snapshots.ManifestEntry]): StructType =
+    // schema-merge across the manifest like the layer's own read path:
+    // evolved releases may ADD columns (snapshot_evolve), and a scan
+    // that read only the first file's footer would drop them
+    s.read.option("mergeSchema", "true")
+      .parquet(datas.map(e => root.resolve(e.relPath).toString): _*).schema
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val opts = CaseInsensitiveMap(parameters)
+    val root = rootOf(parameters)
+    val n = resolveId(root, opts)
+    val datas = dataEntries(root, n)
+    val index = new SnapshotFileIndex(root, n, datas, opts.get("statscol"))
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schemaOf(spark, root, datas),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
+  // ---- streaming ----
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val root = rootOf(parameters)
+    val n = resolveId(root, CaseInsensitiveMap(parameters))
+    (shortName(), schema.getOrElse(
+      schemaOf(sqlContext.sparkSession, root, dataEntries(root, n))))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val opts = CaseInsensitiveMap(parameters)
+    val root = rootOf(parameters)
+    val start = opts.get("startsnapshot").map(_.toInt).getOrElse(0)
+    val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start)
+  }
+}
+
+/** Offset = a published snapshot id. JSON form is just the number, so
+  * checkpointed offsets stay human-readable (`cat offsets/0`).
+  */
+final case class SnapshotOffset(id: Int) extends Offset {
+  override def json: String = id.toString
+}
+
+/** V1 micro-batch source over a snapshot store. Progress is driven by
+  * the store's OWN commit protocol: `getOffset` is one tiny pointer
+  * read; a batch is the manifest diff between two snapshot ids, opened
+  * as an exact file list (never a directory listing). Exactly-once
+  * composes end-to-end: upstream, appends reuse files verbatim so each
+  * file — hence each row — appears in exactly one diff; downstream,
+  * Spark's checkpoint replays `getBatch` with the same offsets after a
+  * crash and the immutable manifests reproduce the identical batch.
+  */
+final class SnapshotStreamSource(spark: SparkSession, root: JPath,
+                                 override val schema: StructType,
+                                 startExclusive: Int) extends Source {
+
+  private def parse(o: Offset): Int = o match {
+    case SnapshotOffset(id) => id
+    case other              => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.currentId(root).filter(_ > startExclusive).map(SnapshotOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(parse).getOrElse(startExclusive)
+    val to = parse(end)
+    val before: Set[String] =
+      if (from <= 0) Set.empty
+      else Snapshots.manifest(root, from).filterNot(Snapshots.isDelete)
+        .map(_.relPath).toSet
+    val added = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
+      .filterNot(e => before(e.relPath))
+    val batch =
+      if (added.isEmpty) {
+        // a pointer can advance on delete-only / maintenance commits:
+        // an empty add-set is a legal empty micro-batch, not an error
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else {
+        spark.read.option("mergeSchema", "true")
+          .parquet(added.map(e => root.resolve(e.relPath).toString): _*)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      }
+    GraftSqlShims.asStreamingFrame(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"SnapshotStreamSource[$root > $startExclusive]"
+}

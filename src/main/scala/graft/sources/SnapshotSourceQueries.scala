@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles}
+
+import scala.collection.JavaConverters._
+
+import graft.Tables
+import graft.etl.Snapshots
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Driver-oracled queries for the graft-snapshot data source — the A31
+  * layer consumed through `spark.read.format` / `spark.readStream
+  * .format` rather than the layer's own helpers, so the SOURCE
+  * INTEGRATION itself (FileIndex listing, plan-time skipping, V1
+  * streaming offsets) sits under the correctness gate.
+  */
+object SnapshotSourceQueries {
+
+  private def rm(root: java.nio.file.Path): Unit = {
+    val walk = JFiles.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(JFiles.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** Post-execution file-scan node of `df` (AQE-aware), for metric and
+    * pushdown proofs. Driver-side plan introspection only — never data.
+    */
+  private def executedScan(df: DataFrame): FileSourceScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec    => Some(f)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    find(df.queryExecution.executedPlan).getOrElse(
+      throw new IllegalStateException(
+        s"no file scan in plan:\n${df.queryExecution.executedPlan}"))
+  }
+
+  /** Query `snapshot_scan`: orders published range-clustered with
+    * manifest zone maps, then read back STRICTLY through
+    * `spark.read.format("graft-snapshot")` with a key-range predicate.
+    * Proofs required in-query before the answer is trusted:
+    * (1) the scan opened strictly fewer files than the manifest lists —
+    * i.e. Catalyst's pushed dataFilters reached [[SnapshotFileIndex]]
+    * and the zone maps pruned during PLANNING; (2) the same predicate
+    * also reached parquet row-group pushdown (`PushedFilters`). The
+    * oracle is the plain filtered aggregate over the source table: the
+    * hash gate proves the whole source stack — manifest listing,
+    * file skipping, vectorized scan — changes I/O, never answers.
+    */
+  def snapshotScan(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapsc")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, root, orders.repartitionByRange(8, col("o_orderkey")),
+        statsCol = Some("o_orderkey"))
+      val agg = s.read.format("graft-snapshot")
+        .option("path", root.toString).option("statscol", "o_orderkey").load()
+        .filter(col("o_orderkey").between(200L, 1099L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+      val out = agg.collect().map(r => Row(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val scan = executedScan(agg)
+      val opened = scan.metrics("numFiles").value
+      val total = Snapshots.manifest(root, 1).size
+      require(opened < total,
+        s"plan-time zone maps skipped nothing: opened $opened of $total")
+      val pushed = scan.metadata("PushedFilters")
+      require(pushed.contains("GreaterThanOrEqual(o_orderkey,200)"),
+        s"range predicate missing from parquet pushdown: $pushed")
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally rm(root)
+  }
+
+  val snapshotScanOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey BETWEEN 200 AND 1099
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_snapshot_source`: the store consumed as a REAL
+    * micro-batch stream. Three releases exist at stream start; a fourth
+    * is published MID-STREAM between drains, so the source must advance
+    * its snapshot offset and deliver exactly the increment's files.
+    * In-query proofs: the first drain saw exactly the first three
+    * releases' rows (the mid-stream increment genuinely arrived later),
+    * and the final state is gated by the oracle — the plain aggregate
+    * of ALL orders, so one duplicated or dropped increment row fails
+    * the hash. This is the lakehouse CDC loop closed: `publish` commits
+    * upstream, `readStream` consumes downstream, offsets ARE snapshot
+    * ids.
+    */
+  def streamSnapshotSource(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapss")
+    val sink = "graft_snapsrc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 until 3).foreach { k =>
+        Snapshots.publish(s, root, orders.filter(col("o_orderkey") % 4 === k),
+          append = k > 0)
+      }
+      val q = s.readStream.format("graft-snapshot").option("path", root.toString).load()
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val firstDrain = s.table(sink).count()
+        val expectFirst = orders.filter(col("o_orderkey") % 4 < 3).count()
+        require(firstDrain == expectFirst,
+          s"first drain saw $firstDrain rows, expected the 3 releases' $expectFirst")
+        Snapshots.publish(s, root, orders.filter(col("o_orderkey") % 4 === 3),
+          append = true)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .orderBy("o_orderstatus")
+    } finally rm(root)
+  }
+
+  val streamSnapshotSourceOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+}

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-snapshot data source: manifest-driven listing (never a
+  * directory scan), plan-time zone-map + bloom file skipping fed by
+  * Catalyst's pushed predicates, parquet pushdown/pruning intact under
+  * Spark's own scan, snapshot/ref pinning, the tombstone refusal, and
+  * the streaming CDC source's exactly-once delivery incl. a
+  * checkpointed restart.
+  */
+class SnapshotSourceSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private def tmpRoot(): Path = Files.createTempDirectory("graft_snapsrc")
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def block(tag: Int, rows: Int = 100): DataFrame = {
+    val sq = s; import sq.implicits._
+    (0 until rows).map(i => (tag.toLong, i.toLong)).toDF("tag", "i")
+  }
+
+  private def keyed(n: Int): DataFrame = {
+    val sq = s; import sq.implicits._
+    (0 until n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+  }
+
+  private def read(root: Path, extra: (String, String)*): DataFrame = {
+    val r = s.read.format("graft-snapshot").option("path", root.toString)
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** Execute and return the (post-AQE) file scan node, metrics populated. */
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val flat = p.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }.getOrElse(p)
+    flat.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.getOrElse(
+      fail(s"no FileSourceScanExec in:\n$flat"))
+  }
+
+  private def numFiles(df: DataFrame): Long = scanOf(df).metrics("numFiles").value
+
+  test("batch read equals the layer's own readAt") {
+    val root = tmpRoot()
+    try {
+      (1 to 3).foreach(k => Snapshots.publish(s, root, block(k), append = k > 1))
+      val viaSource = read(root).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val viaLayer = Snapshots.readAt(s, root, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(viaSource.length == 300)
+      assert(viaSource.toSeq == viaLayer.toSeq)
+    } finally rm(root)
+  }
+
+  test("pushed range predicate prunes files at PLAN time via zone maps") {
+    val root = tmpRoot()
+    try {
+      val sq = s; import sq.implicits._
+      val rows = (0 until 8000).map(i => (i.toLong, i % 7L)).toDF("k", "g")
+      Snapshots.publish(s, root, rows.repartitionByRange(8, col("k")),
+        statsCol = Some("k"))
+      val total = Snapshots.manifest(root, 1).size
+      val q = read(root, "statscol" -> "k").filter(col("k").between(1000, 1999))
+      val opened = numFiles(q)
+      assert(opened < total, s"zone maps skipped nothing: $opened of $total")
+      assert(q.count() == 1000)
+      // pruning is an I/O optimization only: same rows as the full scan
+      assert(read(root).filter(col("k").between(1000, 1999)).count() == 1000)
+      // and the predicate ALSO reached parquet as a pushed filter
+      val pushed = scanOf(q).metadata("PushedFilters")
+      assert(pushed.contains("GreaterThanOrEqual(k,1000)") &&
+        pushed.contains("LessThanOrEqual(k,1999)"), pushed)
+    } finally rm(root)
+  }
+
+  test("named multi-column zone maps prune on either dimension, no option needed") {
+    val root = tmpRoot()
+    try {
+      val sq = s; import sq.implicits._
+      val rows = (0 until 4000).map(i => (i.toLong, (4000 - i).toLong)).toDF("x", "y")
+      val fresh = Snapshots.stageOccMulti(s, root, rows.repartitionByRange(8, col("x")),
+        Seq("x", "y"))
+      val id = Snapshots.commitOcc(root, fresh, Snapshots.OccAppend)
+      val total = Snapshots.manifest(root, id).size
+      val qx = read(root).filter(col("x") < 500)
+      val qy = read(root).filter(col("y") <= 500)
+      assert(numFiles(qx) < total)
+      assert(numFiles(qy) < total)
+      assert(qx.count() == 500 && qy.count() == 500)
+    } finally rm(root)
+  }
+
+  test("bloom sidecars prune point lookups on hash layouts") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, keyed(4000).repartition(8, col("k")))
+      Snapshots.buildBlooms(s, root, 1, "k")
+      val total = Snapshots.manifest(root, 1).size
+      val q = read(root).filter(col("k") === 1234L)
+      val opened = numFiles(q)
+      assert(opened < total, s"blooms skipped nothing: $opened of $total")
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("v1234"))
+      // absent key: every bloom rejects, zero files opened, empty exact answer
+      val miss = read(root).filter(col("k") === 999999L)
+      assert(numFiles(miss) == 0 && miss.count() == 0)
+    } finally rm(root)
+  }
+
+  test("column pruning reaches the scan") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, keyed(100))
+      val scan = scanOf(read(root).select("v").filter(col("v") === "v7"))
+      assert(scan.requiredSchema.fieldNames.toSeq == Seq("v"))
+    } finally rm(root)
+  }
+
+  test("snapshot option is time travel; ref option reads a branch head") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2), append = true)
+      assert(read(root, "snapshot" -> "1").count() == 100)
+      assert(read(root).count() == 200)
+      Snapshots.createBranch(root, "dev", atId = 1)
+      Snapshots.publishToBranch(s, root, "dev", block(7), append = true)
+      val dev = read(root, "ref" -> "dev")
+      assert(dev.count() == 200 &&
+        dev.select("tag").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L))
+      // main unchanged by the branch write
+      assert(read(root).select("tag").distinct().count() == 2)
+    } finally rm(root)
+  }
+
+  test("a tombstone-bearing snapshot is refused loudly, never silently wrong") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, keyed(100))
+      val sq = s; import sq.implicits._
+      Snapshots.publishDeletes(s, root, Seq(5L, 6L).toDF("k"))
+      val e = intercept[IllegalArgumentException](read(root).collect())
+      assert(e.getMessage.contains("tombstone"))
+      // compaction folds the deletes in physically and restores scannability
+      Snapshots.compact(s, root, targetFiles = 2)
+      assert(read(root).count() == 98)
+    } finally rm(root)
+  }
+
+  test("streaming source: every appended row exactly once, incl. a later commit") {
+    val root = tmpRoot()
+    try {
+      (1 to 3).foreach(k => Snapshots.publish(s, root, block(k), append = k > 1))
+      val q = s.readStream.format("graft-snapshot").option("path", root.toString).load()
+        .writeStream.format("memory").queryName("snapsrc_m").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = s.table("snapsrc_m").groupBy("tag").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == (1 to 3).map(t => t.toLong -> 100L).toMap)
+        Snapshots.publish(s, root, block(4), append = true)
+        q.processAllAvailable()
+        val got2 = s.table("snapsrc_m").groupBy("tag").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got2 == (1 to 4).map(t => t.toLong -> 100L).toMap)
+      } finally q.stop()
+    } finally rm(root)
+  }
+
+  test("streaming source: checkpointed restart resumes at the committed snapshot") {
+    val root = tmpRoot()
+    val out = Files.createTempDirectory("graft_snapsrc_out")
+    val ckpt = Files.createTempDirectory("graft_snapsrc_ckpt")
+    try {
+      (1 to 2).foreach(k => Snapshots.publish(s, root, block(k), append = k > 1))
+      def run() = s.readStream.format("graft-snapshot").option("path", root.toString).load()
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      Snapshots.publish(s, root, block(3), append = true)
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = s.read.parquet(out.toString).groupBy("tag").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1 to 3).map(t => t.toLong -> 100L).toMap,
+        s"restart duplicated or dropped an increment: $got")
+    } finally { rm(root); rm(out); rm(ckpt) }
+  }
+}
