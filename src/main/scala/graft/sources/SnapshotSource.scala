@@ -81,12 +81,16 @@ final class SnapshotSource extends RelationProvider
   }
 
   private def schemaOf(s: SparkSession, root: JPath,
-                       datas: Seq[Snapshots.ManifestEntry]): StructType =
-    // schema-merge across the manifest like the layer's own read path:
-    // evolved releases may ADD columns (snapshot_evolve), and a scan
-    // that read only the first file's footer would drop them
+                       datas: Seq[Snapshots.ManifestEntry]): StructType = {
+    // schema-merge like the layer's own read path — evolved releases
+    // may ADD columns (snapshot_evolve) — but bounded: files of one
+    // commit share a schema (`seq` stamps the adding commit), so ONE
+    // footer per distinct seq suffices. Planning stays O(#commits in
+    // the manifest), never O(#files) footer fetches.
+    val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
     s.read.option("mergeSchema", "true")
-      .parquet(datas.map(e => root.resolve(e.relPath).toString): _*).schema
+      .parquet(perSeq.map(e => root.resolve(e.relPath).toString): _*).schema
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -171,9 +175,17 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
         // an empty add-set is a legal empty micro-batch, not an error
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       } else {
-        spark.read.option("mergeSchema", "true")
+        // conform the increment to the source schema: files that predate
+        // an evolved (appended) column surface it as NULL — a replayed
+        // early batch must not fail just because every file in it is
+        // older than the column
+        val raw = spark.read.option("mergeSchema", "true")
           .parquet(added.map(e => root.resolve(e.relPath).toString): _*)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        val have = raw.columns.toSet
+        raw.select(schema.fields.toIndexedSeq.map { f =>
+          if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        }: _*)
       }
     GraftSqlShims.asStreamingFrame(batch)
   }

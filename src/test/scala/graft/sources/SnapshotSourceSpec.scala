@@ -182,6 +182,38 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("batch read schema-merges evolved commits; time travel keeps the old shape") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2).withColumn("extra", lit(9L)), append = true)
+      val now = read(root)
+      assert(now.columns.toSeq == Seq("tag", "i", "extra"))
+      // pre-evolution rows surface the appended column as NULL
+      assert(now.filter(col("tag") === 1 && col("extra").isNull).count() == 100)
+      assert(now.filter(col("tag") === 2 && col("extra") === 9L).count() == 100)
+      // pinned old snapshot keeps the old shape
+      assert(read(root, "snapshot" -> "1").columns.toSeq == Seq("tag", "i"))
+    } finally rm(root)
+  }
+
+  test("streaming getBatch conforms pre-evolution files to the source schema") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1)) // 2-col files only
+      val evolved = org.apache.spark.sql.types.StructType(
+        block(1).schema.fields :+
+          org.apache.spark.sql.types.StructField("extra",
+            org.apache.spark.sql.types.LongType))
+      // a replayed batch whose files ALL predate the appended column
+      // must surface it as NULL, not fail analysis
+      val src = new SnapshotStreamSource(s, root, evolved, startExclusive = 0)
+      val batch = src.getBatch(None, SnapshotOffset(1))
+      assert(batch.isStreaming)
+      assert(batch.schema.fieldNames.toSeq == Seq("tag", "i", "extra"))
+    } finally rm(root)
+  }
+
   test("streaming source: checkpointed restart resumes at the committed snapshot") {
     val root = tmpRoot()
     val out = Files.createTempDirectory("graft_snapsrc_out")
