@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // table-valued function: the snapshot layer from PURE SQL —
+    // `FROM graft_snapshot('/store'[, snapshot_id | 'ref'])` resolves to
+    // the same manifest-planned relation as the DataFrame source
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot"),
+      info("graft_snapshot",
+        "graft_snapshot(path[, snapshot_id | ref]) - snapshot store as a relation " +
+          "(manifest-listed, zone-map/bloom pruned, time travel via the pin)"),
+      graft.sources.SnapshotTvf.build))
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
     // opt-in optimizer rule: drop dim joins proven redundant by declared

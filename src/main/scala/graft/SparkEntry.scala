@@ -82,6 +82,7 @@ object SparkEntry {
     "snapshot_prune"      -> w(Snapshots.snapshotPrune),
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
     "snapshot_scan"       -> w(graft.sources.SnapshotSourceQueries.snapshotScan),
+    "snapshot_sql"        -> w(graft.sources.SnapshotSourceQueries.snapshotSql),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
@@ -523,6 +524,7 @@ object SparkEntry {
     "snapshot_prune" -> graft.etl.Snapshots.snapshotPruneOracleSql,
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
     "snapshot_scan" -> graft.sources.SnapshotSourceQueries.snapshotScanOracleSql,
+    "snapshot_sql" -> graft.sources.SnapshotSourceQueries.snapshotSqlOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,

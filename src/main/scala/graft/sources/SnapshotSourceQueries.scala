@@ -89,6 +89,49 @@ object SnapshotSourceQueries {
     FROM orders WHERE o_orderkey BETWEEN 200 AND 1099
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `snapshot_sql`: the layer from PURE SQL — the
+    * `graft_snapshot` table-valued function (GraftExtensions) resolves
+    * the store to the same manifest-planned relation, so a SQL-only
+    * user (JDBC gateway, notebook cell) gets zone-map skipping and
+    * parquet pushdown with no Scala API and no reader options: the
+    * store is published with NAMED per-file stats (`k=lo:hi` manifest
+    * tokens), which bind to predicate columns by name. The in-query
+    * proof requires strictly fewer files opened than the manifest
+    * lists; the oracle is the same SQL over the source table.
+    */
+  def snapshotSql(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapsq")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val fresh = Snapshots.stageOccMulti(s, root,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      Snapshots.commitOcc(root, fresh, Snapshots.OccAppend)
+      val agg = s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_total_cents
+           |FROM graft_snapshot('$root')
+           |WHERE o_orderkey BETWEEN 300 AND 1199
+           |GROUP BY o_orderstatus""".stripMargin)
+      val out = agg.collect().map(r => Row(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val scan = executedScan(agg)
+      val opened = scan.metrics("numFiles").value
+      val total = Snapshots.manifest(root, 1).size
+      require(opened < total,
+        s"SQL read skipped nothing: opened $opened of $total")
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally rm(root)
+  }
+
+  val snapshotSqlOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey BETWEEN 300 AND 1199
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Query `stream_snapshot_source`: the store consumed as a REAL
     * micro-batch stream. Three releases exist at stream start; a fourth
     * is published MID-STREAM between drains, so the source must advance

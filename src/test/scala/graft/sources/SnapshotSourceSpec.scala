@@ -48,10 +48,17 @@ class SnapshotSourceSpec extends AnyFunSuite {
   /** Execute and return the (post-AQE) file scan node, metrics populated. */
   private def scanOf(df: DataFrame): FileSourceScanExec = {
     df.collect()
-    val p = df.queryExecution.executedPlan
-    val flat = p.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }.getOrElse(p)
-    flat.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.getOrElse(
-      fail(s"no FileSourceScanExec in:\n$flat"))
+    // recurse through AQE wrappers: QueryStageExec is a LEAF of the
+    // outer tree whose real subtree hangs off .plan
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec    => Some(f)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    find(df.queryExecution.executedPlan).getOrElse(
+      fail(s"no FileSourceScanExec in:\n${df.queryExecution.executedPlan}"))
   }
 
   private def numFiles(df: DataFrame): Long = scanOf(df).metrics("numFiles").value
@@ -159,6 +166,37 @@ class SnapshotSourceSpec extends AnyFunSuite {
       // compaction folds the deletes in physically and restores scannability
       Snapshots.compact(s, root, targetFiles = 2)
       assert(read(root).count() == 98)
+    } finally rm(root)
+  }
+
+  test("graft_snapshot table function: the layer from pure SQL, pins included") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, block(1))
+      Snapshots.publish(s, root, block(2), append = true)
+      Snapshots.createTag(root, "v1", atId = 1)
+      assert(s.sql(s"SELECT count(*) FROM graft_snapshot('$root')").head().getLong(0) == 200)
+      assert(s.sql(s"SELECT count(*) FROM graft_snapshot('$root', 1)").head().getLong(0) == 100)
+      assert(s.sql(s"SELECT count(*) FROM graft_snapshot('$root', 'v1')").head().getLong(0) == 100)
+      // joins/filters compose like any relation
+      val tagSum = s.sql(
+        s"SELECT tag, count(*) AS n FROM graft_snapshot('$root') WHERE i < 10 GROUP BY tag ORDER BY tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(tagSum == Seq((1L, 10L), (2L, 10L)))
+    } finally rm(root)
+  }
+
+  test("graft_snapshot SQL reads prune via named zone maps, no options needed") {
+    val root = tmpRoot()
+    try {
+      val sq = s; import sq.implicits._
+      val rows = (0 until 8000).map(i => (i.toLong, i % 5L)).toDF("k", "g")
+      val fresh = Snapshots.stageOccMulti(s, root,
+        rows.repartitionByRange(8, col("k")), Seq("k"))
+      Snapshots.commitOcc(root, fresh, Snapshots.OccAppend)
+      val q = s.sql(s"SELECT count(*) AS n FROM graft_snapshot('$root') WHERE k BETWEEN 2000 AND 2999")
+      assert(q.head().getLong(0) == 1000)
+      assert(numFiles(q) < 8)
     } finally rm(root)
   }
 
