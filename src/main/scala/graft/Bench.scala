@@ -56,7 +56,8 @@ object Bench {
     // plan-time zone-map skip + parquet pushdown), stream_snapshot_source
     // the V1 micro-batch source's offset/commit loop incl. a mid-stream
     // publish
-    "snapshot_scan", "snapshot_sql", "stream_snapshot_source")
+    "snapshot_scan", "snapshot_sql", "snapshot_write", "stream_snapshot_source",
+    "stream_snapshot_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,6 +83,8 @@ object SparkEntry {
     "stream_snapshot_ingest" -> w(Snapshots.streamSnapshotIngest),
     "snapshot_scan"       -> w(graft.sources.SnapshotSourceQueries.snapshotScan),
     "snapshot_sql"        -> w(graft.sources.SnapshotSourceQueries.snapshotSql),
+    "snapshot_write"      -> w(graft.sources.SnapshotSourceQueries.snapshotWrite),
+    "stream_snapshot_sink" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSink),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
@@ -525,6 +527,8 @@ object SparkEntry {
     "stream_snapshot_ingest" -> graft.etl.Snapshots.streamSnapshotIngestOracleSql,
     "snapshot_scan" -> graft.sources.SnapshotSourceQueries.snapshotScanOracleSql,
     "snapshot_sql" -> graft.sources.SnapshotSourceQueries.snapshotSqlOracleSql,
+    "snapshot_write" -> graft.sources.SnapshotSourceQueries.snapshotWriteOracleSql,
+    "stream_snapshot_sink" -> graft.sources.SnapshotSourceQueries.streamSnapshotSinkOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,

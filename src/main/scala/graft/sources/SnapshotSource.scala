@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graftshim.GraftSqlShims
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.SaveMode
 
 /** `spark.read.format("graft-snapshot")` / `spark.readStream.format(
   * "graft-snapshot")` — the A31 snapshot layer as a first-class Spark
@@ -49,7 +51,8 @@ import org.apache.spark.sql.types.StructType
   * lag, as with any log-compacted source.
   */
 final class SnapshotSource extends RelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+    with DataSourceRegister with StreamSourceProvider
+    with CreatableRelationProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -110,6 +113,62 @@ final class SnapshotSource extends RelationProvider
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
 
+  // ---- batch write: df.write.format("graft-snapshot") ----
+
+  /** `SaveMode` mapped onto the layer's commit protocol. Append on an
+    * existing store is an append-mode release (prior files reused
+    * verbatim); Overwrite is a rewrite commit — a NEW snapshot listing
+    * only the new files, with full history retained for time travel
+    * (the layer never deletes data outside `expire`). Writes serialize
+    * through the store's writer lock; `occ=true` switches appends to
+    * the optimistic path (data written outside the lock, rebase at the
+    * pointer). `statscol` declares a zone-map stats column so the
+    * written files are immediately prunable by the read path.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val opts = CaseInsensitiveMap(parameters)
+    val root = rootOf(parameters)
+    val statsCol = opts.get("statscol")
+    val exists = Snapshots.currentId(root).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"snapshot store $root already has a published snapshot " +
+            s"(${Snapshots.currentId(root).get}); use SaveMode.Append or Overwrite")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if opts.get("occ").exists(_.toBoolean) =>
+        Snapshots.publishOcc(spark, root, data, statsCol)
+      case SaveMode.Append =>
+        Snapshots.publishLocked(spark, root, data, append = exists, statsCol)
+      case _ => // Overwrite, or any mode's first write
+        Snapshots.publishLocked(spark, root, data, append = false, statsCol)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming sink: writeStream.format("graft-snapshot") ----
+
+  /** One atomic appended snapshot per micro-batch, exactly-once by the
+    * layer's own contract: [[Snapshots.publishBatch]] commits the batch
+    * id in the SAME pointer rename as the data, so the at-least-once
+    * replay any streaming sink must tolerate is a provable no-op at
+    * every crash point (pinned in SnapshotSpec / the
+    * `stream_snapshot_ingest` gate — this sink is that protocol behind
+    * the format API instead of a foreachBatch closure).
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-snapshot sink appends immutable releases; $outputMode is not supported")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink does not partition by columns; use publishOverwrite layouts")
+    new SnapshotSink(sqlContext.sparkSession, rootOf(parameters))
+  }
+
   // ---- streaming ----
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -130,6 +189,19 @@ final class SnapshotSource extends RelationProvider
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
     new SnapshotStreamSource(sqlContext.sparkSession, root, st, start)
   }
+}
+
+/** V1 streaming sink half of [[SnapshotSource]]: the snapshot store as
+  * a `writeStream` target. The incoming micro-batch frame is
+  * streaming-tagged; re-wrap its already-planned physical batch as an
+  * ordinary batch frame (valid within `addBatch`, per the V1 contract)
+  * and hand it to the layer's idempotent batch commit.
+  */
+final class SnapshotSink(spark: SparkSession, root: JPath) extends Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    Snapshots.publishBatch(spark, root, GraftSqlShims.asBatchFrame(data), batchId)
+  }
+  override def toString: String = s"SnapshotSink[$root]"
 }
 
 /** Offset = a published snapshot id. JSON form is just the number, so

@@ -132,6 +132,110 @@ object SnapshotSourceQueries {
     FROM orders WHERE o_orderkey BETWEEN 300 AND 1199
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `snapshot_write`: the batch WRITE path —
+    * `df.write.format("graft-snapshot")` with SaveMode mapped onto the
+    * layer's commit protocol. Two appended halves build the full table
+    * (append 2 must REUSE append 1's files verbatim — required
+    * in-query), then an Overwrite lands a rewrite commit while history
+    * stays time-travelable. Both states are read back through the
+    * SOURCE with snapshot pins; the oracle restates them from the
+    * source table, so the hash gate proves the whole write→commit→read
+    * loop: no row lost between releases, no stale file surfacing after
+    * the overwrite.
+    */
+  def snapshotWrite(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapw")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def save(df: DataFrame, mode: String): Unit =
+        df.write.format("graft-snapshot").option("path", root.toString).mode(mode).save()
+      save(orders.filter(col("o_orderkey") % 2 === 0), "error")
+      save(orders.filter(col("o_orderkey") % 2 === 1), "append")
+      val files1 = Snapshots.manifest(root, 1).map(_.relPath).toSet
+      require(Snapshots.manifest(root, 2).map(_.relPath).toSet.intersect(files1) == files1,
+        "append did not reuse the prior release's files")
+      save(orders.filter(col("o_orderkey") < 2000), "overwrite")
+      require(Snapshots.currentId(root).contains(3),
+        s"expected 3 snapshots, got ${Snapshots.currentId(root)}")
+      val out = Seq(2, 3).flatMap { n =>
+        s.read.format("graft-snapshot").option("path", root.toString)
+          .option("snapshot", n.toString).load()
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+          .collect()
+          .map(r => Row(n.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val snapshotWriteOracleSql: String = """
+    SELECT * FROM (
+      SELECT 2 AS snapshot_id, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 3, o_orderstatus, CAST(count(*) AS BIGINT),
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus)
+    ORDER BY snapshot_id, o_orderstatus"""
+
+  /** Query `stream_snapshot_sink`: the streaming WRITE path behind the
+    * format API — `writeStream.format("graft-snapshot")` lands one
+    * atomic appended snapshot per micro-batch through the V1 sink (the
+    * `stream_snapshot_ingest` commit protocol, but via `Sink.addBatch`
+    * instead of a foreachBatch closure — a distinct code path through
+    * the streaming-frame re-wrap). In-query proofs: exactly one
+    * snapshot per micro-batch, and a replayed final batch id is a
+    * no-op with the pointer unmoved. The landed table, read back
+    * through the SOURCE, hash-matches the batch aggregate of the whole
+    * feed: every event exactly once through format-level streaming I/O.
+    */
+  def streamSnapshotSink(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapsk")
+    val src = JFiles.createTempDirectory("graft_snapsk_src")
+    val ckpt = JFiles.createTempDirectory("graft_snapsk_ck")
+    try {
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      ev.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(src.toString)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .writeStream.format("graft-snapshot").option("path", root.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val nSnaps = Snapshots.currentId(root).getOrElse(0)
+      require(nSnaps == 3, s"expected one snapshot per micro-batch, got $nSnaps")
+      val last = Snapshots.lastBatchId(root).getOrElse(-1L)
+      require(!Snapshots.publishBatch(s, root,
+        Snapshots.readCurrent(s, root).limit(1), last),
+        "replayed micro-batch must be skipped")
+      require(Snapshots.currentId(root).contains(nSnaps), "replay moved the pointer")
+      val out = s.read.format("graft-snapshot").option("path", root.toString).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .collect()
+        .map(r => Row(nSnaps.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("n_snapshots", LongType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("event_type")
+    } finally { rm(root); rm(src); rm(ckpt) }
+  }
+
+  val streamSnapshotSinkOracleSql: String = """
+    SELECT CAST(3 AS BIGINT) AS n_snapshots, event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Query `stream_snapshot_source`: the store consumed as a REAL
     * micro-batch stream. Three releases exist at stream start; a fourth
     * is published MID-STREAM between drains, so the source must advance

@@ -24,4 +24,16 @@ object GraftSqlShims {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: the incoming micro-batch
+    * frame is streaming-tagged and refuses the batch writer; re-wrap its
+    * physical plan as a batch frame so the sink can hand it to ordinary
+    * `DataFrameWriter` machinery. Valid only within the `addBatch` call,
+    * per the V1 sink contract.
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -200,6 +200,73 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("batch write path: SaveMode maps onto the layer's commit protocol") {
+    val root = tmpRoot()
+    try {
+      def save(df: DataFrame, mode: String, extra: (String, String)*): Unit = {
+        val w = df.write.format("graft-snapshot").option("path", root.toString).mode(mode)
+        extra.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+      }
+      // default ErrorIfExists founds the store...
+      save(block(1), "error")
+      assert(Snapshots.currentId(root).contains(1))
+      // ...and refuses a second founding write
+      intercept[IllegalStateException](save(block(9), "error"))
+      // appends chain releases; prior files are reused verbatim
+      save(block(2), "append")
+      val files1 = Snapshots.manifest(root, 1).map(_.relPath).toSet
+      assert(Snapshots.manifest(root, 2).map(_.relPath).toSet.intersect(files1) == files1)
+      assert(read(root).count() == 200)
+      // ignore on an existing store is a no-op
+      save(block(9), "ignore")
+      assert(Snapshots.currentId(root).contains(2) && read(root).count() == 200)
+      // occ append goes through the optimistic commit
+      save(block(3), "append", "occ" -> "true")
+      assert(read(root).count() == 300)
+      // overwrite is a rewrite commit; history stays readable
+      save(block(7), "overwrite")
+      val head = Snapshots.currentId(root).get
+      assert(read(root).select("tag").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+      assert(read(root, "snapshot" -> (head - 1).toString).count() == 300)
+      // a written statscol is immediately prunable by the read path
+      val root2 = tmpRoot()
+      try {
+        keyed(4000).repartitionByRange(8, col("k"))
+          .write.format("graft-snapshot").option("path", root2.toString)
+          .option("statscol", "k").save()
+        val q = read(root2, "statscol" -> "k").filter(col("k") < 500)
+        assert(numFiles(q) < 8 && q.count() == 500)
+      } finally rm(root2)
+    } finally rm(root)
+  }
+
+  test("streaming sink: one snapshot per micro-batch, replay-safe across restart") {
+    val root = tmpRoot()
+    val src = Files.createTempDirectory("graft_snapsink_src")
+    val ckpt = Files.createTempDirectory("graft_snapsink_ckpt")
+    try {
+      // stage 3 files; maxFilesPerTrigger=1 => one micro-batch per file
+      (1 to 3).foreach(k => block(k).coalesce(1)
+        .write.mode("append").parquet(src.toString))
+      def run() = TestSpark.spark.readStream.schema(block(1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .writeStream.format("graft-snapshot").option("path", root.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(Snapshots.currentId(root).contains(3), "one snapshot per micro-batch")
+      assert(read(root).count() == 300)
+      // restart on the same checkpoint: nothing new => no re-ingest
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(Snapshots.currentId(root).contains(3) && read(root).count() == 300,
+        "restart replayed a committed batch")
+      // the landed table is a full citizen: time travel per batch
+      assert(read(root, "snapshot" -> "1").count() == 100)
+      assert(read(root, "snapshot" -> "2").count() == 200)
+    } finally { rm(root); rm(src); rm(ckpt) }
+  }
+
   test("streaming source: every appended row exactly once, incl. a later commit") {
     val root = tmpRoot()
     try {
