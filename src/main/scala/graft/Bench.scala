@@ -57,7 +57,7 @@ object Bench {
     // the V1 micro-batch source's offset/commit loop incl. a mid-stream
     // publish
     "snapshot_scan", "snapshot_sql", "snapshot_write", "stream_snapshot_source",
-    "stream_snapshot_sink")
+    "stream_snapshot_sink", "snapshot_txn_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

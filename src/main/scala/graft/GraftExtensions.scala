@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_snapshot(path[, snapshot_id | ref]) - snapshot store as a relation " +
           "(manifest-listed, zone-map/bloom pruned, time travel via the pin)"),
       graft.sources.SnapshotTvf.build))
+    // table-valued function: a TxnCatalog table at a catalog version —
+    // two references at the same version are cross-table consistent
+    e.injectTableFunction((FunctionIdentifier("graft_table"),
+      info("graft_table",
+        "graft_table(catalog, table[, version]) - catalog table at a version " +
+          "(cross-table consistent across references at the same version)"),
+      graft.sources.SnapshotTvf.buildTable))
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
     // opt-in optimizer rule: drop dim joins proven redundant by declared

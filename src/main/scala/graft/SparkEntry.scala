@@ -84,6 +84,7 @@ object SparkEntry {
     "snapshot_scan"       -> w(graft.sources.SnapshotSourceQueries.snapshotScan),
     "snapshot_sql"        -> w(graft.sources.SnapshotSourceQueries.snapshotSql),
     "snapshot_write"      -> w(graft.sources.SnapshotSourceQueries.snapshotWrite),
+    "snapshot_txn_sql"    -> w(graft.sources.SnapshotSourceQueries.snapshotTxnSql),
     "stream_snapshot_sink" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSink),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
@@ -528,6 +529,7 @@ object SparkEntry {
     "snapshot_scan" -> graft.sources.SnapshotSourceQueries.snapshotScanOracleSql,
     "snapshot_sql" -> graft.sources.SnapshotSourceQueries.snapshotSqlOracleSql,
     "snapshot_write" -> graft.sources.SnapshotSourceQueries.snapshotWriteOracleSql,
+    "snapshot_txn_sql" -> graft.sources.SnapshotSourceQueries.snapshotTxnSqlOracleSql,
     "stream_snapshot_sink" -> graft.sources.SnapshotSourceQueries.streamSnapshotSinkOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,

@@ -236,6 +236,76 @@ object SnapshotSourceQueries {
       CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Query `snapshot_txn_sql`: A32 cross-table transactions from PURE
+    * SQL via the `graft_table` TVF. A hot→cold row MOVE (tombstones on
+    * hot + appends on cold in ONE catalog commit) is read back by a
+    * single SQL statement unioning BOTH tables at BOTH versions — each
+    * version pin is cross-table consistent by the one-rename commit, so
+    * the statement can never observe the move half-applied, and the
+    * tombstone-carrying hot table reads exactly through the layer's
+    * seq-aware merge. Oracle restates all four (version, table) states
+    * from the source table: the hash gate is row-and-cent conservation
+    * through the transaction, observed entirely from SQL.
+    */
+  def snapshotTxnSql(s: SparkSession, d: String): DataFrame = {
+    val cat = JFiles.createTempDirectory("graft_txnsql")
+    try {
+      import graft.etl.TxnCatalog
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val hotId = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "hot"),
+        orders.filter(col("o_orderkey") % 2 === 1), None)
+      val coldId = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+        orders.filter(col("o_orderkey") % 2 === 0), None)
+      val v1 = TxnCatalog.commit(cat, Map("hot" -> hotId, "cold" -> coldId), None)
+      val moved = orders.filter(col("o_orderkey") % 10 === 3)
+      val hotId2 = Snapshots.stageDeletesOnto(s, TxnCatalog.tableRoot(cat, "hot"),
+        moved.select("o_orderkey"), hotId)
+      val coldId2 = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+        moved, Some(coldId))
+      val v2 = TxnCatalog.commit(cat, Map("hot" -> hotId2, "cold" -> coldId2), Some(v1))
+      val out = s.sql(
+        s"""SELECT version, tbl, o_orderstatus, count(*) AS n,
+           |  sum(cents) AS sum_total_cents
+           |FROM (
+           |  SELECT CAST($v1 AS BIGINT) AS version, 'cold' AS tbl, *
+           |  FROM graft_table('$cat', 'cold', $v1)
+           |  UNION ALL SELECT CAST($v1 AS BIGINT), 'hot', *
+           |  FROM graft_table('$cat', 'hot', $v1)
+           |  UNION ALL SELECT CAST($v2 AS BIGINT), 'cold', *
+           |  FROM graft_table('$cat', 'cold', $v2)
+           |  UNION ALL SELECT CAST($v2 AS BIGINT), 'hot', *
+           |  FROM graft_table('$cat', 'hot', $v2))
+           |GROUP BY version, tbl, o_orderstatus""".stripMargin)
+        .collect()
+        .map(r => Row(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("version", LongType), StructField("tbl", StringType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("version", "tbl", "o_orderstatus")
+    } finally rm(cat)
+  }
+
+  val snapshotTxnSqlOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(1 AS BIGINT) AS version, 'cold' AS tbl, o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM b WHERE k % 2 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1, 'hot', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE k % 2 = 1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2, 'cold', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE k % 2 = 0 OR k % 10 = 3 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2, 'hot', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE k % 2 = 1 AND k % 10 <> 3 GROUP BY o_orderstatus
+    ORDER BY version, tbl, o_orderstatus"""
+
   /** Query `stream_snapshot_source`: the store consumed as a REAL
     * micro-batch stream. Three releases exist at stream start; a fourth
     * is published MID-STREAM between drains, so the source must advance

@@ -39,4 +39,31 @@ object SnapshotTvf {
       spark.sqlContext, Map("path" -> path) ++ pin)
     LogicalRelation(rel)
   }
+
+  /** `FROM graft_table('/catalog', 'table'[, version])` — a table of an
+    * A32 [[graft.etl.TxnCatalog]] at a catalog VERSION, from pure SQL.
+    * Two `graft_table` references pinned to the same version are
+    * CROSS-TABLE CONSISTENT by the catalog's one-rename commit: a SQL
+    * join/union over them can never observe half of a multi-table
+    * transaction. Resolves through the layer's own read (tombstones
+    * applied seq-aware), so delete-carrying tables read exactly;
+    * default version = the catalog's current.
+    */
+  def buildTable(es: Seq[Expression]): LogicalPlan = {
+    require(es.size == 2 || es.size == 3,
+      "usage: graft_table(catalog_path, table_name[, version])")
+    val cat = java.nio.file.Paths.get(String.valueOf(argValue(es.head, "catalog path")))
+    val table = String.valueOf(argValue(es(1), "table name"))
+    val v =
+      if (es.size < 3) graft.etl.TxnCatalog.version(cat).getOrElse(
+        throw new IllegalStateException(s"no committed catalog version under $cat"))
+      else argValue(es(2), "version") match {
+        case n: Int  => n
+        case n: Long => n.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_table: version must be an integer, got $other")
+      }
+    val spark = SparkSession.active
+    graft.etl.TxnCatalog.readTableAt(spark, cat, table, v).queryExecution.logical
+  }
 }

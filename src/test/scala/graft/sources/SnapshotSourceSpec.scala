@@ -200,6 +200,36 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("graft_table: cross-table-consistent SQL reads at a catalog version") {
+    val cat = Files.createTempDirectory("graft_tvfcat")
+    try {
+      import graft.etl.TxnCatalog
+      val hotId = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "hot"), keyed(100), None)
+      val coldId0 = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+        keyed(200).filter(col("k") >= 100), None)
+      val v1 = TxnCatalog.commit(cat, Map("hot" -> hotId, "cold" -> coldId0), None)
+      // move keys 0-9 hot -> cold in ONE catalog commit
+      val sq = s; import sq.implicits._
+      val hotId2 = Snapshots.stageDeletesOnto(s, TxnCatalog.tableRoot(cat, "hot"),
+        (0 until 10).map(_.toLong).toDF("k"), hotId)
+      val coldId2 = Snapshots.stageOnto(s, TxnCatalog.tableRoot(cat, "cold"),
+        keyed(10), Some(coldId0))
+      val v2 = TxnCatalog.commit(cat, Map("hot" -> hotId2, "cold" -> coldId2), Some(v1))
+      // one SQL statement, both tables at one version: always conserves
+      for (v <- Seq(v1, v2)) {
+        val total = s.sql(
+          s"""SELECT count(*) FROM (
+             |  SELECT k FROM graft_table('$cat', 'hot', $v)
+             |  UNION ALL SELECT k FROM graft_table('$cat', 'cold', $v))""".stripMargin)
+          .head().getLong(0)
+        assert(total == 200, s"version $v tore the move: $total")
+      }
+      // the tombstoned table reads exactly at v2; default pin = current
+      assert(s.sql(s"SELECT count(*) FROM graft_table('$cat', 'hot')").head().getLong(0) == 90)
+      assert(s.sql(s"SELECT count(*) FROM graft_table('$cat', 'cold', $v1)").head().getLong(0) == 100)
+    } finally rm(cat)
+  }
+
   test("batch write path: SaveMode maps onto the layer's commit protocol") {
     val root = tmpRoot()
     try {
