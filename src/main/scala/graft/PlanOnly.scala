@@ -22,6 +22,11 @@ object PlanOnly {
       graft.relational.TpchGaps.qImportant(ss, dd, stage = false)),
     "q_excess" -> ((ss, dd) =>
       graft.relational.TpchGaps.qExcess(ss, dd, stage = false)),
+    // the registered snapshot_scan returns a literal proof frame;
+    // document/guard the REAL source read (FileScan over
+    // SnapshotFileIndex, pushed filters, plan-time zone-map skip)
+    "snapshot_scan" -> ((ss, dd) =>
+      graft.sources.SnapshotSourceQueries.snapshotScanPlan(ss, dd)),
     // The stream_* driver-oracled queries EXECUTE a streaming query and
     // return its memory sink (a LocalTableScan) — document/guard the
     // batch-mode application of the same transform instead, so the real

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files => JFiles, Path => JPath}
 
-import scala.collection.mutable
+
 
 import graft.etl.Snapshots
 import graft.etl.Snapshots.ManifestEntry
@@ -134,12 +134,15 @@ final class SnapshotFileIndex(
   }
 
   // bloom sidecars load once per file per index instance; `None` caches
-  // "no sidecar on disk" so absent blooms cost one existence check
-  private val bloomCache = mutable.Map.empty[String, Option[BloomFilter]]
+  // "no sidecar on disk" so absent blooms cost one existence check.
+  // Concurrent-safe: one relation instance can be planned from several
+  // queries at once (a cached DataFrame shared across threads)
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
 
   private def bloomOf(relPath: String): Option[BloomFilter] =
-    bloomCache.getOrElseUpdate(relPath, {
-      val p = Snapshots.bloomPath(root, relPath)
+    bloomCache.computeIfAbsent(relPath, { rp =>
+      val p = Snapshots.bloomPath(root, rp)
       if (!JFiles.exists(p)) None
       else {
         val in = JFiles.newInputStream(p)

@@ -162,7 +162,11 @@ final class SnapshotSource extends RelationProvider
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+    // Append ONLY: Update would land each re-emission of a changing
+    // group as a new appended row (an update log, not the table the
+    // user asked for), and Complete would need per-batch overwrite —
+    // both silently wrong under this sink's append-a-release contract
+    require(outputMode == OutputMode.Append(),
       s"graft-snapshot sink appends immutable releases; $outputMode is not supported")
     require(partitionColumns.isEmpty,
       "graft-snapshot sink does not partition by columns; use publishOverwrite layouts")

@@ -83,6 +83,26 @@ object SnapshotSourceQueries {
     } finally rm(root)
   }
 
+  /** Un-staged plan builder for [[snapshotScan]] (PlanOnly/PlanDoc): the
+    * registered query returns a literal proof frame, which would
+    * document nothing — this builds the REAL source-read tree (FileScan
+    * over SnapshotFileIndex with PushedFilters) over a freshly staged
+    * store. The temp store lives until JVM exit; plan-inspection
+    * contexts only.
+    */
+  def snapshotScanPlan(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_snapsc_plan")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Snapshots.publish(s, root, orders.repartitionByRange(8, col("o_orderkey")),
+      statsCol = Some("o_orderkey"))
+    s.read.format("graft-snapshot")
+      .option("path", root.toString).option("statscol", "o_orderkey").load()
+      .filter(col("o_orderkey").between(200L, 1099L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+  }
+
   val snapshotScanOracleSql: String = """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
