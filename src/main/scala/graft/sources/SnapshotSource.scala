@@ -190,8 +190,9 @@ final class SnapshotSource extends RelationProvider
     val opts = CaseInsensitiveMap(parameters)
     val root = rootOf(parameters)
     val start = opts.get("startsnapshot").map(_.toInt).getOrElse(0)
+    val skipRewrites = opts.get("skiprewrites").exists(_.toBoolean)
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start)
+    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start, skipRewrites)
   }
 }
 
@@ -226,7 +227,8 @@ final case class SnapshotOffset(id: Int) extends Offset {
   */
 final class SnapshotStreamSource(spark: SparkSession, root: JPath,
                                  override val schema: StructType,
-                                 startExclusive: Int) extends Source {
+                                 startExclusive: Int,
+                                 skipRewrites: Boolean = false) extends Source {
 
   private def parse(o: Offset): Int = o match {
     case SnapshotOffset(id) => id
@@ -243,8 +245,28 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
       if (from <= 0) Set.empty
       else Snapshots.manifest(root, from).filterNot(Snapshots.isDelete)
         .map(_.relPath).toSet
-    val added = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
-      .filterNot(e => before(e.relPath))
+    val after = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
+    // REWRITE GUARD: if a commit in this window DROPPED data files (a
+    // compaction, OCC rewrite or partition overwrite), the manifest
+    // diff would re-deliver every rewritten row as an "add" — silent
+    // duplication downstream. Detection over (from, to] is
+    // lineage-exact (dropped = from's files absent from to, whatever
+    // intermediate ids branches consumed). Default: fail LOUDLY.
+    // `skiprewrites=true` skips the whole window's adds instead (the
+    // skip-change-commits semantics open table formats converge on) —
+    // duplicates never, at the cost of appends that share a window
+    // with the rewrite; quiesce maintenance mid-stream to avoid both.
+    val afterPaths = after.map(_.relPath).toSet
+    val dropped = before.diff(afterPaths)
+    if (dropped.nonEmpty && !skipRewrites)
+      throw new IllegalStateException(
+        s"snapshot window ($from, $to] of $root rewrote ${dropped.size} data file(s) " +
+          "(compaction/overwrite); the adds stream would re-deliver rewritten rows. " +
+          "Quiesce maintenance while streaming, or set skiprewrites=true to skip " +
+          "rewrite windows entirely.")
+    val added =
+      if (dropped.nonEmpty) Nil
+      else after.filterNot(e => before(e.relPath))
     val batch =
       if (added.isEmpty) {
         // a pointer can advance on delete-only / maintenance commits:

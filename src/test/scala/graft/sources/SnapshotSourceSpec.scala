@@ -349,6 +349,50 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("streaming source: a mid-stream compaction fails loudly, never duplicates") {
+    val root = tmpRoot()
+    try {
+      (1 to 2).foreach(k => Snapshots.publish(s, root, block(k), append = k > 1))
+      val q = s.readStream.format("graft-snapshot").option("path", root.toString).load()
+        .writeStream.format("memory").queryName("snapsrc_rw").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table("snapsrc_rw").count() == 200)
+        Snapshots.compact(s, root, targetFiles = 1)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(5000)
+        }
+        assert(e.getCause.getMessage.contains("rewrote"), e.getCause.getMessage)
+      } finally q.stop()
+    } finally rm(root)
+  }
+
+  test("streaming source: skiprewrites skips the rewrite window, then resumes adds") {
+    val root = tmpRoot()
+    try {
+      (1 to 2).foreach(k => Snapshots.publish(s, root, block(k), append = k > 1))
+      val q = s.readStream.format("graft-snapshot").option("path", root.toString)
+        .option("skiprewrites", "true").load()
+        .writeStream.format("memory").queryName("snapsrc_sk").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table("snapsrc_sk").count() == 200)
+        // compaction rewrites both blocks into one file: with the skip
+        // option the window contributes NOTHING (no duplicates) ...
+        Snapshots.compact(s, root, targetFiles = 1)
+        q.processAllAvailable()
+        assert(s.table("snapsrc_sk").count() == 200, "rewrite window re-delivered rows")
+        // ... and a clean append AFTER the rewrite window flows again
+        Snapshots.publish(s, root, block(4), append = true)
+        q.processAllAvailable()
+        val got = s.table("snapsrc_sk").groupBy("tag").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(1L -> 100L, 2L -> 100L, 4L -> 100L), got.toString)
+      } finally q.stop()
+    } finally rm(root)
+  }
+
   test("streaming source: checkpointed restart resumes at the committed snapshot") {
     val root = tmpRoot()
     val out = Files.createTempDirectory("graft_snapsrc_out")
