@@ -87,6 +87,8 @@ object SparkEntry {
     "snapshot_txn_sql"    -> w(graft.sources.SnapshotSourceQueries.snapshotTxnSql),
     "stream_snapshot_sink" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSink),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
+    "catalog_sql"         -> w(graft.sources.GraftCatalogQueries.catalogSql),
+    "catalog_prune"       -> w(graft.sources.GraftCatalogQueries.catalogPrune),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -532,6 +534,8 @@ object SparkEntry {
     "snapshot_txn_sql" -> graft.sources.SnapshotSourceQueries.snapshotTxnSqlOracleSql,
     "stream_snapshot_sink" -> graft.sources.SnapshotSourceQueries.streamSnapshotSinkOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
+    "catalog_sql" -> graft.sources.GraftCatalogQueries.catalogSqlOracleSql,
+    "catalog_prune" -> graft.sources.GraftCatalogQueries.catalogPruneOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

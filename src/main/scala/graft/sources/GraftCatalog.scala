@@ -1,0 +1,400 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles, Path => JPath, Paths => JPaths, StandardCopyOption}
+import java.util
+
+import scala.collection.JavaConverters._
+
+import graft.etl.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot layer as a Spark DSv2 [[TableCatalog]] — the last mile
+  * of the open-table-format integration: after the `graft-snapshot`
+  * data source (A33) served path-addressed reads/writes, this catalog
+  * makes the layer a first-class SQL surface with NAMED tables:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse
+  *
+  *   CREATE NAMESPACE graft.gold;
+  *   CREATE TABLE graft.gold.orders (o_orderkey BIGINT, cents BIGINT);
+  *   INSERT INTO graft.gold.orders SELECT ...;        -- appended release
+  *   INSERT OVERWRITE graft.gold.orders SELECT ...;   -- rewrite commit
+  *   SELECT * FROM graft.gold.orders VERSION AS OF 2; -- time travel
+  *   SELECT * FROM graft.gold.orders VERSION AS OF 'audited';  -- ref
+  *   DELETE FROM graft.gold.orders WHERE o_orderkey < 100;
+  * }}}
+  *
+  * Layout: `root/<namespace dirs...>/<table>` is a plain A31 snapshot
+  * store; a `_table` marker file (schema JSON + properties) makes a
+  * directory a table (and distinguishes it from a namespace dir). All
+  * data operations go through the layer's one-rename commit protocol —
+  * the catalog adds NAMING and SQL statement semantics, never a second
+  * commit path. Reads plan through [[SnapshotV2FileIndex]] under
+  * Spark's own DSv2 parquet scan, so zone-map/bloom plan-time skipping,
+  * parquet pushdown, column pruning and codegen all apply to
+  * `SELECT ... FROM graft.ns.tbl` with zero reader options.
+  *
+  * Deliberately NOT supported, loudly: partitioned CREATE TABLE (the
+  * layer's partition story is `publishOverwrite`'s value-pure layouts),
+  * and renames across namespaces of different depth only move
+  * directories — there is no metastore to desynchronize, the filesystem
+  * IS the catalog (exactly the reference's release-tree discipline,
+  * Base.pm:123-144).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: JPath = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' requires option 'spark.sql.catalog.$name.root = <warehouse dir>'")
+    root = JPaths.get(r)
+    JFiles.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def nsPath(ns: Array[String]): JPath = ns.foldLeft(root)(_.resolve(_))
+
+  private def tablePath(ident: Identifier): JPath =
+    nsPath(ident.namespace()).resolve(ident.name())
+
+  private def isTableDir(p: JPath): Boolean =
+    JFiles.exists(p.resolve(GraftCatalog.Marker))
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val l = JFiles.list(root)
+    try l.iterator().asScala
+      .filter(p => JFiles.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.mkString)
+    finally l.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (namespace.nonEmpty && !JFiles.isDirectory(dir))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val l = JFiles.list(dir)
+      try l.iterator().asScala
+        .filter(p => JFiles.isDirectory(p) && !isTableDir(p))
+        .map(p => namespace :+ p.getFileName.toString).toArray.sortBy(_.mkString("."))
+      finally l.close()
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (JFiles.isDirectory(nsPath(namespace)) && !isTableDir(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    Map("location" -> nsPath(namespace).toUri.toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
+    JFiles.createDirectories(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata (the filesystem is the catalog)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val l = JFiles.list(dir)
+    val nonEmpty = try l.iterator().hasNext finally l.close()
+    if (nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        (name() +: namespace.toSeq).toArray)
+    GraftCatalog.rmTree(dir)
+    true
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!JFiles.isDirectory(dir) || (namespace.nonEmpty && isTableDir(dir)))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    val l = JFiles.list(dir)
+    try l.iterator().asScala
+      .filter(p => JFiles.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray.sortBy(_.name())
+    finally l.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are not partitioned at CREATE time; use the layer's " +
+        "publishOverwrite value-pure layouts or zone-map clustering instead")
+    val dir = tablePath(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
+    JFiles.createDirectories(dir)
+    // keep only durable, layer-meaningful properties (Spark adds
+    // provider/owner bookkeeping we'd have to lie about on load)
+    val keep = properties.asScala.filter { case (k, _) =>
+      !k.startsWith("option.") && k != TableCatalog.PROP_PROVIDER &&
+        k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_EXTERNAL &&
+        k != TableCatalog.PROP_LOCATION
+    }.toMap
+    GraftCatalog.writeMarker(dir, schema, keep)
+    loadTable(ident)
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF x` — an integer pins a snapshot id; anything else
+    * resolves as a branch/tag name (A31 refs), so
+    * `VERSION AS OF 'audited'` reads a tag head.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      name() +: ident.namespace().toSeq :+ ident.name())
+    val pin = version.toIntOption.getOrElse(
+      Snapshots.refId(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"table ${ident} has no snapshot or ref named '$version'")))
+    loadAt(ident, Some(pin))
+  }
+
+  private def loadAt(ident: Identifier, pin: Option[Int]): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      name() +: ident.namespace().toSeq :+ ident.name())
+    val (declared, props) = GraftCatalog.readMarker(dir)
+    new GraftTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
+      dir, declared, props, pin)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      name() +: ident.namespace().toSeq :+ ident.name())
+    val (schema0, props0) = GraftCatalog.readMarker(dir)
+    val (schema, props) = changes.foldLeft((schema0, props0)) {
+      case ((sch, prs), add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "graft tables support top-level ADD COLUMN only")
+        require(add.isNullable,
+          "added columns must be nullable: pre-evolution rows surface them as NULL")
+        val fname = add.fieldNames().head
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(fname)),
+          s"column $fname already exists")
+        (sch.add(fname, add.dataType(), nullable = true), prs)
+      case ((sch, prs), set: TableChange.SetProperty) =>
+        (sch, prs + (set.property() -> set.value()))
+      case ((sch, prs), rm: TableChange.RemoveProperty) =>
+        (sch, prs - rm.property())
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft tables are immutable-history: unsupported ALTER ${other.getClass.getSimpleName}. " +
+            "Supported: ADD COLUMN (nullable, top-level), SET/UNSET TBLPROPERTIES.")
+    }
+    GraftCatalog.writeMarker(dir, schema, props)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) false
+    else { GraftCatalog.rmTree(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // Spark passes RENAME TO's multipart name through verbatim — a user
+    // writing the catalog-qualified form (`RENAME TO cat.ns.t`) arrives
+    // with the catalog name embedded in the namespace; strip it
+    val newIdent =
+      if (newIdent0.namespace().headOption.contains(name()))
+        Identifier.of(newIdent0.namespace().drop(1), newIdent0.name())
+      else newIdent0
+    val from = tablePath(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(
+      name() +: oldIdent.namespace().toSeq :+ oldIdent.name())
+    val to = tablePath(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(
+      name() +: newIdent.namespace().toSeq :+ newIdent.name())
+    if (newIdent.namespace().nonEmpty && !namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace().toSeq)
+    JFiles.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object GraftCatalog {
+  /** Directory marker making a snapshot store a catalog table: line 1 is
+    * the declared schema (Spark's StructType JSON), every further line a
+    * `key=value` table property. Committed with the layer's own
+    * write-temp + atomic-rename discipline.
+    */
+  private[sources] val Marker = "_table"
+
+  private[sources] def writeMarker(dir: JPath, schema: StructType,
+                                   props: Map[String, String]): Unit = {
+    val body = (schema.json +: props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+      .mkString("\n")
+    val tmp = JFiles.createTempFile(dir, ".table", ".tmp")
+    JFiles.write(tmp, body.getBytes("UTF-8"))
+    JFiles.move(tmp, dir.resolve(Marker), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def readMarker(dir: JPath): (StructType, Map[String, String]) = {
+    val lines = new String(JFiles.readAllBytes(dir.resolve(Marker)), "UTF-8")
+      .split("\n").toSeq
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
+      .asInstanceOf[StructType]
+    val props = lines.tail.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    (schema, props)
+  }
+
+  private[sources] def rmTree(dir: JPath): Unit = {
+    val walk = JFiles.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(JFiles.deleteIfExists(_))
+    finally walk.close()
+  }
+}
+
+/** One named snapshot-store table of [[GraftCatalog]] — batch read via
+  * Spark's DSv2 parquet scan over a [[SnapshotV2FileIndex]] (manifest
+  * listing, plan-time zone/bloom skipping), batch write via the layer's
+  * commit protocol behind a [[V1Write]] (append = appended release
+  * reusing prior files verbatim; INSERT OVERWRITE = rewrite commit with
+  * history intact).
+  *
+  * Schema = the declared marker schema, extended by any columns the
+  * data evolved beyond it (layer-level `snapshot_evolve` appends);
+  * pre-evolution files surface post-evolution columns as NULL straight
+  * from Spark's parquet reader, because the requested read schema is a
+  * superset of each file's footer. Time-travel loads (`pin`) are
+  * read-only: writing through a historical view would fork history
+  * silently.
+  */
+final class GraftTable(
+    spark: SparkSession,
+    fullName: Seq[String],
+    store: JPath,
+    declared: StructType,
+    props: Map[String, String],
+    pin: Option[Int]) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = fullName.mkString(".")
+
+  private def currentIdOpt: Option[Int] = pin.orElse(Snapshots.currentId(store))
+
+  private def statsCol: Option[String] = props.get("statscol")
+
+  /** Data files of the read snapshot. Tombstone-bearing snapshots are
+    * REFUSED loudly, like every file-scan read path of the layer — a
+    * scan cannot apply merge-on-read deletes, and the catalog's own
+    * DELETE is copy-on-write precisely so its tables never carry any.
+    */
+  private def dataEntries(n: Int): Seq[Snapshots.ManifestEntry] = {
+    val (dels, datas) = Snapshots.manifest(store, n).partition(Snapshots.isDelete)
+    if (dels.nonEmpty) throw new IllegalStateException(
+      s"snapshot $n of table ${name()} carries ${dels.size} merge-on-read tombstone " +
+        "file(s) (layer-level publishDeletes/publishUpsert); compact the store to " +
+        "make it catalog-scannable, or read via Snapshots.readAt")
+    datas
+  }
+
+  /** Columns present in the data but not declared (layer-level schema
+    * evolution): one footer per distinct commit seq bounds inference to
+    * O(#commits), never O(#files).
+    */
+  private def evolvedSchema: StructType = currentIdOpt match {
+    case None => declared
+    case Some(n) =>
+      val datas = dataEntries(n)
+      if (datas.isEmpty) declared
+      else {
+        val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
+        val dataSch = spark.read.option("mergeSchema", "true")
+          .parquet(perSeq.map(e => store.resolve(e.relPath).toString): _*).schema
+        val extra = dataSch.fields.filterNot(f =>
+          declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        extra.foldLeft(declared)(_.add(_))
+      }
+  }
+
+  override lazy val schema: StructType = evolvedSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m.put("location", store.toUri.toString)
+    currentIdOpt.foreach(n => m.put("snapshot", n.toString))
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val entries = currentIdOpt.map(dataEntries).getOrElse(Nil)
+    val index = new SnapshotV2FileIndex(spark, store,
+      currentIdOpt.getOrElse(0), entries, Some(schema), statsCol)
+    ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      index, schema, schema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pin.isDefined) throw new UnsupportedOperationException(
+      s"table ${name()} is pinned at snapshot ${pin.get} (VERSION AS OF): " +
+        "historical views are read-only; write through the current table")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ov: Boolean): Unit = {
+              val append = !(overwrite || ov) && Snapshots.currentId(store).isDefined
+              Snapshots.publishLocked(spark, store, data, append, statsCol)
+            }
+          }
+      }
+    }
+  }
+
+  override def toString: String = s"GraftTable(${name()} @ $store pin=$pin)"
+}

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles}
+
+import scala.collection.JavaConverters._
+
+import graft.Tables
+import graft.etl.Snapshots
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Driver-oracled queries for the [[GraftCatalog]] DSv2 TableCatalog —
+  * the snapshot layer consumed and mutated through NOTHING but SQL
+  * statements against named tables, so the catalog integration itself
+  * (identifier resolution, CREATE/INSERT/OVERWRITE/DELETE statement
+  * semantics, VERSION AS OF loads, DSv2 scan planning) sits under the
+  * correctness gate.
+  */
+object GraftCatalogQueries {
+
+  private def rm(root: java.nio.file.Path): Unit = {
+    val walk = JFiles.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(JFiles.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** Register a throwaway catalog over a fresh warehouse dir. Catalog
+    * instances cache per session BY NAME, so every call mints a new
+    * name — reusing one would silently pin the first root.
+    */
+  private def freshCatalog(s: SparkSession): (String, java.nio.file.Path) = {
+    val cat = "gc" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val root = JFiles.createTempDirectory(s"graft_$cat")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def dsv2Scan(df: DataFrame): BatchScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] =
+      p match {
+        case b: BatchScanExec         => Some(b)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    find(df.queryExecution.executedPlan).getOrElse(
+      throw new IllegalStateException(
+        s"no DSv2 scan in plan:\n${df.queryExecution.executedPlan}"))
+  }
+
+  /** Query `catalog_sql`: the full SQL statement lifecycle on a named
+    * catalog table — CREATE TABLE, two INSERT INTO (appended releases;
+    * required in-query: append 2 reuses append 1's files verbatim),
+    * INSERT OVERWRITE (rewrite commit), and reads of THREE states: the
+    * current table, `VERSION AS OF` the pre-overwrite snapshot id, and
+    * `VERSION AS OF` a named tag — every row of the result produced by
+    * a SQL statement against the catalog, never a path read. The oracle
+    * restates all three states from the source table, so the hash gate
+    * proves statement semantics end to end: inserts lose nothing,
+    * overwrite replaces exactly, history stays readable.
+    */
+  def catalogSql(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE NAMESPACE $cat.gold")
+      s.sql(s"CREATE TABLE $cat.gold.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.gold.orders SELECT * FROM $view WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.gold.orders SELECT * FROM $view WHERE o_orderkey % 2 = 1")
+      val store = root.resolve("gold").resolve("orders")
+      val files1 = Snapshots.manifest(store, 1).map(_.relPath).toSet
+      require(Snapshots.manifest(store, 2).map(_.relPath).toSet.intersect(files1) == files1,
+        "INSERT INTO did not land as an appended release reusing prior files")
+      Snapshots.createTag(store, "full", 2)
+      s.sql(s"INSERT OVERWRITE $cat.gold.orders SELECT * FROM $view WHERE o_orderkey < 2000")
+      require(Snapshots.currentId(store).contains(3),
+        s"expected 3 snapshots, got ${Snapshots.currentId(store)}")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.gold.orders"),
+        ("v2", s"SELECT * FROM $cat.gold.orders VERSION AS OF 2"),
+        ("tag_full", s"SELECT * FROM $cat.gold.orders VERSION AS OF 'full'")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogSqlOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents FROM b WHERE k < 2000
+      UNION ALL SELECT 'v2', o_orderstatus, cents FROM b
+      UNION ALL SELECT 'tag_full', o_orderstatus, cents FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
+  /** Query `catalog_prune`: plan-time zone-map skipping through the
+    * CATALOG scan — the table is created with a `statscol` property, so
+    * the INSERT lands per-file zone maps, and a SQL range predicate
+    * against the named table must open strictly fewer files than the
+    * manifest lists (required in-query, measured on the executed DSv2
+    * scan's FilePartitions) while the same predicate reaches parquet
+    * row-group pushdown. The oracle is the plain filtered aggregate:
+    * skipping changes I/O, never answers.
+    */
+  def catalogPrune(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(s"$cat.orders").append()
+      val agg = s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_total_cents
+           |FROM $cat.orders WHERE o_orderkey BETWEEN 400 AND 1299
+           |GROUP BY o_orderstatus""".stripMargin)
+      val out = agg.collect().map(r => Row(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val exec = dsv2Scan(agg)
+      val opened = exec.inputPartitions.collect { case fp: FilePartition => fp }
+        .flatMap(_.files).map(_.filePath.toString).distinct.size
+      val total = Snapshots.manifest(root.resolve("orders"), 1).size
+      require(opened < total,
+        s"catalog scan skipped nothing: opened $opened of $total")
+      val pushed = exec.scan
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        .pushedFilters.mkString(",")
+      require(pushed.contains("GreaterThanOrEqual(o_orderkey,400)"),
+        s"range predicate missing from parquet pushdown: $pushed")
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogPruneOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders WHERE o_orderkey BETWEEN 400 AND 1299
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+}

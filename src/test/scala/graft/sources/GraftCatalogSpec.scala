@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GraftCatalog DSv2 TableCatalog: SQL DDL/DML over the snapshot
+  * layer — CREATE/SHOW/ALTER/DROP/RENAME, INSERT INTO as appended
+  * releases reusing prior files, INSERT OVERWRITE as a rewrite commit
+  * with history intact, VERSION AS OF time travel by id and by ref
+  * name, plan-time zone-map skipping through the DSv2 parquet scan,
+  * and the loud contracts (tombstone refusal, pinned-view writes,
+  * partitioned CREATE).
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  /** Each test gets its own catalog name + warehouse dir: catalog
+    * instances cache per session by name, so a fresh name guarantees a
+    * fresh root.
+    */
+  private var n = 0
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gcat$n"
+    val root = Files.createTempDirectory(s"graft_cat$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] =
+      p match {
+        case b: BatchScanExec         => Some(b)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    find(df.queryExecution.executedPlan).getOrElse(
+      throw new IllegalStateException(
+        s"no DSv2 scan in plan:\n${df.queryExecution.executedPlan}"))
+  }
+
+  test("SQL lifecycle: create, insert (append reuses files), overwrite, time travel") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.gold")
+      s.sql(s"CREATE TABLE $cat.gold.kv (k BIGINT, v STRING)")
+      assert(s.sql(s"SHOW TABLES IN $cat.gold").collect().map(_.getString(1)).toSeq == Seq("kv"))
+      assert(s.sql(s"SELECT * FROM $cat.gold.kv").count() == 0, "fresh table reads empty")
+
+      s.sql(s"INSERT INTO $cat.gold.kv SELECT id, concat('v', id) FROM range(0, 100)")
+      s.sql(s"INSERT INTO $cat.gold.kv SELECT id, concat('v', id) FROM range(100, 150)")
+      val store = root.resolve("gold").resolve("kv")
+      val files1 = Snapshots.manifest(store, 1).map(_.relPath).toSet
+      val files2 = Snapshots.manifest(store, 2).map(_.relPath).toSet
+      assert(files1.subsetOf(files2), "append must reuse release 1's files verbatim")
+      assert(s.sql(s"SELECT count(*) c, sum(k) sk FROM $cat.gold.kv").head.toSeq ==
+        Seq(150L, (0L until 150).sum))
+
+      s.sql(s"INSERT OVERWRITE $cat.gold.kv SELECT id, 'x' FROM range(0, 7)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.gold.kv").head.getLong(0) == 7)
+      // history intact: snapshot 2 still reads the 150-row state
+      assert(s.sql(s"SELECT count(*) FROM $cat.gold.kv VERSION AS OF 2").head.getLong(0) == 150)
+      assert(s.sql(s"SELECT count(*) FROM $cat.gold.kv VERSION AS OF 1").head.getLong(0) == 100)
+      // a named ref resolves through VERSION AS OF too
+      Snapshots.createTag(store, "before_rewrite", 2)
+      assert(s.sql(s"SELECT count(*) FROM $cat.gold.kv VERSION AS OF 'before_rewrite'")
+        .head.getLong(0) == 150)
+    } finally rm(root)
+  }
+
+  test("plan-time zone-map skipping and parquet pushdown through the catalog scan") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.zt (k BIGINT, v BIGINT) TBLPROPERTIES ('statscol'='k')")
+      // range-clustered insert → disjoint per-file k ranges in the manifest
+      s.range(0, 8000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("k"))
+        .writeTo(s"$cat.zt").append()
+      val store = root.resolve("zt")
+      assert(Snapshots.manifest(store, 1).forall(_.stats.isDefined),
+        "statscol property must land legacy zone maps at write time")
+      val q = s.sql(s"SELECT sum(v) sv, count(*) c FROM $cat.zt WHERE k BETWEEN 1000 AND 1999")
+      val out = q.head
+      assert(out.getLong(1) == 1000)
+      assert(out.getLong(0) == (1000L until 2000).map(_ * 3).sum)
+      val exec = scanOf(q)
+      val scan = exec.scan.asInstanceOf[ParquetScan]
+      val opened = exec.inputPartitions
+        .collect { case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp }
+        .flatMap(_.files).map(_.filePath.toString).distinct.size
+      val total = Snapshots.manifest(store, 1).size
+      assert(opened < total, s"zone maps skipped nothing: opened $opened of $total")
+      assert(scan.pushedFilters.mkString(",").contains("GreaterThanOrEqual(k,1000)"),
+        s"predicate missing from parquet pushdown: ${scan.pushedFilters.mkString(",")}")
+    } finally rm(root)
+  }
+
+  test("column pruning reaches the catalog scan") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.pr (a BIGINT, b STRING, c DOUBLE)")
+      s.sql(s"INSERT INTO $cat.pr SELECT id, 'x', 0.5 FROM range(0, 10)")
+      val q = s.sql(s"SELECT a FROM $cat.pr")
+      val scan = scanOf(q).scan.asInstanceOf[ParquetScan]
+      assert(scan.readDataSchema.fieldNames.toSeq == Seq("a"),
+        s"scan reads ${scan.readDataSchema.fieldNames.mkString(",")} for a 1-column projection")
+    } finally rm(root)
+  }
+
+  test("schema is enforced on INSERT; partitioned CREATE and pinned writes refuse loudly") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.en (k BIGINT, v STRING)")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql(s"INSERT INTO $cat.en SELECT id FROM range(0, 5)") // missing column
+      }
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.pt (k BIGINT) PARTITIONED BY (p STRING)")
+      }
+      s.sql(s"INSERT INTO $cat.en SELECT id, 'a' FROM range(0, 5)")
+      val e = intercept[Exception] {
+        s.sql(s"INSERT INTO $cat.en VERSION AS OF 1 SELECT id, 'b' FROM range(0, 5)")
+      }
+      // whether Spark's parser or our pinned-table guard rejects it,
+      // a historical view must not be writable
+      assert(s.sql(s"SELECT count(*) FROM $cat.en").head.getLong(0) == 5)
+    } finally rm(root)
+  }
+
+  test("tombstone-bearing snapshots are refused by the catalog scan") {
+    val (cat, root) = freshCatalog()
+    try {
+      val sq = s; import sq.implicits._
+      s.sql(s"CREATE TABLE $cat.tb (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.tb SELECT id, 'x' FROM range(0, 20)")
+      val store = root.resolve("tb")
+      Snapshots.publishDeletes(s, store, Seq(3L, 4L).toDF("k"))
+      val e = intercept[Exception] { s.sql(s"SELECT * FROM $cat.tb").collect() }
+      assert(e.getMessage.contains("tombstone"), s"wrong refusal: ${e.getMessage}")
+      // compaction folds the tombstones in and restores scannability
+      Snapshots.compact(s, store, targetFiles = 2)
+      assert(s.sql(s"SELECT count(*) FROM $cat.tb").head.getLong(0) == 18)
+    } finally rm(root)
+  }
+
+  test("ALTER TABLE: ADD COLUMN surfaces NULL on pre-evolution rows; properties round-trip") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.ev (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.ev SELECT id FROM range(0, 10)")
+      s.sql(s"ALTER TABLE $cat.ev ADD COLUMN lang STRING")
+      s.sql(s"INSERT INTO $cat.ev SELECT id, 'en' FROM range(10, 15)")
+      val rows = s.sql(
+        s"SELECT count(*) c, count(lang) cl, sum(k) sk FROM $cat.ev").head
+      assert(rows.getLong(0) == 15 && rows.getLong(1) == 5,
+        "pre-evolution rows must surface the added column as NULL")
+      assert(rows.getLong(2) == (0L until 15).sum)
+      s.sql(s"ALTER TABLE $cat.ev SET TBLPROPERTIES ('statscol'='k')")
+      val (_, props) = GraftCatalog.readMarker(root.resolve("ev"))
+      assert(props.get("statscol").contains("k"))
+      intercept[Exception] { s.sql(s"ALTER TABLE $cat.ev DROP COLUMN k") }
+    } finally rm(root)
+  }
+
+  test("namespaces, rename, drop") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.a")
+      s.sql(s"CREATE NAMESPACE $cat.b")
+      assert(s.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("a", "b"))
+      s.sql(s"CREATE TABLE $cat.a.t1 (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.a.t1 SELECT id FROM range(0, 9)")
+      s.sql(s"ALTER TABLE $cat.a.t1 RENAME TO $cat.b.t2")
+      assert(!Files.exists(root.resolve("a").resolve("t1")))
+      assert(s.sql(s"SELECT count(*) FROM $cat.b.t2").head.getLong(0) == 9)
+      assert(s.sql(s"SHOW TABLES IN $cat.a").count() == 0)
+      s.sql(s"DROP TABLE $cat.b.t2")
+      assert(!Files.exists(root.resolve("b").resolve("t2")))
+      intercept[Exception] { s.sql(s"SELECT * FROM $cat.b.t2").collect() }
+      // dropping a non-empty namespace needs CASCADE
+      s.sql(s"CREATE TABLE $cat.a.t3 (k BIGINT)")
+      intercept[Exception] { s.sql(s"DROP NAMESPACE $cat.a") }
+      s.sql(s"DROP NAMESPACE $cat.a CASCADE")
+      assert(!Files.exists(root.resolve("a")))
+    } finally rm(root)
+  }
+
+  test("catalog writes and layer writes interleave on one store") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.mix (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.mix SELECT id, 'sql' FROM range(0, 10)")
+      val store = root.resolve("mix")
+      // a layer-level append (publishOcc) lands as release 2; the
+      // catalog sees it immediately — same store, same commit protocol
+      val sq = s; import sq.implicits._
+      Snapshots.publishOcc(s, store,
+        (10L until 14L).map(i => (i, "occ")).toDF("k", "v"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.mix").head.getLong(0) == 14)
+      assert(s.sql(s"SELECT count(*) FROM $cat.mix VERSION AS OF 1").head.getLong(0) == 10)
+    } finally rm(root)
+  }
+}

@@ -258,7 +258,22 @@ class StreamingSpec extends AnyFunSuite {
     val sf = graft.TestSpark.sf
     val root = java.nio.file.Files.createTempDirectory("ckpt_chaos")
     val srcDir = root.resolve("src").toString
-    graft.Tables.events(s, sf).repartition(8).write.parquet(srcDir)
+    val ev = graft.Tables.events(s, sf)
+    ev.repartition(8).write.parquet(srcDir)
+    // WATERMARK-STALL GUARD: Spark finalizes the tail windows in a
+    // no-data batch AFTER the last data batch — its event-time stats
+    // live only in memory, so a kill landing between the last data
+    // commit and that no-data batch loses them, and a restart with no
+    // new data can NEVER close the tail (engine semantics, not a state
+    // bug: the next real event would). Every run — reference included —
+    // therefore appends a fresh far-future "kicker" event before its
+    // final drain: finalization always rides a data batch, never the
+    // raceable no-data batch. The kicker's own window has nothing after
+    // it, stays open, and is never emitted, so outputs stay comparable.
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def kick(): Unit = ev.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000)))
+      .write.mode("append").parquet(srcDir)
 
     def run(outDir: String, ckpt: String, stopAfterBatch: Option[Long]): Unit = {
       val q = Streams.rollingDistinctStream(Streams.eventStream(s, srcDir))
@@ -279,6 +294,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("start").cast("long"), col("n_users"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val refOut = root.resolve("ref_out").toString
+    kick()
     run(refOut, root.resolve("ref_ckpt").toString, None) // uninterrupted
     val ref = rows(refOut).sorted
     assert(ref.nonEmpty, "reference run emitted nothing")
@@ -290,6 +306,7 @@ class StreamingSpec extends AnyFunSuite {
       run(out, ckpt, Some(kill))
       // recovery must come from the checkpoint FILES, not warm providers
       org.apache.spark.sql.GraftBridge.unloadStateStores()
+      kick() // guarantee the resumed run has a watermark-advancing batch
       run(out, ckpt, None)
       val got = rows(out).sorted
       assert(got == ref,
