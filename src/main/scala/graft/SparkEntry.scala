@@ -89,6 +89,7 @@ object SparkEntry {
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "catalog_sql"         -> w(graft.sources.GraftCatalogQueries.catalogSql),
     "catalog_prune"       -> w(graft.sources.GraftCatalogQueries.catalogPrune),
+    "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -536,6 +537,7 @@ object SparkEntry {
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "catalog_sql" -> graft.sources.GraftCatalogQueries.catalogSqlOracleSql,
     "catalog_prune" -> graft.sources.GraftCatalogQueries.catalogPruneOracleSql,
+    "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

@@ -430,6 +430,17 @@ object Snapshots {
     * Any advance of the base is therefore a conflict, never a rebase.
     */
   final case class OccRewrite(baseId: Int) extends OccKind
+  /** A SURGICAL rewrite: the fresh files replace only the base files NOT
+    * listed in `kept`; `kept` entries are carried verbatim WITH THEIR
+    * ORIGINAL seq stamps (they are the same bytes from the same commits,
+    * so re-stamping them would corrupt both the sequence-visibility rule
+    * and the one-footer-per-seq schema-inference bound). The conflict
+    * discipline is [[OccRewrite]]'s: any base advance conflicts, because
+    * the untouched set was computed against that exact base. This is the
+    * commit shape of a copy-on-write DELETE/UPDATE — O(affected files)
+    * staged, everything else pure manifest carry.
+    */
+  final case class OccSurgical(baseId: Int, kept: Seq[ManifestEntry]) extends OccKind
 
   /** Optimistic concurrency, phase 1 — stage data files WITHOUT
     * claiming a snapshot id or touching any shared metadata. The files
@@ -491,6 +502,16 @@ object Snapshots {
             s"rewrite staged against snapshot $base but current is " +
               s"${cur.getOrElse("<none>")}: concurrent commit(s) landed mid-rewrite")
           Nil
+        case OccSurgical(base, kept) =>
+          if (!cur.contains(base)) throw new CommitConflictException(
+            s"surgical rewrite staged against snapshot $base but current is " +
+              s"${cur.getOrElse("<none>")}: concurrent commit(s) landed mid-rewrite")
+          val baseSet = manifest(root, base).map(_.relPath).toSet
+          val stray = kept.filterNot(e => baseSet(e.relPath))
+          require(stray.isEmpty,
+            s"surgical rewrite carries ${stray.size} file(s) not in base $base: " +
+              stray.take(3).map(_.relPath).mkString(", "))
+          kept
       }
       require(carried.nonEmpty || fresh.nonEmpty,
         s"refusing to commit an empty founding manifest under $root")

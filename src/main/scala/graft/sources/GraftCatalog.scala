@@ -312,7 +312,8 @@ final class GraftTable(
     store: JPath,
     declared: StructType,
     props: Map[String, String],
-    pin: Option[Int]) extends Table with SupportsRead with SupportsWrite {
+    pin: Option[Int]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = fullName.mkString(".")
 
@@ -396,5 +397,123 @@ final class GraftTable(
     }
   }
 
+  // ---- DELETE FROM: copy-on-write, surgical ----
+
+  /** `DELETE FROM t WHERE p` as a COPY-ON-WRITE surgical rewrite — the
+    * catalog's tables never carry merge-on-read tombstones (which would
+    * make them unscannable), so a SQL delete rewrites exactly the files
+    * that might hold matching rows and carries every other file verbatim
+    * in one atomic [[Snapshots.OccSurgical]] commit:
+    *
+    *  1. candidate files = those the delete predicate cannot zone-map/
+    *     bloom-skip ([[SnapshotPruning]], the same translation the scan
+    *     uses — a file the scan would skip for `p` provably holds no
+    *     row matching `p`);
+    *  2. candidates are re-read and rewritten KEEPING rows where the
+    *     predicate is not TRUE (NULL-condition rows survive, per SQL
+    *     DELETE semantics);
+    *  3. the commit validates the base under the writer lock and
+    *     carries untouched entries with their ORIGINAL seq stamps;
+    *     any concurrent commit conflicts and the whole delete re-runs
+    *     from the new base (data work outside the lock, like every OCC
+    *     path).
+    *
+    * At 100 TB with a clustered predicate this is O(affected files) I/O
+    * plus a manifest carry — a predicate-matching delete never touches
+    * the rest of the table. A no-match delete commits nothing. History
+    * stays time-travelable: the pre-delete snapshot still reads whole.
+    * Rewritten files are conformed to the table schema (evolved columns
+    * materialize as NULL) and re-carry the `statscol` zone maps.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pin.isEmpty && filters.forall(f => GraftTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    if (pin.isDefined) throw new UnsupportedOperationException(
+      s"table ${name()} is pinned (VERSION AS OF): historical views are read-only")
+    val cond = filters.flatMap(GraftTable.filterColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    var attempts = 0
+    while (true) {
+      val base = Snapshots.currentId(store).getOrElse(return)
+      val entries = dataEntries(base)
+      if (entries.isEmpty) return
+      val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
+      val bloomOf = SnapshotPruning.bloomLoader(store)
+      val (cands, untouched) = entries.partition(e =>
+        cs.isEmpty || !SnapshotPruning.skippable(store, e, cs, statsCol, bloomOf))
+      if (cands.isEmpty) return // every file provably predicate-free
+      val tableSchema = schema
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(cands.map(e => store.resolve(e.relPath).toString): _*)
+      val have = raw.columns.toSet
+      val conformed = raw.select(tableSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      val before = conformed.count()
+      val kept = conformed.filter(!coalesce(cond, lit(false)))
+      val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
+      try {
+        val after =
+          if (fresh.isEmpty) 0L
+          else spark.read.parquet(
+            fresh.map(e => store.resolve(e.relPath).toString): _*).count()
+        require(after <= before,
+          s"delete rewrite grew rows: $before -> $after; NOT committed")
+        if (after == before) {
+          // no row matched: commit nothing, reclaim staging
+          Snapshots.discardStaged(store, fresh)
+          return
+        }
+        Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(base, untouched))
+        return
+      } catch {
+        case _: Snapshots.CommitConflictException =>
+          attempts += 1
+          Snapshots.discardStaged(store, fresh)
+          if (attempts >= 5) throw new Snapshots.CommitConflictException(
+            s"DELETE on ${name()} lost the commit race $attempts times")
+        case e: Throwable =>
+          Snapshots.discardStaged(store, fresh)
+          throw e
+      }
+    }
+  }
+
   override def toString: String = s"GraftTable(${name()} @ $store pin=$pin)"
+}
+
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** V1 Filter → Column, for the delete predicate. `None` = a shape we
+    * cannot evaluate row-level → `canDeleteWhere` refuses and Spark
+    * raises the analysis error instead of a silent wrong delete.
+    */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case Not(c)        => filterColumn(c).map(!_)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }

@@ -159,4 +159,65 @@ object GraftCatalogQueries {
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders WHERE o_orderkey BETWEEN 400 AND 1299
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `catalog_delete`: SQL `DELETE FROM` as the catalog's
+    * copy-on-write surgical rewrite. The table is range-clustered with
+    * zone maps, so the delete predicate localizes to a strict subset of
+    * files — required in-query: at least one file is carried
+    * BYTE-IDENTICAL (same relPath, same MD5, same ORIGINAL seq stamp)
+    * across the delete commit, and the file set genuinely changed. The
+    * result reads both the post-delete state and the pre-delete
+    * snapshot (history intact); the oracle restates them from the
+    * source table, so the hash gate proves the delete removed exactly
+    * the predicate's TRUE rows and nothing else, anywhere, ever.
+    */
+  def catalogDelete(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val before = Snapshots.manifest(store, 1)
+      s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey BETWEEN 500 AND 1499 " +
+        "AND o_orderstatus = 'F'")
+      require(Snapshots.currentId(store).contains(2),
+        s"expected the delete to commit snapshot 2, got ${Snapshots.currentId(store)}")
+      val after = Snapshots.manifest(store, 2)
+      val carried = after.filter(e => before.exists(b =>
+        b.relPath == e.relPath && b.md5 == e.md5 && b.seq == e.seq))
+      require(carried.nonEmpty,
+        "surgical delete carried no file byte-identical — it rewrote the whole table")
+      require(after.map(_.relPath).toSet != before.map(_.relPath).toSet,
+        "delete changed no file set")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogDeleteOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents FROM b
+      WHERE NOT (k BETWEEN 500 AND 1499 AND o_orderstatus = 'F')
+      UNION ALL SELECT 'v1', o_orderstatus, cents FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
 }

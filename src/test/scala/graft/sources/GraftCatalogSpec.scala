@@ -204,6 +204,87 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("DELETE FROM is copy-on-write and surgical: only candidate files rewritten") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING) TBLPROPERTIES ('statscol'='k')")
+      s.range(0, 8000).select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(8, col("k"))
+        .writeTo(s"$cat.d").append()
+      val store = root.resolve("d")
+      val before = Snapshots.manifest(store, 1)
+      s.sql(s"DELETE FROM $cat.d WHERE k BETWEEN 100 AND 199")
+      assert(Snapshots.currentId(store).contains(2))
+      val after = Snapshots.manifest(store, 2)
+      // SURGICAL: zone maps localize the range to a strict subset of
+      // files; every untouched file is carried byte-identical (same
+      // relPath + md5 + ORIGINAL seq)
+      val carried = after.filter(e => before.exists(_.relPath == e.relPath))
+      assert(carried.nonEmpty, "no file was carried — delete rewrote everything")
+      carried.foreach { e =>
+        val orig = before.find(_.relPath == e.relPath).get
+        assert(e.md5 == orig.md5 && e.seq == orig.seq,
+          s"carried file ${e.relPath} was re-stamped")
+      }
+      assert(after.map(_.relPath).toSet != before.map(_.relPath).toSet)
+      assert(s.sql(s"SELECT count(*) FROM $cat.d").head.getLong(0) == 7900)
+      assert(s.sql(s"SELECT count(*) FROM $cat.d WHERE k BETWEEN 100 AND 199")
+        .head.getLong(0) == 0)
+      // history intact: the pre-delete snapshot still reads whole
+      assert(s.sql(s"SELECT count(*) FROM $cat.d VERSION AS OF 1").head.getLong(0) == 8000)
+      // rewritten files re-carry zone maps → the post-delete scan still skips
+      val q = s.sql(s"SELECT count(*) c FROM $cat.d WHERE k < 50")
+      assert(q.head.getLong(0) == 50)
+      val opened = scanOf(q).inputPartitions
+        .collect { case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp }
+        .flatMap(_.files).map(_.filePath.toString).distinct.size
+      assert(opened < after.size, s"post-delete scan opened $opened of ${after.size}")
+    } finally rm(root)
+  }
+
+  test("DELETE semantics: NULL-condition rows survive; no-match commits nothing; emptying works") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.dn (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $cat.dn VALUES (1, 10), (2, NULL), (3, 30)")
+      val store = root.resolve("dn")
+      // v > 15 is NULL for k=2: SQL DELETE removes only TRUE rows
+      s.sql(s"DELETE FROM $cat.dn WHERE v > 15")
+      assert(s.sql(s"SELECT k FROM $cat.dn ORDER BY k").collect().map(_.getLong(0)).toSeq
+        == Seq(1L, 2L))
+      val id = Snapshots.currentId(store).get
+      // no row matches → NO new snapshot, nothing staged left behind
+      s.sql(s"DELETE FROM $cat.dn WHERE k = 999")
+      assert(Snapshots.currentId(store).contains(id), "no-match delete moved the pointer")
+      // a delete can empty the table; the store stays readable
+      s.sql(s"DELETE FROM $cat.dn WHERE k IS NOT NULL")
+      assert(s.sql(s"SELECT count(*) FROM $cat.dn").head.getLong(0) == 0)
+      s.sql(s"INSERT INTO $cat.dn VALUES (7, 70)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.dn").head.getLong(0) == 1)
+    } finally rm(root)
+  }
+
+  test("DELETE conflicts with a concurrent commit and retries from the new base") {
+    val (cat, root) = freshCatalog()
+    try {
+      val sq = s; import sq.implicits._
+      s.sql(s"CREATE TABLE $cat.dc (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.dc SELECT id, 'x' FROM range(0, 100)")
+      val store = root.resolve("dc")
+      // land a concurrent append between the delete's read and commit by
+      // racing a thread; the retry loop must converge with BOTH effects
+      val t = new Thread(() => {
+        Snapshots.publishOcc(s, store, (100L until 120L).map(i => (i, "occ")).toDF("k", "v"))
+      })
+      t.start()
+      s.sql(s"DELETE FROM $cat.dc WHERE k < 10")
+      t.join()
+      val n = s.sql(s"SELECT count(*) FROM $cat.dc").head.getLong(0)
+      assert(n == 110, s"expected 90 survivors + 20 appended, got $n")
+      assert(s.sql(s"SELECT count(*) FROM $cat.dc WHERE k < 10").head.getLong(0) == 0)
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
