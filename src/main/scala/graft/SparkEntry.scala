@@ -90,6 +90,8 @@ object SparkEntry {
     "catalog_sql"         -> w(graft.sources.GraftCatalogQueries.catalogSql),
     "catalog_prune"       -> w(graft.sources.GraftCatalogQueries.catalogPrune),
     "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
+    "catalog_update"      -> w(graft.sources.GraftCatalogQueries.catalogUpdate),
+    "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -538,6 +540,8 @@ object SparkEntry {
     "catalog_sql" -> graft.sources.GraftCatalogQueries.catalogSqlOracleSql,
     "catalog_prune" -> graft.sources.GraftCatalogQueries.catalogPruneOracleSql,
     "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,
+    "catalog_update" -> graft.sources.GraftCatalogQueries.catalogUpdateOracleSql,
+    "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

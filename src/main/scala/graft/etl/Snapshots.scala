@@ -624,6 +624,17 @@ object Snapshots {
       "occ-" + java.util.UUID.randomUUID().toString)
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
+    entriesForStagedDir(s, root, dataDir, statsCols)
+  }
+
+  /** Manifest entries (MD5, size, optional named zone maps) for parquet
+    * files ALREADY staged under `dataDir` — the listing half of
+    * [[stageOccMulti]], public so external writers that land files
+    * through Spark's own write machinery (the catalog's row-level
+    * BatchWrite) can join the commit protocol without re-writing data.
+    */
+  def entriesForStagedDir(s: SparkSession, root: Path, dataDir: Path,
+                          statsCols: Seq[String]): Seq[ManifestEntry] = {
     val byFile: Map[String, Seq[(String, Long, Long)]] =
       if (statsCols.isEmpty) Map.empty
       else {

@@ -313,7 +313,7 @@ final class GraftTable(
     declared: StructType,
     props: Map[String, String],
     pin: Option[Int]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations {
 
   override def name(): String = fullName.mkString(".")
 
@@ -395,6 +395,24 @@ final class GraftTable(
           }
       }
     }
+  }
+
+  // ---- UPDATE / MERGE INTO: group-based copy-on-write ----
+
+  /** SQL `UPDATE` and `MERGE INTO` (and non-translatable `DELETE`
+    * shapes) via Spark's group-based row-level rewrite —
+    * [[GraftRowLevelOperation]]: groups are files, the condition's
+    * pushed filters zone-map-prune the group set at PLAN time, and the
+    * replacement lands as one atomic surgical commit. Translatable
+    * DELETEs still take the cheaper metadata-only [[deleteWhere]] path
+    * (Spark's OptimizeMetadataOnlyDeleteFromTable prefers it).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (pin.isDefined) throw new UnsupportedOperationException(
+      s"table ${name()} is pinned (VERSION AS OF): historical views are read-only")
+    () => new GraftRowLevelOperation(spark, store, schema, statsCol, info.command())
   }
 
   // ---- DELETE FROM: copy-on-write, surgical ----

@@ -220,4 +220,143 @@ object GraftCatalogQueries {
       CAST(sum(cents) AS BIGINT) AS sum_total_cents
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
+
+  /** Query `catalog_update`: SQL `UPDATE` through Spark's group-based
+    * row-level rewrite — groups are files, the condition's pushed
+    * filters zone-map-prune the group set at PLAN time, the replacement
+    * commits as ONE atomic surgical snapshot. Required in-query: the
+    * update landed exactly one commit, and at least one file was carried
+    * byte-identical (relPath+MD5+original seq) — i.e. the rewrite was
+    * bounded by zone maps, not a full table rewrite. The oracle
+    * restates the post-update and pre-update states from the source
+    * table: matched rows transformed, everything else bit-stable,
+    * history intact.
+    */
+  def catalogUpdate(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val before = Snapshots.manifest(store, 1)
+      s.sql(s"UPDATE $cat.orders SET cents = cents * 2, o_orderstatus = 'U' " +
+        "WHERE o_orderkey BETWEEN 800 AND 1599 AND o_orderstatus = 'O'")
+      require(Snapshots.currentId(store).contains(2),
+        s"expected UPDATE to land snapshot 2, got ${Snapshots.currentId(store)}")
+      val after = Snapshots.manifest(store, 2)
+      require(after.exists(e => before.exists(b =>
+        b.relPath == e.relPath && b.md5 == e.md5 && b.seq == e.seq)),
+        "group-based UPDATE carried no file byte-identical — zone maps bounded nothing")
+      // conservation gate, in-query: an UPDATE must never change the row
+      // count (the page-filtering regression lost exactly 50 rows here)
+      require(s.sql(s"SELECT count(*) FROM $cat.orders").head.getLong(0)
+        == Tables.orders(s, d).count(), "UPDATE changed the table's row count")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogUpdateOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state,
+        CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN cents * 2 ELSE cents END AS cents
+      FROM b
+      UNION ALL SELECT 'v1', o_orderstatus, cents FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
+  /** Query `catalog_merge`: SQL `MERGE INTO` with all three actions in
+    * ONE atomic commit — matched-and-flagged rows DELETE, other matched
+    * rows UPDATE, unmatched source rows INSERT. The source is a derived
+    * relation of the same orders table (key % buckets), so the oracle
+    * can restate the exact post-merge state: updates applied, deletes
+    * gone, inserts present with synthesized keys, untouched rows
+    * bit-stable, and the pre-merge snapshot still whole. In-query:
+    * exactly ONE snapshot landed (merge atomicity — a reader never sees
+    * deletes without the inserts).
+    */
+  def catalogMerge(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_src"
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view")
+      val store = root.resolve("orders")
+      s.sql(
+        s"""MERGE INTO $cat.orders t
+           |USING (
+           |  SELECT o_orderkey AS k, cents, o_orderkey % 10 = 3 AS is_del
+           |  FROM $view WHERE o_orderkey % 5 IN (3, 4)
+           |  UNION ALL
+           |  SELECT -o_orderkey AS k, cents, false FROM $view WHERE o_orderkey % 100 = 7
+           |) s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED AND s.is_del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents + 1, o_orderstatus = 'M'
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents)
+           |  VALUES (s.k, 'I', s.cents)
+           |""".stripMargin)
+      require(Snapshots.currentId(store).contains(2),
+        s"MERGE must land ONE commit; got ${Snapshots.currentId(store)}")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(o_orderkey) AS sk FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogMergeOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    merged AS (
+      SELECT k, 'M' AS o_orderstatus, cents + 1 AS cents FROM b
+      WHERE k % 5 IN (3, 4) AND NOT (k % 10 = 3)
+      UNION ALL
+      SELECT k, o_orderstatus, cents FROM b WHERE NOT (k % 5 IN (3, 4))
+      UNION ALL
+      SELECT -k, 'I', cents FROM b WHERE k % 100 = 7),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM merged
+      UNION ALL SELECT 'v1', o_orderstatus, cents, k FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
 }

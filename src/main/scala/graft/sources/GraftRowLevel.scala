@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles, Path => JPath}
+
+import scala.collection.JavaConverters._
+
+import graft.etl.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetWrite}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level operations for [[GraftTable]] —
+  * the machinery behind SQL `UPDATE` and `MERGE INTO` (and `DELETE`
+  * shapes too complex for the metadata-only [[GraftTable.deleteWhere]]
+  * path, e.g. subquery conditions):
+  *
+  *  1. Spark's `RewriteUpdateTable`/`RewriteMergeIntoTable` plan a
+  *     [[org.apache.spark.sql.catalyst.plans.logical.ReplaceData]]: read
+  *     the affected GROUPS through [[newScanBuilder]], apply the
+  *     update/merge row-wise, hand every surviving row of those groups
+  *     back through [[newWriteBuilder]].
+  *  2. Our group = one data FILE. The operation's scan plans over a
+  *     recording [[SnapshotV2FileIndex]] — the condition's pushed
+  *     filters zone-map/bloom-prune whole files at PLAN time, and
+  *     whatever survives pruning IS the replaced group set (recorded at
+  *     listing; a pruned file provably holds no matching row, so
+  *     carrying it verbatim is exact).
+  *  3. The write stages replacement files through Spark's OWN DSv2
+  *     parquet write (`ParquetWrite` → vectorized, codegen'd, one file
+  *     per task) into a writer-unique `data/occ-<uuid>/` dir, then the
+  *     batch commit builds manifest entries (MD5 + optional zone maps)
+  *     and lands ONE atomic [[Snapshots.OccSurgical]] commit: untouched
+  *     files carried with their original seq stamps, conflict on any
+  *     base advance (Spark surfaces the conflict; the statement is
+  *     re-runnable — data work happened outside the lock).
+  *
+  * At 100 TB: an UPDATE whose condition localizes via zone maps
+  * rewrites O(affected files); a MERGE's inserted rows ride in the same
+  * staged file set, so `MERGE ... WHEN NOT MATCHED THEN INSERT` costs
+  * the matched groups plus the inserts, never the table. History stays
+  * time-travelable — the pre-statement snapshot reads whole.
+  */
+final class GraftRowLevelOperation(
+    spark: SparkSession,
+    store: JPath,
+    tableSchema: StructType,
+    statsCol: Option[String],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private val baseId: Int = Snapshots.currentId(store).getOrElse(
+    throw new IllegalStateException(
+      s"row-level ${cmd} on an empty table: no published snapshot under $store"))
+
+  private val baseEntries: Seq[Snapshots.ManifestEntry] = {
+    val (dels, datas) = Snapshots.manifest(store, baseId).partition(Snapshots.isDelete)
+    require(dels.isEmpty,
+      s"snapshot $baseId of $store carries merge-on-read tombstones; compact first")
+    datas
+  }
+
+  /** The replaced group set: union of every file the operation's scan
+    * planned after FILE-level pruning. Recorded (not recomputed) so the
+    * commit replaces EXACTLY what the rewrite query read — planning and
+    * commit can never disagree.
+    */
+  private val replaced =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshots.ManifestEntry]()
+  @volatile private var listed = false
+
+  override def command: RowLevelOperation.Command = cmd
+
+  /** The rewrite scan. CRITICAL CONTRACT: group-based ReplaceData hands
+    * back every surviving row of the groups this scan read, so the scan
+    * must return ALL rows of every kept file — the condition's filters
+    * may prune whole FILES (a zone-map-skipped file provably holds no
+    * matching row, carrying it verbatim is exact) but must NEVER reach
+    * the parquet reader, whose row-group/page-level statistics filtering
+    * silently DROPS the non-matching rows of a kept file (parquet's
+    * 20k-row column-index pages make this real: a 20,050-row file loses
+    * its 50-row trailing page and the commit loses 50 rows — caught by
+    * the catalog_update oracle at sf0.1). [[GroupScanBuilder]] therefore
+    * consumes pushed filters for file pruning + group recording only and
+    * builds the underlying ParquetScan with NO data filters.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GroupScanBuilder(spark, store, baseId, baseEntries, tableSchema, statsCol,
+      options, kept => { listed = true; kept.foreach(e => replaced.put(e.relPath, e)) })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    new WriteBuilder {
+      override def build(): Write = new SurgicalReplaceWrite(
+        spark, store, statsCol, baseId, baseEntries,
+        () => {
+          require(listed, s"row-level $cmd write committed before its scan planned " +
+            "— the replaced group set is unknown; refusing a blind rewrite")
+          replaced.values().asScala.toSeq
+        },
+        info)
+    }
+  }
+
+  override def description(): String = s"GraftRowLevelOperation($cmd, $store @ $baseId)"
+}
+
+/** ScanBuilder for the group-based rewrite: pushed filters select the
+  * candidate FILE set (zone maps + bloom sidecars, the same translation
+  * every read path uses) and are recorded as the replaced groups; the
+  * built scan is Spark's ParquetScan over exactly those files with NO
+  * pushed data filters — whole files, every row, so the rewrite can
+  * carry unmatched rows of affected groups. Column pruning is honored
+  * (ReplaceData asks for the full row anyway). `pushFilters` returns all
+  * filters as post-scan residuals, which is exact: the rewrite query
+  * evaluates the condition row-level inside its If/CASE.
+  */
+private[sources] final class GroupScanBuilder(
+    spark: SparkSession,
+    store: JPath,
+    baseId: Int,
+    baseEntries: Seq[Snapshots.ManifestEntry],
+    tableSchema: StructType,
+    statsCol: Option[String],
+    options: CaseInsensitiveStringMap,
+    record: Seq[Snapshots.ManifestEntry] => Unit) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var kept: Seq[Snapshots.ManifestEntry] = baseEntries
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
+    if (cs.nonEmpty) {
+      val bloomOf = SnapshotPruning.bloomLoader(store)
+      kept = baseEntries.filterNot(
+        SnapshotPruning.skippable(store, _, cs, statsCol, bloomOf))
+    }
+    filters // all residual: evaluated row-level by the rewrite query
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty // nothing reaches the reader — kept files scan whole
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    record(kept)
+    val index = new SnapshotV2FileIndex(spark, store, baseId, kept,
+      Some(tableSchema), statsCol)
+    val b = ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      index, tableSchema, tableSchema, options)
+    b.pruneColumns(required)
+    b.build()
+  }
+}
+
+/** The copy-on-write replacement [[Write]]: Spark's own DSv2 parquet
+  * write into a staging dir, then an [[Snapshots.OccSurgical]] commit in
+  * `BatchWrite.commit` — data plane entirely Spark, commit plane
+  * entirely the layer's one-rename protocol. Abort reclaims staging and
+  * commits nothing.
+  */
+private[sources] final class SurgicalReplaceWrite(
+    spark: SparkSession,
+    store: JPath,
+    statsCol: Option[String],
+    baseId: Int,
+    baseEntries: Seq[Snapshots.ManifestEntry],
+    replacedFn: () => Seq[Snapshots.ManifestEntry],
+    info: LogicalWriteInfo) extends Write {
+
+  private val stagingDir: JPath = {
+    val d = store.resolve("data").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    JFiles.createDirectories(d)
+    d
+  }
+
+  private val inner: ParquetWrite =
+    ParquetWrite(Seq(stagingDir.toString), "parquet", _ => true, info)
+
+  override def description(): String = s"SurgicalReplaceWrite($store @ $baseId)"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val delegate = inner.toBatch
+
+    override def createBatchWriterFactory(
+        physicalInfo: PhysicalWriteInfo): DataWriterFactory =
+      new OperationStrippingWriterFactory(
+        delegate.createBatchWriterFactory(physicalInfo), info.schema())
+
+    override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      delegate.commit(messages) // task files land in stagingDir
+      val staged = Snapshots.entriesForStagedDir(spark, store, stagingDir,
+        statsCol.toSeq).map { e =>
+        statsCol match { // fold the named range into the legacy stats slot
+          case Some(c) => e.copy(
+            stats = e.multi.find(_._1 == c).map { case (_, lo, hi) => (lo, hi) },
+            multi = Nil)
+          case None => e
+        }
+      }
+      val replaced = replacedFn().map(_.relPath).toSet
+      val untouched = baseEntries.filterNot(e => replaced(e.relPath))
+      // an empty-file-only stage replacing nothing is a provable no-op
+      // (e.g. an UPDATE whose pruned scan read zero files): skip the
+      // commit entirely rather than appending schema-only crumbs
+      val stagedRows =
+        if (staged.isEmpty) 0L
+        else spark.read.parquet(
+          staged.map(e => store.resolve(e.relPath).toString): _*).count()
+      if (replaced.isEmpty && stagedRows == 0) {
+        Snapshots.discardStaged(store, staged)
+        return
+      }
+      val fresh = if (stagedRows == 0 && untouched.nonEmpty) {
+        // all groups' rows were deleted by the statement: drop the
+        // schema-only empty files, carry is the whole new state
+        Snapshots.discardStaged(store, staged)
+        Nil
+      } else staged
+      Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(baseId, untouched))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      try delegate.abort(messages)
+      finally {
+        val l = JFiles.list(stagingDir)
+        try l.iterator().asScala.toSeq.foreach(JFiles.deleteIfExists(_))
+        finally l.close()
+        JFiles.deleteIfExists(stagingDir)
+      }
+    }
+  }
+}
+
+/** Strips the leading `__row_operation` marker from ReplaceData rows.
+  *
+  * Spark's group-based rewrite ALWAYS prepends an operation column to
+  * the replacement query (`Project [6 AS __row_operation, <data>...]`,
+  * RewriteRowLevelCommand.addOperationColumn), but ReplaceDataExec only
+  * applies its row projection when the operation declares required
+  * METADATA attributes (writingTask falls back to the projection-less
+  * DataWritingSparkTask otherwise) — every upstream group-based
+  * connector requires metadata columns, so the bare path hands the
+  * writer the raw `[op, data...]` row. This operation tracks replaced
+  * groups in its own file index instead of via metadata columns, so the
+  * factory applies the data projection itself: ordinals 1..n against
+  * `info.schema`'s n fields, asserted by field count — a layout drift
+  * fails loudly, never writes shifted columns.
+  */
+private[sources] final class OperationStrippingWriterFactory(
+    inner: DataWriterFactory,
+    dataSchema: StructType) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val n = dataSchema.length
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      dataSchema, (1 to n).toIndexedSeq)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (row.numFields == n) w.write(row) // already bare (future Spark)
+        else if (row.numFields == n + 1) { proj.project(row); w.write(proj) }
+        else throw new IllegalStateException(
+          s"ReplaceData row has ${row.numFields} fields; expected $n data fields " +
+            s"(+1 operation marker) — row layout drifted, refusing to write")
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}

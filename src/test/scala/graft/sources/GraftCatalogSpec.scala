@@ -285,6 +285,112 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("UPDATE is group-based copy-on-write: zone maps bound the rewrite to affected files") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.u (k BIGINT, v BIGINT) TBLPROPERTIES ('statscol'='k')")
+      s.range(0, 8000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(8, col("k"))
+        .writeTo(s"$cat.u").append()
+      val store = root.resolve("u")
+      val before = Snapshots.manifest(store, 1)
+      s.sql(s"UPDATE $cat.u SET v = v * 10 WHERE k BETWEEN 2000 AND 2999")
+      assert(Snapshots.currentId(store).contains(2), "UPDATE must land one commit")
+      val after = Snapshots.manifest(store, 2)
+      // surgical: files whose k-range the condition zone-map-skips are
+      // carried byte-identical with their ORIGINAL seq stamps
+      val carried = after.filter(e => before.exists(b =>
+        b.relPath == e.relPath && b.md5 == e.md5 && b.seq == e.seq))
+      assert(carried.nonEmpty, "UPDATE rewrote the whole table despite zone maps")
+      assert(after.size >= before.size - carried.size,
+        "replacement lost files")
+      // values: exactly the matched rows updated, everything else intact
+      val r = s.sql(s"SELECT sum(v) sv, count(*) c FROM $cat.u").head
+      val expect = (0L until 8000).map(i => if (i >= 2000 && i <= 2999) i * 10 else i).sum
+      assert(r.getLong(1) == 8000 && r.getLong(0) == expect)
+      // history: pre-update snapshot unchanged
+      assert(s.sql(s"SELECT sum(v) FROM $cat.u VERSION AS OF 1").head.getLong(0)
+        == (0L until 8000).sum)
+      // rewritten files re-carry zone maps: post-update scans still skip
+      val q = s.sql(s"SELECT count(*) c FROM $cat.u WHERE k < 100")
+      q.collect()
+      val opened = scanOf(q).inputPartitions
+        .collect { case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp }
+        .flatMap(_.files).map(_.filePath.toString).distinct.size
+      assert(opened < after.size, s"post-update scan opened $opened of ${after.size}")
+    } finally rm(root)
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert in one atomic commit") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.m (k BIGINT, v STRING, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.m SELECT id, 'old', id * 100 FROM range(0, 100)")
+      val store = root.resolve("m")
+      // source: updates for 10-19, deletes for 20-24, inserts for 200-204
+      s.sql(
+        s"""MERGE INTO $cat.m t
+           |USING (SELECT id AS k, CASE WHEN id < 200 THEN 'upd' ELSE 'new' END AS v,
+           |              id * 7 AS cents,
+           |              id >= 20 AND id < 25 AS is_del
+           |       FROM range(10, 25)
+           |       UNION ALL
+           |       SELECT id, 'new', id * 7, false FROM range(200, 205)) s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.is_del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v, cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (k, v, cents) VALUES (s.k, s.v, s.cents)
+           |""".stripMargin)
+      assert(Snapshots.currentId(store).contains(2), "MERGE must land ONE commit")
+      val got = s.sql(s"SELECT k, v, cents FROM $cat.m ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val expect =
+        (0L until 10).map(i => (i, "old", i * 100)) ++
+        (10L until 20).map(i => (i, "upd", i * 7)) ++
+        (25L until 100).map(i => (i, "old", i * 100)) ++
+        (200L until 205).map(i => (i, "new", i * 7))
+      assert(got == expect, s"MERGE result diverged: got ${got.size}, expect ${expect.size}")
+      // history intact
+      assert(s.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF 1").head.getLong(0) == 100)
+    } finally rm(root)
+  }
+
+  test("rewrite scan reads kept files WHOLE: no parquet page/row-group filtering row loss") {
+    // Regression: parquet's column-index pages hold 20k rows by default;
+    // if the UPDATE condition reaches the reader, the non-matching
+    // trailing page of a >20k-row candidate file is silently dropped and
+    // the commit LOSES its rows. The rewrite scan must prune FILES only.
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.pg (k BIGINT, v BIGINT)")
+      // one file, 25k rows: spans two 20k-row column-index pages
+      s.range(0, 25000).select(col("id").as("k"), col("id").as("v"))
+        .coalesce(1).writeTo(s"$cat.pg").append()
+      assert(Snapshots.manifest(root.resolve("pg"), 1).size == 1)
+      s.sql(s"UPDATE $cat.pg SET v = -1 WHERE k < 10") // matches page 1 only
+      val r = s.sql(s"SELECT count(*) c, sum(k) sk FROM $cat.pg").head
+      assert(r.getLong(0) == 25000,
+        s"rewrite lost rows to reader-level filtering: ${r.getLong(0)} of 25000")
+      assert(r.getLong(1) == (0L until 25000).sum)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pg WHERE v = -1").head.getLong(0) == 10)
+    } finally rm(root)
+  }
+
+  test("DELETE with a subquery condition takes the group-based rewrite path") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.sq (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $cat.sq SELECT id, id % 7 FROM range(0, 100)")
+      s.sql(s"CREATE TABLE $cat.bad (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.bad VALUES (3), (5), (98)")
+      // subquery conditions are untranslatable to source filters —
+      // canDeleteWhere refuses, SupportsRowLevelOperations handles it
+      s.sql(s"DELETE FROM $cat.sq WHERE k IN (SELECT k FROM $cat.bad)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.sq").head.getLong(0) == 97)
+      assert(s.sql(s"SELECT count(*) FROM $cat.sq WHERE k IN (3,5,98)").head.getLong(0) == 0)
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
