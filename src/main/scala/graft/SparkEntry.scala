@@ -92,6 +92,7 @@ object SparkEntry {
     "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
     "catalog_update"      -> w(graft.sources.GraftCatalogQueries.catalogUpdate),
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
+    "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -542,6 +543,7 @@ object SparkEntry {
     "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,
     "catalog_update" -> graft.sources.GraftCatalogQueries.catalogUpdateOracleSql,
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
+    "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -357,8 +357,8 @@ final class GraftTable(
   override lazy val schema: StructType = evolvedSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -370,11 +370,8 @@ final class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val entries = currentIdOpt.map(dataEntries).getOrElse(Nil)
-    val index = new SnapshotV2FileIndex(spark, store,
-      currentIdOpt.getOrElse(0), entries, Some(schema), statsCol)
-    ParquetScanBuilder(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      index, schema, schema, options)
+    new GraftScanBuilder(spark, store, currentIdOpt.getOrElse(0), entries,
+      schema, statsCol, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -359,4 +359,50 @@ object GraftCatalogQueries {
       CAST(sum(k) AS BIGINT) AS sum_keys
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
+
+  /** Query `stream_catalog_source`: a named catalog table consumed as a
+    * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
+    * connector-API twin of `stream_snapshot_source`. Three INSERT
+    * statements exist at stream start; a fourth lands MID-STREAM between
+    * drains, so the stream's snapshot-id offset must advance and deliver
+    * exactly the increment's files. In-query proofs: the first drain saw
+    * exactly the first three releases' rows; the oracle gates the final
+    * state against the plain aggregate of ALL orders — one duplicated or
+    * dropped increment row fails the hash.
+    */
+  def streamCatalogSource(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    val sink = cat + "_sink"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      (0 until 3).foreach { k =>
+        s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = $k")
+      }
+      val q = s.readStream.table(s"$cat.orders")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val firstDrain = s.table(sink).count()
+        val expectFirst = s.sql(s"SELECT count(*) FROM $view WHERE o_orderkey % 4 < 3")
+          .head.getLong(0)
+        require(firstDrain == expectFirst,
+          s"first drain saw $firstDrain rows, expected the 3 releases' $expectFirst")
+        s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = 3")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .orderBy("o_orderstatus")
+    } finally rm(root)
+  }
+
+  val streamCatalogSourceOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

@@ -216,6 +216,45 @@ final case class SnapshotOffset(id: Int) extends Offset {
   override def json: String = id.toString
 }
 
+/** The manifest-diff increment shared by the V1 streaming source and the
+  * DSv2 catalog micro-batch stream — one definition of "what a window
+  * (from, to] delivers", so the two streaming stacks cannot disagree.
+  */
+private[sources] object SnapshotDiff {
+
+  /** Data files ADDED over `(from, to]`.
+    *
+    * REWRITE GUARD: if a commit in the window DROPPED data files (a
+    * compaction, OCC rewrite or partition overwrite), the manifest diff
+    * would re-deliver every rewritten row as an "add" — silent
+    * duplication downstream. Detection is lineage-exact (dropped =
+    * from's files absent from to, whatever intermediate ids branches
+    * consumed). Default: fail LOUDLY. `skipRewrites=true` skips the
+    * whole window's adds instead (the skip-change-commits semantics
+    * open table formats converge on) — duplicates never, at the cost of
+    * appends that share a window with the rewrite; quiesce maintenance
+    * mid-stream to avoid both.
+    */
+  def added(root: JPath, from: Int, to: Int,
+            skipRewrites: Boolean): Seq[Snapshots.ManifestEntry] = {
+    val before: Set[String] =
+      if (from <= 0) Set.empty
+      else Snapshots.manifest(root, from).filterNot(Snapshots.isDelete)
+        .map(_.relPath).toSet
+    val after = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
+    val afterPaths = after.map(_.relPath).toSet
+    val dropped = before.diff(afterPaths)
+    if (dropped.nonEmpty && !skipRewrites)
+      throw new IllegalStateException(
+        s"snapshot window ($from, $to] of $root rewrote ${dropped.size} data file(s) " +
+          "(compaction/overwrite); the adds stream would re-deliver rewritten rows. " +
+          "Quiesce maintenance while streaming, or set skiprewrites=true to skip " +
+          "rewrite windows entirely.")
+    if (dropped.nonEmpty) Nil
+    else after.filterNot(e => before(e.relPath))
+  }
+}
+
 /** V1 micro-batch source over a snapshot store. Progress is driven by
   * the store's OWN commit protocol: `getOffset` is one tiny pointer
   * read; a batch is the manifest diff between two snapshot ids, opened
@@ -241,32 +280,7 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(parse).getOrElse(startExclusive)
     val to = parse(end)
-    val before: Set[String] =
-      if (from <= 0) Set.empty
-      else Snapshots.manifest(root, from).filterNot(Snapshots.isDelete)
-        .map(_.relPath).toSet
-    val after = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
-    // REWRITE GUARD: if a commit in this window DROPPED data files (a
-    // compaction, OCC rewrite or partition overwrite), the manifest
-    // diff would re-deliver every rewritten row as an "add" — silent
-    // duplication downstream. Detection over (from, to] is
-    // lineage-exact (dropped = from's files absent from to, whatever
-    // intermediate ids branches consumed). Default: fail LOUDLY.
-    // `skiprewrites=true` skips the whole window's adds instead (the
-    // skip-change-commits semantics open table formats converge on) —
-    // duplicates never, at the cost of appends that share a window
-    // with the rewrite; quiesce maintenance mid-stream to avoid both.
-    val afterPaths = after.map(_.relPath).toSet
-    val dropped = before.diff(afterPaths)
-    if (dropped.nonEmpty && !skipRewrites)
-      throw new IllegalStateException(
-        s"snapshot window ($from, $to] of $root rewrote ${dropped.size} data file(s) " +
-          "(compaction/overwrite); the adds stream would re-deliver rewritten rows. " +
-          "Quiesce maintenance while streaming, or set skiprewrites=true to skip " +
-          "rewrite windows entirely.")
-    val added =
-      if (dropped.nonEmpty) Nil
-      else after.filterNot(e => before(e.relPath))
+    val added = SnapshotDiff.added(root, from, to, skipRewrites)
     val batch =
       if (added.isEmpty) {
         // a pointer can advance on delete-only / maintenance commits:

@@ -102,7 +102,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(out.getLong(1) == 1000)
       assert(out.getLong(0) == (1000L until 2000).map(_ * 3).sum)
       val exec = scanOf(q)
-      val scan = exec.scan.asInstanceOf[ParquetScan]
+      val scan = exec.scan.asInstanceOf[GraftScan].parquet
       val opened = exec.inputPartitions
         .collect { case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp }
         .flatMap(_.files).map(_.filePath.toString).distinct.size
@@ -119,7 +119,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       s.sql(s"CREATE TABLE $cat.pr (a BIGINT, b STRING, c DOUBLE)")
       s.sql(s"INSERT INTO $cat.pr SELECT id, 'x', 0.5 FROM range(0, 10)")
       val q = s.sql(s"SELECT a FROM $cat.pr")
-      val scan = scanOf(q).scan.asInstanceOf[ParquetScan]
+      val scan = scanOf(q).scan.asInstanceOf[GraftScan].parquet
       assert(scan.readDataSchema.fieldNames.toSeq == Seq("a"),
         s"scan reads ${scan.readDataSchema.fieldNames.mkString(",")} for a 1-column projection")
     } finally rm(root)
@@ -388,6 +388,74 @@ class GraftCatalogSpec extends AnyFunSuite {
       s.sql(s"DELETE FROM $cat.sq WHERE k IN (SELECT k FROM $cat.bad)")
       assert(s.sql(s"SELECT count(*) FROM $cat.sq").head.getLong(0) == 97)
       assert(s.sql(s"SELECT count(*) FROM $cat.sq WHERE k IN (3,5,98)").head.getLong(0) == 0)
+    } finally rm(root)
+  }
+
+  test("readStream.table: snapshot-id offsets, mid-stream increment, exactly-once") {
+    val (cat, root) = freshCatalog()
+    val sink = s"cat_stream_$n"
+    try {
+      s.sql(s"CREATE TABLE $cat.ev (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $cat.ev SELECT id, id * 2 FROM range(0, 50)")
+      s.sql(s"INSERT INTO $cat.ev SELECT id, id * 2 FROM range(50, 80)")
+      val q = s.readStream.table(s"$cat.ev")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table(sink).count() == 80, "first drain must deliver both releases")
+        // mid-stream increment: the DSv2 offset advances with the pointer
+        s.sql(s"INSERT INTO $cat.ev SELECT id, id * 2 FROM range(80, 100)")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.table(sink)
+      assert(got.count() == 100, s"expected exactly-once 100 rows, got ${got.count()}")
+      assert(got.agg(sum(col("k"))).head.getLong(0) == (0L until 100).sum)
+    } finally rm(root)
+  }
+
+  test("readStream.table: checkpointed restart resumes from the committed snapshot offset") {
+    val (cat, root) = freshCatalog()
+    val ckpt = Files.createTempDirectory("cat_stream_ck")
+    val out = Files.createTempDirectory("cat_stream_out")
+    try {
+      s.sql(s"CREATE TABLE $cat.cs (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.cs SELECT id FROM range(0, 40)")
+      def drain(): Unit = {
+        val q = s.readStream.table(s"$cat.cs")
+          .writeStream.format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      assert(s.read.parquet(out.toString).count() == 40)
+      s.sql(s"INSERT INTO $cat.cs SELECT id FROM range(40, 55)")
+      drain() // a NEW query on the same checkpoint must deliver ONLY the increment
+      val rows = s.read.parquet(out.toString)
+      assert(rows.count() == 55, s"restart duplicated or dropped: ${rows.count()}")
+      assert(rows.agg(sum(col("k"))).head.getLong(0) == (0L until 55).sum)
+    } finally { rm(root); rm(ckpt); rm(out) }
+  }
+
+  test("readStream.table fails loudly when a rewrite lands mid-window") {
+    val (cat, root) = freshCatalog()
+    val sink = s"cat_rw_$n"
+    try {
+      s.sql(s"CREATE TABLE $cat.rw (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.rw SELECT id FROM range(0, 30)")
+      val q = s.readStream.table(s"$cat.rw")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table(sink).count() == 30)
+        Snapshots.compact(s, root.resolve("rw"), targetFiles = 1)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(2000)
+        }
+        assert(e.getMessage.contains("rewrote") ||
+          Option(e.getCause).exists(_.getMessage.contains("rewrote")),
+          s"wrong failure: ${e.getMessage}")
+      } finally if (q.isActive) q.stop()
     } finally rm(root)
   }
 
