@@ -93,6 +93,7 @@ object SparkEntry {
     "catalog_update"      -> w(graft.sources.GraftCatalogQueries.catalogUpdate),
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
+    "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -544,6 +545,7 @@ object SparkEntry {
     "catalog_update" -> graft.sources.GraftCatalogQueries.catalogUpdateOracleSql,
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
+    "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

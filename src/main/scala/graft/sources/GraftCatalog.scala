@@ -194,8 +194,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadAt(ident: Identifier, pin: Option[Int]): Table = {
     val dir = tablePath(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(
-      name() +: ident.namespace().toSeq :+ ident.name())
+    if (!isTableDir(dir)) {
+      // Iceberg-style metadata suffix: `cat.ns.t.snapshots` parses as
+      // namespace [ns, t] + name "snapshots" — if the namespace path IS
+      // a table, serve its metadata relation (manifest/ref introspection
+      // only: O(#manifests) tiny driver-side reads, no data file opened)
+      val base = nsPath(ident.namespace())
+      if (ident.namespace().nonEmpty && isTableDir(base)) {
+        val df = ident.name().toLowerCase match {
+          case "snapshots" => Snapshots.metaSnapshots(spark, base)
+          case "files" => Snapshots.metaFiles(spark, base,
+            Snapshots.currentId(base).getOrElse(throw new NoSuchTableException(
+              name() +: ident.namespace().toSeq :+ ident.name())))
+          case "refs" => Snapshots.metaRefs(spark, base)
+          case _ => throw new NoSuchTableException(
+            name() +: ident.namespace().toSeq :+ ident.name())
+        }
+        return new GraftMetaTable(
+          (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."), df)
+      }
+      throw new NoSuchTableException(
+        name() +: ident.namespace().toSeq :+ ident.name())
+    }
     val (declared, props) = GraftCatalog.readMarker(dir)
     new GraftTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
       dir, declared, props, pin)
@@ -498,6 +518,39 @@ final class GraftTable(
   }
 
   override def toString: String = s"GraftTable(${name()} @ $store pin=$pin)"
+}
+
+/** A read-only metadata relation of a catalog table (`t.snapshots`,
+  * `t.files`, `t.refs`) — rows come purely from manifests and ref files
+  * (never a data file), so they are tiny by construction and served as a
+  * DSv2 [[org.apache.spark.sql.connector.read.LocalScan]]: driver-local
+  * rows, no job, exactly how engines expose O(#commits) introspection.
+  */
+final class GraftMetaTable(tableName: String,
+                           df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override lazy val schema: StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          // executeCollect returns InternalRows already in the df's
+          // schema; metadata relations are O(#manifests) small
+          private val collected =
+            df.queryExecution.executedPlan.executeCollect()
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            collected.map(_.copy())
+          override def readSchema(): StructType = df.schema
+          override def description(): String = s"GraftMetaTable($tableName)"
+        }
+    }
+
+  override def toString: String = s"GraftMetaTable($tableName)"
 }
 
 object GraftTable {

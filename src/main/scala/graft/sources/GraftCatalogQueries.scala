@@ -405,4 +405,66 @@ object GraftCatalogQueries {
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `catalog_meta`: the Iceberg-style metadata suffix from PURE
+    * SQL — `t.snapshots` joined to per-snapshot time-travel aggregates of
+    * the data itself, plus `t.refs`. History choreography: two INSERTs
+    * (append: snapshot 2's file count strictly greater), one surgical
+    * DELETE (snapshot 3), one tag. The oracle pins the structural
+    * history as literals beside SQL-computed aggregates: the
+    * introspection relations and the data they describe must agree, from
+    * SQL alone, at every version.
+    */
+  def catalogMeta(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 10 = 7")
+      Snapshots.createTag(root.resolve("orders"), "pre_delete", 2)
+      // n_files must be monotone over the append, and the meta relation
+      // must agree with the manifest — structural gates before the data
+      val meta = s.sql(s"SELECT snapshot_id, n_data_files, n_fresh, is_current " +
+        s"FROM $cat.orders.snapshots ORDER BY snapshot_id").collect()
+      require(meta.length == 3 && meta(2).getLong(3) == 1L,
+        s"expected 3 snapshots with #3 current: ${meta.mkString(";")}")
+      require(meta(1).getLong(1) > meta(0).getLong(1),
+        "append did not grow the data file count")
+      // VERSION AS OF takes a literal: iterate the ids the meta relation
+      // reports (introspection drives the time travel — that IS the test)
+      val ids = s.sql(s"SELECT snapshot_id FROM $cat.orders.snapshots ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      val tagged = s.sql(s"SELECT snapshot_id FROM $cat.orders.refs " +
+        "WHERE name = 'pre_delete' AND kind = 'tag'").head.getLong(0)
+      val out = ids.map { id =>
+        val r = s.sql(s"SELECT count(*) AS n, sum(cents) AS sc " +
+          s"FROM $cat.orders VERSION AS OF $id").head
+        Row(id, if (id == tagged) "pre_delete" else "", r.getLong(0), r.getLong(1))
+      }
+      val schema = StructType(Seq(
+        StructField("snapshot_id", LongType), StructField("tag", StringType),
+        StructField("n_rows", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("snapshot_id")
+    } finally rm(root)
+  }
+
+  val catalogMetaOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, '' AS tag,
+      CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b WHERE k % 2 = 0
+    UNION ALL
+    SELECT 2, 'pre_delete', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT 3, '', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM b WHERE k % 10 <> 7
+    ORDER BY snapshot_id"""
 }

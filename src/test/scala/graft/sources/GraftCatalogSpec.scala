@@ -459,6 +459,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("metadata tables: t.snapshots / t.files / t.refs from pure SQL") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.mt (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.mt SELECT id FROM range(0, 30)")
+      s.sql(s"INSERT INTO $cat.mt SELECT id FROM range(30, 40)")
+      s.sql(s"DELETE FROM $cat.mt WHERE k < 5")
+      Snapshots.createTag(root.resolve("mt"), "v2", 2)
+      val snaps = s.sql(s"SELECT * FROM $cat.mt.snapshots ORDER BY snapshot_id").collect()
+      assert(snaps.length == 3, s"expected 3 snapshots, got ${snaps.length}")
+      val files = s.sql(s"SELECT count(*) FROM $cat.mt.files").head.getLong(0)
+      assert(files == Snapshots.manifest(root.resolve("mt"), 3).size.toLong)
+      val refs = s.sql(s"SELECT * FROM $cat.mt.refs").collect()
+      assert(refs.exists(r => r.toSeq.contains("v2")), s"tag missing: ${refs.mkString}")
+      // metadata relations are read-only and tiny; a data read still works
+      assert(s.sql(s"SELECT count(*) FROM $cat.mt").head.getLong(0) == 35)
+      intercept[Exception] { s.sql(s"SELECT * FROM $cat.mt.nope").collect() }
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
