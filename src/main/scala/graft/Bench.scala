@@ -57,7 +57,14 @@ object Bench {
     // the V1 micro-batch source's offset/commit loop incl. a mid-stream
     // publish
     "snapshot_scan", "snapshot_sql", "snapshot_write", "stream_snapshot_source",
-    "stream_snapshot_sink", "snapshot_txn_sql")
+    "stream_snapshot_sink", "snapshot_txn_sql",
+    // r12e: the DSv2 TableCatalog — SQL statement lifecycle (DDL+DML),
+    // plan-time pruning through the catalog scan, copy-on-write
+    // DELETE/UPDATE/MERGE, and the catalog micro-batch stream; each pays
+    // its own create+insert setup, so envelopes price the whole statement
+    // path, not just the operator
+    "catalog_sql", "catalog_prune", "catalog_delete", "catalog_update",
+    "catalog_merge", "stream_catalog_source", "catalog_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

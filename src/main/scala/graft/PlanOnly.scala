@@ -27,6 +27,10 @@ object PlanOnly {
     // SnapshotFileIndex, pushed filters, plan-time zone-map skip)
     "snapshot_scan" -> ((ss, dd) =>
       graft.sources.SnapshotSourceQueries.snapshotScanPlan(ss, dd)),
+    // likewise for the catalog: the REAL DSv2 read tree (BatchScan over
+    // SnapshotV2FileIndex) instead of catalog_prune's literal frame
+    "catalog_prune" -> ((ss, dd) =>
+      graft.sources.GraftCatalogQueries.catalogPrunePlan(ss, dd)),
     // The stream_* driver-oracled queries EXECUTE a streaming query and
     // return its memory sink (a LocalTableScan) — document/guard the
     // batch-mode application of the same transform instead, so the real

@@ -141,9 +141,7 @@ object GraftCatalogQueries {
       val total = Snapshots.manifest(root.resolve("orders"), 1).size
       require(opened < total,
         s"catalog scan skipped nothing: opened $opened of $total")
-      val pushed = exec.scan
-        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-        .pushedFilters.mkString(",")
+      val pushed = exec.scan.asInstanceOf[GraftScan].parquet.pushedFilters.mkString(",")
       require(pushed.contains("GreaterThanOrEqual(o_orderkey,400)"),
         s"range predicate missing from parquet pushdown: $pushed")
       val schema = StructType(Seq(
@@ -152,6 +150,27 @@ object GraftCatalogQueries {
       s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
         .orderBy("o_orderstatus")
     } finally rm(root)
+  }
+
+  /** Un-staged plan builder for [[catalogPrune]] (PlanOnly/PlanDoc): the
+    * registered query returns a literal proof frame, which would
+    * document nothing — this builds the REAL catalog read tree
+    * (BatchScan over SnapshotV2FileIndex with pushed filters) over a
+    * freshly created table. The temp warehouse lives until JVM exit;
+    * plan-inspection contexts only.
+    */
+  def catalogPrunePlan(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('statscol'='o_orderkey')")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo(s"$cat.orders").append()
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_total_cents
+         |FROM $cat.orders WHERE o_orderkey BETWEEN 400 AND 1299
+         |GROUP BY o_orderstatus""".stripMargin)
   }
 
   val catalogPruneOracleSql: String = """

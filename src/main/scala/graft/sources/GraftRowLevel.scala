@@ -50,15 +50,18 @@ final class GraftRowLevelOperation(
     statsCol: Option[String],
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  private val baseId: Int = Snapshots.currentId(store).getOrElse(
-    throw new IllegalStateException(
-      s"row-level ${cmd} on an empty table: no published snapshot under $store"))
+  /** None = the table has no published snapshot yet: an UPDATE/DELETE is
+    * a trivial no-op, and a MERGE's NOT MATCHED inserts FOUND the table.
+    */
+  private val baseId: Option[Int] = Snapshots.currentId(store)
 
-  private val baseEntries: Seq[Snapshots.ManifestEntry] = {
-    val (dels, datas) = Snapshots.manifest(store, baseId).partition(Snapshots.isDelete)
-    require(dels.isEmpty,
-      s"snapshot $baseId of $store carries merge-on-read tombstones; compact first")
-    datas
+  private val baseEntries: Seq[Snapshots.ManifestEntry] = baseId match {
+    case None => Nil
+    case Some(b) =>
+      val (dels, datas) = Snapshots.manifest(store, b).partition(Snapshots.isDelete)
+      require(dels.isEmpty,
+        s"snapshot $b of $store carries merge-on-read tombstones; compact first")
+      datas
   }
 
   /** The replaced group set: union of every file the operation's scan
@@ -86,7 +89,7 @@ final class GraftRowLevelOperation(
     * builds the underlying ParquetScan with NO data filters.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GroupScanBuilder(spark, store, baseId, baseEntries, tableSchema, statsCol,
+    new GroupScanBuilder(spark, store, baseId.getOrElse(0), baseEntries, tableSchema, statsCol,
       options, kept => { listed = true; kept.foreach(e => replaced.put(e.relPath, e)) })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -169,7 +172,7 @@ private[sources] final class SurgicalReplaceWrite(
     spark: SparkSession,
     store: JPath,
     statsCol: Option[String],
-    baseId: Int,
+    baseId: Option[Int],
     baseEntries: Seq[Snapshots.ManifestEntry],
     replacedFn: () => Seq[Snapshots.ManifestEntry],
     info: LogicalWriteInfo) extends Write {
@@ -226,7 +229,16 @@ private[sources] final class SurgicalReplaceWrite(
         Snapshots.discardStaged(store, staged)
         Nil
       } else staged
-      Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(baseId, untouched))
+      baseId match {
+        case Some(b) =>
+          Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, untouched))
+        case None =>
+          // no published snapshot existed when the statement was analyzed
+          // (a MERGE's NOT MATCHED inserts FOUND the table); OccAppend
+          // rebases onto whatever landed since, which is the only sound
+          // claim a pure-insert write can make
+          Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

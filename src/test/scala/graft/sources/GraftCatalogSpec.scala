@@ -459,6 +459,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("row-level statements on an EMPTY table: UPDATE/DELETE no-op, MERGE inserts found it") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.e0 (k BIGINT, v BIGINT)")
+      s.sql(s"UPDATE $cat.e0 SET v = 1 WHERE k = 1") // empty base: trivial no-op
+      s.sql(s"DELETE FROM $cat.e0 WHERE k > 0")
+      assert(Snapshots.currentId(root.resolve("e0")).isEmpty,
+        "no-op statements on an empty table must not commit")
+      s.sql(
+        s"""MERGE INTO $cat.e0 t USING (SELECT id AS k, id * 2 AS v FROM range(0, 5)) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      assert(s.sql(s"SELECT count(*) FROM $cat.e0").head.getLong(0) == 5,
+        "MERGE NOT MATCHED inserts must found an empty table")
+    } finally rm(root)
+  }
+
   test("metadata tables: t.snapshots / t.files / t.refs from pure SQL") {
     val (cat, root) = freshCatalog()
     try {
