@@ -53,6 +53,10 @@ import org.apache.spark.sql.functions._
   *    files: plan-time zone-map slab pruning + bloom point lookup
   *    through `spark.read.format`, opened-file fractions, planning
   *    latency and full-scan A/B
+  *  - `catalog_6m` — A34's row-level SQL at 6M rows / 64 files:
+  *    zone-mapped UPDATE rewrites 1 file (1.6% of bytes) with 63
+  *    carried byte-identical vs the stats-less full-table rewrite A/B;
+  *    surgical DELETE locality; conservation + time-travel gates
   *  - `curation_1000x` — the E7/E13 whole-pipeline soak at 5M docs
   *    (1000× sf0.1): fused projection + checkpoint staging + hash
   *    window + shingle broadcast competing for memory at once, with
@@ -1664,6 +1668,70 @@ object Stress {
         }
         println(s"[stress] stage statuses: " +
           etl.Dag.pipeline.map(st => s"${st.name}=${res.stages(st.name).status}").mkString(", "))
+
+      case "catalog_6m" =>
+        // A34 at 6M rows / 64 files: row-level SQL statements through
+        // the DSv2 catalog, measured as files-rewritten fractions and
+        // wall-clock. Claims: (1) an UPDATE whose condition zone-maps to
+        // one key slab rewrites O(affected files) — the other ~62 files
+        // are carried byte-identical (manifest paths + original seqs),
+        // never read, never written; (2) the SAME statement on an
+        // identical table WITHOUT zone maps rewrites all 64 files —
+        // the A/B prices what the stats column buys; (3) DELETE's
+        // metadata-only path shows the same locality; (4) answers are
+        // conservation-exact in all legs.
+        val nc = 6L * 1000 * 1000
+        val wh = java.nio.file.Files.createTempDirectory("graft_cat6")
+        spark.conf.set("spark.sql.catalog.c6", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.c6.root", wh.toString)
+        val rowsC = spark.range(nc).select(col("id").as("k"), (col("id") % 1000).as("v"))
+        spark.sql("CREATE TABLE c6.zm (k BIGINT, v BIGINT) TBLPROPERTIES ('statscol'='k')")
+        spark.sql("CREATE TABLE c6.plain (k BIGINT, v BIGINT)")
+        timed("insert 6M range-clustered (64 files, zone maps)")(
+          rowsC.repartitionByRange(64, col("k")).writeTo("c6.zm").append())
+        timed("insert 6M range-clustered (64 files, NO stats)")(
+          rowsC.repartitionByRange(64, col("k")).writeTo("c6.plain").append())
+        val slabLo = nc / 2
+        val slabHi = nc / 2 + nc / 64 - 1 // ~1 file's key range
+        def filesOf(t: String, n: Int) =
+          etl.Snapshots.manifest(wh.resolve(t), n)
+        timed(s"UPDATE via zone maps (slab of ${nc / 64} keys)")(
+          spark.sql(s"UPDATE c6.zm SET v = v + 1000000 WHERE k BETWEEN $slabLo AND $slabHi"))
+        val zmBefore = filesOf("zm", 1).map(e => e.relPath -> e.md5).toMap
+        val zmAfter = filesOf("zm", 2)
+        val zmCarried = zmAfter.count(e => zmBefore.get(e.relPath).contains(e.md5))
+        val zmFresh = zmAfter.size - zmCarried
+        val zmTotalB = zmAfter.map(_.bytes).sum
+        val zmFreshB = zmAfter.filterNot(e => zmBefore.get(e.relPath).contains(e.md5))
+          .map(_.bytes).sum
+        println(s"[stress] catalog_6m zone-mapped UPDATE: rewrote $zmFresh of 64 files " +
+          f"(${zmFreshB / 1e6}%.1f of ${zmTotalB / 1e6}%.1f MB written = " +
+          f"${100.0 * zmFreshB / zmTotalB}%.1f%%), carried $zmCarried byte-identical")
+        assert(zmFresh <= 3, s"zone-mapped UPDATE rewrote $zmFresh files; expected <=3")
+        timed("UPDATE without zone maps (same slab, full rewrite)")(
+          spark.sql(s"UPDATE c6.plain SET v = v + 1000000 WHERE k BETWEEN $slabLo AND $slabHi"))
+        val plBefore = filesOf("plain", 1).map(e => e.relPath -> e.md5).toMap
+        val plAfter = filesOf("plain", 2)
+        val plCarried = plAfter.count(e => plBefore.get(e.relPath).contains(e.md5))
+        println(s"[stress] catalog_6m stats-less UPDATE: replaced ALL 64 files with " +
+          s"${plAfter.size - plCarried} fresh (full ${plAfter.map(_.bytes).sum / 1000000} MB " +
+          s"rewrite; carried $plCarried)")
+        // conservation: both tables agree exactly after their updates
+        val sZm = spark.sql("SELECT count(*) c, sum(v) sv FROM c6.zm").head
+        val sPl = spark.sql("SELECT count(*) c, sum(v) sv FROM c6.plain").head
+        assert(sZm.getLong(0) == nc && sZm.toSeq == sPl.toSeq,
+          s"update legs diverged: $sZm vs $sPl")
+        timed(s"DELETE via zone maps (slab)")(
+          spark.sql(s"DELETE FROM c6.zm WHERE k BETWEEN $slabLo AND $slabHi"))
+        val delAfter = filesOf("zm", 3)
+        val delCarried = delAfter.count(e =>
+          zmAfter.exists(b => b.relPath == e.relPath && b.md5 == e.md5))
+        println(s"[stress] catalog_6m DELETE: rewrote ${delAfter.size - delCarried} files, " +
+          s"carried $delCarried")
+        assert(spark.sql("SELECT count(*) FROM c6.zm").head.getLong(0) == nc - (nc / 64),
+          "DELETE count drift")
+        // time travel still whole after both rewrites
+        assert(spark.sql("SELECT count(*) FROM c6.zm VERSION AS OF 1").head.getLong(0) == nc)
 
       case "source_6m" =>
         // A33 at 6M rows / 64 files: the graft-snapshot DATA SOURCE's
