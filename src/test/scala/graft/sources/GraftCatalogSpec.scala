@@ -459,6 +459,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("concurrent UPDATEs: one commits, the loser fails loudly, state is never torn") {
+    // Row-level rewrites claim OccSurgical(base): any base advance is a
+    // conflict because the untouched carry was computed against that
+    // exact base. Two racing UPDATEs must therefore serialize: exactly
+    // one commits per race round, the loser surfaces the conflict (the
+    // statement is re-runnable), and the surviving state is always one
+    // of the two serial histories — never a blend.
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.cu (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $cat.cu SELECT id, 0 FROM range(0, 1000)")
+      val store = root.resolve("cu")
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def upd(add: Long): Thread = {
+        val t = new Thread(() => {
+          try s.sql(s"UPDATE $cat.cu SET v = v + $add WHERE k < 500")
+          catch { case e: Throwable => errors.add(e) }
+        })
+        t.start(); t
+      }
+      val ts = Seq(upd(1), upd(10))
+      ts.foreach(_.join())
+      val commits = Snapshots.currentId(store).get - 1
+      val winners = 2 - errors.size()
+      assert(commits == winners,
+        s"$winners statements claim success but $commits commits landed")
+      assert(errors.size() < 2, "both updates failed — the race never serialized")
+      // surviving state must be ONE of the serial histories (+1, +10, or
+      // both landed if the race never overlapped) applied to exactly k<500
+      val got = s.sql(s"SELECT sum(v) FROM $cat.cu").head.getLong(0)
+      assert(Seq(1L, 10L, 11L).map(_ * 500).contains(got),
+        s"torn state: sum(v)=$got is not a serial-history value")
+      assert(s.sql(s"SELECT count(*) FROM $cat.cu").head.getLong(0) == 1000)
+      assert(s.sql(s"SELECT count(*) FROM $cat.cu WHERE k >= 500 AND v <> 0")
+        .head.getLong(0) == 0, "an update leaked outside its predicate")
+    } finally rm(root)
+  }
+
   test("row-level statements on an EMPTY table: UPDATE/DELETE no-op, MERGE inserts found it") {
     val (cat, root) = freshCatalog()
     try {
