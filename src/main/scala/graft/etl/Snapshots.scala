@@ -462,13 +462,19 @@ object Snapshots {
                statsCol: Option[String] = None): Seq[ManifestEntry] =
     // one staging kernel (stageOccMulti); the single anonymous stats
     // range is just its named form folded back into the legacy slot
-    stageOccMulti(s, root, df, statsCol.toSeq).map { e =>
-      statsCol match {
-        case Some(c) => e.copy(
-          stats = e.multi.find(_._1 == c).map { case (_, lo, hi) => (lo, hi) },
-          multi = Nil)
-        case None => e
-      }
+    stageOccMulti(s, root, df, statsCol.toSeq).map(foldLegacyStats(_, statsCol))
+
+  /** Fold a single named zone range back into the legacy anonymous
+    * `stats` slot — the ONE definition of how a declared `statsCol`
+    * lands on an entry, shared by [[stageOcc]] and external stagers
+    * (the catalog's row-level BatchWrite).
+    */
+  def foldLegacyStats(e: ManifestEntry, statsCol: Option[String]): ManifestEntry =
+    statsCol match {
+      case Some(c) => e.copy(
+        stats = e.multi.find(_._1 == c).map { case (_, lo, hi) => (lo, hi) },
+        multi = Nil)
+      case None => e
     }
 
   /** Optimistic concurrency, phase 2 — the metadata commit, under the
@@ -936,7 +942,9 @@ object Snapshots {
     * maps the entry carries. Pure manifest read.
     */
   def metaFiles(s: SparkSession, root: Path, n: Int): DataFrame = {
-    val rows = manifest(root, n).map { e =>
+    // n <= 0 = "no snapshot yet": an empty listing, not an error (the
+    // catalog's `t.files` on a created-but-never-written table)
+    val rows = (if (n <= 0) Nil else manifest(root, n)).map { e =>
       Row(e.relPath, if (isDelete(e)) "delete" else "data", e.seq.toLong, e.bytes,
         e.md5, e.stats.map(_._1).orNull, e.stats.map(_._2).orNull,
         e.multi.size.toLong)

@@ -90,7 +90,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = nsPath(namespace)
-    if (namespace.nonEmpty && !JFiles.isDirectory(dir))
+    if (namespace.nonEmpty && (!JFiles.isDirectory(dir) || isTableDir(dir)))
       throw new NoSuchNamespaceException(name() +: namespace.toSeq)
     if (namespace.isEmpty) listNamespaces()
     else {
@@ -116,6 +116,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(namespace) && namespace.nonEmpty)
       throw new NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
+    if (JFiles.exists(nsPath(namespace))) throw new IllegalArgumentException(
+      s"cannot CREATE NAMESPACE ${namespace.mkString(".")}: a table with this name exists")
     JFiles.createDirectories(nsPath(namespace))
   }
 
@@ -161,6 +163,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tablePath(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
+    if (JFiles.exists(dir)) throw new IllegalArgumentException(
+      s"cannot CREATE TABLE ${ident}: a namespace directory with this name exists " +
+        "(dropping a marker into it would orphan its child tables)")
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
     JFiles.createDirectories(dir)
@@ -203,9 +208,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (ident.namespace().nonEmpty && isTableDir(base)) {
         val df = ident.name().toLowerCase match {
           case "snapshots" => Snapshots.metaSnapshots(spark, base)
-          case "files" => Snapshots.metaFiles(spark, base,
-            Snapshots.currentId(base).getOrElse(throw new NoSuchTableException(
-              name() +: ident.namespace().toSeq :+ ident.name())))
+          case "files" => Snapshots.currentId(base) match {
+            case Some(cur) => Snapshots.metaFiles(spark, base, cur)
+            // a created-but-never-written table has no snapshot: its
+            // file listing is EMPTY, not "table not found"
+            case None => Snapshots.metaFiles(spark, base, 0).limit(0)
+          }
           case "refs" => Snapshots.metaRefs(spark, base)
           case _ => throw new NoSuchTableException(
             name() +: ident.namespace().toSeq :+ ident.name())
@@ -258,9 +266,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
     // Spark passes RENAME TO's multipart name through verbatim — a user
     // writing the catalog-qualified form (`RENAME TO cat.ns.t`) arrives
-    // with the catalog name embedded in the namespace; strip it
+    // with the catalog name embedded in the namespace; strip it ONLY
+    // when the verbatim namespace does not itself resolve (a real
+    // namespace that happens to share the catalog's name wins)
     val newIdent =
-      if (newIdent0.namespace().headOption.contains(name()))
+      if (newIdent0.namespace().headOption.contains(name()) &&
+          !namespaceExists(newIdent0.namespace()))
         Identifier.of(newIdent0.namespace().drop(1), newIdent0.name())
       else newIdent0
     val from = tablePath(oldIdent)
@@ -283,10 +294,32 @@ object GraftCatalog {
     */
   private[sources] val Marker = "_table"
 
+  // property VALUES may carry newlines/backslashes (they're durable
+  // metadata — a mis-parse could shift `statscol` and change pruning);
+  // escape them line-safe. Keys are identifiers: '=', newline refused.
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+  private def unesc(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) {
+        v(i + 1) match {
+          case 'n' => sb += '\n'; case 'r' => sb += '\r'
+          case c => sb += c
+        }
+        i += 2
+      } else { sb += v(i); i += 1 }
+    }
+    sb.toString
+  }
+
   private[sources] def writeMarker(dir: JPath, schema: StructType,
                                    props: Map[String, String]): Unit = {
-    val body = (schema.json +: props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
-      .mkString("\n")
+    props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"table property key '$k' may not contain '=' or newlines"))
+    val body = (schema.json +: props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${esc(v)}" }).mkString("\n")
     val tmp = JFiles.createTempFile(dir, ".table", ".tmp")
     JFiles.write(tmp, body.getBytes("UTF-8"))
     JFiles.move(tmp, dir.resolve(Marker), StandardCopyOption.ATOMIC_MOVE,
@@ -299,7 +332,7 @@ object GraftCatalog {
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
       .asInstanceOf[StructType]
     val props = lines.tail.filter(_.contains("=")).map { l =>
-      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      val i = l.indexOf('='); l.substring(0, i) -> unesc(l.substring(i + 1))
     }.toMap
     (schema, props)
   }
@@ -406,8 +439,16 @@ final class GraftTable(
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 ov: Boolean): Unit = {
-              val append = !(overwrite || ov) && Snapshots.currentId(store).isDefined
-              Snapshots.publishLocked(spark, store, data, append, statsCol)
+              if (overwrite || ov)
+                Snapshots.publishLocked(spark, store, data, append = false, statsCol)
+              else
+                // OCC append: founds the table if no snapshot exists and
+                // REBASES onto whatever is latest at commit time, so two
+                // concurrent first INSERT INTOs both land (an
+                // append-vs-found decision taken outside the lock would
+                // let the second founding commit silently replace the
+                // first's manifest)
+                Snapshots.publishOcc(spark, store, data, statsCol)
             }
           }
       }

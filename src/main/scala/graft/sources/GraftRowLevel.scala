@@ -202,23 +202,32 @@ private[sources] final class SurgicalReplaceWrite(
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages) // task files land in stagingDir
       val staged = Snapshots.entriesForStagedDir(spark, store, stagingDir,
-        statsCol.toSeq).map { e =>
-        statsCol match { // fold the named range into the legacy stats slot
-          case Some(c) => e.copy(
-            stats = e.multi.find(_._1 == c).map { case (_, lo, hi) => (lo, hi) },
-            multi = Nil)
-          case None => e
-        }
-      }
+        statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
       val replaced = replacedFn().map(_.relPath).toSet
       val untouched = baseEntries.filterNot(e => replaced(e.relPath))
       // an empty-file-only stage replacing nothing is a provable no-op
       // (e.g. an UPDATE whose pruned scan read zero files): skip the
-      // commit entirely rather than appending schema-only crumbs
-      val stagedRows =
+      // commit entirely rather than appending schema-only crumbs. Row
+      // counts come from the tasks' own write stats — not a second scan
+      // of freshly written data (a whole extra job per statement); if
+      // any message shape is unrecognized, fall back to counting rather
+      // than risk discarding a merge's inserted rows on a miscounted 0
+      val statsRows: Option[Long] = {
+        val per = messages.toSeq.map {
+          case r: org.apache.spark.sql.execution.datasources.WriteTaskResult =>
+            Some(r.summary.stats.collect {
+              case b: org.apache.spark.sql.execution.datasources.BasicWriteTaskStats =>
+                b.numRows
+            }.sum)
+          case _ => None
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+      val stagedRows: Long = statsRows.getOrElse {
         if (staged.isEmpty) 0L
         else spark.read.parquet(
           staged.map(e => store.resolve(e.relPath).toString): _*).count()
+      }
       if (replaced.isEmpty && stagedRows == 0) {
         Snapshots.discardStaged(store, staged)
         return

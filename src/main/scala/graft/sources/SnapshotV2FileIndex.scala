@@ -29,8 +29,7 @@ final class SnapshotV2FileIndex(
     val snapshotId: Int,
     entries: Seq[ManifestEntry],
     userSchema: Option[StructType],
-    statsCol: Option[String],
-    onList: Seq[ManifestEntry] => Unit = _ => ())
+    statsCol: Option[String])
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
     Map.empty, userSchema) {
@@ -68,7 +67,6 @@ final class SnapshotV2FileIndex(
     val cs = dataFilters.flatMap(SnapshotPruning.constraintsOf)
     val kept = if (cs.isEmpty) entries
       else entries.filterNot(SnapshotPruning.skippable(root, _, cs, statsCol, bloomOf))
-    onList(kept) // row-level operations record the replaced group set
     Seq(PartitionDirectory(InternalRow.empty,
       kept.map(SnapshotPruning.statusWithMetadata(root, _))))
   }

@@ -459,6 +459,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("review fixes: concurrent first INSERTs, name collisions, marker escaping, empty meta") {
+    val (cat, root) = freshCatalog()
+    try {
+      // (1) two concurrent FIRST inserts on a fresh table must BOTH land
+      // (the append-vs-found decision is OCC, not a TOCTOU outside the lock)
+      s.sql(s"CREATE TABLE $cat.race (k BIGINT)")
+      val ts = Seq(0L, 1000L).map { base =>
+        val t = new Thread(() =>
+          s.sql(s"INSERT INTO $cat.race SELECT id + $base FROM range(0, 100)"))
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      assert(s.sql(s"SELECT count(*) FROM $cat.race").head.getLong(0) == 200,
+        "a concurrent founding INSERT was silently replaced")
+      // (2) CREATE TABLE over an existing namespace (and vice versa) refuses
+      s.sql(s"CREATE NAMESPACE $cat.gold")
+      s.sql(s"CREATE TABLE $cat.gold.t (k BIGINT)")
+      intercept[Exception] { s.sql(s"CREATE TABLE $cat.gold (k BIGINT)") }
+      assert(s.sql(s"SHOW TABLES IN $cat.gold").count() == 1, "namespace survived")
+      intercept[Exception] { s.sql(s"CREATE NAMESPACE $cat.race") }
+      // (3) SHOW NAMESPACES IN a table is not-a-namespace, not store internals
+      intercept[Exception] { s.sql(s"SHOW NAMESPACES IN $cat.race").collect() }
+      // (4) property values with newlines/backslashes round-trip the marker
+      s.sql(s"ALTER TABLE $cat.race SET TBLPROPERTIES ('note'='a\nb=c\\\\d')")
+      val (_, props) = GraftCatalog.readMarker(root.resolve("race"))
+      assert(props("note") == "a\nb=c\\d", s"marker mangled: ${props.get("note")}")
+      // (5) metadata suffixes on a created-but-never-written table
+      s.sql(s"CREATE TABLE $cat.fresh (k BIGINT)")
+      assert(s.sql(s"SELECT * FROM $cat.fresh.files").count() == 0)
+      assert(s.sql(s"SELECT * FROM $cat.fresh.snapshots").count() == 0)
+    } finally rm(root)
+  }
+
   test("concurrent UPDATEs: one commits, the loser fails loudly, state is never torn") {
     // Row-level rewrites claim OccSurgical(base): any base advance is a
     // conflict because the untouched carry was computed against that
