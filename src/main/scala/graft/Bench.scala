@@ -64,7 +64,7 @@ object Bench {
     // its own create+insert setup, so envelopes price the whole statement
     // path, not just the operator
     "catalog_sql", "catalog_prune", "catalog_delete", "catalog_update",
-    "catalog_merge", "stream_catalog_source", "catalog_meta")
+    "catalog_merge", "stream_catalog_source", "catalog_meta", "catalog_call")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,6 +94,7 @@ object SparkEntry {
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
+    "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
@@ -546,6 +547,7 @@ object SparkEntry {
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
+    "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,

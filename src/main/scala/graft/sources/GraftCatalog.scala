@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * IS the catalog (exactly the reference's release-tree discipline,
   * Base.pm:123-144).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: JPath = _
@@ -77,6 +78,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def isTableDir(p: JPath): Boolean =
     JFiles.exists(p.resolve(GraftCatalog.Marker))
+
+  // ---- maintenance procedures: CALL cat.system.<proc>(...) ----
+
+  private def resolveTableArg(tbl: String): JPath = {
+    val parts = tbl.split('.')
+    val dir = parts.foldLeft(root)(_.resolve(_))
+    if (!isTableDir(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(name() +: parts.toSeq)
+    dir
+  }
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under the 'system' namespace: CALL ${name()}.system.<proc>(...)")
+    GraftProcedures.load(ident.name(), resolveTableArg)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- namespaces ----
 

@@ -473,6 +473,68 @@ object GraftCatalogQueries {
     } finally rm(root)
   }
 
+  /** Query `catalog_call`: the maintenance procedures under the oracle —
+    * a compaction CALL rewrites the layout (in-query: strictly fewer
+    * files, one committed snapshot id returned to SQL), a DELETE mutates,
+    * a rollback CALL re-points the table at the pre-delete snapshot, and
+    * a tag created by CALL reads via VERSION AS OF. The oracle restates
+    * the three observed states from the source table: compaction is
+    * layout-only (identical rows), rollback is exact restoration, the
+    * tag pins what it named.
+    */
+  def catalogCall(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val compacted = s.sql(
+        s"CALL $cat.system.compact(tbl => 'orders', target_files => 2, statscol => 'o_orderkey')")
+        .head.getInt(0)
+      require(compacted == 2 && Snapshots.manifest(store, 2).size < Snapshots.manifest(store, 1).size,
+        "compaction did not shrink the file count")
+      s.sql(s"CALL $cat.system.create_tag(tbl => 'orders', name => 'compacted', snapshot_id => 2)")
+      s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 3 = 0")
+      val rolled = s.sql(
+        s"CALL $cat.system.rollback(tbl => 'orders', snapshot_id => $compacted)").head.getInt(0)
+      require(rolled == compacted, s"rollback returned $rolled")
+      val out = Seq(
+        ("rolled_back", s"SELECT * FROM $cat.orders"),
+        ("post_delete", s"SELECT * FROM $cat.orders VERSION AS OF 3"),
+        ("tag", s"SELECT * FROM $cat.orders VERSION AS OF 'compacted'")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogCallOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'rolled_back' AS state, o_orderstatus, cents FROM b
+      UNION ALL SELECT 'post_delete', o_orderstatus, cents FROM b WHERE k % 3 <> 0
+      UNION ALL SELECT 'tag', o_orderstatus, cents FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   val catalogMetaOracleSql: String = """
     WITH b AS (SELECT o_orderkey AS k,
         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -568,6 +568,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("CALL procedures: compact, zorder, tags, rollback, expire, blooms from SQL") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.pt (k BIGINT, g BIGINT) TBLPROPERTIES ('statscol'='k')")
+      s.range(0, 4000).select(col("id").as("k"), (col("id") % 50).as("g"))
+        .repartitionByRange(8, col("k")).writeTo(s"$cat.pt").append()
+      s.sql(s"INSERT INTO $cat.pt SELECT id, id % 50 FROM range(4000, 5000)")
+      val store = root.resolve("pt")
+      val before = Snapshots.manifest(store, 2).size
+      // compact: fewer files, same rows, one committed snapshot returned
+      val c = s.sql(s"CALL $cat.system.compact(tbl => 'pt', target_files => 2, " +
+        "statscol => 'k')").head
+      assert(c.getInt(0) == 3 && Snapshots.manifest(store, 3).size < before)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 5000)
+      // tag + rollback + adopt choreography
+      s.sql(s"CALL $cat.system.create_tag(tbl => 'pt', name => 'full', snapshot_id => 3)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt.refs").head.getLong(0) == 1)
+      s.sql(s"DELETE FROM $cat.pt WHERE k < 1000")
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 4000)
+      val rb = s.sql(s"CALL $cat.system.rollback(tbl => 'pt', snapshot_id => 3)").head
+      assert(rb.getInt(0) == 3)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 5000,
+        "rollback must restore the pre-delete state")
+      // z-order re-layout: still 5000 rows, zone maps carry both columns
+      val z = s.sql(s"CALL $cat.system.zorder(tbl => 'pt', target_files => 4, " +
+        "c1 => 'k', c2 => 'g')").head
+      assert(z.getInt(0) > 3)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 5000)
+      // blooms for point lookups; expire old history (tag pins snapshot 3)
+      val b = s.sql(s"CALL $cat.system.build_blooms(tbl => 'pt', key_col => 'k')").head
+      assert(b.getInt(0) > 0, "no bloom sidecars built")
+      val ex = s.sql(s"CALL $cat.system.expire(tbl => 'pt', keep_from => ${z.getInt(0)})").head
+      assert(ex.getInt(0) > 0, "expire reclaimed nothing")
+      // the tag still reads whole after GC (refs pin history)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt VERSION AS OF 'full'").head.getLong(0) == 5000)
+      // unknown procedure refuses with the available list
+      val e = intercept[Exception] {
+        s.sql(s"CALL $cat.system.vacuum(tbl => 'pt')").collect()
+      }
+      assert(e.getMessage.contains("no procedure") || e.getMessage.contains("vacuum"))
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
