@@ -611,6 +611,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("statement odds and ends: TRUNCATE TABLE, SHOW TBLPROPERTIES, DESCRIBE") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.od (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('statscol'='k', 'owner.team'='data')")
+      s.sql(s"INSERT INTO $cat.od SELECT id, 'x' FROM range(0, 25)")
+      // TRUNCATE routes through SupportsDelete.truncateTable (AlwaysTrue
+      // delete): table empties, history stays time-travelable
+      s.sql(s"TRUNCATE TABLE $cat.od")
+      assert(s.sql(s"SELECT count(*) FROM $cat.od").head.getLong(0) == 0)
+      assert(s.sql(s"SELECT count(*) FROM $cat.od VERSION AS OF 1").head.getLong(0) == 25)
+      val props = s.sql(s"SHOW TBLPROPERTIES $cat.od").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("statscol").contains("k") && props.get("owner.team").contains("data"),
+        s"properties missing: $props")
+      val desc = s.sql(s"DESCRIBE TABLE $cat.od").collect().map(_.getString(0)).toSeq
+      assert(desc.contains("k") && desc.contains("v"), s"DESCRIBE lost columns: $desc")
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
