@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Base.pm:123-144).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: JPath = _
@@ -78,6 +78,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def isTableDir(p: JPath): Boolean =
     JFiles.exists(p.resolve(GraftCatalog.Marker))
+
+  // ---- atomic CTAS / RTAS: StagingTableCatalog ----
+
+  /** Store-internal child dirs a crashed staged-CTAS leaves behind — a
+    * dir containing ONLY these (and no `_table` marker) is reclaimable
+    * by a new CREATE; anything else is presumed a namespace.
+    */
+  private def onlyStoreInternals(dir: JPath): Boolean = {
+    val l = JFiles.list(dir)
+    try l.iterator().asScala.forall { p =>
+      val n = p.getFileName.toString
+      n == "data" || n == "manifests" || n == "refs" || n == "deletes" ||
+        n == "_current" || n.startsWith(".")
+    } finally l.close()
+  }
+
+  private def stageTable(ident: Identifier, schema: StructType,
+                         partitions: Array[Transform],
+                         properties: util.Map[String, String],
+                         replace: Boolean, orCreate: Boolean): StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are not partitioned at CREATE time")
+    val dir = tablePath(ident)
+    val existsAsTable = isTableDir(dir)
+    if (!replace && existsAsTable) throw new TableAlreadyExistsException(
+      (name() +: ident.namespace().toSeq :+ ident.name()))
+    if (replace && !orCreate && !existsAsTable) throw new NoSuchTableException(
+      name() +: ident.namespace().toSeq :+ ident.name())
+    if (!existsAsTable && JFiles.exists(dir) && !onlyStoreInternals(dir))
+      throw new IllegalArgumentException(
+        s"cannot stage CREATE TABLE ${ident}: a namespace directory with this name exists")
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
+    val createdDir = !JFiles.exists(dir)
+    JFiles.createDirectories(dir)
+    val keep = properties.asScala.filter { case (k, _) =>
+      !k.startsWith("option.") && k != TableCatalog.PROP_PROVIDER &&
+        k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_EXTERNAL &&
+        k != TableCatalog.PROP_LOCATION
+    }.toMap
+    new GraftStagedTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
+      dir, schema, keep, replace = existsAsTable, createdDir)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    stageTable(ident, schema, partitions, properties, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    stageTable(ident, schema, partitions, properties, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stageTable(ident, schema, partitions, properties, replace = true, orCreate = true)
 
   // ---- maintenance procedures: CALL cat.system.<proc>(...) ----
 
@@ -582,6 +640,87 @@ final class GraftTable(
   }
 
   override def toString: String = s"GraftTable(${name()} @ $store pin=$pin)"
+}
+
+/** The staged table behind atomic `CREATE/REPLACE TABLE ... AS SELECT`
+  * (and `writeTo(...).create()/createOrReplace()`): the SELECT's data
+  * stages into the store's writer-unique OCC dir while the table's
+  * existence bit — the `_table` marker — lands only in
+  * [[commitStagedChanges]]:
+  *
+  *  - CTAS: the data pointer commits first (a store with no marker is
+  *    not a table — invisible), then the marker rename makes the table
+  *    appear FULLY POPULATED in one atomic step; a reader can never see
+  *    a created-but-empty table, and a failed job leaves no table at
+  *    all (abort reclaims staging and removes a dir it created).
+  *  - RTAS: the staged data lands as one OCC rewrite commit against the
+  *    base validated under the writer lock (a concurrent commit
+  *    conflicts loudly — never silently dropped), the marker updates to
+  *    the new schema after; history stays time-travelable across the
+  *    replace. A reader always sees either the complete old table or
+  *    the complete new one — never the no-table window of the
+  *    non-staging drop-then-recreate path.
+  */
+final class GraftStagedTable(
+    spark: SparkSession,
+    fullName: Seq[String],
+    store: JPath,
+    declared: StructType,
+    props: Map[String, String],
+    replace: Boolean,
+    createdDir: Boolean) extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Seq[Snapshots.ManifestEntry] = Nil
+  @volatile private var wrote = false
+
+  override def name(): String = fullName.mkString(".")
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // RTAS truncates by definition
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ov: Boolean): Unit = {
+              staged = Snapshots.stageOcc(spark, store, data, props.get("statscol"))
+              wrote = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    require(wrote, s"staged table ${name()} committed before its query wrote")
+    if (replace) {
+      val base = Snapshots.currentId(store)
+      base match {
+        case Some(b) => Snapshots.commitOcc(store, staged, Snapshots.OccRewrite(b))
+        case None    => Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
+      }
+      GraftCatalog.writeMarker(store, declared, props)
+    } else {
+      // data pointer first (markerless store = not a table), marker last:
+      // the table appears fully populated in one rename
+      Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
+      GraftCatalog.writeMarker(store, declared, props)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    Snapshots.discardStaged(store, staged)
+    if (createdDir && !JFiles.exists(store.resolve(GraftCatalog.Marker))) {
+      // we made this dir and never published a marker: remove the husk
+      // ONLY if nothing else landed meanwhile (a concurrent real table)
+      try GraftCatalog.rmTree(store) catch { case _: Exception => () }
+    }
+  }
+
+  override def toString: String = s"GraftStagedTable(${name()} replace=$replace)"
 }
 
 /** A read-only metadata relation of a catalog table (`t.snapshots`,

@@ -631,6 +631,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("atomic CTAS / RTAS: marker-at-commit, no no-table window, abort leaves nothing") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.ct AS SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.ct").head.getLong(0) == 100)
+      // RTAS: schema may change; history stays time-travelable
+      s.sql(s"REPLACE TABLE $cat.ct AS SELECT id AS k FROM range(0, 7)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.ct").head.getLong(0) == 7)
+      assert(s.sql(s"SELECT * FROM $cat.ct").columns.toSeq == Seq("k"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.ct VERSION AS OF 1").head.getLong(0) == 100,
+        "RTAS must keep history time-travelable, not drop-and-recreate")
+      // a failing CTAS must leave NO table and no husk directory
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.boom AS " +
+          "SELECT assert_true(id < 5, 'boom') AS a, id FROM range(0, 100000)")
+      }
+      assert(!s.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).contains("boom"),
+        "failed CTAS left a table behind")
+      assert(!Files.exists(root.resolve("boom")), "failed CTAS left a husk dir")
+      // writeTo.createOrReplace goes through the same staged path
+      s.range(0, 9).select(col("id").as("k")).writeTo(s"$cat.ct").createOrReplace()
+      assert(s.sql(s"SELECT count(*) FROM $cat.ct").head.getLong(0) == 9)
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
