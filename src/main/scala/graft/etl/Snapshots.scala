@@ -546,6 +546,19 @@ object Snapshots {
     math.max(manifestIdsOnDisk(root).foldLeft(0)(math.max),
       currentId(root).getOrElse(0)) + 1
 
+  /** Re-point `_current` at an EXISTING manifest — rollback (or
+    * roll-forward) as pure metadata, the reference's re-adopt-an-old-
+    * release move. Runs under the writer lock like every pointer move:
+    * an unlocked rewrite could silently erase a commit that landed
+    * between a pointer read and the rename, or rewind the streaming
+    * batch watermark and double-ingest a replayed micro-batch.
+    */
+  def rollback(root: Path, id: Int): Int = withWriterLock(root) {
+    manifest(root, id) // throws loudly if the manifest does not exist
+    commit(root, id, lastBatchId(root))
+    id
+  }
+
   /** stage + commit, optimistically: concurrent callers overlap their
     * entire data-write phase and serialize only on the tiny metadata
     * commit. Appends never conflict — every interleaving commits every

@@ -87,10 +87,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def onlyStoreInternals(dir: JPath): Boolean = {
     val l = JFiles.list(dir)
+    // name AND shape: a real table named `data` under a namespace would
+    // match by name alone — store internals never carry table markers
     try l.iterator().asScala.forall { p =>
       val n = p.getFileName.toString
-      n == "data" || n == "manifests" || n == "refs" || n == "deletes" ||
-        n == "_current" || n.startsWith(".")
+      (n == "data" || n == "manifests" || n == "refs" || n == "deletes" ||
+        n == "_current" || n.startsWith(".")) &&
+        !(JFiles.isDirectory(p) && isTableDir(p))
     } finally l.close()
   }
 
@@ -111,13 +114,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"cannot stage CREATE TABLE ${ident}: a namespace directory with this name exists")
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
-    val createdDir = !JFiles.exists(dir)
-    JFiles.createDirectories(dir)
     val keep = properties.asScala.filter { case (k, _) =>
       !k.startsWith("option.") && k != TableCatalog.PROP_PROVIDER &&
         k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_EXTERNAL &&
         k != TableCatalog.PROP_LOCATION
     }.toMap
+    // fail on bad property keys NOW, before ANY filesystem effect: the
+    // marker write rejecting them AFTER the data committed would leave
+    // an abort path no choice but to hurt something
+    GraftCatalog.validatePropertyKeys(keep)
+    val createdDir = !JFiles.exists(dir)
+    JFiles.createDirectories(dir)
+    if (!existsAsTable) {
+      // exclusive CTAS claim: two racing CREATE ... AS SELECT would both
+      // pass the marker check, stage into ONE store, and OccAppend-merge
+      // their rows — the claim file makes the second fail at stage time.
+      // A crashed claim blocks later CTAS until the husk is dropped.
+      try JFiles.createFile(dir.resolve(GraftCatalog.CtasClaim))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(
+            (name() +: ident.namespace().toSeq :+ ident.name()))
+      }
+    }
     new GraftStagedTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
       dir, schema, keep, replace = existsAsTable, createdDir)
   }
@@ -141,6 +160,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def resolveTableArg(tbl: String): JPath = {
     val parts = tbl.split('.')
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && p != ".." && !p.contains('/') && !p.contains('\\')),
+      s"illegal table reference '$tbl': segments must be plain identifiers " +
+        "(a traversal could reach a store outside this catalog's root)")
     val dir = parts.foldLeft(root)(_.resolve(_))
     if (!isTableDir(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(name() +: parts.toSeq)
@@ -199,6 +222,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
     if (JFiles.exists(nsPath(namespace))) throw new IllegalArgumentException(
       s"cannot CREATE NAMESPACE ${namespace.mkString(".")}: a table with this name exists")
+    // no ancestor may be a table: a namespace planted INSIDE a table's
+    // store would pollute it and die silently with the table's DROP
+    namespace.inits.drop(1).filter(_.nonEmpty).foreach { anc =>
+      if (isTableDir(nsPath(anc))) throw new IllegalArgumentException(
+        s"cannot CREATE NAMESPACE ${namespace.mkString(".")}: " +
+          s"'${anc.mkString(".")}' is a table")
+    }
     JFiles.createDirectories(nsPath(namespace))
   }
 
@@ -244,6 +274,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tablePath(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
+    if (JFiles.exists(dir.resolve(GraftCatalog.CtasClaim)))
+      throw new TableAlreadyExistsException(
+        (name() +: ident.namespace().toSeq :+ ident.name()))
     if (JFiles.exists(dir)) throw new IllegalArgumentException(
       s"cannot CREATE TABLE ${ident}: a namespace directory with this name exists " +
         "(dropping a marker into it would orphan its child tables)")
@@ -375,6 +408,13 @@ object GraftCatalog {
     */
   private[sources] val Marker = "_table"
 
+  /** Exclusive in-flight CTAS claim (see stageTable). */
+  private[sources] val CtasClaim = ".ctas-claim"
+
+  private[sources] def validatePropertyKeys(props: Map[String, String]): Unit =
+    props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"table property key '$k' may not contain '=' or newlines"))
+
   // property VALUES may carry newlines/backslashes (they're durable
   // metadata — a mis-parse could shift `statscol` and change pruning);
   // escape them line-safe. Keys are identifiers: '=', newline refused.
@@ -397,8 +437,7 @@ object GraftCatalog {
 
   private[sources] def writeMarker(dir: JPath, schema: StructType,
                                    props: Map[String, String]): Unit = {
-    props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
-      s"table property key '$k' may not contain '=' or newlines"))
+    validatePropertyKeys(props)
     val body = (schema.json +: props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=${esc(v)}" }).mkString("\n")
     val tmp = JFiles.createTempFile(dir, ".table", ".tmp")
@@ -655,11 +694,12 @@ final class GraftTable(
   *    all (abort reclaims staging and removes a dir it created).
   *  - RTAS: the staged data lands as one OCC rewrite commit against the
   *    base validated under the writer lock (a concurrent commit
-  *    conflicts loudly — never silently dropped), the marker updates to
-  *    the new schema after; history stays time-travelable across the
-  *    replace. A reader always sees either the complete old table or
-  *    the complete new one — never the no-table window of the
-  *    non-staging drop-then-recreate path.
+  *    conflicts loudly — never silently dropped); history stays
+  *    time-travelable across the replace, and there is never the
+  *    no-table window of the non-staging drop-then-recreate path. The
+  *    ROWS swap atomically; a schema-CHANGING replace updates the
+  *    declared marker in a second rename — see commitStagedChanges for
+  *    the documented reader-visible window and its repair.
   */
 final class GraftStagedTable(
     spark: SparkSession,
@@ -702,17 +742,29 @@ final class GraftStagedTable(
         case Some(b) => Snapshots.commitOcc(store, staged, Snapshots.OccRewrite(b))
         case None    => Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
       }
+      // the data files now belong to the table's current manifest: a
+      // late failure (marker write) must never let abort delete them
+      staged = Nil
+      // NOTE: rows commit atomically in the pointer rename above; a
+      // schema-CHANGING replace's marker follows in a second rename.
+      // A reader in that window (or after a crash between the two)
+      // sees the NEW rows under the OLD declared schema — missing
+      // columns surface as NULL, extra declared columns read NULL;
+      // re-running the statement (or ALTER TABLE) repairs the marker.
       GraftCatalog.writeMarker(store, declared, props)
     } else {
       // data pointer first (markerless store = not a table), marker last:
       // the table appears fully populated in one rename
       Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
+      staged = Nil
       GraftCatalog.writeMarker(store, declared, props)
+      JFiles.deleteIfExists(store.resolve(GraftCatalog.CtasClaim))
     }
   }
 
   override def abortStagedChanges(): Unit = {
-    Snapshots.discardStaged(store, staged)
+    Snapshots.discardStaged(store, staged) // Nil after a successful commit
+    JFiles.deleteIfExists(store.resolve(GraftCatalog.CtasClaim))
     if (createdDir && !JFiles.exists(store.resolve(GraftCatalog.Marker))) {
       // we made this dir and never published a marker: remove the husk
       // ONLY if nothing else landed meanwhile (a concurrent real table)

@@ -57,7 +57,11 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField("snapshot_id", IntegerType),
         StructField("conflicts_survived", IntegerType))),
       (s, store, in) => {
-        val statsCol = if (in.isNullAt(2)) None else Some(str(in, 2))
+        // default = the table's durable 'statscol' property: omitting
+        // the redundant argument must not silently strip zone maps
+        val statsCol =
+          if (in.isNullAt(2)) GraftCatalog.readMarker(store)._2.get("statscol")
+          else Some(str(in, 2))
         val (id, conflicts) =
           Snapshots.compactOcc(s, store, in.getInt(1), statsCol)
         Seq(Row(id, conflicts))
@@ -103,15 +107,7 @@ private[sources] object GraftProcedures {
     Spec("rollback",
       Seq(p("tbl", StringType), p("snapshot_id", IntegerType)),
       StructType(Seq(StructField("current", IntegerType))),
-      (s, store, in) => {
-        // re-point `_current` at an EXISTING manifest: pure metadata,
-        // nothing rewritten, roll-forward = rollback to a later id.
-        // (The branch-adoption route does the same with a named ref.)
-        val id = in.getInt(1)
-        Snapshots.manifest(store, id) // throws loudly if absent
-        Snapshots.commit(store, id, Snapshots.lastBatchId(store))
-        Seq(Row(id))
-      }),
+      (s, store, in) => Seq(Row(Snapshots.rollback(store, in.getInt(1))))),
     Spec("build_blooms",
       Seq(p("tbl", StringType), p("key_col", StringType),
         pDefault("est_items", LongType, "262144")),
@@ -148,11 +144,13 @@ private[sources] object GraftProcedures {
       val spark = SparkSession.active
       val store = resolveTable(str(input, 0))
       val rows = body(spark, store, input)
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out)
-      val collected = df.queryExecution.executedPlan.executeCollect().map(_.copy())
+      // driver-local conversion: a LocalScan exists precisely so a
+      // handful of result rows never costs a Spark job
+      val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(out)
+      val converted = rows.map(r => toCatalyst(r).asInstanceOf[InternalRow]).toArray
       val scan: Scan = new LocalScan {
-        override def rows(): Array[InternalRow] = collected
+        override def rows(): Array[InternalRow] = converted
         override def readSchema(): StructType = out
         override def description(): String = s"GraftProcedure($procName)"
       }

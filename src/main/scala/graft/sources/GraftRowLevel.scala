@@ -215,10 +215,14 @@ private[sources] final class SurgicalReplaceWrite(
       val statsRows: Option[Long] = {
         val per = messages.toSeq.map {
           case r: org.apache.spark.sql.execution.datasources.WriteTaskResult =>
-            Some(r.summary.stats.collect {
+            val counts = r.summary.stats.collect {
               case b: org.apache.spark.sql.execution.datasources.BasicWriteTaskStats =>
                 b.numRows
-            }.sum)
+            }
+            // a recognized message with NO basic stats must count as
+            // unrecognized, not as 0 — a phantom Some(0) would route a
+            // real write into the no-op discard branch
+            if (counts.nonEmpty) Some(counts.sum) else None
           case _ => None
         }
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None

@@ -656,6 +656,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("second review round: CTAS races, rollback lock, statscol default, traversal guard") {
+    val (cat, root) = freshCatalog()
+    try {
+      // (1) two racing CTAS of one name: exactly one table, holding exactly
+      // ONE query's rows (never an OccAppend merge of both SELECTs)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(7L, 1000L).map { base =>
+        val t = new Thread(() => {
+          try s.sql(s"CREATE TABLE $cat.race2 AS SELECT id + $base AS k FROM range(0, 50)")
+          catch { case e: Throwable => errs.add(e) }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val n = s.sql(s"SELECT count(*) FROM $cat.race2").head.getLong(0)
+      assert(n == 50, s"racing CTAS merged or lost rows: $n")
+      assert(errs.size() == 1, s"expected exactly one loser, got ${errs.size()}")
+      // (2) CALL compact WITHOUT statscol defaults to the table property —
+      // rewritten files keep their zone maps
+      s.sql(s"CREATE TABLE $cat.zc (k BIGINT) TBLPROPERTIES ('statscol'='k')")
+      s.range(0, 2000).select(col("id").as("k")).repartitionByRange(4, col("k"))
+        .writeTo(s"$cat.zc").append()
+      s.sql(s"CALL $cat.system.compact(tbl => 'zc', target_files => 2)")
+      assert(Snapshots.manifest(root.resolve("zc"), 2).forall(_.stats.isDefined),
+        "compact without statscol arg stripped the table's zone maps")
+      // (3) path traversal in a procedure's tbl argument refuses
+      intercept[Exception] {
+        s.sql(s"CALL $cat.system.expire(tbl => '../zc', keep_from => 1)").collect()
+      }
+      // (4) bad property keys fail at STAGE time, before any data commits
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.badp TBLPROPERTIES ('a=b'='x') AS SELECT 1 AS k")
+      }
+      assert(!Files.exists(root.resolve("badp")), "failed staging left a husk")
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
