@@ -30,7 +30,8 @@ final class GraftScanBuilder(
     statsCol: Option[String],
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val inner: ParquetScanBuilder = ParquetScanBuilder(
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
@@ -45,6 +46,16 @@ final class GraftScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
+
+  // MIN/MAX/COUNT straight from parquet footers when
+  // spark.sql.parquet.aggregatePushDown is on — pure delegation
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.pushAggregation(agg)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.supportCompletePushDown(agg)
 
   override def build(): Scan =
     new GraftScan(spark, store, inner.build(), tableSchema, statsCol, options)

@@ -693,6 +693,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("parquet aggregate pushdown delegates through the catalog scan") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.ap (k BIGINT)")
+      s.sql(s"INSERT INTO $cat.ap SELECT id FROM range(0, 1000)")
+      val prev = s.conf.getOption("spark.sql.parquet.aggregatePushdown")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val q = s.sql(s"SELECT min(k) mn, max(k) mx, count(*) c FROM $cat.ap")
+        val r = q.head
+        assert(r.getLong(0) == 0 && r.getLong(1) == 999 && r.getLong(2) == 1000)
+        // a footer-answered scan reads the AGGREGATE schema, not rows
+        val scan = scanOf(q).scan.asInstanceOf[GraftScan].parquet
+        assert(scan.readDataSchema.fieldNames.toSeq ==
+          Seq("min(k)", "max(k)", "count(*)"),
+          s"aggregation not pushed to parquet footers: ${scan.readDataSchema}")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.parquet.aggregatePushdown", v)
+          case None => s.conf.unset("spark.sql.parquet.aggregatePushdown")
+        }
+      }
+    } finally rm(root)
+  }
+
   test("catalog writes and layer writes interleave on one store") {
     val (cat, root) = freshCatalog()
     try {
