@@ -1136,6 +1136,22 @@ object Snapshots {
   private[graft] def bloomPath(root: Path, relPath: String): Path =
     root.resolve("blooms").resolve(relPath + ".bloom")
 
+  private[graft] def bloomColumnPath(root: Path): Path =
+    root.resolve("blooms").resolve("_column")
+
+  /** The single declared key column this store's bloom sidecars were
+    * built over, recorded by [[buildBlooms]] in `blooms/_column`. Bloom
+    * skipping is only sound for point constraints on THIS column — a
+    * k-bloom probed with another column's value can wrongly skip a file.
+    * Absent marker (no blooms ever built, or a pre-marker store) means
+    * "unknown" and every reader must treat sidecars as unusable.
+    */
+  def bloomColumn(root: Path): Option[String] = {
+    val p = bloomColumnPath(root)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
   /** Decoupled metadata maintenance: build a per-file Bloom filter over
     * `keyCol` for every data file of snapshot `n` that lacks one — the
     * POINT-lookup complement to the zone maps (a hash-distributed key
@@ -1150,28 +1166,53 @@ object Snapshots {
     */
   def buildBlooms(s: SparkSession, root: Path, n: Int, keyCol: String,
                   estItems: Long = 1L << 18, numBits: Long = 1L << 23): Int = {
+    // one declared key column per store, recorded in blooms/_column so
+    // readers can key bloom skipping the way zone skipping is keyed by
+    // the constraint's column — probing a k-bloom with another column's
+    // value would wrongly skip files
+    bloomColumn(root) match {
+      case Some(existing) if existing != keyCol =>
+        throw new IllegalArgumentException(
+          s"bloom sidecars under $root are keyed by '$existing'; " +
+          s"rebuilding over '$keyCol' would mix keys — expire sidecars first")
+      case Some(_) => ()
+      case None =>
+        Files.createDirectories(bloomColumnPath(root).getParent)
+        Files.write(bloomColumnPath(root), keyCol.getBytes("UTF-8"))
+    }
     val missing = manifest(root, n).filterNot(isDelete)
       .filterNot(e => Files.exists(bloomPath(root, e.relPath)))
     if (missing.isEmpty) return 0
     s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2)).toAggregateExpression(), "built-in")
-    val byFile = s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
+    // sidecars are written EXECUTOR-side: each aggregated (file → bloom)
+    // row lands as a file from the task that holds it, so a 10^6-file
+    // backfill never funnels 10^5 MiB of filter bytes through the driver
+    // — the driver ships only the relPath dictionary (strings)
+    val rootStr = root.toString
+    val relByName = missing.map(e =>
+      java.nio.file.Paths.get(e.relPath).getFileName.toString -> e.relPath).toMap
+    s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(call_function("graft_bloom_agg",
         col(keyCol).cast("long"), lit(estItems), lit(numBits)).as("bf"))
-      .collect()
-      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString -> r.getAs[Array[Byte]](1))
-      .toMap
-    missing.foreach { e =>
-      val fileName = java.nio.file.Paths.get(e.relPath).getFileName.toString
-      byFile.get(fileName).foreach { bytes =>
-        val p = bloomPath(root, e.relPath)
-        Files.createDirectories(p.getParent)
-        Files.write(p, bytes)
+      .foreach { r =>
+        val name = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString
+        relByName.get(name).foreach { rel =>
+          val p = java.nio.file.Paths.get(rootStr).resolve("blooms")
+            .resolve(rel + ".bloom")
+          Files.createDirectories(p.getParent)
+          // write-tmp + atomic rename keeps retried tasks idempotent:
+          // the sidecar appears whole or not at all, never truncated
+          val tmp = p.resolveSibling(
+            p.getFileName.toString + "." + java.util.UUID.randomUUID + ".tmp")
+          Files.write(tmp, r.getAs[Array[Byte]](1))
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
-    }
     missing.size
   }
 
@@ -1185,9 +1226,13 @@ object Snapshots {
                 keys: Seq[Long]): DataFrame = {
     require(keys.nonEmpty, "readPoint needs at least one probe key")
     val (datas, dels) = dataAndDeletes(root, n)
+    // sidecars answer membership for their DECLARED column only: a probe
+    // on any other column must not consult them (k-bloom probed with v's
+    // value can wrongly skip), and an unmarked store is unusable
+    val bloomsUsable = bloomColumn(root).contains(keyCol)
     val picked = datas.filter { e =>
       val p = bloomPath(root, e.relPath)
-      if (!Files.exists(p)) true // unknown: must read
+      if (!bloomsUsable || !Files.exists(p)) true // unknown: must read
       else {
         val in = Files.newInputStream(p)
         val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

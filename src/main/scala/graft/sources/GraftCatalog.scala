@@ -637,8 +637,9 @@ final class GraftTable(
       if (entries.isEmpty) return
       val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
       val bloomOf = SnapshotPruning.bloomLoader(store)
+      val bloomCol = SnapshotPruning.bloomColumn(store)
       val (cands, untouched) = entries.partition(e =>
-        cs.isEmpty || !SnapshotPruning.skippable(store, e, cs, statsCol, bloomOf))
+        cs.isEmpty || !SnapshotPruning.skippable(store, e, cs, statsCol, bloomCol, bloomOf))
       if (cands.isEmpty) return // every file provably predicate-free
       val tableSchema = schema
       val raw = spark.read.option("mergeSchema", "true")

@@ -138,8 +138,9 @@ private[sources] final class GroupScanBuilder(
     val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
     if (cs.nonEmpty) {
       val bloomOf = SnapshotPruning.bloomLoader(store)
+      val bloomCol = SnapshotPruning.bloomColumn(store)
       kept = baseEntries.filterNot(
-        SnapshotPruning.skippable(store, _, cs, statsCol, bloomOf))
+        SnapshotPruning.skippable(store, _, cs, statsCol, bloomCol, bloomOf))
     }
     filters // all residual: evaluated row-level by the rewrite query
   }

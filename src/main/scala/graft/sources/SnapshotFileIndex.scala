@@ -60,12 +60,13 @@ final class SnapshotFileIndex(
   override def refresh(): Unit = () // a snapshot is immutable by contract
 
   private val bloomOf = SnapshotPruning.bloomLoader(root)
+  private val bloomCol = SnapshotPruning.bloomColumn(root)
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val cs = dataFilters.flatMap(SnapshotPruning.constraintsOf)
     val kept = if (cs.isEmpty) entries
-      else entries.filterNot(SnapshotPruning.skippable(root, _, cs, statsCol, bloomOf))
+      else entries.filterNot(SnapshotPruning.skippable(root, _, cs, statsCol, bloomCol, bloomOf))
     Seq(PartitionDirectory(InternalRow.empty,
       kept.map(SnapshotPruning.statusWithMetadata(root, _))))
   }

@@ -124,22 +124,27 @@ private[sources] object SnapshotPruning {
   }
 
   /** Can `e` be skipped given the pushed constraints? Zone maps answer
-    * range constraints; bloom sidecars answer point constraints (their
-    * column membership is keyed by sidecar existence — a bloom sidecar
-    * is built for one declared key column per layer contract).
+    * range constraints keyed by the constraint's column; bloom sidecars
+    * answer point constraints ONLY for the store's declared bloom key
+    * column (`blooms/_column`, recorded by `Snapshots.buildBlooms`) —
+    * probing a k-bloom with another column's value could wrongly skip a
+    * file that holds matching rows. No marker ⇒ blooms unusable.
     */
   def skippable(root: JPath, e: ManifestEntry, cs: Seq[Constraint],
-                statsCol: Option[String],
+                statsCol: Option[String], bloomCol: Option[String],
                 bloomOf: String => Option[BloomFilter]): Boolean = {
     val zones = zonesOf(e, statsCol)
     cs.exists { c =>
       val zoneMiss = zones.get(c.col).exists { case (fLo, fHi) => c.hi < fLo || c.lo > fHi }
-      val bloomMiss = c.points.exists { ks =>
+      val bloomMiss = bloomCol.contains(c.col) && c.points.exists { ks =>
         bloomOf(e.relPath).exists(b => !ks.exists(b.mightContainLong))
       }
       zoneMiss || bloomMiss
     }
   }
+
+  /** The store's declared bloom key column (see `Snapshots.bloomColumn`). */
+  def bloomColumn(root: JPath): Option[String] = Snapshots.bloomColumn(root)
 
   /** A per-index bloom-sidecar loader: sidecars load once per file per
     * index instance; `None` caches "no sidecar on disk" so absent blooms

@@ -129,6 +129,32 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("blooms never skip on a point constraint over a NON-key column") {
+    // regression: sidecars are built over ONE declared column (k). A
+    // point predicate on any other column must not probe them — the
+    // k-bloom almost surely rejects another column's value and the scan
+    // would silently skip files that DO hold matching rows.
+    val root = tmpRoot()
+    try {
+      val sq = s; import sq.implicits._
+      // w = k + 10_000_000: no w value ever appears in the k-bloom
+      val rows = (0 until 4000).map(i => (i.toLong, i + 10000000L)).toDF("k", "w")
+      Snapshots.publish(s, root, rows.repartition(8, col("k")))
+      Snapshots.buildBlooms(s, root, 1, "k")
+      val q = read(root).filter(col("w") === 10001234L)
+      assert(numFiles(q) > 0, "file wrongly bloom-skipped on non-key column")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+      // the marker records the key column; a conflicting rebuild is refused
+      assert(Snapshots.bloomColumn(root).contains("k"))
+      intercept[IllegalArgumentException] {
+        Snapshots.buildBlooms(s, root, 1, "w")
+      }
+      // and readPoint on the non-key column stays exact too (no skipping)
+      val viaPoint = Snapshots.readPoint(s, root, 1, "w", Seq(10001234L))
+      assert(viaPoint.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    } finally rm(root)
+  }
+
   test("column pruning reaches the scan") {
     val root = tmpRoot()
     try {
