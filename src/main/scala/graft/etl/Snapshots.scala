@@ -132,6 +132,7 @@ object Snapshots {
   def manifest(root: Path, n: Int): Seq[ManifestEntry] =
     Files.readAllLines(root.resolve("manifests").resolve(s"manifest-$n")).asScala.toSeq
       .filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")) // versioned header lines (manifestMeta)
       .map { line =>
         val f = line.split('\t')
         if (f.length < 4) throw new IllegalStateException(
@@ -152,6 +153,50 @@ object Snapshots {
         }
         ManifestEntry(f(0), f(1), f(2).toLong, stats, f(3).toInt, multi)
       }
+
+  /** SNAPSHOT-CARRIED METADATA: `#meta\t<key>\t<base64(value)>` header
+    * lines at the top of a manifest. Because the manifest is published
+    * by the SAME pointer rename as its file list, metadata stamped here
+    * commits atomically WITH the rows — the mechanism the catalog uses
+    * to make a schema-changing REPLACE TABLE crash-atomic (rows and
+    * declared schema can never be seen apart) and to give time travel
+    * each snapshot's own shape. Values are base64 so arbitrary payloads
+    * (schema JSON with newlines) stay line-safe; legacy manifests have
+    * no header and parse unchanged; legacy readers skip nothing they
+    * understand (the entry parser ignores `#` lines).
+    *
+    * Every manifest writer CARRIES the base manifest's meta forward
+    * unless given an explicit override, so a table's metadata survives
+    * appends/compactions/deletes without each path knowing what's in it.
+    */
+  def manifestMeta(root: Path, n: Int): Map[String, String] = {
+    val p = root.resolve("manifests").resolve(s"manifest-$n")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.toSeq
+      .filter(_.startsWith("#meta\t"))
+      .map { l =>
+        val f = l.split('\t')
+        f(1) -> new String(java.util.Base64.getDecoder.decode(f(2)), UTF_8)
+      }.toMap
+  }
+
+  private def metaLines(meta: Map[String, String]): Seq[String] =
+    meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      require(!k.contains('\t') && !k.contains('\n') && !k.contains('\r'),
+        s"manifest meta key '$k' must be tab/newline-free")
+      s"#meta\t$k\t${java.util.Base64.getEncoder.encodeToString(v.getBytes(UTF_8))}"
+    }
+
+  /** One definition of "write manifest `id`": header lines first, then
+    * entry lines. `meta` is the snapshot's carried metadata — callers
+    * pass the base manifest's meta (possibly overridden).
+    */
+  private def writeManifestFile(root: Path, id: Int, entries: Seq[ManifestEntry],
+                                meta: Map[String, String]): Unit = {
+    Files.createDirectories(root.resolve("manifests"))
+    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
+      (metaLines(meta) ++ entries.map(manifestLine)).mkString("\n"))
+  }
 
   private def manifestLine(e: ManifestEntry): String = {
     e.multi.foreach { case (name, _, _) =>
@@ -202,9 +247,10 @@ object Snapshots {
     finally listing.close()
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
-    Files.createDirectories(root.resolve("manifests"))
-    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (carried ++ fresh).map(manifestLine).mkString("\n"))
+    // meta carries across append AND rewrite: a compaction/overwrite
+    // changes the file list, never the table's carried metadata
+    writeManifestFile(root, id, carried ++ fresh,
+      prev.map(manifestMeta(root, _)).getOrElse(Map.empty))
     id
   }
 
@@ -300,9 +346,8 @@ object Snapshots {
     // (tombstone writes are O(deleted keys) — cheap enough to hold)
     val id = nextManifestId(root)
     val fresh = writeTombstone(s, root, keys, id, baseId)
-    Files.createDirectories(root.resolve("manifests"))
-    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (manifest(root, baseId) ++ fresh).map(manifestLine).mkString("\n"))
+    writeManifestFile(root, id, manifest(root, baseId) ++ fresh,
+      manifestMeta(root, baseId))
     id
   }
 
@@ -322,9 +367,8 @@ object Snapshots {
       val carried = baseId.map(manifest(root, _)).getOrElse(Nil)
       require(carried.nonEmpty || fresh.nonEmpty,
         s"refusing to stage an empty founding manifest under $root")
-      Files.createDirectories(root.resolve("manifests"))
-      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-        (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
+      writeManifestFile(root, id, carried ++ fresh.map(_.copy(seq = id)),
+        baseId.map(manifestMeta(root, _)).getOrElse(Map.empty))
       id
     }
   }
@@ -350,8 +394,8 @@ object Snapshots {
     require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
     // fold the tombstone into the staged manifest BEFORE the commit —
     // pre-commit manifests are invisible, so this is still one atomic publish
-    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (manifest(root, id) ++ delEntries).map(manifestLine).mkString("\n"))
+    writeManifestFile(root, id, manifest(root, id) ++ delEntries,
+      manifestMeta(root, id))
     commit(root, id, lastBatchId(root))
     id
   }
@@ -405,6 +449,13 @@ object Snapshots {
   }
 
   private def withWriterLock[T](root: Path)(f: => T): T = withDirLock(root)(f)
+
+  /** The store's writer lock, for EXTERNAL metadata read-modify-writes
+    * that must serialize against each other (e.g. the catalog's
+    * `_table` marker updates). NOT re-entrant — never call a committing
+    * path (commitOcc/publish*) from inside `f`.
+    */
+  def withStoreLock[T](root: Path)(f: => T): T = withDirLock(root)(f)
 
   /** A concurrent commit invalidated an optimistic writer's base
     * snapshot. Appends never see this (they rebase); rewrites must
@@ -498,7 +549,8 @@ object Snapshots {
     * overwrite it. (Abandoned ids were never current, are never read,
     * and age out with [[expire]].)
     */
-  def commitOcc(root: Path, fresh: Seq[ManifestEntry], kind: OccKind): Int =
+  def commitOcc(root: Path, fresh: Seq[ManifestEntry], kind: OccKind,
+                metaOverride: Option[Map[String, String]] = None): Int =
     withWriterLock(root) {
       val cur = currentId(root)
       val carried = kind match {
@@ -523,9 +575,12 @@ object Snapshots {
         s"refusing to commit an empty founding manifest under $root")
       val id = nextManifestId(root)
       val stamped = fresh.map(_.copy(seq = id))
-      Files.createDirectories(root.resolve("manifests"))
-      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-        (carried ++ stamped).map(manifestLine).mkString("\n"))
+      // metadata commits atomically WITH the rows (same pointer rename):
+      // an explicit override is how a schema-changing RTAS/ALTER lands
+      // rows+schema in one publish; otherwise carry the base's meta
+      val meta = metaOverride.getOrElse(
+        cur.map(manifestMeta(root, _)).getOrElse(Map.empty))
+      writeManifestFile(root, id, carried ++ stamped, meta)
       commit(root, id, lastBatchId(root))
       id
     }
@@ -764,9 +819,8 @@ object Snapshots {
             "table founded by publishOverwrite (value-pure _pv= layout)")
       }
     }
-    Files.createDirectories(root.resolve("manifests"))
-    atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (carried ++ fresh).map(manifestLine).mkString("\n"))
+    writeManifestFile(root, id, carried ++ fresh,
+      prev.map(manifestMeta(root, _)).getOrElse(Map.empty))
     commit(root, id, lastBatchId(root))
     id
   }
@@ -835,8 +889,8 @@ object Snapshots {
       val fresh = stageOcc(s, root, df, statsCol)
       val id = nextManifestId(root)
       val carried = if (append) manifest(root, head) else Nil
-      atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-        (carried ++ fresh.map(_.copy(seq = id))).map(manifestLine).mkString("\n"))
+      writeManifestFile(root, id, carried ++ fresh.map(_.copy(seq = id)),
+        manifestMeta(root, head))
       atomicWrite(refPath(root, name, tag = false), id.toString)
       id
     }

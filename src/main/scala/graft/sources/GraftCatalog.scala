@@ -338,37 +338,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(
         name() +: ident.namespace().toSeq :+ ident.name())
     }
-    val (declared, props) = GraftCatalog.readMarker(dir)
+    val (declared, props) = GraftCatalog.effectiveMarker(dir, pin)
     new GraftTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
       dir, declared, props, pin)
   }
 
+  /** ALTER TABLE as a METADATA COMMIT: the new marker lands via the
+    * layer's one-rename commit (carried file list, fresh = nothing), so
+    * (a) two concurrent ALTERs can never silently lose each other — the
+    * second conflicts on the base advance and retries over the merged
+    * state, and (b) time travel to the pre-ALTER snapshot keeps the
+    * pre-ALTER shape. A table with no snapshot yet has no manifest to
+    * stamp; its marker read-modify-write runs under the store's writer
+    * lock instead.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(
       name() +: ident.namespace().toSeq :+ ident.name())
-    val (schema0, props0) = GraftCatalog.readMarker(dir)
-    val (schema, props) = changes.foldLeft((schema0, props0)) {
-      case ((sch, prs), add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          "graft tables support top-level ADD COLUMN only")
-        require(add.isNullable,
-          "added columns must be nullable: pre-evolution rows surface them as NULL")
-        val fname = add.fieldNames().head
-        require(!sch.fieldNames.exists(_.equalsIgnoreCase(fname)),
-          s"column $fname already exists")
-        (sch.add(fname, add.dataType(), nullable = true), prs)
-      case ((sch, prs), set: TableChange.SetProperty) =>
-        (sch, prs + (set.property() -> set.value()))
-      case ((sch, prs), rm: TableChange.RemoveProperty) =>
-        (sch, prs - rm.property())
-      case (_, other) =>
-        throw new UnsupportedOperationException(
-          s"graft tables are immutable-history: unsupported ALTER ${other.getClass.getSimpleName}. " +
-            "Supported: ADD COLUMN (nullable, top-level), SET/UNSET TBLPROPERTIES.")
+    def applyChanges(schema0: StructType,
+                     props0: Map[String, String]): (StructType, Map[String, String]) =
+      changes.foldLeft((schema0, props0)) {
+        case ((sch, prs), add: TableChange.AddColumn) =>
+          require(add.fieldNames().length == 1,
+            "graft tables support top-level ADD COLUMN only")
+          require(add.isNullable,
+            "added columns must be nullable: pre-evolution rows surface them as NULL")
+          val fname = add.fieldNames().head
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(fname)),
+            s"column $fname already exists")
+          (sch.add(fname, add.dataType(), nullable = true), prs)
+        case ((sch, prs), set: TableChange.SetProperty) =>
+          (sch, prs + (set.property() -> set.value()))
+        case ((sch, prs), rm: TableChange.RemoveProperty) =>
+          (sch, prs - rm.property())
+        case (_, other) =>
+          throw new UnsupportedOperationException(
+            s"graft tables are immutable-history: unsupported ALTER ${other.getClass.getSimpleName}. " +
+              "Supported: ADD COLUMN (nullable, top-level), SET/UNSET TBLPROPERTIES.")
+      }
+    var attempts = 0
+    while (true) {
+      Snapshots.currentId(dir) match {
+        case None =>
+          // no snapshot to stamp: serialize the marker read-modify-write
+          // (an unlocked RMW would let two ALTERs lose one's column add)
+          Snapshots.withStoreLock(dir) {
+            if (Snapshots.currentId(dir).isEmpty) {
+              val (s0, p0) = GraftCatalog.effectiveMarker(dir, None)
+              val (sch, prs) = applyChanges(s0, p0)
+              GraftCatalog.writeMarker(dir, sch, prs)
+              return loadTable(ident)
+            } // else: a commit landed meanwhile — fall through and retry
+          }
+        case Some(base) =>
+          val (s0, p0) = GraftCatalog.effectiveMarker(dir, None)
+          val (sch, prs) = applyChanges(s0, p0)
+          try {
+            Snapshots.commitOcc(dir, Nil,
+              Snapshots.OccSurgical(base, Snapshots.manifest(dir, base)),
+              Some(Snapshots.manifestMeta(dir, base) +
+                (GraftCatalog.MetaKey -> GraftCatalog.markerBody(sch, prs))))
+            GraftCatalog.writeMarker(dir, sch, prs) // non-load-bearing sync
+            return loadTable(ident)
+          } catch {
+            case _: Snapshots.CommitConflictException =>
+              attempts += 1
+              if (attempts >= 5) throw new Snapshots.CommitConflictException(
+                s"ALTER TABLE on ${ident} lost the commit race $attempts times")
+          }
+      }
     }
-    GraftCatalog.writeMarker(dir, schema, props)
-    loadTable(ident)
+    throw new IllegalStateException("unreachable")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -435,20 +476,22 @@ object GraftCatalog {
     sb.toString
   }
 
-  private[sources] def writeMarker(dir: JPath, schema: StructType,
-                                   props: Map[String, String]): Unit = {
+  /** Manifest-meta key carrying the table marker INSIDE a snapshot —
+    * committed by the same pointer rename as the rows, so a
+    * schema-changing RTAS/ALTER can never be seen half-applied
+    * (rows under the old schema, or schema without its rows).
+    */
+  private[sources] val MetaKey = "table_marker"
+
+  private[sources] def markerBody(schema: StructType,
+                                  props: Map[String, String]): String = {
     validatePropertyKeys(props)
-    val body = (schema.json +: props.toSeq.sortBy(_._1)
+    (schema.json +: props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=${esc(v)}" }).mkString("\n")
-    val tmp = JFiles.createTempFile(dir, ".table", ".tmp")
-    JFiles.write(tmp, body.getBytes("UTF-8"))
-    JFiles.move(tmp, dir.resolve(Marker), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[sources] def readMarker(dir: JPath): (StructType, Map[String, String]) = {
-    val lines = new String(JFiles.readAllBytes(dir.resolve(Marker)), "UTF-8")
-      .split("\n").toSeq
+  private[sources] def parseMarkerBody(body: String): (StructType, Map[String, String]) = {
+    val lines = body.split("\n").toSeq
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
       .asInstanceOf[StructType]
     val props = lines.tail.filter(_.contains("=")).map { l =>
@@ -456,6 +499,30 @@ object GraftCatalog {
     }.toMap
     (schema, props)
   }
+
+  private[sources] def writeMarker(dir: JPath, schema: StructType,
+                                   props: Map[String, String]): Unit = {
+    val tmp = JFiles.createTempFile(dir, ".table", ".tmp")
+    JFiles.write(tmp, markerBody(schema, props).getBytes("UTF-8"))
+    JFiles.move(tmp, dir.resolve(Marker), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def readMarker(dir: JPath): (StructType, Map[String, String]) =
+    parseMarkerBody(new String(JFiles.readAllBytes(dir.resolve(Marker)), "UTF-8"))
+
+  /** The declared (schema, properties) in effect at snapshot `at` (None
+    * = current): the snapshot's own manifest-carried marker when it has
+    * one — giving time travel each snapshot's declared shape, and making
+    * rows+schema inseparable across crashes — falling back to the
+    * `_table` file for snapshots predating any marker-carrying commit
+    * (and for tables with no snapshot at all).
+    */
+  private[sources] def effectiveMarker(dir: JPath,
+                                       at: Option[Int]): (StructType, Map[String, String]) =
+    at.orElse(Snapshots.currentId(dir))
+      .flatMap(n => Snapshots.manifestMeta(dir, n).get(MetaKey))
+      .map(parseMarkerBody).getOrElse(readMarker(dir))
 
   private[sources] def rmTree(dir: JPath): Unit = {
     val walk = JFiles.walk(dir)
@@ -510,21 +577,27 @@ final class GraftTable(
 
   /** Columns present in the data but not declared (layer-level schema
     * evolution): one footer per distinct commit seq bounds inference to
-    * O(#commits), never O(#files).
+    * O(#commits), never O(#files) — and the result is CACHED per
+    * (store, snapshot, declared shape): snapshots are immutable, so a
+    * busy SQL session pays the footer sweep once per snapshot instead
+    * of once per statement (loadTable runs on every statement).
     */
   private def evolvedSchema: StructType = currentIdOpt match {
     case None => declared
     case Some(n) =>
-      val datas = dataEntries(n)
-      if (datas.isEmpty) declared
-      else {
-        val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
-        val dataSch = spark.read.option("mergeSchema", "true")
-          .parquet(perSeq.map(e => store.resolve(e.relPath).toString): _*).schema
-        val extra = dataSch.fields.filterNot(f =>
-          declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        extra.foldLeft(declared)(_.add(_))
-      }
+      GraftTable.evolvedCache.computeIfAbsent(
+        (store.toAbsolutePath.toString, n, declared.json), _ => {
+          val datas = dataEntries(n)
+          if (datas.isEmpty) declared
+          else {
+            val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
+            val dataSch = spark.read.option("mergeSchema", "true")
+              .parquet(perSeq.map(e => store.resolve(e.relPath).toString): _*).schema
+            val extra = dataSch.fields.filterNot(f =>
+              declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+            extra.foldLeft(declared)(_.add(_))
+          }
+        })
   }
 
   override lazy val schema: StructType = evolvedSchema
@@ -649,14 +722,33 @@ final class GraftTable(
         if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-      val before = conformed.count()
-      val kept = conformed.filter(!coalesce(cond, lit(false)))
+      // before/after ride as OBSERVED metrics of the staging write
+      // itself — one job where separate count()s per statement were
+      // three; `after` counts the rows the writer actually consumed
+      import org.apache.spark.sql.functions.{count => cnt}
+      val obsIn = new org.apache.spark.sql.Observation()
+      val obsOut = new org.apache.spark.sql.Observation()
+      val kept = conformed
+        .observe(obsIn, cnt(lit(1)).as("n"))
+        .filter(!coalesce(cond, lit(false)))
+        .observe(obsOut, cnt(lit(1)).as("n"))
       val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
       try {
-        val after =
+        // the optimizer may fold a constant predicate's subtree away
+        // (TRUNCATE's always-true delete collapses the filter to an
+        // empty relation, pruning the CollectMetrics nodes) — observed
+        // metrics then come back empty and we fall back to counting
+        def stagedCount(): Long =
           if (fresh.isEmpty) 0L
           else spark.read.parquet(
             fresh.map(e => store.resolve(e.relPath).toString): _*).count()
+        val mIn = obsIn.get
+        val (before, after) =
+          if (mIn.contains("n")) {
+            val b = mIn("n").asInstanceOf[Long]
+            val mOut = obsOut.get
+            (b, if (mOut.contains("n")) mOut("n").asInstanceOf[Long] else stagedCount())
+          } else (conformed.count(), stagedCount())
         require(after <= before,
           s"delete rewrite grew rows: $before -> $after; NOT committed")
         if (after == before) {
@@ -737,26 +829,27 @@ final class GraftStagedTable(
 
   override def commitStagedChanges(): Unit = {
     require(wrote, s"staged table ${name()} committed before its query wrote")
+    // the declared marker rides INSIDE the committed manifest
+    // (manifest meta), so rows and schema publish in the SAME pointer
+    // rename — a schema-changing RTAS can never be seen (or crash)
+    // half-applied. The `_table` file write afterwards is a
+    // non-load-bearing sync: readers resolve the snapshot's own marker
+    // first (GraftCatalog.effectiveMarker).
+    val meta = Map(GraftCatalog.MetaKey -> GraftCatalog.markerBody(declared, props))
     if (replace) {
       val base = Snapshots.currentId(store)
       base match {
-        case Some(b) => Snapshots.commitOcc(store, staged, Snapshots.OccRewrite(b))
-        case None    => Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
+        case Some(b) => Snapshots.commitOcc(store, staged, Snapshots.OccRewrite(b), Some(meta))
+        case None    => Snapshots.commitOcc(store, staged, Snapshots.OccAppend, Some(meta))
       }
       // the data files now belong to the table's current manifest: a
       // late failure (marker write) must never let abort delete them
       staged = Nil
-      // NOTE: rows commit atomically in the pointer rename above; a
-      // schema-CHANGING replace's marker follows in a second rename.
-      // A reader in that window (or after a crash between the two)
-      // sees the NEW rows under the OLD declared schema — missing
-      // columns surface as NULL, extra declared columns read NULL;
-      // re-running the statement (or ALTER TABLE) repairs the marker.
       GraftCatalog.writeMarker(store, declared, props)
     } else {
       // data pointer first (markerless store = not a table), marker last:
       // the table appears fully populated in one rename
-      Snapshots.commitOcc(store, staged, Snapshots.OccAppend)
+      Snapshots.commitOcc(store, staged, Snapshots.OccAppend, Some(meta))
       staged = Nil
       GraftCatalog.writeMarker(store, declared, props)
       JFiles.deleteIfExists(store.resolve(GraftCatalog.CtasClaim))
@@ -813,6 +906,22 @@ object GraftTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+
+  /** Evolved-schema memo: a snapshot is immutable, so its footer-derived
+    * schema never changes. Bounded — a long-lived session over many temp
+    * stores must not leak; on overflow the whole memo resets (it is a
+    * pure cache).
+    */
+  private[sources] val evolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), StructType]() {
+      override def computeIfAbsent(
+          k: (String, Int, String),
+          f: java.util.function.Function[_ >: (String, Int, String), _ <: StructType]):
+          StructType = {
+        if (size() > 4096) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
 
   /** V1 Filter → Column, for the delete predicate. `None` = a shape we
     * cannot evaluate row-level → `canDeleteWhere` refuses and Spark

@@ -64,14 +64,26 @@ final class GraftRowLevelOperation(
       datas
   }
 
-  /** The replaced group set: union of every file the operation's scan
-    * planned after FILE-level pruning. Recorded (not recomputed) so the
-    * commit replaces EXACTLY what the rewrite query read — planning and
-    * commit can never disagree.
+  /** The replaced group set: the files the operation's scan planned
+    * after FILE-level pruning. Recorded (not recomputed) so the commit
+    * replaces EXACTLY what the rewrite query read — planning and commit
+    * can never disagree. If Spark ever builds the rewrite scan MORE THAN
+    * ONCE with a different kept set (re-analysis under different pushed
+    * filters), we cannot know which build executed — committing a union
+    * (or either set) could silently drop rows of files that were
+    * recorded but not read, so the commit REFUSES loudly instead.
     */
-  private val replaced =
-    new java.util.concurrent.ConcurrentHashMap[String, Snapshots.ManifestEntry]()
-  @volatile private var listed = false
+  @volatile private var replaced: Option[Seq[Snapshots.ManifestEntry]] = None
+  @volatile private var divergentBuilds = false
+
+  private def recordKept(kept: Seq[Snapshots.ManifestEntry]): Unit = synchronized {
+    replaced match {
+      case Some(prev) if prev.map(_.relPath).toSet != kept.map(_.relPath).toSet =>
+        divergentBuilds = true
+        replaced = Some(kept)
+      case _ => replaced = Some(kept)
+    }
+  }
 
   override def command: RowLevelOperation.Command = cmd
 
@@ -90,16 +102,19 @@ final class GraftRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GroupScanBuilder(spark, store, baseId.getOrElse(0), baseEntries, tableSchema, statsCol,
-      options, kept => { listed = true; kept.foreach(e => replaced.put(e.relPath, e)) })
+      options, recordKept)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write = new SurgicalReplaceWrite(
         spark, store, statsCol, baseId, baseEntries,
         () => {
-          require(listed, s"row-level $cmd write committed before its scan planned " +
-            "— the replaced group set is unknown; refusing a blind rewrite")
-          replaced.values().asScala.toSeq
+          require(!divergentBuilds,
+            s"row-level $cmd planned multiple rewrite scans with DIFFERENT group " +
+              "sets — the executed set is unknowable; refusing a lossy commit")
+          replaced.getOrElse(throw new IllegalStateException(
+            s"row-level $cmd write committed before its scan planned " +
+              "— the replaced group set is unknown; refusing a blind rewrite"))
         },
         info)
     }
