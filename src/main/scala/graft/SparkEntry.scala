@@ -92,6 +92,8 @@ object SparkEntry {
     "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
     "catalog_update"      -> w(graft.sources.GraftCatalogQueries.catalogUpdate),
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
+    "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
+    "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
@@ -545,6 +547,8 @@ object SparkEntry {
     "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,
     "catalog_update" -> graft.sources.GraftCatalogQueries.catalogUpdateOracleSql,
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
+    "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
+    "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,

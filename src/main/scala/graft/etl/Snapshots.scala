@@ -67,7 +67,7 @@ object Snapshots {
                                  stats: Option[(Long, Long)] = None, seq: Int = 0,
                                  multi: Seq[(String, Long, Long)] = Nil)
 
-  private def md5hex(p: Path): String = {
+  private[graft] def md5hex(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val in = Files.newInputStream(p)
     try {

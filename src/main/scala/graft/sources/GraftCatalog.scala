@@ -561,17 +561,33 @@ final class GraftTable(
 
   private def statsCol: Option[String] = props.get("statscol")
 
-  /** Data files of the read snapshot. Tombstone-bearing snapshots are
-    * REFUSED loudly, like every file-scan read path of the layer — a
-    * scan cannot apply merge-on-read deletes, and the catalog's own
-    * DELETE is copy-on-write precisely so its tables never carry any.
+  /** Declared MoR key column: opting the table into merge-on-read DML —
+    * SQL UPDATE/MERGE/DELETE land as equality-delete tombstones +
+    * replacement rows (O(changed rows), no base file rewritten) instead
+    * of group-based copy-on-write, and tombstone-bearing snapshots are
+    * SERVED (via the merged-read scan) instead of refused.
+    */
+  private def morKey: Option[String] = props.get("morkey")
+
+  private def manifestSplit(n: Int): (Seq[Snapshots.ManifestEntry],
+                                      Seq[Snapshots.ManifestEntry]) = {
+    val (dels, datas) = Snapshots.manifest(store, n).partition(Snapshots.isDelete)
+    (datas, dels)
+  }
+
+  /** Data files of the read snapshot, for paths that NEED a bare file
+    * scan. Tombstone-bearing snapshots are REFUSED loudly unless the
+    * table declared a `morkey` (whose read path applies the anti-join);
+    * a file scan cannot apply merge-on-read deletes, and serving one
+    * anyway would resurrect deleted rows.
     */
   private def dataEntries(n: Int): Seq[Snapshots.ManifestEntry] = {
-    val (dels, datas) = Snapshots.manifest(store, n).partition(Snapshots.isDelete)
+    val (datas, dels) = manifestSplit(n)
     if (dels.nonEmpty) throw new IllegalStateException(
       s"snapshot $n of table ${name()} carries ${dels.size} merge-on-read tombstone " +
         "file(s) (layer-level publishDeletes/publishUpsert); compact the store to " +
-        "make it catalog-scannable, or read via Snapshots.readAt")
+        "make it catalog-scannable, declare a 'morkey' table property, or read " +
+        "via Snapshots.readAt")
     datas
   }
 
@@ -587,7 +603,9 @@ final class GraftTable(
     case Some(n) =>
       GraftTable.evolvedCache.computeIfAbsent(
         (store.toAbsolutePath.toString, n, declared.json), _ => {
-          val datas = dataEntries(n)
+          // schema inference never needs the bare-scan refusal: evolved
+          // columns come from data footers; tombstones carry none
+          val (datas, _) = manifestSplit(n)
           if (datas.isEmpty) declared
           else {
             val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
@@ -614,11 +632,21 @@ final class GraftTable(
     m
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val entries = currentIdOpt.map(dataEntries).getOrElse(Nil)
-    new GraftScanBuilder(spark, store, currentIdOpt.getOrElse(0), entries,
-      schema, statsCol, options)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    currentIdOpt match {
+      case None =>
+        new GraftScanBuilder(spark, store, 0, Nil, schema, statsCol, options)
+      case Some(n) =>
+        val (datas, dels) = manifestSplit(n)
+        if (dels.nonEmpty && morKey.isDefined)
+          // merge-on-read: serve the seq-aware merged view (anti-join
+          // against the tombstones) — the documented read price of MoR
+          // DML until compaction folds the deltas physically
+          new GraftMergeScanBuilder(spark, store, n, schema)
+        else
+          new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
+            statsCol, options)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pin.isDefined) throw new UnsupportedOperationException(
@@ -663,7 +691,12 @@ final class GraftTable(
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (pin.isDefined) throw new UnsupportedOperationException(
       s"table ${name()} is pinned (VERSION AS OF): historical views are read-only")
-    () => new GraftRowLevelOperation(spark, store, schema, statsCol, info.command())
+    morKey match {
+      case Some(k) =>
+        () => new GraftDeltaOperation(spark, store, schema, statsCol, k, info.command())
+      case None =>
+        () => new GraftRowLevelOperation(spark, store, schema, statsCol, info.command())
+    }
   }
 
   // ---- DELETE FROM: copy-on-write, surgical ----
@@ -695,7 +728,11 @@ final class GraftTable(
     * materialize as NULL) and re-carry the `statscol` zone maps.
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    pin.isEmpty && filters.forall(f => GraftTable.filterColumn(f).isDefined)
+    // MoR tables route DELETE to the delta path (an equality-delete
+    // tombstone is O(deleted keys); this copy-on-write path would be
+    // O(affected files))
+    pin.isEmpty && morKey.isEmpty &&
+      filters.forall(f => GraftTable.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
@@ -706,6 +743,27 @@ final class GraftTable(
     var attempts = 0
     while (true) {
       val base = Snapshots.currentId(store).getOrElse(return)
+      if (morKey.isDefined && manifestSplit(base)._2.nonEmpty) {
+        // a tombstone-bearing MoR table reaches here only via TRUNCATE
+        // (plain DELETEs route to the delta path): fold the merged view
+        // through the predicate as one whole-table rewrite — correct for
+        // any predicate, and it retires the tombstones as a bonus
+        val kept = Snapshots.readAt(spark, store, base).filter(!coalesce(cond, lit(false)))
+        val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
+        try {
+          Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base))
+          return
+        } catch {
+          case _: Snapshots.CommitConflictException =>
+            attempts += 1
+            Snapshots.discardStaged(store, fresh)
+            if (attempts >= 5) throw new Snapshots.CommitConflictException(
+              s"DELETE on ${name()} lost the commit race $attempts times")
+          case e: Throwable =>
+            Snapshots.discardStaged(store, fresh)
+            throw e
+        }
+      } else {
       val entries = dataEntries(base)
       if (entries.isEmpty) return
       val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
@@ -767,6 +825,7 @@ final class GraftTable(
         case e: Throwable =>
           Snapshots.discardStaged(store, fresh)
           throw e
+      }
       }
     }
   }

@@ -379,6 +379,153 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_mor_update`: SQL `UPDATE` through the MERGE-ON-READ
+    * delta path ([[GraftDeltaOperation]], `morkey` table) — the
+    * statement lands as one equality-delete tombstone + one small
+    * replacement file, with NO base data file rewritten. Required
+    * in-query: exactly one commit; EVERY base entry carried
+    * byte-identical (relPath+MD5+original seq — the no-rewrite proof);
+    * the fresh entries are exactly tombstone(s) + data; the delta is
+    * small (< half the table's bytes — it is actually ~1%); and the
+    * row count is conserved. The oracle restates post- and pre-update
+    * states — identical semantics to the copy-on-write `catalog_update`,
+    * so the two write paths are held to the same answer.
+    */
+  def catalogMorUpdate(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT NOT NULL, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('morkey'='o_orderkey', 'statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      s.sql(s"UPDATE $cat.orders SET cents = cents * 2, o_orderstatus = 'U' " +
+        "WHERE o_orderkey BETWEEN 800 AND 1599 AND o_orderstatus = 'O'")
+      require(Snapshots.currentId(store).contains(2),
+        s"expected MoR UPDATE to land snapshot 2, got ${Snapshots.currentId(store)}")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => require(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"MoR UPDATE rewrote base file ${b.relPath} — the whole point is O(changed rows)"))
+      val fresh = after.filter(_.seq == 2)
+      val (tombs, datas) = fresh.partition(Snapshots.isDelete)
+      require(tombs.nonEmpty && datas.nonEmpty,
+        s"expected tombstone + replacement rows in the delta, got $fresh")
+      val deltaBytes = fresh.map(_.bytes).sum
+      val tableBytes = base.map(_.bytes).sum
+      require(deltaBytes < tableBytes / 2,
+        s"delta not O(changed rows): $deltaBytes bytes vs table $tableBytes")
+      require(s.sql(s"SELECT count(*) FROM $cat.orders").head.getLong(0)
+        == Tables.orders(s, d).count(), "MoR UPDATE changed the table's row count")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  /** Same transformation as `catalog_update` — deliberately: the MoR and
+    * CoW write paths answer to ONE oracle.
+    */
+  val catalogMorUpdateOracleSql: String = catalogUpdateOracleSql
+
+  /** Query `catalog_sync`: the weekly mirror-sync statement — ONE
+    * `MERGE INTO` with `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
+    * the target exactly equal to the source relation (updates applied,
+    * new rows inserted, rows absent from the source deleted), expressed
+    * incrementally on a merge-on-read table: one tombstone + one data
+    * delta, zero base files rewritten. This is the reference's
+    * drop-and-reload refresh (LoadFiles.pm:56-64) as an incremental
+    * statement. Required in-query: one commit, no base rewrite, and the
+    * post-sync count equals the source count (conservation of the
+    * mirror). The oracle restates the full mirror and the pre-sync
+    * state.
+    */
+  def catalogSync(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_src"
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT NOT NULL, " +
+        "o_orderstatus STRING, cents BIGINT) TBLPROPERTIES ('morkey'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view")
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      s.sql(
+        s"""MERGE INTO $cat.orders t
+           |USING (
+           |  SELECT o_orderkey AS k, cents FROM $view WHERE o_orderkey % 3 != 0
+           |  UNION ALL
+           |  SELECT -o_orderkey - 1 AS k, cents FROM $view WHERE o_orderkey % 97 = 0
+           |) s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents + 1, o_orderstatus = 'S'
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents)
+           |  VALUES (s.k, 'I', s.cents)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE
+           |""".stripMargin)
+      require(Snapshots.currentId(store).contains(2),
+        s"mirror sync must land ONE commit; got ${Snapshots.currentId(store)}")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => require(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"MoR sync rewrote base file ${b.relPath}"))
+      val srcCount = s.sql(
+        s"""SELECT count(*) FROM (
+           |  SELECT o_orderkey FROM $view WHERE o_orderkey % 3 != 0
+           |  UNION ALL SELECT -o_orderkey - 1 FROM $view WHERE o_orderkey % 97 = 0)
+           |""".stripMargin).head.getLong(0)
+      require(s.sql(s"SELECT count(*) FROM $cat.orders").head.getLong(0) == srcCount,
+        "mirror sync did not converge the target to the source")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(o_orderkey) AS sk FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogSyncOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    mirror AS (
+      SELECT k, 'S' AS o_orderstatus, cents + 1 AS cents FROM b WHERE k % 3 != 0
+      UNION ALL
+      SELECT -k - 1, 'I', cents FROM b WHERE k % 97 = 0),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM mirror
+      UNION ALL SELECT 'v1', o_orderstatus, cents, k FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT
