@@ -94,6 +94,7 @@ object SparkEntry {
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
     "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
+    "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
@@ -549,6 +550,7 @@ object SparkEntry {
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
     "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
+    "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,

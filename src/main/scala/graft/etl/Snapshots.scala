@@ -719,19 +719,24 @@ object Snapshots {
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val fn = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-              .getFileName.toString
-            fn -> statsCols.map(c =>
-              (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
+            // keyed by the path RELATIVE TO the staging dir, never the
+            // bare file name: a partitioned staging repeats part-file
+            // names across its _pv= dirs, and name-keyed stats would
+            // attach one file's zone map to another — silently wrong
+            // pruning (rows dropped), caught by GraftPartitionedSpec
+            val full = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+            dataDir.toAbsolutePath.relativize(full.toAbsolutePath).toString ->
+              statsCols.map(c =>
+                (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
           }.toMap
       }
-    val listing = Files.list(dataDir)
-    try listing.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
+    // recursive: a value-pure partitioned staging (stageOccPartitioned)
+    // nests files under _pv=<value>/ dirs; flat stagings walk identically
+    listParquetRecursive(dataDir)
       .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        None, seq = 0, multi = byFile.getOrElse(p.getFileName.toString, Nil)))
-    finally listing.close()
+        None, seq = 0,
+        multi = byFile.getOrElse(
+          dataDir.toAbsolutePath.relativize(p.toAbsolutePath).toString, Nil)))
   }
 
   /** Z-ORDER compaction: rewrite the current merged view in Morton-curve
@@ -761,8 +766,30 @@ object Snapshots {
       stageOccMulti(s, root, z, Seq(c1, c2))
     }
 
-  private def partValueOf(relPath: String): Option[String] =
+  private[graft] def partValueOf(relPath: String): Option[String] =
     relPath.split('/').find(_.startsWith("_pv=")).map(_.stripPrefix("_pv="))
+
+  /** OCC staging in the VALUE-PURE partitioned layout ([[publishOverwrite]]'s
+    * `_pv=<value>` scheme: the partition column duplicated into a
+    * directory key AND kept as a data column, so no file ever mixes
+    * partitions and explicit-file-list reads need no discovery). The
+    * integral stats columns land as named zone maps — for the partition
+    * column itself that is a degenerate `v:v` range, which is what lets
+    * every zone-aware reader prune partitions with zero new machinery.
+    * Commit with [[commitOcc]] like any staged write; the entries'
+    * `_pv=` segments are what a later dynamic partition overwrite keys
+    * its carried set on.
+    */
+  def stageOccPartitioned(s: SparkSession, root: Path, df: DataFrame,
+                          partCol: String,
+                          statsCols: Seq[String] = Nil): Seq[ManifestEntry] = {
+    val dataDir = root.resolve("data").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dataDir)
+    df.withColumn("_pv", col(partCol))
+      .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
+    entriesForStagedDir(s, root, dataDir, statsCols)
+  }
 
   private def listParquetRecursive(dir: Path): Seq[Path] = {
     val walk = Files.walk(dir)

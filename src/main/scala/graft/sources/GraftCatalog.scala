@@ -45,12 +45,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet pushdown, column pruning and codegen all apply to
   * `SELECT ... FROM graft.ns.tbl` with zero reader options.
   *
-  * Deliberately NOT supported, loudly: partitioned CREATE TABLE (the
-  * layer's partition story is `publishOverwrite`'s value-pure layouts),
-  * and renames across namespaces of different depth only move
-  * directories — there is no metastore to desynchronize, the filesystem
-  * IS the catalog (exactly the reference's release-tree discipline,
-  * Base.pm:123-144).
+  * `PARTITIONED BY (p)` (single identity column) maps to the layer's
+  * value-pure `_pv=` layout — `INSERT OVERWRITE` in dynamic mode then
+  * replaces exactly the partitions present in the query
+  * ([[GraftPartitionedWriteBuilder]]). Deliberately NOT supported,
+  * loudly: multi-column / transform partitioning, and renames across
+  * namespaces of different depth only move directories — there is no
+  * metastore to desynchronize, the filesystem IS the catalog (exactly
+  * the reference's release-tree discipline, Base.pm:123-144).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog with StagingTableCatalog {
@@ -101,8 +103,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                          partitions: Array[Transform],
                          properties: util.Map[String, String],
                          replace: Boolean, orCreate: Boolean): StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft tables are not partitioned at CREATE time")
+    val partProps = GraftCatalog.partitionProps(partitions, schema,
+      Option(properties.get("morkey")))
     val dir = tablePath(ident)
     val existsAsTable = isTableDir(dir)
     if (!replace && existsAsTable) throw new TableAlreadyExistsException(
@@ -138,7 +140,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     new GraftStagedTable(spark, name() +: ident.namespace().toSeq :+ ident.name(),
-      dir, schema, keep, replace = existsAsTable, createdDir)
+      dir, schema, keep ++ partProps, replace = existsAsTable, createdDir)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -268,9 +270,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft tables are not partitioned at CREATE time; use the layer's " +
-        "publishOverwrite value-pure layouts or zone-map clustering instead")
+    val partProps = GraftCatalog.partitionProps(partitions, schema,
+      Option(properties.get("morkey")))
     val dir = tablePath(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
@@ -289,7 +290,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       !k.startsWith("option.") && k != TableCatalog.PROP_PROVIDER &&
         k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_EXTERNAL &&
         k != TableCatalog.PROP_LOCATION
-    }.toMap
+    }.toMap ++ partProps
     GraftCatalog.writeMarker(dir, schema, keep)
     loadTable(ident)
   }
@@ -452,6 +453,32 @@ object GraftCatalog {
   /** Exclusive in-flight CTAS claim (see stageTable). */
   private[sources] val CtasClaim = ".ctas-claim"
 
+  /** Validate `PARTITIONED BY` at CREATE: a single top-level IDENTITY
+    * transform on a declared column — the value-pure `_pv=` layout this
+    * maps to has one partition dimension. Returns the `partitioncol`
+    * property to record. Partitioning composes with value-pure dynamic
+    * overwrite, NOT with merge-on-read DML (a delta stages flat files,
+    * which would poison the value-pure layout) — refused loudly.
+    */
+  private[sources] def partitionProps(partitions: Array[Transform],
+                                      schema: StructType,
+                                      morKey: Option[String]): Map[String, String] = {
+    if (partitions.isEmpty) return Map.empty
+    require(partitions.length == 1,
+      "graft tables support PARTITIONED BY exactly one column")
+    val t = partitions.head
+    require(t.name == "identity" && t.references().length == 1 &&
+      t.references().head.fieldNames().length == 1,
+      s"graft tables support identity partitioning on a top-level column; got $t")
+    val c = t.references().head.fieldNames().head
+    require(schema.fieldNames.contains(c), s"partition column '$c' is not declared")
+    require(morKey.isEmpty,
+      "PARTITIONED BY and 'morkey' (merge-on-read DML) do not compose: " +
+        "a row-level delta stages unpartitioned files, which would poison " +
+        "the value-pure partition layout")
+    Map("partitioncol" -> c)
+  }
+
   private[sources] def validatePropertyKeys(props: Map[String, String]): Unit =
     props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"table property key '$k' may not contain '=' or newlines"))
@@ -569,6 +596,17 @@ final class GraftTable(
     */
   private def morKey: Option[String] = props.get("morkey")
 
+  /** Declared partition column (`PARTITIONED BY`): storage is the
+    * value-pure `_pv=` layout, writes route through
+    * [[GraftPartitionedWriteBuilder]], and dynamic `INSERT OVERWRITE`
+    * replaces exactly the partitions present in the query.
+    */
+  private def partCol: Option[String] = props.get("partitioncol")
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   private def manifestSplit(n: Int): (Seq[Snapshots.ManifestEntry],
                                       Seq[Snapshots.ManifestEntry]) = {
     val (dels, datas) = Snapshots.manifest(store, n).partition(Snapshots.isDelete)
@@ -620,9 +658,15 @@ final class GraftTable(
 
   override lazy val schema: StructType = evolvedSchema
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (partCol.isDefined) {
+      caps.add(TableCapability.BATCH_WRITE) // dynamic overwrite has no V1 fallback
+      caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    }
+    caps
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -652,6 +696,11 @@ final class GraftTable(
     if (pin.isDefined) throw new UnsupportedOperationException(
       s"table ${name()} is pinned at snapshot ${pin.get} (VERSION AS OF): " +
         "historical views are read-only; write through the current table")
+    partCol match {
+      case Some(p) =>
+        return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema, info)
+      case None => ()
+    }
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -695,7 +744,11 @@ final class GraftTable(
       case Some(k) =>
         () => new GraftDeltaOperation(spark, store, schema, statsCol, k, info.command())
       case None =>
-        () => new GraftRowLevelOperation(spark, store, schema, statsCol, info.command())
+        // on a partitioned table the group rewrite re-stages its output
+        // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /
+        // MERGE / complex DELETE keep the `_pv=` layout intact
+        () => new GraftRowLevelOperation(spark, store, schema, statsCol,
+          info.command(), partCol)
     }
   }
 
@@ -790,7 +843,13 @@ final class GraftTable(
         .observe(obsIn, cnt(lit(1)).as("n"))
         .filter(!coalesce(cond, lit(false)))
         .observe(obsOut, cnt(lit(1)).as("n"))
-      val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
+      // partitioned tables re-stage survivors VALUE-PURE: a flat staged
+      // file would poison the `_pv=` layout for later dynamic overwrites
+      val fresh = partCol match {
+        case Some(p) => Snapshots.stageOccPartitioned(spark, store, kept, p, statsCol.toSeq)
+          .map(Snapshots.foldLegacyStats(_, statsCol))
+        case None => Snapshots.stageOcc(spark, store, kept, statsCol)
+      }
       try {
         // the optimizer may fold a constant predicate's subtree away
         // (TRUNCATE's always-true delete collapses the filter to an
@@ -879,7 +938,12 @@ final class GraftStagedTable(
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 ov: Boolean): Unit = {
-              staged = Snapshots.stageOcc(spark, store, data, props.get("statscol"))
+              staged = props.get("partitioncol") match {
+                case Some(p) => Snapshots.stageOccPartitioned(spark, store, data, p,
+                  props.get("statscol").toSeq)
+                  .map(Snapshots.foldLegacyStats(_, props.get("statscol")))
+                case None => Snapshots.stageOcc(spark, store, data, props.get("statscol"))
+              }
               wrote = true
             }
           }

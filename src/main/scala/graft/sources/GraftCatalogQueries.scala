@@ -526,6 +526,84 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_overwrite`: dynamic partition overwrite through SQL
+    * on a `PARTITIONED BY` catalog table — ONE `INSERT OVERWRITE` in
+    * dynamic mode replaces exactly the partitions the query produced
+    * rows for (the reference's replace-one-db-keep-the-tree release,
+    * Base.pm:123-144, as a statement). Required in-query: one commit;
+    * every UNTOUCHED partition's entries carried byte-identical
+    * (relPath+MD5+seq); every replaced partition's base files absent
+    * from the new manifest; value-pure layout preserved. The oracle
+    * restates post-overwrite and pre-overwrite states.
+    */
+  def catalogOverwrite(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_src"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, bucket BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) PARTITIONED BY (bucket)")
+      s.sql(s"INSERT INTO $cat.orders SELECT o_orderkey, o_orderkey % 8, " +
+        s"o_orderstatus, cents FROM $view")
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      require(base.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "partitioned INSERT INTO must land value-pure files")
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.orders SELECT o_orderkey, o_orderkey % 8, " +
+        s"'R', cents * 3 FROM $view WHERE o_orderkey % 8 IN (2, 5)")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      require(Snapshots.currentId(store).contains(2),
+        s"dynamic overwrite must land ONE commit; got ${Snapshots.currentId(store)}")
+      val after = Snapshots.manifest(store, 2)
+      val touched = Set("2", "5")
+      base.foreach { b =>
+        val pv = Snapshots.partValueOf(b.relPath).get
+        if (touched(pv))
+          require(!after.exists(_.relPath == b.relPath),
+            s"replaced partition file ${b.relPath} leaked into the new manifest")
+        else
+          require(after.exists(e =>
+            e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+            s"untouched partition file ${b.relPath} was not carried verbatim")
+      }
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(o_orderkey) AS sk FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogOverwriteOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    cur AS (
+      SELECT k, 'R' AS o_orderstatus, cents * 3 AS cents FROM b WHERE k % 8 IN (2, 5)
+      UNION ALL
+      SELECT k, o_orderstatus, cents FROM b WHERE NOT (k % 8 IN (2, 5))),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM cur
+      UNION ALL SELECT 'v1', o_orderstatus, cents, k FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT

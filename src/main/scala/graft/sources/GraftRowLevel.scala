@@ -48,7 +48,8 @@ final class GraftRowLevelOperation(
     store: JPath,
     tableSchema: StructType,
     statsCol: Option[String],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    partCol: Option[String] = None) extends RowLevelOperation {
 
   /** None = the table has no published snapshot yet: an UPDATE/DELETE is
     * a trivial no-op, and a MERGE's NOT MATCHED inserts FOUND the table.
@@ -107,7 +108,7 @@ final class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write = new SurgicalReplaceWrite(
-        spark, store, statsCol, baseId, baseEntries,
+        spark, store, statsCol, partCol, baseId, baseEntries,
         () => {
           require(!divergentBuilds,
             s"row-level $cmd planned multiple rewrite scans with DIFFERENT group " +
@@ -188,6 +189,7 @@ private[sources] final class SurgicalReplaceWrite(
     spark: SparkSession,
     store: JPath,
     statsCol: Option[String],
+    partCol: Option[String],
     baseId: Option[Int],
     baseEntries: Seq[Snapshots.ManifestEntry],
     replacedFn: () => Seq[Snapshots.ManifestEntry],
@@ -217,8 +219,25 @@ private[sources] final class SurgicalReplaceWrite(
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages) // task files land in stagingDir
-      val staged = Snapshots.entriesForStagedDir(spark, store, stagingDir,
-        statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
+      val staged = partCol match {
+        case Some(p) =>
+          // a partitioned table's replacement rows must land VALUE-PURE:
+          // re-stage the (delta-sized) flat staging through the _pv=
+          // layout, then drop the flat files — O(replaced groups) extra
+          // I/O, and the partition story survives row-level DML
+          val flat = Snapshots.entriesForStagedDir(spark, store, stagingDir, Nil)
+          if (flat.isEmpty) Nil
+          else {
+            val rows = spark.read.option("mergeSchema", "true").parquet(
+              flat.map(e => store.resolve(e.relPath).toString): _*)
+            val pure = Snapshots.stageOccPartitioned(spark, store, rows, p,
+              statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
+            Snapshots.discardStaged(store, flat)
+            pure
+          }
+        case None => Snapshots.entriesForStagedDir(spark, store, stagingDir,
+          statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
+      }
       val replaced = replacedFn().map(_.relPath).toSet
       val untouched = baseEntries.filterNot(e => replaced(e.relPath))
       // an empty-file-only stage replacing nothing is a provable no-op

@@ -132,8 +132,10 @@ class GraftCatalogSpec extends AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] {
         s.sql(s"INSERT INTO $cat.en SELECT id FROM range(0, 5)") // missing column
       }
+      // single-identity partitioning is supported (GraftPartitionedSpec);
+      // multi-column partitioning still refuses loudly
       intercept[Exception] {
-        s.sql(s"CREATE TABLE $cat.pt (k BIGINT) PARTITIONED BY (p STRING)")
+        s.sql(s"CREATE TABLE $cat.pt (k BIGINT, p STRING, q STRING) PARTITIONED BY (p, q)")
       }
       s.sql(s"INSERT INTO $cat.en SELECT id, 'a' FROM range(0, 5)")
       val e = intercept[Exception] {

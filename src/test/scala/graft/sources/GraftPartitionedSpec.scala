@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned catalog tables (`PARTITIONED BY` → value-pure `_pv=`
+  * layout): append, static overwrite, DYNAMIC overwrite replacing only
+  * the partitions present (untouched partitions carried byte-identical),
+  * partition pruning via the degenerate zone maps, DELETE re-staging
+  * value-pure, and GC reclaiming replaced partitions after expire.
+  */
+class GraftPartitionedSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private var n = 0
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gpart$n"
+    val root = Files.createTempDirectory(s"graft_part$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def withDynamicMode[T](f: => T): T = {
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try f finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only present partitions, carries the rest") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v STRING) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 4, concat('a', id) FROM range(0, 400)")
+      val store = root.resolve("t")
+      val base = Snapshots.manifest(store, 1)
+      assert(base.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "append must land value-pure files")
+      withDynamicMode {
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT id, id % 4, 'NEW' FROM range(0, 50) " +
+          "WHERE id % 4 IN (1, 3)")
+      }
+      val after = Snapshots.manifest(store, 2)
+      // untouched partitions 0 and 2: every base entry carried byte-identical
+      val untouchedBase = base.filter(e =>
+        Set("0", "2")(Snapshots.partValueOf(e.relPath).get))
+      untouchedBase.foreach(b => assert(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"untouched partition file ${b.relPath} was not carried verbatim"))
+      // replaced partitions hold only the new rows
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p IN (1, 3)").head.getLong(0)
+        == 25, "replaced partitions must hold exactly the overwrite's rows")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p IN (0, 2)").head.getLong(0)
+        == 200, "untouched partitions must keep their rows")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE v = 'NEW'").head.getLong(0) == 25)
+      // time travel: pre-overwrite snapshot whole
+      assert(s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head.getLong(0) == 400)
+    } finally rm(root)
+  }
+
+  test("static INSERT OVERWRITE replaces the whole table, layout stays value-pure") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v STRING) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 4, 'x' FROM range(0, 100)")
+      s.sql(s"INSERT OVERWRITE $cat.t SELECT id, id % 2, 'y' FROM range(0, 10)")
+      val store = root.resolve("t")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 10)
+      val cur = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(cur.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "static overwrite must keep the value-pure layout")
+      // and a dynamic overwrite still works after it
+      withDynamicMode {
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT id, 0, 'z' FROM range(0, 3)")
+      }
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 0").head.getLong(0) == 3)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 1").head.getLong(0) == 5)
+    } finally rm(root)
+  }
+
+  test("partition predicate prunes files at plan time via the degenerate zone maps") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v STRING) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 8, 'x' FROM range(0, 800)")
+      val store = root.resolve("t")
+      val entries = Snapshots.manifest(store, 1)
+      assert(entries.forall(_.multi.exists(_._1 == "p")),
+        "partitioned staging must land p zone maps")
+      val q = s.sql(s"SELECT sum(k) FROM $cat.t WHERE p = 3")
+      assert(q.head.getLong(0) == (0L until 800L).filter(_ % 8 == 3).sum)
+      val opened = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+          }.flatMap(_.files).map(_.filePath.toString).distinct.size
+      }
+      // AQE may wrap; fall back to a recursive search
+      val openedN = opened.getOrElse {
+        def find(pl: org.apache.spark.sql.execution.SparkPlan): Option[Int] = pl match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.inputPartitions.collect {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+            }.flatMap(_.files).map(_.filePath.toString).distinct.size)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            find(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(qs.plan)
+          case other => other.children.view.flatMap(find(_)).headOption
+        }
+        find(q.queryExecution.executedPlan).getOrElse(fail("no scan found"))
+      }
+      assert(openedN < entries.size,
+        s"partition predicate skipped nothing: $openedN of ${entries.size}")
+    } finally rm(root)
+  }
+
+  test("DELETE re-stages value-pure; expire reclaims replaced partition files") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v STRING) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 4, 'x' FROM range(0, 400)")
+      s.sql(s"DELETE FROM $cat.t WHERE k < 40")
+      val store = root.resolve("t")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 360)
+      val cur = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(cur.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "DELETE must re-stage survivors value-pure")
+      // dynamic overwrite of partition 1, then expire: the replaced
+      // partition-1 files must be GONE from disk, carried files intact
+      val beforeOw = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val replaced = beforeOw.filter(e => Snapshots.partValueOf(e.relPath).contains("1"))
+      withDynamicMode {
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT id, 1, 'w' FROM range(0, 5)")
+      }
+      s.sql(s"CALL $cat.system.expire('t', ${Snapshots.currentId(store).get})")
+      replaced.foreach(e => assert(!Files.exists(store.resolve(e.relPath)),
+        s"replaced partition file ${e.relPath} survived expire"))
+      beforeOw.filterNot(e => Snapshots.partValueOf(e.relPath).contains("1"))
+        .foreach(e => assert(Files.exists(store.resolve(e.relPath)),
+          s"carried file ${e.relPath} was wrongly reclaimed"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 1").head.getLong(0) == 5)
+    } finally rm(root)
+  }
+
+  test("refusals: two partition columns, non-identity transform, morkey combo") {
+    val (cat, root) = freshCatalog()
+    try {
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.bad1 (k BIGINT, p BIGINT, q BIGINT) PARTITIONED BY (p, q)")
+      }
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))")
+      }
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE $cat.bad3 (k BIGINT NOT NULL, p BIGINT) PARTITIONED BY (p) " +
+          "TBLPROPERTIES ('morkey'='k')")
+      }
+      // row-level UPDATE works on partitioned tables and re-stages
+      // its replacement groups value-pure
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 2 FROM range(0, 10)")
+      s.sql(s"UPDATE $cat.t SET k = k + 100 WHERE p = 0")
+      assert(s.sql(s"SELECT sum(k) FROM $cat.t").head.getLong(0)
+        == (0L until 10L).map(k => if (k % 2 == 0) k + 100 else k).sum)
+      val store = root.resolve("t")
+      val cur = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(cur.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "UPDATE must re-stage value-pure on a partitioned table")
+    } finally rm(root)
+  }
+}
