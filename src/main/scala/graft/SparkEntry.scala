@@ -95,6 +95,7 @@ object SparkEntry {
     "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
+    "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
@@ -551,6 +552,7 @@ object SparkEntry {
     "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
+    "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,

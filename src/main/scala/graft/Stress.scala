@@ -1797,6 +1797,121 @@ object Stress {
         assert(ptOpened <= 4, s"blooms pruned weakly: $ptOpened of 64")
         println(f"[stress] source_6m bloom point: $ptOpened/64 files, $ptSecs%.2f s")
 
+      case "mor_6m" =>
+        // Merge-on-read vs copy-on-write statement cost at 6M rows / 64
+        // files: the SAME slab UPDATE through (a) the SupportsDelta path
+        // on a morkey table — one tombstone + one small data file, ZERO
+        // base files rewritten — and (b) the group-based CoW path with
+        // zone maps — O(affected files) rewritten. Claims: (1) MoR
+        // writes orders of magnitude fewer bytes per statement; (2) the
+        // MoR read pays a bounded anti-join until CALL compact folds the
+        // deltas, after which reads return to the pure scan path;
+        // (3) answers are identical across both legs at every step.
+        val nm = 6L * 1000 * 1000
+        val whM = java.nio.file.Files.createTempDirectory("graft_mor6")
+        spark.conf.set("spark.sql.catalog.m6", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.m6.root", whM.toString)
+        // realistic row width: a 64-char payload keeps file bytes honest
+        // (an all-integer 6M-row table compresses to almost nothing and
+        // understates what a CoW file rewrite costs)
+        val rowsM = spark.range(nm).select(col("id").as("k"), (col("id") % 1000).as("v"),
+          concat(lit("payload-"), col("id"),
+            lit("-abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop")).as("body"))
+        spark.sql("CREATE TABLE m6.mor (k BIGINT NOT NULL, v BIGINT, body STRING) " +
+          "TBLPROPERTIES ('morkey'='k', 'statscol'='k')")
+        spark.sql("CREATE TABLE m6.cow (k BIGINT, v BIGINT, body STRING) " +
+          "TBLPROPERTIES ('statscol'='k')")
+        timed("insert 6M x2 (64 files each, zone maps)") {
+          rowsM.repartitionByRange(64, col("k")).writeTo("m6.mor").append()
+          rowsM.repartitionByRange(64, col("k")).writeTo("m6.cow").append()
+        }
+        val lo = nm / 2
+        val hi = nm / 2 + 999 // 1k keys — a 1% FRACTION of one 94k-row file
+        def manifestOf(t: String) = etl.Snapshots.manifest(
+          whM.resolve(t), etl.Snapshots.currentId(whM.resolve(t)).get)
+        val morBase = manifestOf("mor")
+        timed(s"MoR UPDATE (1k of 6M keys, delta commit)")(
+          spark.sql(s"UPDATE m6.mor SET v = v + 1000000 WHERE k BETWEEN $lo AND $hi"))
+        val morAfter = manifestOf("mor")
+        val morFresh = morAfter.filterNot(e => morBase.exists(_.relPath == e.relPath))
+        val morFreshB = morFresh.map(_.bytes).sum
+        morBase.foreach(b => assert(morAfter.exists(e =>
+          e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+          s"MoR UPDATE rewrote base file ${b.relPath}"))
+        timed(s"CoW UPDATE (same 1k keys, group rewrite)")(
+          spark.sql(s"UPDATE m6.cow SET v = v + 1000000 WHERE k BETWEEN $lo AND $hi"))
+        val cowBase = etl.Snapshots.manifest(whM.resolve("cow"), 1)
+        val cowAfter = manifestOf("cow")
+        val cowFreshB = cowAfter.filterNot(e =>
+          cowBase.exists(b => b.relPath == e.relPath && b.md5 == e.md5)).map(_.bytes).sum
+        println(f"[stress] mor_6m statement bytes: MoR wrote ${morFreshB / 1e3}%.1f KB " +
+          f"(${morFresh.size} delta files, 0 base rewrites) vs CoW ${cowFreshB / 1e6}%.1f MB")
+        assert(morFreshB * 10 < cowFreshB,
+          s"MoR delta not an order smaller: $morFreshB vs $cowFreshB")
+        val sMor = spark.sql("SELECT count(*) c, sum(v) sv FROM m6.mor").head
+        val sCow = spark.sql("SELECT count(*) c, sum(v) sv FROM m6.cow").head
+        assert(sMor.getLong(0) == nm && sMor.toSeq == sCow.toSeq,
+          s"MoR/CoW legs diverged: $sMor vs $sCow")
+        // read price: merged (anti-join) read vs pure, then compaction
+        // folds the delta and the fast path returns
+        val tMerged0 = System.nanoTime()
+        spark.sql("SELECT sum(v) FROM m6.mor").head
+        val mergedSecs = (System.nanoTime() - tMerged0) / 1e9
+        timed("CALL compact folds the delta")(
+          spark.sql("CALL m6.system.compact('mor', 64)"))
+        assert(!manifestOf("mor").exists(etl.Snapshots.isDelete),
+          "compact left tombstones")
+        val tPure0 = System.nanoTime()
+        val sFolded = spark.sql("SELECT count(*) c, sum(v) sv FROM m6.mor").head
+        val pureSecs = (System.nanoTime() - tPure0) / 1e9
+        assert(sFolded.toSeq == sCow.toSeq, "compaction changed answers")
+        println(f"[stress] mor_6m read: merged ${mergedSecs}%.2f s -> " +
+          f"post-compact ${pureSecs}%.2f s; answers identical throughout")
+
+      case "bloom_1k" =>
+        // buildBlooms at 1,000 files: sidecars are written EXECUTOR-side
+        // (one aggregated row per file lands from the task that holds
+        // it) — the r12 implementation collected every filter's bytes to
+        // the driver, a guaranteed OOM at a million-file backfill.
+        // Claims: (1) 1,000 sidecars built in one job; (2) driver heap
+        // growth stays a small fraction of the total sidecar bytes;
+        // (3) point reads through the fresh sidecars stay exact.
+        val nb = 2L * 1000 * 1000
+        val rootB = java.nio.file.Files.createTempDirectory("graft_bloom1k")
+        timed("publish 2M rows across 1,000 hash files")(
+          etl.Snapshots.publish(spark, rootB,
+            spark.range(nb).select(col("id").as("k"), (col("id") % 97).as("g"))
+              .repartition(1000, col("k"))))
+        assert(etl.Snapshots.manifest(rootB, 1).size == 1000)
+        def heapUsed(): Long = {
+          System.gc(); Thread.sleep(200); System.gc()
+          Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+        }
+        val heap0 = heapUsed()
+        timed("buildBlooms over 1,000 files (executor-side sidecars)") {
+          val built = etl.Snapshots.buildBlooms(spark, rootB, 1, "k",
+            estItems = 1L << 12, numBits = 1L << 20)
+          assert(built == 1000, s"built $built of 1000")
+        }
+        val heapDelta = heapUsed() - heap0
+        val sidecarBytes = {
+          val walk = java.nio.file.Files.walk(rootB.resolve("blooms"))
+          try {
+            import scala.collection.JavaConverters._
+            walk.iterator().asScala.filter(p =>
+              p.getFileName.toString.endsWith(".bloom"))
+              .map(java.nio.file.Files.size).sum
+          } finally walk.close()
+        }
+        println(f"[stress] bloom_1k: ${sidecarBytes / 1e6}%.1f MB of sidecars, " +
+          f"driver heap delta ${heapDelta / 1e6}%.1f MB " +
+          f"(${100.0 * heapDelta / sidecarBytes}%.1f%% of sidecar bytes)")
+        assert(heapDelta < sidecarBytes / 2,
+          s"driver heap grew $heapDelta vs $sidecarBytes sidecar bytes — " +
+            "the build is funneling filters through the driver again")
+        val pt = etl.Snapshots.readPoint(spark, rootB, 1, "k", Seq(1234567L)).collect()
+        assert(pt.length == 1 && pt.head.getLong(0) == 1234567L, "point read broke")
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()

@@ -358,7 +358,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(dir)) throw new NoSuchTableException(
       name() +: ident.namespace().toSeq :+ ident.name())
     def applyChanges(schema0: StructType,
-                     props0: Map[String, String]): (StructType, Map[String, String]) =
+                     props0: Map[String, String]): (StructType, Map[String, String]) = {
+      def physOf(prs: Map[String, String], l: String): String =
+        prs.getOrElse("colmap." + l, l)
+      def retired(prs: Map[String, String]): Set[String] =
+        prs.get("dropped").map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      def requireRenameable(prs: Map[String, String]): Unit =
+        require(!prs.contains("morkey") && !prs.contains("partitioncol"),
+          "RENAME/DROP COLUMN is not supported on 'morkey' or partitioned " +
+            "tables (the key/partition machinery is name-addressed)")
       changes.foldLeft((schema0, props0)) {
         case ((sch, prs), add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
@@ -368,7 +376,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val fname = add.fieldNames().head
           require(!sch.fieldNames.exists(_.equalsIgnoreCase(fname)),
             s"column $fname already exists")
-          (sch.add(fname, add.dataType(), nullable = true), prs)
+          // a once-dropped (or still-mapped-away) physical name must not
+          // be reused: the dropped column's bytes would resurface under
+          // the new column. Assign a fresh physical and map to it.
+          val taken = retired(prs) ++ sch.fieldNames.map(physOf(prs, _))
+          if (!taken.exists(_.equalsIgnoreCase(fname)))
+            (sch.add(fname, add.dataType(), nullable = true), prs)
+          else {
+            val fresh = Iterator.from(2).map(k => s"${fname}__$k")
+              .find(c => !taken.exists(_.equalsIgnoreCase(c))).get
+            (sch.add(fname, add.dataType(), nullable = true),
+              prs + (s"colmap.$fname" -> fresh))
+          }
+        case ((sch, prs), ren: TableChange.RenameColumn) =>
+          require(ren.fieldNames().length == 1,
+            "graft tables support top-level RENAME COLUMN only")
+          requireRenameable(prs)
+          val from = ren.fieldNames().head
+          val to = ren.newName()
+          require(sch.fieldNames.contains(from), s"no such column: $from")
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+            s"column $to already exists")
+          // rename is METADATA ONLY: the physical name travels unchanged
+          val phys = physOf(prs, from)
+          val sch2 = StructType(sch.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f).toIndexedSeq)
+          val prs2 = prs - s"colmap.$from" +
+            (s"colmap.$to" -> phys) -- (if (to == phys) Seq(s"colmap.$to") else Nil)
+          (sch2, prs2)
+        case ((sch, prs), del: TableChange.DeleteColumn) =>
+          require(del.fieldNames().length == 1,
+            "graft tables support top-level DROP COLUMN only")
+          requireRenameable(prs)
+          val fname = del.fieldNames().head
+          if (!sch.fieldNames.contains(fname)) {
+            if (del.ifExists()) (sch, prs)
+            else throw new IllegalArgumentException(s"no such column: $fname")
+          } else {
+            require(sch.length > 1, "cannot drop the table's last column")
+            require(!prs.get("statscol").contains(physOf(prs, fname)),
+              s"cannot drop the declared statscol '$fname'")
+            // retire the physical: never readable again, never reusable
+            val phys = physOf(prs, fname)
+            val sch2 = StructType(sch.fields.filterNot(_.name == fname).toIndexedSeq)
+            val prs2 = prs - s"colmap.$fname" +
+              ("dropped" -> (retired(prs) + phys).toSeq.sorted.mkString(","))
+            (sch2, prs2)
+          }
         case ((sch, prs), set: TableChange.SetProperty) =>
           (sch, prs + (set.property() -> set.value()))
         case ((sch, prs), rm: TableChange.RemoveProperty) =>
@@ -376,8 +430,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft tables are immutable-history: unsupported ALTER ${other.getClass.getSimpleName}. " +
-              "Supported: ADD COLUMN (nullable, top-level), SET/UNSET TBLPROPERTIES.")
+              "Supported: ADD/RENAME/DROP COLUMN (top-level), SET/UNSET TBLPROPERTIES.")
       }
+    }
     var attempts = 0
     while (true) {
       Snapshots.currentId(dir) match {
@@ -551,6 +606,26 @@ object GraftCatalog {
       .flatMap(n => Snapshots.manifestMeta(dir, n).get(MetaKey))
       .map(parseMarkerBody).getOrElse(readMarker(dir))
 
+  /** Marker meta to stamp on a catalog commit whose BASE manifest
+    * carries none (first commit after CREATE, or a pre-meta store):
+    * every snapshot then records the declared shape in force when it
+    * committed, which is what gives `VERSION AS OF` each snapshot's own
+    * schema across later RENAME/DROP/RTAS. Returns None when the base
+    * already carries meta — the commit then CARRIES it forward, so a
+    * marker read here can never resurrect a stale shape over a
+    * concurrent ALTER's metadata commit.
+    */
+  private[sources] def seedMetaFor(store: JPath): Option[Map[String, String]] =
+    Snapshots.currentId(store) match {
+      case Some(c) if Snapshots.manifestMeta(store, c).contains(MetaKey) => None
+      case _ =>
+        if (!JFiles.exists(store.resolve(Marker))) None // not a catalog table
+        else {
+          val (sch, prs) = readMarker(store)
+          Some(Map(MetaKey -> markerBody(sch, prs)))
+        }
+    }
+
   private[sources] def rmTree(dir: JPath): Unit = {
     val walk = JFiles.walk(dir)
     try walk.iterator().asScala.toSeq.reverse.foreach(JFiles.deleteIfExists(_))
@@ -603,6 +678,33 @@ final class GraftTable(
     */
   private def partCol: Option[String] = props.get("partitioncol")
 
+  /** RENAME/DROP COLUMN support: `colmap.<logical>=<physical>` props map
+    * a declared (logical) column to the name parquet files actually
+    * carry. A column's PHYSICAL name is assigned once and never changes
+    * (rename is pure metadata; rows are positional, so scans translate
+    * names for free); a re-added once-dropped name gets a FRESH physical
+    * (`name__2`, ...) so the dropped column's bytes can never resurface
+    * under the new column — the role field ids play in the open formats,
+    * expressed as a name map. `dropped` records retired physicals.
+    */
+  private def colMap: Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("colmap.") =>
+      k.stripPrefix("colmap.") -> v }
+
+  private def physicalOf(logical: String): String = colMap.getOrElse(logical, logical)
+
+  private def droppedPhys: Set[String] =
+    props.get("dropped").map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** The declared schema under PHYSICAL names (what files carry). */
+  private def physicalize(sch: StructType): StructType =
+    StructType(sch.fields.map(f => f.copy(name = physicalOf(f.name))).toIndexedSeq)
+
+  /** Rename a logical-named frame to physical names, positionally. */
+  private def toPhysical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
+
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     partCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
@@ -640,7 +742,9 @@ final class GraftTable(
     case None => declared
     case Some(n) =>
       GraftTable.evolvedCache.computeIfAbsent(
-        (store.toAbsolutePath.toString, n, declared.json), _ => {
+        (store.toAbsolutePath.toString, n,
+          declared.json + "|" + colMap.toSeq.sorted.mkString(",") +
+            "|" + droppedPhys.toSeq.sorted.mkString(",")), _ => {
           // schema inference never needs the bare-scan refusal: evolved
           // columns come from data footers; tombstones carry none
           val (datas, _) = manifestSplit(n)
@@ -649,8 +753,13 @@ final class GraftTable(
             val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
             val dataSch = spark.read.option("mergeSchema", "true")
               .parquet(perSeq.map(e => store.resolve(e.relPath).toString): _*).schema
+            // compare against PHYSICAL names, and never resurrect a
+            // DROPPED column's bytes as an "evolved" column
+            val declaredPhys = declared.fieldNames.map(physicalOf)
+            val retired = droppedPhys
             val extra = dataSch.fields.filterNot(f =>
-              declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+              declaredPhys.exists(_.equalsIgnoreCase(f.name)) ||
+                retired.exists(_.equalsIgnoreCase(f.name)))
             extra.foldLeft(declared)(_.add(_))
           }
         })
@@ -689,7 +798,7 @@ final class GraftTable(
           new GraftMergeScanBuilder(spark, store, n, schema)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
-            statsCol, options)
+            statsCol, options, colMap)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -707,18 +816,44 @@ final class GraftTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
+            override def insert(data0: org.apache.spark.sql.DataFrame,
                                 ov: Boolean): Unit = {
-              if (overwrite || ov)
-                Snapshots.publishLocked(spark, store, data, append = false, statsCol)
-              else
+              // files carry PHYSICAL column names (stable across renames)
+              val data = toPhysical(data0)
+              val seed = GraftCatalog.seedMetaFor(store)
+              if (overwrite || ov) {
+                var attempts = 0
+                while (attempts < 5) {
+                  val base = Snapshots.currentId(store)
+                  val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
+                  try {
+                    Snapshots.commitOcc(store, fresh,
+                      base.map(Snapshots.OccRewrite).getOrElse(Snapshots.OccAppend),
+                      seed)
+                    return
+                  } catch {
+                    case _: Snapshots.CommitConflictException =>
+                      attempts += 1
+                      Snapshots.discardStaged(store, fresh)
+                      if (attempts >= 5) throw new Snapshots.CommitConflictException(
+                        s"INSERT OVERWRITE on ${name()} lost the commit race $attempts times")
+                    case e: Throwable =>
+                      Snapshots.discardStaged(store, fresh)
+                      throw e
+                  }
+                }
+              } else {
                 // OCC append: founds the table if no snapshot exists and
                 // REBASES onto whatever is latest at commit time, so two
                 // concurrent first INSERT INTOs both land (an
                 // append-vs-found decision taken outside the lock would
                 // let the second founding commit silently replace the
                 // first's manifest)
-                Snapshots.publishOcc(spark, store, data, statsCol)
+                val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
+                try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
+                catch { case e: Throwable =>
+                  Snapshots.discardStaged(store, fresh); throw e }
+              }
             }
           }
       }
@@ -746,9 +881,10 @@ final class GraftTable(
       case None =>
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /
-        // MERGE / complex DELETE keep the `_pv=` layout intact
+        // MERGE / complex DELETE keep the `_pv=` layout intact; on a
+        // renamed table it re-stages under PHYSICAL names (colMap leg)
         () => new GraftRowLevelOperation(spark, store, schema, statsCol,
-          info.command(), partCol)
+          info.command(), partCol, colMap)
     }
   }
 
@@ -804,7 +940,8 @@ final class GraftTable(
         val kept = Snapshots.readAt(spark, store, base).filter(!coalesce(cond, lit(false)))
         val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
         try {
-          Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base))
+          Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base),
+            GraftCatalog.seedMetaFor(store))
           return
         } catch {
           case _: Snapshots.CommitConflictException =>
@@ -819,7 +956,10 @@ final class GraftTable(
       } else {
       val entries = dataEntries(base)
       if (entries.isEmpty) return
+      // zone/bloom stats are keyed by PHYSICAL names — translate the
+      // (logical) predicate's constraints before pruning
       val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
+        .map(c => c.copy(col = physicalOf(c.col)))
       val bloomOf = SnapshotPruning.bloomLoader(store)
       val bloomCol = SnapshotPruning.bloomColumn(store)
       val (cands, untouched) = entries.partition(e =>
@@ -829,8 +969,12 @@ final class GraftTable(
       val raw = spark.read.option("mergeSchema", "true")
         .parquet(cands.map(e => store.resolve(e.relPath).toString): _*)
       val have = raw.columns.toSet
+      // conform physical files to the LOGICAL shape (renamed columns
+      // alias over, dropped/missing ones surface as NULL), evaluate the
+      // predicate logically, then re-stage survivors PHYSICAL
       val conformed = raw.select(tableSchema.fields.toIndexedSeq.map { f =>
-        if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+        val phys = physicalOf(f.name)
+        if (have(phys)) org.apache.spark.sql.functions.col(phys).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
       // before/after ride as OBSERVED metrics of the staging write
@@ -848,7 +992,7 @@ final class GraftTable(
       val fresh = partCol match {
         case Some(p) => Snapshots.stageOccPartitioned(spark, store, kept, p, statsCol.toSeq)
           .map(Snapshots.foldLegacyStats(_, statsCol))
-        case None => Snapshots.stageOcc(spark, store, kept, statsCol)
+        case None => Snapshots.stageOcc(spark, store, toPhysical(kept), statsCol)
       }
       try {
         // the optimizer may fold a constant predicate's subtree away
@@ -873,7 +1017,8 @@ final class GraftTable(
           Snapshots.discardStaged(store, fresh)
           return
         }
-        Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(base, untouched))
+        Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(base, untouched),
+          GraftCatalog.seedMetaFor(store))
         return
       } catch {
         case _: Snapshots.CommitConflictException =>

@@ -604,6 +604,79 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_rename`: schema evolution PAST add-column — RENAME
+    * COLUMN (pure metadata over unchanged files; reads translate through
+    * the physical-name map), DROP COLUMN (physical retired, bytes never
+    * served again), then ADD COLUMN of the SAME dropped name (fresh
+    * physical — the old bytes must NOT resurface; the re-added column
+    * reads NULL on pre-drop rows). Required in-query: the three ALTERs
+    * carried every data file byte-identical (metadata commits); time
+    * travel to the pre-evolution snapshot restores the ORIGINAL column
+    * names; the re-added column is NULL exactly on pre-drop rows. The
+    * oracle restates both shapes.
+    */
+  def catalogRename(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_src"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view")
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      s.sql(s"ALTER TABLE $cat.orders RENAME COLUMN cents TO total_cents")
+      s.sql(s"ALTER TABLE $cat.orders DROP COLUMN o_orderstatus")
+      s.sql(s"ALTER TABLE $cat.orders ADD COLUMN o_orderstatus STRING")
+      val afterDdl = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      base.foreach(b => require(afterDdl.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"ALTER rewrote data file ${b.relPath} — evolution must be metadata-only"))
+      // new rows land under the FRESH physical for the re-added column
+      s.sql(s"INSERT INTO $cat.orders SELECT -o_orderkey, cents * 2, 'N' " +
+        s"FROM $view WHERE o_orderkey % 10 = 0")
+      val nOrig = Tables.orders(s, d).count()
+      require(s.sql(s"SELECT count(*) FROM $cat.orders WHERE o_orderstatus IS NULL")
+        .head.getLong(0) == nOrig,
+        "dropped column's bytes resurfaced under the re-added name")
+      val v1cols = s.sql(s"SELECT * FROM $cat.orders VERSION AS OF 1").columns.toSeq
+      require(v1cols == Seq("o_orderkey", "o_orderstatus", "cents"),
+        s"time travel lost the pre-evolution shape: $v1cols")
+      val out =
+        s.sql(s"SELECT coalesce(o_orderstatus, 'dropped') AS st, count(*) AS n, " +
+          s"sum(total_cents) AS sc, sum(o_orderkey) AS sk FROM $cat.orders GROUP BY 1")
+          .collect().map(r => Row("current", r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))) ++
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(o_orderkey) AS sk FROM $cat.orders VERSION AS OF 1 GROUP BY 1")
+          .collect().map(r => Row("v1", r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogRenameOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    cur AS (
+      SELECT k, 'dropped' AS o_orderstatus, cents FROM b
+      UNION ALL
+      SELECT -k, 'N', cents * 2 FROM b WHERE k % 10 = 0),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM cur
+      UNION ALL SELECT 'v1', o_orderstatus, cents, k FROM b)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT

@@ -197,6 +197,7 @@ private[sources] final class GraftDeltaWrite(
           }
         val fresh = inserts ++ deletes
         if (fresh.isEmpty) return // matched nothing: no-op
+        val seed = GraftCatalog.seedMetaFor(store)
         baseId match {
           case Some(b) =>
             // carry the WHOLE base manifest: no data file is replaced —
@@ -204,12 +205,12 @@ private[sources] final class GraftDeltaWrite(
             // base advance conflicts (the delete keys were computed
             // against exactly this snapshot).
             try Snapshots.commitOcc(store, fresh,
-              Snapshots.OccSurgical(b, Snapshots.manifest(store, b)))
+              Snapshots.OccSurgical(b, Snapshots.manifest(store, b)), seed)
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
           case None =>
             require(deletes.isEmpty,
               "delta write produced tombstones against a table with no snapshot")
-            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
         }
       } finally GraftCatalog.rmTree(scratchDir)

@@ -68,7 +68,8 @@ private[sources] final class GraftPartitionedWriteBuilder(
         new InsertableRelation {
           override def insert(data: DataFrame, ov: Boolean): Unit = {
             val fresh = stage(data)
-            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+              GraftCatalog.seedMetaFor(store))
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
           }
         }
@@ -82,11 +83,12 @@ private[sources] final class GraftPartitionedWriteBuilder(
               val base = Snapshots.currentId(store)
               val fresh = stage(data)
               try {
+                val seed = GraftCatalog.seedMetaFor(store)
                 base match {
                   case Some(b) =>
-                    Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b))
+                    Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b), seed)
                   case None =>
-                    Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+                    Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
                 }
                 return
               } catch {
@@ -165,9 +167,11 @@ private[sources] final class GraftDynamicOverwrite(
                         "catalog paths only)")
                   }
                 }
-                Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, carried))
+                Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, carried),
+                  GraftCatalog.seedMetaFor(store))
               case None =>
-                Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+                Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                  GraftCatalog.seedMetaFor(store))
             }
             return
           } catch {

@@ -49,7 +49,8 @@ final class GraftRowLevelOperation(
     tableSchema: StructType,
     statsCol: Option[String],
     cmd: RowLevelOperation.Command,
-    partCol: Option[String] = None) extends RowLevelOperation {
+    partCol: Option[String] = None,
+    colMap: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   /** None = the table has no published snapshot yet: an UPDATE/DELETE is
     * a trivial no-op, and a MERGE's NOT MATCHED inserts FOUND the table.
@@ -103,12 +104,12 @@ final class GraftRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GroupScanBuilder(spark, store, baseId.getOrElse(0), baseEntries, tableSchema, statsCol,
-      options, recordKept)
+      options, recordKept, colMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write = new SurgicalReplaceWrite(
-        spark, store, statsCol, partCol, baseId, baseEntries,
+        spark, store, statsCol, partCol, colMap, baseId, baseEntries,
         () => {
           require(!divergentBuilds,
             s"row-level $cmd planned multiple rewrite scans with DIFFERENT group " +
@@ -142,7 +143,8 @@ private[sources] final class GroupScanBuilder(
     tableSchema: StructType,
     statsCol: Option[String],
     options: CaseInsensitiveStringMap,
-    record: Seq[Snapshots.ManifestEntry] => Unit) extends ScanBuilder
+    record: Seq[Snapshots.ManifestEntry] => Unit,
+    colMap: Map[String, String] = Map.empty) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -151,7 +153,9 @@ private[sources] final class GroupScanBuilder(
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
+    // zone/bloom stats key by PHYSICAL names on renamed tables
     val cs = filters.toSeq.flatMap(SnapshotPruning.constraintsOfFilter)
+      .map(c => c.copy(col = colMap.getOrElse(c.col, c.col)))
     if (cs.nonEmpty) {
       val bloomOf = SnapshotPruning.bloomLoader(store)
       val bloomCol = SnapshotPruning.bloomColumn(store)
@@ -169,13 +173,36 @@ private[sources] final class GroupScanBuilder(
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     record(kept)
+    // files carry PHYSICAL names; the scan reads physical and renames
+    // its schema back to logical at the boundary (rows are positional)
+    def phys(sch: StructType): StructType =
+      if (colMap.isEmpty) sch
+      else StructType(sch.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+    val reverse = colMap.map(_.swap)
+    def logical(sch: StructType): StructType =
+      if (colMap.isEmpty) sch
+      else StructType(sch.fields.map(f =>
+        f.copy(name = reverse.getOrElse(f.name, f.name))).toIndexedSeq)
     val index = new SnapshotV2FileIndex(spark, store, baseId, kept,
-      Some(tableSchema), statsCol)
+      Some(phys(tableSchema)), statsCol)
     val b = ParquetScanBuilder(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      index, tableSchema, tableSchema, options)
-    b.pruneColumns(required)
-    b.build()
+      index, phys(tableSchema), phys(tableSchema), options)
+    b.pruneColumns(phys(required))
+    val built = b.build()
+    if (colMap.isEmpty) built
+    else new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = logical(built.readSchema())
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = built.toBatch
+      override def description(): String = built.description()
+      override def supportedCustomMetrics(): Array[
+          org.apache.spark.sql.connector.metric.CustomMetric] =
+        built.supportedCustomMetrics()
+      override def columnarSupportMode():
+          org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+        built.columnarSupportMode()
+    }
   }
 }
 
@@ -190,6 +217,7 @@ private[sources] final class SurgicalReplaceWrite(
     store: JPath,
     statsCol: Option[String],
     partCol: Option[String],
+    colMap: Map[String, String],
     baseId: Option[Int],
     baseEntries: Seq[Snapshots.ManifestEntry],
     replacedFn: () => Seq[Snapshots.ManifestEntry],
@@ -219,7 +247,22 @@ private[sources] final class SurgicalReplaceWrite(
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages) // task files land in stagingDir
-      val staged = partCol match {
+      val staged = if (colMap.nonEmpty) {
+          // replacement rows arrived under LOGICAL names; files must
+          // carry PHYSICAL ones — re-stage the (delta-sized) flat
+          // staging renamed, then drop the flat files
+          val flat = Snapshots.entriesForStagedDir(spark, store, stagingDir, Nil)
+          if (flat.isEmpty) Nil
+          else {
+            val rows = spark.read.option("mergeSchema", "true").parquet(
+              flat.map(e => store.resolve(e.relPath).toString): _*)
+            val renamed = rows.toDF(rows.columns.map(c =>
+              colMap.getOrElse(c, c)).toIndexedSeq: _*)
+            val pure = Snapshots.stageOcc(spark, store, renamed, statsCol)
+            Snapshots.discardStaged(store, flat)
+            pure
+          }
+        } else partCol match {
         case Some(p) =>
           // a partitioned table's replacement rows must land VALUE-PURE:
           // re-stage the (delta-sized) flat staging through the _pv=
@@ -277,15 +320,16 @@ private[sources] final class SurgicalReplaceWrite(
         Snapshots.discardStaged(store, staged)
         Nil
       } else staged
+      val seed = GraftCatalog.seedMetaFor(store)
       baseId match {
         case Some(b) =>
-          Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, untouched))
+          Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, untouched), seed)
         case None =>
           // no published snapshot existed when the statement was analyzed
           // (a MERGE's NOT MATCHED inserts FOUND the table); OccAppend
           // rebases onto whatever landed since, which is the only sound
           // claim a pure-insert write can make
-          Snapshots.commitOcc(store, fresh, Snapshots.OccAppend)
+          Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
       }
     }
 

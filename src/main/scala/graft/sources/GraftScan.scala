@@ -28,37 +28,68 @@ final class GraftScanBuilder(
     entries: Seq[Snapshots.ManifestEntry],
     tableSchema: StructType,
     statsCol: Option[String],
-    options: CaseInsensitiveStringMap) extends ScanBuilder
+    options: CaseInsensitiveStringMap,
+    colMap: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // files carry PHYSICAL column names; the scan negotiates pushdown in
+  // physical terms and translates at its boundary (rows are positional,
+  // so the rename itself is free — only the schemas change names)
+  private val reverseMap: Map[String, String] = colMap.map(_.swap)
+
+  private def physName(n: String): String = colMap.getOrElse(n, n)
+
+  private def physicalize(sch: StructType): StructType =
+    if (colMap.isEmpty) sch
+    else StructType(sch.fields.map(f => f.copy(name = physName(f.name))).toIndexedSeq)
+
+  private def logicalize(sch: StructType): StructType =
+    if (colMap.isEmpty) sch
+    else StructType(sch.fields.map(f =>
+      f.copy(name = reverseMap.getOrElse(f.name, f.name))).toIndexedSeq)
+
+  private def rename(e: Expression, m: Map[String, String]): Expression =
+    if (m.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if m.contains(a.name) => a.withName(m(a.name))
+    }
+
+  private val physicalSchema = physicalize(tableSchema)
+
   private val inner: ParquetScanBuilder = ParquetScanBuilder(
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
     new SnapshotV2FileIndex(spark, store, snapshotId, entries,
-      Some(tableSchema), statsCol),
-    tableSchema, tableSchema, options)
+      Some(physicalSchema), statsCol),
+    physicalSchema, physicalSchema, options)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    inner.pushFilters(filters)
+    // in: logical → physical; residuals back: physical → logical (expr
+    // ids are preserved by withName, so binding upstream stays intact)
+    inner.pushFilters(filters.map(rename(_, colMap))).map(rename(_, reverseMap))
 
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+    inner.pruneColumns(physicalize(requiredSchema))
 
   // MIN/MAX/COUNT straight from parquet footers when
   // spark.sql.parquet.aggregatePushDown is on — pure delegation
+  // (aggregate references arrive as logical names; skip the pushdown on
+  // renamed tables rather than mistranslate)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.pushAggregation(agg)
+    colMap.isEmpty && inner.pushAggregation(agg)
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.supportCompletePushDown(agg)
+    colMap.isEmpty && inner.supportCompletePushDown(agg)
 
   override def build(): Scan =
-    new GraftScan(spark, store, inner.build(), tableSchema, statsCol, options)
+    new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
+      logicalize)
 }
 
 /** The built scan: batch path IS the wrapped [[ParquetScan]];
@@ -73,9 +104,13 @@ final class GraftScan(
     val parquet: ParquetScan,
     tableSchema: StructType,
     statsCol: Option[String],
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap,
+    logicalize: StructType => StructType = identity) extends Scan {
 
-  override def readSchema(): StructType = parquet.readSchema()
+  // Spark binds the scan's output to the table's LOGICAL attributes by
+  // name; the wrapped parquet scan read the PHYSICAL names — same
+  // fields positionally, so only the schema is renamed, never a row
+  override def readSchema(): StructType = logicalize(parquet.readSchema())
 
   override def toBatch: Batch = parquet.toBatch
 
@@ -91,7 +126,9 @@ final class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val start = Option(options.get("startsnapshot")).map(_.toInt).getOrElse(0)
     val skipRewrites = Option(options.get("skiprewrites")).exists(_.toBoolean)
-    new SnapshotMicroBatchStream(spark, store, readSchema(), statsCol,
+    // the stream reads FILES, so it wants the PHYSICAL read schema; its
+    // rows are positionally identical to the logical readSchema() above
+    new SnapshotMicroBatchStream(spark, store, parquet.readSchema(), statsCol,
       start, skipRewrites, options)
   }
 }
