@@ -64,7 +64,12 @@ object Bench {
     // its own create+insert setup, so envelopes price the whole statement
     // path, not just the operator
     "catalog_sql", "catalog_prune", "catalog_delete", "catalog_update",
-    "catalog_merge", "stream_catalog_source", "catalog_meta", "catalog_call")
+    "catalog_merge", "stream_catalog_source", "catalog_meta", "catalog_call",
+    // r13: A34 depth — merge-on-read DML, the NOT-MATCHED-BY-SOURCE
+    // mirror sync, dynamic partition overwrite, rename/drop evolution;
+    // each prices a full DDL+DML statement path like the other catalog
+    // queries
+    "catalog_mor_update", "catalog_sync", "catalog_overwrite", "catalog_rename")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
