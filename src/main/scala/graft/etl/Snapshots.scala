@@ -1246,7 +1246,7 @@ object Snapshots {
     * manifest that references the file and die with it at GC.
     */
   def buildBlooms(s: SparkSession, root: Path, n: Int, keyCol: String,
-                  estItems: Long = 1L << 18, numBits: Long = 1L << 23): Int = {
+                  estItems: Long = 0, numBits: Long = 0): Int = {
     // one declared key column per store, recorded in blooms/_column so
     // readers can key bloom skipping the way zone skipping is keyed by
     // the constraint's column — probing a k-bloom with another column's
@@ -1264,6 +1264,28 @@ object Snapshots {
     val missing = manifest(root, n).filterNot(isDelete)
       .filterNot(e => Files.exists(bloomPath(root, e.relPath)))
     if (missing.isEmpty) return 0
+    // AUTO-SIZING (estItems/numBits = 0): a fixed-size bloom saturates
+    // silently when files outgrow it (FPP → 1, skipping → none — the
+    // self-run sf10 sweep caught exactly that), so size from the TRUE
+    // per-file cardinality ceiling: parquet footer row counts, one
+    // O(1) footer read per missing file (the build scans those files
+    // whole right after, so this adds a seek, not a pass). ~7.3 bits
+    // per item ≈ 3% FPP, capped at 2^26 bits (Spark's aggregate cap) —
+    // beyond that FPP degrades gracefully rather than erroring.
+    val (effItems, effBits) =
+      if (estItems > 0 && numBits > 0) (estItems, numBits)
+      else {
+        val conf = s.sessionState.newHadoopConf()
+        val maxRows = missing.map { e =>
+          val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(root.resolve(e.relPath).toUri), conf))
+          try f.getRecordCount finally f.close()
+        }.max
+        val items = math.max(1024L, maxRows)
+        val bits = math.min(1L << 26, math.max(1L << 16, (items * 7.3).toLong))
+        (items, bits)
+      }
     s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2)).toAggregateExpression(), "built-in")
@@ -1277,7 +1299,7 @@ object Snapshots {
     s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(call_function("graft_bloom_agg",
-        col(keyCol).cast("long"), lit(estItems), lit(numBits)).as("bf"))
+        col(keyCol).cast("long"), lit(effItems), lit(effBits)).as("bf"))
       .foreach { r =>
         val name = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
           .getFileName.toString

@@ -690,7 +690,6 @@ object GraftCatalogQueries {
   def streamCatalogSource(s: SparkSession, d: String): DataFrame = {
     val (cat, root) = freshCatalog(s)
     val view = cat + "_orders"
-    val sink = cat + "_sink"
     try {
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -699,11 +698,28 @@ object GraftCatalogQueries {
       (0 until 3).foreach { k =>
         s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = $k")
       }
+      // parquet sink, NOT the memory sink: a memory sink materializes
+      // every streamed row as driver-heap objects — at sf10 (15M rows)
+      // that is a guaranteed driver OOM; the file sink keeps the stream
+      // exactly-once AND scale-honest
+      val sinkDir = JFiles.createTempDirectory(s"${cat}_sink")
       val q = s.readStream.table(s"$cat.orders")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.resolve("data").toString)
+        .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      def sinkDf = s.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(sinkDir.resolve("data").toString)
       try {
         q.processAllAvailable()
-        val firstDrain = s.table(sink).count()
+        val firstDrain = sinkDf.count()
         val expectFirst = s.sql(s"SELECT count(*) FROM $view WHERE o_orderkey % 4 < 3")
           .head.getLong(0)
         require(firstDrain == expectFirst,
@@ -711,11 +727,16 @@ object GraftCatalogQueries {
         s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = 3")
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink)
+      val out = sinkDf
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
         .orderBy("o_orderstatus")
-    } finally rm(root)
+      // materialize BEFORE rm() deletes the sink dir the plan reads
+      val rows = out.collect().toSeq
+      rm(sinkDir)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(root); () }
   }
 
   val streamCatalogSourceOracleSql: String = """

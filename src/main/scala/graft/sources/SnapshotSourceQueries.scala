@@ -340,7 +340,6 @@ object SnapshotSourceQueries {
     */
   def streamSnapshotSource(s: SparkSession, d: String): DataFrame = {
     val root = JFiles.createTempDirectory("graft_snapss")
-    val sink = "graft_snapsrc_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -348,11 +347,27 @@ object SnapshotSourceQueries {
         Snapshots.publish(s, root, orders.filter(col("o_orderkey") % 4 === k),
           append = k > 0)
       }
+      // parquet sink, NOT the memory sink: a memory sink materializes
+      // every streamed row as driver-heap objects — at the self-run
+      // sf10 (15M rows) that is a guaranteed driver OOM
+      val sinkDir = JFiles.createTempDirectory("graft_snapss_sink")
       val q = s.readStream.format("graft-snapshot").option("path", root.toString).load()
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.resolve("data").toString)
+        .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      def sinkDf = s.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(sinkDir.resolve("data").toString)
       try {
         q.processAllAvailable()
-        val firstDrain = s.table(sink).count()
+        val firstDrain = sinkDf.count()
         val expectFirst = orders.filter(col("o_orderkey") % 4 < 3).count()
         require(firstDrain == expectFirst,
           s"first drain saw $firstDrain rows, expected the 3 releases' $expectFirst")
@@ -360,9 +375,13 @@ object SnapshotSourceQueries {
           append = true)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink)
+      val out = sinkDf
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      rm(sinkDir)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
         .orderBy("o_orderstatus")
     } finally rm(root)
   }
