@@ -1269,9 +1269,11 @@ object Snapshots {
     // self-run sf10 sweep caught exactly that), so size from the TRUE
     // per-file cardinality ceiling: parquet footer row counts, one
     // O(1) footer read per missing file (the build scans those files
-    // whole right after, so this adds a seek, not a pass). ~7.3 bits
-    // per item ≈ 3% FPP, capped at 2^26 bits (Spark's aggregate cap) —
-    // beyond that FPP degrades gracefully rather than erroring.
+    // whole right after, so this adds a seek, not a pass). 16 bits per
+    // item ≈ 0.05% FPP — tight enough that a point probe against a
+    // whole table's sidecars (8-64 files) still expects ZERO false
+    // opens — capped at 2^26 bits (Spark's aggregate cap), beyond
+    // which FPP degrades gracefully rather than erroring.
     val (effItems, effBits) =
       if (estItems > 0 && numBits > 0) (estItems, numBits)
       else {
@@ -1283,7 +1285,7 @@ object Snapshots {
           try f.getRecordCount finally f.close()
         }.max
         val items = math.max(1024L, maxRows)
-        val bits = math.min(1L << 26, math.max(1L << 16, (items * 7.3).toLong))
+        val bits = math.min(1L << 26, math.max(1L << 16, items * 16L))
         (items, bits)
       }
     s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",

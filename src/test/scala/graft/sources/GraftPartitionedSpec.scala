@@ -154,6 +154,24 @@ class GraftPartitionedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("partitioned CTAS stages value-pure; dynamic overwrite works on it") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t PARTITIONED BY (p) AS " +
+        "SELECT id AS k, id % 4 AS p FROM range(0, 100)")
+      val store = root.resolve("t")
+      val m1 = Snapshots.manifest(store, 1)
+      assert(m1.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "CTAS must land value-pure files on a partitioned table")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 100)
+      withDynamicMode {
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT id, 2 FROM range(0, 7)")
+      }
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 2").head.getLong(0) == 7)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p != 2").head.getLong(0) == 75)
+    } finally rm(root)
+  }
+
   test("refusals: two partition columns, non-identity transform, morkey combo") {
     val (cat, root) = freshCatalog()
     try {
