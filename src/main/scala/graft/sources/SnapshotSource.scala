@@ -244,13 +244,22 @@ private[sources] object SnapshotDiff {
     val after = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
     val afterPaths = after.map(_.relPath).toSet
     val dropped = before.diff(afterPaths)
-    if (dropped.nonEmpty && !skipRewrites)
+    // MERGE-ON-READ GUARD, same class as the rewrite guard: a delta
+    // commit (equality-delete tombstone + replacement rows) drops no
+    // file, but it logically REMOVES rows — streaming its adds would
+    // deliver an UPDATE's new images with no retraction of the old
+    // ones: silent double-count downstream. Tombstones committed inside
+    // the window make it non-append; fail loudly (or skip whole).
+    val newTombstones = Snapshots.manifest(root, to)
+      .filter(Snapshots.isDelete).count(e => e.seq > from && e.seq <= to)
+    if ((dropped.nonEmpty || newTombstones > 0) && !skipRewrites)
       throw new IllegalStateException(
-        s"snapshot window ($from, $to] of $root rewrote ${dropped.size} data file(s) " +
-          "(compaction/overwrite); the adds stream would re-deliver rewritten rows. " +
-          "Quiesce maintenance while streaming, or set skiprewrites=true to skip " +
-          "rewrite windows entirely.")
-    if (dropped.nonEmpty) Nil
+        s"snapshot window ($from, $to] of $root is not append-only: " +
+          s"${dropped.size} data file(s) rewritten, $newTombstones tombstone " +
+          "commit(s) landed — the adds stream would re-deliver or double-count " +
+          "rows. Quiesce maintenance/row-level DML while streaming, or set " +
+          "skiprewrites=true to skip non-append windows entirely.")
+    if (dropped.nonEmpty || newTombstones > 0) Nil
     else after.filterNot(e => before(e.relPath))
   }
 }

@@ -454,8 +454,8 @@ class GraftCatalogSpec extends AnyFunSuite {
           q.processAllAvailable()
           q.awaitTermination(2000)
         }
-        assert(e.getMessage.contains("rewrote") ||
-          Option(e.getCause).exists(_.getMessage.contains("rewrote")),
+        assert(e.getMessage.contains("not append-only") ||
+          Option(e.getCause).exists(_.getMessage.contains("not append-only")),
           s"wrong failure: ${e.getMessage}")
       } finally if (q.isActive) q.stop()
     } finally rm(root)

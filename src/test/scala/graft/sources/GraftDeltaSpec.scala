@@ -125,6 +125,32 @@ class GraftDeltaSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("a delta commit mid-stream fails the CDC source loudly (no silent double-count)") {
+    val (cat, root) = freshCatalog()
+    val sinkDir = Files.createTempDirectory("graft_mor_stream")
+    try {
+      val t = morTable(cat, rows = 100)
+      val q = s.readStream.table(t)
+        .writeStream.format("parquet")
+        .option("path", sinkDir.resolve("data").toString)
+        .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // an UPDATE lands tombstone + replacement rows: streaming that
+        // window as appends would deliver the new images with no
+        // retraction — the source must refuse, not double-count
+        s.sql(s"UPDATE $t SET cents = cents + 1 WHERE k < 10")
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("not append-only") ||
+          Option(e.getCause).exists(_.getMessage.contains("not append-only")),
+          s"wrong failure: ${e.getMessage}")
+      } finally q.stop()
+    } finally { rm(root); rm(sinkDir) }
+  }
+
   test("chained deltas stay exact: update-over-update, sequence rule holds") {
     val (cat, root) = freshCatalog()
     try {

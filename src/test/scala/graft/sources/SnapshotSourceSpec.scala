@@ -389,7 +389,7 @@ class SnapshotSourceSpec extends AnyFunSuite {
           q.processAllAvailable()
           q.awaitTermination(5000)
         }
-        assert(e.getCause.getMessage.contains("rewrote"), e.getCause.getMessage)
+        assert(e.getCause.getMessage.contains("not append-only"), e.getCause.getMessage)
       } finally q.stop()
     } finally rm(root)
   }
