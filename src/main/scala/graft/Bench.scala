@@ -69,7 +69,8 @@ object Bench {
     // mirror sync, dynamic partition overwrite, rename/drop evolution;
     // each prices a full DDL+DML statement path like the other catalog
     // queries
-    "catalog_mor_update", "catalog_sync", "catalog_overwrite", "catalog_rename")
+    "catalog_mor_update", "catalog_sync", "catalog_overwrite", "catalog_rename",
+    "snapshot_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,6 +102,7 @@ object SparkEntry {
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
     "snapshot_delete"     -> w(Snapshots.snapshotDelete),
     "snapshot_upsert"     -> w(Snapshots.snapshotUpsert),
+    "snapshot_cdf"        -> w(Snapshots.snapshotCdf),
     "snapshot_evolve"     -> w(Snapshots.snapshotEvolve),
     "snapshot_occ"        -> w(Snapshots.snapshotOcc),
     "snapshot_zorder"     -> w(Snapshots.snapshotZorder),
@@ -559,6 +560,7 @@ object SparkEntry {
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,
     "snapshot_delete" -> graft.etl.Snapshots.snapshotDeleteOracleSql,
     "snapshot_upsert" -> graft.etl.Snapshots.snapshotUpsertOracleSql,
+    "snapshot_cdf" -> graft.etl.Snapshots.snapshotCdfOracleSql,
     "snapshot_evolve" -> graft.etl.Snapshots.snapshotEvolveOracleSql,
     "snapshot_occ" -> graft.etl.Snapshots.snapshotOccOracleSql,
     "snapshot_zorder" -> graft.etl.Snapshots.snapshotZorderOracleSql,

@@ -1351,6 +1351,66 @@ object Snapshots {
     else mergeRead(s, root, picked, dels, _.filter(col(keyCol).isin(keys: _*)))
   }
 
+  /** CHANGE DATA FEED over `(from, to]`: the NET row-level changes
+    * between two snapshots, with retractions — each row tagged
+    * `_change_type` = 'insert' (visible at `to`, absent at `from`) or
+    * 'delete' (the OLD image of a row that existed at `from` and was
+    * erased in the window). An UPDATE (upsert/MoR delta) appears as its
+    * delete+insert pair; a row both inserted and erased INSIDE the
+    * window appears as neither (it existed at neither boundary).
+    *
+    * Resolution is manifest-driven and O(increment):
+    *  - inserts = the window's ADDED data files, with the window's own
+    *    tombstones applied under the sequence rule (a later tombstone in
+    *    the window erases an earlier add; pre-window tombstones never
+    *    touch window-added files — their seq is smaller);
+    *  - deletes = the `from` state SEMI-JOINED to the window's tombstone
+    *    keys (only rows that really existed get retracted), reading only
+    *    the files whose zone maps/blooms the keys cannot skip is the
+    *    caller's pruning opportunity; the join itself broadcasts the
+    *    O(deleted keys) tombstone relation.
+    *
+    * REWRITE windows (dropped data files — compaction/overwrite) refuse
+    * loudly, exactly like [[graft.sources.SnapshotDiff]]: a rewrite is
+    * not a row-level change and would surface every rewritten row as
+    * churn. This is the retraction-aware complement of [[readChanges]]
+    * — the consumer shape an incremental curation pipeline (E22) needs
+    * when upstream mutates rather than only appends.
+    */
+  def readChangeFeed(s: SparkSession, root: Path, from: Int, to: Int): DataFrame = {
+    require(to > from && from >= 0, s"need 0 <= from < to, got ($from, $to]")
+    val beforeAll = if (from == 0) Nil else manifest(root, from)
+    val beforePaths = beforeAll.filterNot(isDelete).map(_.relPath).toSet
+    val (afterDels, afterDatas) = manifest(root, to).partition(isDelete)
+    val dropped = beforePaths.diff(afterDatas.map(_.relPath).toSet)
+    require(dropped.isEmpty,
+      s"snapshot window ($from, $to] of $root rewrote ${dropped.size} data file(s) " +
+        "(compaction/overwrite): a rewrite is not a row-level change — read the " +
+        "feed across windows that do not straddle maintenance")
+    val addedDatas = afterDatas.filterNot(e => beforePaths(e.relPath))
+    val windowDels = afterDels.filter(e => e.seq > from && e.seq <= to)
+    val inserts: Option[DataFrame] =
+      if (addedDatas.isEmpty) None
+      else Some(mergeRead(s, root, addedDatas, windowDels, identity)
+        .withColumn("_change_type", lit("insert")))
+    val deletes: Option[DataFrame] =
+      if (windowDels.isEmpty || from == 0) None
+      else {
+        val keys = s.read.parquet(
+          windowDels.map(e => root.resolve(e.relPath).toString): _*).distinct()
+        Some(readAt(s, root, from)
+          .join(broadcast(keys), Seq(keys.columns.head), "left_semi")
+          .withColumn("_change_type", lit("delete")))
+      }
+    (inserts, deletes) match {
+      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None)       => readAt(s, root, to).limit(0)
+        .withColumn("_change_type", lit(""))
+    }
+  }
+
   def readCurrent(s: SparkSession, root: Path): DataFrame =
     readAt(s, root, currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root")))
@@ -1824,6 +1884,79 @@ object Snapshots {
       finally walk.close()
     }
   }
+
+  /** A31 query `snapshot_cdf`: the CHANGE DATA FEED with retractions —
+    * snapshot 1 publishes orders; snapshot 2 UPSERTS (every key ≡ 0
+    * mod 10 updated to status 'U' with cents+7, plus brand-new negative
+    * keys for every key ≡ 0 mod 50); snapshot 3 DELETES every key ≡ 0
+    * mod 7. `readChangeFeed(1, 3)` must emit exactly: a 'delete' OLD
+    * image for every key that existed at 1 and was erased in the window
+    * (upserted ∪ deleted, each once), and an 'insert' NEW image for
+    * every window-added row STILL VISIBLE at 3 — an update whose key the
+    * later delete erases (k ≡ 0 mod 70) appears as delete-only, its
+    * short-lived new image as neither. The oracle restates the whole
+    * feed from the source table; the hash gate proves net-change
+    * semantics, retractions included — the consumer shape an
+    * incremental pipeline needs when upstream MUTATES, where
+    * `readChanges` (A31) only serves appends.
+    */
+  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_snapcdf")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      publish(s, root, orders.repartition(4))
+      val upserts = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("cents", col("cents") + 7)
+        .unionByName(orders.filter(col("o_orderkey") % 50 === 0)
+          .select((-col("o_orderkey") - 1).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("cents")))
+      publishUpsert(s, root, upserts, "o_orderkey")
+      publishDeletes(s, root,
+        orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      val feed = readChangeFeed(s, root, 1, 3)
+      val out = feed.groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_total_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .collect()
+        .map(r => Row(r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSeq
+      val schema = StructType(Seq(
+        StructField("change_type", StringType),
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("change_type", "o_orderstatus")
+    } finally {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  val snapshotCdfOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    feed AS (
+      -- retractions: every key that existed at snapshot 1 and was
+      -- erased in the window (upserted or deleted), OLD image, once
+      SELECT 'delete' AS change_type, o_orderstatus, cents, k FROM b
+      WHERE k % 10 = 0 OR k % 7 = 0
+      UNION ALL
+      -- inserts: window-added rows still visible at snapshot 3 — the
+      -- updates the later delete did not erase, plus the new keys
+      SELECT 'insert', 'U', cents + 7, k FROM b
+      WHERE k % 10 = 0 AND NOT (k % 7 = 0)
+      UNION ALL
+      SELECT 'insert', 'I', cents, -k - 1 FROM b WHERE k % 50 = 0)
+    SELECT change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM feed GROUP BY change_type, o_orderstatus
+    ORDER BY change_type, o_orderstatus"""
 
   /** A31 query `snapshot_evolve`: schema evolution by append — release
     * 2 carries an ADDED `priority` column the release-1 files never

@@ -440,6 +440,46 @@ class SnapshotSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("change data feed: net changes with retractions, boundary-exact") {
+    val root = tmpRoot()
+    try {
+      val sq = s; import sq.implicits._
+      // snap 1: keys 0..99 v=k; snap 2: upsert keys 10..19 (v+1000) and
+      // NEW keys 200..204; snap 3: delete keys {15, 50, 202}
+      Snapshots.publish(s, root,
+        (0 until 100).map(k => (k.toLong, k.toLong)).toDF("k", "v").repartition(4))
+      Snapshots.publishUpsert(s, root,
+        ((10 until 20).map(k => (k.toLong, k + 1000L)) ++
+          (200 until 205).map(k => (k.toLong, k.toLong))).toDF("k", "v"), "k")
+      Snapshots.publishDeletes(s, root, Seq(15L, 50L, 202L).toDF("k"))
+      val feed = Snapshots.readChangeFeed(s, root, 1, 3).collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expectDeletes = // OLD images of keys existing at 1 and erased in window
+        ((10 until 20).map(k => ("delete", k.toLong, k.toLong)) :+
+          (("delete", 50L, 50L)))
+      val expectInserts = // window-added rows still visible at 3:
+        // updates minus the later-deleted key 15, new keys minus 202
+        ((10 until 20).filter(_ != 15).map(k => ("insert", k.toLong, k + 1000L)) ++
+          (200 until 205).filter(_ != 202).map(k => ("insert", k.toLong, k.toLong)))
+      assert(feed == (expectDeletes ++ expectInserts).sorted.toSeq)
+      // a row inserted AND deleted inside the window (202) is NEITHER;
+      // key 15 is delete-only (its short-lived new image never existed
+      // at a boundary)
+      assert(!feed.exists(_._2 == 202L))
+      assert(feed.count(_._2 == 15L) == 1 && feed.filter(_._2 == 15L).head._1 == "delete")
+      // (0, to]: a from-less feed is pure inserts of the visible state
+      val fromZero = Snapshots.readChangeFeed(s, root, 0, 1)
+      assert(fromZero.filter(org.apache.spark.sql.functions
+        .col("_change_type") === "insert").count() == 100)
+      // rewrite windows refuse loudly — a compaction is not a row change
+      Snapshots.compactOcc(s, root, 2)
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.readChangeFeed(s, root, 1, Snapshots.currentId(root).get)
+      }
+      assert(e.getMessage.contains("rewrote"), e.getMessage)
+    } finally rm(root)
+  }
+
   test("schema evolution composes with tombstones: deletes reach both schema eras") {
     val sq = s; import sq.implicits._
     val root = tmpRoot()
