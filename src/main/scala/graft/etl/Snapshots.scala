@@ -550,7 +550,8 @@ object Snapshots {
     * and age out with [[expire]].)
     */
   def commitOcc(root: Path, fresh: Seq[ManifestEntry], kind: OccKind,
-                metaOverride: Option[Map[String, String]] = None): Int =
+                metaOverride: Option[Map[String, String]] = None,
+                seedMeta: Map[String, String] = Map.empty): Int =
     withWriterLock(root) {
       val cur = currentId(root)
       val carried = kind match {
@@ -577,9 +578,14 @@ object Snapshots {
       val stamped = fresh.map(_.copy(seq = id))
       // metadata commits atomically WITH the rows (same pointer rename):
       // an explicit override is how a schema-changing RTAS/ALTER lands
-      // rows+schema in one publish; otherwise carry the base's meta
+      // rows+schema in one publish; otherwise carry the base's meta.
+      // seedMeta is resolved HERE, under the writer lock, against the
+      // re-read base: it fills only keys the base lacks, so a seed
+      // computed before a retry loop can never resurrect a stale shape
+      // over a concurrent ALTER's marker-carrying commit (the base wins
+      // on every conflicting key)
       val meta = metaOverride.getOrElse(
-        cur.map(manifestMeta(root, _)).getOrElse(Map.empty))
+        seedMeta ++ cur.map(manifestMeta(root, _)).getOrElse(Map.empty))
       writeManifestFile(root, id, carried ++ stamped, meta)
       commit(root, id, lastBatchId(root))
       id
@@ -1274,8 +1280,12 @@ object Snapshots {
     // whole table's sidecars (8-64 files) still expects ZERO false
     // opens — capped at 2^26 bits (Spark's aggregate cap), beyond
     // which FPP degrades gracefully rather than erroring.
+    // partial overrides are honored: each zero parameter is auto-filled
+    // independently, so a caller pinning only estItems still gets it
     val (effItems, effBits) =
       if (estItems > 0 && numBits > 0) (estItems, numBits)
+      else if (estItems > 0) (estItems,
+        math.min(1L << 26, math.max(1L << 16, estItems * 16L)))
       else {
         val conf = s.sessionState.newHadoopConf()
         val maxRows = missing.map { e =>
@@ -1285,7 +1295,9 @@ object Snapshots {
           try f.getRecordCount finally f.close()
         }.max
         val items = math.max(1024L, maxRows)
-        val bits = math.min(1L << 26, math.max(1L << 16, items * 16L))
+        val bits =
+          if (numBits > 0) numBits
+          else math.min(1L << 26, math.max(1L << 16, items * 16L))
         (items, bits)
       }
     s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
@@ -1296,16 +1308,21 @@ object Snapshots {
     // backfill never funnels 10^5 MiB of filter bytes through the driver
     // — the driver ships only the relPath dictionary (strings)
     val rootStr = root.toString
-    val relByName = missing.map(e =>
-      java.nio.file.Paths.get(e.relPath).getFileName.toString -> e.relPath).toMap
+    // keyed by ROOT-RELATIVE path, not bare file name: value-pure
+    // partitioned layouts (_pv=...) repeat identical part-file basenames
+    // across partition dirs, and a name-keyed map collapses them — one
+    // file's bloom lands under another's sidecar path and skipping then
+    // silently drops matching rows (same collision entriesForStagedDir
+    // fixed for zone maps)
+    val relSet = missing.map(_.relPath).toSet
     s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(call_function("graft_bloom_agg",
         col(keyCol).cast("long"), lit(effItems), lit(effBits)).as("bf"))
       .foreach { r =>
-        val name = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString
-        relByName.get(name).foreach { rel =>
+        val full = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+        val rel = java.nio.file.Paths.get(rootStr).relativize(full).toString
+        Some(rel).filter(relSet.contains).foreach { rel =>
           val p = java.nio.file.Paths.get(rootStr).resolve("blooms")
             .resolve(rel + ".bloom")
           Files.createDirectories(p.getParent)

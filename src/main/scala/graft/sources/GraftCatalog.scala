@@ -606,24 +606,23 @@ object GraftCatalog {
       .flatMap(n => Snapshots.manifestMeta(dir, n).get(MetaKey))
       .map(parseMarkerBody).getOrElse(readMarker(dir))
 
-  /** Marker meta to stamp on a catalog commit whose BASE manifest
-    * carries none (first commit after CREATE, or a pre-meta store):
-    * every snapshot then records the declared shape in force when it
+  /** Marker meta to SEED a catalog commit whose base manifest carries
+    * none (first commit after CREATE, or a pre-meta store): every
+    * snapshot then records the declared shape in force when it
     * committed, which is what gives `VERSION AS OF` each snapshot's own
-    * schema across later RENAME/DROP/RTAS. Returns None when the base
-    * already carries meta — the commit then CARRIES it forward, so a
-    * marker read here can never resurrect a stale shape over a
-    * concurrent ALTER's metadata commit.
+    * schema across later RENAME/DROP/RTAS. Passed to `commitOcc` as
+    * `seedMeta`, NOT `metaOverride`: the seed-vs-carry decision resolves
+    * inside the writer lock against the re-read base (base wins on every
+    * key it carries), so a seed computed before a retry loop can never
+    * resurrect a stale shape over a concurrent ALTER's marker-carrying
+    * commit — even when the conflict that triggered the retry WAS that
+    * ALTER.
     */
-  private[sources] def seedMetaFor(store: JPath): Option[Map[String, String]] =
-    Snapshots.currentId(store) match {
-      case Some(c) if Snapshots.manifestMeta(store, c).contains(MetaKey) => None
-      case _ =>
-        if (!JFiles.exists(store.resolve(Marker))) None // not a catalog table
-        else {
-          val (sch, prs) = readMarker(store)
-          Some(Map(MetaKey -> markerBody(sch, prs)))
-        }
+  private[sources] def seedMetaFor(store: JPath): Map[String, String] =
+    if (!JFiles.exists(store.resolve(Marker))) Map.empty // not a catalog table
+    else {
+      val (sch, prs) = readMarker(store)
+      Map(MetaKey -> markerBody(sch, prs))
     }
 
   private[sources] def rmTree(dir: JPath): Unit = {
@@ -829,7 +828,7 @@ final class GraftTable(
                   try {
                     Snapshots.commitOcc(store, fresh,
                       base.map(Snapshots.OccRewrite).getOrElse(Snapshots.OccAppend),
-                      seed)
+                      seedMeta = seed)
                     return
                   } catch {
                     case _: Snapshots.CommitConflictException =>
@@ -850,7 +849,8 @@ final class GraftTable(
                 // let the second founding commit silently replace the
                 // first's manifest)
                 val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
-                try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
+                try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                  seedMeta = seed)
                 catch { case e: Throwable =>
                   Snapshots.discardStaged(store, fresh); throw e }
               }
@@ -941,7 +941,7 @@ final class GraftTable(
         val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
         try {
           Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base),
-            GraftCatalog.seedMetaFor(store))
+            seedMeta = GraftCatalog.seedMetaFor(store))
           return
         } catch {
           case _: Snapshots.CommitConflictException =>
@@ -1018,7 +1018,7 @@ final class GraftTable(
           return
         }
         Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(base, untouched),
-          GraftCatalog.seedMetaFor(store))
+          seedMeta = GraftCatalog.seedMetaFor(store))
         return
       } catch {
         case _: Snapshots.CommitConflictException =>

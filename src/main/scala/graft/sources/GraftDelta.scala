@@ -184,7 +184,7 @@ private[sources] final class GraftDeltaWrite(
           scratch.filter(col("__op").isin(1, 2)).select(col("__key").as(morKey)))
         val inserts: Seq[Snapshots.ManifestEntry] =
           if (info.schema().isEmpty) Nil // pure DELETE plan: no row columns
-          else {
+          else try {
             val rows = scratch.filter(col("__op").isin(2, 3))
               .select(info.schema().fieldNames.toIndexedSeq.map(col): _*)
             val staged = Snapshots.stageOcc(spark, store, rows, statsCol)
@@ -194,6 +194,10 @@ private[sources] final class GraftDeltaWrite(
               Snapshots.discardStaged(store, staged)
               Nil
             } else staged
+          } catch { case e: Throwable =>
+            // the tombstone staged FIRST: if insert staging dies, reclaim
+            // it now rather than leaking orphan delete files until expire
+            Snapshots.discardStaged(store, deletes); throw e
           }
         val fresh = inserts ++ deletes
         if (fresh.isEmpty) return // matched nothing: no-op
@@ -205,12 +209,14 @@ private[sources] final class GraftDeltaWrite(
             // base advance conflicts (the delete keys were computed
             // against exactly this snapshot).
             try Snapshots.commitOcc(store, fresh,
-              Snapshots.OccSurgical(b, Snapshots.manifest(store, b)), seed)
+              Snapshots.OccSurgical(b, Snapshots.manifest(store, b)),
+              seedMeta = seed)
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
           case None =>
             require(deletes.isEmpty,
               "delta write produced tombstones against a table with no snapshot")
-            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
+            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+              seedMeta = seed)
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
         }
       } finally GraftCatalog.rmTree(scratchDir)

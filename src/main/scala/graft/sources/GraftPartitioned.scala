@@ -69,7 +69,7 @@ private[sources] final class GraftPartitionedWriteBuilder(
           override def insert(data: DataFrame, ov: Boolean): Unit = {
             val fresh = stage(data)
             try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
-              GraftCatalog.seedMetaFor(store))
+              seedMeta = GraftCatalog.seedMetaFor(store))
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
           }
         }
@@ -86,9 +86,11 @@ private[sources] final class GraftPartitionedWriteBuilder(
                 val seed = GraftCatalog.seedMetaFor(store)
                 base match {
                   case Some(b) =>
-                    Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b), seed)
+                    Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
+                      seedMeta = seed)
                   case None =>
-                    Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
+                    Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                      seedMeta = seed)
                 }
                 return
               } catch {
@@ -168,10 +170,10 @@ private[sources] final class GraftDynamicOverwrite(
                   }
                 }
                 Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, carried),
-                  GraftCatalog.seedMetaFor(store))
+                  seedMeta = GraftCatalog.seedMetaFor(store))
               case None =>
                 Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
-                  GraftCatalog.seedMetaFor(store))
+                  seedMeta = GraftCatalog.seedMetaFor(store))
             }
             return
           } catch {

@@ -323,13 +323,14 @@ private[sources] final class SurgicalReplaceWrite(
       val seed = GraftCatalog.seedMetaFor(store)
       baseId match {
         case Some(b) =>
-          Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, untouched), seed)
+          Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, untouched),
+            seedMeta = seed)
         case None =>
           // no published snapshot existed when the statement was analyzed
           // (a MERGE's NOT MATCHED inserts FOUND the table); OccAppend
           // rebases onto whatever landed since, which is the only sound
           // claim a pure-insert write can make
-          Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seed)
+          Snapshots.commitOcc(store, fresh, Snapshots.OccAppend, seedMeta = seed)
       }
     }
 

@@ -322,6 +322,31 @@ class SnapshotSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("bloom sidecars on a value-pure partitioned layout: repeated part-file basenames must not cross-wire filters") {
+    val sq = s; import sq.implicits._
+    val root = tmpRoot()
+    try {
+      // one upstream task writing every partition => IDENTICAL part-file
+      // basenames under each _pv= dir; a name-keyed sidecar map collapses
+      // them and readPoint then probes files with the WRONG bloom —
+      // silently dropping matching rows
+      val df = (0L until 4000L).map(i => (i, i % 4)).toDF("k", "p").repartition(1)
+      val fresh = Snapshots.stageOccPartitioned(s, root, df, "p")
+      Snapshots.commitOcc(root, fresh, Snapshots.OccAppend)
+      val names = fresh.map(e =>
+        java.nio.file.Paths.get(e.relPath).getFileName.toString)
+      assert(names.distinct.size < names.size,
+        s"test premise: basenames must collide across _pv= dirs, got $names")
+      val built = Snapshots.buildBlooms(s, root, 1, "k")
+      assert(built == fresh.size)
+      // every key must be found — one probe per partition's key space
+      val probes = Seq(0L, 1L, 2L, 3L, 3998L, 3999L)
+      val got = Snapshots.readPoint(s, root, 1, "k", probes)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == probes.sorted, s"bloom cross-wiring lost rows: got $got")
+    } finally rm(root)
+  }
+
   test("publishLocked serializes a concurrent-writer storm; readers only ever see whole releases") {
     val root = tmpRoot()
     try {
