@@ -87,6 +87,7 @@ object SparkEntry {
     "snapshot_txn_sql"    -> w(graft.sources.SnapshotSourceQueries.snapshotTxnSql),
     "stream_snapshot_sink" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSink),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
+    "stream_cdf"          -> w(graft.sources.SnapshotSourceQueries.streamCdf),
     "catalog_sql"         -> w(graft.sources.GraftCatalogQueries.catalogSql),
     "catalog_prune"       -> w(graft.sources.GraftCatalogQueries.catalogPrune),
     "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
@@ -545,6 +546,7 @@ object SparkEntry {
     "snapshot_txn_sql" -> graft.sources.SnapshotSourceQueries.snapshotTxnSqlOracleSql,
     "stream_snapshot_sink" -> graft.sources.SnapshotSourceQueries.streamSnapshotSinkOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
+    "stream_cdf" -> graft.sources.SnapshotSourceQueries.streamCdfOracleSql,
     "catalog_sql" -> graft.sources.GraftCatalogQueries.catalogSqlOracleSql,
     "catalog_prune" -> graft.sources.GraftCatalogQueries.catalogPruneOracleSql,
     "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,

@@ -74,9 +74,10 @@ final class SnapshotSource extends RelationProvider
       .getOrElse(throw new IllegalStateException(s"no published snapshot under $root"))
   }
 
-  private def dataEntries(root: JPath, n: Int): Seq[Snapshots.ManifestEntry] = {
+  private def dataEntries(root: JPath, n: Int,
+                          forbidTombstones: Boolean = true): Seq[Snapshots.ManifestEntry] = {
     val (dels, datas) = Snapshots.manifest(root, n).partition(Snapshots.isDelete)
-    require(dels.isEmpty,
+    require(dels.isEmpty || !forbidTombstones,
       s"snapshot $n of $root carries ${dels.size} merge-on-read tombstone file(s); " +
         "a file-scan relation cannot apply them — read via Snapshots.readAt or compact first")
     require(datas.nonEmpty, s"snapshot $n of $root lists no data files")
@@ -178,10 +179,21 @@ final class SnapshotSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
+    val opts = CaseInsensitiveMap(parameters)
     val root = rootOf(parameters)
-    val n = resolveId(root, CaseInsensitiveMap(parameters))
-    (shortName(), schema.getOrElse(
-      schemaOf(sqlContext.sparkSession, root, dataEntries(root, n))))
+    val n = resolveId(root, opts)
+    val cdf = opts.get("changefeed").exists(_.toBoolean)
+    // change-feed mode may start on a tombstone-bearing table: the feed
+    // APPLIES tombstones (that is its whole point), so schema resolution
+    // must not refuse them the way the append-only file stream does
+    val base = schemaOf(sqlContext.sparkSession, root,
+      dataEntries(root, n, forbidTombstones = !cdf))
+    val st = schema.getOrElse(
+      if (cdf) StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else base)
+    (shortName(), st)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -191,8 +203,9 @@ final class SnapshotSource extends RelationProvider
     val root = rootOf(parameters)
     val start = opts.get("startsnapshot").map(_.toInt).getOrElse(0)
     val skipRewrites = opts.get("skiprewrites").exists(_.toBoolean)
+    val cdf = opts.get("changefeed").exists(_.toBoolean)
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start, skipRewrites)
+    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start, skipRewrites, cdf)
   }
 }
 
@@ -276,7 +289,8 @@ private[sources] object SnapshotDiff {
 final class SnapshotStreamSource(spark: SparkSession, root: JPath,
                                  override val schema: StructType,
                                  startExclusive: Int,
-                                 skipRewrites: Boolean = false) extends Source {
+                                 skipRewrites: Boolean = false,
+                                 changeFeed: Boolean = false) extends Source {
 
   private def parse(o: Offset): Int = o match {
     case SnapshotOffset(id) => id
@@ -286,9 +300,44 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
   override def getOffset: Option[Offset] =
     Snapshots.currentId(root).filter(_ > startExclusive).map(SnapshotOffset)
 
+  /** CHANGE-FEED batch: the window's NET row-level changes with
+    * retractions, straight from [[Snapshots.readChangeFeed]] — inserts
+    * tagged `_change_type='insert'`, retracted OLD images tagged
+    * `'delete'`. This is the streaming path for a MUTATING upstream
+    * table (upserts / merge-on-read DML): a downstream consumer applies
+    * inserts-exceptAll-deletes and tracks the table exactly, without
+    * stop-the-stream batch reads. Replay-stable: offsets are snapshot
+    * ids and manifests are immutable, so a checkpoint-recovered
+    * `getBatch` reproduces the identical frame — exactly-once composes
+    * like the append stream's. REWRITE windows (compaction/overwrite)
+    * still refuse loudly — a rewrite is not a row-level change — unless
+    * `skiprewrites=true` skips the window whole (never partially).
+    */
+  private def changeBatch(from: Int, to: Int): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (to <= from) return empty
+    if (skipRewrites) {
+      val before: Set[String] =
+        if (from <= 0) Set.empty
+        else Snapshots.manifest(root, from).filterNot(Snapshots.isDelete)
+          .map(_.relPath).toSet
+      val after = Snapshots.manifest(root, to).filterNot(Snapshots.isDelete)
+        .map(_.relPath).toSet
+      if (before.diff(after).nonEmpty) return empty
+    }
+    val feed = Snapshots.readChangeFeed(spark, root, from, to)
+    val have = feed.columns.toSet
+    feed.select(schema.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(parse).getOrElse(startExclusive)
     val to = parse(end)
+    if (changeFeed) return GraftSqlShims.asStreamingFrame(changeBatch(from, to))
     val added = SnapshotDiff.added(root, from, to, skipRewrites)
     val batch =
       if (added.isEmpty) {

@@ -390,4 +390,93 @@ object SnapshotSourceQueries {
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_cdf`: the retraction-aware CHANGE FEED consumed as a
+    * live micro-batch stream — the path a downstream consumer of a
+    * MUTATING table needs (r13's sources refused tombstone windows;
+    * this is the `changefeed=true` mode that delivers them). The run
+    * drives inserts, UPDATEs (upsert: old image retracted + new image
+    * inserted) and DELETEs (old images retracted) across four commits
+    * drained as separate micro-batches, with a full query STOP and
+    * checkpointed RESTART in the middle — exactly-once across the
+    * restart is load-bearing, not decorative. The consumer applies the
+    * canonical retraction semantics (inserts exceptAll deletes) and the
+    * oracle gates the reconstructed final state: one double-delivered
+    * or dropped change image fails the hash.
+    */
+  def streamCdf(s: SparkSession, d: String): DataFrame = {
+    val root = JFiles.createTempDirectory("graft_scdf")
+    val sinkDir = JFiles.createTempDirectory("graft_scdf_sink")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      // commit 1: keys %4 in (0,1)
+      Snapshots.publish(s, root, orders.filter(k % 4 < 2))
+      def startQ() = s.readStream.format("graft-snapshot")
+        .option("path", root.toString).option("changefeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.resolve("data").toString)
+        .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", StringType),
+        org.apache.spark.sql.types.StructField("cents", LongType),
+        org.apache.spark.sql.types.StructField("_change_type", StringType)))
+      def sinkDf = s.read.schema(sinkSchema).parquet(sinkDir.resolve("data").toString)
+      val q1 = startQ()
+      try {
+        q1.processAllAvailable()
+        // initial batch: the whole founding state as inserts, no retractions
+        val (n1, d1) = (sinkDf.count(),
+          sinkDf.filter(col("_change_type") === "delete").count())
+        require(d1 == 0 && n1 == orders.filter(k % 4 < 2).count(),
+          s"initial CDF batch wrong: $n1 rows, $d1 deletes")
+        // commit 2 MID-STREAM: UPDATE keys %8==1 (cents+7), INSERT keys %4==2
+        Snapshots.publishUpsert(s, root,
+          orders.filter(k % 8 === 1).withColumn("cents", col("cents") + 7)
+            .unionByName(orders.filter(k % 4 === 2)), "o_orderkey")
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // checkpointed RESTART mid-feed: the resumed query must pick up at
+      // the committed snapshot offset — no replayed or dropped window
+      val q2 = startQ()
+      try {
+        q2.processAllAvailable()
+        // commit 3: DELETE keys %8 in (0,2) — retracts c1 rows AND c2 inserts
+        Snapshots.publishDeletes(s, root,
+          orders.filter(k % 8 === 0 || k % 8 === 2).select("o_orderkey"))
+        // commit 4: INSERT keys %4==3
+        Snapshots.publish(s, root, orders.filter(k % 4 === 3), append = true)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      // retraction-consumer semantics: every delete row carries the OLD
+      // image, so the tracked state is inserts exceptAll deletes
+      val feed = sinkDf
+      val expectedDeletes = orders.filter(k % 8 === 1).count() +
+        orders.filter(k % 8 === 0 || k % 8 === 2).count()
+      require(feed.filter(col("_change_type") === "delete").count() == expectedDeletes,
+        "CDF must retract exactly the updated + deleted old images")
+      val state = feed.filter(col("_change_type") === "insert").drop("_change_type")
+        .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+      val out = state.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(sinkDir); rm(root) }
+  }
+
+  val streamCdfOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT)
+          + CASE WHEN o_orderkey % 8 = 1 THEN 7 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 8 NOT IN (0, 2)
+    ) GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

@@ -419,6 +419,93 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("changefeed stream: updates and deletes deliver as retraction pairs, exactly-once across restart") {
+    val root = tmpRoot()
+    val out = Files.createTempDirectory("graft_cdf_out")
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt")
+    try {
+      Snapshots.publish(s, root, keyed(100))
+      def run() = s.readStream.format("graft-snapshot").option("path", root.toString)
+        .option("changefeed", "true").load()
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      def feed = s.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(out.toString)
+      val q1 = run()
+      try {
+        q1.processAllAvailable()
+        assert(feed.count() == 100 &&
+          feed.filter(col("_change_type") === "delete").count() == 0,
+          "founding batch is pure inserts")
+        // UPDATE keys 0..9 via upsert: old image retracted, new inserted
+        val sq = s; import sq.implicits._
+        Snapshots.publishUpsert(s, root,
+          (0 until 10).map(i => (i.toLong, s"u$i")).toDF("k", "v"), "k")
+        q1.processAllAvailable()
+        val dels = feed.filter(col("_change_type") === "delete")
+        assert(dels.count() == 10 &&
+          dels.filter(col("v").startsWith("v")).count() == 10,
+          "an update must retract exactly the OLD images")
+      } finally q1.stop()
+      // restart from checkpoint, then a delete-only commit
+      val q2 = run()
+      try {
+        q2.processAllAvailable()
+        assert(feed.count() == 120, "restart replayed or dropped a window")
+        val sq = s; import sq.implicits._
+        Snapshots.publishDeletes(s, root, Seq(0L, 50L).toDF("k"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      // reconstructed state == the store's merged view
+      val state = feed.filter(col("_change_type") === "insert").drop("_change_type")
+        .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+      val want = Snapshots.readCurrent(s, root).select("k", "v")
+      assert(state.exceptAll(want).isEmpty && want.exceptAll(state).isEmpty,
+        "feed-tracked state diverged from the table")
+      assert(state.count() == 98)
+    } finally { rm(root); rm(out); rm(ckpt) }
+  }
+
+  test("changefeed stream: a rewrite window refuses loudly; skiprewrites skips it whole") {
+    val root = tmpRoot()
+    try {
+      Snapshots.publish(s, root, keyed(100))
+      val q = s.readStream.format("graft-snapshot").option("path", root.toString)
+        .option("changefeed", "true").load()
+        .writeStream.format("memory").queryName("cdf_rw").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Snapshots.compact(s, root, targetFiles = 1)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable(); q.awaitTermination(5000)
+        }
+        assert(e.getCause.getMessage.contains("rewrote"), e.getCause.getMessage)
+      } finally q.stop()
+      // skiprewrites: the rewrite window contributes nothing; later
+      // changes flow again (fresh query — the failed one is poisoned)
+      val q2 = s.readStream.format("graft-snapshot").option("path", root.toString)
+        .option("changefeed", "true").option("skiprewrites", "true").load()
+        .writeStream.format("memory").queryName("cdf_sk").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val first = s.table("cdf_sk").count() // founding state post-compact
+        assert(first == 100)
+        val sq = s; import sq.implicits._
+        Snapshots.publishUpsert(s, root, Seq((7L, "z")).toDF("k", "v"), "k")
+        q2.processAllAvailable()
+        assert(s.table("cdf_sk").count() == first + 2,
+          "post-rewrite change window must still deliver its retraction pair")
+      } finally q2.stop()
+    } finally rm(root)
+  }
+
   test("streaming source: checkpointed restart resumes at the committed snapshot") {
     val root = tmpRoot()
     val out = Files.createTempDirectory("graft_snapsrc_out")
