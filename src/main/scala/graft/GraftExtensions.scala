@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.EliminateFkJoin())
     // whole-operator plan node: AsOfJoinNode → AsOfJoinExec (merge scan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // tombstone-bearing (merge-on-read) snapshot scans expand to their
+    // merged logical plan — vectorized parquet legs + anti-join — instead
+    // of executing behind the V1 row bridge
+    e.injectOptimizerRule(s => graft.plans.ExpandMergeScan(s))
   }
 }
 

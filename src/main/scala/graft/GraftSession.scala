@@ -26,6 +26,13 @@ object GraftSession {
       // events.parquet carries INT64(TIMESTAMP(NANOS)) which Spark's vanilla
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // snapshot reads pass EXPLICIT file lists from the manifest (no
+      // directory walk), so the default threshold of 32 paths launches a
+      // pointless distributed listing JOB per scan leg — per-file status
+      // on an explicit list is driver-cheap far beyond 32. Genuine
+      // directory-discovery scans with thousands of paths still go
+      // parallel above this.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       // InferFiltersFromGenerate adds size(g)>0/isnotnull(g) above every
       // explode; predicate pushdown then substitutes the generator's WHOLE
       // expression into those filters, so an expensive computed array

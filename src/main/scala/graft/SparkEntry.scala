@@ -94,6 +94,7 @@ object SparkEntry {
     "catalog_update"      -> w(graft.sources.GraftCatalogQueries.catalogUpdate),
     "catalog_merge"       -> w(graft.sources.GraftCatalogQueries.catalogMerge),
     "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
+    "catalog_mor_part"    -> w(graft.sources.GraftCatalogQueries.catalogMorPart),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
@@ -553,6 +554,7 @@ object SparkEntry {
     "catalog_update" -> graft.sources.GraftCatalogQueries.catalogUpdateOracleSql,
     "catalog_merge" -> graft.sources.GraftCatalogQueries.catalogMergeOracleSql,
     "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
+    "catalog_mor_part" -> graft.sources.GraftCatalogQueries.catalogMorPartOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,

@@ -1156,15 +1156,49 @@ object Snapshots {
     */
   private def mergeRead(s: SparkSession, root: Path, datas: Seq[ManifestEntry],
                         dels: Seq[ManifestEntry],
-                        shape: DataFrame => DataFrame): DataFrame = {
+                        shape: DataFrame => DataFrame,
+                        pruneCol: Option[String] = None,
+                        knownSchema: Option[StructType] = None,
+                        knownTombSchema: Option[StructType] = None): DataFrame = {
     // mergeSchema: an append may carry ADDED columns (schema evolution);
     // a merged read surfaces them with nulls on pre-evolution files,
     // while time travel to an old snapshot reads only old files and
     // keeps the old shape. Cost is per-footer schema union, parallel —
     // +0.6 s on the 1000-file chain's 3.1 s read (snap_1000x re-run).
-    def read(es: Seq[ManifestEntry]) =
-      s.read.option("mergeSchema", "true")
+    // A caller that KNOWS the read shape (the catalog: its declared
+    // schema is authoritative) passes knownSchema, and each data leg
+    // becomes a MANIFEST-BACKED relation (SnapshotFileIndex under a
+    // HadoopFsRelation): no listing job ever runs — the manifest IS the
+    // listing — and pushed data filters prune whole FILES through the
+    // zone maps / bloom sidecars at plan time, exactly like the
+    // tombstone-free scan path. Files missing a declared column surface
+    // nulls, same as the merged inference.
+    def read(es: Seq[ManifestEntry]) = knownSchema match {
+      case Some(sch) =>
+        val seqTag = es.map(_.seq).max
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = new graft.sources.SnapshotFileIndex(root, seqTag, es, pruneCol),
+          partitionSchema = StructType(Nil),
+          dataSchema = sch,
+          bucketSpec = None,
+          fileFormat =
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+          options = Map.empty)(
+          s.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+        org.apache.spark.sql.GraftBridge.ofRows(s,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      case None => s.read.option("mergeSchema", "true")
         .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+    }
+    // tombstones keep their own (single key column) shape regardless of
+    // any declared data schema; a caller that knows it (the catalog: the
+    // morkey field) skips this inference job too
+    def readTombs(es: Seq[ManifestEntry]) = knownTombSchema match {
+      case Some(sch) => s.read.schema(sch)
+        .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+      case None => s.read.option("mergeSchema", "true")
+        .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+    }
     if (dels.isEmpty) shape(read(datas))
     else {
       // Group data files by their APPLICABLE TOMBSTONE SET, not by seq:
@@ -1176,27 +1210,103 @@ object Snapshots {
       val delSeqs = dels.map(_.seq).distinct.sorted
       datas.groupBy(e => delSeqs.count(_ > e.seq)).toSeq.sortBy(_._1)
         .map { case (nApplicable, files) =>
-          val base = shape(read(files))
-          if (nApplicable == 0) base
+          if (nApplicable == 0) shape(read(files))
           else {
             val applicable = delSeqs.takeRight(nApplicable).toSet
-            val tomb = read(dels.filter(e => applicable(e.seq))).distinct()
-            base.join(tomb, Seq(tomb.columns.head), "left_anti")
+            val applicableDels = dels.filter(e => applicable(e.seq))
+            // TOMBSTONE-RANGE PRUNING: when the store's zone-map column
+            // IS the tombstone key column (pruneCol, declared by the
+            // caller and verified against the tombstone's own footer
+            // schema), a data file whose [min,max] cannot intersect ANY
+            // applicable tombstone's key range provably holds no deleted
+            // key and reads PURE — the anti-join applies only to the
+            // files a delete could actually touch. On a range-clustered
+            // store a 1k-key delete leaves one hot file; the other 63
+            // read at full scan speed. Absent stats on either side mean
+            // "cannot prove clear" and stay on the join leg.
+            val ranges = pruneCol.map(pc => tombstoneRanges(root, applicableDels, pc))
+            val (hot, clear) = ranges match {
+              case Some(Some(rs)) => files.partition(e => e.stats match {
+                case Some((lo, hi)) => rs.exists { case (tLo, tHi) => lo <= tHi && hi >= tLo }
+                case None => true // unknown zone map: must join
+              })
+              case _ => (files, Seq.empty)
+            }
+            val joined = if (hot.isEmpty) None else {
+              // no distinct(): each tombstone file is written distinct,
+              // and a LEFT ANTI join is insensitive to build-side
+              // duplicates across files — the distinct only bought an
+              // extra shuffle stage before the broadcast
+              val tomb = readTombs(applicableDels)
+              Some(shape(read(hot)).join(tomb, Seq(tomb.columns.head), "left_anti"))
+            }
+            val pure = if (clear.isEmpty) None else Some(shape(read(clear)))
+            (joined.toSeq ++ pure.toSeq).reduce(_.unionByName(_))
           }
         }.reduce(_.unionByName(_))
     }
   }
 
+  /** Per-tombstone-file [min, max] of the key column, from parquet
+    * FOOTER statistics — one O(1) driver-side footer read per delete
+    * file, memoized forever (the files are immutable). `Some(ranges)`
+    * only when EVERY file's footer (a) carries exactly the declared
+    * column as INT64 and (b) has complete min/max stats on every row
+    * group; anything else returns None and the caller must not prune.
+    */
+  private val tombRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+
+  private def tombstoneRanges(root: Path, dels: Seq[ManifestEntry],
+                              keyCol: String): Option[Seq[(Long, Long)]] = {
+    val ranges = dels.map { e =>
+      tombRangeCache.computeIfAbsent(root.resolve(e.relPath).toString, { p =>
+        try {
+          val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+              new org.apache.hadoop.conf.Configuration()))
+          try {
+            val sch = f.getFooter.getFileMetaData.getSchema
+            if (sch.getFieldCount != 1 || sch.getFields.get(0).getName != keyCol ||
+                sch.getFields.get(0).asPrimitiveType().getPrimitiveTypeName !=
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) None
+            else {
+              val stats = f.getFooter.getBlocks.asScala
+                .map(_.getColumns.get(0).getStatistics)
+              if (stats.isEmpty || stats.exists(st => st == null || !st.hasNonNullValue)) None
+              else Some((
+                stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+                stats.map(_.genericGetMax.asInstanceOf[Long]).max))
+            }
+          } finally f.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }
+    if (ranges.forall(_.isDefined)) Some(ranges.map(_.get)) else None
+  }
+
   /** Time travel: the exact immutable file set of snapshot `n`, with
     * the snapshot's tombstones applied.
     */
-  def readAt(s: SparkSession, root: Path, n: Int): DataFrame = {
+  def readAt(s: SparkSession, root: Path, n: Int): DataFrame =
+    readAt(s, root, n, None, None)
+
+  /** [[readAt]] with the reader's extra knowledge: `pruneCol` declares
+    * that the store's zone-map stats column is ALSO the tombstone key
+    * column (enabling tombstone-range pruning of the merged read's
+    * anti-join), and `knownSchema` pins the read shape so no
+    * schema-inference job runs.
+    */
+  def readAt(s: SparkSession, root: Path, n: Int, pruneCol: Option[String],
+             knownSchema: Option[StructType],
+             knownTombSchema: Option[StructType] = None): DataFrame = {
     val (datas, dels) = dataAndDeletes(root, n)
     // loud, named failure instead of Spark's opaque "path not specified":
     // an all-empty manifest (e.g. a first-ever micro-batch that carried
     // zero rows) has no files to derive even a schema from
     require(datas.nonEmpty, s"snapshot $n of $root lists no data files")
-    mergeRead(s, root, datas, dels, identity)
+    mergeRead(s, root, datas, dels, identity, pruneCol, knownSchema, knownTombSchema)
   }
 
   /** Manifest-pruned range read: open ONLY the files whose zone map

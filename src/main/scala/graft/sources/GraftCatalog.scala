@@ -527,10 +527,11 @@ object GraftCatalog {
       s"graft tables support identity partitioning on a top-level column; got $t")
     val c = t.references().head.fieldNames().head
     require(schema.fieldNames.contains(c), s"partition column '$c' is not declared")
-    require(morKey.isEmpty,
-      "PARTITIONED BY and 'morkey' (merge-on-read DML) do not compose: " +
-        "a row-level delta stages unpartitioned files, which would poison " +
-        "the value-pure partition layout")
+    // PARTITIONED BY + 'morkey' compose since r14: the delta write's
+    // insert half stages value-pure through stageOccPartitioned, so a
+    // row-level delta can no longer poison the partition layout
+    morKey.foreach(k => require(schema.fieldNames.contains(k),
+      s"morkey '$k' is not a column of the table"))
     Map("partitioncol" -> c)
   }
 
@@ -654,9 +655,40 @@ final class GraftTable(
     declared: StructType,
     props: Map[String, String],
     pin: Option[Int]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations {
+    with SupportsDelete with SupportsRowLevelOperations
+    with graft.plans.ExpandableMergeTable {
 
   override def name(): String = fullName.mkString(".")
+
+  /** The merged (tombstone-aware) view as an analyzed logical plan, iff
+    * the served snapshot carries equality-delete tombstones on a
+    * `morkey` table. The ExpandMergeScan optimizer rule splices this in
+    * place of the relation, restoring vectorized parquet legs + Catalyst
+    * pushdown; [[GraftMergeScanBuilder]]'s V1 bridge stays as the
+    * fallback for extension-less sessions and row-level-DML source
+    * scans. Conformance to the relation's exact output (evolution
+    * nulls, exprIds, NOT NULL morkey) is the rule's job, not ours.
+    */
+  override def mergedPlanIfServed():
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    currentIdOpt.flatMap { n =>
+      val (datas, dels) = manifestSplit(n)
+      if (dels.nonEmpty && morKey.isDefined && datas.nonEmpty)
+        // the ANALYZED subplan: scans, anti-joins, filters and unions
+        // are all operator-batch-legal nodes (mergeRead materializes no
+        // analyzer-era operator like Deduplicate — the tombstone legs
+        // join without distinct), so the splice needs no private
+        // optimizer run; the host query's remaining fixed-point
+        // iterations optimize the subtree in place. statsCol enables
+        // tombstone-range pruning (files provably clear of deleted keys
+        // skip the anti-join); the declared schemas (table + morkey
+        // tombstone) skip both inference jobs — sound because morkey
+        // tables refuse colmap, so logical = physical.
+        Some(Snapshots.readAt(spark, store, n, statsCol, Some(schema),
+            morKey.map(k => StructType(Seq(schema(k)))))
+          .queryExecution.analyzed)
+      else None
+    }
 
   private def currentIdOpt: Option[Int] = pin.orElse(Snapshots.currentId(store))
 
@@ -794,7 +826,7 @@ final class GraftTable(
           // merge-on-read: serve the seq-aware merged view (anti-join
           // against the tombstones) — the documented read price of MoR
           // DML until compaction folds the deltas physically
-          new GraftMergeScanBuilder(spark, store, n, schema)
+          new GraftMergeScanBuilder(spark, store, n, schema, statsCol, morKey)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
             statsCol, options, colMap)
@@ -877,7 +909,8 @@ final class GraftTable(
       s"table ${name()} is pinned (VERSION AS OF): historical views are read-only")
     morKey match {
       case Some(k) =>
-        () => new GraftDeltaOperation(spark, store, schema, statsCol, k, info.command())
+        () => new GraftDeltaOperation(spark, store, schema, statsCol, k,
+          info.command(), partCol)
       case None =>
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /
@@ -936,9 +969,16 @@ final class GraftTable(
         // a tombstone-bearing MoR table reaches here only via TRUNCATE
         // (plain DELETEs route to the delta path): fold the merged view
         // through the predicate as one whole-table rewrite — correct for
-        // any predicate, and it retires the tombstones as a bonus
+        // any predicate, and it retires the tombstones as a bonus. A
+        // partitioned layout re-stages VALUE-PURE so the fold cannot
+        // poison it.
         val kept = Snapshots.readAt(spark, store, base).filter(!coalesce(cond, lit(false)))
-        val fresh = Snapshots.stageOcc(spark, store, kept, statsCol)
+        val fresh = partCol match {
+          case Some(p) =>
+            Snapshots.stageOccPartitioned(spark, store, kept, p, statsCol.toSeq)
+              .map(Snapshots.foldLegacyStats(_, statsCol))
+          case None => Snapshots.stageOcc(spark, store, kept, statsCol)
+        }
         try {
           Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base),
             seedMeta = GraftCatalog.seedMetaFor(store))

@@ -442,6 +442,108 @@ object GraftCatalogQueries {
     */
   val catalogMorUpdateOracleSql: String = catalogUpdateOracleSql
 
+  /** Query `catalog_mor_part`: the r13 verdict's composition — a
+    * PARTITIONED (`PARTITIONED BY`, value-pure `_pv=` layout) table
+    * that is ALSO merge-on-read (`morkey`): the reference's exact
+    * nightly shape (per-db partitions, high row churn). One SQL UPDATE
+    * lands as tombstone + VALUE-PURE replacement files in one commit
+    * with zero base files rewritten, and the merged read both applies
+    * the tombstones and PARTITION-PRUNES. Required in-query: exactly
+    * one commit; every base entry carried byte-identical (relPath +
+    * MD5 + seq); the delta's data files are value-pure and carry the
+    * partition column's degenerate v:v named zone map; and a
+    * partition-restricted merged read OPENS FEWER DATA FILES THAN THE
+    * TABLE HOLDS (the pruning proof). Output states: post-update,
+    * pre-update (time travel), and the p=2 partition slice read
+    * through the pruned merged plan — all three restated by the
+    * oracle.
+    */
+  def catalogMorPart(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT NOT NULL, " +
+        "o_orderstatus STRING, cents BIGINT, p BIGINT) " +
+        "PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('morkey'='o_orderkey', 'statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 4).as("p"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      require(base.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "partitioned INSERT did not stage value-pure")
+      s.sql(s"UPDATE $cat.orders SET cents = cents * 2, o_orderstatus = 'U' " +
+        "WHERE o_orderkey BETWEEN 800 AND 1599 AND o_orderstatus = 'O'")
+      require(Snapshots.currentId(store).contains(2),
+        s"expected partitioned MoR UPDATE to land snapshot 2, got " +
+          Snapshots.currentId(store))
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => require(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"partitioned MoR UPDATE rewrote base file ${b.relPath}"))
+      val fresh = after.filter(_.seq == 2)
+      val (tombs, datas) = fresh.partition(Snapshots.isDelete)
+      require(tombs.nonEmpty && datas.nonEmpty,
+        s"expected tombstone + replacement rows in the delta, got $fresh")
+      datas.foreach { e =>
+        require(Snapshots.partValueOf(e.relPath).isDefined,
+          s"delta data file ${e.relPath} poisons the value-pure layout")
+        require(e.multi.exists(m => m._1 == "p" && m._2 == m._3),
+          s"delta data file ${e.relPath} lacks the partition v:v zone map")
+      }
+      // PARTITION PRUNING PROOF on the MERGED (tombstone-bearing) read:
+      // the p = 2 slice must open strictly fewer data files than the
+      // snapshot lists — pruning through the spliced vectorized legs
+      val slice = s.sql(
+        s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM $cat.orders " +
+          "WHERE p = 2 GROUP BY 1")
+      val opened = slice.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if !f.relation.location.inputFiles.exists(_.contains("deletes")) =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      val totalData = after.count(e => !Snapshots.isDelete(e))
+      require(opened < totalData,
+        s"merged read did not partition-prune: opened $opened of $totalData")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+      } ++ slice.collect().map(r => Row("p2", r.getString(0), r.getLong(1), r.getLong(2)))
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  /** The `catalog_update` transformation plus the p = 2 partition slice
+    * of the post-update state.
+    */
+  val catalogMorPartOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        o_orderkey % 4 AS p FROM orders),
+    cur AS (
+      SELECT CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN cents * 2 ELSE cents END AS cents, p
+      FROM b),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents FROM cur
+      UNION ALL SELECT 'v1', o_orderstatus, cents FROM b
+      UNION ALL SELECT 'p2', o_orderstatus, cents FROM cur WHERE p = 2)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `catalog_sync`: the weekly mirror-sync statement — ONE
     * `MERGE INTO` with `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
     * the target exactly equal to the source relation (updates applied,

@@ -52,7 +52,8 @@ final class GraftDeltaOperation(
     tableSchema: StructType,
     statsCol: Option[String],
     morKey: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    partCol: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   require(tableSchema.fieldNames.contains(morKey),
     s"morkey '$morKey' is not a column of the table (schema: " +
@@ -81,13 +82,14 @@ final class GraftDeltaOperation(
         if (dels.isEmpty)
           new GraftScanBuilder(spark, store, b, datas, tableSchema, statsCol, options)
         else
-          new GraftMergeScanBuilder(spark, store, b, tableSchema)
+          new GraftMergeScanBuilder(spark, store, b, tableSchema, statsCol, Some(morKey))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info)
+        new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info,
+          partCol.map(p => (p, tableSchema)))
     }
 
   override def description(): String = s"GraftDeltaOperation($cmd, $store @ $baseId)"
@@ -113,7 +115,8 @@ private[sources] final class GraftDeltaWrite(
     statsCol: Option[String],
     baseId: Option[Int],
     morKey: String,
-    info: LogicalWriteInfo) extends DeltaWrite {
+    info: LogicalWriteInfo,
+    partitioned: Option[(String, StructType)] = None) extends DeltaWrite {
 
   private val rowIdSchema: StructType = {
     val s = info.rowIdSchema().orElseGet(() =>
@@ -187,7 +190,27 @@ private[sources] final class GraftDeltaWrite(
           else try {
             val rows = scratch.filter(col("__op").isin(2, 3))
               .select(info.schema().fieldNames.toIndexedSeq.map(col): _*)
-            val staged = Snapshots.stageOcc(spark, store, rows, statsCol)
+            // a PARTITIONED morkey table's replacement rows land
+            // VALUE-PURE (the `_pv=` layout), with the same zone-map
+            // columns the partitioned INSERT path writes (statscol +
+            // the partition column's degenerate v:v range), so the
+            // delta never poisons the layout and both pruning stories
+            // survive row-level DML; the statscol range is ALSO folded
+            // to the legacy field so tombstone-range pruning of the
+            // merged read sees it
+            val staged = partitioned match {
+              case Some((p, tSchema)) =>
+                import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+                val integralPart = tSchema.fields.find(_.name == p).exists(f =>
+                  f.dataType == LongType || f.dataType == IntegerType ||
+                    f.dataType == ShortType || f.dataType == ByteType)
+                val zcs = (statsCol.toSeq ++ (if (integralPart) Seq(p) else Nil)).distinct
+                Snapshots.stageOccPartitioned(spark, store, rows, p, zcs)
+                  .map(e => statsCol.flatMap(sc => e.multi.find(_._1 == sc))
+                    .map { case (_, lo, hi) => e.copy(stats = Some((lo, hi))) }
+                    .getOrElse(e))
+              case None => Snapshots.stageOcc(spark, store, rows, statsCol)
+            }
             // a delete-only delta stages schema-only empty files: drop them
             if (staged.nonEmpty && spark.read.parquet(
                 staged.map(e => store.resolve(e.relPath).toString): _*).isEmpty) {
@@ -338,7 +361,9 @@ private[sources] final class GraftMergeScanBuilder(
     spark: SparkSession,
     store: JPath,
     snapshotId: Int,
-    tableSchema: StructType) extends ScanBuilder
+    tableSchema: StructType,
+    statsCol: Option[String] = None,
+    morKey: Option[String] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -372,7 +397,13 @@ private[sources] final class GraftMergeScanBuilder(
         override def schema: StructType = readSch
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
           import org.apache.spark.sql.functions.{col, lit}
-          val raw = Snapshots.readAt(spark, store, snapshotId)
+          // same fast merged plan the splice uses: manifest-backed legs
+          // (no listing jobs, zone-map/bloom file pruning), tombstone-
+          // range pruning via statsCol, declared schemas
+          val raw = Snapshots.readAt(spark, store, snapshotId, statsCol,
+            Some(tableSchema),
+            morKey.flatMap(k => tableSchema.fields.find(_.name == k))
+              .map(f => StructType(Seq(f))))
           val have = raw.columns.toSet
           val conformed = raw.select(tableSchema.fields.toIndexedSeq.map { f =>
             if (have(f.name)) col(f.name)
