@@ -1912,6 +1912,43 @@ object Stress {
         val pt = etl.Snapshots.readPoint(spark, rootB, 1, "k", Seq(1234567L)).collect()
         assert(pt.length == 1 && pt.head.getLong(0) == 1234567L, "point read broke")
 
+      case "tomb_10m" =>
+        // a WHOLE-PARTITION PURGE: 10M of 12M keys deleted in one
+        // statement. r13 staged every tombstone through coalesce(1) —
+        // one task, one core, one file; now the distinct's shuffle
+        // output is AQE-size-coalesced, so the purge stages N bounded
+        // files from N tasks. Claims: (1) the tombstone staging
+        // parallelizes (>1 file at this size, no single-task funnel);
+        // (2) the merged read after the purge is exact; (3) the CDF
+        // retraction leg of the same window survives without the
+        // forced broadcast (the 10M-key window exceeds the 64MB hint
+        // threshold or rides AQE either way).
+        val nt = 12L * 1000 * 1000
+        val rootT = java.nio.file.Files.createTempDirectory("graft_tomb10m")
+        val rowsT = spark.range(nt).select(col("id").as("k"), (col("id") % 97).as("v"))
+        timed("publish 12M x 64 files")(etl.Snapshots.publish(
+          spark, rootT, rowsT.repartitionByRange(64, col("k")), statsCol = Some("k")))
+        val keys = spark.range(nt - 2L * 1000 * 1000).select(col("id").as("k"))
+        val t0 = System.nanoTime()
+        etl.Snapshots.publishDeletes(spark, rootT, keys)
+        val delSecs = (System.nanoTime() - t0) / 1e9
+        val tombs = etl.Snapshots.manifest(rootT, 2).filter(etl.Snapshots.isDelete)
+        println(f"[stress] tomb_10m: 10M-key purge staged ${tombs.size} tombstone " +
+          f"file(s), ${tombs.map(_.bytes).sum / 1e6}%.1f MB, in $delSecs%.1f s")
+        assert(tombs.size > 1,
+          s"10M keys staged through ${tombs.size} file — the single-task funnel is back")
+        val after = etl.Snapshots.readCurrent(spark, rootT)
+        val cnt = after.count()
+        assert(cnt == 2L * 1000 * 1000, s"purge kept $cnt rows, expected 2M")
+        val mn = after.agg(min("k")).head.getLong(0)
+        assert(mn == nt - 2L * 1000 * 1000, s"wrong survivor floor $mn")
+        val tCdf0 = System.nanoTime()
+        val feed = etl.Snapshots.readChangeFeed(spark, rootT, 1, 2)
+        val dels = feed.filter(col("_change_type") === "delete").count()
+        println(f"[stress] tomb_10m CDF retraction leg: $dels%d deletes in " +
+          f"${(System.nanoTime() - tCdf0) / 1e9}%.1f s (no forced broadcast)")
+        assert(dels == 10L * 1000 * 1000, s"CDF retractions $dels != 10M")
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()

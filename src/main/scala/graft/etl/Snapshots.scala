@@ -304,7 +304,14 @@ object Snapshots {
     }
     val delDir = root.resolve("deletes").resolve(f"snap-$id%05d")
     Files.createDirectories(delDir)
-    keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    // SIZE-BOUNDED staging, not coalesce(1): distinct() is already a
+    // shuffle and AQE coalesces its output partitions to the advisory
+    // size, so a 100-key delete still lands one file while a 100M-key
+    // whole-partition purge writes N ~64MB files from N tasks instead
+    // of funneling every key through one core. The manifest carries a
+    // list and the read-side anti-join unions tombstone files, so N is
+    // free semantically.
+    keys.distinct().write.mode("overwrite").parquet(delDir.toString)
     val listing = Files.list(delDir)
     try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1525,8 +1532,14 @@ object Snapshots {
       else {
         val keys = s.read.parquet(
           windowDels.map(e => root.resolve(e.relPath).toString): _*).distinct()
+        // broadcast only when the manifest proves the window's tombstones
+        // small; a 100M-key retraction window drops the hint and lets
+        // AQE pick the join (the semi-join is correct either way) instead
+        // of OOMing the driver on a forced broadcast build
+        val hinted =
+          if (windowDels.map(_.bytes).sum <= (64L << 20)) broadcast(keys) else keys
         Some(readAt(s, root, from)
-          .join(broadcast(keys), Seq(keys.columns.head), "left_semi")
+          .join(hinted, Seq(keys.columns.head), "left_semi")
           .withColumn("_change_type", lit("delete")))
       }
     (inserts, deletes) match {

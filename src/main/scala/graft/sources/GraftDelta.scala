@@ -259,7 +259,10 @@ private[sources] final class GraftDeltaWrite(
       val delDir = store.resolve("deletes").resolve(
         "occ-" + java.util.UUID.randomUUID().toString)
       JFiles.createDirectories(delDir)
-      keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+      // size-bounded like Snapshots.writeTombstone: AQE coalesces the
+      // distinct's shuffle output, so small deltas land one file and a
+      // whole-partition purge parallelizes across N tasks/files
+      keys.distinct().write.mode("overwrite").parquet(delDir.toString)
       val l = JFiles.list(delDir)
       val entries = try l.iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
