@@ -427,10 +427,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (sch, prs + (set.property() -> set.value()))
         case ((sch, prs), rm: TableChange.RemoveProperty) =>
           (sch, prs - rm.property())
+        case ((sch, prs), up: TableChange.UpdateColumnType) =>
+          require(up.fieldNames().length == 1,
+            "graft tables support top-level ALTER COLUMN TYPE only")
+          val fname = up.fieldNames().head
+          require(sch.fieldNames.contains(fname), s"no such column: $fname")
+          val oldT = sch(fname).dataType
+          val newT = up.newDataType()
+          // WIDENING only: every existing file keeps its physical type
+          // and Spark's parquet readers promote at the column boundary
+          // (int32→long, float→double, decimal scale-up), so old files
+          // read under the new shape losslessly while `VERSION AS OF`
+          // resolves each snapshot's own (#meta-carried) type. A
+          // NARROWING would silently truncate historic rows — refused.
+          require(GraftCatalog.widens(oldT, newT),
+            s"ALTER COLUMN $fname TYPE ${newT.simpleString}: not a lossless " +
+              s"widening of ${oldT.simpleString} — narrowing would corrupt " +
+              "rows already written; write a new column instead")
+          val sch2 = StructType(sch.fields.map(f =>
+            if (f.name == fname) f.copy(dataType = newT) else f).toIndexedSeq)
+          (sch2, prs)
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft tables are immutable-history: unsupported ALTER ${other.getClass.getSimpleName}. " +
-              "Supported: ADD/RENAME/DROP COLUMN (top-level), SET/UNSET TBLPROPERTIES.")
+              "Supported: ADD/RENAME/DROP COLUMN (top-level), ALTER COLUMN TYPE " +
+              "(widening), SET/UNSET TBLPROPERTIES.")
       }
     }
     var attempts = 0
@@ -504,6 +525,31 @@ object GraftCatalog {
     * write-temp + atomic-rename discipline.
     */
   private[sources] val Marker = "_table"
+
+  /** Is old → new a LOSSLESS widening Spark's parquet readers promote at
+    * the column boundary (the open formats' type-evolution set)? The
+    * integral ladder, float→double, int-or-narrower→double (exact in a
+    * 52-bit mantissa; long→double is NOT), and decimal scale-up with the
+    * integer-digit capacity kept. Everything else — including any
+    * narrowing — is refused by ALTER.
+    */
+  private[sources] def widens(oldT: org.apache.spark.sql.types.DataType,
+                              newT: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ladder: Map[DataType, Int] =
+      Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    (oldT, newT) match {
+      case (a, b) if a == b => true
+      case (a, b) if ladder.contains(a) && ladder.contains(b) => ladder(a) < ladder(b)
+      case (FloatType, DoubleType) => true
+      case (a, DoubleType) if ladder.get(a).exists(_ <= 2) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          (d2.precision - d2.scale) >= (d1.precision - d1.scale) &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case _ => false
+    }
+  }
 
   /** Exclusive in-flight CTAS claim (see stageTable). */
   private[sources] val CtasClaim = ".ctas-claim"
@@ -782,15 +828,23 @@ final class GraftTable(
           if (datas.isEmpty) declared
           else {
             val perSeq = datas.groupBy(_.seq).values.map(_.head).toSeq
-            val dataSch = spark.read.option("mergeSchema", "true")
-              .parquet(perSeq.map(e => store.resolve(e.relPath).toString): _*).schema
+            // per-footer schemas, NOT a cross-commit mergeSchema: after a
+            // type WIDENING the commits legitimately disagree on a
+            // declared column's physical type (int32 files + int64
+            // files) and a whole-schema merge refuses; only the EXTRA
+            // (non-declared) columns need inference, so compare each
+            // footer's fields independently against the declared set
+            val footerSchemas = perSeq.map(e =>
+              spark.read.parquet(store.resolve(e.relPath).toString).schema)
             // compare against PHYSICAL names, and never resurrect a
             // DROPPED column's bytes as an "evolved" column
             val declaredPhys = declared.fieldNames.map(physicalOf)
             val retired = droppedPhys
-            val extra = dataSch.fields.filterNot(f =>
+            val extra = footerSchemas.flatMap(_.fields).filterNot(f =>
               declaredPhys.exists(_.equalsIgnoreCase(f.name)) ||
                 retired.exists(_.equalsIgnoreCase(f.name)))
+              .groupBy(_.name.toLowerCase).values.map(_.head).toSeq
+              .sortBy(_.name)
             extra.foldLeft(declared)(_.add(_))
           }
         })

@@ -779,6 +779,74 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_widen`: ALTER COLUMN ... TYPE as lossless WIDENING
+    * (int→bigint here) — the remaining schema-evolution class every
+    * open table format supports. Half the orders land under the NARROW
+    * shape, the ALTER commits a #meta-carried metadata snapshot, the
+    * other half lands WIDE with keys only a bigint holds (+10^10), and
+    * the mixed-physical-type table answers under one shape: Spark's
+    * parquet readers promote int32 at the column boundary. Required
+    * in-query: the pre-widen snapshot's OWN schema (VERSION AS OF)
+    * still reads `int` while the current table reads `bigint`; a
+    * narrowing ALTER refuses. The oracle restates both states from the
+    * raw orders.
+    */
+  def catalogWiden(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (k INT, o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='cents')")
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey").cast("int").as("k"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).writeTo(s"$cat.orders").append()
+      s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN k TYPE BIGINT")
+      s.sql(s"INSERT INTO $cat.orders " +
+        s"SELECT k + ${10L * 1000 * 1000 * 1000}, o_orderstatus, cents FROM " +
+        s"(SELECT CAST(o_orderkey AS BIGINT) k, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) cents " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1)")
+      // shape proofs: current is bigint, the pre-widen snapshot is int,
+      // and narrowing back refuses
+      require(s.table(s"$cat.orders").schema("k").dataType.simpleString == "bigint",
+        "ALTER COLUMN TYPE did not widen the declared schema")
+      require(s.sql(s"SELECT * FROM $cat.orders VERSION AS OF 1")
+        .schema("k").dataType.simpleString == "int",
+        "time travel must resolve the pre-widen snapshot's own narrow shape")
+      val narrowed = scala.util.Try(
+        s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN k TYPE INT"))
+      require(narrowed.isFailure, "a narrowing ALTER must refuse")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("v1", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(k) AS sk FROM ($sql) GROUP BY 1").collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_total_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogWidenOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents,
+        CASE WHEN k % 2 = 1 THEN k + 10000000000 ELSE k END AS k
+      FROM b
+      UNION ALL SELECT 'v1', o_orderstatus, cents, k FROM b WHERE k % 2 = 0)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_total_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT
