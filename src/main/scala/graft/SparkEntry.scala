@@ -96,6 +96,7 @@ object SparkEntry {
     "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
     "catalog_mor_part"    -> w(graft.sources.GraftCatalogQueries.catalogMorPart),
     "catalog_widen"       -> w(graft.sources.GraftCatalogQueries.catalogWiden),
+    "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
@@ -557,6 +558,7 @@ object SparkEntry {
     "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
     "catalog_mor_part" -> graft.sources.GraftCatalogQueries.catalogMorPartOracleSql,
     "catalog_widen" -> graft.sources.GraftCatalogQueries.catalogWidenOracleSql,
+    "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,

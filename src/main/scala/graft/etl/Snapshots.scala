@@ -298,6 +298,9 @@ object Snapshots {
     // whose null-padded anti-join silently deletes nothing (or the
     // wrong thing) — reject it at write time instead
     manifest(root, baseId).find(isDelete).foreach { prior =>
+      require(!isPosDelete(prior),
+        s"store $root carries POSITION tombstones; an equality tombstone " +
+          "cannot coexist with them — compact first")
       val priorCol = s.read.parquet(root.resolve(prior.relPath).toString).columns.head
       require(priorCol == keys.columns.head,
         s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
@@ -337,6 +340,89 @@ object Snapshots {
     val id = stageDeletesOnto(s, root, keys, prev)
     commit(root, id, lastBatchId(root))
     id
+  }
+
+  /** Row-level DELETE for a KEY-LESS table (no NOT NULL key to address
+    * rows by): POSITION tombstones — (`__file` store-relative path,
+    * `__pos` parquet row ordinal) pairs under `deletes/pos-`, the other
+    * half of the open formats' delete-file pair. One scan of the base
+    * snapshot computes the matching rows' coordinates via the file
+    * source's generated `_metadata.file_path` / `row_index` columns
+    * (no shuffle — the ordinals come straight from the reader), the
+    * pairs stage size-bounded, and ONE surgical commit carries the
+    * entire base manifest verbatim: O(matched rows) I/O, zero data
+    * files rewritten, exactly the equality path's cost shape without
+    * requiring a key. Positions are computed against snapshot `base`,
+    * so any concurrent advance conflicts loudly (a row ordinal proven
+    * against N is meaningless against N+1). Mutually exclusive with
+    * equality tombstones per store; compaction folds positions like any
+    * tombstone (the merged read is the fold).
+    */
+  def publishPositionDeletes(s: SparkSession, root: Path, cond: org.apache.spark.sql.Column): Int = {
+    val base = currentId(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val fresh = stagePositionTombstone(s, root, base, cond)
+    if (fresh.isEmpty) return base // nothing matched: no-op, no commit
+    try commitOcc(root, fresh, OccSurgical(base, manifest(root, base)))
+    catch { case e: Throwable => discardStaged(root, fresh); throw e }
+  }
+
+  /** The data half of [[publishPositionDeletes]]: pairs staged (not
+    * committed) under `deletes/pos-occ-*`, computed OUTSIDE any lock.
+    */
+  private[graft] def stagePositionTombstone(s: SparkSession, root: Path,
+                                            baseId: Int,
+                                            cond: org.apache.spark.sql.Column): Seq[ManifestEntry] = {
+    val (datas, dels) = dataAndDeletes(root, baseId)
+    require(dels.forall(isPosDelete),
+      s"store $root carries equality tombstones; position deletes cannot " +
+        "coexist with them — compact first")
+    require(datas.nonEmpty, s"snapshot $baseId of $root lists no data files")
+    // the SAME rendering both here and at merge-read time: hadoop Path
+    // over the store URI ("file:/..." single-slash form, what
+    // _metadata.file_path emits), plus exactly one separator
+    val prefix = posPrefix(root)
+    // raw base files, not the merged view: a pair for an already-deleted
+    // row is harmless (the anti-join is idempotent), and skipping the
+    // merge keeps this one cheap scan
+    val pairs = s.read.option("mergeSchema", "true")
+      .parquet(datas.map(e => root.resolve(e.relPath).toString): _*)
+      .select(col("*"), col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      .filter(cond)
+      .select(substring_index_safe(col("__fp"), prefix).as("__file"), col("__pos"))
+    val delDir = root.resolve("deletes").resolve(
+      "pos-occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(delDir)
+    pairs.write.mode("overwrite").parquet(delDir.toString)
+    val listing = Files.list(delDir)
+    val entries = try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
+    finally listing.close()
+    if (entries.nonEmpty && s.read.parquet(
+        entries.map(e => root.resolve(e.relPath).toString): _*).isEmpty) {
+      discardStaged(root, entries)
+      Nil
+    } else entries
+  }
+
+  /** Strip `prefix` from the head of `c` (the store-URI → relPath
+    * translation for position pairs). substring is 1-based.
+    */
+  private def substring_index_safe(c: org.apache.spark.sql.Column, prefix: String): org.apache.spark.sql.Column =
+    substring(c, prefix.length + 1, Int.MaxValue)
+
+  /** The store-root prefix of `_metadata.file_path` values — hadoop Path
+    * rendering (what the file source emits), normalized to EXACTLY one
+    * trailing slash: a Path built from a directory URI may keep the
+    * URI's trailing slash, and a doubled slash shifted the stripped
+    * relPaths by one character (pairs named 'ata/...' files).
+    */
+  private[graft] def posPrefix(root: Path): String = {
+    val p0 = new org.apache.hadoop.fs.Path(root.toUri).toString
+    if (p0.endsWith("/")) p0 else p0 + "/"
   }
 
   /** Stage a tombstone commit ONTO an explicit base manifest — manifest
@@ -1147,6 +1233,16 @@ object Snapshots {
     */
   private[graft] def isDelete(e: ManifestEntry): Boolean = e.relPath.startsWith("deletes/")
 
+  /** POSITION tombstone (key-less merge-on-read DELETE): a two-column
+    * (`__file` store-relative path, `__pos` parquet row ordinal) pair
+    * file under `deletes/pos-`. Mutually exclusive with equality
+    * tombstones per store — a mixed manifest would need two different
+    * anti-join shapes against the same legs and the write paths refuse
+    * it up front instead.
+    */
+  private[graft] def isPosDelete(e: ManifestEntry): Boolean =
+    e.relPath.startsWith("deletes/pos-")
+
   private def dataAndDeletes(root: Path, n: Int): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val (dels, datas) = manifest(root, n).partition(isDelete)
     (datas, dels)
@@ -1207,6 +1303,38 @@ object Snapshots {
         .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
     }
     if (dels.isEmpty) shape(read(datas))
+    else if (dels.exists(isPosDelete)) {
+      // POSITION tombstones (key-less DELETE): the pair file NAMES its
+      // target files, so applicability is the naming itself — no seq
+      // grouping. Files named by any pair anti-join on (file, ordinal)
+      // with the ordinal generated by the reader (_metadata.row_index,
+      // no shuffle); unnamed files read pure at full scan speed. The
+      // named set is a plan-time driver read of the pairs' distinct
+      // __file column — O(#named files).
+      require(dels.forall(isPosDelete),
+        s"store $root mixes equality and position tombstones — unsupported")
+      val posSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("__file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType)))
+      val pairs = s.read.schema(posSchema)
+        .parquet(dels.map(e => root.resolve(e.relPath).toString): _*)
+      val named = pairs.select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val (hot, clear) = datas.partition(e => named(e.relPath))
+      val prefix = posPrefix(root)
+      val joined = if (hot.isEmpty) None else {
+        val withPos = read(hot).select(col("*"),
+          substring(col("_metadata.file_path"), prefix.length + 1, Int.MaxValue)
+            .as("__file"),
+          col("_metadata.row_index").as("__pos"))
+        Some(shape(withPos).join(pairs, Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos"))
+      }
+      val pure = if (clear.isEmpty) None else Some(shape(read(clear)))
+      (joined.toSeq ++ pure.toSeq).reduce(_.unionByName(_))
+    }
     else {
       // Group data files by their APPLICABLE TOMBSTONE SET, not by seq:
       // tombstone seqs are sorted, so "how many tombstones have seq >
@@ -1523,6 +1651,14 @@ object Snapshots {
         "feed across windows that do not straddle maintenance")
     val addedDatas = afterDatas.filterNot(e => beforePaths(e.relPath))
     val windowDels = afterDels.filter(e => e.seq > from && e.seq <= to)
+    // retraction resolution below is keyed (one-column equality
+    // tombstones); a POSITION tombstone window would need a
+    // (file, ordinal) replay of the from-state — refuse loudly rather
+    // than mis-join on the pair's first column
+    require(windowDels.forall(e => !isPosDelete(e)),
+      s"snapshot window ($from, $to] of $root carries POSITION tombstones " +
+        "(key-less deletes): the change feed resolves retractions by key — " +
+        "consume whole snapshots or compact first")
     val inserts: Option[DataFrame] =
       if (addedDatas.isEmpty) None
       else Some(mergeRead(s, root, addedDatas, windowDels, identity)

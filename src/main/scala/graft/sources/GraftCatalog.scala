@@ -581,9 +581,17 @@ object GraftCatalog {
     Map("partitioncol" -> c)
   }
 
-  private[sources] def validatePropertyKeys(props: Map[String, String]): Unit =
+  private[sources] def validatePropertyKeys(props: Map[String, String]): Unit = {
     props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"table property key '$k' may not contain '=' or newlines"))
+    props.get("mordelete").foreach { v =>
+      require(v == "position",
+        s"unknown 'mordelete' mode '$v' — the only supported mode is 'position'")
+      require(!props.contains("morkey"),
+        "'morkey' (equality tombstones) and 'mordelete'='position' (position " +
+          "tombstones) do not compose: two tombstone shapes cannot share a store")
+    }
+  }
 
   // property VALUES may carry newlines/backslashes (they're durable
   // metadata — a mis-parse could shift `statscol` and change pruning);
@@ -719,7 +727,7 @@ final class GraftTable(
       Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     currentIdOpt.flatMap { n =>
       val (datas, dels) = manifestSplit(n)
-      if (dels.nonEmpty && morKey.isDefined && datas.nonEmpty)
+      if (dels.nonEmpty && (morKey.isDefined || posMode) && datas.nonEmpty)
         // the ANALYZED subplan: scans, anti-joins, filters and unions
         // are all operator-batch-legal nodes (mergeRead materializes no
         // analyzer-era operator like Deduplicate — the tombstone legs
@@ -747,6 +755,14 @@ final class GraftTable(
     * SERVED (via the merged-read scan) instead of refused.
     */
   private def morKey: Option[String] = props.get("morkey")
+
+  /** `'mordelete'='position'`: merge-on-read DELETE for KEY-LESS tables
+    * — no NOT NULL key to address rows by, so DELETE lands (file, row
+    * ordinal) POSITION tombstones (the other half of the open formats'
+    * delete-file pair) instead of rewriting files. Mutually exclusive
+    * with `morkey` (two tombstone shapes cannot share one store).
+    */
+  private def posMode: Boolean = props.get("mordelete").contains("position")
 
   /** Declared partition column (`PARTITIONED BY`): storage is the
     * value-pure `_pv=` layout, writes route through
@@ -876,10 +892,11 @@ final class GraftTable(
         new GraftScanBuilder(spark, store, 0, Nil, schema, statsCol, options)
       case Some(n) =>
         val (datas, dels) = manifestSplit(n)
-        if (dels.nonEmpty && morKey.isDefined)
+        if (dels.nonEmpty && (morKey.isDefined || posMode))
           // merge-on-read: serve the seq-aware merged view (anti-join
-          // against the tombstones) — the documented read price of MoR
-          // DML until compaction folds the deltas physically
+          // against the tombstones — equality keys or position pairs) —
+          // the documented read price of MoR DML until compaction folds
+          // the deltas physically
           new GraftMergeScanBuilder(spark, store, n, schema, statsCol, morKey)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
@@ -969,9 +986,12 @@ final class GraftTable(
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /
         // MERGE / complex DELETE keep the `_pv=` layout intact; on a
-        // renamed table it re-stages under PHYSICAL names (colMap leg)
+        // renamed table it re-stages under PHYSICAL names (colMap leg).
+        // posMode tables with LIVE position tombstones refuse at the
+        // write's commit (lazily — analysis must succeed so plain
+        // DELETEs can reroute to deleteWhere's position path).
         () => new GraftRowLevelOperation(spark, store, schema, statsCol,
-          info.command(), partCol, colMap)
+          info.command(), partCol, colMap, posTombstonesOk = posMode)
     }
   }
 
@@ -1035,6 +1055,30 @@ final class GraftTable(
         }
         try {
           Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(base),
+            seedMeta = GraftCatalog.seedMetaFor(store))
+          return
+        } catch {
+          case _: Snapshots.CommitConflictException =>
+            attempts += 1
+            Snapshots.discardStaged(store, fresh)
+            if (attempts >= 5) throw new Snapshots.CommitConflictException(
+              s"DELETE on ${name()} lost the commit race $attempts times")
+          case e: Throwable =>
+            Snapshots.discardStaged(store, fresh)
+            throw e
+        }
+      } else if (posMode) {
+        // KEY-LESS merge-on-read DELETE: one scan computes the matching
+        // rows' (file, ordinal) coordinates, the pairs stage as a
+        // POSITION tombstone, and one surgical commit carries the whole
+        // base manifest — O(matched rows) I/O, zero files rewritten.
+        // Positions are base-exact, so any concurrent advance conflicts
+        // and the whole statement re-runs from the new base.
+        val fresh = Snapshots.stagePositionTombstone(spark, store, base, cond)
+        if (fresh.isEmpty) return // nothing matched: no-op
+        try {
+          Snapshots.commitOcc(store, fresh,
+            Snapshots.OccSurgical(base, Snapshots.manifest(store, base)),
             seedMeta = GraftCatalog.seedMetaFor(store))
           return
         } catch {

@@ -847,6 +847,75 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_pos_delete`: merge-on-read DELETE for a KEY-LESS
+    * table (`'mordelete'='position'`) — the other half of the open
+    * formats' delete-file pair. The table is a duplicate-heavy
+    * projection of lineitem (quantity repeats thousands of times), so
+    * NO equality key could address its rows; the DELETE lands (file,
+    * row-ordinal) POSITION tombstones computed from the reader's own
+    * `_metadata` coordinates, with ZERO base files rewritten. Required
+    * in-query: one commit; every base entry carried byte-identical;
+    * the delta is position-tombstone-only; and `CALL system.compact`
+    * folds the pairs back to a pair-free table with identical answers.
+    * The oracle restates post-delete, pre-delete, and post-compact
+    * states from the raw lineitem.
+    */
+  def catalogPosDelete(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.items (qty BIGINT, flag STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('mordelete'='position', 'statscol'='qty')")
+      Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .repartition(8)
+        .writeTo(s"$cat.items").append()
+      val store = root.resolve("items")
+      val base = Snapshots.manifest(store, 1)
+      s.sql(s"DELETE FROM $cat.items WHERE qty BETWEEN 20 AND 29 AND flag = 'R'")
+      require(Snapshots.currentId(store).contains(2),
+        s"expected the position DELETE to land snapshot 2, got " +
+          Snapshots.currentId(store))
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => require(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"position DELETE rewrote base file ${b.relPath}"))
+      val freshE = after.filterNot(e => base.exists(_.relPath == e.relPath))
+      require(freshE.nonEmpty && freshE.forall(Snapshots.isPosDelete),
+        s"expected a position-tombstone-only delta, got $freshE")
+      def states(tag: String, sql: String): Seq[Row] =
+        s.sql(s"SELECT flag, count(*) AS n, sum(qty) AS sq, sum(cents) AS sc " +
+          s"FROM ($sql) GROUP BY 1").collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val out0 = states("current", s"SELECT * FROM $cat.items") ++
+        states("v1", s"SELECT * FROM $cat.items VERSION AS OF 1")
+      s.sql(s"CALL $cat.system.compact('items', 8)")
+      require(!Snapshots.manifest(store, Snapshots.currentId(store).get)
+        .exists(Snapshots.isDelete), "compact left position tombstones")
+      val out = out0 ++ states("compacted", s"SELECT * FROM $cat.items")
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("flag", StringType),
+        StructField("n", LongType), StructField("sum_qty", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "flag")
+    } finally rm(root)
+  }
+
+  val catalogPosDeleteOracleSql: String = """
+    WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+    cur AS (SELECT * FROM b WHERE NOT (qty BETWEEN 20 AND 29 AND flag = 'R')),
+    states AS (
+      SELECT 'current' AS state, flag, qty, cents FROM cur
+      UNION ALL SELECT 'v1', flag, qty, cents FROM b
+      UNION ALL SELECT 'compacted', flag, qty, cents FROM cur)
+    SELECT state, flag, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(qty) AS BIGINT) AS sum_qty,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM states GROUP BY state, flag
+    ORDER BY state, flag"""
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT

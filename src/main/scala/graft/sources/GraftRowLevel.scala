@@ -50,21 +50,31 @@ final class GraftRowLevelOperation(
     statsCol: Option[String],
     cmd: RowLevelOperation.Command,
     partCol: Option[String] = None,
-    colMap: Map[String, String] = Map.empty) extends RowLevelOperation {
+    colMap: Map[String, String] = Map.empty,
+    posTombstonesOk: Boolean = false) extends RowLevelOperation {
 
   /** None = the table has no published snapshot yet: an UPDATE/DELETE is
     * a trivial no-op, and a MERGE's NOT MATCHED inserts FOUND the table.
     */
   private val baseId: Option[Int] = Snapshots.currentId(store)
 
-  private val baseEntries: Seq[Snapshots.ManifestEntry] = baseId match {
-    case None => Nil
-    case Some(b) =>
-      val (dels, datas) = Snapshots.manifest(store, b).partition(Snapshots.isDelete)
-      require(dels.isEmpty,
-        s"snapshot $b of $store carries merge-on-read tombstones; compact first")
-      datas
-  }
+  /** Live POSITION tombstones (`posTombstonesOk` tables) must not fail
+    * CONSTRUCTION — Spark builds this operation at analysis for every
+    * DELETE, including the ones the optimizer then reroutes to the
+    * position-tombstone deleteWhere path. The refusal is LAZY instead:
+    * the commit callback below throws before any manifest mutation,
+    * because a group rewrite reads raw files and would resurrect
+    * position-deleted rows under fresh relPaths the pairs never name.
+    */
+  private val (baseEntries: Seq[Snapshots.ManifestEntry], livePosTombs: Boolean) =
+    baseId match {
+      case None => (Nil, false)
+      case Some(b) =>
+        val (dels, datas) = Snapshots.manifest(store, b).partition(Snapshots.isDelete)
+        require(dels.isEmpty || (posTombstonesOk && dels.forall(Snapshots.isPosDelete)),
+          s"snapshot $b of $store carries merge-on-read tombstones; compact first")
+        (datas, dels.nonEmpty)
+    }
 
   /** The replaced group set: the files the operation's scan planned
     * after FILE-level pruning. Recorded (not recomputed) so the commit
@@ -111,6 +121,10 @@ final class GraftRowLevelOperation(
       override def build(): Write = new SurgicalReplaceWrite(
         spark, store, statsCol, partCol, colMap, baseId, baseEntries,
         () => {
+          require(!livePosTombs,
+            s"table at $store carries position tombstones: a $cmd group " +
+              "rewrite would resurrect position-deleted rows — CALL " +
+              "system.compact first")
           require(!divergentBuilds,
             s"row-level $cmd planned multiple rewrite scans with DIFFERENT group " +
               "sets — the executed set is unknowable; refusing a lossy commit")

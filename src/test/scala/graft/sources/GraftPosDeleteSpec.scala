@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.scalatest.funsuite.AnyFunSuite
+
+/** POSITION deletes (r14): merge-on-read DELETE for KEY-LESS tables —
+  * `'mordelete'='position'` routes SQL DELETE to (file, row ordinal)
+  * tombstones under `deletes/pos-`, the merged read anti-joins only the
+  * NAMED files on the generated `_metadata` coordinates, compaction
+  * folds the pairs, and the two tombstone shapes refuse to share a
+  * store.
+  */
+class GraftPosDeleteSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private var n = 0
+  private def fresh(): (String, Path) = {
+    n += 1
+    val cat = s"gpd$n"
+    val root = Files.createTempDirectory(s"graft_posdel$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  // deliberately DUPLICATE-bearing and key-less: v repeats across rows,
+  // so no column could serve as an equality-delete key
+  private def mk(cat: String): String = {
+    s.sql(s"CREATE TABLE $cat.t (v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mordelete'='position', 'statscol'='v')")
+    s.sql(s"INSERT INTO $cat.t SELECT id % 100, concat('s', id % 7) FROM range(0, 1000)")
+    s"$cat.t"
+  }
+
+  test("DELETE lands a position tombstone; zero files rewritten; merged read exact") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      val base = Snapshots.manifest(store, 1)
+      // v = 5 appears 10 times (ids 5, 105, ..., 905): a DUPLICATE value
+      // an equality tombstone could never address row-precisely
+      s.sql(s"DELETE FROM $t WHERE v = 5")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => assert(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"position DELETE rewrote base file ${b.relPath}"))
+      val freshE = after.filterNot(e => base.exists(_.relPath == e.relPath))
+      assert(freshE.nonEmpty && freshE.forall(Snapshots.isPosDelete),
+        s"expected a position-tombstone-only delta, got $freshE")
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 990)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v = 5").head.getLong(0) == 0)
+      // neighbors untouched (ordinal precision: only v=5 rows died)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v IN (4, 6)").head.getLong(0) == 20)
+      // time travel: the pre-delete snapshot reads whole
+      assert(s.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head.getLong(0) == 1000)
+    } finally rm(root)
+  }
+
+  test("ordinal stability: repeated deletes compose; unnamed files read pure") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      s.sql(s"DELETE FROM $t WHERE v = 5")
+      // second delete computes positions against the TOMBSTONE-BEARING
+      // snapshot; its raw scan may re-name already-dead rows (harmless)
+      // but must kill exactly the v=6 rows
+      s.sql(s"DELETE FROM $t WHERE v = 6")
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 980)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v IN (5, 6)").head.getLong(0) == 0)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v = 7").head.getLong(0) == 10)
+      // an APPEND after the deletes is never named by the old pairs:
+      // its rows survive even where v matches
+      s.sql(s"INSERT INTO $t VALUES (5, 'fresh')")
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v = 5").head.getLong(0) == 1)
+      // the merged plan reads unnamed (post-delete) files PURE: only
+      // files named by pairs carry the anti-join coordinates
+      val phys = s.sql(s"SELECT * FROM $t").queryExecution.sparkPlan.toString
+      assert(phys.contains("row_index") || phys.contains("__pos"),
+        s"expected position coordinates in the merged plan:\n$phys")
+    } finally rm(root)
+  }
+
+  test("compact folds positions; eq/pos tombstones refuse to mix; UPDATE refuses on live pairs") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      s.sql(s"DELETE FROM $t WHERE v < 10")
+      // UPDATE via group rewrite would resurrect position-deleted rows
+      val up = intercept[Exception](s.sql(s"UPDATE $t SET s = 'x' WHERE v = 50"))
+      assert(up.getMessage.contains("position tombstones"), up.getMessage)
+      // an equality tombstone cannot land on a position store
+      val eq = intercept[Exception](
+        Snapshots.publishDeletes(s, store,
+          s.range(1).selectExpr("CAST(id AS BIGINT) AS v")))
+      assert(eq.getMessage.contains("POSITION"), eq.getMessage)
+      val pre = s.sql(s"SELECT sum(v), count(*) FROM $t").head
+      s.sql(s"CALL $cat.system.compact('t', 4)")
+      assert(!Snapshots.manifest(store, Snapshots.currentId(store).get)
+        .exists(Snapshots.isDelete), "compact left tombstones")
+      assert(s.sql(s"SELECT sum(v), count(*) FROM $t").head.toSeq == pre.toSeq)
+      // post-compact the table is pair-free: UPDATE works again
+      s.sql(s"UPDATE $t SET s = 'x' WHERE v = 50")
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE s = 'x'").head.getLong(0) == 10)
+      // morkey + mordelete refuse to compose at CREATE
+      val both = intercept[Exception](s.sql(
+        s"CREATE TABLE $cat.bad (k BIGINT NOT NULL, v BIGINT) " +
+          "TBLPROPERTIES ('morkey'='k', 'mordelete'='position')"))
+      assert(both.getMessage.contains("do not compose"), both.getMessage)
+    } finally rm(root)
+  }
+}
