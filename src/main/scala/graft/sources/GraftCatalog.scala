@@ -363,10 +363,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         prs.getOrElse("colmap." + l, l)
       def retired(prs: Map[String, String]): Set[String] =
         prs.get("dropped").map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-      def requireRenameable(prs: Map[String, String]): Unit =
-        require(!prs.contains("morkey") && !prs.contains("partitioncol"),
-          "RENAME/DROP COLUMN is not supported on 'morkey' or partitioned " +
-            "tables (the key/partition machinery is name-addressed)")
+      // PARTITIONED and morkey tables rename/drop freely since r14:
+      // `partitioncol` and `morkey` record PHYSICAL names (like
+      // `statscol`), which never change — tombstone files and `_pv=`
+      // dirs are addressed by names that renames cannot move; the
+      // logical name resolves through the reverse colmap at the
+      // surfaces (partitioning(), rowId()). Dropping the key/partition/
+      // stats column itself still refuses.
+      def requireRenameable(prs: Map[String, String]): Unit = ()
       changes.foldLeft((schema0, props0)) {
         case ((sch, prs), add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
@@ -416,6 +420,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             require(sch.length > 1, "cannot drop the table's last column")
             require(!prs.get("statscol").contains(physOf(prs, fname)),
               s"cannot drop the declared statscol '$fname'")
+            require(!prs.get("partitioncol").contains(physOf(prs, fname)),
+              s"cannot drop the partition column '$fname'")
+            require(!prs.get("morkey").contains(physOf(prs, fname)),
+              s"cannot drop the morkey column '$fname'")
             // retire the physical: never readable again, never reusable
             val phys = physOf(prs, fname)
             val sch2 = StructType(sch.fields.filterNot(_.name == fname).toIndexedSeq)
@@ -727,7 +735,7 @@ final class GraftTable(
       Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     currentIdOpt.flatMap { n =>
       val (datas, dels) = manifestSplit(n)
-      if (dels.nonEmpty && (morKey.isDefined || posMode) && datas.nonEmpty)
+      if (dels.nonEmpty && (morKey.isDefined || posMode) && datas.nonEmpty) {
         // the ANALYZED subplan: scans, anti-joins, filters and unions
         // are all operator-batch-legal nodes (mergeRead materializes no
         // analyzer-era operator like Deduplicate — the tombstone legs
@@ -736,12 +744,20 @@ final class GraftTable(
         // iterations optimize the subtree in place. statsCol enables
         // tombstone-range pruning (files provably clear of deleted keys
         // skip the anti-join); the declared schemas (table + morkey
-        // tombstone) skip both inference jobs — sound because morkey
-        // tables refuse colmap, so logical = physical.
-        Some(Snapshots.readAt(spark, store, n, statsCol, Some(schema),
-            morKey.map(k => StructType(Seq(schema(k)))))
-          .queryExecution.analyzed)
-      else None
+        // tombstone) skip both inference jobs. Files AND tombstones
+        // carry PHYSICAL column names (stable across renames), so the
+        // merged view reads physical and conforms to the LOGICAL shape
+        // at its boundary — the splice rule then rebinds by name.
+        val raw = Snapshots.readAt(spark, store, n, statsCol,
+          Some(physicalize(schema)),
+          morKey.map(p => StructType(Seq(
+            schema(morKeyLogical.get).copy(name = p)))))
+        val conformed =
+          if (colMap.isEmpty) raw
+          else raw.select(schema.fields.toIndexedSeq.map(f =>
+            org.apache.spark.sql.functions.col(physicalOf(f.name)).as(f.name)): _*)
+        Some(conformed.queryExecution.analyzed)
+      } else None
     }
 
   private def currentIdOpt: Option[Int] = pin.orElse(Snapshots.currentId(store))
@@ -752,9 +768,16 @@ final class GraftTable(
     * SQL UPDATE/MERGE/DELETE land as equality-delete tombstones +
     * replacement rows (O(changed rows), no base file rewritten) instead
     * of group-based copy-on-write, and tombstone-bearing snapshots are
-    * SERVED (via the merged-read scan) instead of refused.
+    * SERVED (via the merged-read scan) instead of refused. Recorded as
+    * the PHYSICAL name (like statscol/partitioncol): tombstone FILES
+    * carry the key column by name, so the recorded name must be the one
+    * that never changes — renames are pure metadata on top.
     */
   private def morKey: Option[String] = props.get("morkey")
+
+  /** The morkey's LOGICAL (current, user-facing) name. */
+  private def morKeyLogical: Option[String] =
+    morKey.map(p => colMap.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p))
 
   /** `'mordelete'='position'`: merge-on-read DELETE for KEY-LESS tables
     * — no NOT NULL key to address rows by, so DELETE lands (file, row
@@ -799,8 +822,12 @@ final class GraftTable(
     else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
 
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCol.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    // partitioncol records the PHYSICAL name; Spark wants the LOGICAL
+    // one (what the user's queries reference), so translate back
+    partCol.map { c =>
+      val logical = colMap.collectFirst { case (l, p) if p == c => l }.getOrElse(c)
+      org.apache.spark.sql.connector.expressions.Expressions.identity(logical)
+    }.toArray
 
   private def manifestSplit(n: Int): (Seq[Snapshots.ManifestEntry],
                                       Seq[Snapshots.ManifestEntry]) = {
@@ -897,7 +924,8 @@ final class GraftTable(
           // against the tombstones — equality keys or position pairs) —
           // the documented read price of MoR DML until compaction folds
           // the deltas physically
-          new GraftMergeScanBuilder(spark, store, n, schema, statsCol, morKey)
+          new GraftMergeScanBuilder(spark, store, n, schema, statsCol,
+            morKeyLogical, colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
             statsCol, options, colMap)
@@ -909,7 +937,8 @@ final class GraftTable(
         "historical views are read-only; write through the current table")
     partCol match {
       case Some(p) =>
-        return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema, info)
+        return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
+          info, colMap)
       case None => ()
     }
     new WriteBuilder with SupportsTruncate {
@@ -979,9 +1008,9 @@ final class GraftTable(
     if (pin.isDefined) throw new UnsupportedOperationException(
       s"table ${name()} is pinned (VERSION AS OF): historical views are read-only")
     morKey match {
-      case Some(k) =>
-        () => new GraftDeltaOperation(spark, store, schema, statsCol, k,
-          info.command(), partCol)
+      case Some(_) =>
+        () => new GraftDeltaOperation(spark, store, schema, statsCol,
+          morKeyLogical.get, info.command(), partCol, colMap)
       case None =>
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /
@@ -1126,10 +1155,12 @@ final class GraftTable(
         .filter(!coalesce(cond, lit(false)))
         .observe(obsOut, cnt(lit(1)).as("n"))
       // partitioned tables re-stage survivors VALUE-PURE: a flat staged
-      // file would poison the `_pv=` layout for later dynamic overwrites
+      // file would poison the `_pv=` layout for later dynamic overwrites.
+      // Survivors land under PHYSICAL names either way (partCol is the
+      // physical partition column, stable across renames).
       val fresh = partCol match {
-        case Some(p) => Snapshots.stageOccPartitioned(spark, store, kept, p, statsCol.toSeq)
-          .map(Snapshots.foldLegacyStats(_, statsCol))
+        case Some(p) => Snapshots.stageOccPartitioned(spark, store, toPhysical(kept),
+          p, statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
         case None => Snapshots.stageOcc(spark, store, toPhysical(kept), statsCol)
       }
       try {

@@ -51,9 +51,10 @@ final class GraftDeltaOperation(
     store: JPath,
     tableSchema: StructType,
     statsCol: Option[String],
-    morKey: String,
+    morKey: String, // LOGICAL name (what the query binds); files carry the physical
     cmd: RowLevelOperation.Command,
-    partCol: Option[String] = None) extends RowLevelOperation with SupportsDelta {
+    partCol: Option[String] = None,
+    colMap: Map[String, String] = Map.empty) extends RowLevelOperation with SupportsDelta {
 
   require(tableSchema.fieldNames.contains(morKey),
     s"morkey '$morKey' is not a column of the table (schema: " +
@@ -61,6 +62,7 @@ final class GraftDeltaOperation(
   require(!tableSchema(morKey).nullable,
     s"morkey '$morKey' must be declared NOT NULL — an equality delete on a " +
       "nullable key cannot address its rows (Spark refuses nullable row ids)")
+
 
   private val baseId: Option[Int] = Snapshots.currentId(store)
 
@@ -80,16 +82,18 @@ final class GraftDeltaOperation(
       case Some(b) =>
         val (dels, datas) = Snapshots.manifest(store, b).partition(Snapshots.isDelete)
         if (dels.isEmpty)
-          new GraftScanBuilder(spark, store, b, datas, tableSchema, statsCol, options)
+          new GraftScanBuilder(spark, store, b, datas, tableSchema, statsCol,
+            options, colMap)
         else
-          new GraftMergeScanBuilder(spark, store, b, tableSchema, statsCol, Some(morKey))
+          new GraftMergeScanBuilder(spark, store, b, tableSchema, statsCol,
+            Some(morKey), colMap)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info,
-          partCol.map(p => (p, tableSchema)))
+          partCol.map(p => (p, tableSchema)), colMap)
     }
 
   override def description(): String = s"GraftDeltaOperation($cmd, $store @ $baseId)"
@@ -114,9 +118,17 @@ private[sources] final class GraftDeltaWrite(
     store: JPath,
     statsCol: Option[String],
     baseId: Option[Int],
-    morKey: String,
+    morKey: String, // LOGICAL; tombstones stage under the physical name
     info: LogicalWriteInfo,
-    partitioned: Option[(String, StructType)] = None) extends DeltaWrite {
+    partitioned: Option[(String, StructType)] = None,
+    colMap: Map[String, String] = Map.empty) extends DeltaWrite {
+
+  private def physOf(n: String): String = colMap.getOrElse(n, n)
+
+  /** Incoming delta rows carry LOGICAL names; staged files PHYSICAL. */
+  private def toPhysical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.map(physOf).toIndexedSeq: _*)
 
   private val rowIdSchema: StructType = {
     val s = info.rowIdSchema().orElseGet(() =>
@@ -184,12 +196,13 @@ private[sources] final class GraftDeltaWrite(
         // UPDATE=2); inserts: every op that lands a row (UPDATE=2,
         // INSERT=3). UPDATE contributes to both halves from ONE row.
         val deletes: Seq[Snapshots.ManifestEntry] = stageTombstone(
-          scratch.filter(col("__op").isin(1, 2)).select(col("__key").as(morKey)))
+          scratch.filter(col("__op").isin(1, 2))
+            .select(col("__key").as(physOf(morKey))))
         val inserts: Seq[Snapshots.ManifestEntry] =
           if (info.schema().isEmpty) Nil // pure DELETE plan: no row columns
           else try {
-            val rows = scratch.filter(col("__op").isin(2, 3))
-              .select(info.schema().fieldNames.toIndexedSeq.map(col): _*)
+            val rows = toPhysical(scratch.filter(col("__op").isin(2, 3))
+              .select(info.schema().fieldNames.toIndexedSeq.map(col): _*))
             // a PARTITIONED morkey table's replacement rows land
             // VALUE-PURE (the `_pv=` layout), with the same zone-map
             // columns the partitioned INSERT path writes (statscol +
@@ -199,9 +212,10 @@ private[sources] final class GraftDeltaWrite(
             // to the legacy field so tombstone-range pruning of the
             // merged read sees it
             val staged = partitioned match {
-              case Some((p, tSchema)) =>
+              case Some((p, tSchema)) => // p PHYSICAL, tSchema LOGICAL
                 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-                val integralPart = tSchema.fields.find(_.name == p).exists(f =>
+                val integralPart = tSchema.fields
+                  .find(f => physOf(f.name) == p).exists(f =>
                   f.dataType == LongType || f.dataType == IntegerType ||
                     f.dataType == ShortType || f.dataType == ByteType)
                 val zcs = (statsCol.toSeq ++ (if (integralPart) Seq(p) else Nil)).distinct
@@ -366,7 +380,8 @@ private[sources] final class GraftMergeScanBuilder(
     snapshotId: Int,
     tableSchema: StructType,
     statsCol: Option[String] = None,
-    morKey: Option[String] = None) extends ScanBuilder
+    morKey: Option[String] = None, // LOGICAL name
+    colMap: Map[String, String] = Map.empty) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -402,14 +417,19 @@ private[sources] final class GraftMergeScanBuilder(
           import org.apache.spark.sql.functions.{col, lit}
           // same fast merged plan the splice uses: manifest-backed legs
           // (no listing jobs, zone-map/bloom file pruning), tombstone-
-          // range pruning via statsCol, declared schemas
+          // range pruning via statsCol, declared schemas. Files and
+          // tombstones carry PHYSICAL names; conform to LOGICAL here.
+          def phys(n: String): String = colMap.getOrElse(n, n)
+          val physSchema = StructType(
+            tableSchema.fields.map(f => f.copy(name = phys(f.name))).toIndexedSeq)
           val raw = Snapshots.readAt(spark, store, snapshotId, statsCol,
-            Some(tableSchema),
+            Some(physSchema),
             morKey.flatMap(k => tableSchema.fields.find(_.name == k))
-              .map(f => StructType(Seq(f))))
+              .map(f => StructType(Seq(f.copy(name = phys(f.name))))))
           val have = raw.columns.toSet
           val conformed = raw.select(tableSchema.fields.toIndexedSeq.map { f =>
-            if (have(f.name)) col(f.name)
+            val pn = phys(f.name)
+            if (have(pn)) col(pn).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
           val filtered = hints.flatMap(GraftTable.filterColumn)

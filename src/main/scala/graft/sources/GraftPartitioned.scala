@@ -36,10 +36,11 @@ import org.apache.spark.sql.types.StructType
 private[sources] final class GraftPartitionedWriteBuilder(
     spark: SparkSession,
     store: JPath,
-    partCol: String,
+    partCol: String, // PHYSICAL name (what files carry; stable across renames)
     statsCol: Option[String],
-    tableSchema: StructType,
-    info: LogicalWriteInfo) extends WriteBuilder
+    tableSchema: StructType, // LOGICAL shape (what the query hands us)
+    info: LogicalWriteInfo,
+    colMap: Map[String, String] = Map.empty) extends WriteBuilder
     with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -49,18 +50,25 @@ private[sources] final class GraftPartitionedWriteBuilder(
 
   /** Zone-map columns for staged files: the declared stats column plus
     * the partition column itself when integral (value-pure files make
-    * its range degenerate `v:v` — free partition pruning).
+    * its range degenerate `v:v` — free partition pruning). Both names
+    * PHYSICAL — what the staged files carry.
     */
   private def zoneCols: Seq[String] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integralPart = tableSchema.fields.find(_.name == partCol).exists(f =>
-      f.dataType == LongType || f.dataType == IntegerType ||
+    val integralPart = tableSchema.fields
+      .find(f => colMap.getOrElse(f.name, f.name) == partCol)
+      .exists(f => f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType)
     (statsCol.toSeq ++ (if (integralPart) Seq(partCol) else Nil)).distinct
   }
 
+  /** Incoming frames carry LOGICAL names; files carry PHYSICAL. */
+  private def toPhysical(df: DataFrame): DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
+
   private def stage(df: DataFrame): Seq[Snapshots.ManifestEntry] =
-    Snapshots.stageOccPartitioned(spark, store, df, partCol, zoneCols)
+    Snapshots.stageOccPartitioned(spark, store, toPhysical(df), partCol, zoneCols)
 
   override def build(): Write = mode match {
     case "append" => new V1Write {

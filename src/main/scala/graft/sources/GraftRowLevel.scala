@@ -261,40 +261,33 @@ private[sources] final class SurgicalReplaceWrite(
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages) // task files land in stagingDir
-      val staged = if (colMap.nonEmpty) {
-          // replacement rows arrived under LOGICAL names; files must
-          // carry PHYSICAL ones — re-stage the (delta-sized) flat
-          // staging renamed, then drop the flat files
+      val staged = if (colMap.nonEmpty || partCol.isDefined) {
+          // replacement rows arrived under LOGICAL names and flat; files
+          // must carry PHYSICAL names and (on a partitioned table) the
+          // value-pure `_pv=` layout — re-stage the (delta-sized) flat
+          // staging renamed and/or partitioned, then drop the flat
+          // files. O(replaced groups) extra I/O; both the rename and
+          // partition stories survive row-level DML, composed.
           val flat = Snapshots.entriesForStagedDir(spark, store, stagingDir, Nil)
           if (flat.isEmpty) Nil
           else {
             val rows = spark.read.option("mergeSchema", "true").parquet(
               flat.map(e => store.resolve(e.relPath).toString): _*)
-            val renamed = rows.toDF(rows.columns.map(c =>
-              colMap.getOrElse(c, c)).toIndexedSeq: _*)
-            val pure = Snapshots.stageOcc(spark, store, renamed, statsCol)
+            val renamed =
+              if (colMap.isEmpty) rows
+              else rows.toDF(rows.columns.map(c =>
+                colMap.getOrElse(c, c)).toIndexedSeq: _*)
+            val pure = partCol match {
+              case Some(p) => // p is the PHYSICAL partition column name
+                Snapshots.stageOccPartitioned(spark, store, renamed, p,
+                  statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
+              case None => Snapshots.stageOcc(spark, store, renamed, statsCol)
+            }
             Snapshots.discardStaged(store, flat)
             pure
           }
-        } else partCol match {
-        case Some(p) =>
-          // a partitioned table's replacement rows must land VALUE-PURE:
-          // re-stage the (delta-sized) flat staging through the _pv=
-          // layout, then drop the flat files — O(replaced groups) extra
-          // I/O, and the partition story survives row-level DML
-          val flat = Snapshots.entriesForStagedDir(spark, store, stagingDir, Nil)
-          if (flat.isEmpty) Nil
-          else {
-            val rows = spark.read.option("mergeSchema", "true").parquet(
-              flat.map(e => store.resolve(e.relPath).toString): _*)
-            val pure = Snapshots.stageOccPartitioned(spark, store, rows, p,
-              statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
-            Snapshots.discardStaged(store, flat)
-            pure
-          }
-        case None => Snapshots.entriesForStagedDir(spark, store, stagingDir,
+        } else Snapshots.entriesForStagedDir(spark, store, stagingDir,
           statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
-      }
       val replaced = replacedFn().map(_.relPath).toSet
       val untouched = baseEntries.filterNot(e => replaced(e.relPath))
       // an empty-file-only stage replacing nothing is a provable no-op

@@ -114,17 +114,102 @@ class GraftRenameSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
-  test("refusals: rename/drop on morkey or partitioned tables, statscol drop, last column") {
+  test("refusals: morkey-column drop, partition-col drop, statscol drop, last column") {
     val (cat, root) = freshCatalog()
     try {
+      // morkey tables rename freely since r14 (physical-named tombstones);
+      // only dropping the morkey column itself refuses
       s.sql(s"CREATE TABLE $cat.m (k BIGINT NOT NULL, v STRING) TBLPROPERTIES ('morkey'='k')")
-      intercept[Exception] { s.sql(s"ALTER TABLE $cat.m RENAME COLUMN v TO w") }
+      intercept[Exception] { s.sql(s"ALTER TABLE $cat.m DROP COLUMN k") }
+      // partitioned tables rename/drop freely since r14 — only dropping
+      // the PARTITION COLUMN itself refuses
       s.sql(s"CREATE TABLE $cat.p (k BIGINT, p BIGINT) PARTITIONED BY (p)")
-      intercept[Exception] { s.sql(s"ALTER TABLE $cat.p DROP COLUMN k") }
+      intercept[Exception] { s.sql(s"ALTER TABLE $cat.p DROP COLUMN p") }
+      s.sql(s"ALTER TABLE $cat.p DROP COLUMN k") // non-partition column: fine
       s.sql(s"CREATE TABLE $cat.s (k BIGINT, v STRING) TBLPROPERTIES ('statscol'='k')")
       intercept[Exception] { s.sql(s"ALTER TABLE $cat.s DROP COLUMN k") }
       s.sql(s"CREATE TABLE $cat.one (k BIGINT)")
       intercept[Exception] { s.sql(s"ALTER TABLE $cat.one DROP COLUMN k") }
+    } finally rm(root)
+  }
+
+  test("rename on a PARTITIONED table: metadata-only, writes stay physical, pruning survives") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v STRING) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('statscol'='k')")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 4, concat('v', id) FROM range(0, 400)")
+      val store = root.resolve("t")
+      val before = Snapshots.manifest(store, 1)
+      // rename BOTH a data column and the partition column itself
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO body")
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN p TO shard")
+      // metadata-only: no data file changed
+      val afterAlter = Snapshots.manifest(store,
+        Snapshots.currentId(store).get).filterNot(Snapshots.isDelete)
+      before.foreach(b => assert(afterAlter.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5), s"${b.relPath} rewritten by RENAME"))
+      // reads bind the new logical names; DESCRIBE partitioning follows
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE shard = 2 AND body = 'v2'")
+        .head.getLong(0) == 1)
+      assert(s.table(s"$cat.t").schema.fieldNames.toSeq == Seq("k", "shard", "body"))
+      // an INSERT after the rename lands PHYSICAL names + value-pure
+      s.sql(s"INSERT INTO $cat.t SELECT id, id % 4, 'new' FROM range(400, 500)")
+      val m2 = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val freshE = m2.filterNot(e => afterAlter.exists(_.relPath == e.relPath))
+      assert(freshE.nonEmpty)
+      freshE.foreach { e =>
+        assert(Snapshots.partValueOf(e.relPath).isDefined, s"${e.relPath} not value-pure")
+        val cols = s.read.parquet(store.resolve(e.relPath).toString).columns.toSet
+        assert(cols == Set("k", "p", "v"),
+          s"post-rename insert must write PHYSICAL names, got $cols")
+      }
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 500)
+      // dynamic overwrite keyed by the RENAMED partition column
+      val pk = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.get(pk)
+      s.conf.set(pk, "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.t SELECT id, 1L, 'ow' FROM range(0, 50)")
+      finally s.conf.set(pk, prior)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE shard = 1").head.getLong(0) == 50)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE shard = 0").head.getLong(0) == 125)
+      // row-level UPDATE re-stages value-pure under physical names
+      s.sql(s"UPDATE $cat.t SET body = 'upd' WHERE shard = 2 AND k < 10")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE body = 'upd'").head.getLong(0)
+        == 2) // shard 2 with k < 10: ids 2 and 6 (the overwrite only touched shard 1)
+    } finally rm(root)
+  }
+
+  test("rename on a MORKEY table: tombstones stay physical, MoR DML and merged reads survive") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k', 'statscol'='k')")
+      s.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(0, 500)")
+      s.sql(s"DELETE FROM $cat.t WHERE k < 10") // pre-rename tombstone under 'k'
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN k TO id")
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO body")
+      // merged read binds the NEW logical names over physical files+tombstones
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 490)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE id < 20 AND body LIKE 'v%'")
+        .head.getLong(0) == 10)
+      // post-rename MoR DML: the tombstone must land under the PHYSICAL
+      // key name so it merge-schemas with the pre-rename one
+      s.sql(s"UPDATE $cat.t SET body = 'U' WHERE id BETWEEN 100 AND 109")
+      s.sql(s"DELETE FROM $cat.t WHERE id = 499")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 489)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE body = 'U'").head.getLong(0) == 10)
+      val store = root.resolve("t")
+      val tombCols = Snapshots.manifest(store, Snapshots.currentId(store).get)
+        .filter(Snapshots.isDelete)
+        .flatMap(e => s.read.parquet(store.resolve(e.relPath).toString).columns)
+        .toSet
+      assert(tombCols == Set("k"), s"tombstones must stay physical-named: $tombCols")
+      // compact folds everything; reads keep the logical shape
+      s.sql(s"CALL $cat.system.compact('t', 4)")
+      assert(s.sql(s"SELECT count(*), sum(id) FROM $cat.t WHERE body = 'U'").head.toSeq
+        == Seq(10L, (100L to 109L).sum))
+      assert(s.table(s"$cat.t").schema.fieldNames.toSeq == Seq("id", "body"))
     } finally rm(root)
   }
 }
