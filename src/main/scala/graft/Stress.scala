@@ -1949,6 +1949,122 @@ object Stress {
           f"${(System.nanoTime() - tCdf0) / 1e9}%.1f s (no forced broadcast)")
         assert(dels == 10L * 1000 * 1000, s"CDF retractions $dels != 10M")
 
+      case "statements_sf1" =>
+        // The statement-path family priced at sf1 (10x the bench gate),
+        // where I/O fractions rather than fixed job startup should
+        // dominate: CoW UPDATE vs MoR UPDATE at three slab sizes (the
+        // crossover), the mirror-sync MERGE, dynamic partition
+        // overwrite, and the merged-vs-compacted read. Uses the
+        // UpscaleTestdata sf1 dir (1.5M orders, FK-consistent).
+        val sf1 = "/root/repo/scratch/sf1f"
+        require(new java.io.File(s"$sf1/orders.parquet").exists,
+          s"run UpscaleTestdata first: no $sf1")
+        val whS = java.nio.file.Files.createTempDirectory("graft_stmt1")
+        spark.conf.set("spark.sql.catalog.s1", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.s1.root", whS.toString)
+        val ordS = spark.read.parquet(s"$sf1/orders.parquet")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            (col("o_orderkey") % 8).as("p"))
+        val nOrd = ordS.count()
+        def mkTable(name: String, props: String): Unit = {
+          spark.sql(s"CREATE TABLE s1.$name (k BIGINT NOT NULL, st STRING, " +
+            s"cents BIGINT, p BIGINT) $props")
+          ordS.repartitionByRange(64, col("k")).writeTo(s"s1.$name").append()
+        }
+        timed(s"insert $nOrd orders x3 (cow, mor, part)") {
+          mkTable("cow", "TBLPROPERTIES ('statscol'='k')")
+          mkTable("mor", "TBLPROPERTIES ('morkey'='k', 'statscol'='k')")
+          spark.sql("CREATE TABLE s1.part (k BIGINT NOT NULL, st STRING, " +
+            "cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
+            "TBLPROPERTIES ('morkey'='k', 'statscol'='k')")
+          ordS.writeTo("s1.part").append()
+        }
+        def bytesOf(t: String, prior: Set[String]): Long = {
+          val store = whS.resolve(t)
+          etl.Snapshots.manifest(store, etl.Snapshots.currentId(store).get)
+            .filterNot(e => prior(e.relPath)).map(_.bytes).sum
+        }
+        def relSet(t: String): Set[String] = {
+          val store = whS.resolve(t)
+          etl.Snapshots.manifest(store, etl.Snapshots.currentId(store).get)
+            .map(_.relPath).toSet
+        }
+        // CoW vs MoR UPDATE crossover at 1k / 10k / 100k-key slabs
+        // (clustered: zone maps bound the CoW rewrite to the slab files)
+        for (slab <- Seq(1000L, 10000L, 100000L)) {
+          // replica-0 keys are 1..600000 (every ~4th); start mid-domain
+          val lo = 100000L
+          val hi = lo + slab * 4 // x4 spacing => ~slab matched keys
+          for (t <- Seq("cow", "mor")) {
+            val prior = relSet(t)
+            val t0 = System.nanoTime()
+            spark.sql(s"UPDATE s1.$t SET cents = cents + 1 WHERE k BETWEEN $lo AND $hi")
+            val secs = (System.nanoTime() - t0) / 1e9
+            println(f"[stress] statements_sf1 UPDATE $t%-3s slab=$slab%7d: " +
+              f"$secs%5.2f s, ${bytesOf(t, prior) / 1e6}%7.2f MB written")
+          }
+        }
+        // the crossover leg: a SCATTERED update (every file holds matches)
+        // — CoW must rewrite O(all files), MoR still writes O(changed)
+        for (t <- Seq("cow", "mor")) {
+          val prior = relSet(t)
+          val t0 = System.nanoTime()
+          spark.sql(s"UPDATE s1.$t SET cents = cents + 1 WHERE k % 6000 = 7")
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[stress] statements_sf1 UPDATE $t%-3s SCATTERED (~1k keys, all files): " +
+            f"$secs%5.2f s, ${bytesOf(t, prior) / 1e6}%7.2f MB written")
+        }
+        // merged read price after the four MoR updates, then compact
+        val tR0 = System.nanoTime()
+        val morSum = spark.sql("SELECT sum(cents) FROM s1.mor").head.getLong(0)
+        val mergedS = (System.nanoTime() - tR0) / 1e9
+        timed("CALL compact folds s1.mor")(
+          spark.sql("CALL s1.system.compact('mor', 64)"))
+        val tR1 = System.nanoTime()
+        val morSum2 = spark.sql("SELECT sum(cents) FROM s1.mor").head.getLong(0)
+        val pureS = (System.nanoTime() - tR1) / 1e9
+        assert(morSum == morSum2, "compaction changed answers")
+        val cowSum = spark.sql("SELECT sum(cents) FROM s1.cow").head.getLong(0)
+        assert(morSum == cowSum, s"CoW/MoR legs diverged: $cowSum vs $morSum")
+        println(f"[stress] statements_sf1 read: merged $mergedS%.2f s -> " +
+          f"post-compact $pureS%.2f s")
+        // mirror sync: 1% updates, 0.5% deletes, 0.5% inserts in ONE MERGE
+        spark.sql("SELECT * FROM s1.mor").createOrReplaceTempView("cur_mirror")
+        spark.sql(s"""
+          SELECT k, st, CASE WHEN k % 100 = 7 THEN cents * 2 ELSE cents END AS cents, p
+          FROM cur_mirror WHERE k % 200 != 11
+          UNION ALL
+          SELECT k + 10000000000, 'N', CAST(42 AS BIGINT), k % 8 FROM cur_mirror WHERE k % 200 = 12
+        """).createOrReplaceTempView("src_mirror")
+        val priorSync = relSet("mor")
+        // materialize the source count BEFORE the merge: src_mirror is a
+        // lazy view over the TARGET, so a post-merge count would
+        // re-evaluate against the post-merge state
+        val srcN = spark.table("src_mirror").count()
+        val tS0 = System.nanoTime()
+        spark.sql("""
+          MERGE INTO s1.mor t USING src_mirror s ON t.k = s.k
+          WHEN MATCHED AND t.cents != s.cents THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        val syncS = (System.nanoTime() - tS0) / 1e9
+        println(f"[stress] statements_sf1 mirror sync (1%% upd, 0.5%% del, 0.5%% ins): " +
+          f"$syncS%.2f s, ${bytesOf("mor", priorSync) / 1e6}%.2f MB delta")
+        assert(spark.sql("SELECT count(*) FROM s1.mor").head.getLong(0) == srcN,
+          "sync did not converge to the source")
+        // dynamic partition overwrite: replace 1 of 8 partitions
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val priorOw = relSet("part")
+        val tO0 = System.nanoTime()
+        spark.sql("INSERT OVERWRITE s1.part " +
+          "SELECT k, 'OW', cents, 3L FROM s1.cow WHERE p = 3")
+        val owS = (System.nanoTime() - tO0) / 1e9
+        println(f"[stress] statements_sf1 dynamic overwrite (1 of 8 partitions): " +
+          f"$owS%.2f s, ${bytesOf("part", priorOw) / 1e6}%.2f MB written")
+        assert(spark.sql("SELECT count(*) FROM s1.part WHERE st = 'OW'").head.getLong(0)
+          == spark.sql("SELECT count(*) FROM s1.cow WHERE p = 3").head.getLong(0))
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()
