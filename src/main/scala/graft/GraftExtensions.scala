@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merged logical plan — vectorized parquet legs + anti-join — instead
     // of executing behind the V1 row bridge
     e.injectOptimizerRule(s => graft.plans.ExpandMergeScan(s))
+    // global sum/count/min/max over a Union pre-aggregate per leg: the
+    // per-leg partial agg fuses with its scan (UnionExec breaks codegen),
+    // halving task CPU on scan-bound aggregates over merged reads
+    e.injectOptimizerRule(s => graft.plans.PushAggThroughUnion(s))
   }
 }
 
