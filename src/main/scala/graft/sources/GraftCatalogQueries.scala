@@ -796,14 +796,18 @@ object GraftCatalogQueries {
     try {
       s.sql(s"CREATE TABLE $cat.orders (k INT, o_orderstatus STRING, cents BIGINT) " +
         "TBLPROPERTIES ('statscol'='cents')")
+      // the narrow key must stay int-safe at ANY scale factor: upscaled
+      // orderkeys carry replica shifts of n*10^8 (up to ~10^10 at sf10),
+      // so fold them below 2^31 first — 10^8 is even, so the parity
+      // split below is unchanged
       val src = Tables.orders(s, d).select(
-        col("o_orderkey").cast("int").as("k"), col("o_orderstatus"),
+        (col("o_orderkey") % 100000000L).cast("int").as("k"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       src.filter(col("k") % 2 === 0).writeTo(s"$cat.orders").append()
       s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN k TYPE BIGINT")
       s.sql(s"INSERT INTO $cat.orders " +
         s"SELECT k + ${10L * 1000 * 1000 * 1000}, o_orderstatus, cents FROM " +
-        s"(SELECT CAST(o_orderkey AS BIGINT) k, o_orderstatus, " +
+        s"(SELECT CAST(o_orderkey % 100000000 AS BIGINT) k, o_orderstatus, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) cents " +
         s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1)")
       // shape proofs: current is bigint, the pre-widen snapshot is int,
@@ -834,7 +838,7 @@ object GraftCatalogQueries {
   }
 
   val catalogWidenOracleSql: String = """
-    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+    WITH b AS (SELECT o_orderkey % 100000000 AS k, o_orderstatus,
         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
     states AS (
       SELECT 'current' AS state, o_orderstatus, cents,
