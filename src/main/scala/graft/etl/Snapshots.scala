@@ -1651,21 +1651,50 @@ object Snapshots {
         "feed across windows that do not straddle maintenance")
     val addedDatas = afterDatas.filterNot(e => beforePaths(e.relPath))
     val windowDels = afterDels.filter(e => e.seq > from && e.seq <= to)
-    // retraction resolution below is keyed (one-column equality
-    // tombstones); a POSITION tombstone window would need a
-    // (file, ordinal) replay of the from-state — refuse loudly rather
-    // than mis-join on the pair's first column
-    require(windowDels.forall(e => !isPosDelete(e)),
-      s"snapshot window ($from, $to] of $root carries POSITION tombstones " +
-        "(key-less deletes): the change feed resolves retractions by key — " +
-        "consume whole snapshots or compact first")
     val inserts: Option[DataFrame] =
       if (addedDatas.isEmpty) None
       else Some(mergeRead(s, root, addedDatas, windowDels, identity)
         .withColumn("_change_type", lit("insert")))
     val deletes: Option[DataFrame] =
       if (windowDels.isEmpty || from == 0) None
-      else {
+      else if (windowDels.exists(isPosDelete)) {
+        // POSITION-tombstone window (key-less deletes; the store is
+        // pos-only — mixing is refused at write): a retraction is a row
+        // that was VISIBLE at `from` and is killed by a window pair.
+        // Read only the from-files the window pairs NAME, with the
+        // reader's own (file, ordinal) coordinates; subtract the pairs
+        // already in force at `from` (a row dead at `from` was never
+        // visible, and the pair writer may re-name dead rows — its scan
+        // is raw by design); then keep exactly the window-pair matches.
+        val posSchema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("__file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType)))
+        def pairs(es: Seq[ManifestEntry]) = s.read.schema(posSchema)
+          .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+        val windowPairs = pairs(windowDels)
+        val named = windowPairs.select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val targets = beforeAll.filterNot(isDelete).filter(e => named(e.relPath))
+        if (targets.isEmpty) None
+        else {
+          val prefix = posPrefix(root)
+          val withPos = s.read.option("mergeSchema", "true")
+            .parquet(targets.map(e => root.resolve(e.relPath).toString): _*)
+            .select(col("*"),
+              substring(col("_metadata.file_path"), prefix.length + 1, Int.MaxValue)
+                .as("__file"),
+              col("_metadata.row_index").as("__pos"))
+          val priorDels = beforeAll.filter(isDelete)
+          val visible =
+            if (priorDels.isEmpty) withPos
+            else withPos.join(pairs(priorDels), Seq("__file", "__pos"), "left_anti")
+          Some(visible.join(windowPairs, Seq("__file", "__pos"), "left_semi")
+            .drop("__file", "__pos")
+            .withColumn("_change_type", lit("delete")))
+        }
+      } else {
         val keys = s.read.parquet(
           windowDels.map(e => root.resolve(e.relPath).toString): _*).distinct()
         // broadcast only when the manifest proves the window's tombstones

@@ -876,9 +876,20 @@ final class GraftTable(
             // declared column's physical type (int32 files + int64
             // files) and a whole-schema merge refuses; only the EXTRA
             // (non-declared) columns need inference, so compare each
-            // footer's fields independently against the declared set
-            val footerSchemas = perSeq.map(e =>
-              spark.read.parquet(store.resolve(e.relPath).toString).schema)
+            // footer's fields independently against the declared set.
+            // Raw footer reads (no DataFrameReader: each of those costs
+            // a file index + session plumbing, ~100ms/commit on the
+            // catalog_sql bench) — one O(1) driver read per commit.
+            val conf = spark.sessionState.newHadoopConf()
+            val converter =
+              new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+            val footerSchemas = perSeq.map { e =>
+              val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(store.resolve(e.relPath).toUri), conf))
+              try converter.convert(f.getFooter.getFileMetaData.getSchema)
+              finally f.close()
+            }
             // compare against PHYSICAL names, and never resurrect a
             // DROPPED column's bytes as an "evolved" column
             val declaredPhys = declared.fieldNames.map(physicalOf)
