@@ -2065,6 +2065,77 @@ object Stress {
         assert(spark.sql("SELECT count(*) FROM s1.part WHERE st = 'OW'").head.getLong(0)
           == spark.sql("SELECT count(*) FROM s1.cow WHERE p = 3").head.getLong(0))
 
+      case "pos_12m" =>
+        // POSITION deletes at 12M rows / 64 files on a KEY-LESS table:
+        // (1) a clustered DELETE names one file's coordinates and the
+        // merged read anti-joins ONLY that file; (2) a scattered DELETE
+        // names every file (the honest worst case — all legs join);
+        // (3) the CDF retraction leg replays both windows exactly;
+        // (4) compact folds the pairs. Claims: pair staging is
+        // O(matched rows), zero rewrites, and the clear/hot split keeps
+        // clustered deletes near pure-scan read cost.
+        val np = 12L * 1000 * 1000
+        val rootP = java.nio.file.Files.createTempDirectory("graft_pos12m")
+        spark.conf.set("spark.sql.catalog.p12", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.p12.root", rootP.toString)
+        spark.sql("CREATE TABLE p12.t (v BIGINT, w BIGINT) " +
+          "TBLPROPERTIES ('mordelete'='position', 'statscol'='v')")
+        timed("insert 12M x 64 files")(
+          spark.range(np).select((col("id") % 1000).as("v"), col("id").as("w"))
+            .repartitionByRange(64, col("w")).writeTo("p12.t").append())
+        val storeP = rootP.resolve("t")
+        def freshPos(prior: Set[String]) = etl.Snapshots
+          .manifest(storeP, etl.Snapshots.currentId(storeP).get)
+          .filterNot(e => prior(e.relPath))
+        // clustered: one file's slab (w range) — duplicate v values, so
+        // no equality key could address these rows
+        val prior1 = etl.Snapshots.manifest(storeP, 1).map(_.relPath).toSet
+        timed("clustered DELETE (~90k rows, 1 file)")(
+          spark.sql("DELETE FROM p12.t WHERE w BETWEEN 6000000 AND 6090000 AND v < 500"))
+        val f1 = freshPos(prior1)
+        println(f"[stress] pos_12m clustered: ${f1.size} pair file(s), " +
+          f"${f1.map(_.bytes).sum / 1e3}%.1f KB")
+        assert(f1.forall(etl.Snapshots.isPosDelete))
+        val t1 = System.nanoTime()
+        val c1 = spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+        println(f"[stress] pos_12m merged read (1 hot file): " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        // scattered: every file holds matches
+        val prior2 = etl.Snapshots.manifest(storeP,
+          etl.Snapshots.currentId(storeP).get).map(_.relPath).toSet
+        // the predicate must TRANSLATE to pushed filters: an arbitrary
+        // expression (w % k = c) cannot reach deleteWhere and the group
+        // rewrite refuses on live pairs by design (compact first)
+        timed("scattered DELETE (12k rows, all files hold matches)")(
+          spark.sql("DELETE FROM p12.t WHERE v = 77"))
+        val f2 = freshPos(prior2)
+        println(f"[stress] pos_12m scattered: ${f2.size} pair file(s), " +
+          f"${f2.map(_.bytes).sum / 1e3}%.1f KB")
+        val t2 = System.nanoTime()
+        val c2 = spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+        println(f"[stress] pos_12m merged read (all files hot): " +
+          f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+        val expected1 = np - spark.range(np)
+          .filter(col("id").between(6000000, 6090000) && col("id") % 1000 < 500)
+          .count()
+        assert(c1 == expected1, s"clustered delete: $c1 != $expected1")
+        val expected2 = c1 - spark.range(np).filter(col("id") % 1000 === 77)
+          .filter(!(col("id").between(6000000, 6090000) && col("id") % 1000 < 500))
+          .count()
+        assert(c2 == expected2, s"scattered delete: $c2 != $expected2")
+        // CDF over both windows
+        val tC = System.nanoTime()
+        val feed = etl.Snapshots.readChangeFeed(spark, storeP, 1, 3)
+        val nDel = feed.filter(col("_change_type") === "delete").count()
+        println(f"[stress] pos_12m CDF (1,3]: $nDel retractions in " +
+          f"${(System.nanoTime() - tC) / 1e9}%.2f s")
+        assert(nDel == np - c2, s"CDF retractions $nDel != ${np - c2}")
+        timed("compact folds the pairs")(spark.sql("CALL p12.system.compact('t', 64)"))
+        val t3 = System.nanoTime()
+        assert(spark.sql("SELECT count(*) FROM p12.t").head.getLong(0) == c2)
+        println(f"[stress] pos_12m post-compact read: " +
+          f"${(System.nanoTime() - t3) / 1e9}%.2f s")
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()

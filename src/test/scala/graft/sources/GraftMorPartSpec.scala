@@ -151,4 +151,55 @@ class GraftMorPartSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 997)
     } finally rm(root)
   }
+
+  test("TRIPLE composition: partitioned + morkey + renamed columns") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat) // morkey=k, partitioned by p, statscol=k
+      val store = root.resolve("t")
+      // rename EVERY column, including the key and the partition column
+      s.sql(s"ALTER TABLE $t RENAME COLUMN k TO id")
+      s.sql(s"ALTER TABLE $t RENAME COLUMN p TO shard")
+      s.sql(s"ALTER TABLE $t RENAME COLUMN v TO body")
+      // MoR UPDATE under the new names: value-pure physical delta,
+      // physical-named tombstone, zero base rewrites
+      val base = Snapshots.manifest(store, 1)
+      s.sql(s"UPDATE $t SET body = 'U' WHERE id BETWEEN 100 AND 109")
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      base.foreach(b => assert(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq)))
+      val freshE = after.filterNot(e => base.exists(_.relPath == e.relPath))
+      val (tombs, datas) = freshE.partition(Snapshots.isDelete)
+      assert(tombs.nonEmpty && datas.nonEmpty)
+      tombs.foreach { e =>
+        val cols = s.read.parquet(store.resolve(e.relPath).toString).columns.toSet
+        assert(cols == Set("k"), s"tombstone must carry the physical key: $cols")
+      }
+      datas.foreach { e =>
+        assert(Snapshots.partValueOf(e.relPath).isDefined, s"${e.relPath} not value-pure")
+        val cols = s.read.parquet(store.resolve(e.relPath).toString).columns.toSet
+        assert(cols == Set("k", "p", "v"), s"delta must write physical names: $cols")
+      }
+      // merged read binds logical names, applies the delta, still prunes
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE body = 'U'").head.getLong(0) == 10)
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 1000)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE shard = 2").head.getLong(0) == 250)
+      // MoR DELETE + dynamic overwrite keyed by the renamed partition col
+      s.sql(s"DELETE FROM $t WHERE id IN (0, 1)")
+      val pk = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.get(pk)
+      s.conf.set(pk, "dynamic")
+      try s.sql(s"INSERT OVERWRITE $t SELECT id, 3L, 'ow' FROM range(5000, 5100)")
+      finally s.conf.set(pk, prior)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE shard = 3").head.getLong(0) == 100)
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0)
+        == 1000 - 2 - 250 + 100) // shard-3 quarter replaced; ids 0,1 were shard 0,1
+      // compact folds; the logical shape survives
+      s.sql(s"CALL $cat.system.compact('t', 4)")
+      assert(s.table(t).schema.fieldNames.toSeq == Seq("id", "shard", "body"))
+      // the shard-3 overwrite replaced ids 103 and 107 (the two 'U' rows
+      // with id % 4 == 3), so 8 of the original 10 survive
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE body = 'U'").head.getLong(0) == 8)
+    } finally rm(root)
+  }
 }
