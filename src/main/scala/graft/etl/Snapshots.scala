@@ -414,6 +414,24 @@ object Snapshots {
   private def substring_index_safe(c: org.apache.spark.sql.Column, prefix: String): org.apache.spark.sql.Column =
     substring(c, prefix.length + 1, Int.MaxValue)
 
+  /** The files a set of position-tombstone pair files NAME — the merge
+    * plan's hot/clear split key. One small Spark job per DISTINCT pair
+    * file, memoized forever: pair files are immutable, so a read-hot
+    * table plans against the cache instead of re-collecting per
+    * statement.
+    */
+  private val posNamedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def posNamedFiles(s: SparkSession, root: Path,
+                            dels: Seq[ManifestEntry]): Set[String] =
+    dels.map { e =>
+      posNamedCache.computeIfAbsent(root.resolve(e.relPath).toString, { p =>
+        s.read.parquet(p).select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+      })
+    }.foldLeft(Set.empty[String])(_ ++ _)
+
   /** The store-root prefix of `_metadata.file_path` values — hadoop Path
     * rendering (what the file source emits), normalized to EXACTLY one
     * trailing slash: a Path built from a directory URI may keep the
@@ -1320,8 +1338,7 @@ object Snapshots {
           org.apache.spark.sql.types.LongType)))
       val pairs = s.read.schema(posSchema)
         .parquet(dels.map(e => root.resolve(e.relPath).toString): _*)
-      val named = pairs.select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
+      val named = posNamedFiles(s, root, dels)
       val (hot, clear) = datas.partition(e => named(e.relPath))
       val prefix = posPrefix(root)
       val joined = if (hot.isEmpty) None else {

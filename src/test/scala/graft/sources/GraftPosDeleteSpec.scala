@@ -122,4 +122,29 @@ class GraftPosDeleteSpec extends AnyFunSuite {
       assert(both.getMessage.contains("do not compose"), both.getMessage)
     } finally rm(root)
   }
+
+  test("position deletes compose with PARTITIONED BY") {
+    val (cat, root) = fresh()
+    try {
+      s.sql(s"CREATE TABLE $cat.pt (v BIGINT, p BIGINT, t STRING) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('mordelete'='position', 'statscol'='v')")
+      s.sql(s"INSERT INTO $cat.pt SELECT id % 100, id % 4, concat('s', id) FROM range(0, 1000)")
+      val store = root.resolve("pt")
+      s.sql(s"DELETE FROM $cat.pt WHERE v = 5") // ids ≡5 (mod 100) → all in p=1
+      val m = Snapshots.manifest(store, 2)
+      assert(m.filter(Snapshots.isDelete).forall(Snapshots.isPosDelete))
+      m.filterNot(Snapshots.isDelete).foreach(e =>
+        assert(Snapshots.partValueOf(e.relPath).isDefined, s"${e.relPath} not value-pure"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 990)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt WHERE p = 1").head.getLong(0) == 240)
+      // dynamic overwrite of p=1 carries the pairs and the other partitions
+      val pk = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.get(pk)
+      s.conf.set(pk, "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.pt SELECT id, 1L, 'ow' FROM range(2000, 2100)")
+      finally s.conf.set(pk, prior)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt").head.getLong(0) == 850)
+      assert(s.sql(s"SELECT count(*) FROM $cat.pt WHERE p = 0").head.getLong(0) == 250)
+    } finally rm(root)
+  }
 }
