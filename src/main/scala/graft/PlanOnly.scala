@@ -31,6 +31,10 @@ object PlanOnly {
     // SnapshotV2FileIndex) instead of catalog_prune's literal frame
     "catalog_prune" -> ((ss, dd) =>
       graft.sources.GraftCatalogQueries.catalogPrunePlan(ss, dd)),
+    // the r14 merged (tombstone-bearing) read: spliced vectorized legs,
+    // tombstone-range pruning, broadcast anti-join, per-leg pre-aggs
+    "catalog_mor_read" -> ((ss, dd) =>
+      graft.sources.GraftCatalogQueries.catalogMorReadPlan(ss, dd)),
     // The stream_* driver-oracled queries EXECUTE a streaming query and
     // return its memory sink (a LocalTableScan) — document/guard the
     // batch-mode application of the same transform instead, so the real

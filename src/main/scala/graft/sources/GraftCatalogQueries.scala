@@ -920,6 +920,30 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, flag
     ORDER BY state, flag"""
 
+  /** PLAN-ONLY builder (PlanDoc / AllPlansSpec): the MERGED
+    * (tombstone-bearing) read of a morkey table after a MoR UPDATE —
+    * the r14 vectorized path. The documented plan must show: the
+    * ExpandMergeScan splice (FileScan legs over SnapshotFileIndex, no
+    * V1 bridge), tombstone-range pruning (the clear leg scans pure),
+    * the broadcast anti-join on the hot leg, pushed filters on every
+    * leg, and the per-leg pre-aggregates PushAggThroughUnion fuses
+    * with the scans.
+    */
+  def catalogMorReadPlan(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT NOT NULL, " +
+      "o_orderstatus STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('morkey'='o_orderkey', 'statscol'='o_orderkey')")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo(s"$cat.orders").append()
+    s.sql(s"UPDATE $cat.orders SET cents = cents * 2 " +
+      "WHERE o_orderkey BETWEEN 800 AND 1599")
+    s.sql(s"SELECT count(*) AS n, sum(cents) AS sc FROM $cat.orders " +
+      "WHERE o_orderkey >= 400")
+  }
+
   /** Query `stream_catalog_source`: a named catalog table consumed as a
     * REAL DSv2 micro-batch stream — `spark.readStream.table(...)`, the
     * connector-API twin of `stream_snapshot_source`. Three INSERT
