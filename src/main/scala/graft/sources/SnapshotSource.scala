@@ -270,8 +270,11 @@ private[sources] object SnapshotDiff {
         s"snapshot window ($from, $to] of $root is not append-only: " +
           s"${dropped.size} data file(s) rewritten, $newTombstones tombstone " +
           "commit(s) landed — the adds stream would re-deliver or double-count " +
-          "rows. Quiesce maintenance/row-level DML while streaming, or set " +
-          "skiprewrites=true to skip non-append windows entirely.")
+          "rows. Quiesce maintenance/row-level DML while streaming, set " +
+          "skiprewrites=true to skip non-append windows entirely, or consume " +
+          "the RETRACTION-AWARE feed instead: spark.readStream" +
+          ".format(\"graft-snapshot\").option(\"changefeed\", true) delivers " +
+          "row-level changes with _change_type insert/delete pairs.")
     if (dropped.nonEmpty || newTombstones > 0) Nil
     else after.filterNot(e => before(e.relPath))
   }
