@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // per-leg partial agg fuses with its scan (UnionExec breaks codegen),
     // halving task CPU on scan-bound aggregates over merged reads
     e.injectOptimizerRule(s => graft.plans.PushAggThroughUnion(s))
+    // pair-bearing (position-delete) GROUP rewrite scans expand to their
+    // merged plan at PHYSICAL planning (the group scan planning rule
+    // builds relations after every injectable optimizer batch, and does
+    // not honor the V1 bridge)
+    e.injectPlannerStrategy(_ => graft.plans.ExpandMergedGroupScanStrategy)
   }
 }
 

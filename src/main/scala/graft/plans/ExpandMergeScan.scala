@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -56,20 +56,73 @@ case class ExpandMergeScan(session: SparkSession) extends Rule[LogicalPlan] {
     case r: DataSourceV2Relation if r.table.isInstanceOf[ExpandableMergeTable] =>
       r.table.asInstanceOf[ExpandableMergeTable].mergedPlanIfServed() match {
         case None => r
-        case Some(merged) =>
-          val byName = merged.output.map(a => a.name.toLowerCase -> a).toMap
-          val projs: Seq[NamedExpression] = r.output.map { a =>
-            byName.get(a.name.toLowerCase) match {
-              case Some(c) =>
-                val typed = if (c.dataType == a.dataType) c else Cast(c, a.dataType)
-                val shaped =
-                  if (!a.nullable && typed.nullable) KnownNotNull(typed) else typed
-                Alias(shaped, a.name)(exprId = a.exprId)
-              case None =>
-                Alias(Cast(Literal(null), a.dataType), a.name)(exprId = a.exprId)
-            }
-          }
-          Project(projs, merged)
+        case Some(merged) => ExpandMergeScan.conformTo(r.output, merged)
       }
   }
+}
+
+object ExpandMergeScan {
+  /** The conform projection rebinding `merged` onto `output` exactly:
+    * by (case-insensitive) name under the original exprIds, cast where
+    * the types differ, a missing column as a typed null (schema
+    * evolution), declared non-nullability via [[KnownNotNull]].
+    */
+  private[plans] def conformExprs(output: Seq[Attribute],
+                                  merged: LogicalPlan): Seq[NamedExpression] = {
+    val byName = merged.output.map(a => a.name.toLowerCase -> a).toMap
+    output.map { a =>
+      byName.get(a.name.toLowerCase) match {
+        case Some(c) =>
+          val typed = if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+          val shaped =
+            if (!a.nullable && typed.nullable) KnownNotNull(typed) else typed
+          Alias(shaped, a.name)(exprId = a.exprId)
+        case None =>
+          Alias(Cast(Literal(null), a.dataType), a.name)(exprId = a.exprId)
+      }
+    }
+  }
+
+  private[plans] def conformTo(output: Seq[Attribute],
+                               merged: LogicalPlan): Project =
+    Project(conformExprs(output, merged), merged)
+}
+
+/** A DSv2 Scan (the pair-bearing GROUP rewrite scan) that hands the
+  * planner its merged logical plan. The handed plan must arrive fully
+  * OPTIMIZED: the expansion happens at PHYSICAL planning
+  * ([[ExpandMergedGroupScanStrategy]]), after every optimizer batch.
+  */
+trait ExpandableGroupScan {
+  def mergedPlan(): LogicalPlan
+}
+
+/** The physical-planning twin of [[ExpandMergeScan]] for row-level
+  * (ReplaceData) rewrite scans over pair-bearing tables: the group scan
+  * planning rule builds scan relations AFTER every injectable optimizer
+  * batch ("Pre CBO Rules" precedes "Early Filter and Projection
+  * Push-Down"), so the expansion runs as a PLANNER STRATEGY — physical
+  * planning always sees the post-pushdown relation. The strategy plans
+  * the conform projection over `planLater(mergedPlan)`, splicing the
+  * kept-files-minus-dead-coordinates read so UPDATE / MERGE / complex
+  * DELETE on a position-delete table execute without resurrecting
+  * deleted rows.
+  */
+object ExpandMergedGroupScanStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      // match the whole PhysicalOperation, not the bare relation:
+      // DataSourceV2Strategy consumes Project/Filter + relation as a
+      // unit, so a bare-relation case would never fire first
+      case org.apache.spark.sql.catalyst.planning.PhysicalOperation(project, filters,
+          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation)
+          if r.scan.isInstanceOf[ExpandableGroupScan] =>
+        val merged = r.scan.asInstanceOf[ExpandableGroupScan].mergedPlan()
+        val base: org.apache.spark.sql.execution.SparkPlan =
+          planLater(ExpandMergeScan.conformTo(r.output, merged))
+        val filtered = filters.reduceOption(And)
+          .map(org.apache.spark.sql.execution.FilterExec(_, base)).getOrElse(base)
+        org.apache.spark.sql.execution.ProjectExec(project, filtered) :: Nil
+      case _ => Nil
+    }
 }

@@ -58,22 +58,24 @@ final class GraftRowLevelOperation(
     */
   private val baseId: Option[Int] = Snapshots.currentId(store)
 
-  /** Live POSITION tombstones (`posTombstonesOk` tables) must not fail
-    * CONSTRUCTION — Spark builds this operation at analysis for every
-    * DELETE, including the ones the optimizer then reroutes to the
-    * position-tombstone deleteWhere path. The refusal is LAZY instead:
-    * the commit callback below throws before any manifest mutation,
-    * because a group rewrite reads raw files and would resurrect
-    * position-deleted rows under fresh relPaths the pairs never name.
+  /** Live POSITION tombstones (`posTombstonesOk` tables) neither fail
+    * construction nor the commit: the rewrite SCAN serves the kept
+    * groups' MERGED rows (pair anti-join applied), so the replacement
+    * can never resurrect a position-deleted row, and the commit CARRIES
+    * the pair entries — they keep applying to untouched files and are
+    * inert for the dropped ones (they name relPaths no longer in the
+    * manifest). UPDATE / MERGE / complex DELETE therefore work on a
+    * pair-bearing key-less table without compacting first.
     */
-  private val (baseEntries: Seq[Snapshots.ManifestEntry], livePosTombs: Boolean) =
+  private val (baseEntries: Seq[Snapshots.ManifestEntry],
+               posDels: Seq[Snapshots.ManifestEntry]) =
     baseId match {
-      case None => (Nil, false)
+      case None => (Nil, Nil)
       case Some(b) =>
         val (dels, datas) = Snapshots.manifest(store, b).partition(Snapshots.isDelete)
         require(dels.isEmpty || (posTombstonesOk && dels.forall(Snapshots.isPosDelete)),
           s"snapshot $b of $store carries merge-on-read tombstones; compact first")
-        (datas, dels.nonEmpty)
+        (datas, dels)
     }
 
   /** The replaced group set: the files the operation's scan planned
@@ -114,17 +116,13 @@ final class GraftRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GroupScanBuilder(spark, store, baseId.getOrElse(0), baseEntries, tableSchema, statsCol,
-      options, recordKept, colMap)
+      options, recordKept, colMap, posDels)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write = new SurgicalReplaceWrite(
-        spark, store, statsCol, partCol, colMap, baseId, baseEntries,
+        spark, store, statsCol, partCol, colMap, baseId, baseEntries, posDels,
         () => {
-          require(!livePosTombs,
-            s"table at $store carries position tombstones: a $cmd group " +
-              "rewrite would resurrect position-deleted rows — CALL " +
-              "system.compact first")
           require(!divergentBuilds,
             s"row-level $cmd planned multiple rewrite scans with DIFFERENT group " +
               "sets — the executed set is unknowable; refusing a lossy commit")
@@ -158,7 +156,8 @@ private[sources] final class GroupScanBuilder(
     statsCol: Option[String],
     options: CaseInsensitiveStringMap,
     record: Seq[Snapshots.ManifestEntry] => Unit,
-    colMap: Map[String, String] = Map.empty) extends ScanBuilder
+    colMap: Map[String, String] = Map.empty,
+    posDels: Seq[Snapshots.ManifestEntry] = Nil) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -185,8 +184,57 @@ private[sources] final class GroupScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** The rewrite scan for a PAIR-BEARING (position-delete) table: the
+    * kept groups' rows with the pair anti-join applied — whole files
+    * minus their dead coordinates, NO data filters (the group contract:
+    * every LIVE row of every kept file must come back, matched or not).
+    * The group scan planning rule does not honor the V1 bridge, so this
+    * scan is a marker the ExpandMergedGroupScan pre-CBO rule splices —
+    * the handed plan arrives fully OPTIMIZED (no later batch reruns
+    * optimization over the splice). The replacement therefore cannot
+    * resurrect a deleted row, and the commit carries the pair files for
+    * the untouched groups.
+    */
+  private def buildMergedGroupScan(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.Scan
+        with graft.plans.ExpandableGroupScan {
+      private val readSch = required
+      override def readSchema(): StructType = readSch
+
+      override def mergedPlan(): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+        import org.apache.spark.sql.functions.{col, substring}
+        def physName(n: String): String = colMap.getOrElse(n, n)
+        val physSchema = StructType(tableSchema.fields
+          .map(f => f.copy(name = physName(f.name))).toIndexedSeq)
+        val posSchema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("__file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType)))
+        val prefix = Snapshots.posPrefix(store)
+        val pairs = spark.read.schema(posSchema).parquet(
+          posDels.map(e => store.resolve(e.relPath).toString): _*)
+        val live = spark.read.schema(physSchema).parquet(
+            kept.map(e => store.resolve(e.relPath).toString): _*)
+          .select(col("*"),
+            substring(col("_metadata.file_path"), prefix.length + 1, Int.MaxValue)
+              .as("__file"),
+            col("_metadata.row_index").as("__pos"))
+          .join(pairs, Seq("__file", "__pos"), "left_anti")
+        live.select(tableSchema.fields.toIndexedSeq.map(f =>
+            col(physName(f.name)).as(f.name)): _*)
+          .select(readSch.fieldNames.toIndexedSeq.map(col): _*)
+          .queryExecution.optimizedPlan
+      }
+
+      override def description(): String =
+        s"GraftMergedGroupScan($store @ $baseId, ${kept.size} groups; " +
+          "requires GraftExtensions (spark.sql.extensions=graft.GraftExtensions))"
+    }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     record(kept)
+    if (posDels.nonEmpty) return buildMergedGroupScan()
     // files carry PHYSICAL names; the scan reads physical and renames
     // its schema back to logical at the boundary (rows are positional)
     def phys(sch: StructType): StructType =
@@ -234,6 +282,7 @@ private[sources] final class SurgicalReplaceWrite(
     colMap: Map[String, String],
     baseId: Option[Int],
     baseEntries: Seq[Snapshots.ManifestEntry],
+    carryExtra: Seq[Snapshots.ManifestEntry], // live pair files: carried verbatim
     replacedFn: () => Seq[Snapshots.ManifestEntry],
     info: LogicalWriteInfo) extends Write {
 
@@ -289,7 +338,14 @@ private[sources] final class SurgicalReplaceWrite(
         } else Snapshots.entriesForStagedDir(spark, store, stagingDir,
           statsCol.toSeq).map(Snapshots.foldLegacyStats(_, statsCol))
       val replaced = replacedFn().map(_.relPath).toSet
-      val untouched = baseEntries.filterNot(e => replaced(e.relPath))
+      val untouchedData = baseEntries.filterNot(e => replaced(e.relPath))
+      // position-pair files carry verbatim: they keep applying to the
+      // untouched files and are inert for the replaced ones (the scan
+      // already served merged rows, so the replacement holds no dead
+      // row). If EVERY base data file was replaced, every pair is inert
+      // — drop them rather than commit a data-less manifest of pairs.
+      val untouched =
+        untouchedData ++ (if (untouchedData.nonEmpty) carryExtra else Nil)
       // an empty-file-only stage replacing nothing is a provable no-op
       // (e.g. an UPDATE whose pruned scan read zero files): skip the
       // commit entirely rather than appending schema-only crumbs. Row

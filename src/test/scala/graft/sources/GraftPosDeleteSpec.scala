@@ -93,27 +93,34 @@ class GraftPosDeleteSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
-  test("compact folds positions; eq/pos tombstones refuse to mix; UPDATE refuses on live pairs") {
+  test("compact folds positions; eq/pos tombstones refuse to mix; UPDATE works on live pairs") {
     val (cat, root) = fresh()
     try {
       val t = mk(cat)
       val store = root.resolve("t")
       s.sql(s"DELETE FROM $t WHERE v < 10")
-      // UPDATE via group rewrite would resurrect position-deleted rows
-      val up = intercept[Exception](s.sql(s"UPDATE $t SET s = 'x' WHERE v = 50"))
-      assert(up.getMessage.contains("position tombstones"), up.getMessage)
-      // an equality tombstone cannot land on a position store
+      // an equality tombstone cannot land on a position store (checked
+      // while the pairs are LIVE — the update below replaces every base
+      // file, making the pairs inert and dropped from the manifest)
       val eq = intercept[Exception](
         Snapshots.publishDeletes(s, store,
           s.range(1).selectExpr("CAST(id AS BIGINT) AS v")))
       assert(eq.getMessage.contains("POSITION"), eq.getMessage)
+      // UPDATE via the group rewrite now works WITH live pairs: the
+      // rewrite scan serves the kept groups MERGED (pair anti-join), so
+      // the replacement cannot resurrect a position-deleted row, and
+      // the commit carries pair files for any untouched groups
+      s.sql(s"UPDATE $t SET s = 'x' WHERE v = 50")
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE s = 'x'").head.getLong(0) == 10)
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 900)
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v < 10").head.getLong(0) == 0,
+        "the group rewrite resurrected position-deleted rows")
       val pre = s.sql(s"SELECT sum(v), count(*) FROM $t").head
       s.sql(s"CALL $cat.system.compact('t', 4)")
       assert(!Snapshots.manifest(store, Snapshots.currentId(store).get)
         .exists(Snapshots.isDelete), "compact left tombstones")
       assert(s.sql(s"SELECT sum(v), count(*) FROM $t").head.toSeq == pre.toSeq)
-      // post-compact the table is pair-free: UPDATE works again
-      s.sql(s"UPDATE $t SET s = 'x' WHERE v = 50")
+      // post-compact, answers identical and the update survives
       assert(s.sql(s"SELECT count(*) FROM $t WHERE s = 'x'").head.getLong(0) == 10)
       // morkey + mordelete refuse to compose at CREATE
       val both = intercept[Exception](s.sql(
