@@ -2130,9 +2130,26 @@ object Stress {
         println(f"[stress] pos_12m CDF (1,3]: $nDel retractions in " +
           f"${(System.nanoTime() - tC) / 1e9}%.2f s")
         assert(nDel == np - c2, s"CDF retractions $nDel != ${np - c2}")
+        // an UNTRANSLATABLE predicate routes through the GROUP REWRITE,
+        // which serves kept groups MERGED: works on live pairs, CoW cost,
+        // zero resurrections
+        val preCnt = spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+        val tU = System.nanoTime()
+        spark.sql("DELETE FROM p12.t WHERE w % 6007 = 3")
+        println(f"[stress] pos_12m untranslatable DELETE (group rewrite over live pairs): " +
+          f"${(System.nanoTime() - tU) / 1e9}%.2f s")
+        val cntU = spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+        val expU = preCnt - spark.range(np).filter(col("id") % 6007 === 3)
+          .filter(!(col("id").between(6000000, 6090000) && col("id") % 1000 < 500))
+          .filter(!(col("id") % 1000 === 77)).count()
+        assert(cntU == expU, s"untranslatable delete: $cntU != $expU (resurrection?)")
         timed("compact folds the pairs")(spark.sql("CALL p12.system.compact('t', 64)"))
         val t3 = System.nanoTime()
-        assert(spark.sql("SELECT count(*) FROM p12.t").head.getLong(0) == c2)
+        assert(spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+          == spark.range(np)
+            .filter(!(col("id").between(6000000, 6090000) && col("id") % 1000 < 500))
+            .filter(!(col("id") % 1000 === 77))
+            .filter(!(col("id") % 6007 === 3)).count())
         println(f"[stress] pos_12m post-compact read: " +
           f"${(System.nanoTime() - t3) / 1e9}%.2f s")
 
