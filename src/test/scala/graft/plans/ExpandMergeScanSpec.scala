@@ -93,4 +93,22 @@ class ExpandMergeScanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("self-join of a merged MoR table: each relation splices with fresh attrs") {
+    withMorTable { (t, _) =>
+      // both sides are tombstone-bearing merged reads; a shared spliced
+      // subplan would collide exprIds and corrupt the join
+      val df = s.sql(
+        s"SELECT a.k, a.v, b.v AS v2 FROM $t a JOIN $t b ON a.k = b.k + 1 " +
+          "WHERE a.k BETWEEN 100 AND 109")
+      val rows = df.collect()
+      assert(rows.length == 10, s"got ${rows.length}")
+      // updated rows ('U' for k in 100..109) pair with their k-1 neighbor
+      assert(rows.forall(_.getString(1) == "U"), rows.mkString(","))
+      assert(rows.count(_.getString(2) == "U") == 9) // b.k in 99..108 -> 100..108 are U
+      // and an aggregate over the self-join stays exact
+      assert(s.sql(s"SELECT count(*) FROM $t a JOIN $t b ON a.k = b.k")
+        .head.getLong(0) == 1000)
+    }
+  }
 }
