@@ -70,7 +70,12 @@ object Bench {
     // each prices a full DDL+DML statement path like the other catalog
     // queries
     "catalog_mor_update", "catalog_sync", "catalog_overwrite", "catalog_rename",
-    "snapshot_cdf")
+    "snapshot_cdf",
+    // r14: the composed/merged paths — partitioned MoR DML, type
+    // widening, key-less position deletes (each a full statement
+    // lifecycle incl. the merged read), and the streaming change feed
+    // with a checkpointed restart
+    "catalog_mor_part", "catalog_widen", "catalog_pos_delete", "stream_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
