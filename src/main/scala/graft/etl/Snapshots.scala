@@ -1376,7 +1376,7 @@ object Snapshots {
             // store a 1k-key delete leaves one hot file; the other 63
             // read at full scan speed. Absent stats on either side mean
             // "cannot prove clear" and stay on the join leg.
-            val ranges = pruneCol.map(pc => tombstoneRanges(root, applicableDels, pc))
+            val ranges = pruneCol.map(pc => tombstoneRanges(s, root, applicableDels, pc))
             val (hot, clear) = ranges match {
               case Some(Some(rs)) => files.partition(e => e.stats match {
                 case Some((lo, hi)) => rs.exists { case (tLo, tHi) => lo <= tHi && hi >= tLo }
@@ -1409,15 +1409,18 @@ object Snapshots {
   private val tombRangeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
 
-  private def tombstoneRanges(root: Path, dels: Seq[ManifestEntry],
+  private def tombstoneRanges(s: SparkSession, root: Path, dels: Seq[ManifestEntry],
                               keyCol: String): Option[Seq[(Long, Long)]] = {
     val ranges = dels.map { e =>
       tombRangeCache.computeIfAbsent(root.resolve(e.relPath).toString, { p =>
         try {
+          // the SESSION's hadoop conf, not a bare Configuration: a bare
+          // one lacks object-store credentials/filesystem settings and
+          // the footer read would silently fail into "no pruning"
           val f = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
-              new org.apache.hadoop.conf.Configuration()))
+              s.sessionState.newHadoopConf()))
           try {
             val sch = f.getFooter.getFileMetaData.getSchema
             if (sch.getFieldCount != 1 || sch.getFields.get(0).getName != keyCol ||
