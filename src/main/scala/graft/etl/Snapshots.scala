@@ -1377,8 +1377,14 @@ object Snapshots {
             // read at full scan speed. Absent stats on either side mean
             // "cannot prove clear" and stay on the join leg.
             val ranges = pruneCol.map(pc => tombstoneRanges(s, root, applicableDels, pc))
+            // a file's zone for the prune column: the legacy anonymous
+            // range (declared = pruneCol by the caller) OR the NAMED
+            // multi token — partitioned stagings carry multi only
+            def zoneOf(e: ManifestEntry): Option[(Long, Long)] =
+              e.stats.orElse(pruneCol.flatMap(pc =>
+                e.multi.find(_._1 == pc).map(t => (t._2, t._3))))
             val (hot, clear) = ranges match {
-              case Some(Some(rs)) => files.partition(e => e.stats match {
+              case Some(Some(rs)) => files.partition(e => zoneOf(e) match {
                 case Some((lo, hi)) => rs.exists { case (tLo, tHi) => lo <= tHi && hi >= tLo }
                 case None => true // unknown zone map: must join
               })
