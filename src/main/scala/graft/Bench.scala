@@ -75,7 +75,14 @@ object Bench {
     // widening, key-less position deletes (each a full statement
     // lifecycle incl. the merged read), and the streaming change feed
     // with a checkpointed restart
-    "catalog_mor_part", "catalog_widen", "catalog_pos_delete", "stream_cdf")
+    "catalog_mor_part", "catalog_widen", "catalog_pos_delete", "stream_cdf",
+    // r14b: TIMESTAMP AS OF time travel (instant-resolved loads over a
+    // two-commit history) and the upsert sink pair — stream_upsert
+    // prices three upsert-commit micro-batches with a checkpointed
+    // restart; stream_mirror the full changefeed->upsert mirror
+    // pipeline (two streaming starts, four upstream commits, updates
+    // and deletes applied downstream)
+    "catalog_timetravel", "stream_upsert", "stream_mirror")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,6 +88,8 @@ object SparkEntry {
     "stream_snapshot_sink" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSink),
     "stream_snapshot_source" -> w(graft.sources.SnapshotSourceQueries.streamSnapshotSource),
     "stream_cdf"          -> w(graft.sources.SnapshotSourceQueries.streamCdf),
+    "stream_upsert"       -> w(graft.sources.SnapshotSourceQueries.streamUpsert),
+    "stream_mirror"       -> w(graft.sources.SnapshotSourceQueries.streamMirror),
     "catalog_sql"         -> w(graft.sources.GraftCatalogQueries.catalogSql),
     "catalog_prune"       -> w(graft.sources.GraftCatalogQueries.catalogPrune),
     "catalog_delete"      -> w(graft.sources.GraftCatalogQueries.catalogDelete),
@@ -97,6 +99,7 @@ object SparkEntry {
     "catalog_mor_part"    -> w(graft.sources.GraftCatalogQueries.catalogMorPart),
     "catalog_widen"       -> w(graft.sources.GraftCatalogQueries.catalogWiden),
     "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
+    "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
@@ -550,6 +553,8 @@ object SparkEntry {
     "stream_snapshot_sink" -> graft.sources.SnapshotSourceQueries.streamSnapshotSinkOracleSql,
     "stream_snapshot_source" -> graft.sources.SnapshotSourceQueries.streamSnapshotSourceOracleSql,
     "stream_cdf" -> graft.sources.SnapshotSourceQueries.streamCdfOracleSql,
+    "stream_upsert" -> graft.sources.SnapshotSourceQueries.streamUpsertOracleSql,
+    "stream_mirror" -> graft.sources.SnapshotSourceQueries.streamMirrorOracleSql,
     "catalog_sql" -> graft.sources.GraftCatalogQueries.catalogSqlOracleSql,
     "catalog_prune" -> graft.sources.GraftCatalogQueries.catalogPruneOracleSql,
     "catalog_delete" -> graft.sources.GraftCatalogQueries.catalogDeleteOracleSql,
@@ -559,6 +564,7 @@ object SparkEntry {
     "catalog_mor_part" -> graft.sources.GraftCatalogQueries.catalogMorPartOracleSql,
     "catalog_widen" -> graft.sources.GraftCatalogQueries.catalogWidenOracleSql,
     "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
+    "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,

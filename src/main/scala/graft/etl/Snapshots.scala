@@ -190,12 +190,54 @@ object Snapshots {
   /** One definition of "write manifest `id`": header lines first, then
     * entry lines. `meta` is the snapshot's carried metadata — callers
     * pass the base manifest's meta (possibly overridden).
+    *
+    * Every manifest is stamped with a `#ts` header (epoch millis) at
+    * write time — the basis for `TIMESTAMP AS OF` time travel. The
+    * stamp rides the same atomic write as the file list, is NOT
+    * carried forward (each snapshot gets its own instant, unlike
+    * `#meta` keys), and the entry parser already skips `#` lines, so
+    * legacy readers parse stamped manifests unchanged.
     */
   private def writeManifestFile(root: Path, id: Int, entries: Seq[ManifestEntry],
                                 meta: Map[String, String]): Unit = {
     Files.createDirectories(root.resolve("manifests"))
     atomicWrite(root.resolve("manifests").resolve(s"manifest-$id"),
-      (metaLines(meta) ++ entries.map(manifestLine)).mkString("\n"))
+      (s"#ts\t${System.currentTimeMillis()}" +: (metaLines(meta) ++
+        entries.map(manifestLine))).mkString("\n"))
+  }
+
+  /** Commit instant of snapshot `n`, epoch millis — the `#ts` header
+    * stamped when the manifest was written. Manifests predating the
+    * header fall back to the file's mtime: manifests are immutable
+    * once written (the pointer moves, the files never change), so the
+    * mtime IS the write instant. Strictly the stamp is the STAGING
+    * instant; every publish path writes the manifest under the same
+    * lock (or immediately before the pointer rename), so the skew to
+    * the commit is sub-statement and the stamps stay monotone along
+    * the `_current` chain of a single-writer store.
+    */
+  def commitTsMillis(root: Path, n: Int): Long = {
+    val p = root.resolve("manifests").resolve(s"manifest-$n")
+    Files.readAllLines(p).asScala
+      .find(_.startsWith("#ts\t"))
+      .map(_.split('\t')(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST snapshot at or below the
+    * current head whose commit instant is <= `tMillis`, or None when
+    * the table has no snapshot that old. Only ids up to `_current` are
+    * considered — branch heads and crashed stagings above the head are
+    * not main-line history (read a branch by name via `VERSION AS OF
+    * 'ref'`); ids pruned by retention simply drop out of the scan.
+    * O(#manifests) tiny header reads, driver-side, no data file opened.
+    */
+  def idAsOfMillis(root: Path, tMillis: Long): Option[Int] = {
+    val cur = currentId(root).getOrElse(return None)
+    (1 to cur)
+      .filter(n => Files.exists(root.resolve("manifests").resolve(s"manifest-$n")))
+      .filter(n => commitTsMillis(root, n) <= tMillis)
+      .maxOption
   }
 
   private def manifestLine(e: ManifestEntry): String = {
@@ -509,6 +551,71 @@ object Snapshots {
       manifestMeta(root, id))
     commit(root, id, lastBatchId(root))
     id
+  }
+
+  /** Exactly-once streaming UPSERT: one micro-batch applied as ONE
+    * atomic merge-on-read commit — a tombstone of every key the batch
+    * touches plus the batch's replacement rows, with the micro-batch id
+    * riding the same pointer rename that publishes them (the
+    * [[publishBatch]] replay contract on the [[publishUpsert]] shape).
+    * `rows` must carry AT MOST ONE row per key: both rows would land
+    * with the same seq and the sequence-visibility rule could not order
+    * them — refused loudly rather than landing a nondeterministic
+    * duplicate. (Update-mode aggregation output and the change feed's
+    * net-per-window form both satisfy this by construction.)
+    * `deleteKeys` are keys the batch deletes with NO replacement row:
+    * they join the tombstone and nothing lands for them — the
+    * changefeed-mirror shape. O(changed rows) I/O per batch regardless
+    * of table size; read cost folds away at the next compaction.
+    * Returns whether this call committed (false = replay skipped).
+    */
+  def publishUpsertBatch(s: SparkSession, root: Path, rows: DataFrame, keyCol: String,
+                         batchId: Long, deleteKeys: Option[DataFrame] = None,
+                         statsCol: Option[String] = None): Boolean = {
+    if (lastBatchId(root).exists(_ >= batchId)) return false
+    val dup = rows.select(col(keyCol)).groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch $batchId carries ${dup.head.get(0)} more than once: one row " +
+        "per key per batch (emit Update-mode or net-per-window changes)")
+    val rowsEmpty = rows.isEmpty
+    val delKeys = deleteKeys.map(_.toDF(keyCol))
+    currentId(root) match {
+      case None =>
+        // founding batch: nothing exists to delete or tombstone — land
+        // the rows alone; an all-empty founding batch stays
+        // re-deliverable exactly like publishBatch's
+        if (rowsEmpty) false
+        else { commit(root, stage(s, root, rows, append = false, statsCol),
+          Some(batchId)); true }
+      case Some(prev) =>
+        val tomb = delKeys match {
+          case Some(dk) => rows.select(col(keyCol)).unionByName(dk)
+          case None     => rows.select(col(keyCol))
+        }
+        if (rowsEmpty && delKeys.forall(_.isEmpty)) {
+          // empty batch on an existing table: advance the replay
+          // watermark only — the pointer re-points at the SAME
+          // manifest with the new batch id (no manifest written, no
+          // data job run; readers see an unchanged snapshot)
+          commit(root, prev, Some(batchId))
+          true
+        } else if (rowsEmpty) {
+          // delete-only batch: tombstone-only commit
+          commit(root, stageDeletesOnto(s, root, tomb, prev), Some(batchId))
+          true
+        } else {
+          // the publishUpsert shape, with the batch id in the rename
+          val id = nextManifestId(root)
+          val delEntries = writeTombstone(s, root, tomb, id, prev)
+          val staged = stage(s, root, rows, append = true, statsCol)
+          require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
+          writeManifestFile(root, id, manifest(root, id) ++ delEntries,
+            manifestMeta(root, id))
+          commit(root, id, Some(batchId))
+          true
+        }
+    }
   }
 
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
@@ -1138,12 +1245,16 @@ object Snapshots {
       val es = manifest(root, n)
       val (dels, datas) = es.partition(isDelete)
       Row(n.toLong, datas.size.toLong, dels.size.toLong,
-        es.count(_.seq == n).toLong, if (cur.contains(n)) 1L else 0L)
+        es.count(_.seq == n).toLong, if (cur.contains(n)) 1L else 0L,
+        commitTsMillis(root, n))
     }
     val schema = StructType(Seq(
       StructField("snapshot_id", LongType), StructField("n_data_files", LongType),
       StructField("n_delete_files", LongType), StructField("n_fresh", LongType),
-      StructField("is_current", LongType)))
+      StructField("is_current", LongType),
+      // the instant TIMESTAMP AS OF resolves against (epoch millis) —
+      // trailing so positional consumers of the original five are safe
+      StructField("committed_at", LongType)))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
@@ -1838,6 +1949,23 @@ object Snapshots {
     * operation by the layer's single-writer contract — never run
     * concurrently with [[stage]]. Returns (files deleted, bytes freed).
     */
+  /** AGE-based retention on top of [[expire]]: reclaim every snapshot
+    * whose commit instant (`#ts` stamp — the same one `TIMESTAMP AS
+    * OF` resolves) is strictly older than `cutoffMillis`. The current
+    * snapshot survives unconditionally (a table must stay readable
+    * whatever the cutoff) and refs pin history exactly as in
+    * [[expire]]. Stamps are monotone along a single-writer chain, so
+    * the cutoff resolves to one keep-from boundary.
+    */
+  def expireOlderThan(root: Path, cutoffMillis: Long): (Int, Long) = {
+    val cur = currentId(root).getOrElse(return (0, 0L))
+    val keepFrom = (1 to cur)
+      .filter(n => Files.exists(root.resolve("manifests").resolve(s"manifest-$n")))
+      .find(n => commitTsMillis(root, n) >= cutoffMillis)
+      .getOrElse(cur)
+    expire(root, math.min(keepFrom, cur))
+  }
+
   def expire(root: Path, keepFrom: Int,
              allowNoPointer: Boolean = false): (Int, Long) = {
     val manifestIds = manifestIdsOnDisk(root)

@@ -312,6 +312,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadAt(ident, Some(pin))
   }
 
+  /** `TIMESTAMP AS OF t` — Spark hands the evaluated instant as epoch
+    * MICROseconds; it resolves to the latest snapshot committed at or
+    * before that instant (each manifest carries its commit instant as
+    * a `#ts` header, stamped atomically with the file list). The pin
+    * then behaves exactly like `VERSION AS OF` that id: the snapshot's
+    * own `#meta`-carried shape, read-only.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      name() +: ident.namespace().toSeq :+ ident.name())
+    // floor, not round: an instant inside commit N's millisecond must
+    // not resolve a snapshot committed after it
+    val millis = Math.floorDiv(timestamp, 1000L)
+    val pin = Snapshots.idAsOfMillis(dir, millis).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${ident} has no snapshot committed at or before " +
+          s"epoch-millis $millis (TIMESTAMP AS OF predates the table)"))
+    loadAt(ident, Some(pin))
+  }
+
   private def loadAt(ident: Identifier, pin: Option[Int]): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) {

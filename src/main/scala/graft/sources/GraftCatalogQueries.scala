@@ -1134,4 +1134,74 @@ object GraftCatalogQueries {
     SELECT 3, '', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
     FROM b WHERE k % 10 <> 7
     ORDER BY snapshot_id"""
+
+  /** Query `catalog_timetravel`: `TIMESTAMP AS OF` time travel — the
+    * instant-addressed half of the time-travel pair (`VERSION AS OF`
+    * is the id-addressed half). Every manifest carries its commit
+    * instant as a `#ts` header stamped atomically with the file list;
+    * the catalog resolves an instant to the LATEST snapshot committed
+    * at or before it. Required in-query: `TIMESTAMP AS OF` commit 1's
+    * own instant reads exactly snapshot 1 (boundary is inclusive) and
+    * matches `VERSION AS OF 1` row-for-row; an instant after commit 2
+    * reads the current state; an instant before the table existed
+    * refuses loudly. The oracle restates both states from raw orders.
+    */
+  def catalogTimetravel(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (k BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT) TBLPROPERTIES ('statscol'='k')")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val t1 = Snapshots.commitTsMillis(store, 1)
+      // the two commits must land in DIFFERENT milliseconds or no
+      // instant can separate them — wait out commit 1's millisecond
+      while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+      src.filter(col("k") % 2 === 1).writeTo(s"$cat.orders").append()
+      require(Snapshots.commitTsMillis(store, 2) > t1,
+        "commit 2 landed inside commit 1's millisecond despite the wait")
+      require(Snapshots.idAsOfMillis(store, t1).contains(1),
+        s"instant $t1 must resolve snapshot 1, got ${Snapshots.idAsOfMillis(store, t1)}")
+      // an instant predating the table refuses loudly, never returns empty
+      val early = scala.util.Try(s.sql(s"SELECT * FROM $cat.orders " +
+        s"TIMESTAMP AS OF timestamp_millis(${t1 - 86400000L})").collect())
+      require(early.isFailure, "TIMESTAMP AS OF before the first commit must refuse")
+      // instant-addressed and id-addressed reads of the same snapshot agree
+      require(s.sql(s"SELECT * FROM $cat.orders TIMESTAMP AS OF " +
+        s"timestamp_millis($t1) EXCEPT ALL " +
+        s"SELECT * FROM $cat.orders VERSION AS OF 1").isEmpty,
+        "TIMESTAMP AS OF t1 and VERSION AS OF 1 must read the same rows")
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("asof_t1", s"SELECT * FROM $cat.orders TIMESTAMP AS OF timestamp_millis($t1)"),
+        ("asof_now", s"SELECT * FROM $cat.orders TIMESTAMP AS OF " +
+          s"timestamp_millis(${System.currentTimeMillis()})")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(k) AS sk FROM ($sql) GROUP BY 1").collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  val catalogTimetravelOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM b
+      UNION ALL SELECT 'asof_now', o_orderstatus, cents, k FROM b
+      UNION ALL SELECT 'asof_t1', o_orderstatus, cents, k FROM b WHERE k % 2 = 0)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
 }

@@ -84,6 +84,14 @@ private[sources] object GraftProcedures {
         val (n, bytes) = Snapshots.expire(store, in.getInt(1))
         Seq(Row(n, bytes))
       }),
+    Spec("expire_older",
+      Seq(p("tbl", StringType), p("older_than_ms", LongType)),
+      StructType(Seq(StructField("expired_manifests", IntegerType),
+        StructField("deleted_bytes", LongType))),
+      (s, store, in) => {
+        val (n, bytes) = Snapshots.expireOlderThan(store, in.getLong(1))
+        Seq(Row(n, bytes))
+      }),
     Spec("create_tag",
       Seq(p("tbl", StringType), p("name", StringType), p("snapshot_id", IntegerType)),
       StructType(Seq(StructField("tagged", IntegerType))),

@@ -163,15 +163,33 @@ final class SnapshotSource extends RelationProvider
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    // Append ONLY: Update would land each re-emission of a changing
-    // group as a new appended row (an update log, not the table the
-    // user asked for), and Complete would need per-batch overwrite —
-    // both silently wrong under this sink's append-a-release contract
-    require(outputMode == OutputMode.Append(),
-      s"graft-snapshot sink appends immutable releases; $outputMode is not supported")
     require(partitionColumns.isEmpty,
       "graft-snapshot sink does not partition by columns; use publishOverwrite layouts")
-    new SnapshotSink(sqlContext.sparkSession, rootOf(parameters))
+    val opts = CaseInsensitiveMap(parameters)
+    opts.get("morkey") match {
+      case Some(key) =>
+        // UPSERT sink: each micro-batch lands as ONE atomic
+        // tombstone+rows merge-on-read commit keyed on `morkey` —
+        // the sink a stream that MAINTAINS a mirror table needs.
+        // Update mode (stateful re-emissions supersede by key) and
+        // Append mode (insert-or-replace events) both mean exactly
+        // that here; Complete would need per-batch overwrite — still
+        // refused.
+        require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+          s"graft-snapshot upsert sink supports Append/Update; $outputMode is not")
+        new SnapshotUpsertSink(sqlContext.sparkSession, rootOf(parameters), key,
+          applyChangefeed = opts.get("applychangefeed").exists(_.toBoolean),
+          statsCol = opts.get("statscol"))
+      case None =>
+        // Append ONLY: Update would land each re-emission of a changing
+        // group as a new appended row (an update log, not the table the
+        // user asked for), and Complete would need per-batch overwrite —
+        // both silently wrong under this sink's append-a-release contract
+        require(outputMode == OutputMode.Append(),
+          s"graft-snapshot sink appends immutable releases; $outputMode is not " +
+            "supported (set 'morkey' for the upsert sink)")
+        new SnapshotSink(sqlContext.sparkSession, rootOf(parameters))
+    }
   }
 
   // ---- streaming ----
@@ -181,6 +199,8 @@ final class SnapshotSource extends RelationProvider
                             parameters: Map[String, String]): (String, StructType) = {
     val opts = CaseInsensitiveMap(parameters)
     val root = rootOf(parameters)
+    require(!(opts.contains("startsnapshot") && opts.contains("starttimestamp")),
+      "startsnapshot and starttimestamp are mutually exclusive")
     val n = resolveId(root, opts)
     val cdf = opts.get("changefeed").exists(_.toBoolean)
     // change-feed mode may start on a tombstone-bearing table: the feed
@@ -201,7 +221,15 @@ final class SnapshotSource extends RelationProvider
                             parameters: Map[String, String]): Source = {
     val opts = CaseInsensitiveMap(parameters)
     val root = rootOf(parameters)
-    val start = opts.get("startsnapshot").map(_.toInt).getOrElse(0)
+    require(!(opts.contains("startsnapshot") && opts.contains("starttimestamp")),
+      "startsnapshot and starttimestamp are mutually exclusive")
+    // starttimestamp (epoch millis): begin AFTER the snapshot that was
+    // current at that instant — the stream delivers only changes
+    // committed later, the instant-addressed twin of startsnapshot
+    val start = opts.get("startsnapshot").map(_.toInt)
+      .orElse(opts.get("starttimestamp").map(ms =>
+        Snapshots.idAsOfMillis(root, ms.toLong).getOrElse(0)))
+      .getOrElse(0)
     val skipRewrites = opts.get("skiprewrites").exists(_.toBoolean)
     val cdf = opts.get("changefeed").exists(_.toBoolean)
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
@@ -220,6 +248,48 @@ final class SnapshotSink(spark: SparkSession, root: JPath) extends Sink {
     Snapshots.publishBatch(spark, root, GraftSqlShims.asBatchFrame(data), batchId)
   }
   override def toString: String = s"SnapshotSink[$root]"
+}
+
+/** UPSERT half of the sink pair (`morkey` option): each micro-batch is
+  * ONE atomic merge-on-read commit — a tombstone of every key the
+  * batch touches plus the batch's rows — with the batch id riding the
+  * same pointer rename (the [[Snapshots.publishUpsertBatch]] contract,
+  * so replays are provable no-ops at every crash point). O(changed
+  * rows) I/O per batch regardless of table size; `CALL system.compact`
+  * folds the read-side anti-join away whenever maintenance runs.
+  *
+  * With `applychangefeed=true` the incoming rows are a change feed
+  * (payload + `_change_type`): net-per-window semantics mean a key
+  * carries at most one insert and at most one delete per batch, so an
+  * insert row upserts (its retraction is subsumed — the upsert
+  * tombstones the key anyway) and a delete with no insert becomes a
+  * pure delete. `readStream.option("changefeed", true)` piped into
+  * `writeStream.option("morkey", k).option("applychangefeed", true)`
+  * is therefore a complete MIRROR-MAINTENANCE pipeline: the downstream
+  * table tracks a mutating upstream through inserts, updates AND
+  * deletes, exactly once, across restarts.
+  */
+final class SnapshotUpsertSink(spark: SparkSession, root: JPath, key: String,
+                               applyChangefeed: Boolean,
+                               statsCol: Option[String]) extends Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSqlShims.asBatchFrame(data)
+    if (applyChangefeed) {
+      require(df.columns.contains("_change_type"),
+        "applychangefeed=true expects a change-feed frame with _change_type " +
+          "(readStream.option(\"changefeed\", true) produces one)")
+      val inserts = df.filter(col("_change_type") === "insert").drop("_change_type")
+      val deleteOnly = df.filter(col("_change_type") === "delete").select(col(key))
+        .join(inserts.select(col(key)), Seq(key), "left_anti")
+      Snapshots.publishUpsertBatch(spark, root, inserts, key, batchId,
+        deleteKeys = Some(deleteOnly), statsCol = statsCol)
+    } else {
+      Snapshots.publishUpsertBatch(spark, root, df, key, batchId,
+        statsCol = statsCol)
+    }
+  }
+  override def toString: String = s"SnapshotUpsertSink[$root key=$key]"
 }
 
 /** Offset = a published snapshot id. JSON form is just the number, so

@@ -479,4 +479,148 @@ object SnapshotSourceQueries {
       FROM orders
       WHERE o_orderkey % 8 NOT IN (0, 2)
     ) GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_upsert`: the UPSERT streaming sink — `writeStream
+    * .format("graft-snapshot").option("morkey", k)` lands each
+    * micro-batch as ONE atomic tombstone+rows merge-on-read commit,
+    * exactly-once by the batch id riding the pointer rename. Three
+    * overlapping waves stream from an upstream snapshot store (window
+    * order is commit order, so last-writer-wins is deterministic), with
+    * a full STOP + checkpointed RESTART between waves; later waves
+    * OVERWRITE keys earlier waves landed. Required in-query: one
+    * mirror snapshot per non-empty batch, a replayed batch id is a
+    * provable no-op, and the final merged state carries exactly the
+    * last wave's image per key — one doubled or dropped upsert fails
+    * the hash.
+    */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val up = JFiles.createTempDirectory("graft_sups_up")
+    val mirror = JFiles.createTempDirectory("graft_sups_mir")
+    val ckpt = JFiles.createTempDirectory("graft_sups_ck")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      // wave 1 (founding window): keys %4 in (0,1)
+      Snapshots.publish(s, up, orders.filter(k % 4 < 2))
+      def startQ() = s.readStream.format("graft-snapshot")
+        .option("path", up.toString).load()
+        .writeStream.format("graft-snapshot")
+        .option("path", mirror.toString).option("morkey", "o_orderkey")
+        .option("checkpointLocation", ckpt.toString).start()
+      val q1 = startQ()
+      try {
+        q1.processAllAvailable()
+        // wave 2 MID-STREAM: every even key re-lands with cents+5 —
+        // overlaps wave 1's %4==0 keys (upsert) and inserts %4==2
+        Snapshots.publish(s, up, orders.filter(k % 2 === 0)
+          .withColumn("cents", col("cents") + 5), append = true)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = startQ()
+      try {
+        q2.processAllAvailable()
+        // wave 3 after the checkpointed restart: keys %4==3, cents+9
+        Snapshots.publish(s, up, orders.filter(k % 4 === 3)
+          .withColumn("cents", col("cents") + 9), append = true)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val nSnaps = Snapshots.currentId(mirror).getOrElse(0)
+      require(nSnaps == 3, s"expected one mirror snapshot per wave, got $nSnaps")
+      val last = Snapshots.lastBatchId(mirror).getOrElse(-1L)
+      require(!Snapshots.publishUpsertBatch(s, mirror,
+        orders.filter(k % 4 === 3).limit(1), "o_orderkey", last),
+        "replayed micro-batch must be skipped")
+      require(Snapshots.currentId(mirror).contains(nSnaps), "replay moved the pointer")
+      val out = Snapshots.readCurrent(s, mirror)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(ckpt); rm(mirror); rm(up) }
+  }
+
+  val streamUpsertOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    fin AS (
+      SELECT o_orderstatus, cents + 5 AS cents FROM b WHERE k % 2 = 0
+      UNION ALL SELECT o_orderstatus, cents FROM b WHERE k % 4 = 1
+      UNION ALL SELECT o_orderstatus, cents + 9 FROM b WHERE k % 4 = 3)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_mirror`: the COMPLETE mirror-maintenance pipeline —
+    * `readStream.option("changefeed", true)` on a MUTATING upstream
+    * piped straight into the upsert sink with `applychangefeed=true`,
+    * no foreachBatch glue. The upstream takes inserts, UPDATEs and
+    * DELETEs across four commits (the stream_cdf churn script); the
+    * feed delivers net row-level changes per window; the sink collapses
+    * each window (insert rows upsert, delete-only keys tombstone) into
+    * one atomic mirror commit. A STOP + checkpointed RESTART lands
+    * mid-feed. Required in-query: the mirror equals the upstream
+    * row-for-row at the end (both directions of EXCEPT ALL empty) —
+    * this is the reference's nightly-refresh mirror consumed
+    * CONTINUOUSLY, updates and deletes included.
+    */
+  def streamMirror(s: SparkSession, d: String): DataFrame = {
+    val up = JFiles.createTempDirectory("graft_smir_up")
+    val mirror = JFiles.createTempDirectory("graft_smir_mir")
+    val ckpt = JFiles.createTempDirectory("graft_smir_ck")
+    try {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      Snapshots.publish(s, up, orders.filter(k % 4 < 2))
+      def startQ() = s.readStream.format("graft-snapshot")
+        .option("path", up.toString).option("changefeed", "true").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", mirror.toString).option("morkey", "o_orderkey")
+        .option("applychangefeed", "true")
+        .option("checkpointLocation", ckpt.toString).start()
+      val q1 = startQ()
+      try {
+        q1.processAllAvailable()
+        // UPDATE keys %8==1 (cents+7), INSERT keys %4==2 — one commit
+        Snapshots.publishUpsert(s, up,
+          orders.filter(k % 8 === 1).withColumn("cents", col("cents") + 7)
+            .unionByName(orders.filter(k % 4 === 2)), "o_orderkey")
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = startQ()
+      try {
+        q2.processAllAvailable()
+        // DELETE keys %8 in (0,2); then INSERT keys %4==3
+        Snapshots.publishDeletes(s, up,
+          orders.filter(k % 8 === 0 || k % 8 === 2).select("o_orderkey"))
+        Snapshots.publish(s, up, orders.filter(k % 4 === 3), append = true)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      // the mirror IS the upstream: row-for-row, both directions
+      val upNow = Snapshots.readCurrent(s, up)
+      val mirNow = Snapshots.readCurrent(s, mirror)
+      require(mirNow.exceptAll(upNow).isEmpty && upNow.exceptAll(mirNow).isEmpty,
+        "mirror diverged from the upstream it tracks")
+      val out = mirNow.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(ckpt); rm(mirror); rm(up) }
+  }
+
+  val streamMirrorOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT)
+          + CASE WHEN o_orderkey % 8 = 1 THEN 7 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 8 NOT IN (0, 2)
+    ) GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }
