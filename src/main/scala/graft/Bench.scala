@@ -82,7 +82,9 @@ object Bench {
     // restart; stream_mirror the full changefeed->upsert mirror
     // pipeline (two streaming starts, four upstream commits, updates
     // and deletes applied downstream)
-    "catalog_timetravel", "stream_upsert", "stream_mirror")
+    "catalog_timetravel", "stream_upsert", "stream_mirror",
+    // r14b: external-file adoption (zero-copy bulk registration)
+    "catalog_adopt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

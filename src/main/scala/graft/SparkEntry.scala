@@ -100,6 +100,7 @@ object SparkEntry {
     "catalog_widen"       -> w(graft.sources.GraftCatalogQueries.catalogWiden),
     "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
+    "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
@@ -565,6 +566,7 @@ object SparkEntry {
     "catalog_widen" -> graft.sources.GraftCatalogQueries.catalogWidenOracleSql,
     "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
+    "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,

@@ -553,6 +553,46 @@ object Snapshots {
     id
   }
 
+  /** Stage distinct `keys` as tombstone files under a WRITER-UNIQUE
+    * `deletes/occ-<uuid>` dir — [[publishDeletes]]'s write shape behind
+    * the OCC split, so concurrent stagers can never collide on a dir
+    * and [[commitOcc]] stamps the real seq at commit time. Same
+    * coexistence gates as [[publishDeletes]]: one key column per store,
+    * never alongside position tombstones. Size-bounded like every
+    * tombstone write (AQE coalesces the distinct's output).
+    */
+  /** Key column of an immutable tombstone file, memoized: a long-lived
+    * upsert sink checks coexistence EVERY batch, and re-opening the
+    * same footer per micro-batch is pure overhead.
+    */
+  private val tombColCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def stageTombstoneOcc(s: SparkSession, root: Path, keys: DataFrame): Seq[ManifestEntry] = {
+    require(keys.columns.length == 1,
+      s"tombstone = one key column, got ${keys.columns.mkString(",")}")
+    currentId(root).map(manifest(root, _)).getOrElse(Nil).find(isDelete).foreach { prior =>
+      require(!isPosDelete(prior),
+        s"store $root carries POSITION tombstones; an equality tombstone " +
+          "cannot coexist with them — compact first")
+      val full = root.resolve(prior.relPath).toString
+      val priorCol = tombColCache.computeIfAbsent(full,
+        f => s.read.parquet(f).columns.head)
+      require(priorCol == keys.columns.head,
+        s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
+    }
+    val delDir = root.resolve("deletes").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(delDir)
+    keys.distinct().write.mode("overwrite").parquet(delDir.toString)
+    val l = Files.list(delDir)
+    try l.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+        None, seq = 0))
+    finally l.close()
+  }
+
   /** Exactly-once streaming UPSERT: one micro-batch applied as ONE
     * atomic merge-on-read commit — a tombstone of every key the batch
     * touches plus the batch's replacement rows, with the micro-batch id
@@ -567,7 +607,17 @@ object Snapshots {
     * they join the tombstone and nothing lands for them — the
     * changefeed-mirror shape. O(changed rows) I/O per batch regardless
     * of table size; read cost folds away at the next compaction.
-    * Returns whether this call committed (false = replay skipped).
+    *
+    * MAINTENANCE-SAFE: staging goes to writer-unique OCC dirs and the
+    * commit is [[commitOcc]]([[OccAppend]]), which REBASES under the
+    * writer lock — a compaction landing mid-batch is carried forward
+    * (the rebased tombstone still erases older copies; the new rows
+    * take the new commit's seq), and a compaction landing after us
+    * conflicts ITS OccRewrite and retries. A long-lived mirror stream
+    * and `CALL system.compact` can therefore interleave freely — the
+    * operational reality of any table that is both written and
+    * maintained. Returns whether this call committed (false = replay
+    * skipped).
     */
   def publishUpsertBatch(s: SparkSession, root: Path, rows: DataFrame, keyCol: String,
                          batchId: Long, deleteKeys: Option[DataFrame] = None,
@@ -580,42 +630,31 @@ object Snapshots {
         "per key per batch (emit Update-mode or net-per-window changes)")
     val rowsEmpty = rows.isEmpty
     val delKeys = deleteKeys.map(_.toDF(keyCol))
-    currentId(root) match {
-      case None =>
-        // founding batch: nothing exists to delete or tombstone — land
-        // the rows alone; an all-empty founding batch stays
-        // re-deliverable exactly like publishBatch's
-        if (rowsEmpty) false
-        else { commit(root, stage(s, root, rows, append = false, statsCol),
-          Some(batchId)); true }
-      case Some(prev) =>
-        val tomb = delKeys match {
-          case Some(dk) => rows.select(col(keyCol)).unionByName(dk)
-          case None     => rows.select(col(keyCol))
-        }
-        if (rowsEmpty && delKeys.forall(_.isEmpty)) {
-          // empty batch on an existing table: advance the replay
-          // watermark only — the pointer re-points at the SAME
-          // manifest with the new batch id (no manifest written, no
-          // data job run; readers see an unchanged snapshot)
-          commit(root, prev, Some(batchId))
-          true
-        } else if (rowsEmpty) {
-          // delete-only batch: tombstone-only commit
-          commit(root, stageDeletesOnto(s, root, tomb, prev), Some(batchId))
-          true
-        } else {
-          // the publishUpsert shape, with the batch id in the rename
-          val id = nextManifestId(root)
-          val delEntries = writeTombstone(s, root, tomb, id, prev)
-          val staged = stage(s, root, rows, append = true, statsCol)
-          require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
-          writeManifestFile(root, id, manifest(root, id) ++ delEntries,
-            manifestMeta(root, id))
-          commit(root, id, Some(batchId))
-          true
-        }
+    val founding = currentId(root).isEmpty
+    // an all-empty founding batch cannot found the table (no schema to
+    // read back): skip, leaving the batch re-deliverable and still empty
+    if (founding && rowsEmpty) return false
+    if (!founding && rowsEmpty && delKeys.forall(_.isEmpty)) {
+      // empty batch on an existing table: advance the replay watermark
+      // only — re-point the CURRENT manifest (re-read under the lock)
+      // with the new batch id; no manifest written, no job run
+      withWriterLock(root) { commit(root, currentId(root).get, Some(batchId)) }
+      return true
     }
+    // tombstone only against existing history — a founding batch has
+    // nothing to erase (delete keys against nothing are no-ops)
+    val tombEntries =
+      if (founding) Nil
+      else stageTombstoneOcc(s, root, delKeys match {
+        case Some(dk) => rows.select(col(keyCol)).unionByName(dk)
+        case None     => rows.select(col(keyCol))
+      })
+    val insertEntries =
+      try { if (rowsEmpty) Nil else stageOcc(s, root, rows, statsCol) }
+      catch { case e: Throwable => discardStaged(root, tombEntries); throw e }
+    val fresh = insertEntries ++ tombEntries
+    try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
+    catch { case e: Throwable => discardStaged(root, fresh); throw e }
   }
 
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
@@ -769,7 +808,8 @@ object Snapshots {
     */
   def commitOcc(root: Path, fresh: Seq[ManifestEntry], kind: OccKind,
                 metaOverride: Option[Map[String, String]] = None,
-                seedMeta: Map[String, String] = Map.empty): Int =
+                seedMeta: Map[String, String] = Map.empty,
+                batchIdOverride: Option[Long] = None): Int =
     withWriterLock(root) {
       val cur = currentId(root)
       val carried = kind match {
@@ -805,7 +845,10 @@ object Snapshots {
       val meta = metaOverride.getOrElse(
         seedMeta ++ cur.map(manifestMeta(root, _)).getOrElse(Map.empty))
       writeManifestFile(root, id, carried ++ stamped, meta)
-      commit(root, id, lastBatchId(root))
+      // a streaming committer rides its micro-batch id in the same
+      // rename (the publishBatch replay contract); everyone else
+      // carries the existing watermark forward
+      commit(root, id, batchIdOverride.orElse(lastBatchId(root)))
       id
     }
 
@@ -1013,6 +1056,86 @@ object Snapshots {
     df.withColumn("_pv", col(partCol))
       .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
     entriesForStagedDir(s, root, dataDir, statsCols)
+  }
+
+  /** ADOPT pre-existing parquet files into the table as ONE appended
+    * snapshot with ZERO data bytes rewritten — the reference's actual
+    * load shape (files produced by another system, registered; cf.
+    * LoadFiles.pm's bulk registration of externally-built dumps).
+    * `srcDir`'s parquet files MOVE (filesystem rename when possible)
+    * into a writer-unique `data/adopt-<uuid>` dir; manifest entries
+    * (md5/size integrity + optional zone maps) are built by the SAME
+    * kernel as a staged write; [[commitOcc]]([[OccAppend]]) publishes,
+    * rebasing like any append. Returns (files, bytes, snapshot id).
+    * Schema compatibility is the CALLER's contract (the catalog's
+    * `add_files` procedure validates footers against the declared
+    * shape); nested/partitioned sources refuse — adopted files cannot
+    * prove value-purity for a `_pv=` layout.
+    */
+  def adoptFiles(s: SparkSession, root: Path, srcDir: Path,
+                 statsCol: Option[String] = None): (Int, Long, Int) = {
+    val srcs = {
+      val l = Files.list(srcDir)
+      try l.iterator().asScala.toSeq finally l.close()
+    }
+    require(srcs.exists(_.getFileName.toString.endsWith(".parquet")),
+      s"no parquet files to adopt under $srcDir")
+    require(!srcs.exists(Files.isDirectory(_)),
+      s"adopt source must be a FLAT dir of parquet files; $srcDir nests " +
+        "directories (partitioned layouts cannot be adopted)")
+    val dataDir = root.resolve("data").resolve(
+      "adopt-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dataDir)
+    srcs.filter(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
+      Files.move(p, dataDir.resolve(p.getFileName))
+    }
+    val entries = entriesForStagedDir(s, root, dataDir, statsCol.toSeq)
+      .map(foldLegacyStats(_, statsCol))
+    try {
+      val id = commitOcc(root, entries, OccAppend)
+      (entries.size, entries.map(_.bytes).sum, id)
+    } catch { case e: Throwable => discardStaged(root, entries); throw e }
+  }
+
+  /** Reclaim files under `data/` and `deletes/` referenced by NO
+    * manifest on disk and older than `cutoffMillis` — crash leftovers
+    * (a staging whose writer died before its manifest was written).
+    * "Referenced" means listed by ANY manifest present: committed,
+    * branch heads, TxnCatalog-staged, abandoned-but-unexpired — all
+    * keep their files (those age out via [[expire]], never here). The
+    * age cutoff is the in-flight-writer guard: pick it beyond any
+    * write that could still commit, the same contract as the open
+    * formats' orphan sweeps. Bloom sidecars die with their data file.
+    * Returns (files deleted, bytes reclaimed).
+    */
+  def removeOrphans(root: Path, cutoffMillis: Long): (Int, Long) = {
+    val referenced: Set[String] = manifestIdsOnDisk(root)
+      .flatMap(manifest(root, _)).map(_.relPath).toSet
+    var n = 0
+    var bytes = 0L
+    val parents = scala.collection.mutable.LinkedHashSet[Path]()
+    Seq(root.resolve("data"), root.resolve("deletes"))
+      .filter(Files.exists(_)).foreach { top =>
+        listParquetRecursive(top).foreach { p =>
+          val rel = root.relativize(p).toString
+          if (!referenced(rel) && Files.getLastModifiedTime(p).toMillis < cutoffMillis) {
+            bytes += Files.size(p); Files.delete(p); n += 1; parents += p.getParent
+            val b = bloomPath(root, rel)
+            if (Files.exists(b)) { bytes += Files.size(b); Files.delete(b) }
+          }
+        }
+      }
+    // crumb sweep, as in expire: a dir whose last parquet just went
+    // holds only writer droppings — verified parquet-free RECURSIVELY
+    // before anything goes (shared/still-staged dirs are untouched)
+    parents.foreach { dir =>
+      if (Files.exists(dir) && listParquetRecursive(dir).isEmpty) {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    (n, bytes)
   }
 
   private def listParquetRecursive(dir: Path): Seq[Path] = {

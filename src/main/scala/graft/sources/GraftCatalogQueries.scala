@@ -1135,6 +1135,91 @@ object GraftCatalogQueries {
     FROM b WHERE k % 10 <> 7
     ORDER BY snapshot_id"""
 
+  /** Query `catalog_adopt`: `CALL system.add_files` — pre-existing
+    * parquet files (an external producer's output) REGISTERED into a
+    * table as one appended snapshot with ZERO data bytes rewritten,
+    * the reference's actual bulk-load shape (externally built dumps
+    * registered, not re-encoded). Half the orders land via INSERT, the
+    * other half is written as raw parquet OUTSIDE the store and
+    * adopted. Required in-query: every adopted manifest entry's md5
+    * equals the md5 the external file had BEFORE the call (bytes
+    * moved, never rewritten); the adopted entries carry zone maps from
+    * the table's declared statscol; mismatched-schema adoption refuses.
+    * The oracle restates the pre-adopt and post-adopt states.
+    */
+  def catalogAdopt(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val ext = JFiles.createTempDirectory("graft_adopt_src")
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT) TBLPROPERTIES ('statscol'='o_orderkey')")
+      val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.filter(col("o_orderkey") % 2 === 0).writeTo(s"$cat.orders").append()
+      // the "external producer": raw parquet, no snapshot layer involved
+      src.filter(col("o_orderkey") % 2 === 1)
+        .repartition(4).write.mode("overwrite").parquet(ext.toString)
+      val extMd5: Map[String, String] = {
+        val l = JFiles.list(ext)
+        try l.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString -> Snapshots.md5hex(p)).toMap
+        finally l.close()
+      }
+      val res = s.sql(s"CALL $cat.system.add_files(tbl => 'orders', " +
+        s"src => '${ext.toString}')").head
+      require(res.getInt(0) == extMd5.size,
+        s"expected ${extMd5.size} adopted files, got ${res.getInt(0)}")
+      val store = root.resolve("orders")
+      val cur = Snapshots.currentId(store).get
+      val adopted = Snapshots.manifest(store, cur)
+        .filter(_.relPath.contains("adopt-"))
+      require(adopted.size == extMd5.size, "manifest must list every adopted file")
+      adopted.foreach { e =>
+        val name = java.nio.file.Paths.get(e.relPath).getFileName.toString
+        require(extMd5.get(name).contains(e.md5),
+          s"adopted file $name was rewritten (md5 drift) — adoption must move bytes verbatim")
+        require(e.stats.nonEmpty,
+          s"adopted entry $name carries no zone map despite the declared statscol")
+      }
+      // a schema-drifted source refuses loudly
+      val bad = JFiles.createTempDirectory("graft_adopt_bad")
+      try {
+        src.limit(5).withColumn("extra", lit(1)).write.mode("overwrite")
+          .parquet(bad.toString)
+        val refused = scala.util.Try(
+          s.sql(s"CALL $cat.system.add_files(tbl => 'orders', src => '${bad.toString}')"))
+        require(refused.isFailure, "mismatched-schema adoption must refuse")
+      } finally rm(bad)
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.orders"),
+        ("pre_adopt", s"SELECT * FROM $cat.orders VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          s"sum(o_orderkey) AS sk FROM ($sql) GROUP BY 1").collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("o_orderstatus", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType),
+        StructField("sum_keys", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally { rm(ext); rm(root) }
+  }
+
+  val catalogAdoptOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    states AS (
+      SELECT 'current' AS state, o_orderstatus, cents, k FROM b
+      UNION ALL SELECT 'pre_adopt', o_orderstatus, cents, k FROM b WHERE k % 2 = 0)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(sum(k) AS BIGINT) AS sum_keys
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `catalog_timetravel`: `TIMESTAMP AS OF` time travel — the
     * instant-addressed half of the time-travel pair (`VERSION AS OF`
     * is the id-addressed half). Every manifest carries its commit

@@ -84,6 +84,41 @@ private[sources] object GraftProcedures {
         val (n, bytes) = Snapshots.expire(store, in.getInt(1))
         Seq(Row(n, bytes))
       }),
+    Spec("add_files",
+      Seq(p("tbl", StringType), p("src", StringType),
+        pDefault("statscol", StringType, "NULL")),
+      StructType(Seq(StructField("added_files", IntegerType),
+        StructField("added_bytes", LongType), StructField("snapshot_id", IntegerType))),
+      (s, store, in) => {
+        val src = java.nio.file.Paths.get(str(in, 1))
+        val (declared, props) = GraftCatalog.readMarker(store)
+        require(!props.contains("partitioncol"),
+          "add_files does not compose with PARTITIONED BY: adopted files " +
+            "cannot prove value-purity for the _pv= layout")
+        require(!props.keys.exists(_.startsWith("colmap.")),
+          "add_files on a renamed-column table is ambiguous (adopted " +
+            "footers carry physical names); compact or rewrite instead")
+        // footer shape must equal the DECLARED shape exactly — a
+        // silently adopted schema drift would poison every later read
+        val incoming = s.read.parquet(src.toString).schema
+        val shape: org.apache.spark.sql.types.StructType => Seq[(String, String)] =
+          st => st.fields.toSeq.map(f => (f.name, f.dataType.sql))
+        require(shape(incoming) == shape(declared),
+          s"adopted files' schema ${incoming.simpleString} does not match " +
+            s"the declared ${declared.simpleString}")
+        val statsCol =
+          if (in.isNullAt(2)) props.get("statscol") else Some(str(in, 2))
+        val (nf, nb, id) = Snapshots.adoptFiles(s, store, src, statsCol)
+        Seq(Row(nf, nb, id))
+      }),
+    Spec("remove_orphans",
+      Seq(p("tbl", StringType), p("older_than_ms", LongType)),
+      StructType(Seq(StructField("removed_files", IntegerType),
+        StructField("removed_bytes", LongType))),
+      (s, store, in) => {
+        val (n, bytes) = Snapshots.removeOrphans(store, in.getLong(1))
+        Seq(Row(n, bytes))
+      }),
     Spec("expire_older",
       Seq(p("tbl", StringType), p("older_than_ms", LongType)),
       StructType(Seq(StructField("expired_manifests", IntegerType),

@@ -133,6 +133,35 @@ class UpsertSinkSpec extends AnyFunSuite {
     } finally { rm(ckpt); rm(mir); rm(up) }
   }
 
+  test("maintenance interleaves with the sink: compaction between batches survives") {
+    val root = tmp("maint")
+    try {
+      assert(Snapshots.publishUpsertBatch(s, root,
+        (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k", 0L))
+      assert(Snapshots.publishUpsertBatch(s, root,
+        kv(1L -> "A", 101L -> "x"), "k", 1L))
+      // CALL system.compact's kernel lands between two sink batches:
+      // tombstones fold away, files merge, the batch watermark survives
+      Snapshots.compactOcc(s, root, targetFiles = 1)
+      assert(Snapshots.lastBatchId(root).contains(1L),
+        "compaction must carry the replay watermark forward")
+      val compacted = Snapshots.currentId(root).get
+      assert(!Snapshots.manifest(root, compacted).exists(Snapshots.isDelete))
+      // the next sink batch REBASES onto the compacted manifest: the
+      // compacted file is carried, not orphaned
+      assert(Snapshots.publishUpsertBatch(s, root, kv(2L -> "B"), "k", 2L))
+      val now = Snapshots.manifest(root, Snapshots.currentId(root).get)
+      val carried = Snapshots.manifest(root, compacted).map(_.relPath).toSet
+      assert(carried.subsetOf(now.map(_.relPath).toSet),
+        "sink commit after compaction must carry the compacted files")
+      val st = Snapshots.readCurrent(s, root).as[(Long, String)].collect().toMap
+      assert(st.size == 101 && st(1L) == "A" && st(2L) == "B" && st(101L) == "x")
+      // a replay of batch 2 after all of that is still a no-op
+      assert(!Snapshots.publishUpsertBatch(s, root, kv(2L -> "Z"), "k", 2L))
+      assert(Snapshots.readCurrent(s, root).as[(Long, String)].collect().toMap.apply(2L) == "B")
+    } finally rm(root)
+  }
+
   test("mode and option misuse refuses loudly") {
     val root = tmp("refuse")
     val ckpt = tmp("refuseck")
