@@ -84,7 +84,11 @@ object Bench {
     // and deletes applied downstream)
     "catalog_timetravel", "stream_upsert", "stream_mirror",
     // r14b: external-file adoption (zero-copy bulk registration)
-    "catalog_adopt")
+    "catalog_adopt",
+    // r14c: the DSv2 scan's scale contracts — runtime (DPP-style) file
+    // pruning from a dim join's build-side keys, and the
+    // storage-partitioned join (co-partitioned tables, zero exchanges)
+    "catalog_dpp", "catalog_spj")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

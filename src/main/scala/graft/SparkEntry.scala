@@ -100,6 +100,8 @@ object SparkEntry {
     "catalog_widen"       -> w(graft.sources.GraftCatalogQueries.catalogWiden),
     "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
+    "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
+    "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
@@ -566,6 +568,8 @@ object SparkEntry {
     "catalog_widen" -> graft.sources.GraftCatalogQueries.catalogWidenOracleSql,
     "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
+    "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
+    "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,

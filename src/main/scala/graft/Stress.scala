@@ -2153,6 +2153,84 @@ object Stress {
         println(f"[stress] pos_12m post-compact read: " +
           f"${(System.nanoTime() - t3) / 1e9}%.2f s")
 
+      case "spj_dpp_12m" =>
+        // The two new DSv2 scan capabilities priced at 12M rows:
+        // (1) RUNTIME FILE PRUNING (DPP) — a selective dim join prunes
+        // a 32-partition fact to its 2 matching files at RUN time; A/B
+        // vs the same join with dynamic pruning disabled prices the
+        // skipped I/O. (2) STORAGE-PARTITIONED JOIN — the co-partitioned
+        // fact-to-shard-summary join with v2 bucketing on runs with
+        // ZERO exchanges; A/B vs bucketing off prices the eliminated
+        // 12M-row shuffle. Claims asserted, not just timed: the runtime
+        // filter kept < total files; the SPJ plan has 0 shuffle nodes
+        // while the off leg has > 0; all four legs agree exactly.
+        val nf = 12L * 1000 * 1000
+        val whJ = java.nio.file.Files.createTempDirectory("graft_spj12")
+        spark.conf.set("spark.sql.catalog.j12", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.j12.root", whJ.toString)
+        spark.sql("CREATE TABLE j12.fact (shard BIGINT, v BIGINT) PARTITIONED BY (shard)")
+        spark.sql("CREATE TABLE j12.summ (shard BIGINT, w BIGINT) PARTITIONED BY (shard)")
+        timed("insert 12M x 32 shards")(
+          spark.range(nf).select((col("id") % 32).as("shard"), col("id").as("v"))
+            .repartition(32, col("shard")).writeTo("j12.fact").append())
+        spark.range(nf).select((col("id") % 32).as("shard"), (col("id") * 2).as("w"))
+          .groupBy("shard").agg(sum("w").as("w")).writeTo("j12.summ").append()
+        val dimJ = spark.range(0, 32).select(col("id").as("k"), (col("id") % 16).as("grp"))
+          .filter(col("grp") === 0) // keeps shards {0, 16}
+        def dppLeg(enabled: Boolean): (Long, Double, Int, Int) = {
+          spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+            enabled.toString)
+          graft.sources.GraftScan.lastRuntimePrune.set((0, 0))
+          val t0 = System.nanoTime()
+          val r = spark.table("j12.fact").join(dimJ, col("shard") === col("k"))
+            .agg(sum("v")).head.getLong(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val (kept, ttl) = graft.sources.GraftScan.lastRuntimePrune.get()
+          (r, secs, kept, ttl)
+        }
+        dppLeg(enabled = true) // warm page cache + codegen before timing
+        val (rOn, sOn, keptOn, ttlOn) = dppLeg(enabled = true)
+        val (rOff, sOff, _, _) = dppLeg(enabled = false)
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        println(f"[stress] spj_dpp_12m DPP: runtime prune kept $keptOn of $ttlOn files; " +
+          f"join $sOn%.2f s with pruning vs $sOff%.2f s without (answers equal: ${rOn == rOff})")
+        assert(rOn == rOff, s"DPP changed the answer: $rOn vs $rOff")
+        assert(ttlOn > 0 && keptOn < ttlOn,
+          s"runtime filter pruned nothing: kept $keptOn of $ttlOn")
+        def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          (p match {
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+            case _ => 0
+          }) + kids.map(countShuffles).sum
+        }
+        val prevBcJ = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def spjLeg(enabled: Boolean): (Seq[(Long, Long)], Double, Int) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", enabled.toString)
+          val t0 = System.nanoTime()
+          val df = spark.table("j12.fact").join(spark.table("j12.summ"), "shard")
+            .groupBy("shard").agg(sum(col("v") + col("w")).as("s"))
+          val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+          (rows, (System.nanoTime() - t0) / 1e9,
+            countShuffles(df.queryExecution.executedPlan))
+        }
+        spjLeg(enabled = false) // warm
+        val (rowsOff, tOff, shOff) = spjLeg(enabled = false)
+        val (rowsOn, tOn, shOn) = spjLeg(enabled = true)
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcJ)
+        println(f"[stress] spj_dpp_12m SPJ: $tOn%.2f s / $shOn shuffles with v2 bucketing " +
+          f"vs $tOff%.2f s / $shOff shuffles without (answers equal: ${rowsOn == rowsOff})")
+        assert(rowsOn == rowsOff, "SPJ changed the answer")
+        assert(shOn == 0, s"SPJ leg still shuffled ($shOn exchanges)")
+        assert(shOff > 0, "the A/B baseline lost its shuffle — comparison is void")
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()

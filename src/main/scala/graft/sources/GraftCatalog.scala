@@ -960,7 +960,7 @@ final class GraftTable(
             morKeyLogical, colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
-            statsCol, options, colMap)
+            statsCol, options, colMap, partCol)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

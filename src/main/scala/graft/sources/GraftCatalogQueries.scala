@@ -1289,4 +1289,142 @@ object GraftCatalogQueries {
       CAST(sum(k) AS BIGINT) AS sum_keys
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
+
+  /** Query `catalog_dpp`: RUNTIME file pruning — the DSv2 analog of
+    * dynamic partition pruning, driven by manifest metadata. A fact
+    * table `PARTITIONED BY` a nation-key bucket joins the 25-row nation
+    * dim under a selective dim filter (one region = 5 of 25 partitions);
+    * Spark's PartitionPruning rule plants the dim's build-side keys as a
+    * runtime IN-set on the fact scan ([[GraftScan]] implements
+    * `SupportsRuntimeV2Filtering`), and the scan prunes MANIFEST FILES
+    * with the same zone-map/`_pv=` kernel as plan-time skipping — before
+    * a single fact byte is read. Required in-query: the runtime filter
+    * fired and kept STRICTLY fewer files than the snapshot lists. At
+    * 100 TB this is the difference between scanning one region's
+    * partitions and scanning the world: the pruning key is only known at
+    * RUN time (it comes out of the dim join), so no static predicate
+    * could have done it.
+    */
+  def catalogDpp(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (nk BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (nk) TBLPROPERTIES ('statscol'='cents')")
+      Tables.orders(s, d).select((col("o_orderkey") % 25).as("nk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.fact").append()
+      val total = Snapshots.manifest(root.resolve("fact"), 1).size
+      val dim = Tables.nation(s, d)
+        .filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey"), col("n_name"))
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val joined = s.table(s"$cat.fact")
+        .join(dim, col("nk") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      val out = joined.collect().map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+      val (kept, ttl) = GraftScan.lastRuntimePrune.get()
+      require(ttl == total && total > 0,
+        s"runtime filter never reached the fact scan (saw $ttl of $total files)")
+      require(kept < total,
+        s"runtime filter pruned nothing: kept $kept of $total files")
+      val schema = StructType(Seq(StructField("n_name", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("n_name")
+    } finally rm(root)
+  }
+
+  /** The same join restated flat — runtime pruning changes I/O, never
+    * answers.
+    */
+  val catalogDppOracleSql: String = """
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders o JOIN nation n ON o.o_orderkey % 25 = n.n_nationkey
+    WHERE n.n_regionkey = 0
+    GROUP BY n.n_name ORDER BY n.n_name"""
+
+  /** Query `catalog_spj`: the STORAGE-PARTITIONED JOIN — two catalog
+    * tables `PARTITIONED BY` the same shard key join with ZERO shuffle.
+    * [[GraftScan]] reports `KeyGroupedPartitioning(identity(shard))` and
+    * plans one `HasPartitionKey` file group per `_pv=` value, so
+    * EnsureRequirements aligns the two sides by partition VALUE instead
+    * of inserting exchanges; the downstream per-shard aggregate reuses
+    * the same distribution, so the WHOLE PLAN executes exchange-free.
+    * Required in-query: zero ShuffleExchange nodes in the executed plan
+    * (broadcast disabled so the proof cannot be faked by a broadcast
+    * join). This is bucketing's payoff at 100 TB — the co-located join
+    * without ever paying a shuffle to create co-location — expressed
+    * through Spark's own v2 bucketing contract (opt-in conf, restored
+    * after).
+    */
+  def catalogSpj(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.ord (shard BIGINT, cents BIGINT) PARTITIONED BY (shard)")
+      s.sql(s"CREATE TABLE $cat.rev (shard BIGINT, rev_cents BIGINT) PARTITIONED BY (shard)")
+      Tables.orders(s, d).select((col("o_orderkey") % 16).as("shard"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.ord").append()
+      // the second side: per-shard lineitem revenue, pre-aggregated on
+      // write (a shard-summary table — the realistic small co-partitioned
+      // side a fact row joins its shard's stats from)
+      Tables.lineitem(s, d).select((col("l_orderkey") % 16).as("shard"),
+        round(col("l_extendedprice") * 100).cast("long").as("r"))
+        .groupBy("shard").agg(sum("r").as("rev_cents"))
+        .writeTo(s"$cat.rev").append()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(s"$cat.ord").join(s.table(s"$cat.rev"), "shard")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          max("rev_cents").as("shard_rev_cents"))
+      val out = joined.collect()
+        .map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+          case _ => 0
+        }) + kids.map(shuffles).sum
+      }
+      val nShuffles = shuffles(joined.queryExecution.executedPlan)
+      require(nShuffles == 0,
+        s"storage-partitioned join still shuffled ($nShuffles exchanges):\n" +
+          joined.queryExecution.executedPlan)
+      val schema = StructType(Seq(StructField("shard", LongType),
+        StructField("n", LongType), StructField("sum_cents", LongType),
+        StructField("shard_rev_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("shard")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** The same join restated flat. */
+  val catalogSpjOracleSql: String = """
+    WITH o AS (SELECT o_orderkey % 16 AS shard,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    r AS (SELECT l_orderkey % 16 AS shard,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1)
+    SELECT o.shard, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(o.cents) AS BIGINT) AS sum_cents,
+      CAST(max(r.rev_cents) AS BIGINT) AS shard_rev_cents
+    FROM o JOIN r ON o.shard = r.shard
+    GROUP BY o.shard ORDER BY o.shard"""
 }

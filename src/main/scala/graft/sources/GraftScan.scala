@@ -4,14 +4,20 @@ import java.nio.file.{Path => JPath}
 
 import graft.etl.Snapshots
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => ConnectorOffset}
+import org.apache.spark.sql.connector.read.HasPartitionKey
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** [[GraftTable]]'s ScanBuilder: delegates every pushdown negotiation to
   * Spark's own [[ParquetScanBuilder]] (Catalyst filter pushdown → the
@@ -19,7 +25,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning → the vectorized reader) and wraps the built scan so the SAME
   * relation also serves `spark.readStream.table(...)` — batch semantics
   * byte-identical to a bare ParquetScan, streaming semantics = the
-  * layer's snapshot-id offsets.
+  * layer's snapshot-id offsets. The pushed state (filters + pruned
+  * schema, in PHYSICAL names) is retained so the built scan can REBUILD
+  * itself over a runtime-pruned file list with identical semantics.
   */
 final class GraftScanBuilder(
     spark: SparkSession,
@@ -29,7 +37,8 @@ final class GraftScanBuilder(
     tableSchema: StructType,
     statsCol: Option[String],
     options: CaseInsensitiveStringMap,
-    colMap: Map[String, String] = Map.empty) extends ScanBuilder
+    colMap: Map[String, String] = Map.empty,
+    partColPhys: Option[String] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -59,78 +68,343 @@ final class GraftScanBuilder(
 
   private val physicalSchema = physicalize(tableSchema)
 
-  private val inner: ParquetScanBuilder = ParquetScanBuilder(
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-    new SnapshotV2FileIndex(spark, store, snapshotId, entries,
-      Some(physicalSchema), statsCol),
-    physicalSchema, physicalSchema, options)
+  private def mkInner(over: Seq[Snapshots.ManifestEntry]): ParquetScanBuilder =
+    ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new SnapshotV2FileIndex(spark, store, snapshotId, over,
+        Some(physicalSchema), statsCol),
+      physicalSchema, physicalSchema, options)
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  private val inner: ParquetScanBuilder = mkInner(entries)
+
+  // pushed state, in PHYSICAL names — replayed verbatim when the built
+  // scan rebuilds itself over a runtime-pruned file list
+  private var pushedPhys: Seq[Expression] = Nil
+  private var prunedPhys: Option[StructType] = None
+  private var aggPushed: Boolean = false
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // in: logical → physical; residuals back: physical → logical (expr
     // ids are preserved by withName, so binding upstream stays intact)
-    inner.pushFilters(filters.map(rename(_, colMap))).map(rename(_, reverseMap))
+    val phys = filters.map(rename(_, colMap))
+    pushedPhys = phys
+    inner.pushFilters(phys).map(rename(_, reverseMap))
+  }
 
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(physicalize(requiredSchema))
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val p = physicalize(requiredSchema)
+    prunedPhys = Some(p)
+    inner.pruneColumns(p)
+  }
 
   // MIN/MAX/COUNT straight from parquet footers when
   // spark.sql.parquet.aggregatePushDown is on — pure delegation
   // (aggregate references arrive as logical names; skip the pushdown on
   // renamed tables rather than mistranslate)
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    colMap.isEmpty && inner.pushAggregation(agg)
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = colMap.isEmpty && inner.pushAggregation(agg)
+    if (ok) aggPushed = true
+    ok
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     colMap.isEmpty && inner.supportCompletePushDown(agg)
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    val rebuild: Seq[Snapshots.ManifestEntry] => ParquetScan = { kept =>
+      val b = mkInner(kept)
+      if (pushedPhys.nonEmpty) b.pushFilters(pushedPhys)
+      prunedPhys.foreach(b.pruneColumns)
+      b.build()
+    }
     new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
-      logicalize)
+      logicalize, entries, Some(rebuild), colMap, partColPhys, aggPushed,
+      tableSchema)
+  }
+}
+
+object GraftScan {
+  /** (kept, total) of the LAST runtime-filter prune on this JVM — the
+    * in-query proof hook (specs and oracled queries assert kept<total
+    * after the action; same style as the plan-time `opened<total`
+    * proofs). Diagnostic only: never read by the scan itself.
+    */
+  val lastRuntimePrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Partition value of a value-pure path: the LAST `_pv=` segment,
+    * unescaped from Spark's partition-path escaping (%XX). None when the
+    * path carries no `_pv=` segment.
+    */
+  private[sources] def pvOfPath(path: String): Option[String] =
+    path.split('/').reverseIterator.collectFirst {
+      case seg if seg.startsWith("_pv=") => unescapePath(seg.stripPrefix("_pv="))
+    }
+
+  /** Inverse of Spark's partition-path escaping: '%XX' → the byte. */
+  private[sources] def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 }
 
 /** The built scan: batch path IS the wrapped [[ParquetScan]];
   * `toMicroBatchStream` turns the same table into the catalog streaming
   * source ([[SnapshotMicroBatchStream]]). Columnar support and custom
   * metrics delegate to parquet so vectorization and UI metrics stay
-  * exactly Spark's.
+  * exactly Spark's. Three scale capabilities ride on top:
+  *
+  *  - '''Statistics''' ([[SupportsReportStatistics]]): the wrapped
+  *    FileScan's manifest-derived size reaches join planning, so a small
+  *    catalog table auto-broadcasts — without it DSv2 relations default
+  *    to `defaultSizeInBytes` (effectively infinite) and a 1k-row dim
+  *    sort-merge-joins a 100 TB fact.
+  *  - '''Runtime filtering''' ([[SupportsRuntimeV2Filtering]]): dynamic
+  *    pruning IN-sets from a join's build side prune MANIFEST FILES at
+  *    execution time via the same zone-map/bloom kernel as plan-time
+  *    skipping ([[SnapshotPruning]]), plus exact `_pv=` matching on the
+  *    partition column — the DSv2 analog of dynamic partition pruning,
+  *    driven by the file-level metadata instead of hive-style dirs.
+  *  - '''Key-grouped output''' ([[SupportsReportPartitioning]]): when
+  *    `spark.sql.sources.v2.bucketing.enabled` is on and the table is
+  *    `PARTITIONED BY`, the scan reports [[KeyGroupedPartitioning]] over
+  *    `identity(partCol)` and plans one [[HasPartitionKey]] group per
+  *    partition value — two tables partitioned on the same key then
+  *    JOIN WITH ZERO SHUFFLE (storage-partitioned join). Opt-in by
+  *    Spark's own conf because grouped planning trades scan parallelism
+  *    (#values tasks) for exchange elimination.
   */
 final class GraftScan(
     spark: SparkSession,
     store: JPath,
-    val parquet: ParquetScan,
+    initialParquet: ParquetScan,
     tableSchema: StructType,
     statsCol: Option[String],
     options: CaseInsensitiveStringMap,
-    logicalize: StructType => StructType = identity) extends Scan {
+    logicalize: StructType => StructType = identity,
+    entries: Seq[Snapshots.ManifestEntry] = Nil,
+    rebuild: Option[Seq[Snapshots.ManifestEntry] => ParquetScan] = None,
+    colMap: Map[String, String] = Map.empty,
+    partColPhys: Option[String] = None,
+    aggPushed: Boolean = false,
+    logicalSchema: StructType = new StructType()) extends Scan
+    with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
+
+  @volatile private var currentParquet: ParquetScan = initialParquet
+  @volatile private var currentEntries: Seq[Snapshots.ManifestEntry] = entries
+
+  /** The live wrapped scan (post any runtime prune) — plan assertions
+    * read `pushedFilters` through this.
+    */
+  def parquet: ParquetScan = currentParquet
+
+  private val reverseMap: Map[String, String] = colMap.map(_.swap)
+  private def logicalOf(phys: String): String = reverseMap.getOrElse(phys, phys)
 
   // Spark binds the scan's output to the table's LOGICAL attributes by
   // name; the wrapped parquet scan read the PHYSICAL names — same
   // fields positionally, so only the schema is renamed, never a row
-  override def readSchema(): StructType = logicalize(parquet.readSchema())
+  override def readSchema(): StructType = logicalize(currentParquet.readSchema())
 
-  override def toBatch: Batch = parquet.toBatch
-
-  override def description(): String = parquet.description()
+  override def description(): String = currentParquet.description()
 
   override def supportedCustomMetrics(): Array[
       org.apache.spark.sql.connector.metric.CustomMetric] =
-    parquet.supportedCustomMetrics()
+    currentParquet.supportedCustomMetrics()
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    parquet.columnarSupportMode()
+    currentParquet.columnarSupportMode()
+
+  // ---- statistics: manifest bytes → join planning (broadcast decisions)
+  override def estimateStatistics(): Statistics = currentParquet.estimateStatistics()
+
+  // ---- runtime (DPP-style) filtering over manifest metadata -----------
+
+  /** Columns runtime IN-sets can prune FILES on: the declared zone-map
+    * column, the partition column, and the store's bloom key — exactly
+    * the columns [[SnapshotPruning]] can answer. Logical names (Spark
+    * resolves them against the relation output). Empty when the scan
+    * cannot rebuild (no manifest context) or an aggregate was pushed
+    * (the scan's output is no longer row-shaped).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggPushed || rebuild.isEmpty || entries.isEmpty) Array.empty
+    else (statsCol.toSeq ++ partColPhys.toSeq ++
+        SnapshotPruning.bloomColumn(store).toSeq)
+      .distinct.map(p => Expressions.column(logicalOf(p))).toArray
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  /** Decode a runtime predicate — Spark ships them as
+    * `Predicate("IN", FieldReference +: LiteralValues)` (see
+    * `DataSourceV2Strategy.translateRuntimeFilterV2`).
+    */
+  private def decodeIn(p: Predicate): Option[(String, Seq[Any])] =
+    if (p.name() != "IN" && p.name() != "=") None
+    else {
+      val kids = p.children()
+      kids.headOption.collect { case r: NamedReference => r.fieldNames.mkString(".") }
+        .flatMap { name =>
+          val vals = kids.drop(1).collect { case l: V2Literal[_] => l.value }
+          if (vals.length == kids.length - 1 && vals.nonEmpty)
+            Some((name, vals.toIndexedSeq)) else None
+        }
+    }
+
+  /** Only integral/string partition values round-trip the `_pv=` path
+    * rendering unambiguously; other types decline path pruning (and
+    * key-grouped planning) rather than risk a format mismatch.
+    */
+  private val partFieldType: Option[DataType] = partColPhys.flatMap { p =>
+    logicalSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == p)
+      .map(_.dataType)
+  }
+  private val pathComparable: Boolean = partFieldType.exists {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  private def pathRender(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other         => String.valueOf(other)
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val decoded = predicates.toSeq.flatMap(decodeIn(_))
+    if (decoded.isEmpty || rebuild.isEmpty) return
+    val total = currentEntries.size
+    val bloomCol = SnapshotPruning.bloomColumn(store)
+    val bloomOf = SnapshotPruning.bloomLoader(store)
+    var kept = currentEntries
+    decoded.foreach { case (name, values) =>
+      val phys = colMap.getOrElse(name, name)
+      val longs = values.flatMap(longOf)
+      if (longs.size == values.size && longs.nonEmpty) {
+        // zone/bloom kernel — identical semantics to plan-time skipping
+        val c = SnapshotPruning.Constraint(phys, longs.min, longs.max, Some(longs))
+        kept = kept.filterNot(e =>
+          SnapshotPruning.skippable(store, e, Seq(c), statsCol, bloomCol, bloomOf))
+      }
+      if (partColPhys.contains(phys) && pathComparable) {
+        // exact partition-value match from the value-pure layout; a file
+        // with no _pv= segment cannot be judged — kept (conservative)
+        val wanted = values.map(pathRender).toSet
+        kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
+      }
+    }
+    GraftScan.lastRuntimePrune.set((kept.size, total))
+    if (kept.size < total) {
+      currentEntries = kept
+      currentParquet = rebuild.get(kept)
+    }
+  }
+
+  // ---- key-grouped output: storage-partitioned joins -------------------
+
+  /** Distinct partition values (path rendering) iff EVERY data file of
+    * the scanned snapshot proves its value through the `_pv=` layout and
+    * the session opted in (`spark.sql.sources.v2.bucketing.enabled`).
+    * Computed once from the UNFILTERED entries — Spark regroups after
+    * runtime filtering and fills pruned keys with empty partitions.
+    */
+  private lazy val spjKeys: Option[Seq[String]] = {
+    val enabled = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled || aggPushed || rebuild.isEmpty || entries.isEmpty ||
+        !pathComparable) None
+    else {
+      val pvs = entries.map(e => GraftScan.pvOfPath(e.relPath))
+      if (pvs.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__"))) None
+      else Some(pvs.flatten.distinct.sorted)
+    }
+  }
+
+  private def keyRowOf(pv: String): InternalRow = {
+    val v: Any = partFieldType.get match {
+      case LongType    => pv.toLong
+      case IntegerType => pv.toInt
+      case ShortType   => pv.toShort
+      case ByteType    => pv.toByte
+      case StringType  => UTF8String.fromString(pv)
+      case other => throw new IllegalStateException(
+        s"unsupported key-grouped partition type $other") // unreachable: pathComparable gates
+    }
+    new GenericInternalRow(Array[Any](v))
+  }
+
+  override def outputPartitioning(): Partitioning = spjKeys match {
+    case Some(ks) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(logicalOf(partColPhys.get))), ks.size)
+    case None => new UnknownPartitioning(0)
+  }
+
+  override def toBatch: Batch = {
+    val inner = currentParquet.toBatch
+    if (spjKeys.isEmpty) inner
+    else new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val files: Array[PartitionedFile] = inner.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"parquet planned a non-file partition: $other")
+        }
+        // one HasPartitionKey group per partition value — Spark's
+        // key-grouped exec merges/sorts these and aligns both join sides
+        files.groupBy(f => GraftScan.pvOfPath(f.filePath.toString).getOrElse(
+            throw new IllegalStateException(s"no _pv= segment in ${f.filePath}")))
+          .toSeq.sortBy(_._1).zipWithIndex.map { case ((pv, fs), i) =>
+            new KeyedFilePartition(i, fs, keyRowOf(pv)): InputPartition
+          }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        inner.createReaderFactory()
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val start = Option(options.get("startsnapshot")).map(_.toInt).getOrElse(0)
     val skipRewrites = Option(options.get("skiprewrites")).exists(_.toBoolean)
     // the stream reads FILES, so it wants the PHYSICAL read schema; its
     // rows are positionally identical to the logical readSchema() above
-    new SnapshotMicroBatchStream(spark, store, parquet.readSchema(), statsCol,
+    new SnapshotMicroBatchStream(spark, store, currentParquet.readSchema(), statsCol,
       start, skipRewrites, options)
   }
+}
+
+/** A [[FilePartition]] that also declares the partition value all its
+  * files share — the unit Spark's key-grouped (storage-partitioned) scan
+  * execution groups and aligns across join sides. Reader factories see a
+  * plain FilePartition (it IS one), so parquet's vectorized reader path
+  * is untouched.
+  */
+private[sources] class KeyedFilePartition(
+    idx: Int, fs: Array[PartitionedFile], key: InternalRow)
+  extends FilePartition(idx, fs) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** DSv2 micro-batch stream over a catalog table — the V1 snapshot
