@@ -88,7 +88,10 @@ object Bench {
     // r14c: the DSv2 scan's scale contracts — runtime (DPP-style) file
     // pruning from a dim join's build-side keys, and the
     // storage-partitioned join (co-partitioned tables, zero exchanges)
-    "catalog_dpp", "catalog_spj")
+    "catalog_dpp", "catalog_spj",
+    // r14c: the bucket-transform SPJ — the co-located join on a
+    // HIGH-cardinality key (orders x lineitem by orderkey, 16 buckets)
+    "catalog_bucket")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

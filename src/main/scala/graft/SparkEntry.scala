@@ -102,6 +102,7 @@ object SparkEntry {
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
     "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
+    "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
@@ -570,6 +571,7 @@ object SparkEntry {
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
     "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
+    "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,

@@ -2223,13 +2223,46 @@ object Stress {
         spjLeg(enabled = false) // warm
         val (rowsOff, tOff, shOff) = spjLeg(enabled = false)
         val (rowsOn, tOn, shOn) = spjLeg(enabled = true)
-        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcJ)
         println(f"[stress] spj_dpp_12m SPJ: $tOn%.2f s / $shOn shuffles with v2 bucketing " +
           f"vs $tOff%.2f s / $shOff shuffles without (answers equal: ${rowsOn == rowsOff})")
         assert(rowsOn == rowsOff, "SPJ changed the answer")
         assert(shOn == 0, s"SPJ leg still shuffled ($shOn exchanges)")
         assert(shOff > 0, "the A/B baseline lost its shuffle — comparison is void")
+        // the BUCKET leg: two 12M-row tables joined on a 12M-cardinality
+        // key — the join identity partitioning cannot co-locate (12M
+        // dirs). bucket(32, k) both sides; the join + per-key aggregate
+        // run exchange-free, only the final global fold shuffles (1
+        // single-partition exchange in BOTH legs — the A/B difference is
+        // the two 12M-row join exchanges).
+        spark.sql("CREATE TABLE j12.fb (k BIGINT, v BIGINT) PARTITIONED BY (bucket(32, k))")
+        spark.sql("CREATE TABLE j12.sb (k BIGINT, w BIGINT) PARTITIONED BY (bucket(32, k))")
+        timed("insert 2 x 12M bucketed (32 buckets)") {
+          spark.range(nf).select(col("id").as("k"), (col("id") % 97).as("v"))
+            .writeTo("j12.fb").append()
+          spark.range(nf).select(col("id").as("k"), (col("id") % 89).as("w"))
+            .writeTo("j12.sb").append()
+        }
+        def bktLeg(enabled: Boolean): (Long, Double, Int) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", enabled.toString)
+          val t0 = System.nanoTime()
+          val df = spark.table("j12.fb").join(spark.table("j12.sb"), "k")
+            .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+            .agg(sum("s").as("chk"))
+          val chk = df.head.getLong(0)
+          (chk, (System.nanoTime() - t0) / 1e9,
+            countShuffles(df.queryExecution.executedPlan))
+        }
+        bktLeg(enabled = true) // warm
+        val (chkOn, btOn, bshOn) = bktLeg(enabled = true)
+        val (chkOff, btOff, bshOff) = bktLeg(enabled = false)
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcJ)
+        println(f"[stress] spj_dpp_12m BUCKET (12M x 12M on a 12M-cardinality key): " +
+          f"$btOn%.2f s / $bshOn shuffles bucketed vs $btOff%.2f s / $bshOff " +
+          f"shuffles without (answers equal: ${chkOn == chkOff})")
+        assert(chkOn == chkOff, "bucketed join changed the answer")
+        assert(bshOn == 1, s"bucketed leg expected ONLY the global fold's exchange, got $bshOn")
+        assert(bshOff > bshOn, "baseline lost its join shuffles — comparison void")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }

@@ -1058,6 +1058,26 @@ object Snapshots {
     entriesForStagedDir(s, root, dataDir, statsCols)
   }
 
+  /** OCC staging in the BUCKETED value-pure layout: `_pv=<bucket id>`
+    * where the id is `pmod(hash(col), n)` — catalyst Murmur3 (seed 42),
+    * the SAME function the catalog serves as `bucket(n, col)` for
+    * storage-partitioned-join identity matching ([[graft.sources]]'
+    * GraftBucketFunction). No file ever mixes buckets, so a scan can
+    * report key-grouped output and two same-bucketed tables join
+    * exchange-free on the SOURCE column.
+    */
+  def stageOccBucketed(s: SparkSession, root: Path, df: DataFrame,
+                       bucketCol: String, n: Int,
+                       statsCols: Seq[String] = Nil): Seq[ManifestEntry] = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val dataDir = root.resolve("data").resolve(
+      "occ-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dataDir)
+    df.withColumn("_pv", pmod(hash(col(bucketCol)), lit(n)))
+      .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
+    entriesForStagedDir(s, root, dataDir, statsCols)
+  }
+
   /** ADOPT pre-existing parquet files into the table as ONE appended
     * snapshot with ZERO data bytes rewritten — the reference's actual
     * load shape (files produced by another system, registered; cf.

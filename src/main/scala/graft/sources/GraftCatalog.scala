@@ -55,6 +55,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the reference's release-tree discipline, Base.pm:123-144).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog
     with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
@@ -295,6 +296,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** FunctionCatalog: the one function the catalog serves is `bucket`
+    * — the transform identity storage-partitioned joins are matched on
+    * (Spark resolves each side's reported `bucket(n, col)` through its
+    * catalog and requires the bound functions to agree).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
   /** `VERSION AS OF x` — an integer pins a snapshot id; anything else
@@ -443,6 +458,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"cannot drop the declared statscol '$fname'")
             require(!prs.get("partitioncol").contains(physOf(prs, fname)),
               s"cannot drop the partition column '$fname'")
+            require(!prs.get("bucketcol").contains(physOf(prs, fname)),
+              s"cannot drop the bucket column '$fname'")
             require(!prs.get("morkey").contains(physOf(prs, fname)),
               s"cannot drop the morkey column '$fname'")
             // retire the physical: never readable again, never reusable
@@ -473,6 +490,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"ALTER COLUMN $fname TYPE ${newT.simpleString}: not a lossless " +
               s"widening of ${oldT.simpleString} — narrowing would corrupt " +
               "rows already written; write a new column instead")
+          // a bucket column's TYPE is part of the hash identity:
+          // murmur3(int 5) != murmur3(bigint 5), so widening it would
+          // scatter one key across two bucket ids — silent wrong joins
+          require(!prs.get("bucketcol").contains(physOf(prs, fname)),
+            s"cannot widen the bucket column '$fname': the bucket id is a " +
+              "hash of the value AT ITS TYPE; widening would split keys " +
+              "across buckets")
           val sch2 = StructType(sch.fields.map(f =>
             if (f.name == fname) f.copy(dataType = newT) else f).toIndexedSeq)
           (sch2, prs)
@@ -595,19 +619,47 @@ object GraftCatalog {
                                       morKey: Option[String]): Map[String, String] = {
     if (partitions.isEmpty) return Map.empty
     require(partitions.length == 1,
-      "graft tables support PARTITIONED BY exactly one column")
+      "graft tables support PARTITIONED BY exactly one transform")
     val t = partitions.head
-    require(t.name == "identity" && t.references().length == 1 &&
+    require(t.references().length == 1 &&
       t.references().head.fieldNames().length == 1,
-      s"graft tables support identity partitioning on a top-level column; got $t")
+      s"graft tables support partitioning on one top-level column; got $t")
     val c = t.references().head.fieldNames().head
     require(schema.fieldNames.contains(c), s"partition column '$c' is not declared")
-    // PARTITIONED BY + 'morkey' compose since r14: the delta write's
-    // insert half stages value-pure through stageOccPartitioned, so a
-    // row-level delta can no longer poison the partition layout
-    morKey.foreach(k => require(schema.fieldNames.contains(k),
-      s"morkey '$k' is not a column of the table"))
-    Map("partitioncol" -> c)
+    t.name match {
+      case "identity" =>
+        // PARTITIONED BY + 'morkey' compose since r14: the delta write's
+        // insert half stages value-pure through stageOccPartitioned, so a
+        // row-level delta can no longer poison the partition layout
+        morKey.foreach(k => require(schema.fieldNames.contains(k),
+          s"morkey '$k' is not a column of the table"))
+        Map("partitioncol" -> c)
+      case "bucket" =>
+        // PARTITIONED BY (bucket(n, c)): hash co-location for
+        // HIGH-cardinality keys — `_pv=` dirs carry the BUCKET ID
+        // (pmod(murmur3(c), n)), the scan reports key-grouped output
+        // over bucket(n, c), and two same-bucketed tables join on c
+        // with zero exchanges. Source type gated (hash semantics must
+        // stay pinned); morkey/position deltas don't stage bucket-pure
+        // yet, so the composition refuses rather than silently
+        // degrading every scan.
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform carries no INT bucket count: $t"))
+        require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n")
+        require(GraftBucketFunction.supportedSource(schema(c).dataType),
+          s"bucket column '$c' has type ${schema(c).dataType.simpleString}; " +
+            "supported bucket sources are integral and string")
+        require(morKey.isEmpty,
+          "bucketed tables do not compose with 'morkey' yet (the delta " +
+            "write does not stage bucket-pure)")
+        Map("bucketcol" -> c, "bucketn" -> n.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft tables support identity or bucket partitioning; got $other")
+    }
   }
 
   private[sources] def validatePropertyKeys(props: Map[String, String]): Unit = {
@@ -619,6 +671,15 @@ object GraftCatalog {
       require(!props.contains("morkey"),
         "'morkey' (equality tombstones) and 'mordelete'='position' (position " +
           "tombstones) do not compose: two tombstone shapes cannot share a store")
+    }
+    if (props.contains("bucketcol")) {
+      require(!props.contains("morkey") && !props.contains("mordelete"),
+        "bucketed tables do not compose with merge-on-read DML yet " +
+          "(deltas do not stage bucket-pure)")
+      require(!props.contains("partitioncol"),
+        "a table is bucketed or identity-partitioned, never both")
+      require(props.get("bucketn").exists(_.toIntOption.exists(_ > 0)),
+        "'bucketcol' requires a positive integer 'bucketn'")
     }
   }
 
@@ -815,6 +876,19 @@ final class GraftTable(
     */
   private def partCol: Option[String] = props.get("partitioncol")
 
+  /** Declared bucket transform (`PARTITIONED BY (bucket(n, c))`):
+    * storage is the `_pv=<bucket id>` layout (id = pmod(murmur3(c), n),
+    * the catalog's own `bucket` function), writes route through
+    * [[GraftBucketedWriteBuilder]], and the scan reports key-grouped
+    * output over `bucket(n, c)` — the storage-partitioned join on a
+    * HIGH-cardinality key. The column name records PHYSICAL (stable
+    * across renames), like partitioncol/morkey/statscol.
+    */
+  private def bucketSpec: Option[(String, Int)] = for {
+    c <- props.get("bucketcol")
+    n <- props.get("bucketn").flatMap(_.toIntOption)
+  } yield (c, n)
+
   /** RENAME/DROP COLUMN support: `colmap.<logical>=<physical>` props map
     * a declared (logical) column to the name parquet files actually
     * carry. A column's PHYSICAL name is assigned once and never changes
@@ -842,13 +916,17 @@ final class GraftTable(
     if (colMap.isEmpty) df
     else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
 
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    // partitioncol records the PHYSICAL name; Spark wants the LOGICAL
-    // one (what the user's queries reference), so translate back
-    partCol.map { c =>
-      val logical = colMap.collectFirst { case (l, p) if p == c => l }.getOrElse(c)
-      org.apache.spark.sql.connector.expressions.Expressions.identity(logical)
-    }.toArray
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    // partitioncol/bucketcol record the PHYSICAL name; Spark wants the
+    // LOGICAL one (what the user's queries reference), so translate back
+    def logicalOf(c: String): String =
+      colMap.collectFirst { case (l, p) if p == c => l }.getOrElse(c)
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(logicalOf(c)))
+      .orElse(bucketSpec.map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, logicalOf(c))
+      }).toArray
+  }
 
   private def manifestSplit(n: Int): (Seq[Snapshots.ManifestEntry],
                                       Seq[Snapshots.ManifestEntry]) = {
@@ -960,7 +1038,7 @@ final class GraftTable(
             morKeyLogical, colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
-            statsCol, options, colMap, partCol)
+            statsCol, options, colMap, partCol, bucketSpec)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -971,6 +1049,12 @@ final class GraftTable(
       case Some(p) =>
         return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
           info, colMap)
+      case None => ()
+    }
+    bucketSpec match {
+      case Some((c, nb)) =>
+        return new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
+          schema, colMap)
       case None => ()
     }
     new WriteBuilder with SupportsTruncate {

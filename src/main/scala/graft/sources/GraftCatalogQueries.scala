@@ -1415,6 +1415,82 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_bucket`: the storage-partitioned join on a
+    * HIGH-cardinality key — `PARTITIONED BY (bucket(16, k))` tables
+    * (the catalog's FunctionCatalog serves the `bucket` identity both
+    * sides are matched on), orders and their lineitems co-located by
+    * hash so the per-order join + per-order aggregate run with ZERO
+    * exchanges. This is what identity partitioning cannot give (a
+    * 15k-value partition column would mean 15k dirs); bucketing is the
+    * co-located join for keys with real cardinality. Required in-query:
+    * zero ShuffleExchange nodes with broadcast disabled, and every
+    * committed file carries its `_pv=<bucket id>` proof.
+    */
+  def catalogBucket(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.ord (k BIGINT, st STRING) PARTITIONED BY (bucket(16, k))")
+      s.sql(s"CREATE TABLE $cat.li (k BIGINT, rc BIGINT) PARTITIONED BY (bucket(16, k))")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+        .writeTo(s"$cat.ord").append()
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("rc"))
+        .writeTo(s"$cat.li").append()
+      val entries = Snapshots.manifest(root.resolve("ord"), 1) ++
+        Snapshots.manifest(root.resolve("li"), 1)
+      require(entries.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "a bucketed write landed a file without its _pv=<bucket id> proof")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(s"$cat.ord").filter(col("k") < 2000)
+        .join(s.table(s"$cat.li"), "k")
+        .groupBy("k").agg(max("st").as("st"), count(lit(1)).as("n_lines"),
+          sum("rc").as("rev_cents"))
+      val out = joined.collect()
+        .map(r => Row(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+          case _ => 0
+        }) + kids.map(shuffles).sum
+      }
+      val nShuffles = shuffles(joined.queryExecution.executedPlan)
+      require(nShuffles == 0,
+        s"bucketed join still shuffled ($nShuffles exchanges):\n" +
+          joined.queryExecution.executedPlan)
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("st", StringType), StructField("n_lines", LongType),
+        StructField("rev_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("k")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** The same per-order join restated flat. */
+  val catalogBucketOracleSql: String = """
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+               WHERE o_orderkey < 2000),
+    l AS (SELECT l_orderkey AS k,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS rc FROM lineitem)
+    SELECT o.k, max(o.st) AS st, CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(l.rc) AS BIGINT) AS rev_cents
+    FROM o JOIN l ON o.k = l.k GROUP BY o.k ORDER BY o.k"""
+
   /** The same join restated flat. */
   val catalogSpjOracleSql: String = """
     WITH o AS (SELECT o_orderkey % 16 AS shard,

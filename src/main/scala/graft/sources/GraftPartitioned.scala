@@ -33,6 +33,69 @@ import org.apache.spark.sql.types.StructType
   * is O(replaced partitions); at 100 TB replacing one partition of a
   * thousand costs that partition, never the table.
   */
+/** Write paths of a BUCKETED catalog table (`PARTITIONED BY
+  * (bucket(n, c))` → `bucketcol`/`bucketn` properties): append and
+  * truncate-overwrite land through [[Snapshots.stageOccBucketed]] —
+  * `_pv=<bucket id>` dirs, id = pmod(murmur3(c), n), matching the
+  * catalog's `bucket` function identity — so every committed file
+  * proves its bucket and the scan can report key-grouped output.
+  * Dynamic partition overwrite is deliberately NOT offered: "replace
+  * the bucket ids my query produced" is not a statement with user-level
+  * meaning (ids are hashes, not domains).
+  */
+private[sources] final class GraftBucketedWriteBuilder(
+    spark: SparkSession,
+    store: JPath,
+    bucketCol: String, // PHYSICAL name
+    bucketN: Int,
+    statsCol: Option[String],
+    tableSchema: StructType,
+    colMap: Map[String, String] = Map.empty) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  private def toPhysical(df: DataFrame): DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ov: Boolean): Unit = {
+          var attempts = 0
+          while (true) {
+            val base = Snapshots.currentId(store)
+            val fresh = Snapshots.stageOccBucketed(spark, store,
+              toPhysical(data), bucketCol, bucketN, statsCol.toSeq)
+            try {
+              val seed = GraftCatalog.seedMetaFor(store)
+              (if (overwrite) base else None) match {
+                case Some(b) =>
+                  Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
+                    seedMeta = seed)
+                case None =>
+                  Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                    seedMeta = seed)
+              }
+              return
+            } catch {
+              case _: Snapshots.CommitConflictException if overwrite =>
+                attempts += 1
+                Snapshots.discardStaged(store, fresh)
+                if (attempts >= 5) throw new Snapshots.CommitConflictException(
+                  s"INSERT OVERWRITE on $store lost the commit race $attempts times")
+              case e: Throwable =>
+                Snapshots.discardStaged(store, fresh)
+                throw e
+            }
+          }
+        }
+      }
+  }
+}
+
 private[sources] final class GraftPartitionedWriteBuilder(
     spark: SparkSession,
     store: JPath,

@@ -38,7 +38,8 @@ final class GraftScanBuilder(
     statsCol: Option[String],
     options: CaseInsensitiveStringMap,
     colMap: Map[String, String] = Map.empty,
-    partColPhys: Option[String] = None) extends ScanBuilder
+    partColPhys: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -123,7 +124,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
       logicalize, entries, Some(rebuild), colMap, partColPhys, aggPushed,
-      tableSchema)
+      tableSchema, bucketSpec)
   }
 }
 
@@ -202,7 +203,8 @@ final class GraftScan(
     colMap: Map[String, String] = Map.empty,
     partColPhys: Option[String] = None,
     aggPushed: Boolean = false,
-    logicalSchema: StructType = new StructType()) extends Scan
+    logicalSchema: StructType = new StructType(),
+    bucketSpec: Option[(String, Int)] = None) extends Scan
     with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
@@ -246,7 +248,7 @@ final class GraftScan(
     */
   override def filterAttributes(): Array[NamedReference] =
     if (aggPushed || rebuild.isEmpty || entries.isEmpty) Array.empty
-    else (statsCol.toSeq ++ partColPhys.toSeq ++
+    else (statsCol.toSeq ++ partColPhys.toSeq ++ bucketSpec.map(_._1).toSeq ++
         SnapshotPruning.bloomColumn(store).toSeq)
       .distinct.map(p => Expressions.column(logicalOf(p))).toArray
 
@@ -314,6 +316,17 @@ final class GraftScan(
         val wanted = values.map(pathRender).toSet
         kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
       }
+      bucketSpec.filter(_._1 == phys).foreach { case (_, n) =>
+        // bucket ids of the build side's keys — the same hash the write
+        // path assigned, so every matching row's file survives
+        val dt = logicalSchema.fields
+          .find(f => colMap.getOrElse(f.name, f.name) == phys).map(_.dataType)
+        dt.foreach { t =>
+          val wanted = GraftBucketFunctionHelpers.bucketIdsOf(values, t, n)
+            .map(_.toString)
+          kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
+        }
+      }
     }
     GraftScan.lastRuntimePrune.set((kept.size, total))
     if (kept.size < total) {
@@ -334,7 +347,7 @@ final class GraftScan(
     val enabled = spark.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (!enabled || aggPushed || rebuild.isEmpty || entries.isEmpty ||
-        !pathComparable) None
+        !(pathComparable || bucketSpec.isDefined)) None
     else {
       val pvs = entries.map(e => GraftScan.pvOfPath(e.relPath))
       if (pvs.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__"))) None
@@ -343,22 +356,27 @@ final class GraftScan(
   }
 
   private def keyRowOf(pv: String): InternalRow = {
-    val v: Any = partFieldType.get match {
-      case LongType    => pv.toLong
-      case IntegerType => pv.toInt
-      case ShortType   => pv.toShort
-      case ByteType    => pv.toByte
-      case StringType  => UTF8String.fromString(pv)
-      case other => throw new IllegalStateException(
-        s"unsupported key-grouped partition type $other") // unreachable: pathComparable gates
-    }
+    val v: Any =
+      if (bucketSpec.isDefined) pv.toInt // the id IS the key (bucket transform)
+      else partFieldType.get match {
+        case LongType    => pv.toLong
+        case IntegerType => pv.toInt
+        case ShortType   => pv.toShort
+        case ByteType    => pv.toByte
+        case StringType  => UTF8String.fromString(pv)
+        case other => throw new IllegalStateException(
+          s"unsupported key-grouped partition type $other") // unreachable: pathComparable gates
+      }
     new GenericInternalRow(Array[Any](v))
   }
 
   override def outputPartitioning(): Partitioning = spjKeys match {
     case Some(ks) =>
-      new KeyGroupedPartitioning(
-        Array(Expressions.identity(logicalOf(partColPhys.get))), ks.size)
+      val key = bucketSpec match {
+        case Some((c, n)) => Expressions.bucket(n, logicalOf(c))
+        case None         => Expressions.identity(logicalOf(partColPhys.get))
+      }
+      new KeyGroupedPartitioning(Array(key), ks.size)
     case None => new UnknownPartitioning(0)
   }
 

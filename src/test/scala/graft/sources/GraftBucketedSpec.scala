@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed catalog tables — `PARTITIONED BY (bucket(n, c))`: the
+  * `_pv=<bucket id>` layout (id = pmod(murmur3(c), n), served by the
+  * catalog's own FunctionCatalog `bucket`), key-grouped scan output, and
+  * the storage-partitioned join on a HIGH-cardinality key — plus the
+  * loud refusals (morkey composition, widening/dropping the bucket
+  * column) and the graceful SPJ decline once a copy-on-write rewrite
+  * de-buckets a file.
+  */
+class GraftBucketedSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private var n = 0
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gbkt$n"
+    val root = Files.createTempDirectory(s"graft_gbkt$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def countShuffles(p: SparkPlan): Int = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+      case _ => 0
+    }) + kids.map(countShuffles).sum
+  }
+
+  private def withSpj[A](f: => A): A = {
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("bucketed CREATE + INSERT land _pv=<id> files; reads are exact") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+      s.range(0, 10000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .writeTo(s"$cat.t").append()
+      val entries = Snapshots.manifest(root.resolve("t"), 1)
+      assert(entries.nonEmpty)
+      val ids = entries.flatMap(e => GraftScan.pvOfPath(e.relPath))
+      assert(ids.size == entries.size, "every bucketed file must carry _pv=")
+      assert(ids.toSet.subsetOf((0 until 8).map(_.toString).toSet))
+      assert(ids.toSet.size == 8, "10k sequential keys must hit all 8 buckets")
+      val got = s.table(s"$cat.t").agg(count(lit(1)), sum("v")).head
+      assert(got.getLong(0) == 10000L && got.getLong(1) == 3L * (9999L * 10000L / 2))
+    } finally rm(root)
+  }
+
+  test("storage-partitioned join on the bucket SOURCE column: zero shuffles") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(8, k))")
+      s.range(0, 20000).select(col("id").as("k"), col("id").as("v"))
+        .writeTo(s"$cat.a").append()
+      s.range(0, 20000, 2).select(col("id").as("k"), (col("id") * 10).as("w"))
+        .writeTo(s"$cat.b").append()
+      withSpj {
+        // group on the join key: the per-key aggregate rides the same
+        // key-grouped distribution, so the WHOLE plan is exchange-free
+        // (a global aggregate would add its unavoidable SinglePartition
+        // exchange above the join and prove nothing about the join)
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("svw"))
+        val rows = joined.collect()
+        assert(rows.length == 10000)
+        assert(rows.map(_.getLong(1)).sum == (0L until 20000L by 2).map(k => k + k * 10).sum)
+        val sh = countShuffles(joined.queryExecution.executedPlan)
+        assert(sh == 0,
+          s"bucketed join still shuffled ($sh):\n${joined.queryExecution.executedPlan}")
+      }
+    } finally rm(root)
+  }
+
+  test("runtime filter prunes bucket files from a dim join's keys") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (k BIGINT, v BIGINT) PARTITIONED BY (bucket(16, k))")
+      s.range(0, 100000).select(col("id").as("k"), col("id").as("v"))
+        .repartition(4).writeTo(s"$cat.fact").append()
+      val dimPath = Files.createTempDirectory("gbkt_dim")
+      s.range(0, 100000).select(col("id").as("dk"), (col("id") % 50000).as("dg"))
+        .write.mode("overwrite").parquet(dimPath.toString)
+      // the SELECTIVE dim filter is applied IN the query — dynamic
+      // pruning only plants a runtime filter when the build side is
+      // filtered (an unfiltered dim carries every key; pruning would
+      // keep everything). Two keys → at most two bucket ids survive.
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val joined = s.table(s"$cat.fact")
+        .join(s.read.parquet(dimPath.toString).filter(col("dk").isin(7L, 12345L)),
+          col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val row = joined.collect().head
+      assert(row.getLong(0) == 2L && row.getLong(1) == 7L + 12345L)
+      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      assert(total > 0, "runtime filter never fired on the bucketed fact")
+      assert(kept < total, s"bucket runtime filter pruned nothing: $kept of $total")
+      rm(dimPath)
+    } finally rm(root)
+  }
+
+  test("loud refusals: morkey composition, widen/drop of the bucket column") {
+    val (cat, root) = freshCatalog()
+    try {
+      val mor = scala.util.Try(s.sql(
+        s"CREATE TABLE $cat.m (k BIGINT NOT NULL, v BIGINT) " +
+          "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('morkey'='k')"))
+      assert(mor.isFailure, "bucket + morkey must refuse")
+      s.sql(s"CREATE TABLE $cat.t (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.range(0, 10).select(col("id").cast("int").as("k"), col("id").as("v"))
+        .writeTo(s"$cat.t").append()
+      val widen = scala.util.Try(s.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT"))
+      assert(widen.isFailure, "widening the bucket column must refuse " +
+        "(murmur3(int) != murmur3(bigint): keys would scatter across buckets)")
+      val drop = scala.util.Try(s.sql(s"ALTER TABLE $cat.t DROP COLUMN k"))
+      assert(drop.isFailure, "dropping the bucket column must refuse")
+      // v is free to go
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN v")
+      assert(s.table(s"$cat.t").columns.toSeq == Seq("k"))
+    } finally rm(root)
+  }
+
+  test("rename of the bucket column is metadata-only; SPJ keeps working") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("w")).writeTo(s"$cat.b").append()
+      s.sql(s"ALTER TABLE $cat.a RENAME COLUMN k TO key")
+      withSpj {
+        val joined = s.table(s"$cat.a")
+          .join(s.table(s"$cat.b"), col("key") === col("k"))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+        assert(joined.collect().length == 5000)
+        val sh = countShuffles(joined.queryExecution.executedPlan)
+        assert(sh == 0, s"renamed bucket column broke SPJ ($sh shuffles)")
+      }
+    } finally rm(root)
+  }
+
+  test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("w")).writeTo(s"$cat.b").append()
+      // the group rewrite stages files with no _pv= proof — the scan
+      // must DECLINE key-grouped output (correctness first), not claim
+      // a grouping the files no longer honor
+      s.sql(s"UPDATE $cat.a SET v = v + 1000000 WHERE k < 100")
+      withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("svw"))
+        val row = joined.collect().head
+        assert(row.getLong(0) == 5000L)
+        val expected = (0L until 5000L).map(k =>
+          (if (k < 100) k + 1000000L else k) + k * 2).sum
+        assert(row.getLong(1) == expected, "post-UPDATE join drifted")
+        assert(countShuffles(joined.queryExecution.executedPlan) > 0,
+          "SPJ must decline once files lost their bucket proof")
+      }
+    } finally rm(root)
+  }
+}

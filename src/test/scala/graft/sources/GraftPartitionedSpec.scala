@@ -178,8 +178,10 @@ class GraftPartitionedSpec extends AnyFunSuite {
       intercept[Exception] {
         s.sql(s"CREATE TABLE $cat.bad1 (k BIGINT, p BIGINT, q BIGINT) PARTITIONED BY (p, q)")
       }
+      // bucket(n, c) is SUPPORTED since r14c (GraftBucketedSpec);
+      // transforms beyond identity/bucket still refuse
       intercept[Exception] {
-        s.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))")
+        s.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
       }
       // morkey + PARTITIONED BY composes since r14 (GraftMorPartSpec);
       // a morkey naming a non-column still refuses
