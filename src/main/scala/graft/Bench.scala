@@ -91,7 +91,8 @@ object Bench {
     "catalog_dpp", "catalog_spj",
     // r14c: the bucket-transform SPJ — the co-located join on a
     // HIGH-cardinality key (orders x lineitem by orderkey, 16 buckets)
-    "catalog_bucket")
+    // — and its sorted completion (zero exchanges AND zero sorts)
+    "catalog_bucket", "catalog_sorted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -103,6 +103,7 @@ object SparkEntry {
     "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
+    "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
     "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
@@ -572,6 +573,7 @@ object SparkEntry {
     "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
+    "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,
     "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,

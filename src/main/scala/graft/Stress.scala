@@ -2263,6 +2263,54 @@ object Stress {
         assert(chkOn == chkOff, "bucketed join changed the answer")
         assert(bshOn == 1, s"bucketed leg expected ONLY the global fold's exchange, got $bshOn")
         assert(bshOff > bshOn, "baseline lost its join shuffles — comparison void")
+        // the SORTED leg: same shape, tables also 'sortcol'-sorted — the
+        // merge join elides its two 12M-row SORTS as well (the bucketed-
+        // only leg still sorts both sides inside each key group). A/B =
+        // what the sorted layout buys ON TOP of co-location.
+        def countSorts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          (p match {
+            case _: org.apache.spark.sql.execution.SortExec => 1
+            case _ => 0
+          }) + kids.map(countSorts).sum
+        }
+        spark.sql("CREATE TABLE j12.fs (k BIGINT NOT NULL, v BIGINT) " +
+          "PARTITIONED BY (bucket(32, k)) TBLPROPERTIES ('sortcol'='k')")
+        spark.sql("CREATE TABLE j12.ss (k BIGINT NOT NULL, w BIGINT) " +
+          "PARTITIONED BY (bucket(32, k)) TBLPROPERTIES ('sortcol'='k')")
+        timed("insert 2 x 12M bucketed SORTED") {
+          spark.range(nf).select(col("id").as("k"), (col("id") % 97).as("v"))
+            .writeTo("j12.fs").append()
+          spark.range(nf).select(col("id").as("k"), (col("id") % 89).as("w"))
+            .writeTo("j12.ss").append()
+        }
+        def sortedLeg(a: String, b: String): (Long, Double, Int, Int) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val t0 = System.nanoTime()
+          val df = spark.table(a).join(spark.table(b), "k")
+            .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+            .agg(sum("s").as("chk"))
+          val chk = df.head.getLong(0)
+          val plan = df.queryExecution.executedPlan
+          (chk, (System.nanoTime() - t0) / 1e9, countShuffles(plan), countSorts(plan))
+        }
+        sortedLeg("j12.fs", "j12.ss") // warm
+        val (sChk, sT, sSh, sSo) = sortedLeg("j12.fs", "j12.ss")
+        val (uChk, uT, _, uSo) = sortedLeg("j12.fb", "j12.sb")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcJ)
+        println(f"[stress] spj_dpp_12m SORTED: $sT%.2f s / $sSo sorts sorted-bucketed " +
+          f"vs $uT%.2f s / $uSo sorts bucketed-only (answers equal: ${sChk == uChk})")
+        assert(sChk == uChk, "sorted join changed the answer")
+        assert(sSh == 1 && sSo == 0,
+          s"sorted leg expected 1 exchange / 0 sorts, got $sSh / $sSo")
+        assert(uSo > 0, "bucketed-only baseline lost its sorts — comparison void")
 
       case other => sys.error(s"unknown stress scenario: $other")
     }

@@ -1068,13 +1068,26 @@ object Snapshots {
     */
   def stageOccBucketed(s: SparkSession, root: Path, df: DataFrame,
                        bucketCol: String, n: Int,
-                       statsCols: Seq[String] = Nil): Seq[ManifestEntry] = {
+                       statsCols: Seq[String] = Nil,
+                       sortCol: Option[String] = None): Seq[ManifestEntry] = {
     require(n > 0, s"bucket count must be positive, got $n")
     val dataDir = root.resolve("data").resolve(
       "occ-" + java.util.UUID.randomUUID().toString)
     Files.createDirectories(dataDir)
-    df.withColumn("_pv", pmod(hash(col(bucketCol)), lit(n)))
-      .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
+    val keyed = df.withColumn("_pv", pmod(hash(col(bucketCol)), lit(n)))
+    // sorted layout: one shuffle clusters each bucket into one task and
+    // the within-task sort makes EVERY written file ascending in the
+    // sort column — with its zone range recorded, a reader can prove a
+    // whole bucket ordered (disjoint file ranges) and report the
+    // ordering to Spark: the co-located MERGE join then needs neither
+    // exchanges nor sorts. The shuffle is the declared price of a
+    // clustered write, paid once at write time instead of per join.
+    val ordered = sortCol match {
+      case Some(sc) => keyed.repartition(col("_pv"))
+        .sortWithinPartitions(col("_pv"), col(sc))
+      case None => keyed
+    }
+    ordered.write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
     entriesForStagedDir(s, root, dataDir, statsCols)
   }
 

@@ -273,6 +273,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     val partProps = GraftCatalog.partitionProps(partitions, schema,
       Option(properties.get("morkey")))
+    GraftCatalog.validateSortCol(Option(properties.get("sortcol")), schema,
+      partProps.contains("bucketcol"))
     val dir = tablePath(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (name() +: ident.namespace().toSeq :+ ident.name()))
@@ -460,6 +462,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"cannot drop the partition column '$fname'")
             require(!prs.get("bucketcol").contains(physOf(prs, fname)),
               s"cannot drop the bucket column '$fname'")
+            require(!prs.get("sortcol").contains(physOf(prs, fname)),
+              s"cannot drop the sort column '$fname'")
             require(!prs.get("morkey").contains(physOf(prs, fname)),
               s"cannot drop the morkey column '$fname'")
             // retire the physical: never readable again, never reusable
@@ -470,6 +474,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             (sch2, prs2)
           }
         case ((sch, prs), set: TableChange.SetProperty) =>
+          if (set.property() == "sortcol") {
+            // files written before the declaration were never sorted —
+            // claiming an ordering over them would corrupt merge joins
+            require(Snapshots.currentId(dir).isEmpty,
+              "cannot declare 'sortcol' on a table that already has data: " +
+                "existing files were not written sorted (recreate, or " +
+                "INSERT OVERWRITE into a fresh sorted table)")
+            GraftCatalog.validateSortCol(Some(set.value()), sch,
+              prs.contains("bucketcol"))
+          }
           (sch, prs + (set.property() -> set.value()))
         case ((sch, prs), rm: TableChange.RemoveProperty) =>
           (sch, prs - rm.property())
@@ -661,6 +675,28 @@ object GraftCatalog {
         s"graft tables support identity or bucket partitioning; got $other")
     }
   }
+
+  /** `'sortcol'` contract: bucketed tables only (the ordering is only
+    * reportable per key-grouped partition), declared, NOT NULL (two
+    * sorted files both put their nulls first — concatenated they
+    * wouldn't be), and integral (the zone range IS the disjointness
+    * proof; there is none for strings).
+    */
+  private[sources] def validateSortCol(sortCol: Option[String],
+                                       schema: StructType,
+                                       bucketed: Boolean): Unit =
+    sortCol.foreach { c =>
+      require(bucketed,
+        "'sortcol' requires a bucketed table (PARTITIONED BY (bucket(n, c))): " +
+          "ordering is only provable per key-grouped partition")
+      require(schema.fieldNames.contains(c), s"sortcol '$c' is not declared")
+      require(!schema(c).nullable,
+        s"sortcol '$c' must be NOT NULL: per-file nulls-first breaks the " +
+          "concatenated order")
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(schema(c).dataType),
+        s"sortcol '$c' must be integral: its zone range is the ordering proof")
+    }
 
   private[sources] def validatePropertyKeys(props: Map[String, String]): Unit = {
     props.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
@@ -889,6 +925,14 @@ final class GraftTable(
     n <- props.get("bucketn").flatMap(_.toIntOption)
   } yield (c, n)
 
+  /** Declared sort column (`'sortcol'`, bucketed tables only): every
+    * bucketed write clusters each bucket and sorts within files, the
+    * sort column's zone range rides the manifest, and the scan REPORTS
+    * the ordering when a bucket's file ranges prove disjoint — the
+    * co-located merge join then elides its sorts too. PHYSICAL name.
+    */
+  private def sortCol: Option[String] = props.get("sortcol")
+
   /** RENAME/DROP COLUMN support: `colmap.<logical>=<physical>` props map
     * a declared (logical) column to the name parquet files actually
     * carry. A column's PHYSICAL name is assigned once and never changes
@@ -1038,7 +1082,7 @@ final class GraftTable(
             morKeyLogical, colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
-            statsCol, options, colMap, partCol, bucketSpec)
+            statsCol, options, colMap, partCol, bucketSpec, sortCol)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1054,7 +1098,7 @@ final class GraftTable(
     bucketSpec match {
       case Some((c, nb)) =>
         return new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
-          schema, colMap)
+          schema, colMap, sortCol)
       case None => ()
     }
     new WriteBuilder with SupportsTruncate {

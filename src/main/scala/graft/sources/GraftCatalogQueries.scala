@@ -1481,6 +1481,89 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_sorted`: the FULLY co-located merge join — bucketed
+    * AND sorted tables (`'sortcol'`) join with ZERO exchanges and ZERO
+    * sorts. The sorted bucketed writer clusters each bucket and sorts
+    * within files; the sort column's zone ranges ride the manifest, and
+    * the scan reports the ordering only when every bucket's file ranges
+    * prove pairwise disjoint — which a second, key-disjoint append keeps
+    * true (proven in-query: the ordering claim SURVIVES an append).
+    * This is the end state of the co-location story: at 100 TB the
+    * join's two shuffles AND its two sorts are paid once at write time,
+    * never per query.
+    */
+  def catalogSorted(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.ord (k BIGINT NOT NULL, st STRING) " +
+        "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.li (k BIGINT NOT NULL, rc BIGINT) " +
+        "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('sortcol'='k')")
+      val ord = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"))
+      // two KEY-DISJOINT appends: per-bucket file ranges stay disjoint,
+      // so the ordering claim must survive the second commit
+      ord.filter(col("k") < 10000).writeTo(s"$cat.ord").append()
+      ord.filter(col("k") >= 10000).writeTo(s"$cat.ord").append()
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("rc"))
+        .writeTo(s"$cat.li").append()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(s"$cat.ord").filter(col("k") < 2000)
+        .join(s.table(s"$cat.li"), "k")
+        .groupBy("k").agg(max("st").as("st"), count(lit(1)).as("n_lines"),
+          sum("rc").as("rev_cents"))
+      val out = joined.collect()
+        .map(r => Row(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => (1, 0)
+          case _: org.apache.spark.sql.execution.SortExec => (0, 1)
+          case _ => (0, 0)
+        }
+        kids.map(nodes).foldLeft(here) { case ((a, b), (c, dd)) => (a + c, b + dd) }
+      }
+      val (nShuffles, nSorts) = nodes(joined.queryExecution.executedPlan)
+      require(nShuffles == 0 && nSorts == 0,
+        s"sorted bucketed join not fully co-located ($nShuffles exchanges, " +
+          s"$nSorts sorts):\n" + joined.queryExecution.executedPlan)
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("st", StringType), StructField("n_lines", LongType),
+        StructField("rev_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("k")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** Same answer as catalog_bucket's oracle (the split append changes
+    * nothing); ordering/exchange elimination change plan shape, never
+    * answers.
+    */
+  val catalogSortedOracleSql: String = """
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+               WHERE o_orderkey < 2000),
+    l AS (SELECT l_orderkey AS k,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS rc FROM lineitem)
+    SELECT o.k, max(o.st) AS st, CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(l.rc) AS BIGINT) AS rev_cents
+    FROM o JOIN l ON o.k = l.k GROUP BY o.k ORDER BY o.k"""
+
   /** The same per-order join restated flat. */
   val catalogBucketOracleSql: String = """
     WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders

@@ -50,7 +50,8 @@ private[sources] final class GraftBucketedWriteBuilder(
     bucketN: Int,
     statsCol: Option[String],
     tableSchema: StructType,
-    colMap: Map[String, String] = Map.empty) extends WriteBuilder
+    colMap: Map[String, String] = Map.empty,
+    sortCol: Option[String] = None) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwrite = false
@@ -67,8 +68,11 @@ private[sources] final class GraftBucketedWriteBuilder(
           var attempts = 0
           while (true) {
             val base = Snapshots.currentId(store)
+            // the sort column's zone range is the reader's ordering
+            // proof — always recorded alongside the declared statscol
             val fresh = Snapshots.stageOccBucketed(spark, store,
-              toPhysical(data), bucketCol, bucketN, statsCol.toSeq)
+              toPhysical(data), bucketCol, bucketN,
+              (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol)
             try {
               val seed = GraftCatalog.seedMetaFor(store)
               (if (overwrite) base else None) match {

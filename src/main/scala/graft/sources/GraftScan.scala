@@ -39,7 +39,8 @@ final class GraftScanBuilder(
     options: CaseInsensitiveStringMap,
     colMap: Map[String, String] = Map.empty,
     partColPhys: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None) extends ScanBuilder
+    bucketSpec: Option[(String, Int)] = None,
+    sortColPhys: Option[String] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -124,7 +125,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
       logicalize, entries, Some(rebuild), colMap, partColPhys, aggPushed,
-      tableSchema, bucketSpec)
+      tableSchema, bucketSpec, sortColPhys)
   }
 }
 
@@ -204,10 +205,12 @@ final class GraftScan(
     partColPhys: Option[String] = None,
     aggPushed: Boolean = false,
     logicalSchema: StructType = new StructType(),
-    bucketSpec: Option[(String, Int)] = None) extends Scan
+    bucketSpec: Option[(String, Int)] = None,
+    sortColPhys: Option[String] = None) extends Scan
     with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @volatile private var currentParquet: ParquetScan = initialParquet
   @volatile private var currentEntries: Seq[Snapshots.ManifestEntry] = entries
@@ -370,6 +373,44 @@ final class GraftScan(
     new GenericInternalRow(Array[Any](v))
   }
 
+  /** Ordering proof for a sorted bucketed table: every data file in
+    * every bucket carries the sort column's zone range, and within each
+    * bucket the ranges are pairwise non-overlapping — then the files,
+    * read lowest-range first, concatenate into an ascending partition
+    * (each FILE is ascending by the sorted writer's contract; late
+    * `sortcol` declarations refuse on non-empty tables, and every
+    * unsorted write path lands files without a `_pv=` proof, which
+    * already kills spjKeys). Overlapping appends DECLINE the claim —
+    * the table stays correct, the merge join just pays its sorts until
+    * an overwrite re-clusters.
+    */
+  private lazy val orderedGroups: Boolean =
+    spjKeys.isDefined && sortColPhys.isDefined && {
+      val sc = sortColPhys.get
+      entries.groupBy(e => GraftScan.pvOfPath(e.relPath)).values.forall { es =>
+        val zones = es.map(e => SnapshotPruning.zonesOf(e, statsCol).get(sc))
+        zones.forall(_.isDefined) && {
+          val rs = zones.flatten.sortBy(r => (r._1, r._2))
+          rs.zip(rs.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 }
+        }
+      }
+    }
+
+  /** Zone low/high of one absolute file path (ordering the files of a
+    * key group); MaxValue = unknown, sorts last (unreachable when
+    * orderedGroups gated the call).
+    */
+  private lazy val rangeOfPath: Map[String, (Long, Long)] = entries.flatMap { e =>
+    sortColPhys.flatMap(sc => SnapshotPruning.zonesOf(e, statsCol).get(sc))
+      .map(r => store.resolve(e.relPath).toUri.getPath -> r)
+  }.toMap
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!orderedGroups) Array.empty
+    else Array(Expressions.sort(
+      Expressions.column(logicalOf(sortColPhys.get)),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
   override def outputPartitioning(): Partitioning = spjKeys match {
     case Some(ks) =>
       val key = bucketSpec match {
@@ -395,7 +436,17 @@ final class GraftScan(
         files.groupBy(f => GraftScan.pvOfPath(f.filePath.toString).getOrElse(
             throw new IllegalStateException(s"no _pv= segment in ${f.filePath}")))
           .toSeq.sortBy(_._1).zipWithIndex.map { case ((pv, fs), i) =>
-            new KeyedFilePartition(i, fs, keyRowOf(pv)): InputPartition
+            // when the ordering is claimed, the group's files (and a big
+            // file's splits) MUST be read lowest-range first — the
+            // concatenation is what outputOrdering promised
+            val ordered =
+              if (!orderedGroups) fs
+              else fs.sortBy { f =>
+                val (lo, hi) = rangeOfPath.getOrElse(f.toPath.toUri.getPath,
+                  (Long.MaxValue, Long.MaxValue))
+                (lo, hi, f.start)
+              }
+            new KeyedFilePartition(i, ordered, keyRowOf(pv)): InputPartition
           }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

@@ -176,6 +176,95 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  private def countSorts(p: SparkPlan): Int = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case _: org.apache.spark.sql.execution.SortExec => 1
+      case _ => 0
+    }) + kids.map(countSorts).sum
+  }
+
+  test("sorted bucketed tables: the merge join runs with zero exchanges AND zero sorts") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 20000).select(col("id").as("k"), col("id").as("v"))
+        .writeTo(s"$cat.a").append()
+      s.range(0, 20000, 2).select(col("id").as("k"), (col("id") * 10).as("w"))
+        .writeTo(s"$cat.b").append()
+      withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("svw"))
+        val rows = joined.collect()
+        assert(rows.length == 10000)
+        assert(rows.map(_.getLong(1)).sum == (0L until 20000L by 2).map(k => k + k * 10).sum)
+        val plan = joined.queryExecution.executedPlan
+        assert(countShuffles(plan) == 0, s"sorted SPJ shuffled:\n$plan")
+        assert(countSorts(plan) == 0,
+          s"reported ordering did not elide the merge join's sorts:\n$plan")
+      }
+    } finally rm(root)
+  }
+
+  test("disjoint appends keep the ordering; overlapping appends decline it") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(5000, 10000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 10000).select(col("id").as("k"), col("id").as("w")).writeTo(s"$cat.b").append()
+      def runJoin(): (Long, SparkPlan) = withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        val n = joined.collect().length.toLong
+        (n, joined.queryExecution.executedPlan)
+      }
+      val (n1, p1) = runJoin()
+      assert(n1 == 10000L)
+      // the two appends' key ranges are disjoint PER BUCKET (hash
+      // scatters them, but zone ranges [0,4999] vs [5000,9999] per file
+      // stay disjoint), so the ordering claim survives the append
+      assert(countSorts(p1) == 0, s"disjoint appends lost the ordering:\n$p1")
+      assert(countShuffles(p1) == 0)
+      // an OVERLAPPING append: same key range again (duplicate keys)
+      s.range(0, 5000).select(col("id").as("k"), lit(7L).as("v")).writeTo(s"$cat.a").append()
+      val (n2, p2) = runJoin()
+      assert(n2 == 10000L, "overlap leg lost rows")
+      assert(countSorts(p2) > 0,
+        s"overlapping file ranges MUST decline the ordering claim:\n$p2")
+      assert(countShuffles(p2) == 0, "the partitioning claim should survive")
+    } finally rm(root)
+  }
+
+  test("sortcol refusals: non-bucketed, nullable, late declaration") {
+    val (cat, root) = freshCatalog()
+    try {
+      assert(scala.util.Try(s.sql(
+        s"CREATE TABLE $cat.p (k BIGINT NOT NULL, v BIGINT) TBLPROPERTIES ('sortcol'='k')"))
+        .isFailure, "sortcol on a non-bucketed table must refuse")
+      assert(scala.util.Try(s.sql(
+        s"CREATE TABLE $cat.q (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k)) " +
+          "TBLPROPERTIES ('sortcol'='k')")).isFailure,
+        "a NULLABLE sortcol must refuse (per-file nulls-first breaks concatenation)")
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.range(0, 100).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.t").append()
+      assert(scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('sortcol'='k')")).isFailure,
+        "declaring sortcol over existing (unsorted) data must refuse")
+    } finally rm(root)
+  }
+
   test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
     val (cat, root) = freshCatalog()
     try {
