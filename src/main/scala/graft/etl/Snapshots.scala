@@ -1069,7 +1069,8 @@ object Snapshots {
   def stageOccBucketed(s: SparkSession, root: Path, df: DataFrame,
                        bucketCol: String, n: Int,
                        statsCols: Seq[String] = Nil,
-                       sortCol: Option[String] = None): Seq[ManifestEntry] = {
+                       sortCol: Option[String] = None,
+                       cluster: Boolean = false): Seq[ManifestEntry] = {
     require(n > 0, s"bucket count must be positive, got $n")
     val dataDir = root.resolve("data").resolve(
       "occ-" + java.util.UUID.randomUUID().toString)
@@ -1082,10 +1083,13 @@ object Snapshots {
     // ordering to Spark: the co-located MERGE join then needs neither
     // exchanges nor sorts. The shuffle is the declared price of a
     // clustered write, paid once at write time instead of per join.
-    val ordered = sortCol match {
-      case Some(sc) => keyed.repartition(col("_pv"))
+    // `cluster` forces the same one-task-per-bucket shuffle without a
+    // sort — compaction's fold-to-one-file-per-bucket shape.
+    val ordered = (sortCol, cluster) match {
+      case (Some(sc), _) => keyed.repartition(col("_pv"))
         .sortWithinPartitions(col("_pv"), col(sc))
-      case None => keyed
+      case (None, true) => keyed.repartition(col("_pv"))
+      case (None, false) => keyed
     }
     ordered.write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
     entriesForStagedDir(s, root, dataDir, statsCols)

@@ -59,11 +59,27 @@ private[sources] object GraftProcedures {
       (s, store, in) => {
         // default = the table's durable 'statscol' property: omitting
         // the redundant argument must not silently strip zone maps
+        val props = GraftCatalog.readMarker(store)._2
         val statsCol =
-          if (in.isNullAt(2)) GraftCatalog.readMarker(store)._2.get("statscol")
+          if (in.isNullAt(2)) props.get("statscol")
           else Some(str(in, 2))
+        // BUCKETED tables compact bucket-aware: the rewrite re-stages
+        // through the bucketed (and, with 'sortcol', sorted) writer, so
+        // compaction FOLDS each bucket to one file and RESTORES the
+        // ordering claim that overlapping appends declined — a generic
+        // compact would de-bucket the layout and silently forfeit the
+        // storage-partitioned join until the next overwrite.
         val (id, conflicts) =
-          Snapshots.compactOcc(s, store, in.getInt(1), statsCol)
+          (props.get("bucketcol"), props.get("bucketn").flatMap(_.toIntOption)) match {
+            case (Some(c), Some(nb)) =>
+              val sortC = props.get("sortcol")
+              Snapshots.rewriteOcc(s, store) { baseDf =>
+                Snapshots.stageOccBucketed(s, store, baseDf, c, nb,
+                  (statsCol.toSeq ++ sortC.toSeq).distinct, sortC, cluster = true)
+              }
+            case _ =>
+              Snapshots.compactOcc(s, store, in.getInt(1), statsCol)
+          }
         Seq(Row(id, conflicts))
       }),
     Spec("zorder",

@@ -244,6 +244,23 @@ class GraftBucketedSpec extends AnyFunSuite {
       assert(countSorts(p2) > 0,
         s"overlapping file ranges MUST decline the ordering claim:\n$p2")
       assert(countShuffles(p2) == 0, "the partitioning claim should survive")
+      // CALL system.compact is bucket-aware: it folds each bucket to one
+      // sorted file, RESTORING the ordering claim the overlap declined
+      s.sql(s"CALL $cat.system.compact('a', 4)")
+      val entries = Snapshots.manifest(root.resolve("a"),
+        Snapshots.currentId(root.resolve("a")).get)
+      assert(entries.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "bucket-aware compact lost the _pv= layout")
+      assert(entries.size == 4, s"compact should fold to one file per bucket, " +
+        s"got ${entries.size}")
+      val (n3, p3) = runJoin()
+      assert(n3 == 10000L, "post-compact join lost rows")
+      val sumAfter = withSpj {
+        s.table(s"$cat.a").agg(sum("v")).head.getLong(0)
+      }
+      assert(sumAfter == (0L until 10000L).sum + 5000L * 7L, "compact changed rows")
+      assert(countSorts(p3) == 0, s"compact must RESTORE the ordering claim:\n$p3")
+      assert(countShuffles(p3) == 0)
     } finally rm(root)
   }
 
