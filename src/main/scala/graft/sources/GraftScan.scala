@@ -331,6 +331,11 @@ final class GraftScan(
         }
       }
     }
+    // an empty kept-set under key-grouped output would hand Spark's
+    // group-alignment machinery zero groups; runtime pruning is an I/O
+    // optimization, so keeping the files is always correct — the join
+    // itself still produces no rows
+    if (kept.isEmpty && spjKeys.isDefined) kept = currentEntries
     GraftScan.lastRuntimePrune.set((kept.size, total))
     if (kept.size < total) {
       currentEntries = kept
@@ -432,8 +437,11 @@ final class GraftScan(
             s"parquet planned a non-file partition: $other")
         }
         // one HasPartitionKey group per partition value — Spark's
-        // key-grouped exec merges/sorts these and aligns both join sides
-        files.groupBy(f => GraftScan.pvOfPath(f.filePath.toString).getOrElse(
+        // key-grouped exec merges/sorts these and aligns both join
+        // sides. Parse the DECODED path (same rendering the manifest
+        // and the runtime filter use), never SparkPath's url-encoded
+        // string — an escaped partition value would double-decode.
+        files.groupBy(f => GraftScan.pvOfPath(f.toPath.toUri.getPath).getOrElse(
             throw new IllegalStateException(s"no _pv= segment in ${f.filePath}")))
           .toSeq.sortBy(_._1).zipWithIndex.map { case ((pv, fs), i) =>
             // when the ordering is claimed, the group's files (and a big

@@ -282,6 +282,31 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("runtime prune to an EMPTY set under key-grouped output keeps the files") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (p BIGINT, v BIGINT) PARTITIONED BY (p)")
+      s.range(0, 4000).select((col("id") % 4).as("p"), col("id").as("v"))
+        .writeTo(s"$cat.fact").append()
+      val dimPath = Files.createTempDirectory("gbkt_nodim")
+      s.range(0, 200).select(col("id").as("dk")).write.mode("overwrite")
+        .parquet(dimPath.toString)
+      withSpj {
+        // the dim's surviving key (99) matches NO fact partition: the
+        // runtime IN-set would prune every file — under key-grouped
+        // output the scan must keep them (pruning is an I/O
+        // optimization; zero groups would break group alignment) and
+        // the join still correctly returns nothing
+        val joined = s.table(s"$cat.fact")
+          .join(s.read.parquet(dimPath.toString).filter(col("dk") === 99),
+            col("p") === col("dk"))
+          .groupBy("p").agg(count(lit(1)).as("n"))
+        assert(joined.collect().isEmpty)
+      }
+      rm(dimPath)
+    } finally rm(root)
+  }
+
   test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
     val (cat, root) = freshCatalog()
     try {
