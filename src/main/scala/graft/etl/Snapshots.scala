@@ -976,6 +976,10 @@ object Snapshots {
     */
   def entriesForStagedDir(s: SparkSession, root: Path, dataDir: Path,
                           statsCols: Seq[String]): Seq[ManifestEntry] = {
+    // an EMPTY staging (a filter selected no rows) writes only _SUCCESS;
+    // reading it back for stats would die on schema inference — there is
+    // nothing to manifest, return so before touching the reader
+    if (listParquetRecursive(dataDir).isEmpty) return Nil
     val byFile: Map[String, Seq[(String, Long, Long)]] =
       if (statsCols.isEmpty) Map.empty
       else {

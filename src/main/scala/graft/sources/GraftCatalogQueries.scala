@@ -1504,9 +1504,12 @@ object GraftCatalogQueries {
       val ord = Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_orderstatus").as("st"))
       // two KEY-DISJOINT appends: per-bucket file ranges stay disjoint,
-      // so the ordering claim must survive the second commit
-      ord.filter(col("k") < 10000).writeTo(s"$cat.ord").append()
-      ord.filter(col("k") >= 10000).writeTo(s"$cat.ord").append()
+      // so the ordering claim must survive the second commit. Split at
+      // the observed median so both halves are non-empty at EVERY scale
+      // (a fixed constant left the second append empty at sf0.001)
+      val mid = ord.agg(expr("percentile_approx(k, 0.5)")).head.getLong(0)
+      ord.filter(col("k") < mid).writeTo(s"$cat.ord").append()
+      ord.filter(col("k") >= mid).writeTo(s"$cat.ord").append()
       Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
         round(col("l_extendedprice") * 100).cast("long").as("rc"))
         .writeTo(s"$cat.li").append()

@@ -73,6 +73,9 @@ private[sources] final class GraftBucketedWriteBuilder(
             val fresh = Snapshots.stageOccBucketed(spark, store,
               toPhysical(data), bucketCol, bucketN,
               (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol)
+            // an empty APPEND has nothing to commit (an empty OVERWRITE
+            // is a truncate and must still land)
+            if (fresh.isEmpty && !overwrite) return
             try {
               val seed = GraftCatalog.seedMetaFor(store)
               (if (overwrite) base else None) match {

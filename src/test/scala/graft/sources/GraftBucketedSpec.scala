@@ -307,6 +307,67 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("add_files adoption de-buckets; bucket-aware compact re-buckets") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 4000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 8000).select(col("id").as("k"), col("id").as("w")).writeTo(s"$cat.b").append()
+      // an external producer's files adopted zero-copy: they carry no
+      // _pv= proof, so the scan DECLINES key-grouped output (correct,
+      // not fast) until maintenance re-buckets them
+      val ext = Files.createTempDirectory("gbkt_adopt")
+      s.range(4000, 8000).select(col("id").as("k"), col("id").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(ext.toString)
+      s.sql(s"CALL $cat.system.add_files('a', '$ext')")
+      def runJoin(): (Long, SparkPlan) = withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        (joined.collect().length.toLong, joined.queryExecution.executedPlan)
+      }
+      val (n1, p1) = runJoin()
+      assert(n1 == 8000L, "adopted rows missing from the join")
+      assert(countShuffles(p1) > 0, "adopted files cannot claim bucket grouping")
+      s.sql(s"CALL $cat.system.compact('a', 4)")
+      val (n2, p2) = runJoin()
+      assert(n2 == 8000L)
+      assert(countShuffles(p2) == 0 && countSorts(p2) == 0,
+        s"compact must re-bucket adopted files into the SPJ layout:\n$p2")
+      rm(ext)
+    } finally rm(root)
+  }
+
+  test("SPJ and runtime filtering compose: pruned key groups re-align") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(8, k))")
+      s.range(0, 8000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 8000).select(col("id").as("k"), (col("id") * 3).as("w")).writeTo(s"$cat.b").append()
+      val dimPath = Files.createTempDirectory("gbkt_compose")
+      s.range(0, 8000).select(col("id").as("dk"), (col("id") % 4000).as("dg"))
+        .write.mode("overwrite").parquet(dimPath.toString)
+      withSpj {
+        // the dim join plants a runtime IN-set on ONE key-grouped side;
+        // its pruned groups must re-align with the other side's full
+        // set (Spark pads pruned keys with empty partitions) — the
+        // composed answer stays exact
+        GraftScan.lastRuntimePrune.set((0, 0))
+        val joined = s.table(s"$cat.a")
+          .join(s.read.parquet(dimPath.toString)
+            .filter(col("dk").isin(5L, 17L, 4242L)), col("k") === col("dk"))
+          .join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        val rows = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows == Map(5L -> 20L, 17L -> 68L, 4242L -> 16968L))
+      }
+      rm(dimPath)
+    } finally rm(root)
+  }
+
   test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
     val (cat, root) = freshCatalog()
     try {
