@@ -441,20 +441,40 @@ final class GraftScan(
         // sides. Parse the DECODED path (same rendering the manifest
         // and the runtime filter use), never SparkPath's url-encoded
         // string — an escaped partition value would double-decode.
+        val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
         files.groupBy(f => GraftScan.pvOfPath(f.toPath.toUri.getPath).getOrElse(
             throw new IllegalStateException(s"no _pv= segment in ${f.filePath}")))
-          .toSeq.sortBy(_._1).zipWithIndex.map { case ((pv, fs), i) =>
-            // when the ordering is claimed, the group's files (and a big
-            // file's splits) MUST be read lowest-range first — the
-            // concatenation is what outputOrdering promised
-            val ordered =
-              if (!orderedGroups) fs
-              else fs.sortBy { f =>
+          .toSeq.sortBy(_._1).flatMap { case (pv, fs) =>
+            if (orderedGroups)
+              // when the ordering is claimed, the whole group is ONE
+              // partition with its files (and a big file's splits) read
+              // lowest-range first — the concatenation is what
+              // outputOrdering promised, and Spark's within-key merge
+              // order is not ours to rely on
+              Seq((pv, fs.sortBy { f =>
                 val (lo, hi) = rangeOfPath.getOrElse(f.toPath.toUri.getPath,
                   (Long.MaxValue, Long.MaxValue))
                 (lo, hi, f.start)
+              }))
+            else {
+              // size-bounded CHUNKS per key: plain grouping merges them
+              // back (same plan as before), but a partially-clustered
+              // join keeps them as separate tasks — a skewed bucket no
+              // longer serializes on one core
+              val chunks = scala.collection.mutable.ArrayBuffer(
+                scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
+              var bytes = 0L
+              fs.foreach { f =>
+                if (bytes + f.length > maxBytes && chunks.last.nonEmpty) {
+                  chunks += scala.collection.mutable.ArrayBuffer.empty[PartitionedFile]
+                  bytes = 0L
+                }
+                chunks.last += f; bytes += f.length
               }
-            new KeyedFilePartition(i, ordered, keyRowOf(pv)): InputPartition
+              chunks.filter(_.nonEmpty).map(c => (pv, c.toArray)).toSeq
+            }
+          }.zipWithIndex.map { case ((pv, fs), i) =>
+            new KeyedFilePartition(i, fs, keyRowOf(pv)): InputPartition
           }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

@@ -368,6 +368,65 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("skewed buckets chunk: partially-clustered SPJ stays exact, keeps splits") {
+    val (cat, root) = freshCatalog()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.files.maxPartitionBytes")
+    val prev = confs.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+      // skew: 50k rows on ONE key (one bucket), a trickle elsewhere;
+      // repartition(8) scatters the hot bucket across 8 files
+      val skewed = s.range(0, 50000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(s.range(0, 300).select((col("id") % 7 + 2).as("k"), col("id").as("v")))
+        .repartition(8)
+      skewed.writeTo(s"$cat.a").append()
+      s.range(0, 9).select(col("id").as("k"), (col("id") * 5).as("w"))
+        .writeTo(s"$cat.b").append()
+      val expected = skewed.join(
+        s.range(0, 9).select(col("id").as("k"), (col("id") * 5).as("w")), "k")
+        .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a tiny split budget forces the hot bucket into many chunks
+      s.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, "partially-clustered skew join drifted")
+        // the hot side planned MORE partitions than it has keys — the
+        // chunks partially-clustered execution parallelizes over
+        def scansOf(p: SparkPlan): Seq[
+            org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          (p match {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+            case _ => Nil
+          }) ++ kids.flatMap(scansOf)
+        }
+        val scans = scansOf(joined.queryExecution.executedPlan)
+        assert(scans.exists(_.inputPartitions.length > 4),
+          s"skewed bucket did not chunk: ${scans.map(_.inputPartitions.length)}")
+      }
+    } finally {
+      confs.foreach(k => prev(k) match {
+        case Some(v) => s.conf.set(k, v)
+        case None    => s.conf.unset(k)
+      })
+      rm(root)
+    }
+  }
+
   test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
     val (cat, root) = freshCatalog()
     try {
