@@ -142,6 +142,84 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("STRING identity partitions: SPJ joins shuffle-free, DPP prunes by path") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (region STRING, v BIGINT) PARTITIONED BY (region)")
+      s.sql(s"CREATE TABLE $cat.b (region STRING, w BIGINT) PARTITIONED BY (region)")
+      // a space and a colon exercise the partition-path escaping round-trip
+      val regions = Seq("emea", "apac", "north america", "x:y")
+      val df = s.range(0, 8000).select(
+        element_at(lit(regions.toArray), (col("id") % 4 + 1).cast("int")).as("region"),
+        col("id").as("v"))
+      df.writeTo(s"$cat.a").append()
+      df.select(col("region"), (col("v") * 2).as("w")).writeTo(s"$cat.b").append()
+      val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val agg = s.table(s"$cat.a").join(s.table(s"$cat.b"), "region")
+          .groupBy("region").agg(count(lit(1)).as("n"))
+        val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(rows.keySet == regions.toSet)
+        assert(rows.values.forall(_ == 2000L * 2000L))
+        val sh = executedAll(agg) {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+        assert(sh.isEmpty, s"string-partitioned SPJ shuffled:\n${agg.queryExecution.executedPlan}")
+      } finally {
+        prevSpj match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+      // DPP: a selective dim join prunes string partitions by exact path
+      val dimPath = Files.createTempDirectory("gscan_sdim")
+      s.createDataFrame(regions.map(Tuple1(_))).toDF("dr")
+        .withColumn("keep", (col("dr") === "x:y").cast("int"))
+        .write.mode("overwrite").parquet(dimPath.toString)
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val dpp = s.table(s"$cat.a")
+        .join(s.read.parquet(dimPath.toString).filter(col("keep") === 1),
+          col("region") === col("dr"))
+        .agg(count(lit(1)).as("n"))
+      assert(dpp.collect().head.getLong(0) == 2000L)
+      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      assert(total > 0 && kept < total,
+        s"string partition runtime prune failed: kept $kept of $total")
+      rm(dimPath)
+    } finally rm(root)
+  }
+
+  test("bloom sidecars answer runtime filters when zones cannot") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      // random distribution: every file's k range covers ~everything, so
+      // only the BLOOM sidecars can skip files for point keys
+      s.range(0, 80000).select(col("id").as("k"), col("id").as("v"))
+        .repartition(8).writeTo(s"$cat.t").append()
+      s.sql(s"CALL $cat.system.build_blooms('t', 'k')")
+      val dimPath = Files.createTempDirectory("gscan_bdim")
+      s.range(0, 80000).select(col("id").as("dk"))
+        .write.mode("overwrite").parquet(dimPath.toString)
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val joined = s.table(s"$cat.t")
+        .join(s.read.parquet(dimPath.toString).filter(col("dk").isin(42L, 77042L)),
+          col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val row = joined.collect().head
+      assert(row.getLong(0) == 2L && row.getLong(1) == 42L + 77042L)
+      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      assert(total == 8, s"expected 8 files, saw $total")
+      assert(kept < total,
+        s"bloom-backed runtime filter pruned nothing: kept $kept of $total")
+      rm(dimPath)
+    } finally rm(root)
+  }
+
   test("pvOfPath parses and unescapes value-pure segments") {
     assert(GraftScan.pvOfPath("data/occ-x/_pv=42/part-0.parquet").contains("42"))
     assert(GraftScan.pvOfPath("data/occ-x/_pv=a%20b/part-0.parquet").contains("a b"))
