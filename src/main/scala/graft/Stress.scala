@@ -2312,6 +2312,62 @@ object Stress {
           s"sorted leg expected 1 exchange / 0 sorts, got $sSh / $sSo")
         assert(uSo > 0, "bucketed-only baseline lost its sorts — comparison void")
 
+      case "spj_skew_12m" =>
+        // the skew story at 12M rows: 10M of 12M rows share ONE key, so
+        // one bucket holds ~10M rows. Plain key-grouped execution runs
+        // that bucket as ONE task (co-location's skew tax); with
+        // partially-clustered distribution the scan's size-bounded
+        // chunks stay separate tasks and the hot bucket parallelizes.
+        // A/B priced, answers asserted equal.
+        val ns = 12L * 1000 * 1000
+        val whK = java.nio.file.Files.createTempDirectory("graft_skew12")
+        spark.conf.set("spark.sql.catalog.k12", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.k12.root", whK.toString)
+        spark.sql("CREATE TABLE k12.hot (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+        spark.sql("CREATE TABLE k12.dim (k BIGINT, w BIGINT) PARTITIONED BY (bucket(8, k))")
+        timed("insert 12M skewed (10M on one key)") {
+          spark.range(ns).select(
+            when(col("id") < 10L * 1000 * 1000, lit(1L))
+              .otherwise(col("id") % 100000).as("k"),
+            col("id").as("v"))
+            .repartition(16).writeTo("k12.hot").append()
+        }
+        spark.range(0, 100000).select(col("id").as("k"), (col("id") * 5).as("w"))
+          .writeTo("k12.dim").append()
+        def skewLeg(partiallyClustered: Boolean): (Long, Double) = {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // a 4 MB split budget emulates the shape that matters: at
+          // 100 TB a hot bucket is many chunks of the default 128 MB —
+          // here the whole bucket compresses under one default chunk
+          // and there would be nothing to parallelize. Same budget in
+          // BOTH legs (the grouped leg merges chunks regardless).
+          spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+          spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            partiallyClustered.toString)
+          spark.conf.set(
+            "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+            partiallyClustered.toString)
+          val t0 = System.nanoTime()
+          val chk = spark.table("k12.hot").join(spark.table("k12.dim"), "k")
+            .agg(sum(col("v") + col("w")).as("chk")).head.getLong(0)
+          (chk, (System.nanoTime() - t0) / 1e9)
+        }
+        skewLeg(partiallyClustered = true) // warm
+        val (cOn, tOn2) = skewLeg(partiallyClustered = true)
+        val (cOff, tOff2) = skewLeg(partiallyClustered = false)
+        Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "spark.sql.files.maxPartitionBytes")
+          .foreach(spark.conf.unset)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        println(f"[stress] spj_skew_12m: hot-bucket join $tOn2%.2f s partially-clustered " +
+          f"vs $tOff2%.2f s grouped-one-task (answers equal: ${cOn == cOff})")
+        assert(cOn == cOff, "partially-clustered skew join changed the answer")
+        assert(tOn2 < tOff2,
+          f"partially-clustered brought no skew relief: $tOn2%.2f vs $tOff2%.2f")
+
       case other => sys.error(s"unknown stress scenario: $other")
     }
     spark.stop()
