@@ -427,6 +427,35 @@ class GraftBucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT OVERWRITE on a bucketed table keeps layout and history") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 1000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.t").append()
+      s.sql(s"INSERT OVERWRITE $cat.t SELECT id, id * 9 FROM range(0, 500)")
+      val store = root.resolve("t")
+      assert(Snapshots.currentId(store).contains(2))
+      val cur = Snapshots.manifest(store, 2)
+      assert(cur.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "overwrite lost the bucket layout")
+      assert(s.table(s"$cat.t").count() == 500L)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head.getLong(0) == 1000L,
+        "overwrite must keep history readable")
+      // the overwritten table still plays the full SPJ game
+      s.sql(s"CREATE TABLE $cat.u (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 500).select(col("id").as("k"), col("id").as("w")).writeTo(s"$cat.u").append()
+      withSpj {
+        val joined = s.table(s"$cat.t").join(s.table(s"$cat.u"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        assert(joined.collect().length == 500)
+        assert(countShuffles(joined.queryExecution.executedPlan) == 0)
+        assert(countSorts(joined.queryExecution.executedPlan) == 0)
+      }
+    } finally rm(root)
+  }
+
   test("copy-on-write UPDATE de-buckets: SPJ declines, answers stay exact") {
     val (cat, root) = freshCatalog()
     try {
