@@ -220,6 +220,41 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("null partition values: key-grouped output declines, reads stay exact") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (p STRING, v BIGINT) PARTITIONED BY (p)")
+      s.sql(s"CREATE TABLE $cat.b (p STRING, w BIGINT) PARTITIONED BY (p)")
+      val withNulls = s.range(0, 3000).select(
+        when(col("id") % 3 === 0, lit(null)).otherwise(
+          concat(lit("g"), col("id") % 3)).as("p"),
+        col("id").as("v"))
+      withNulls.writeTo(s"$cat.a").append()
+      withNulls.select(col("p"), (col("v") * 2).as("w")).writeTo(s"$cat.b").append()
+      val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        // a __HIVE_DEFAULT_PARTITION__ dir cannot render its key row —
+        // the scan must DECLINE the grouping claim (a null-keyed group
+        // under join alignment would be a correctness trap), and answers
+        // must stay exact through the ordinary shuffle join
+        assert(s.table(s"$cat.a").count() == 3000L)
+        assert(s.table(s"$cat.a").filter(col("p").isNull).count() == 1000L)
+        val got = s.table(s"$cat.a").join(s.table(s"$cat.b"), "p")
+          .groupBy("p").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // inner join on p drops the null-partition rows (SQL semantics);
+        // each surviving group self-crosses 1000 x 1000
+        assert(got == Map("g1" -> 1000000L, "g2" -> 1000000L), s"got $got")
+      } finally {
+        prevSpj match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+      }
+    } finally rm(root)
+  }
+
   test("pvOfPath parses and unescapes value-pure segments") {
     assert(GraftScan.pvOfPath("data/occ-x/_pv=42/part-0.parquet").contains("42"))
     assert(GraftScan.pvOfPath("data/occ-x/_pv=a%20b/part-0.parquet").contains("a b"))
