@@ -92,7 +92,9 @@ object Bench {
     // r14c: the bucket-transform SPJ — the co-located join on a
     // HIGH-cardinality key (orders x lineitem by orderkey, 16 buckets)
     // — and its sorted completion (zero exchanges AND zero sorts)
-    "catalog_bucket", "catalog_sorted")
+    "catalog_bucket", "catalog_sorted",
+    // r14c: footer-only COUNT/MIN/MAX through delegated agg pushdown
+    "catalog_agg_push")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

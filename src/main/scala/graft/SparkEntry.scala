@@ -104,6 +104,7 @@ object SparkEntry {
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
+    "catalog_agg_push"    -> w(graft.sources.GraftCatalogQueries.catalogAggPush),
     "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
@@ -574,6 +575,7 @@ object SparkEntry {
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,
+    "catalog_agg_push" -> graft.sources.GraftCatalogQueries.catalogAggPushOracleSql,
     "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,

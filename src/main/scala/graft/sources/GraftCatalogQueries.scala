@@ -1481,6 +1481,64 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_agg_push`: FOOTER-ONLY aggregates — with Spark's
+    * `spark.sql.parquet.aggregatePushdown` on, `COUNT(*)/MIN/MAX` over a
+    * catalog table are answered from parquet FOOTER STATISTICS through
+    * the scan builder's delegated `SupportsPushDownAggregates`
+    * negotiation: no data page is decoded, the scan's I/O is one footer
+    * read per file. At 100 TB that is the difference between a metadata
+    * round and a full-table scan for the "how big is this table"
+    * class of query. Required in-query: the executed scan really
+    * carries the pushed aggregation (plan-string proof), and a second
+    * leg with the conf OFF hash-matches — pushdown changes I/O, never
+    * answers.
+    */
+  def catalogAggPush(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val confKey = "spark.sql.parquet.aggregatePushdown"
+    val prev = s.conf.getOption(confKey)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (k BIGINT, cents BIGINT)")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(8).writeTo(s"$cat.orders").append()
+      def agg(): (Seq[Row], DataFrame) = {
+        val df = s.sql(s"SELECT count(*) AS n, min(k) AS min_k, max(k) AS max_k, " +
+          s"min(cents) AS min_cents, max(cents) AS max_cents FROM $cat.orders")
+        (df.collect().toSeq, df)
+      }
+      s.conf.set(confKey, "true")
+      val (pushed, pushedDf) = agg()
+      val plan = pushedDf.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)") ||
+          plan.contains("PushedAggregation: [MIN"),
+        s"aggregate did not reach the parquet footers:\n$plan")
+      s.conf.set(confKey, "false")
+      val (scanned, _) = agg()
+      require(pushed == scanned,
+        s"footer aggregates diverged from the scan: $pushed vs $scanned")
+      val schema = StructType(Seq(StructField("n", LongType),
+        StructField("min_k", LongType), StructField("max_k", LongType),
+        StructField("min_cents", LongType), StructField("max_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(pushed, 1), schema)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+      rm(root)
+    }
+  }
+
+  /** The same aggregate restated flat. */
+  val catalogAggPushOracleSql: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(min(o_orderkey) AS BIGINT) AS min_k,
+      CAST(max(o_orderkey) AS BIGINT) AS max_k,
+      CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders"""
+
   /** Query `catalog_sorted`: the FULLY co-located merge join — bucketed
     * AND sorted tables (`'sortcol'`) join with ZERO exchanges and ZERO
     * sorts. The sorted bucketed writer clusters each bucket and sorts
