@@ -93,8 +93,9 @@ object Bench {
     // HIGH-cardinality key (orders x lineitem by orderkey, 16 buckets)
     // — and its sorted completion (zero exchanges AND zero sorts)
     "catalog_bucket", "catalog_sorted",
-    // r14c: footer-only COUNT/MIN/MAX through delegated agg pushdown
-    "catalog_agg_push")
+    // r14c: footer-only COUNT/MIN/MAX through delegated agg pushdown,
+    // and merge-on-read DML composed with the bucket layout
+    "catalog_agg_push", "catalog_mor_bucket")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

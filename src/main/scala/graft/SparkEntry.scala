@@ -105,6 +105,7 @@ object SparkEntry {
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
     "catalog_agg_push"    -> w(graft.sources.GraftCatalogQueries.catalogAggPush),
+    "catalog_mor_bucket"  -> w(graft.sources.GraftCatalogQueries.catalogMorBucket),
     "catalog_adopt"       -> w(graft.sources.GraftCatalogQueries.catalogAdopt),
     "catalog_sync"        -> w(graft.sources.GraftCatalogQueries.catalogSync),
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
@@ -576,6 +577,7 @@ object SparkEntry {
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,
     "catalog_agg_push" -> graft.sources.GraftCatalogQueries.catalogAggPushOracleSql,
+    "catalog_mor_bucket" -> graft.sources.GraftCatalogQueries.catalogMorBucketOracleSql,
     "catalog_adopt" -> graft.sources.GraftCatalogQueries.catalogAdoptOracleSql,
     "catalog_sync" -> graft.sources.GraftCatalogQueries.catalogSyncOracleSql,
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,

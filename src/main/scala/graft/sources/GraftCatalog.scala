@@ -667,9 +667,12 @@ object GraftCatalog {
         require(GraftBucketFunction.supportedSource(schema(c).dataType),
           s"bucket column '$c' has type ${schema(c).dataType.simpleString}; " +
             "supported bucket sources are integral and string")
-        require(morKey.isEmpty,
-          "bucketed tables do not compose with 'morkey' yet (the delta " +
-            "write does not stage bucket-pure)")
+        // bucket + 'morkey' COMPOSE: the delta write's insert half stages
+        // bucket-pure (stageOccBucketed), tombstone-bearing snapshots
+        // decline the layout claims anyway (merged reads), and the
+        // bucket-aware compact folds tombstones AND restores the claims
+        morKey.foreach(k => require(schema.fieldNames.contains(k),
+          s"morkey '$k' is not a column of the table"))
         Map("bucketcol" -> c, "bucketn" -> n.toString)
       case other => throw new IllegalArgumentException(
         s"graft tables support identity or bucket partitioning; got $other")
@@ -709,9 +712,8 @@ object GraftCatalog {
           "tombstones) do not compose: two tombstone shapes cannot share a store")
     }
     if (props.contains("bucketcol")) {
-      require(!props.contains("morkey") && !props.contains("mordelete"),
-        "bucketed tables do not compose with merge-on-read DML yet " +
-          "(deltas do not stage bucket-pure)")
+      require(!props.contains("mordelete"),
+        "bucketed tables do not compose with position deletes yet")
       require(!props.contains("partitioncol"),
         "a table is bucketed or identity-partitioned, never both")
       require(props.get("bucketn").exists(_.toIntOption.exists(_ > 0)),
@@ -1170,7 +1172,7 @@ final class GraftTable(
     morKey match {
       case Some(_) =>
         () => new GraftDeltaOperation(spark, store, schema, statsCol,
-          morKeyLogical.get, info.command(), partCol, colMap)
+          morKeyLogical.get, info.command(), partCol, colMap, bucketSpec)
       case None =>
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /

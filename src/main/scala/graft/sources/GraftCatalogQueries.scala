@@ -1481,6 +1481,82 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_mor_bucket`: merge-on-read DML on a BUCKETED table —
+    * the composition a high-churn co-located fact lives in. The UPDATE
+    * lands as tombstone + bucket-pure replacement rows (zero base files
+    * rewritten, proven in-query; the delta cannot poison the `_pv=`
+    * layout), reads of the tombstone-bearing snapshot are exact through
+    * the merged view, and `CALL system.compact` folds the tombstones
+    * back into the sorted bucket layout — O(changed rows) per statement,
+    * one maintenance pass to return to the zero-exchange join. States
+    * v1 / current / post_compact all oracle-restated (compaction must
+    * change bytes, never answers).
+    */
+  def catalogMorBucket(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (k BIGINT NOT NULL, o_orderstatus STRING, " +
+        "cents BIGINT) PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('morkey'='k', 'sortcol'='k')")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.orders").append()
+      val store = root.resolve("orders")
+      val base = Snapshots.manifest(store, 1)
+      s.sql(s"UPDATE $cat.orders SET cents = cents * 2, o_orderstatus = 'U' " +
+        "WHERE k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b => require(after.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5),
+        s"bucketed MoR UPDATE rewrote base file ${b.relPath}"))
+      val fresh = after.filter(_.seq == 2)
+      val (tombs, datas) = fresh.partition(Snapshots.isDelete)
+      require(tombs.nonEmpty && datas.nonEmpty,
+        s"expected tombstone + replacement rows in the delta, got $fresh")
+      datas.foreach(e => require(GraftScan.pvOfPath(e.relPath).isDefined,
+        s"delta file ${e.relPath} poisons the bucket layout"))
+      def stateRows(tag: String): Seq[Row] =
+        s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc FROM " +
+          (if (tag == "v1") s"$cat.orders VERSION AS OF 1" else s"$cat.orders") +
+          " GROUP BY 1").collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val v1 = stateRows("v1")
+      val current = stateRows("current")
+      s.sql(s"CALL $cat.system.compact('orders', 8)")
+      val folded = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      require(!folded.exists(Snapshots.isDelete), "compact left tombstones behind")
+      require(folded.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "compact lost the bucket layout")
+      val post = stateRows("post_compact")
+      val schema = StructType(Seq(StructField("state", StringType),
+        StructField("o_orderstatus", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(v1 ++ current ++ post, 1), schema)
+        .orderBy("state", "o_orderstatus")
+    } finally rm(root)
+  }
+
+  /** The UPDATE applied (twice — compaction changes bytes, not answers)
+    * plus the raw base, restated flat.
+    */
+  val catalogMorBucketOracleSql: String = """
+    WITH b AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    cur AS (
+      SELECT CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN k BETWEEN 800 AND 1599 AND o_orderstatus = 'O'
+             THEN cents * 2 ELSE cents END AS cents
+      FROM b),
+    states AS (
+      SELECT 'v1' AS state, o_orderstatus, cents FROM b
+      UNION ALL SELECT 'current', o_orderstatus, cents FROM cur
+      UNION ALL SELECT 'post_compact', o_orderstatus, cents FROM cur)
+    SELECT state, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM states GROUP BY state, o_orderstatus
+    ORDER BY state, o_orderstatus"""
+
   /** Query `catalog_agg_push`: FOOTER-ONLY aggregates — with Spark's
     * `spark.sql.parquet.aggregatePushdown` on, `COUNT(*)/MIN/MAX` over a
     * catalog table are answered from parquet FOOTER STATISTICS through

@@ -54,7 +54,8 @@ final class GraftDeltaOperation(
     morKey: String, // LOGICAL name (what the query binds); files carry the physical
     cmd: RowLevelOperation.Command,
     partCol: Option[String] = None,
-    colMap: Map[String, String] = Map.empty) extends RowLevelOperation with SupportsDelta {
+    colMap: Map[String, String] = Map.empty,
+    bucketSpec: Option[(String, Int)] = None) extends RowLevelOperation with SupportsDelta {
 
   require(tableSchema.fieldNames.contains(morKey),
     s"morkey '$morKey' is not a column of the table (schema: " +
@@ -93,7 +94,7 @@ final class GraftDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info,
-          partCol.map(p => (p, tableSchema)), colMap)
+          partCol.map(p => (p, tableSchema)), colMap, bucketSpec)
     }
 
   override def description(): String = s"GraftDeltaOperation($cmd, $store @ $baseId)"
@@ -121,7 +122,8 @@ private[sources] final class GraftDeltaWrite(
     morKey: String, // LOGICAL; tombstones stage under the physical name
     info: LogicalWriteInfo,
     partitioned: Option[(String, StructType)] = None,
-    colMap: Map[String, String] = Map.empty) extends DeltaWrite {
+    colMap: Map[String, String] = Map.empty,
+    bucketSpec: Option[(String, Int)] = None) extends DeltaWrite {
 
   private def physOf(n: String): String = colMap.getOrElse(n, n)
 
@@ -223,7 +225,20 @@ private[sources] final class GraftDeltaWrite(
                   .map(e => statsCol.flatMap(sc => e.multi.find(_._1 == sc))
                     .map { case (_, lo, hi) => e.copy(stats = Some((lo, hi))) }
                     .getOrElse(e))
-              case None => Snapshots.stageOcc(spark, store, rows, statsCol)
+              case None => bucketSpec match {
+                // a bucketed morkey table's replacement rows land
+                // BUCKET-PURE (`_pv=<id>`): the delta never poisons the
+                // layout, so the bucket-aware compact that folds these
+                // tombstones also restores the SPJ/ordering claims. The
+                // delta files stay unsorted — a tombstone-bearing
+                // snapshot declines the claims anyway, and only a
+                // compact (which re-sorts everything) removes the
+                // tombstones, so an unsorted delta file is never visible
+                // under a claiming scan.
+                case Some((bc, nb)) => Snapshots.stageOccBucketed(
+                  spark, store, rows, bc, nb, statsCol.toSeq)
+                case None => Snapshots.stageOcc(spark, store, rows, statsCol)
+              }
             }
             // a delete-only delta stages schema-only empty files: drop them
             if (staged.nonEmpty && spark.read.parquet(

@@ -136,13 +136,13 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
-  test("loud refusals: morkey composition, widen/drop of the bucket column") {
+  test("loud refusals: position deletes, widen/drop of the bucket column") {
     val (cat, root) = freshCatalog()
     try {
-      val mor = scala.util.Try(s.sql(
-        s"CREATE TABLE $cat.m (k BIGINT NOT NULL, v BIGINT) " +
-          "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('morkey'='k')"))
-      assert(mor.isFailure, "bucket + morkey must refuse")
+      val pos = scala.util.Try(s.sql(
+        s"CREATE TABLE $cat.m (k BIGINT, v BIGINT) " +
+          "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('mordelete'='position')"))
+      assert(pos.isFailure, "bucket + position deletes must refuse")
       s.sql(s"CREATE TABLE $cat.t (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
       s.range(0, 10).select(col("id").cast("int").as("k"), col("id").as("v"))
         .writeTo(s"$cat.t").append()
@@ -453,6 +453,51 @@ class GraftBucketedSpec extends AnyFunSuite {
         assert(countShuffles(joined.queryExecution.executedPlan) == 0)
         assert(countSorts(joined.queryExecution.executedPlan) == 0)
       }
+    } finally rm(root)
+  }
+
+  test("morkey composes: MoR UPDATE stays bucket-pure, compact restores the claims") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('morkey'='k', 'sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('morkey'='k', 'sortcol'='k')")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("w")).writeTo(s"$cat.b").append()
+      val store = root.resolve("a")
+      val base = Snapshots.manifest(store, 1)
+      // merge-on-read UPDATE: zero base files rewritten, delta bucket-pure
+      s.sql(s"UPDATE $cat.a SET v = v + 1000000 WHERE k < 500")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b0 => assert(after.exists(e =>
+        e.relPath == b0.relPath && e.md5 == b0.md5),
+        s"MoR UPDATE rewrote base file ${b0.relPath}"))
+      val (tombs, datas) = after.filter(_.seq == 2).partition(Snapshots.isDelete)
+      assert(tombs.nonEmpty && datas.nonEmpty, "expected tombstone + delta rows")
+      datas.foreach(e => assert(GraftScan.pvOfPath(e.relPath).isDefined,
+        s"delta file ${e.relPath} poisons the bucket layout"))
+      def runJoin(): (Map[Long, Long], SparkPlan) = withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        (joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+          joined.queryExecution.executedPlan)
+      }
+      val expected = (0L until 5000L).map(k =>
+        k -> ((if (k < 500) k + 1000000L else k) + k * 2)).toMap
+      // tombstones live: claims DECLINE (merged read), answers exact
+      val (got1, p1) = runJoin()
+      assert(got1 == expected, "merged bucketed join drifted")
+      assert(countShuffles(p1) > 0,
+        "a tombstone-bearing snapshot must not claim key-grouped output")
+      // compact folds the tombstones AND restores SPJ + ordering
+      s.sql(s"CALL $cat.system.compact('a', 4)")
+      val folded = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(!folded.exists(Snapshots.isDelete), "compact left tombstones")
+      val (got2, p2) = runJoin()
+      assert(got2 == expected, "post-compact join drifted")
+      assert(countShuffles(p2) == 0 && countSorts(p2) == 0,
+        s"compact must restore the zero-exchange zero-sort join:\n$p2")
     } finally rm(root)
   }
 
