@@ -712,8 +712,11 @@ object GraftCatalog {
           "tombstones) do not compose: two tombstone shapes cannot share a store")
     }
     if (props.contains("bucketcol")) {
-      require(!props.contains("mordelete"),
-        "bucketed tables do not compose with position deletes yet")
+      // morkey AND mordelete both compose: neither tombstone shape
+      // touches the data layout (equality deltas stage bucket-pure;
+      // position pairs live under deletes/), claims decline while
+      // tombstones live, and the bucket-aware compact folds either kind
+      // back into the claiming layout
       require(!props.contains("partitioncol"),
         "a table is bucketed or identity-partitioned, never both")
       require(props.get("bucketn").exists(_.toIntOption.exists(_ > 0)),

@@ -136,13 +136,9 @@ class GraftBucketedSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
-  test("loud refusals: position deletes, widen/drop of the bucket column") {
+  test("loud refusals: widen/drop of the bucket column") {
     val (cat, root) = freshCatalog()
     try {
-      val pos = scala.util.Try(s.sql(
-        s"CREATE TABLE $cat.m (k BIGINT, v BIGINT) " +
-          "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('mordelete'='position')"))
-      assert(pos.isFailure, "bucket + position deletes must refuse")
       s.sql(s"CREATE TABLE $cat.t (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
       s.range(0, 10).select(col("id").cast("int").as("k"), col("id").as("v"))
         .writeTo(s"$cat.t").append()
@@ -494,6 +490,51 @@ class GraftBucketedSpec extends AnyFunSuite {
       s.sql(s"CALL $cat.system.compact('a', 4)")
       val folded = Snapshots.manifest(store, Snapshots.currentId(store).get)
       assert(!folded.exists(Snapshots.isDelete), "compact left tombstones")
+      val (got2, p2) = runJoin()
+      assert(got2 == expected, "post-compact join drifted")
+      assert(countShuffles(p2) == 0 && countSorts(p2) == 0,
+        s"compact must restore the zero-exchange zero-sort join:\n$p2")
+    } finally rm(root)
+  }
+
+  test("position deletes compose: pairs never touch the layout, compact folds them") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('mordelete'='position', 'sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v")).writeTo(s"$cat.a").append()
+      s.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("w")).writeTo(s"$cat.b").append()
+      val store = root.resolve("a")
+      val base = Snapshots.manifest(store, 1)
+      // a FILTER-TRANSLATABLE predicate routes through deleteWhere's
+      // position-pair path (an untranslatable one takes the group
+      // rewrite, which de-buckets honestly — the CoW spec covers that)
+      s.sql(s"DELETE FROM $cat.a WHERE v >= 1000 AND v < 1500")
+      val after = Snapshots.manifest(store, 2)
+      base.foreach(b0 => assert(after.exists(e =>
+        e.relPath == b0.relPath && e.md5 == b0.md5),
+        s"position DELETE rewrote base file ${b0.relPath}"))
+      assert(after.exists(Snapshots.isDelete), "expected position pair files")
+      def runJoin(): (Map[Long, Long], SparkPlan) = withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("s"))
+        (joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+          joined.queryExecution.executedPlan)
+      }
+      val expected = (0L until 5000L).filterNot(k => k >= 1000 && k < 1500)
+        .map(k => k -> (k + k * 2)).toMap
+      val (got1, p1) = runJoin()
+      assert(got1 == expected, "pair-merged bucketed join drifted")
+      assert(countShuffles(p1) > 0,
+        "a pair-bearing snapshot must not claim key-grouped output")
+      s.sql(s"CALL $cat.system.compact('a', 4)")
+      val folded = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(!folded.exists(Snapshots.isDelete), "compact left position pairs")
+      assert(folded.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "compact lost the bucket layout")
       val (got2, p2) = runJoin()
       assert(got2 == expected, "post-compact join drifted")
       assert(countShuffles(p2) == 0 && countSorts(p2) == 0,
