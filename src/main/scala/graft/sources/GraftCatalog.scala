@@ -484,6 +484,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             GraftCatalog.validateSortCol(Some(set.value()), sch,
               prs.contains("bucketcol"))
           }
+          // the same empty-table guard for every layout-claim property:
+          // existing `_pv=` segments were rendered under the OLD spec —
+          // reinterpreting them (ids mod a different n, a partition value
+          // read as a bucket id, vice versa) makes runtime pruning and
+          // SPJ grouping silently drop/misgroup matching files
+          if (Seq("bucketcol", "bucketn", "partitioncol")
+              .contains(set.property())) {
+            require(Snapshots.currentId(dir).isEmpty,
+              s"cannot declare '${set.property()}' on a table that already " +
+                "has data: existing files' _pv= layout was rendered under " +
+                "the prior spec (recreate, or INSERT OVERWRITE into a " +
+                "fresh table with the desired layout)")
+          }
           (sch, prs + (set.property() -> set.value()))
         case ((sch, prs), rm: TableChange.RemoveProperty) =>
           (sch, prs - rm.property())
@@ -1175,7 +1188,8 @@ final class GraftTable(
     morKey match {
       case Some(_) =>
         () => new GraftDeltaOperation(spark, store, schema, statsCol,
-          morKeyLogical.get, info.command(), partCol, colMap, bucketSpec)
+          morKeyLogical.get, info.command(), partCol, colMap, bucketSpec,
+          sortCol)
       case None =>
         // on a partitioned table the group rewrite re-stages its output
         // VALUE-PURE (SurgicalReplaceWrite's partCol leg), so UPDATE /

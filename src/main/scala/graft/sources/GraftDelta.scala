@@ -55,7 +55,8 @@ final class GraftDeltaOperation(
     cmd: RowLevelOperation.Command,
     partCol: Option[String] = None,
     colMap: Map[String, String] = Map.empty,
-    bucketSpec: Option[(String, Int)] = None) extends RowLevelOperation with SupportsDelta {
+    bucketSpec: Option[(String, Int)] = None,
+    sortCol: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   require(tableSchema.fieldNames.contains(morKey),
     s"morkey '$morKey' is not a column of the table (schema: " +
@@ -87,14 +88,14 @@ final class GraftDeltaOperation(
             options, colMap)
         else
           new GraftMergeScanBuilder(spark, store, b, tableSchema, statsCol,
-            Some(morKey), colMap)
+            Some(morKey), colMap, viaRowLevel = true)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info,
-          partCol.map(p => (p, tableSchema)), colMap, bucketSpec)
+          partCol.map(p => (p, tableSchema)), colMap, bucketSpec, sortCol)
     }
 
   override def description(): String = s"GraftDeltaOperation($cmd, $store @ $baseId)"
@@ -123,7 +124,8 @@ private[sources] final class GraftDeltaWrite(
     info: LogicalWriteInfo,
     partitioned: Option[(String, StructType)] = None,
     colMap: Map[String, String] = Map.empty,
-    bucketSpec: Option[(String, Int)] = None) extends DeltaWrite {
+    bucketSpec: Option[(String, Int)] = None,
+    sortCol: Option[String] = None) extends DeltaWrite {
 
   private def physOf(n: String): String = colMap.getOrElse(n, n)
 
@@ -230,13 +232,16 @@ private[sources] final class GraftDeltaWrite(
                 // BUCKET-PURE (`_pv=<id>`): the delta never poisons the
                 // layout, so the bucket-aware compact that folds these
                 // tombstones also restores the SPJ/ordering claims. The
-                // delta files stay unsorted — a tombstone-bearing
-                // snapshot declines the claims anyway, and only a
-                // compact (which re-sorts everything) removes the
-                // tombstones, so an unsorted delta file is never visible
-                // under a claiming scan.
+                // delta is sorted like every bucketed write when a
+                // 'sortcol' is declared: an INSERT-only MERGE commits
+                // WITHOUT tombstones, so the very next scan is the
+                // claiming one — an unsorted file whose zone range
+                // happens to be bucket-disjoint would prove an ordering
+                // the bytes don't have and corrupt the elided-sort
+                // merge join.
                 case Some((bc, nb)) => Snapshots.stageOccBucketed(
-                  spark, store, rows, bc, nb, statsCol.toSeq)
+                  spark, store, rows, bc, nb,
+                  (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol)
                 case None => Snapshots.stageOcc(spark, store, rows, statsCol)
               }
             }
@@ -396,7 +401,8 @@ private[sources] final class GraftMergeScanBuilder(
     tableSchema: StructType,
     statsCol: Option[String] = None,
     morKey: Option[String] = None, // LOGICAL name
-    colMap: Map[String, String] = Map.empty) extends ScanBuilder
+    colMap: Map[String, String] = Map.empty,
+    viaRowLevel: Boolean = false) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -430,6 +436,17 @@ private[sources] final class GraftMergeScanBuilder(
         override def schema: StructType = readSch
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
           import org.apache.spark.sql.functions.{col, lit}
+          // reaching execution here on a TABLE read (not a row-level DML
+          // source scan) means ExpandMergeScan did not splice the
+          // vectorized merged plan — the session is running without
+          // GraftExtensions and silently pays the row-bridge price
+          // (~2.3x, r13 measurement); make the degradation observable
+          if (!viaRowLevel)
+            org.slf4j.LoggerFactory.getLogger(classOf[GraftMergeScanBuilder])
+              .warn(s"merged MoR read of $store is executing through the " +
+                "V1 row bridge: register graft.GraftExtensions " +
+                "(spark.sql.extensions) to restore the vectorized " +
+                "merged-plan read path")
           // same fast merged plan the splice uses: manifest-backed legs
           // (no listing jobs, zone-map/bloom file pruning), tombstone-
           // range pruning via statsCol, declared schemas. Files and

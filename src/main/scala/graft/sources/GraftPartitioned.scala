@@ -65,6 +65,10 @@ private[sources] final class GraftBucketedWriteBuilder(
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ov: Boolean): Unit = {
+          // an overwrite can be signaled EITHER through truncate() or
+          // the InsertableRelation flag — honor both, like the
+          // unpartitioned builder (`overwrite || ov`)
+          val replacing = overwrite || ov
           var attempts = 0
           while (true) {
             val base = Snapshots.currentId(store)
@@ -75,10 +79,10 @@ private[sources] final class GraftBucketedWriteBuilder(
               (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol)
             // an empty APPEND has nothing to commit (an empty OVERWRITE
             // is a truncate and must still land)
-            if (fresh.isEmpty && !overwrite) return
+            if (fresh.isEmpty && !replacing) return
             try {
               val seed = GraftCatalog.seedMetaFor(store)
-              (if (overwrite) base else None) match {
+              (if (replacing) base else None) match {
                 case Some(b) =>
                   Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
                     seedMeta = seed)
@@ -88,7 +92,7 @@ private[sources] final class GraftBucketedWriteBuilder(
               }
               return
             } catch {
-              case _: Snapshots.CommitConflictException if overwrite =>
+              case _: Snapshots.CommitConflictException if replacing =>
                 attempts += 1
                 Snapshots.discardStaged(store, fresh)
                 if (attempts >= 5) throw new Snapshots.CommitConflictException(

@@ -72,6 +72,14 @@ private[sources] object GraftProcedures {
         val (id, conflicts) =
           (props.get("bucketcol"), props.get("bucketn").flatMap(_.toIntOption)) match {
             case (Some(c), Some(nb)) =>
+              // bucketed compact folds to ONE file per bucket — the
+              // layout, not target_files, dictates the file count; say
+              // so instead of silently ignoring the argument
+              if (in.getInt(1) != nb)
+                org.slf4j.LoggerFactory.getLogger(GraftProcedures.getClass)
+                  .warn(s"compact: table is bucketed (n=$nb); " +
+                    s"target_files=${in.getInt(1)} is ignored — bucketed " +
+                    "compaction folds each bucket to one file")
               val sortC = props.get("sortcol")
               Snapshots.rewriteOcc(s, store) { baseDf =>
                 Snapshots.stageOccBucketed(s, store, baseDf, c, nb,

@@ -315,9 +315,16 @@ final class GraftScan(
       }
       if (partColPhys.contains(phys) && pathComparable) {
         // exact partition-value match from the value-pure layout; a file
-        // with no _pv= segment cannot be judged — kept (conservative)
+        // with no _pv= segment cannot be judged — kept (conservative).
+        // Spark's partitionBy renders BOTH null and the empty string as
+        // __HIVE_DEFAULT_PARTITION__, so that segment is ambiguous: a
+        // runtime IN-set containing "" DOES equi-join-match ""-valued
+        // rows, and pruning the default dir would drop them. Unjudgeable
+        // → kept (null rows in it never match an equi-join, so keeping
+        // is merely unpruned I/O, never a wrong answer).
         val wanted = values.map(pathRender).toSet
-        kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
+        kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(pv =>
+          pv == "__HIVE_DEFAULT_PARTITION__" || wanted.contains(pv)))
       }
       bucketSpec.filter(_._1 == phys).foreach { case (_, n) =>
         // bucket ids of the build side's keys — the same hash the write

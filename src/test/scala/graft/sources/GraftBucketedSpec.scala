@@ -275,6 +275,16 @@ class GraftBucketedSpec extends AnyFunSuite {
       assert(scala.util.Try(s.sql(
         s"ALTER TABLE $cat.t SET TBLPROPERTIES ('sortcol'='k')")).isFailure,
         "declaring sortcol over existing (unsorted) data must refuse")
+      // the same empty-table guard covers every layout-claim property:
+      // existing _pv= segments were rendered under the OLD spec, so a
+      // late bucketn/bucketcol/partitioncol would reinterpret them
+      for (p <- Seq("'bucketn'='8'", "'bucketcol'='v'", "'partitioncol'='v'"))
+        assert(scala.util.Try(s.sql(
+          s"ALTER TABLE $cat.t SET TBLPROPERTIES ($p)")).isFailure,
+          s"SET TBLPROPERTIES ($p) over existing data must refuse")
+      // an EMPTY table may still declare layout properties
+      s.sql(s"CREATE TABLE $cat.e (k BIGINT NOT NULL, v BIGINT)")
+      s.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES ('bucketcol'='k', 'bucketn'='4')")
     } finally rm(root)
   }
 
@@ -563,6 +573,50 @@ class GraftBucketedSpec extends AnyFunSuite {
         assert(row.getLong(1) == expected, "post-UPDATE join drifted")
         assert(countShuffles(joined.queryExecution.executedPlan) > 0,
           "SPJ must decline once files lost their bucket proof")
+      }
+    } finally rm(root)
+  }
+
+  test("insert-only MERGE lands SORTED delta files: the ordering claim stays true") {
+    // Regression: an insert-only MERGE commits NO tombstones, so the
+    // very next scan is the claiming one. If the delta file were staged
+    // unsorted yet zone-mapped on the sort column, disjoint per-bucket
+    // ranges (the classic append-new-keys shape) would "prove" an
+    // ordering the bytes don't have and the elided-sort merge join
+    // would return wrong results.
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('morkey'='k', 'sortcol'='k')")
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('sortcol'='k')")
+      s.range(0, 5000).select(col("id").as("k"), col("id").as("v"))
+        .writeTo(s"$cat.a").append()
+      s.range(0, 10000).select(col("id").as("k"), (col("id") * 2).as("w"))
+        .writeTo(s"$cat.b").append()
+      // new keys 5000..9999 arrive DESCENDING — per-bucket zone ranges
+      // are disjoint from the existing files', so the ordering claim is
+      // live right after the commit (no tombstones to decline it)
+      s.sql(s"MERGE INTO $cat.a t USING " +
+        "(SELECT (9999 - id) AS k, (9999 - id) * 3 AS v FROM range(0, 5000)) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *")
+      val store = root.resolve("a")
+      val m = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(!m.exists(Snapshots.isDelete), "insert-only MERGE staged tombstones")
+      m.filter(_.seq == 2).foreach(e => assert(GraftScan.pvOfPath(e.relPath).isDefined,
+        s"delta file ${e.relPath} poisons the bucket layout"))
+      withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("svw"))
+        val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val plan = joined.queryExecution.executedPlan
+        // the claim SHOULD hold (delta is sorted like every bucketed
+        // write) — and with it held, the join must still be exact
+        assert(countShuffles(plan) == 0 && countSorts(plan) == 0,
+          s"sorted delta should keep the zero-exchange zero-sort join:\n$plan")
+        val expected = (0L until 5000L).map(k => k -> (k + k * 2)).toMap ++
+          (5000L until 10000L).map(k => k -> (k * 3 + k * 2)).toMap
+        assert(got == expected, "elided-sort merge join drifted")
       }
     } finally rm(root)
   }

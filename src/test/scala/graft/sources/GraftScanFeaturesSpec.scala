@@ -262,4 +262,35 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
     assert(GraftScan.unescapePath("x%3Ay") == "x:y")
     assert(GraftScan.unescapePath("plain") == "plain")
   }
+
+  test("empty-string partition values survive runtime pruning") {
+    // Spark's partitionBy renders BOTH null and "" as
+    // __HIVE_DEFAULT_PARTITION__. A runtime IN-set containing "" DOES
+    // equi-join-match ""-valued rows, so pruning the default dir on an
+    // exact-path mismatch silently drops them — the segment is
+    // ambiguous and must be treated as unjudgeable (kept).
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a (p STRING, v BIGINT) PARTITIONED BY (p)")
+      s.createDataFrame(Seq(("", 1L), ("", 2L), ("x", 10L), ("y", 100L)))
+        .toDF("p", "v").writeTo(s"$cat.a").append()
+      val dimPath = Files.createTempDirectory("gscan_edim")
+      s.createDataFrame(Seq(("", 1), ("x", 1), ("y", 0)))
+        .toDF("dp", "keep")
+        .write.mode("overwrite").parquet(dimPath.toString)
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val joined = s.table(s"$cat.a")
+        .join(s.read.parquet(dimPath.toString).filter(col("keep") === 1),
+          col("p") === col("dp"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val row = joined.collect().head
+      assert(row.getLong(0) == 3L && row.getLong(1) == 13L,
+        s"empty-string partition rows were pruned: n=${row.getLong(0)} sv=${row.getLong(1)}")
+      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      // the 'y' dir still prunes; the ambiguous default dir is kept
+      assert(total > 0 && kept < total,
+        s"the unambiguous 'y' dir should still prune: kept $kept of $total")
+      rm(dimPath)
+    } finally rm(root)
+  }
 }
