@@ -333,19 +333,21 @@ object Snapshots {
 
   private def writeTombstone(s: SparkSession, root: Path, keys: DataFrame,
                              id: Int, baseId: Int): Seq[ManifestEntry] = {
-    require(keys.columns.length == 1,
-      s"tombstone = one key column, got ${keys.columns.mkString(",")}")
-    // one delete-key column per TABLE: a second tombstone under a
-    // different column name would schema-merge into a two-column frame
-    // whose null-padded anti-join silently deletes nothing (or the
-    // wrong thing) — reject it at write time instead
+    require(keys.columns.nonEmpty, "tombstone needs at least one key column")
+    // ONE delete-key column SET per TABLE: a second tombstone under a
+    // different column set would schema-merge into a wider frame whose
+    // null-padded anti-join silently deletes nothing (or the wrong
+    // thing) — reject it at write time instead. Composite keys (a
+    // multi-column tombstone, the MySQL composite-PRIMARY-KEY mirror
+    // shape) are one SET; every later tombstone must carry the same.
     manifest(root, baseId).find(isDelete).foreach { prior =>
       require(!isPosDelete(prior),
         s"store $root carries POSITION tombstones; an equality tombstone " +
           "cannot coexist with them — compact first")
-      val priorCol = s.read.parquet(root.resolve(prior.relPath).toString).columns.head
-      require(priorCol == keys.columns.head,
-        s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
+      val priorCols = tombColsOf(s, root.resolve(prior.relPath).toString)
+      require(priorCols.toSet == keys.columns.toSet,
+        s"tombstone key columns '${keys.columns.mkString(",")}' conflict with " +
+          s"existing '${priorCols.mkString(",")}'")
     }
     val delDir = root.resolve("deletes").resolve(f"snap-$id%05d")
     Files.createDirectories(delDir)
@@ -561,24 +563,26 @@ object Snapshots {
     * never alongside position tombstones. Size-bounded like every
     * tombstone write (AQE coalesces the distinct's output).
     */
-  /** Key column of an immutable tombstone file, memoized: a long-lived
+  /** Key columns of an immutable tombstone file, memoized: a long-lived
     * upsert sink checks coexistence EVERY batch, and re-opening the
     * same footer per micro-batch is pure overhead.
     */
-  private val tombColCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tombColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def tombColsOf(s: SparkSession, full: String): Seq[String] =
+    tombColCache.computeIfAbsent(full, f => s.read.parquet(f).columns.toIndexedSeq)
 
   def stageTombstoneOcc(s: SparkSession, root: Path, keys: DataFrame): Seq[ManifestEntry] = {
-    require(keys.columns.length == 1,
-      s"tombstone = one key column, got ${keys.columns.mkString(",")}")
+    require(keys.columns.nonEmpty, "tombstone needs at least one key column")
     currentId(root).map(manifest(root, _)).getOrElse(Nil).find(isDelete).foreach { prior =>
       require(!isPosDelete(prior),
         s"store $root carries POSITION tombstones; an equality tombstone " +
           "cannot coexist with them — compact first")
-      val full = root.resolve(prior.relPath).toString
-      val priorCol = tombColCache.computeIfAbsent(full,
-        f => s.read.parquet(f).columns.head)
-      require(priorCol == keys.columns.head,
-        s"tombstone key column '${keys.columns.head}' conflicts with existing '$priorCol'")
+      val priorCols = tombColsOf(s, root.resolve(prior.relPath).toString)
+      require(priorCols.toSet == keys.columns.toSet,
+        s"tombstone key columns '${keys.columns.mkString(",")}' conflict with " +
+          s"existing '${priorCols.mkString(",")}'")
     }
     val delDir = root.resolve("deletes").resolve(
       "occ-" + java.util.UUID.randomUUID().toString)
@@ -1586,9 +1590,9 @@ object Snapshots {
       case None => s.read.option("mergeSchema", "true")
         .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
     }
-    // tombstones keep their own (single key column) shape regardless of
+    // tombstones keep their own (key columns only) shape regardless of
     // any declared data schema; a caller that knows it (the catalog: the
-    // morkey field) skips this inference job too
+    // morkey field(s)) skips this inference job too
     def readTombs(es: Seq[ManifestEntry]) = knownTombSchema match {
       case Some(sch) => s.read.schema(sch)
         .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
@@ -1669,9 +1673,11 @@ object Snapshots {
               // no distinct(): each tombstone file is written distinct,
               // and a LEFT ANTI join is insensitive to build-side
               // duplicates across files — the distinct only bought an
-              // extra shuffle stage before the broadcast
+              // extra shuffle stage before the broadcast. The join key
+              // is the tombstone's WHOLE column set: composite keys
+              // (multi-column tombstones) anti-join on every column
               val tomb = readTombs(applicableDels)
-              Some(shape(read(hot)).join(tomb, Seq(tomb.columns.head), "left_anti"))
+              Some(shape(read(hot)).join(tomb, tomb.columns.toIndexedSeq, "left_anti"))
             }
             val pure = if (clear.isEmpty) None else Some(shape(read(clear)))
             (joined.toSeq ++ pure.toSeq).reduce(_.unionByName(_))
@@ -1703,13 +1709,23 @@ object Snapshots {
               new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
               s.sessionState.newHadoopConf()))
           try {
+            // the declared column may sit anywhere in the tombstone's
+            // schema: a COMPOSITE key lands a multi-column tombstone,
+            // and range pruning stays sound on any ONE key column — a
+            // data file whose [min,max] for that column misses every
+            // tombstone's range cannot hold ANY deleted (k1,..,kn)
             val sch = f.getFooter.getFileMetaData.getSchema
-            if (sch.getFieldCount != 1 || sch.getFields.get(0).getName != keyCol ||
-                sch.getFields.get(0).asPrimitiveType().getPrimitiveTypeName !=
-                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) None
+            val idx = (0 until sch.getFieldCount).find(i =>
+              sch.getFields.get(i).getName == keyCol)
+            val int64 = idx.exists(i =>
+              sch.getFields.get(i).isPrimitive &&
+              sch.getFields.get(i).asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+            if (!int64) None
             else {
+              val i = idx.get
               val stats = f.getFooter.getBlocks.asScala
-                .map(_.getColumns.get(0).getStatistics)
+                .map(_.getColumns.get(i).getStatistics)
               if (stats.isEmpty || stats.exists(st => st == null || !st.hasNonNullValue)) None
               else Some((
                 stats.map(_.genericGetMin.asInstanceOf[Long]).min,
@@ -2005,7 +2021,7 @@ object Snapshots {
         val hinted =
           if (windowDels.map(_.bytes).sum <= (64L << 20)) broadcast(keys) else keys
         Some(readAt(s, root, from)
-          .join(hinted, Seq(keys.columns.head), "left_semi")
+          .join(hinted, keys.columns.toIndexedSeq, "left_semi")
           .withColumn("_change_type", lit("delete")))
       }
     (inserts, deletes) match {

@@ -464,7 +464,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"cannot drop the bucket column '$fname'")
             require(!prs.get("sortcol").contains(physOf(prs, fname)),
               s"cannot drop the sort column '$fname'")
-            require(!prs.get("morkey").contains(physOf(prs, fname)),
+            require(!prs.get("morkey").exists(
+                _.split(",").map(_.trim).contains(physOf(prs, fname))),
               s"cannot drop the morkey column '$fname'")
             // retire the physical: never readable again, never reusable
             val phys = physOf(prs, fname)
@@ -658,8 +659,9 @@ object GraftCatalog {
         // PARTITIONED BY + 'morkey' compose since r14: the delta write's
         // insert half stages value-pure through stageOccPartitioned, so a
         // row-level delta can no longer poison the partition layout
-        morKey.foreach(k => require(schema.fieldNames.contains(k),
-          s"morkey '$k' is not a column of the table"))
+        morKey.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          .foreach(k => require(schema.fieldNames.contains(k),
+            s"morkey '$k' is not a column of the table"))
         Map("partitioncol" -> c)
       case "bucket" =>
         // PARTITIONED BY (bucket(n, c)): hash co-location for
@@ -684,8 +686,9 @@ object GraftCatalog {
         // bucket-pure (stageOccBucketed), tombstone-bearing snapshots
         // decline the layout claims anyway (merged reads), and the
         // bucket-aware compact folds tombstones AND restores the claims
-        morKey.foreach(k => require(schema.fieldNames.contains(k),
-          s"morkey '$k' is not a column of the table"))
+        morKey.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          .foreach(k => require(schema.fieldNames.contains(k),
+            s"morkey '$k' is not a column of the table"))
         Map("bucketcol" -> c, "bucketn" -> n.toString)
       case other => throw new IllegalArgumentException(
         s"graft tables support identity or bucket partitioning; got $other")
@@ -886,8 +889,10 @@ final class GraftTable(
         // at its boundary — the splice rule then rebinds by name.
         val raw = Snapshots.readAt(spark, store, n, statsCol,
           Some(physicalize(schema)),
-          morKey.map(p => StructType(Seq(
-            schema(morKeyLogical.get).copy(name = p)))))
+          morKeys.map(ks => StructType(
+            ks.zip(morKeysLogical.get).map { case (p, l) =>
+              schema(l).copy(name = p)
+            }.toIndexedSeq)))
         val conformed =
           if (colMap.isEmpty) raw
           else raw.select(schema.fields.toIndexedSeq.map(f =>
@@ -911,9 +916,21 @@ final class GraftTable(
     */
   private def morKey: Option[String] = props.get("morkey")
 
-  /** The morkey's LOGICAL (current, user-facing) name. */
-  private def morKeyLogical: Option[String] =
-    morKey.map(p => colMap.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p))
+  /** The declared MoR key COLUMNS (physical names): the property value
+    * is a comma-separated list, one column for the common case, more
+    * for COMPOSITE keys (the reference mirrors MySQL tables whose
+    * PRIMARY KEYs are routinely multi-column — link tables like
+    * exon_transcript have no single-column key; LoadFiles.pm:120-149
+    * executes exactly that DDL). Tombstones then carry every key
+    * column and the merged read anti-joins on the full set.
+    */
+  private def morKeys: Option[Seq[String]] =
+    morKey.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** The morkey columns' LOGICAL (current, user-facing) names. */
+  private def morKeysLogical: Option[Seq[String]] =
+    morKeys.map(_.map(p =>
+      colMap.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p)))
 
   /** `'mordelete'='position'`: merge-on-read DELETE for KEY-LESS tables
     * — no NOT NULL key to address rows by, so DELETE lands (file, row
@@ -1097,7 +1114,7 @@ final class GraftTable(
           // the documented read price of MoR DML until compaction folds
           // the deltas physically
           new GraftMergeScanBuilder(spark, store, n, schema, statsCol,
-            morKeyLogical, colMap)
+            morKeysLogical.getOrElse(Nil), colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
             statsCol, options, colMap, partCol, bucketSpec, sortCol)
@@ -1188,7 +1205,7 @@ final class GraftTable(
     morKey match {
       case Some(_) =>
         () => new GraftDeltaOperation(spark, store, schema, statsCol,
-          morKeyLogical.get, info.command(), partCol, colMap, bucketSpec,
+          morKeysLogical.get, info.command(), partCol, colMap, bucketSpec,
           sortCol)
       case None =>
         // on a partitioned table the group rewrite re-stages its output

@@ -544,6 +544,152 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, o_orderstatus
     ORDER BY state, o_orderstatus"""
 
+  /** Query `catalog_mor_multi`: COMPOSITE-key merge-on-read DML — the
+    * r14 verdict's top gap. The reference mirrors MySQL tables whose
+    * PRIMARY KEYs are routinely multi-column (the `<db>.sql.gz` DDL the
+    * loader executes, LoadFiles.pm:120-149 — link tables like
+    * exon_transcript have no single-column key); `morkey` is therefore
+    * a column LIST: `'morkey'='l_orderkey,l_linenumber'` (TPC-H
+    * lineitem's own composite PK). UPDATE, MERGE INTO and DELETE each
+    * land ONE equality-delete tombstone carrying BOTH key columns plus
+    * (for the first two) replacement rows, zero base files rewritten;
+    * the merged read anti-joins on the FULL column set — a single-
+    * column join would erase every line of a touched order instead of
+    * the one line addressed. Composes with PARTITIONED BY (the deltas
+    * stage value-pure) and with RENAME COLUMN of a key column
+    * (tombstones carry physical names; rename is pure metadata).
+    * Required in-query: three delta commits, every base entry carried
+    * byte-identical through all three (relPath+MD5+seq), each commit's
+    * tombstone files carry exactly the two physical key columns, and
+    * the row count moves only by MERGE's inserts and DELETE's hits.
+    * Output: current and pre-DML states with a key-sensitive checksum
+    * (sum of l_orderkey * line_no) that a wrong-arity anti-join cannot
+    * reproduce; the oracle restates both states from the source table.
+    */
+  def catalogMorMulti(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_li"
+    try {
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT NOT NULL, " +
+        "l_linenumber BIGINT NOT NULL, qty BIGINT, l_returnflag STRING, " +
+        "p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('morkey'='l_orderkey,l_linenumber', 'statscol'='l_orderkey')")
+      // the synthetic lineitem repeats (l_orderkey, l_linenumber) pairs;
+      // aggregate to a frame where the composite key is genuinely unique
+      // — the shape a mirrored link table actually has
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          min(col("l_returnflag")).as("l_returnflag"))
+        .withColumn("p", col("l_orderkey") % 4)
+        .select("l_orderkey", "l_linenumber", "qty", "l_returnflag", "p")
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.li SELECT * FROM $view")
+      val store = root.resolve("li")
+      val base = Snapshots.manifest(store, 1)
+      val baseCount = s.sql(s"SELECT count(*) FROM $cat.li").head.getLong(0)
+      // rename ONE key column: pure metadata — tombstones keep physical
+      s.sql(s"ALTER TABLE $cat.li RENAME COLUMN l_linenumber TO line_no")
+      s.sql(s"UPDATE $cat.li SET qty = qty + 100 " +
+        "WHERE l_orderkey % 10 = 3 AND line_no >= 4")
+      require(s.sql(s"SELECT count(*) FROM $cat.li").head.getLong(0) == baseCount,
+        "composite-key MoR UPDATE changed the row count")
+      val mergeIns = s.sql(
+        s"SELECT count(*) FROM $view WHERE l_orderkey % 100 = 1 AND l_linenumber = 1")
+        .head.getLong(0)
+      s.sql(s"""MERGE INTO $cat.li t USING (
+          SELECT l_orderkey, l_linenumber AS line_no, qty * 3 AS qty,
+                 'M' AS l_returnflag, p
+          FROM $view WHERE l_orderkey % 10 = 7 AND l_linenumber <= 2
+          UNION ALL
+          SELECT l_orderkey, l_linenumber + 100, CAST(999 AS BIGINT), 'N', p
+          FROM $view WHERE l_orderkey % 100 = 1 AND l_linenumber = 1
+        ) src ON t.l_orderkey = src.l_orderkey AND t.line_no = src.line_no
+        WHEN MATCHED THEN UPDATE SET qty = src.qty, l_returnflag = src.l_returnflag
+        WHEN NOT MATCHED THEN INSERT *""")
+      require(s.sql(s"SELECT count(*) FROM $cat.li").head.getLong(0)
+        == baseCount + mergeIns,
+        "composite-key MERGE did not insert exactly the not-matched rows")
+      val delHits = s.sql(
+        s"SELECT count(*) FROM $view WHERE l_orderkey % 10 = 9 AND l_linenumber = 1")
+        .head.getLong(0)
+      s.sql(s"DELETE FROM $cat.li WHERE l_orderkey % 10 = 9 AND line_no = 1")
+      require(s.sql(s"SELECT count(*) FROM $cat.li").head.getLong(0)
+        == baseCount + mergeIns - delHits,
+        "composite-key DELETE did not remove exactly the matching rows")
+      // ids: 1 = insert, 2 = the rename's schema-stamping empty commit,
+      // 3..5 = UPDATE / MERGE / DELETE
+      require(Snapshots.currentId(store).contains(5),
+        s"expected snapshots 3..5 from the three DML statements, got " +
+          Snapshots.currentId(store))
+      val finalMan = Snapshots.manifest(store, 5)
+      base.foreach(b => require(finalMan.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"composite-key MoR DML rewrote base file ${b.relPath} — " +
+          "the whole point is O(changed rows)"))
+      // every tombstone file carries BOTH physical key columns — the
+      // composite equality-delete shape, addressed by the ORIGINAL
+      // (physical) name of the renamed column
+      Seq(3, 4, 5).foreach { snap =>
+        val tombs = finalMan.filter(e => Snapshots.isDelete(e) && e.seq == snap)
+        require(tombs.nonEmpty, s"DML commit $snap staged no tombstone")
+        tombs.foreach { t =>
+          val cols = s.read.parquet(store.resolve(t.relPath).toString).columns.toSet
+          require(cols == Set("l_orderkey", "l_linenumber"),
+            s"tombstone ${t.relPath} carries $cols, expected the composite key")
+        }
+      }
+      val out = Seq(
+        ("current", s"SELECT * FROM $cat.li"),
+        // time travel resolves the HISTORICAL schema (the rename's
+        // stamping commit preserves it), so v1 binds l_linenumber
+        ("v1", s"SELECT l_orderkey, l_linenumber AS line_no, qty, l_returnflag, p " +
+          s"FROM $cat.li VERSION AS OF 1")
+      ).flatMap { case (tag, sql) =>
+        s.sql(s"SELECT l_returnflag, count(*) AS n, sum(qty) AS sq, " +
+          s"sum(l_orderkey * line_no) AS kc FROM ($sql) GROUP BY 1")
+          .collect()
+          .map(r => Row(tag, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val schema = StructType(Seq(
+        StructField("state", StringType), StructField("l_returnflag", StringType),
+        StructField("n", LongType), StructField("sum_qty", LongType),
+        StructField("key_chk", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("state", "l_returnflag")
+    } finally rm(root)
+  }
+
+  /** UPDATE → MERGE → DELETE restated over lineitem; the key checksum
+    * (sum of l_orderkey * line_no) pins per-LINE addressing — an
+    * anti-join on l_orderkey alone would delete whole orders and miss
+    * this sum.
+    */
+  val catalogMorMultiOracleSql: String = """
+    WITH base AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        SUM(CAST(l_quantity AS BIGINT)) AS qty, MIN(l_returnflag) AS l_returnflag
+      FROM lineitem GROUP BY 1, 2),
+    upd AS (SELECT l_orderkey, line_no,
+        CASE WHEN l_orderkey % 10 = 3 AND line_no >= 4 THEN qty + 100 ELSE qty END AS qty,
+        l_returnflag FROM base),
+    merged AS (
+      SELECT l_orderkey, line_no,
+        CASE WHEN l_orderkey % 10 = 7 AND line_no <= 2 THEN qty * 3 ELSE qty END AS qty,
+        CASE WHEN l_orderkey % 10 = 7 AND line_no <= 2 THEN 'M' ELSE l_returnflag END AS l_returnflag
+      FROM upd
+      UNION ALL
+      SELECT l_orderkey, line_no + 100, CAST(999 AS BIGINT), 'N'
+      FROM base WHERE l_orderkey % 100 = 1 AND line_no = 1),
+    fin AS (SELECT * FROM merged WHERE NOT (l_orderkey % 10 = 9 AND line_no = 1)),
+    states AS (
+      SELECT 'current' AS state, l_returnflag, qty, l_orderkey * line_no AS kc FROM fin
+      UNION ALL
+      SELECT 'v1', l_returnflag, qty, l_orderkey * line_no FROM base)
+    SELECT state, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(qty) AS BIGINT) AS sum_qty, CAST(sum(kc) AS BIGINT) AS key_chk
+    FROM states GROUP BY state, l_returnflag
+    ORDER BY state, l_returnflag"""
+
   /** Query `catalog_sync`: the weekly mirror-sync statement — ONE
     * `MERGE INTO` with `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
     * the target exactly equal to the source relation (updates applied,

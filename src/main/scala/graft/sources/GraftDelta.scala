@@ -51,26 +51,35 @@ final class GraftDeltaOperation(
     store: JPath,
     tableSchema: StructType,
     statsCol: Option[String],
-    morKey: String, // LOGICAL name (what the query binds); files carry the physical
+    // LOGICAL names (what the query binds); files carry the physical.
+    // More than one column = a COMPOSITE key (the MySQL composite-
+    // PRIMARY-KEY mirror shape: link tables like exon_transcript carry
+    // no single-column key) — tombstones then hold ALL key columns and
+    // the merged read anti-joins on the full set.
+    morKeys: Seq[String],
     cmd: RowLevelOperation.Command,
     partCol: Option[String] = None,
     colMap: Map[String, String] = Map.empty,
     bucketSpec: Option[(String, Int)] = None,
     sortCol: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
-  require(tableSchema.fieldNames.contains(morKey),
-    s"morkey '$morKey' is not a column of the table (schema: " +
-      tableSchema.fieldNames.mkString(", ") + ")")
-  require(!tableSchema(morKey).nullable,
-    s"morkey '$morKey' must be declared NOT NULL — an equality delete on a " +
-      "nullable key cannot address its rows (Spark refuses nullable row ids)")
+  require(morKeys.nonEmpty, "morkey must name at least one column")
+  morKeys.foreach { k =>
+    require(tableSchema.fieldNames.contains(k),
+      s"morkey '$k' is not a column of the table (schema: " +
+        tableSchema.fieldNames.mkString(", ") + ")")
+    require(!tableSchema(k).nullable,
+      s"morkey '$k' must be declared NOT NULL — an equality delete on a " +
+        "nullable key cannot address its rows (Spark refuses nullable row ids)")
+  }
 
 
   private val baseId: Option[Int] = Snapshots.currentId(store)
 
   override def command: RowLevelOperation.Command = cmd
 
-  override def rowId(): Array[NamedReference] = Array(Expressions.column(morKey))
+  override def rowId(): Array[NamedReference] =
+    morKeys.map(Expressions.column).toArray
 
   /** The rewrite's source scan: the CURRENT table state. Unlike the
     * group-based path there is no whole-file contract — the delta write
@@ -88,13 +97,13 @@ final class GraftDeltaOperation(
             options, colMap)
         else
           new GraftMergeScanBuilder(spark, store, b, tableSchema, statsCol,
-            Some(morKey), colMap, viaRowLevel = true)
+            morKeys, colMap, viaRowLevel = true)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(spark, store, statsCol, baseId, morKey, info,
+        new GraftDeltaWrite(spark, store, statsCol, baseId, morKeys, info,
           partCol.map(p => (p, tableSchema)), colMap, bucketSpec, sortCol)
     }
 
@@ -120,7 +129,7 @@ private[sources] final class GraftDeltaWrite(
     store: JPath,
     statsCol: Option[String],
     baseId: Option[Int],
-    morKey: String, // LOGICAL; tombstones stage under the physical name
+    morKeys: Seq[String], // LOGICAL; tombstones stage under the physical names
     info: LogicalWriteInfo,
     partitioned: Option[(String, StructType)] = None,
     colMap: Map[String, String] = Map.empty,
@@ -134,27 +143,34 @@ private[sources] final class GraftDeltaWrite(
     if (colMap.isEmpty) df
     else df.toDF(df.columns.map(physOf).toIndexedSeq: _*)
 
+  /** Spark's row-id projection order is authoritative for the key SLOTS
+    * (`__key0..__keyN-1`); it must cover exactly the declared morkey
+    * column set.
+    */
   private val rowIdSchema: StructType = {
     val s = info.rowIdSchema().orElseGet(() =>
-      StructType(info.schema().fields.filter(_.name == morKey).toIndexedSeq))
-    require(s.length == 1 && s.head.name == morKey,
-      s"delta row id must be the single morkey column '$morKey', got " +
+      StructType(info.schema().fields.filter(f => morKeys.contains(f.name))
+        .toIndexedSeq))
+    require(s.length == morKeys.length && s.fieldNames.toSet == morKeys.toSet,
+      s"delta row id must be the morkey column(s) '${morKeys.mkString(",")}', got " +
         s.fieldNames.mkString(", "))
     s
   }
 
-  /** Scratch schema: operation tag, the (old) key, then the replacement
-    * row's columns (null on pure deletes). `__key` is separate from the
-    * row's own key column because an UPDATE must tombstone the key the
-    * row HAD, which differs from the row's key when the key itself is
-    * updated.
+  /** Scratch schema: operation tag, the (old) key column slots, then the
+    * replacement row's columns (null on pure deletes). The `__key<i>`
+    * slots are separate from the row's own key columns because an UPDATE
+    * must tombstone the key the row HAD, which differs from the row's
+    * key when the key itself is updated. A composite key takes one slot
+    * per column, in rowIdSchema order.
     */
   private val scratchSchema: StructType = StructType(
     org.apache.spark.sql.types.StructField("__op", org.apache.spark.sql.types.IntegerType,
       nullable = false) +:
-    org.apache.spark.sql.types.StructField("__key", rowIdSchema.head.dataType,
-      nullable = true) +:
-    info.schema().fields.map(_.copy(nullable = true)).toIndexedSeq)
+    (rowIdSchema.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.types.StructField(s"__key$i", f.dataType, nullable = true)
+    } ++
+    info.schema().fields.map(_.copy(nullable = true))).toIndexedSeq)
 
   /** Scratch lives under `data/` like OCC staging (same reclaim story
     * for a crashed statement), but is never referenced by any manifest —
@@ -187,7 +203,7 @@ private[sources] final class GraftDeltaWrite(
         physicalInfo: PhysicalWriteInfo): DeltaWriterFactory =
       new GraftDeltaWriterFactory(
         scratchBatch.createBatchWriterFactory(physicalInfo),
-        rowIdSchema.head.dataType, info.schema())
+        rowIdSchema.fields.map(_.dataType), info.schema())
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // no-op tasks never created a file writer and have no delegated
@@ -201,7 +217,9 @@ private[sources] final class GraftDeltaWrite(
         // INSERT=3). UPDATE contributes to both halves from ONE row.
         val deletes: Seq[Snapshots.ManifestEntry] = stageTombstone(
           scratch.filter(col("__op").isin(1, 2))
-            .select(col("__key").as(physOf(morKey))))
+            .select(rowIdSchema.fieldNames.toIndexedSeq.zipWithIndex.map {
+              case (k, i) => col(s"__key$i").as(physOf(k))
+            }: _*))
         val inserts: Seq[Snapshots.ManifestEntry] =
           if (info.schema().isEmpty) Nil // pure DELETE plan: no row columns
           else try {
@@ -327,17 +345,18 @@ private[sources] case object GraftDeltaNoWrite extends WriterCommitMessage
   */
 private[sources] final class GraftDeltaWriterFactory(
     scratchFactory: DataWriterFactory,
-    keyType: org.apache.spark.sql.types.DataType,
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
     rowSchema: StructType) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[
       org.apache.spark.sql.catalyst.InternalRow] =
     new DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
       private var out: DataWriter[org.apache.spark.sql.catalyst.InternalRow] = _
+      private val nKeys = keyTypes.length
       private val nRowCols = rowSchema.length
       private val fieldTypes = rowSchema.fields.map(_.dataType)
       private val buf = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(2 + nRowCols)
+        .GenericInternalRow(1 + nKeys + nRowCols)
 
       private def writer = {
         if (out == null) out = scratchFactory.createWriter(partitionId, taskId)
@@ -350,11 +369,15 @@ private[sources] final class GraftDeltaWriterFactory(
       private def emit(op: Int, id: org.apache.spark.sql.catalyst.InternalRow,
                        row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
         buf.update(0, op)
-        buf.update(1,
-          if (id == null || id.isNullAt(0)) null else id.get(0, keyType))
+        var k = 0
+        while (k < nKeys) {
+          buf.update(1 + k,
+            if (id == null || id.isNullAt(k)) null else id.get(k, keyTypes(k)))
+          k += 1
+        }
         var i = 0
         while (i < nRowCols) {
-          buf.update(2 + i,
+          buf.update(1 + nKeys + i,
             if (row == null || row.isNullAt(i)) null else row.get(i, fieldTypes(i)))
           i += 1
         }
@@ -400,7 +423,7 @@ private[sources] final class GraftMergeScanBuilder(
     snapshotId: Int,
     tableSchema: StructType,
     statsCol: Option[String] = None,
-    morKey: Option[String] = None, // LOGICAL name
+    morKeys: Seq[String] = Nil, // LOGICAL names; empty = no declared key
     colMap: Map[String, String] = Map.empty,
     viaRowLevel: Boolean = false) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -454,10 +477,13 @@ private[sources] final class GraftMergeScanBuilder(
           def phys(n: String): String = colMap.getOrElse(n, n)
           val physSchema = StructType(
             tableSchema.fields.map(f => f.copy(name = phys(f.name))).toIndexedSeq)
+          val tombSchema = {
+            val fs = morKeys.flatMap(k => tableSchema.fields.find(_.name == k))
+              .map(f => f.copy(name = phys(f.name)))
+            if (fs.isEmpty) None else Some(StructType(fs.toIndexedSeq))
+          }
           val raw = Snapshots.readAt(spark, store, snapshotId, statsCol,
-            Some(physSchema),
-            morKey.flatMap(k => tableSchema.fields.find(_.name == k))
-              .map(f => StructType(Seq(f.copy(name = phys(f.name))))))
+            Some(physSchema), tombSchema)
           val have = raw.columns.toSet
           val conformed = raw.select(tableSchema.fields.toIndexedSeq.map { f =>
             val pn = phys(f.name)
