@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_table(catalog, table[, version]) - catalog table at a version " +
           "(cross-table consistent across references at the same version)"),
       graft.sources.SnapshotTvf.buildTable))
+    // readStream.option("changefeed", true).table(...): swap the
+    // streaming relation's table for its feed-shaped twin (schema +
+    // _change_type) before the stream materializes its scan
+    e.injectResolutionRule(s => graft.plans.ExpandChangeFeedRelation(s))
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
     // opt-in optimizer rule: drop dim joins proven redundant by declared

@@ -98,6 +98,7 @@ object SparkEntry {
     "catalog_mor_update"  -> w(graft.sources.GraftCatalogQueries.catalogMorUpdate),
     "catalog_mor_part"    -> w(graft.sources.GraftCatalogQueries.catalogMorPart),
     "catalog_mor_multi"   -> w(graft.sources.GraftCatalogQueries.catalogMorMulti),
+    "stream_catalog_cdf"  -> w(graft.sources.GraftCatalogQueries.streamCatalogCdf),
     "catalog_widen"       -> w(graft.sources.GraftCatalogQueries.catalogWiden),
     "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
@@ -571,6 +572,7 @@ object SparkEntry {
     "catalog_mor_update" -> graft.sources.GraftCatalogQueries.catalogMorUpdateOracleSql,
     "catalog_mor_part" -> graft.sources.GraftCatalogQueries.catalogMorPartOracleSql,
     "catalog_mor_multi" -> graft.sources.GraftCatalogQueries.catalogMorMultiOracleSql,
+    "stream_catalog_cdf" -> graft.sources.GraftCatalogQueries.streamCatalogCdfOracleSql,
     "catalog_widen" -> graft.sources.GraftCatalogQueries.catalogWidenOracleSql,
     "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,

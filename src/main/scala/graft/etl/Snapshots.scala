@@ -1180,6 +1180,25 @@ object Snapshots {
         finally walk.close()
       }
     }
+    // the changefeed cache ([[changeFeedFiles]]) is DERIVED data, never
+    // manifest-referenced: age whole window dirs out by mtime — a
+    // replay that loses its cache recomputes identically from the
+    // (still-retained) manifests
+    val cfRoot = root.resolve("changefeeds")
+    if (Files.exists(cfRoot)) {
+      val l = Files.list(cfRoot)
+      val old = try l.iterator().asScala.toSeq.filter(d =>
+        Files.getLastModifiedTime(d).toMillis < cutoffMillis)
+      finally l.close()
+      old.foreach { d =>
+        val walk = Files.walk(d)
+        val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        all.foreach { p =>
+          if (!Files.isDirectory(p)) { bytes += Files.size(p); n += 1 }
+          Files.deleteIfExists(p)
+        }
+      }
+    }
     (n, bytes)
   }
 
@@ -2031,6 +2050,67 @@ object Snapshots {
       case (None, None)       => readAt(s, root, to).limit(0)
         .withColumn("_change_type", lit(""))
     }
+  }
+
+  /** MATERIALIZED change-feed window — the catalog streaming path's
+    * batch unit. The DSv2 [[org.apache.spark.sql.connector.read
+    * .streaming.MicroBatchStream]] contract plans FILE partitions, but a
+    * change-feed window is a JOIN plan ([[readChangeFeed]]); the bridge
+    * is the open formats' own answer — CHANGE DATA FILES: compute the
+    * window's feed once, write it under `changefeeds/<from>-<to>/`
+    * (shaped to `schemaWithCf`: the table's physical columns +
+    * `_change_type` last), and serve every read of that window as a
+    * plain vectorized parquet scan of the staged files.
+    *
+    * Idempotent and replay-stable: staging goes to a temp dir and
+    * ATOMIC-RENAMES into place (a racing second materializer loses the
+    * rename and reuses the winner's files); a checkpointed restart
+    * re-serves the identical immutable files, and if maintenance GC'd
+    * the cache ([[removeOrphans]] ages it out) the recompute from
+    * immutable manifests reproduces the same rows. Cost is
+    * O(changed rows) per window — the size of the feed itself — paid
+    * once and amortized over replays, against Delta-CDF-style
+    * write-time materialization which pays it on every commit whether
+    * or not anyone streams.
+    */
+  def changeFeedFiles(s: SparkSession, root: Path, from: Int, to: Int,
+                      schemaWithCf: StructType,
+                      skipRewrites: Boolean = false): Seq[Path] = {
+    val dir = root.resolve("changefeeds").resolve(s"$from-$to")
+    if (!Files.exists(dir)) {
+      if (skipRewrites) {
+        // skip the window WHOLE (never partially), like the V1 source:
+        // a rewrite window materializes as an empty feed
+        val before: Set[String] =
+          if (from <= 0) Set.empty
+          else manifest(root, from).filterNot(isDelete).map(_.relPath).toSet
+        val after = manifest(root, to).filterNot(isDelete).map(_.relPath).toSet
+        if (before.diff(after).nonEmpty) {
+          Files.createDirectories(dir)
+          return Nil
+        }
+      }
+      val feed = readChangeFeed(s, root, from, to)
+      val have = feed.columns.toSet
+      val shaped = feed.select(schemaWithCf.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      val tmp = root.resolve("changefeeds").resolve(
+        ".tmp-" + java.util.UUID.randomUUID().toString)
+      Files.createDirectories(tmp.getParent)
+      shaped.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException if Files.exists(dir) =>
+          // lost the race: the winner's files are the batch
+          val walk = Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+      }
+    }
+    listParquetRecursive(dir)
   }
 
   def readCurrent(s: SparkSession, root: Path): DataFrame =

@@ -857,9 +857,32 @@ final class GraftTable(
     props: Map[String, String],
     pin: Option[Int]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
-    with graft.plans.ExpandableMergeTable {
+    with graft.plans.ExpandableMergeTable
+    with graft.plans.ChangeFeedCapableTable {
 
   override def name(): String = fullName.mkString(".")
+
+  /** The feed-shaped streaming twin ([[graft.plans
+    * .ExpandChangeFeedRelation]] swaps it in when `readStream
+    * .option("changefeed", true)` targets this table): schema = table
+    * columns + `_change_type`, micro-batches = materialized change-data
+    * windows served as vectorized parquet scans.
+    */
+  override def changeFeedTable(): Table = {
+    val self = this
+    new Table with SupportsRead {
+      override def name(): String = self.name() + "#changefeed"
+      override lazy val schema: StructType = StructType(
+        self.schema.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false))
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftChangeFeedScanBuilder(spark, store, self.schema,
+          physicalize(self.schema), statsCol, options)
+    }
+  }
 
   /** The merged (tombstone-aware) view as an analyzed logical plan, iff
     * the served snapshot carries equality-delete tombstones on a
@@ -1102,7 +1125,17 @@ final class GraftTable(
     m
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the changefeed option is honored by ExpandChangeFeedRelation
+    // swapping in the feed-shaped twin BEFORE the scan is built;
+    // reaching here with it set means a batch read (unsupported) or a
+    // session without GraftExtensions (whose streamed rows would
+    // misalign with the declared output) — refuse loudly over either
+    require(!Option(options.get("changefeed")).exists(_.toBoolean),
+      "'changefeed' is a STREAMING read option and needs " +
+        "graft.GraftExtensions registered (spark.sql.extensions): use " +
+        "spark.readStream.option(\"changefeed\", true).table(...); batch " +
+        "windows read via Snapshots.readChangeFeed or the snapshot TVF")
     currentIdOpt match {
       case None =>
         new GraftScanBuilder(spark, store, 0, Nil, schema, statsCol, options)
@@ -1119,6 +1152,7 @@ final class GraftTable(
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
             statsCol, options, colMap, partCol, bucketSpec, sortCol)
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pin.isDefined) throw new UnsupportedOperationException(

@@ -690,6 +690,114 @@ object GraftCatalogQueries {
     FROM states GROUP BY state, l_returnflag
     ORDER BY state, l_returnflag"""
 
+  /** Query `stream_catalog_cdf`: the retraction-aware CHANGEFEED mode
+    * of the DSv2 catalog streaming path — `spark.readStream
+    * .option("changefeed", true).table(cat.t)` delivers `_change_type`-
+    * tagged row-level changes from a table MUTATED through nothing but
+    * SQL DML, including tombstone windows the append-only stream
+    * refuses (the r14 verdict's gap: a pure-SQL-catalog user had no
+    * streaming consumer of a mutating table). Each micro-batch is a
+    * materialized change-data window ([[graft.etl.Snapshots
+    * .changeFeedFiles]]) served as a vectorized parquet scan — the
+    * same `readChangeFeed` semantics as the V1 `graft-snapshot`
+    * changefeed source, one definition for both stacks. Four commits
+    * (founding INSERT, MoR UPDATE, MoR DELETE, appending INSERT) drain
+    * as separate micro-batches with a full STOP + checkpointed RESTART
+    * after the UPDATE. Required in-query: delete images retract
+    * exactly the updated+deleted old rows, and the streamed feed
+    * HASH-MATCHES the batch feed (exceptAll both ways against the
+    * union of per-window `readChangeFeed` frames). The oracle gates
+    * the reconstructed final state (inserts exceptAll deletes).
+    */
+  def streamCatalogCdf(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val sinkDir = JFiles.createTempDirectory("graft_sccdf_sink")
+    val view = cat + "_orders"
+    try {
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT NOT NULL, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('morkey'='o_orderkey', 'statscol'='o_orderkey')")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      val k = col("o_orderkey")
+      // commit 1 (founding): keys %4 in (0,1)
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 < 2")
+      def startQ() = s.readStream.option("changefeed", "true")
+        .table(s"$cat.orders")
+        .writeStream.format("parquet")
+        .option("path", sinkDir.resolve("data").toString)
+        .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      val sinkSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("cents", LongType),
+        StructField("_change_type", StringType)))
+      def sinkDf = s.read.schema(sinkSchema).parquet(sinkDir.resolve("data").toString)
+      val q1 = startQ()
+      try {
+        q1.processAllAvailable()
+        require(sinkDf.filter(col("_change_type") === "delete").isEmpty,
+          "founding window must carry no retractions")
+        // commit 2 MID-STREAM: SQL UPDATE (MoR delta — a tombstone
+        // window; the append-only stream would refuse this)
+        s.sql(s"UPDATE $cat.orders SET cents = cents + 7 WHERE o_orderkey % 8 = 1")
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // checkpointed RESTART mid-feed: the resumed query picks up at the
+      // committed snapshot offset — no replayed or dropped window
+      val q2 = startQ()
+      try {
+        q2.processAllAvailable()
+        // commit 3: SQL DELETE (tombstone-only commit)
+        s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 8 = 0")
+        q2.processAllAvailable()
+        // commit 4: appending INSERT
+        s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = 2")
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val feed = sinkDf
+      val orders = s.table(view)
+      val expectedDeletes = orders.filter(k % 8 === 1).count() +
+        orders.filter(k % 8 === 0).count()
+      require(feed.filter(col("_change_type") === "delete").count() == expectedDeletes,
+        "catalog CDF must retract exactly the updated + deleted old images")
+      // HASH-MATCH vs the batch feed: the streamed windows were exactly
+      // (0,1] (1,2] (2,3] (3,4] — their batch readChangeFeed union must
+      // equal the streamed frame row-for-row
+      val store = root.resolve("orders")
+      val batchUnion = (1 to 4).map(n =>
+        Snapshots.readChangeFeed(s, store, n - 1, n)
+          .select("o_orderkey", "o_orderstatus", "cents", "_change_type"))
+        .reduce(_.unionByName(_))
+      require(feed.exceptAll(batchUnion).isEmpty &&
+          batchUnion.exceptAll(feed).isEmpty,
+        "streamed catalog changefeed diverged from the batch feed")
+      // retraction-consumer semantics: tracked state = inserts \ deletes
+      val state = feed.filter(col("_change_type") === "insert").drop("_change_type")
+        .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+      val out = state.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(sinkDir); rm(root) }
+  }
+
+  /** The four commits' net effect, restated over orders. */
+  val streamCatalogCdfOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT)
+          + CASE WHEN o_orderkey % 8 = 1 THEN 7 ELSE 0 END AS cents
+      FROM orders
+      WHERE (o_orderkey % 4 < 2 AND o_orderkey % 8 <> 0) OR o_orderkey % 4 = 2
+    ) GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Query `catalog_sync`: the weekly mirror-sync statement — ONE
     * `MERGE INTO` with `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
     * the target exactly equal to the source relation (updates applied,

@@ -532,7 +532,8 @@ final class SnapshotMicroBatchStream(
     statsCol: Option[String],
     startExclusive: Int,
     skipRewrites: Boolean,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap,
+    changeFeed: Boolean = false) extends MicroBatchStream {
 
   private def parse(o: ConnectorOffset): Int = o match {
     case SnapshotOffset(id) => id
@@ -554,11 +555,29 @@ final class SnapshotMicroBatchStream(
   override def deserializeOffset(json: String): ConnectorOffset =
     SnapshotOffset(json.trim.toInt)
 
+  /** CHANGE-FEED batch (`changeFeed = true`, `schema` then already ends
+    * in `_change_type`): the window's materialized change-data files
+    * ([[Snapshots.changeFeedFiles]] — computed on first touch,
+    * re-served verbatim on replay), planned as a plain vectorized
+    * parquet scan. Tombstone windows (MoR UPDATE/MERGE/DELETE, upserts)
+    * stream as insert/delete pairs instead of refusing — the streaming
+    * consumer of a MUTATING catalog table.
+    */
+  private def changeFeedPartitions(from: Int, to: Int): Array[InputPartition] = {
+    val files = Snapshots.changeFeedFiles(spark, store, from, to, schema,
+      skipRewrites)
+    if (files.isEmpty) return Array.empty
+    val entries = files.map(p => Snapshots.ManifestEntry(
+      store.relativize(p).toString, "", java.nio.file.Files.size(p), None, seq = to))
+    scanOver(entries, to).toBatch.planInputPartitions()
+  }
+
   override def planInputPartitions(start: ConnectorOffset,
                                    end: ConnectorOffset): Array[InputPartition] = {
     val from = parse(start)
     val to = parse(end)
     if (to <= from) return Array.empty
+    if (changeFeed) return changeFeedPartitions(from, to)
     val added = SnapshotDiff.added(store, from, to, skipRewrites)
     if (added.isEmpty) Array.empty
     else scanOver(added, to).toBatch.planInputPartitions()
@@ -574,4 +593,53 @@ final class SnapshotMicroBatchStream(
   override def commit(end: ConnectorOffset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotMicroBatchStream[$store > $startExclusive]"
+}
+
+/** ScanBuilder for `spark.readStream.table(cat.ns.t).option("changefeed",
+  * true)` — the retraction-aware streaming consumer of a MUTATING
+  * catalog table. Read schema is the table's columns plus
+  * `_change_type` (insert/delete), physically delivered from
+  * materialized change-data files ([[Snapshots.changeFeedFiles]]), so
+  * tombstone windows (MoR DML, upserts) stream as row-level
+  * insert/delete pairs instead of refusing the way the append-only
+  * stream does. Streaming only: a BATCH read with the option set is
+  * refused loudly (use `Snapshots.readChangeFeed` / the snapshot TVF
+  * for a batch window). No pushdown — the feed window is O(changed
+  * rows) and filters apply above the scan.
+  */
+private[sources] final class GraftChangeFeedScanBuilder(
+    spark: SparkSession,
+    store: JPath,
+    logicalSchema: StructType,
+    physicalSchema: StructType,
+    statsCol: Option[String],
+    options: CaseInsensitiveStringMap) extends ScanBuilder {
+
+  private val cfField = org.apache.spark.sql.types.StructField(
+    "_change_type", StringType, nullable = false)
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType =
+      StructType(logicalSchema.fields.toIndexedSeq :+ cfField)
+
+    override def description(): String = s"GraftChangeFeedScan($store)"
+
+    override def toBatch: Batch = throw new UnsupportedOperationException(
+      "'changefeed' is a streaming option: use spark.readStream.table(...)" +
+        ".option(\"changefeed\", true); batch windows read via " +
+        "Snapshots.readChangeFeed")
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      val start = Option(options.get("startsnapshot")).map(_.toInt)
+        .orElse(Option(options.get("starttimestamp")).map(ms =>
+          Snapshots.idAsOfMillis(store, ms.toLong).getOrElse(0)))
+        .getOrElse(0)
+      val skipRewrites = Option(options.get("skiprewrites")).exists(_.toBoolean)
+      // the stream reads FILES (physical names + _change_type last);
+      // rows are positionally identical to readSchema()
+      new SnapshotMicroBatchStream(spark, store,
+        StructType(physicalSchema.fields.toIndexedSeq :+ cfField),
+        statsCol, start, skipRewrites, options, changeFeed = true)
+    }
+  }
 }

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Changefeed mode of the DSv2 catalog streaming path:
+  * `readStream.option("changefeed", true).table(...)` — the
+  * ExpandChangeFeedRelation rule swaps in the feed-shaped twin, batches
+  * are materialized change-data windows, tombstone windows stream as
+  * insert/delete pairs, and the cache is recomputable after GC.
+  */
+class StreamCatalogCdfSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private var n = 0
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gcdf$n"
+    val root = Files.createTempDirectory(s"graft_cdfspec$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def drainOnce(cat: String, table: String, sink: Path): Unit = {
+    val q = s.readStream.option("changefeed", "true").table(s"$cat.$table")
+      .writeStream.format("parquet")
+      .option("path", sink.resolve("data").toString)
+      .option("checkpointLocation", sink.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tombstone windows stream as insert/delete pairs (MoR DML)") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_cdfspec_sink")
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      // drain between commits so each DML is its own window — a single
+      // drain over all three would (correctly) deliver only the NET
+      // initial image, windows being snapshot-id ranges
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 100)")
+      drainOnce(cat, "kv", sink)
+      s.sql(s"UPDATE $cat.kv SET v = 'U' WHERE k < 10")
+      drainOnce(cat, "kv", sink)
+      s.sql(s"DELETE FROM $cat.kv WHERE k >= 90")
+      drainOnce(cat, "kv", sink)
+      val feed = s.read.parquet(sink.resolve("data").toString)
+      assert(feed.columns.last == "_change_type")
+      // windows (0,1] (1,2] (2,3]: 100 founding inserts, 10 update
+      // pairs, 10 delete retractions
+      assert(feed.filter(col("_change_type") === "insert").count() == 110)
+      assert(feed.filter(col("_change_type") === "delete").count() == 20)
+      val state = feed.filter(col("_change_type") === "insert").drop("_change_type")
+        .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+      assert(state.count() == 90)
+      assert(state.filter(col("v") === "U").count() == 10)
+    } finally { rm(sink); rm(root) }
+  }
+
+  test("composite-key table: retractions carry full rows, per-line exact") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_cdfspec_sink2")
+    try {
+      s.sql(s"CREATE TABLE $cat.li (o BIGINT NOT NULL, line BIGINT NOT NULL, " +
+        "v STRING) TBLPROPERTIES ('morkey'='o,line')")
+      s.sql(s"INSERT INTO $cat.li SELECT id DIV 5, id % 5, concat('v', id) " +
+        "FROM range(0, 100)")
+      drainOnce(cat, "li", sink)
+      s.sql(s"DELETE FROM $cat.li WHERE o = 3 AND line = 2")
+      drainOnce(cat, "li", sink)
+      val feed = s.read.parquet(sink.resolve("data").toString)
+      val dels = feed.filter(col("_change_type") === "delete")
+      assert(dels.count() == 1)
+      val r = dels.select("o", "line").head
+      assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    } finally { rm(sink); rm(root) }
+  }
+
+  test("batch read with the changefeed option refuses loudly") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.kv VALUES (1, 'x')")
+      val e = intercept[Exception] {
+        s.read.option("changefeed", "true").table(s"$cat.kv").collect()
+      }
+      assert(e.getMessage.contains("STREAMING"))
+    } finally rm(root)
+  }
+
+  test("GC'd cache recomputes identically; removeOrphans ages it out") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_cdfspec_sink3")
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 50)")
+      s.sql(s"UPDATE $cat.kv SET v = 'U' WHERE k = 7")
+      val store = root.resolve("kv")
+      val cfSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val first = Snapshots.changeFeedFiles(s, store, 1, 2, cfSchema)
+      assert(first.nonEmpty)
+      val rows1 = s.read.parquet(first.map(_.toString): _*).collect().toSet
+      // age the WHOLE cache out (cutoff in the future)
+      Snapshots.removeOrphans(store, System.currentTimeMillis() + 60000)
+      assert(!Files.exists(store.resolve("changefeeds").resolve("1-2")))
+      // a replay recomputes the identical window from immutable manifests
+      val again = Snapshots.changeFeedFiles(s, store, 1, 2, cfSchema)
+      val rows2 = s.read.parquet(again.map(_.toString): _*).collect().toSet
+      assert(rows1 == rows2)
+      // and the DATA files survived the sweep (they are referenced)
+      assert(s.sql(s"SELECT count(*) FROM $cat.kv").head.getLong(0) == 50)
+    } finally { rm(sink); rm(root) }
+  }
+}
