@@ -1093,6 +1093,9 @@ object Snapshots {
     // clustered write, paid once at write time instead of per join.
     // `cluster` forces the same one-task-per-bucket shuffle without a
     // sort — compaction's fold-to-one-file-per-bucket shape.
+    // (The CATALOG writer no longer stages through here: its DSv2 write
+    // declares the distribution/ordering and writes clustered files
+    // executor-side — GraftBucketedBatchWrite.)
     val ordered = (sortCol, cluster) match {
       case (Some(sc), _) => keyed.repartition(col("_pv"))
         .sortWithinPartitions(col("_pv"), col(sc))

@@ -1108,8 +1108,19 @@ final class GraftTable(
   override lazy val schema: StructType = evolvedSchema
 
   override def capabilities(): util.Set[TableCapability] = {
-    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
+    if (bucketSpec.isDefined) {
+      // the bucketed writer is a REAL DSv2 BatchWrite — only that path
+      // honors RequiresDistributionAndOrdering (the V1 fallback hands
+      // InsertableRelation the ANALYZED query, losing the prepared
+      // distribution/ordering nodes) — and Spark refuses a non-V1Write
+      // from a table that ALSO declares V1_BATCH_WRITE, so a bucketed
+      // table declares BATCH_WRITE alone
+      caps.add(TableCapability.BATCH_WRITE)
+    } else {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+    }
     if (partCol.isDefined) {
       caps.add(TableCapability.BATCH_WRITE) // dynamic overwrite has no V1 fallback
       caps.add(TableCapability.OVERWRITE_DYNAMIC)
@@ -1167,7 +1178,7 @@ final class GraftTable(
     bucketSpec match {
       case Some((c, nb)) =>
         return new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
-          schema, colMap, sortCol)
+          schema, colMap, sortCol, Some(info))
       case None => ()
     }
     new WriteBuilder with SupportsTruncate {

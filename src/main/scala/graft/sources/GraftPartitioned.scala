@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.StructType
   */
 /** Write paths of a BUCKETED catalog table (`PARTITIONED BY
   * (bucket(n, c))` → `bucketcol`/`bucketn` properties): append and
-  * truncate-overwrite land through [[Snapshots.stageOccBucketed]] —
+  * truncate-overwrite land through [[GraftBucketedBatchWrite]] —
   * `_pv=<bucket id>` dirs, id = pmod(murmur3(c), n), matching the
   * catalog's `bucket` function identity — so every committed file
   * proves its bucket and the scan can report key-grouped output.
@@ -51,60 +51,44 @@ private[sources] final class GraftBucketedWriteBuilder(
     statsCol: Option[String],
     tableSchema: StructType,
     colMap: Map[String, String] = Map.empty,
-    sortCol: Option[String] = None) extends WriteBuilder
+    sortCol: Option[String] = None,
+    info: Option[LogicalWriteInfo] = None) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  private def toPhysical(df: DataFrame): DataFrame =
-    if (colMap.isEmpty) df
-    else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
+  /** The query side binds LOGICAL names; the distribution/ordering
+    * expressions the engine resolves must too.
+    */
+  private def logicalOf(phys: String): String =
+    colMap.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, ov: Boolean): Unit = {
-          // an overwrite can be signaled EITHER through truncate() or
-          // the InsertableRelation flag — honor both, like the
-          // unpartitioned builder (`overwrite || ov`)
-          val replacing = overwrite || ov
-          var attempts = 0
-          while (true) {
-            val base = Snapshots.currentId(store)
-            // the sort column's zone range is the reader's ordering
-            // proof — always recorded alongside the declared statscol
-            val fresh = Snapshots.stageOccBucketed(spark, store,
-              toPhysical(data), bucketCol, bucketN,
-              (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol)
-            // an empty APPEND has nothing to commit (an empty OVERWRITE
-            // is a truncate and must still land)
-            if (fresh.isEmpty && !replacing) return
-            try {
-              val seed = GraftCatalog.seedMetaFor(store)
-              (if (replacing) base else None) match {
-                case Some(b) =>
-                  Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
-                    seedMeta = seed)
-                case None =>
-                  Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
-                    seedMeta = seed)
-              }
-              return
-            } catch {
-              case _: Snapshots.CommitConflictException if replacing =>
-                attempts += 1
-                Snapshots.discardStaged(store, fresh)
-                if (attempts >= 5) throw new Snapshots.CommitConflictException(
-                  s"INSERT OVERWRITE on $store lost the commit race $attempts times")
-              case e: Throwable =>
-                Snapshots.discardStaged(store, fresh)
-                throw e
-            }
-          }
-        }
-      }
-  }
+  /** The DSv2 write-side layout contract
+    * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]):
+    * instead of the staging kernel repartitioning the frame itself, the
+    * WRITE declares `clustered(bucket(n, c))` — resolved through the
+    * catalog's own FunctionCatalog, the same `bucket` identity the
+    * scan's key-grouped output reports — plus the per-partition
+    * ordering `[bucket, sortcol]`, and SPARK plans the write shuffle:
+    * `requiredNumPartitions = 0` leaves the partition count to AQE,
+    * which sizes it from the actual shuffle bytes instead of a fixed
+    * `spark.sql.shuffle.partitions`. This requires a REAL DSv2
+    * [[BatchWrite]]: Spark's V1 write fallback hands InsertableRelation
+    * the ANALYZED query, so the prepared distribution/ordering nodes
+    * never reach a V1 insert (measured: the plan carried no exchange).
+    * [[GraftBucketedBatchWrite]]'s writers then receive rows already
+    * clustered and sorted and write bucket-pure files DIRECTLY, rolling
+    * at bucket-id boundaries — no second shuffle, no restaging job, no
+    * write amplification.
+    */
+  override def build(): Write = new GraftBucketedBatchWrite(
+    spark, store, bucketCol, bucketN,
+    (statsCol.toSeq ++ sortCol.toSeq).distinct, sortCol,
+    tableSchema, colMap, logicalOf(bucketCol), sortCol.map(logicalOf),
+    () => overwrite,
+    info.getOrElse(throw new IllegalStateException(
+      "bucketed catalog write needs its LogicalWriteInfo")))
 }
 
 private[sources] final class GraftPartitionedWriteBuilder(
@@ -277,4 +261,222 @@ private[sources] final class GraftDynamicOverwrite(
       finally GraftCatalog.rmTree(scratchDir)
     }
   }
+}
+
+/** The REAL DSv2 write of a bucketed catalog table. The engine owns the
+  * layout work: [[RequiresDistributionAndOrdering]] declares
+  * `clustered(bucket(n, c))` + ordering `[bucket, sortcol]`, Spark
+  * injects the exchange (AQE-sized: `requiredNumPartitions = 0`) and
+  * the sort into the WRITE's own plan, and each task then receives its
+  * buckets' rows contiguously and in order — the writer just ROLLS to a
+  * new `_pv=<id>` file whenever the bucket id changes. One pipeline, no
+  * restaging job, no second shuffle, no write amplification; the commit
+  * is the same `entriesForStagedDir` → `commitOcc` path as every other
+  * bucketed staging (md5/zone-map integrity identical). A task that
+  * somehow receives rows out of order (the contract violated) REFUSES
+  * rather than landing a file whose sort-column zone range would prove
+  * an ordering the bytes don't have.
+  */
+private[sources] final class GraftBucketedBatchWrite(
+    spark: SparkSession,
+    store: JPath,
+    bucketColPhys: String,
+    bucketN: Int,
+    statsCols: Seq[String], // PHYSICAL
+    sortColPhys: Option[String],
+    tableSchema: StructType, // LOGICAL
+    colMap: Map[String, String],
+    bucketColLogical: String,
+    sortColLogical: Option[String],
+    replacing: () => Boolean,
+    info: LogicalWriteInfo) extends Write
+    with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+
+  private val bucketExpr = Expressions.bucket(bucketN, bucketColLogical)
+
+  override def requiredDistribution(): V2Distribution =
+    Distributions.clustered(Array(bucketExpr))
+
+  override def requiredOrdering(): Array[V2SortOrder] =
+    (Expressions.sort(bucketExpr, SortDirection.ASCENDING) +:
+      sortColLogical.toSeq.map(sc =>
+        Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))).toArray
+
+  override def requiredNumPartitions(): Int = 0 // AQE sizes the shuffle
+
+  override def description(): String = s"GraftBucketedBatchWrite($store)"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val dataDir: JPath = {
+      val d = store.resolve("data").resolve(
+        "occ-" + java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.createDirectories(d)
+      d
+    }
+
+    override def createBatchWriterFactory(
+        pInfo: PhysicalWriteInfo): DataWriterFactory = {
+      val inSchema = info.schema()
+      // files carry PHYSICAL names: positional rename of the input shape
+      val physSchema = StructType(inSchema.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owFactory =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+          .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            job, Map.empty, physSchema)
+      val bIdx = inSchema.fieldNames.indexOf(bucketColLogical)
+      require(bIdx >= 0, s"bucket column '$bucketColLogical' missing from the " +
+        s"write schema ${inSchema.fieldNames.mkString(",")}")
+      val sIdx = sortColLogical.map(inSchema.fieldNames.indexOf(_)).getOrElse(-1)
+      new GraftBucketedWriterFactory(dataDir.toString, physSchema, owFactory,
+        new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+        bIdx, inSchema.fields(bIdx).dataType, bucketN,
+        sIdx, if (sIdx >= 0) Some(inSchema.fields(sIdx).dataType) else None)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, statsCols)
+      val isReplace = replacing()
+      if (fresh.isEmpty && !isReplace) { GraftCatalog.rmTree(dataDir); return }
+      var attempts = 0
+      while (true) {
+        val base = Snapshots.currentId(store)
+        try {
+          val seed = GraftCatalog.seedMetaFor(store)
+          (if (isReplace) base else None) match {
+            case Some(b) =>
+              Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
+                seedMeta = seed)
+            case None =>
+              Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                seedMeta = seed)
+          }
+          return
+        } catch {
+          // a rewrite replaces whatever is current, so the staged set is
+          // base-independent: retry against the advanced base
+          case _: Snapshots.CommitConflictException if isReplace =>
+            attempts += 1
+            if (attempts >= 5) {
+              Snapshots.discardStaged(store, fresh)
+              throw new Snapshots.CommitConflictException(
+                s"INSERT OVERWRITE on $store lost the commit race $attempts times")
+            }
+          case e: Throwable =>
+            Snapshots.discardStaged(store, fresh)
+            throw e
+        }
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftCatalog.rmTree(dataDir)
+  }
+}
+
+/** Commit message of a clustered-write task: file count only — the
+  * driver builds manifest entries from the staged dir itself (same
+  * md5/zone-map kernel as every staging).
+  */
+private[sources] final case class GraftBucketedTaskFiles(n: Int)
+  extends WriterCommitMessage
+
+private[sources] final class GraftBucketedWriterFactory(
+    dataDir: String,
+    physSchema: StructType,
+    owFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    bucketIdx: Int,
+    bucketType: org.apache.spark.sql.types.DataType,
+    bucketN: Int,
+    sortIdx: Int,
+    sortType: Option[org.apache.spark.sql.types.DataType]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long):
+      DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+
+      private val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf.value,
+        new org.apache.hadoop.mapreduce.TaskAttemptID(
+          new org.apache.hadoop.mapreduce.TaskID(
+            new org.apache.hadoop.mapreduce.JobID("graft", 0),
+            org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+          (taskId & Int.MaxValue).toInt))
+
+      // the EXACT write-path bucket identity (pmod(murmur3, n), seed 42)
+      // — GraftBucketBound.produceResult's expression
+      private val hashExpr =
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            bucketIdx, bucketType, nullable = true)))
+
+      // integral sort value accessor (validateSortCol pins integral)
+      private val sortValOf: InternalRow => Long = sortType match {
+        case Some(org.apache.spark.sql.types.LongType)    => _.getLong(sortIdx)
+        case Some(org.apache.spark.sql.types.IntegerType) => _.getInt(sortIdx).toLong
+        case Some(org.apache.spark.sql.types.ShortType)   => _.getShort(sortIdx).toLong
+        case Some(org.apache.spark.sql.types.ByteType)    => _.getByte(sortIdx).toLong
+        case _ => _ => Long.MinValue
+      }
+
+      private var current: org.apache.spark.sql.execution.datasources.OutputWriter = null
+      private var currentBucket = -1
+      private var haveFile = false
+      private var lastSort = Long.MinValue
+      private var fileSeq = 0
+      private var nFiles = 0
+
+      private def roll(bucket: Int): Unit = {
+        if (current != null) current.close()
+        val dir = new java.io.File(dataDir, s"_pv=$bucket")
+        dir.mkdirs()
+        val path = new java.io.File(dir,
+          f"part-$partitionId%05d-$fileSeq%04d-$taskId" +
+            owFactory.getFileExtension(ctx)).toString
+        fileSeq += 1
+        nFiles += 1
+        current = owFactory.newInstance(path, physSchema, ctx)
+        currentBucket = bucket
+        haveFile = true
+        lastSort = Long.MinValue
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val h = hashExpr.eval(row).asInstanceOf[Int]
+        val b = ((h % bucketN) + bucketN) % bucketN
+        if (!haveFile || b != currentBucket) roll(b)
+        if (sortIdx >= 0) {
+          val sv = sortValOf(row)
+          // the declared contract: rows arrive [bucket, sortcol]-sorted.
+          // A violated contract must REFUSE — a file written out of
+          // order would still carry the sort column's zone range, and
+          // the reader would prove an ordering the bytes don't have
+          if (sv < lastSort) throw new IllegalStateException(
+            s"clustered write received unsorted rows ($sv after $lastSort " +
+              s"in bucket $b): the engine did not honor requiredOrdering")
+          lastSort = sv
+        }
+        current.write(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (current != null) { current.close(); current = null }
+        GraftBucketedTaskFiles(nFiles)
+      }
+
+      override def abort(): Unit = {
+        if (current != null) { current.close(); current = null }
+        // files left on disk die with the driver's dataDir rmTree
+      }
+
+      override def close(): Unit =
+        if (current != null) { current.close(); current = null }
+    }
 }

@@ -620,4 +620,79 @@ class GraftBucketedSpec extends AnyFunSuite {
       }
     } finally rm(root)
   }
+
+  test("DSv2 write contract: engine plans the bucket shuffle, AQE sizes it") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('sortcol'='k', 'statscol'='k')")
+      val captured = new java.util.concurrent.CopyOnWriteArrayList[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          captured.add(qe)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      val insertQe = try {
+        s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 20000)")
+        // the listener bus delivers asynchronously
+        var waited = 0
+        def find = captured.asScala.find(
+          _.executedPlan.toString.contains("GraftBucketedBatchWrite"))
+        while (find.isEmpty && waited < 20000) { Thread.sleep(100); waited += 100 }
+        find.getOrElse(fail("INSERT's query execution never reached the listener"))
+      } finally s.listenerManager.unregister(listener)
+      val str = insertQe.executedPlan.toString
+      // the exchange is the ENGINE's, clustering on the catalog's own
+      // bucket function (RequiresDistributionAndOrdering resolved
+      // through the FunctionCatalog), inside the INSERT's one pipeline
+      assert(str.contains("applyfunctionexpression") && str.contains("Exchange"),
+        s"write plan lacks the connector-negotiated bucket exchange:\n$str")
+      assert(str.contains("Sort ["),
+        s"write plan lacks the declared [bucket, sortcol] ordering:\n$str")
+      // AQE chose the write-shuffle partition count: 20k tiny rows
+      // coalesce far below the static spark.sql.shuffle.partitions
+      def reads(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r)
+          case _ => Nil
+        }) ++ kids.flatMap(reads)
+      }
+      val rs = reads(insertQe.executedPlan)
+      assert(rs.nonEmpty, s"no AQE shuffle read in the write plan:\n$str")
+      val chosen = rs.head.partitionSpecs.length
+      assert(chosen < s.sessionState.conf.numShufflePartitions,
+        s"AQE did not size the write shuffle: $chosen partitions")
+      // and the layout claims hold off files written by THIS path:
+      // bucket-pure, per-bucket sorted — the co-located merge join runs
+      // zero exchanges AND zero sorts
+      val store = root.resolve("kv")
+      Snapshots.manifest(store, 1).foreach(e =>
+        assert(GraftScan.pvOfPath(e.relPath).isDefined,
+          s"clustered write landed a layout-less file ${e.relPath}"))
+      s.sql(s"CREATE TABLE $cat.kw (k BIGINT NOT NULL, w BIGINT) " +
+        "PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('sortcol'='k', 'statscol'='k')")
+      s.sql(s"INSERT INTO $cat.kw SELECT id, id * 2 FROM range(0, 20000)")
+      withSpj {
+        val joined = s.table(s"$cat.kv").join(s.table(s"$cat.kw"), "k")
+        val got = joined.count()
+        val plan = joined.queryExecution.executedPlan
+        assert(countShuffles(plan) == 0 && countSorts(plan) == 0,
+          s"claims written by the DSv2 path must hold:\n$plan")
+        assert(got == 20000L)
+      }
+    } finally rm(root)
+  }
 }
