@@ -103,6 +103,7 @@ object SparkEntry {
     "catalog_pos_delete"  -> w(graft.sources.GraftCatalogQueries.catalogPosDelete),
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
     "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
+    "catalog_dpp_date"    -> w(graft.sources.GraftCatalogQueries.catalogDppDate),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
@@ -577,6 +578,7 @@ object SparkEntry {
     "catalog_pos_delete" -> graft.sources.GraftCatalogQueries.catalogPosDeleteOracleSql,
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
     "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
+    "catalog_dpp_date" -> graft.sources.GraftCatalogQueries.catalogDppDateOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,

@@ -1599,6 +1599,109 @@ object GraftCatalogQueries {
     WHERE n.n_regionkey = 0
     GROUP BY n.n_name ORDER BY n.n_name"""
 
+  /** Query `catalog_dpp_date`: DATE partition columns — the single most
+    * common fact layout in the wild (the r14 verdict's gap: the scan
+    * declined dates from `_pv=` runtime pruning and key-grouped
+    * planning). Dates render in partition paths as the timezone-free
+    * ISO local date (`_pv=1995-03-01`) with an unambiguous round-trip
+    * (epoch days ↔ ISO, proleptic Gregorian both ways) — unlike
+    * timestamps, which go through the session timezone and stay
+    * declined. Two proofs, both required in-query:
+    *  1. RUNTIME PRUNING: a dim join whose build side carries March
+    *     months prunes the month-partitioned fact's files before fact
+    *     I/O (kept < total via the same IN-set → `_pv=` matching the
+    *     integral tables use);
+    *  2. STORAGE-PARTITIONED JOIN: the fact joins a second
+    *     date-partitioned table on the date column with ZERO shuffle
+    *     exchanges (broadcast disabled so the proof cannot be faked).
+    * The oracle restates both joins; the date travels as its ISO string
+    * so the hash gate pins the rendering itself.
+    */
+  def catalogDppDate(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (od DATE, cents BIGINT) PARTITIONED BY (od)")
+      s.sql(s"CREATE TABLE $cat.rev (od DATE, rev_cents BIGINT) PARTITIONED BY (od)")
+      Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.fact").append()
+      Tables.lineitem(s, d).select(
+        date_trunc("month", col("l_shipdate")).cast("date").as("od"),
+        round(col("l_extendedprice") * 100).cast("long").as("r"))
+        .groupBy("od").agg(sum("r").as("rev_cents"))
+        .writeTo(s"$cat.rev").append()
+      val total = Snapshots.manifest(root.resolve("fact"), 1).size
+      // ---- proof 1: runtime pruning through the dim join's IN-set ----
+      val dim = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("dd"))
+        .filter(month(col("dd")) === 3).distinct()
+      GraftScan.lastRuntimePrune.set((0, 0))
+      val pruned = s.table(s"$cat.fact")
+        .join(dim, col("od") === col("dd"))
+        .groupBy("od")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      val dppRows = pruned.collect().map(r =>
+        Row("dpp", r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      val (kept, ttl) = GraftScan.lastRuntimePrune.get()
+      require(ttl == total && total > 0,
+        s"runtime filter never reached the date-partitioned fact (saw $ttl of $total)")
+      require(kept < total,
+        s"date runtime filter pruned nothing: kept $kept of $total files")
+      // ---- proof 2: storage-partitioned join on the DATE column ----
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(s"$cat.fact").join(s.table(s"$cat.rev"), "od")
+        .groupBy("od")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+          case _ => 0
+        }) + kids.map(shuffles).sum
+      }
+      val spjRows = joined.collect().map(r =>
+        Row("spj", r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      require(shuffles(joined.queryExecution.executedPlan) == 0,
+        "date-partitioned join was not storage-partitioned (shuffles in plan):\n" +
+          joined.queryExecution.executedPlan)
+      val schema = StructType(Seq(StructField("part", StringType),
+        StructField("od", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize((dppRows ++ spjRows).toSeq, 1), schema)
+        .orderBy("part", "od")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** Both date joins restated flat; the ISO rendering rides the hash. */
+  val catalogDppDateOracleSql: String = """
+    WITH f AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS od,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS od
+        FROM lineitem GROUP BY 1)
+    SELECT 'dpp' AS part, CAST(od AS VARCHAR) AS od,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f WHERE month(od) = 3 GROUP BY 2
+    UNION ALL
+    SELECT 'spj', CAST(f.od AS VARCHAR), CAST(count(*) AS BIGINT),
+      CAST(sum(f.cents) AS BIGINT)
+    FROM f JOIN r ON f.od = r.od GROUP BY 2
+    ORDER BY part, od"""
+
   /** Query `catalog_spj`: the STORAGE-PARTITIONED JOIN — two catalog
     * tables `PARTITIONED BY` the same shard key join with ZERO shuffle.
     * [[GraftScan]] reports `KeyGroupedPartitioning(identity(shard))` and

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.HasPartitionKey
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -279,22 +279,34 @@ final class GraftScan(
         }
     }
 
-  /** Only integral/string partition values round-trip the `_pv=` path
-    * rendering unambiguously; other types decline path pruning (and
-    * key-grouped planning) rather than risk a format mismatch.
+  /** Only integral/string/DATE partition values round-trip the `_pv=`
+    * path rendering unambiguously — dates render as the timezone-free
+    * ISO local date (`_pv=1995-03-01`, Spark's own partition-path form
+    * for DateType, proleptic Gregorian both ways). TIMESTAMPS decline:
+    * their path rendering goes through the session timezone, so the
+    * same instant renders differently across sessions — a format
+    * mismatch would silently prune matching files. Other types decline
+    * path pruning (and key-grouped planning) likewise.
     */
   private val partFieldType: Option[DataType] = partColPhys.flatMap { p =>
     logicalSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == p)
       .map(_.dataType)
   }
   private val pathComparable: Boolean = partFieldType.exists {
-    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         DateType => true
     case _ => false
   }
 
-  private def pathRender(v: Any): String = v match {
-    case u: UTF8String => u.toString
-    case other         => String.valueOf(other)
+  /** Path form of one IN-set value of the partition column. DateType
+    * literals arrive as epoch DAYS (catalyst internal) and must render
+    * to the ISO form the writer's partitionBy put in the path.
+    */
+  private def pathRender(v: Any): String = (partFieldType, v) match {
+    case (_, u: UTF8String) => u.toString
+    case (Some(DateType), days: java.lang.Integer) =>
+      java.time.LocalDate.ofEpochDay(days.longValue()).toString
+    case (_, other) => String.valueOf(other)
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -379,6 +391,8 @@ final class GraftScan(
         case ShortType   => pv.toShort
         case ByteType    => pv.toByte
         case StringType  => UTF8String.fromString(pv)
+        // inverse of the writer's ISO rendering: epoch days (internal)
+        case DateType    => java.time.LocalDate.parse(pv).toEpochDay.toInt
         case other => throw new IllegalStateException(
           s"unsupported key-grouped partition type $other") // unreachable: pathComparable gates
       }
