@@ -104,6 +104,7 @@ object SparkEntry {
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
     "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
     "catalog_dpp_date"    -> w(graft.sources.GraftCatalogQueries.catalogDppDate),
+    "catalog_partitions"  -> w(graft.sources.GraftCatalogQueries.catalogPartitions),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
@@ -579,6 +580,7 @@ object SparkEntry {
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
     "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
     "catalog_dpp_date" -> graft.sources.GraftCatalogQueries.catalogDppDateOracleSql,
+    "catalog_partitions" -> graft.sources.GraftCatalogQueries.catalogPartitionsOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,

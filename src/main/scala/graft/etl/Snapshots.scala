@@ -1471,6 +1471,68 @@ object Snapshots {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Per-file parquet row count from the FOOTER — one O(1) driver read
+    * per file, memoized forever (files are immutable). No Spark job.
+    */
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def footerRows(s: SparkSession, root: Path, relPath: String): Long =
+    footerRowsCache.computeIfAbsent(root.resolve(relPath).toString, { p =>
+      val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+          s.sessionState.newHadoopConf()))
+      try java.lang.Long.valueOf(f.getRecordCount) finally f.close()
+    })
+
+  /** Metadata relation over one snapshot's PARTITIONS — the operator's
+    * per-partition view (`cat.ns.t.partitions`): for each `_pv=` value
+    * (identity value or bucket id; NULL groups the layout-less files a
+    * CoW rewrite/compaction/adoption landed), the file/row/byte counts
+    * and the LIVE claim status: `sorted_disjoint` is the exact
+    * per-group predicate the scan's `SupportsReportOrdering` proof uses
+    * (every file carries the sort column's zone range AND the ranges
+    * are pairwise non-overlapping) — an operator reads this table to
+    * see whether a compact would restore elided-sort joins. Sources:
+    * the manifest (files/bytes/zones) + one memoized O(1) footer read
+    * per file for row counts. Built as a LOCAL relation: collecting it
+    * runs ZERO Spark jobs.
+    */
+  def metaPartitions(s: SparkSession, root: Path, n: Int,
+                     sortCol: Option[String],
+                     statsCol: Option[String]): DataFrame = {
+    val es = (if (n <= 0) Nil else manifest(root, n)).filterNot(isDelete)
+    def zoneOf(e: ManifestEntry, c: String): Option[(Long, Long)] =
+      e.multi.find(_._1 == c).map(t => (t._2, t._3))
+        .orElse(if (statsCol.contains(c)) e.stats else None)
+    val rows: Seq[Row] = es.groupBy(e => partValueOf(e.relPath)).toSeq
+      .sortBy(_._1.getOrElse(""))
+      .map { case (pv, fs) =>
+        val sortedDisjoint: Any = sortCol match {
+          case None => null
+          case Some(sc) =>
+            val zones = fs.map(zoneOf(_, sc))
+            if (zones.exists(_.isEmpty)) null // unprovable ≠ false
+            else {
+              val rs = zones.flatten.sortBy(r => (r._1, r._2))
+              rs.zip(rs.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 }
+            }
+        }
+        Row(pv.orNull, fs.size.toLong,
+          fs.map(e => footerRows(s, root, e.relPath)).sum,
+          fs.map(_.bytes).sum, sortedDisjoint)
+      }
+    val schema = StructType(Seq(
+      StructField("partition", StringType, nullable = true),
+      StructField("n_files", LongType), StructField("n_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("sorted_disjoint", org.apache.spark.sql.types.BooleanType,
+        nullable = true)))
+    // LocalRelation, NOT parallelize: executeCollect stays driver-local
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** Metadata relation over REFS: name, kind (branch|tag), snapshot_id. */
   def metaRefs(s: SparkSession, root: Path): DataFrame = {
     def scan(kind: String): Seq[Row] = {

@@ -368,6 +368,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case None => Snapshots.metaFiles(spark, base, 0).limit(0)
           }
           case "refs" => Snapshots.metaRefs(spark, base)
+          case "partitions" =>
+            // claim inputs come from the table's marker: zone names are
+            // PHYSICAL, exactly what `sortcol`/`statscol` record
+            val (_, prs) = GraftCatalog.effectiveMarker(base, None)
+            Snapshots.metaPartitions(spark, base,
+              Snapshots.currentId(base).getOrElse(0),
+              prs.get("sortcol"), prs.get("statscol"))
           case _ => throw new NoSuchTableException(
             name() +: ident.namespace().toSeq :+ ident.name())
         }
@@ -1563,16 +1570,30 @@ final class GraftMetaTable(tableName: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // prune INSIDE the scan: a residual Project over the LocalScan
+      // would wrap the collect in whole-stage codegen and turn a
+      // driver-local metadata read into a (tiny but real) Spark job
+      private var required: StructType = df.schema
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): org.apache.spark.sql.connector.read.Scan =
         new org.apache.spark.sql.connector.read.LocalScan {
-          // executeCollect returns InternalRows already in the df's
-          // schema; metadata relations are O(#manifests) small
+          // executeCollect returns InternalRows already in the pruned
+          // schema; metadata relations are O(#manifests) small, and a
+          // LocalRelation-backed df collects without any job
+          private val pruned =
+            if (required.fieldNames.sameElements(df.columns)) df
+            else df.select(required.fieldNames.toIndexedSeq.map(
+              org.apache.spark.sql.functions.col): _*)
           private val collected =
-            df.queryExecution.executedPlan.executeCollect()
+            pruned.queryExecution.executedPlan.executeCollect()
           override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
             collected.map(_.copy())
-          override def readSchema(): StructType = df.schema
+          override def readSchema(): StructType = required
           override def description(): String = s"GraftMetaTable($tableName)"
         }
     }

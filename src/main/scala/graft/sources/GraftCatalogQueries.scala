@@ -1265,6 +1265,67 @@ object GraftCatalogQueries {
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `catalog_partitions`: the `partitions` metadata table
+    * (SURVEY §22's named continuation) — `cat.ns.t.partitions` lists
+    * per-`_pv=` file/row/byte counts plus the LIVE `sorted_disjoint`
+    * claim status, derived from the manifest + memoized O(1) footer
+    * reads. Required in-query: collecting it runs ZERO SPARK JOBS (a
+    * LocalRelation behind a DSv2 LocalScan — the operator's
+    * introspection must not cost a cluster job at 100 TB), every
+    * partition lists >= 1 file and > 0 bytes, and the row counts
+    * conserve the table's total. The oracle restates the per-shard row
+    * counts from the source table.
+    */
+  def catalogPartitions(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (shard BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (shard) TBLPROPERTIES ('statscol'='cents')")
+      Tables.orders(s, d).select((col("o_orderkey") % 8).as("shard"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.fact").append()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      val metaRows = try {
+        // no ORDER BY inside the measured statement: a Sort above the
+        // local scan would plan a (driver-trivial but real) job; the
+        // bare collect stays on LocalTableScanExec.executeCollect
+        val r = s.sql(s"SELECT partition, n_files, n_rows, bytes " +
+          s"FROM $cat.fact.partitions").collect().sortBy(_.getString(0))
+        // the listener bus is async — give submitted jobs time to surface
+        Thread.sleep(1500)
+        r
+      } finally s.sparkContext.removeSparkListener(listener)
+      require(jobs.get() == 0,
+        s"reading the partitions metadata table launched ${jobs.get()} Spark " +
+          "job(s) — it must be a driver-local manifest read")
+      require(metaRows.length == 8, s"expected 8 partitions, got ${metaRows.length}")
+      metaRows.foreach { r =>
+        require(r.getLong(1) >= 1 && r.getLong(3) > 0,
+          s"partition ${r.getString(0)} lists no files/bytes")
+      }
+      val total = Tables.orders(s, d).count()
+      require(metaRows.map(_.getLong(2)).sum == total,
+        "partition row counts do not conserve the table total")
+      val schema = StructType(Seq(StructField("partition", StringType),
+        StructField("n_rows", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(
+        metaRows.map(r => Row(r.getString(0), r.getLong(2))).toSeq, 1), schema)
+        .orderBy("partition")
+    } finally rm(root)
+  }
+
+  /** Per-shard row counts restated from orders. */
+  val catalogPartitionsOracleSql: String = """
+    SELECT CAST(o_orderkey % 8 AS VARCHAR) AS partition,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** Query `catalog_meta`: the Iceberg-style metadata suffix from PURE
     * SQL — `t.snapshots` joined to per-snapshot time-travel aggregates of
     * the data itself, plus `t.refs`. History choreography: two INSERTs

@@ -695,4 +695,37 @@ class GraftBucketedSpec extends AnyFunSuite {
       }
     } finally rm(root)
   }
+
+  test("partitions metadata table reports live sorted_disjoint claims") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortcol'='k', 'statscol'='k')")
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 4000)")
+      def meta() = s.sql(
+        s"SELECT partition, n_files, n_rows, sorted_disjoint FROM $cat.kv.partitions")
+        .collect().map(r => (Option(r.getString(0)),
+          r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+      val m1 = meta()
+      assert(m1.length == 4 && m1.forall(_._4.contains(true)),
+        s"sorted write should prove every bucket disjoint: ${m1.mkString(",")}")
+      assert(m1.map(_._3).sum == 4000L)
+      // an OVERLAPPING append flips the claim to FALSE (provably held
+      // zones, provably overlapping) — exactly when the scan declines
+      // the ordering
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('w', id) FROM range(0, 4000)")
+      val m2 = meta()
+      assert(m2.forall(_._4.contains(false)),
+        s"overlapping append should flip sorted_disjoint to false: ${m2.mkString(",")}")
+      // bucket-aware compact RESTORES it — the metadata table is how an
+      // operator sees that a compact is due, and that it worked
+      s.sql(s"CALL $cat.system.compact(tbl => 'kv', target_files => 4)")
+      val m3 = meta()
+      assert(m3.length == 4 && m3.forall(_._4.contains(true)),
+        s"compact should restore the claim: ${m3.mkString(",")}")
+      assert(m3.map(_._3).sum == 8000L)
+    } finally rm(root)
+  }
 }
