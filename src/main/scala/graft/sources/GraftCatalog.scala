@@ -416,7 +416,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // surfaces (partitioning(), rowId()). Dropping the key/partition/
       // stats column itself still refuses.
       def requireRenameable(prs: Map[String, String]): Unit = ()
-      changes.foldLeft((schema0, props0)) {
+      val (schN, prsN) = changes.foldLeft((schema0, props0)) {
         case ((sch, prs), add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "graft tables support top-level ADD COLUMN only")
@@ -492,22 +492,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             GraftCatalog.validateSortCol(Some(set.value()), sch,
               prs.contains("bucketcol"))
           }
-          // the same empty-table guard for every layout-claim property:
-          // existing `_pv=` segments were rendered under the OLD spec —
-          // reinterpreting them (ids mod a different n, a partition value
-          // read as a bucket id, vice versa) makes runtime pruning and
-          // SPJ grouping silently drop/misgroup matching files
-          if (Seq("bucketcol", "bucketn", "partitioncol")
-              .contains(set.property())) {
-            require(Snapshots.currentId(dir).isEmpty,
-              s"cannot declare '${set.property()}' on a table that already " +
-                "has data: existing files' _pv= layout was rendered under " +
-                "the prior spec (recreate, or INSERT OVERWRITE into a " +
-                "fresh table with the desired layout)")
+          // PARTITION-SPEC EVOLUTION as metadata: changing a layout
+          // property on a table that already has data is allowed, but
+          // the existing files' `_pv=` segments were rendered under the
+          // OLD spec — reinterpreting them (ids mod a different n, a
+          // partition value read as a bucket id, vice versa) would make
+          // runtime pruning and SPJ grouping silently drop/misgroup
+          // matching files. `specfrom` records the base snapshot id at
+          // the change: a data file is judged under the CURRENT spec
+          // only when its seq is NEWER (carried old files keep their
+          // smaller seqs), so grouped claims decline on mixed-spec
+          // snapshots and return once maintenance (the bucket-aware
+          // compact, or a full overwrite) rewrites the rows under the
+          // new spec. History stays exact: no file is rewritten by the
+          // ALTER itself.
+          val specTouching =
+            Seq("bucketcol", "bucketn", "partitioncol").contains(set.property())
+          if (set.property() == "bucketcol" || set.property() == "partitioncol") {
+            // layout columns record PHYSICAL names; the named column
+            // must exist, and a bucket source's hash semantics must be
+            // pinned — the same gates CREATE's partitionProps applies
+            val f = sch.fields.find(fd => physOf(prs, fd.name) == set.value())
+            require(f.isDefined,
+              s"'${set.property()}'='${set.value()}' names no column of the table")
+            if (set.property() == "bucketcol")
+              require(GraftBucketFunction.supportedSource(f.get.dataType),
+                s"bucket column '${set.value()}' has type " +
+                  s"${f.get.dataType.simpleString}; supported bucket sources " +
+                  "are integral and string")
           }
-          (sch, prs + (set.property() -> set.value()))
+          val prs1 =
+            if (specTouching) Snapshots.currentId(dir) match {
+              case Some(base) => prs + ("specfrom" -> base.toString)
+              case None       => prs
+            } else prs
+          if (specTouching && set.property() != "bucketn") {
+            // a transform-KIND or column change must not leave a
+            // half-coherent pair behind
+            require(!(set.property() == "partitioncol" && prs.contains("bucketcol")),
+              "a table is bucketed or identity-partitioned, never both — " +
+                "UNSET the bucket spec first")
+            require(!(set.property() == "bucketcol" && prs.contains("partitioncol")),
+              "a table is bucketed or identity-partitioned, never both — " +
+                "UNSET 'partitioncol' first")
+          }
+          (sch, prs1 + (set.property() -> set.value()))
         case ((sch, prs), rm: TableChange.RemoveProperty) =>
-          (sch, prs - rm.property())
+          // removing a layout property is a spec change like setting one
+          val prs1 =
+            if (Seq("bucketcol", "bucketn", "partitioncol").contains(rm.property()))
+              Snapshots.currentId(dir) match {
+                case Some(base) => prs + ("specfrom" -> base.toString)
+                case None       => prs
+              }
+            else prs
+          (sch, prs1 - rm.property())
         case ((sch, prs), up: TableChange.UpdateColumnType) =>
           require(up.fieldNames().length == 1,
             "graft tables support top-level ALTER COLUMN TYPE only")
@@ -541,6 +580,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "Supported: ADD/RENAME/DROP COLUMN (top-level), ALTER COLUMN TYPE " +
               "(widening), SET/UNSET TBLPROPERTIES.")
       }
+      // the FINAL property set must be coherent (bucketcol ⇒ bucketn,
+      // never bucketed AND identity-partitioned, ...) — set both halves
+      // of a pair in ONE ALTER statement
+      GraftCatalog.validatePropertyKeys(prsN)
+      (schN, prsN)
     }
     var attempts = 0
     while (true) {
@@ -745,6 +789,9 @@ object GraftCatalog {
       require(props.get("bucketn").exists(_.toIntOption.exists(_ > 0)),
         "'bucketcol' requires a positive integer 'bucketn'")
     }
+    if (props.contains("sortcol"))
+      require(props.contains("bucketcol"),
+        "'sortcol' requires a bucketed table (PARTITIONED BY (bucket(n, c)))")
   }
 
   // property VALUES may carry newlines/backslashes (they're durable
@@ -1168,7 +1215,8 @@ final class GraftTable(
             morKeysLogical.getOrElse(Nil), colMap)
         else
           new GraftScanBuilder(spark, store, n, dataEntries(n), schema,
-            statsCol, options, colMap, partCol, bucketSpec, sortCol)
+            statsCol, options, colMap, partCol, bucketSpec, sortCol,
+            props.get("specfrom").flatMap(_.toIntOption))
     }
   }
 
@@ -1179,7 +1227,7 @@ final class GraftTable(
     partCol match {
       case Some(p) =>
         return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
-          info, colMap)
+          info, colMap, props.get("specfrom").flatMap(_.toIntOption))
       case None => ()
     }
     bucketSpec match {

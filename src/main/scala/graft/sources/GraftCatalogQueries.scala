@@ -1265,6 +1265,129 @@ object GraftCatalogQueries {
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `catalog_respec`: PARTITION-SPEC EVOLUTION as metadata — the
+    * Iceberg-class capability the r14 verdict named: `ALTER TABLE ...
+    * SET TBLPROPERTIES ('bucketn'='8')` on a bucket(4) table with
+    * existing data changes the spec WITHOUT rewriting a byte of
+    * history. `specfrom` stamps the base snapshot id; files staged
+    * after the change land under the new spec while carried files keep
+    * their old `_pv=` ids, and the scan judges each file only under
+    * the spec it was written with: grouped claims (SPJ, key-grouped
+    * output) DECLINE on the mixed snapshot — an old id reinterpreted
+    * mod the new n would misgroup rows — and the bucket-aware
+    * `CALL system.compact` migrates every row to the new spec,
+    * restoring the claims. Required in-query: the ALTER carries every
+    * base file byte-identical; a bucket-colocated self-join runs ZERO
+    * shuffles before the change, MORE THAN ZERO mid-migration (the
+    * honest decline), and ZERO again post-compact with every file's
+    * seq newer than `specfrom`; answers are exact at all three stages
+    * (the oracle restates them).
+    */
+  def catalogRespec(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val view = cat + "_orders"
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (k BIGINT NOT NULL, o_orderstatus STRING, " +
+        "cents BIGINT) PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('statscol'='k')")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.fact SELECT * FROM $view WHERE k % 2 = 0")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+          case _ => 0
+        }) + kids.map(shuffles).sum
+      }
+      def stage(tag: String): (Array[Row], Int) = {
+        val t = s.table(s"$cat.fact")
+        // the CLAIMS probe groups by the bucket key so the co-located
+        // join AND its aggregate can reuse the key-grouped distribution
+        // (zero exchanges when the claim holds); the oracled output is
+        // a separate plain aggregate whose own shuffle is irrelevant
+        val probe = t.as("x").join(t.select(col("k")).as("y"), "k")
+          .groupBy("k").agg(count(lit(1)).as("c"))
+        val nKeys = probe.collect().length
+        require(nKeys > 0, "claims probe returned no rows")
+        val out = s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+          s"sum(cents) AS sum_cents FROM $cat.fact GROUP BY 1")
+        val rows = out.collect().map(r =>
+          Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
+        (rows, shuffles(probe.queryExecution.executedPlan))
+      }
+      val (preRows, preShuffles) = stage("pre")
+      require(preShuffles == 0,
+        s"bucket(4) self-join should be storage-partitioned, saw $preShuffles shuffles")
+      val store = root.resolve("fact")
+      val base = Snapshots.manifest(store, 1)
+      // ---- the spec change: METADATA ONLY ----
+      s.sql(s"ALTER TABLE $cat.fact SET TBLPROPERTIES ('bucketn'='8')")
+      s.sql(s"INSERT INTO $cat.fact SELECT * FROM $view WHERE k % 2 = 1")
+      val cur = Snapshots.currentId(store).get
+      val mixed = Snapshots.manifest(store, cur)
+      base.foreach(b => require(mixed.exists(e =>
+        e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+        s"spec evolution rewrote pre-evolution file ${b.relPath}"))
+      val specFrom = GraftCatalog.effectiveMarker(store, None)._2("specfrom").toInt
+      require(mixed.exists(_.seq <= specFrom) && mixed.exists(_.seq > specFrom),
+        "expected a MIXED-spec snapshot (old and new files)")
+      val (midRows, midShuffles) = stage("mid")
+      require(midShuffles > 0,
+        "mixed-spec snapshot must DECLINE the storage-partitioned join " +
+          "(old _pv= ids mod 4 would misgroup under bucket(8))")
+      // ---- migration: the bucket-aware compact rewrites to the new spec ----
+      s.sql(s"CALL $cat.system.compact(tbl => 'fact', target_files => 8)")
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      require(after.forall(_.seq > specFrom),
+        "compact left pre-evolution files in the current snapshot")
+      require(after.forall(e => Snapshots.partValueOf(e.relPath)
+          .exists(pv => pv.toInt >= 0 && pv.toInt < 8)),
+        "compact did not land bucket(8)-pure files")
+      val (postRows, postShuffles) = stage("post")
+      require(postShuffles == 0,
+        s"post-compact self-join should be storage-partitioned again, saw $postShuffles")
+      val schema = StructType(Seq(StructField("stage", StringType),
+        StructField("o_orderstatus", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(
+        (preRows ++ midRows ++ postRows).toSeq, 1), schema)
+        .orderBy("stage", "o_orderstatus")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** The three stages restated: pre = even keys, mid/post = all keys —
+    * identical mid and post values prove the migration lost nothing.
+    */
+  val catalogRespecOracleSql: String = """
+    WITH f AS (SELECT o_orderkey AS k, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT 'pre' AS stage, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f WHERE k % 2 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'mid', o_orderstatus, CAST(count(*) AS BIGINT),
+      CAST(sum(cents) AS BIGINT) FROM f GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'post', o_orderstatus, CAST(count(*) AS BIGINT),
+      CAST(sum(cents) AS BIGINT) FROM f GROUP BY o_orderstatus
+    ORDER BY stage, o_orderstatus"""
+
   /** Query `catalog_partitions`: the `partitions` metadata table
     * (SURVEY §22's named continuation) — `cat.ns.t.partitions` lists
     * per-`_pv=` file/row/byte counts plus the LIVE `sorted_disjoint`

@@ -98,7 +98,8 @@ private[sources] final class GraftPartitionedWriteBuilder(
     statsCol: Option[String],
     tableSchema: StructType, // LOGICAL shape (what the query hands us)
     info: LogicalWriteInfo,
-    colMap: Map[String, String] = Map.empty) extends WriteBuilder
+    colMap: Map[String, String] = Map.empty,
+    specFrom: Option[Int] = None) extends WriteBuilder
     with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -174,7 +175,7 @@ private[sources] final class GraftPartitionedWriteBuilder(
         }
     }
     case "dynamic" =>
-      new GraftDynamicOverwrite(spark, store, partCol, info, stage)
+      new GraftDynamicOverwrite(spark, store, partCol, info, stage, specFrom)
   }
 }
 
@@ -190,7 +191,8 @@ private[sources] final class GraftDynamicOverwrite(
     store: JPath,
     partCol: String,
     info: LogicalWriteInfo,
-    stage: DataFrame => Seq[Snapshots.ManifestEntry]) extends Write {
+    stage: DataFrame => Seq[Snapshots.ManifestEntry],
+    specFrom: Option[Int] = None) extends Write {
 
   private val scratchDir: JPath = {
     val d = store.resolve("data").resolve(
@@ -226,6 +228,15 @@ private[sources] final class GraftDynamicOverwrite(
             base match {
               case Some(b) =>
                 val carried = Snapshots.manifest(store, b).filter { e =>
+                  // mid-spec-migration files carry _pv= segments rendered
+                  // under the OLD spec: "replace the partitions my query
+                  // produced" is not judgeable against them — refuse
+                  // rather than replace (or keep) the wrong files
+                  if (!Snapshots.isDelete(e) && specFrom.exists(e.seq <= _))
+                    throw new IllegalStateException(
+                      s"dynamic overwrite on $store mid-spec-migration: file " +
+                        s"${e.relPath} predates the current partition spec " +
+                        "(compact or INSERT OVERWRITE the whole table first)")
                   if (Snapshots.isDelete(e)) true // tombstones carry through
                   else Snapshots.partValueOf(e.relPath) match {
                     case Some(v) => !touched(v)

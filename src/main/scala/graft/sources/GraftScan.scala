@@ -40,7 +40,8 @@ final class GraftScanBuilder(
     colMap: Map[String, String] = Map.empty,
     partColPhys: Option[String] = None,
     bucketSpec: Option[(String, Int)] = None,
-    sortColPhys: Option[String] = None) extends ScanBuilder
+    sortColPhys: Option[String] = None,
+    specFrom: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -125,7 +126,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
       logicalize, entries, Some(rebuild), colMap, partColPhys, aggPushed,
-      tableSchema, bucketSpec, sortColPhys)
+      tableSchema, bucketSpec, sortColPhys, specFrom)
   }
 }
 
@@ -206,7 +207,8 @@ final class GraftScan(
     aggPushed: Boolean = false,
     logicalSchema: StructType = new StructType(),
     bucketSpec: Option[(String, Int)] = None,
-    sortColPhys: Option[String] = None) extends Scan
+    sortColPhys: Option[String] = None,
+    specFrom: Option[Int] = None) extends Scan
     with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
@@ -309,6 +311,17 @@ final class GraftScan(
     case (_, other) => String.valueOf(other)
   }
 
+  /** Was this file written under the CURRENT partition spec? After a
+    * spec-evolving ALTER (`specfrom` = the base snapshot id at the
+    * change), a carried file's `_pv=` segment was rendered under the
+    * OLD spec and must not be judged by the new one — kept by pruning,
+    * declined by grouping. Files staged after the change carry newer
+    * seqs and re-enter the claims; the bucket-aware compact (all-new
+    * seqs) restores them wholesale.
+    */
+  private def validUnderSpec(e: Snapshots.ManifestEntry): Boolean =
+    specFrom.forall(e.seq > _)
+
   override def filter(predicates: Array[Predicate]): Unit = {
     val decoded = predicates.toSeq.flatMap(decodeIn(_))
     if (decoded.isEmpty || rebuild.isEmpty) return
@@ -335,8 +348,9 @@ final class GraftScan(
         // → kept (null rows in it never match an equi-join, so keeping
         // is merely unpruned I/O, never a wrong answer).
         val wanted = values.map(pathRender).toSet
-        kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(pv =>
-          pv == "__HIVE_DEFAULT_PARTITION__" || wanted.contains(pv)))
+        kept = kept.filter(e => !validUnderSpec(e) ||
+          GraftScan.pvOfPath(e.relPath).forall(pv =>
+            pv == "__HIVE_DEFAULT_PARTITION__" || wanted.contains(pv)))
       }
       bucketSpec.filter(_._1 == phys).foreach { case (_, n) =>
         // bucket ids of the build side's keys — the same hash the write
@@ -346,7 +360,8 @@ final class GraftScan(
         dt.foreach { t =>
           val wanted = GraftBucketFunctionHelpers.bucketIdsOf(values, t, n)
             .map(_.toString)
-          kept = kept.filter(e => GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
+          kept = kept.filter(e => !validUnderSpec(e) ||
+            GraftScan.pvOfPath(e.relPath).forall(wanted.contains))
         }
       }
     }
@@ -374,7 +389,11 @@ final class GraftScan(
     val enabled = spark.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (!enabled || aggPushed || rebuild.isEmpty || entries.isEmpty ||
-        !(pathComparable || bucketSpec.isDefined)) None
+        !(pathComparable || bucketSpec.isDefined) ||
+        // mixed-spec snapshot: a pre-evolution file's _pv= means
+        // something else — grouped claims decline until maintenance
+        // rewrites the rows under the current spec
+        !entries.forall(validUnderSpec)) None
     else {
       val pvs = entries.map(e => GraftScan.pvOfPath(e.relPath))
       if (pvs.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__"))) None

@@ -275,16 +275,32 @@ class GraftBucketedSpec extends AnyFunSuite {
       assert(scala.util.Try(s.sql(
         s"ALTER TABLE $cat.t SET TBLPROPERTIES ('sortcol'='k')")).isFailure,
         "declaring sortcol over existing (unsorted) data must refuse")
-      // the same empty-table guard covers every layout-claim property:
-      // existing _pv= segments were rendered under the OLD spec, so a
-      // late bucketn/bucketcol/partitioncol would reinterpret them
-      for (p <- Seq("'bucketn'='8'", "'bucketcol'='v'", "'partitioncol'='v'"))
-        assert(scala.util.Try(s.sql(
-          s"ALTER TABLE $cat.t SET TBLPROPERTIES ($p)")).isFailure,
-          s"SET TBLPROPERTIES ($p) over existing data must refuse")
-      // an EMPTY table may still declare layout properties
+      // SPEC EVOLUTION: layout-property changes over existing data are
+      // allowed as METADATA — `specfrom` stamps the base id so carried
+      // files are never judged under the new spec (claims decline
+      // until maintenance migrates them; catalog_respec drives the
+      // full lifecycle)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('bucketn'='8')")
+      val props = s.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("bucketn").contains("8") && props.contains("specfrom"),
+        s"spec evolution must stamp specfrom: $props")
+      // incoherent transitions still refuse: identity AND bucket never
+      // coexist, and a layout column must exist with pinned hash
+      // semantics
+      assert(scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('partitioncol'='v')")).isFailure,
+        "bucketed AND identity-partitioned must refuse")
+      assert(scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('bucketcol'='nope')")).isFailure,
+        "a bucketcol naming no column must refuse")
+      // an EMPTY table may still declare layout properties (no specfrom)
       s.sql(s"CREATE TABLE $cat.e (k BIGINT NOT NULL, v BIGINT)")
       s.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES ('bucketcol'='k', 'bucketn'='4')")
+      val eProps = s.sql(s"SHOW TBLPROPERTIES $cat.e").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(!eProps.contains("specfrom"),
+        "an empty table's layout declaration needs no spec stamp")
     } finally rm(root)
   }
 
