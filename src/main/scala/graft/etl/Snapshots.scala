@@ -438,7 +438,20 @@ object Snapshots {
     val delDir = root.resolve("deletes").resolve(
       "pos-occ-" + java.util.UUID.randomUUID().toString)
     Files.createDirectories(delDir)
-    pairs.write.mode("overwrite").parquet(delDir.toString)
+    // COMPRESSED position tombstones: one run-optimized Roaring64 of
+    // ordinals per named file (`__file`, `__bitmap`) instead of a row
+    // per ordinal — a 10M-ordinal purge drops from ~40 MB of pairs to a
+    // few hundred KB, and the merged read's probe becomes a broadcast
+    // bitmap test instead of a 10M-row anti-join. Pre-bitmap PAIR files
+    // (`__file`, `__pos`) stay readable forever: the read side converts
+    // them on first touch ([[posFileBitmaps]]).
+    pairs.groupBy("__file")
+      .agg(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BitmapBuild(
+          org.apache.spark.sql.GraftBridge.expression(col("__pos")))
+          .toAggregateExpression())
+        .as("__bitmap"))
+      .write.mode("overwrite").parquet(delDir.toString)
     val listing = Files.list(delDir)
     val entries = try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -464,17 +477,52 @@ object Snapshots {
     * table plans against the cache instead of re-collecting per
     * statement.
     */
-  private val posNamedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val posBitmapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Byte]]]()
+
+  /** Per-file ordinal BITMAPS of one immutable position-tombstone file,
+    * memoized forever. Two wire shapes, one result: the compressed
+    * (`__file`, `__bitmap`) rows collect directly; a PRE-BITMAP pair
+    * file (`__file`, `__pos`) converts through the same Roaring
+    * aggregate on first touch — old tombstones stay readable with no
+    * migration step, they just pay their conversion once per JVM.
+    */
+  private def posFileBitmaps(s: SparkSession, root: Path,
+                             e: ManifestEntry): Map[String, Array[Byte]] =
+    posBitmapCache.computeIfAbsent(root.resolve(e.relPath).toString, { p =>
+      val df = s.read.parquet(p)
+      val rows =
+        if (df.columns.contains("__bitmap")) df.collect()
+        else df.groupBy("__file")
+          .agg(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.BitmapBuild(
+              org.apache.spark.sql.GraftBridge.expression(col("__pos")))
+              .toAggregateExpression()).as("__bitmap"))
+          .collect()
+      rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    })
+
+  /** The merged per-file bitmaps of a delete-file SET: overlapping
+    * names OR together (two purges may kill different rows of one
+    * file). Driver memory is O(total bitmap bytes) — the compressed
+    * form's whole point.
+    */
+  private[graft] def posBitmaps(s: SparkSession, root: Path,
+                                dels: Seq[ManifestEntry]): Map[String, Array[Byte]] =
+    dels.map(posFileBitmaps(s, root, _))
+      .foldLeft(Map.empty[String, Array[Byte]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (f, b)) =>
+          a.updatedWith(f) {
+            case Some(prev) => Some(graft.functions.PosBitmaps.union(prev, b))
+            case None       => Some(b)
+          }
+        }
+      }
 
   private def posNamedFiles(s: SparkSession, root: Path,
                             dels: Seq[ManifestEntry]): Set[String] =
-    dels.map { e =>
-      posNamedCache.computeIfAbsent(root.resolve(e.relPath).toString, { p =>
-        s.read.parquet(p).select("__file").distinct()
-          .collect().map(_.getString(0)).toSet
-      })
-    }.foldLeft(Set.empty[String])(_ ++ _)
+    dels.map(posFileBitmaps(s, root, _).keySet)
+      .foldLeft(Set.empty[String])(_ ++ _)
 
   /** The store-root prefix of `_metadata.file_path` values — hadoop Path
     * rendering (what the file source emits), normalized to EXACTLY one
@@ -1685,31 +1733,30 @@ object Snapshots {
     }
     if (dels.isEmpty) shape(read(datas))
     else if (dels.exists(isPosDelete)) {
-      // POSITION tombstones (key-less DELETE): the pair file NAMES its
+      // POSITION tombstones (key-less DELETE): the tombstone NAMES its
       // target files, so applicability is the naming itself — no seq
-      // grouping. Files named by any pair anti-join on (file, ordinal)
-      // with the ordinal generated by the reader (_metadata.row_index,
-      // no shuffle); unnamed files read pure at full scan speed. The
-      // named set is a plan-time driver read of the pairs' distinct
-      // __file column — O(#named files).
+      // grouping. Files named by any tombstone filter per row against
+      // the BROADCAST per-file ordinal bitmap (the ordinal comes from
+      // the reader's own _metadata.row_index — no shuffle, no build
+      // side); unnamed files read pure at full scan speed. The named
+      // set is a plan-time driver read of the tombstones — O(bitmap
+      // bytes), the compressed form's whole point.
       require(dels.forall(isPosDelete),
         s"store $root mixes equality and position tombstones — unsupported")
-      val posSchema = StructType(Seq(
-        org.apache.spark.sql.types.StructField("__file",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__pos",
-          org.apache.spark.sql.types.LongType)))
-      val pairs = s.read.schema(posSchema)
-        .parquet(dels.map(e => root.resolve(e.relPath).toString): _*)
-      val named = posNamedFiles(s, root, dels)
-      val (hot, clear) = datas.partition(e => named(e.relPath))
+      val bms = posBitmaps(s, root, dels)
+      val (hot, clear) = datas.partition(e => bms.contains(e.relPath))
       val prefix = posPrefix(root)
       val joined = if (hot.isEmpty) None else {
+        val bc = s.sparkContext.broadcast(bms)
         val withPos = read(hot).select(col("*"),
           substring(col("_metadata.file_path"), prefix.length + 1, Int.MaxValue)
             .as("__file"),
           col("_metadata.row_index").as("__pos"))
-        Some(shape(withPos).join(pairs, Seq("__file", "__pos"), "left_anti")
+        Some(shape(withPos)
+          .filter(!org.apache.spark.sql.GraftBridge.column(
+            graft.functions.PosDeleted(
+              org.apache.spark.sql.GraftBridge.expression(col("__file")),
+              org.apache.spark.sql.GraftBridge.expression(col("__pos")), bc)))
           .drop("__file", "__pos"))
       }
       val pure = if (clear.isEmpty) None else Some(shape(read(clear)))
@@ -2061,22 +2108,22 @@ object Snapshots {
       else if (windowDels.exists(isPosDelete)) {
         // POSITION-tombstone window (key-less deletes; the store is
         // pos-only — mixing is refused at write): a retraction is a row
-        // that was VISIBLE at `from` and is killed by a window pair.
-        // Read only the from-files the window pairs NAME, with the
-        // reader's own (file, ordinal) coordinates; subtract the pairs
-        // already in force at `from` (a row dead at `from` was never
-        // visible, and the pair writer may re-name dead rows — its scan
-        // is raw by design); then keep exactly the window-pair matches.
-        val posSchema = StructType(Seq(
-          org.apache.spark.sql.types.StructField("__file",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__pos",
-            org.apache.spark.sql.types.LongType)))
-        def pairs(es: Seq[ManifestEntry]) = s.read.schema(posSchema)
-          .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
-        val windowPairs = pairs(windowDels)
-        val named = windowPairs.select("__file").distinct()
-          .collect().map(_.getString(0)).toSet
+        // that was VISIBLE at `from` and is killed by a window
+        // tombstone. Read only the from-files the window tombstones
+        // NAME, with the reader's own (file, ordinal) coordinates;
+        // subtract the ordinals already dead at `from` (a row dead at
+        // `from` was never visible, and the tombstone writer may
+        // re-name dead rows — its scan is raw by design); then keep
+        // exactly the window-bitmap hits. Both probes are broadcast
+        // bitmap tests — no anti/semi joins.
+        def deleted(dels2: Seq[ManifestEntry]): org.apache.spark.sql.Column = {
+          val bc = s.sparkContext.broadcast(posBitmaps(s, root, dels2))
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.PosDeleted(
+              org.apache.spark.sql.GraftBridge.expression(col("__file")),
+              org.apache.spark.sql.GraftBridge.expression(col("__pos")), bc))
+        }
+        val named = posNamedFiles(s, root, windowDels)
         val targets = beforeAll.filterNot(isDelete).filter(e => named(e.relPath))
         if (targets.isEmpty) None
         else {
@@ -2090,8 +2137,8 @@ object Snapshots {
           val priorDels = beforeAll.filter(isDelete)
           val visible =
             if (priorDels.isEmpty) withPos
-            else withPos.join(pairs(priorDels), Seq("__file", "__pos"), "left_anti")
-          Some(visible.join(windowPairs, Seq("__file", "__pos"), "left_semi")
+            else withPos.filter(!deleted(priorDels))
+          Some(visible.filter(deleted(windowDels))
             .drop("__file", "__pos")
             .withColumn("_change_type", lit("delete")))
         }

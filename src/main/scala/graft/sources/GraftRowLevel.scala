@@ -206,21 +206,22 @@ private[sources] final class GroupScanBuilder(
         def physName(n: String): String = colMap.getOrElse(n, n)
         val physSchema = StructType(tableSchema.fields
           .map(f => f.copy(name = physName(f.name))).toIndexedSeq)
-        val posSchema = StructType(Seq(
-          org.apache.spark.sql.types.StructField("__file",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__pos",
-            org.apache.spark.sql.types.LongType)))
         val prefix = Snapshots.posPrefix(store)
-        val pairs = spark.read.schema(posSchema).parquet(
-          posDels.map(e => store.resolve(e.relPath).toString): _*)
+        // the dead coordinates as BROADCAST per-file ordinal bitmaps
+        // (pre-bitmap pair files convert on first touch) — the probe is
+        // a scalar filter, not an anti-join
+        val bc = spark.sparkContext.broadcast(
+          Snapshots.posBitmaps(spark, store, posDels))
         val live = spark.read.schema(physSchema).parquet(
             kept.map(e => store.resolve(e.relPath).toString): _*)
           .select(col("*"),
             substring(col("_metadata.file_path"), prefix.length + 1, Int.MaxValue)
               .as("__file"),
             col("_metadata.row_index").as("__pos"))
-          .join(pairs, Seq("__file", "__pos"), "left_anti")
+          .filter(!org.apache.spark.sql.GraftBridge.column(
+            graft.functions.PosDeleted(
+              org.apache.spark.sql.GraftBridge.expression(col("__file")),
+              org.apache.spark.sql.GraftBridge.expression(col("__pos")), bc)))
         live.select(tableSchema.fields.toIndexedSeq.map(f =>
             col(physName(f.name)).as(f.name)): _*)
           .select(readSch.fieldNames.toIndexedSeq.map(col): _*)

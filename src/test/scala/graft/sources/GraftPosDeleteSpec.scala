@@ -154,4 +154,38 @@ class GraftPosDeleteSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT count(*) FROM $cat.pt WHERE p = 0").head.getLong(0) == 250)
     } finally rm(root)
   }
+
+  test("PRE-BITMAP pair files stay readable: legacy tombstones apply exactly") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      // forge a LEGACY (row-per-ordinal) pair file the old writer shape
+      // produced: kill ordinals 0..9 of the first data file
+      val target = Snapshots.manifest(store, 1).filterNot(Snapshots.isDelete).head
+      import org.apache.spark.sql.functions.{col, lit}
+      val legacyDir = store.resolve("deletes").resolve("pos-legacy-test")
+      s.range(0, 10).select(lit(target.relPath).as("__file"),
+        col("id").as("__pos"))
+        .coalesce(1).write.mode("overwrite").parquet(legacyDir.toString)
+      val files = {
+        val l = Files.list(legacyDir)
+        try l.iterator().asScala.toSeq.filter(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally l.close()
+      }
+      val entries = files.map(f => Snapshots.ManifestEntry(
+        store.relativize(f).toString, Snapshots.md5hex(f), Files.size(f)))
+      Snapshots.commitOcc(store, entries,
+        Snapshots.OccSurgical(1, Snapshots.manifest(store, 1)))
+      // the merged read converts the pair file on first touch and
+      // applies it: exactly 10 rows gone, from the named file only
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 990)
+      // and a NEW (bitmap) tombstone composes on top of the legacy one
+      s.sql(s"DELETE FROM $t WHERE v = 50")
+      assert(s.sql(s"SELECT count(*) FROM $t WHERE v = 50").head.getLong(0) == 0)
+      // ids 50,150,..,950 = 10 rows, none in ordinals 0..9 of file one
+      assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 980)
+    } finally rm(root)
+  }
 }
