@@ -2180,12 +2180,13 @@ object Stress {
         def dppLeg(enabled: Boolean): (Long, Double, Int, Int) = {
           spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
             enabled.toString)
-          graft.sources.GraftScan.lastRuntimePrune.set((0, 0))
+          graft.sources.GraftScan.resetRuntimePrune(whJ.resolve("fact"))
           val t0 = System.nanoTime()
           val r = spark.table("j12.fact").join(dimJ, col("shard") === col("k"))
             .agg(sum("v")).head.getLong(0)
           val secs = (System.nanoTime() - t0) / 1e9
-          val (kept, ttl) = graft.sources.GraftScan.lastRuntimePrune.get()
+          val (kept, ttl) =
+            graft.sources.GraftScan.lastRuntimePruneFor(whJ.resolve("fact"))
           (r, secs, kept, ttl)
         }
         dppLeg(enabled = true) // warm page cache + codegen before timing

@@ -675,38 +675,63 @@ object Snapshots {
                          batchId: Long, deleteKeys: Option[DataFrame] = None,
                          statsCol: Option[String] = None): Boolean = {
     if (lastBatchId(root).exists(_ >= batchId)) return false
-    val dup = rows.select(col(keyCol)).groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch $batchId carries ${dup.head.get(0)} more than once: one row " +
-        "per key per batch (emit Update-mode or net-per-window changes)")
-    val rowsEmpty = rows.isEmpty
     val delKeys = deleteKeys.map(_.toDF(keyCol))
     val founding = currentId(root).isEmpty
-    // an all-empty founding batch cannot found the table (no schema to
-    // read back): skip, leaving the batch re-deliverable and still empty
-    if (founding && rowsEmpty) return false
-    if (!founding && rowsEmpty && delKeys.forall(_.isEmpty)) {
-      // empty batch on an existing table: advance the replay watermark
-      // only — re-point the CURRENT manifest (re-read under the lock)
-      // with the new batch id; no manifest written, no job run
-      withWriterLock(root) { commit(root, currentId(root).get, Some(batchId)) }
-      return true
+    if (founding) {
+      // an all-empty founding batch cannot found the table (no schema to
+      // read back): skip, leaving the batch re-deliverable and still
+      // empty. A founding batch has nothing to erase, so no tombstone —
+      // and nothing to collide with, so no duplicate-key gate either
+      // (the NEXT batch's tombstone erases any founding duplicate).
+      if (rows.isEmpty) return false
+      val fresh = stageOcc(s, root, rows, statsCol)
+      try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
+      catch { case e: Throwable => discardStaged(root, fresh); throw e }
+    } else {
+      // ONE pass validates AND stages the tombstone: the per-key counts
+      // feed an OBSERVED max (the one-row-per-key refusal contract) and
+      // an observed sum (= the batch's row count), both riding the
+      // staging write itself — where separate count()/limit(1) checks
+      // were two extra Spark jobs on this latency-sensitive per-batch
+      // path. Delete-only keys join with __n = 0 (exempt from the
+      // duplicate gate — deleting a key twice is idempotent).
+      val obs = new org.apache.spark.sql.Observation()
+      val keyed = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      val tombFrame = (delKeys match {
+        case Some(dk) => keyed.unionByName(dk.withColumn("__n", lit(0L)))
+        case None     => keyed
+      }).observe(obs, max(col("__n")).as("__maxn"), sum(col("__n")).as("__rows"),
+        count(lit(1)).as("__keys"))
+        .select(col(keyCol))
+      val tombEntries = stageTombstoneOcc(s, root, tombFrame)
+      val observed = obs.get // blocks on the staging write (already done)
+      def longOf(name: String): Long = observed.get(name).flatMap(Option(_))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      val maxPerKey = longOf("__maxn")
+      val nRows = longOf("__rows")
+      val nKeys = longOf("__keys")
+      if (maxPerKey > 1) {
+        discardStaged(root, tombEntries)
+        throw new IllegalArgumentException(
+          s"upsert batch $batchId carries a key more than once ($maxPerKey " +
+            "times): one row per key per batch (emit Update-mode or " +
+            "net-per-window changes)")
+      }
+      if (nKeys == 0) {
+        // empty batch on an existing table: advance the replay watermark
+        // only — re-point the CURRENT manifest (re-read under the lock)
+        // with the new batch id; reclaim any schema-only staging crumbs
+        discardStaged(root, tombEntries)
+        withWriterLock(root) { commit(root, currentId(root).get, Some(batchId)) }
+        return true
+      }
+      val insertEntries =
+        try { if (nRows == 0) Nil else stageOcc(s, root, rows, statsCol) }
+        catch { case e: Throwable => discardStaged(root, tombEntries); throw e }
+      val fresh = insertEntries ++ tombEntries
+      try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
+      catch { case e: Throwable => discardStaged(root, fresh); throw e }
     }
-    // tombstone only against existing history — a founding batch has
-    // nothing to erase (delete keys against nothing are no-ops)
-    val tombEntries =
-      if (founding) Nil
-      else stageTombstoneOcc(s, root, delKeys match {
-        case Some(dk) => rows.select(col(keyCol)).unionByName(dk)
-        case None     => rows.select(col(keyCol))
-      })
-    val insertEntries =
-      try { if (rowsEmpty) Nil else stageOcc(s, root, rows, statsCol) }
-      catch { case e: Throwable => discardStaged(root, tombEntries); throw e }
-    val fresh = insertEntries ++ tombEntries
-    try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
-    catch { case e: Throwable => discardStaged(root, fresh); throw e }
   }
 
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,

@@ -1755,13 +1755,13 @@ object GraftCatalogQueries {
       val dim = Tables.nation(s, d)
         .filter(col("n_regionkey") === 0)
         .select(col("n_nationkey"), col("n_name"))
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("fact"))
       val joined = s.table(s"$cat.fact")
         .join(dim, col("nk") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       val out = joined.collect().map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
-      val (kept, ttl) = GraftScan.lastRuntimePrune.get()
+      val (kept, ttl) = GraftScan.lastRuntimePruneFor(root.resolve("fact"))
       require(ttl == total && total > 0,
         s"runtime filter never reached the fact scan (saw $ttl of $total files)")
       require(kept < total,
@@ -1822,14 +1822,14 @@ object GraftCatalogQueries {
       val dim = Tables.orders(s, d)
         .select(date_trunc("month", col("o_orderdate")).cast("date").as("dd"))
         .filter(month(col("dd")) === 3).distinct()
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("fact"))
       val pruned = s.table(s"$cat.fact")
         .join(dim, col("od") === col("dd"))
         .groupBy("od")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       val dppRows = pruned.collect().map(r =>
         Row("dpp", r.getDate(0).toString, r.getLong(1), r.getLong(2)))
-      val (kept, ttl) = GraftScan.lastRuntimePrune.get()
+      val (kept, ttl) = GraftScan.lastRuntimePruneFor(root.resolve("fact"))
       require(ttl == total && total > 0,
         s"runtime filter never reached the date-partitioned fact (saw $ttl of $total)")
       require(kept < total,

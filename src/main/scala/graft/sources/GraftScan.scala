@@ -131,12 +131,24 @@ final class GraftScanBuilder(
 }
 
 object GraftScan {
-  /** (kept, total) of the LAST runtime-filter prune on this JVM — the
+  /** (kept, total) of the last runtime-filter prune PER STORE — the
     * in-query proof hook (specs and oracled queries assert kept<total
     * after the action; same style as the plan-time `opened<total`
-    * proofs). Diagnostic only: never read by the scan itself.
+    * proofs). Keyed by store path so two concurrent proof queries in
+    * one JVM can never cross-read each other's counters. Diagnostic
+    * only: never read by the scan itself.
     */
-  val lastRuntimePrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  private val runtimePrunes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[graft] def recordRuntimePrune(store: JPath, kept: Int, total: Int): Unit =
+    runtimePrunes.put(store.toAbsolutePath.toString, (kept, total))
+
+  def resetRuntimePrune(store: JPath): Unit =
+    runtimePrunes.remove(store.toAbsolutePath.toString)
+
+  def lastRuntimePruneFor(store: JPath): (Int, Int) =
+    runtimePrunes.getOrDefault(store.toAbsolutePath.toString, (0, 0))
 
   /** Partition value of a value-pure path: the LAST `_pv=` segment,
     * unescaped from Spark's partition-path escaping (%XX). None when the
@@ -370,7 +382,7 @@ final class GraftScan(
     // optimization, so keeping the files is always correct — the join
     // itself still produces no rows
     if (kept.isEmpty && spjKeys.isDefined) kept = currentEntries
-    GraftScan.lastRuntimePrune.set((kept.size, total))
+    GraftScan.recordRuntimePrune(store, kept.size, total)
     if (kept.size < total) {
       currentEntries = kept
       currentParquet = rebuild.get(kept)

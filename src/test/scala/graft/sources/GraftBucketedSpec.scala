@@ -122,14 +122,14 @@ class GraftBucketedSpec extends AnyFunSuite {
       // pruning only plants a runtime filter when the build side is
       // filtered (an unfiltered dim carries every key; pruning would
       // keep everything). Two keys → at most two bucket ids survive.
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("fact"))
       val joined = s.table(s"$cat.fact")
         .join(s.read.parquet(dimPath.toString).filter(col("dk").isin(7L, 12345L)),
           col("k") === col("dk"))
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
       val row = joined.collect().head
       assert(row.getLong(0) == 2L && row.getLong(1) == 7L + 12345L)
-      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("fact"))
       assert(total > 0, "runtime filter never fired on the bucketed fact")
       assert(kept < total, s"bucket runtime filter pruned nothing: $kept of $total")
       rm(dimPath)
@@ -377,7 +377,7 @@ class GraftBucketedSpec extends AnyFunSuite {
         // its pruned groups must re-align with the other side's full
         // set (Spark pads pruned keys with empty partitions) — the
         // composed answer stays exact
-        GraftScan.lastRuntimePrune.set((0, 0))
+        GraftScan.resetRuntimePrune(root.resolve("a"))
         val joined = s.table(s"$cat.a")
           .join(s.read.parquet(dimPath.toString)
             .filter(col("dk").isin(5L, 17L, 4242L)), col("k") === col("dk"))

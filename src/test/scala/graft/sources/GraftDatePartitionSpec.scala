@@ -102,10 +102,10 @@ class GraftDatePartitionSpec extends AnyFunSuite {
         "FROM range(0, 8)").write.mode("overwrite").parquet(dimDir.toString)
       val dim = s.read.parquet(dimDir.toString).filter(col("id").isin(2, 4))
         .select("dd")
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("f"))
       val joined = s.table(s"$cat.f").join(dim, col("od") === col("dd"))
       val cnt = joined.count()
-      val (kept, ttl) = GraftScan.lastRuntimePrune.get()
+      val (kept, ttl) = GraftScan.lastRuntimePruneFor(root.resolve("f"))
       assert(ttl == total && kept < total,
         s"date runtime prune did not fire: kept $kept of $ttl (total $total)")
       assert(cnt == 250L, "pruning changed the answer")

@@ -86,14 +86,14 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
       s.range(0, 8).select(col("id").as("k"), (col("id") % 4).as("grp"))
         .write.mode("overwrite").parquet(dimPath.toString)
       val dim = s.read.parquet(dimPath.toString).filter(col("grp") === 0) // keeps k ∈ {0, 4}
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("fact"))
       val joined = s.table(s"$cat.fact").join(dim, col("pk") === col("k"))
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
       val row = joined.collect().head
       assert(row.getLong(0) == 20000L)
       val expectedSv = (0L until 80000L).filter(i => i % 8 == 0 || i % 8 == 4).sum
       assert(row.getLong(1) == expectedSv)
-      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("fact"))
       assert(total > 0, "runtime filter was never invoked (no DPP on the scan)")
       assert(kept < total, s"runtime filter pruned nothing: kept $kept of $total")
       rm(dimPath)
@@ -180,13 +180,13 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
       s.createDataFrame(regions.map(Tuple1(_))).toDF("dr")
         .withColumn("keep", (col("dr") === "x:y").cast("int"))
         .write.mode("overwrite").parquet(dimPath.toString)
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("a"))
       val dpp = s.table(s"$cat.a")
         .join(s.read.parquet(dimPath.toString).filter(col("keep") === 1),
           col("region") === col("dr"))
         .agg(count(lit(1)).as("n"))
       assert(dpp.collect().head.getLong(0) == 2000L)
-      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("a"))
       assert(total > 0 && kept < total,
         s"string partition runtime prune failed: kept $kept of $total")
       rm(dimPath)
@@ -205,14 +205,14 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
       val dimPath = Files.createTempDirectory("gscan_bdim")
       s.range(0, 80000).select(col("id").as("dk"))
         .write.mode("overwrite").parquet(dimPath.toString)
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("t"))
       val joined = s.table(s"$cat.t")
         .join(s.read.parquet(dimPath.toString).filter(col("dk").isin(42L, 77042L)),
           col("k") === col("dk"))
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
       val row = joined.collect().head
       assert(row.getLong(0) == 2L && row.getLong(1) == 42L + 77042L)
-      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("t"))
       assert(total == 8, s"expected 8 files, saw $total")
       assert(kept < total,
         s"bloom-backed runtime filter pruned nothing: kept $kept of $total")
@@ -278,7 +278,7 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
       s.createDataFrame(Seq(("", 1), ("x", 1), ("y", 0)))
         .toDF("dp", "keep")
         .write.mode("overwrite").parquet(dimPath.toString)
-      GraftScan.lastRuntimePrune.set((0, 0))
+      GraftScan.resetRuntimePrune(root.resolve("a"))
       val joined = s.table(s"$cat.a")
         .join(s.read.parquet(dimPath.toString).filter(col("keep") === 1),
           col("p") === col("dp"))
@@ -286,7 +286,7 @@ class GraftScanFeaturesSpec extends AnyFunSuite {
       val row = joined.collect().head
       assert(row.getLong(0) == 3L && row.getLong(1) == 13L,
         s"empty-string partition rows were pruned: n=${row.getLong(0)} sv=${row.getLong(1)}")
-      val (kept, total) = GraftScan.lastRuntimePrune.get()
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("a"))
       // the 'y' dir still prunes; the ambiguous default dir is kept
       assert(total > 0 && kept < total,
         s"the unambiguous 'y' dir should still prune: kept $kept of $total")
