@@ -1819,9 +1819,17 @@ object GraftCatalogQueries {
         .writeTo(s"$cat.rev").append()
       val total = Snapshots.manifest(root.resolve("fact"), 1).size
       // ---- proof 1: runtime pruning through the dim join's IN-set ----
-      val dim = Tables.orders(s, d)
+      // the dim is a REAL (tiny) date-dimension relation with a
+      // selective filter — dynamic pruning's benefit heuristic declines
+      // to plant a filter whose build side is a full fact-sized scan
+      // (measured at the sf1 sweep), exactly as it should; a date dim
+      // is also the realistic join shape
+      val dimDir = root.resolve("date_dim")
+      Tables.orders(s, d)
         .select(date_trunc("month", col("o_orderdate")).cast("date").as("dd"))
-        .filter(month(col("dd")) === 3).distinct()
+        .distinct()
+        .write.mode("overwrite").parquet(dimDir.toString)
+      val dim = s.read.parquet(dimDir.toString).filter(month(col("dd")) === 3)
       GraftScan.resetRuntimePrune(root.resolve("fact"))
       val pruned = s.table(s"$cat.fact")
         .join(dim, col("od") === col("dd"))
