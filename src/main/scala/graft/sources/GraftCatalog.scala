@@ -1161,16 +1161,30 @@ final class GraftTable(
 
   override lazy val schema: StructType = evolvedSchema
 
+  /** Does the identity partition column path-render exactly (the
+    * integral/string/date set)? Gates the engine-clustered DSv2 write
+    * path; unrenderable types keep the V1 partitionBy legs.
+    */
+  private def partClusteredCapable: Boolean = {
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+    partCol.exists(p => schema.fields
+      .find(f => physicalOf(f.name) == p).map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             DateType => true
+        case _ => false
+      })
+  }
+
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
-    if (bucketSpec.isDefined) {
-      // the bucketed writer is a REAL DSv2 BatchWrite — only that path
-      // honors RequiresDistributionAndOrdering (the V1 fallback hands
+    if (bucketSpec.isDefined || partClusteredCapable) {
+      // these writers are REAL DSv2 BatchWrites — only that path honors
+      // RequiresDistributionAndOrdering (the V1 fallback hands
       // InsertableRelation the ANALYZED query, losing the prepared
       // distribution/ordering nodes) — and Spark refuses a non-V1Write
-      // from a table that ALSO declares V1_BATCH_WRITE, so a bucketed
-      // table declares BATCH_WRITE alone
+      // from a table that ALSO declares V1_BATCH_WRITE, so such tables
+      // declare BATCH_WRITE alone
       caps.add(TableCapability.BATCH_WRITE)
     } else {
       caps.add(TableCapability.V1_BATCH_WRITE)

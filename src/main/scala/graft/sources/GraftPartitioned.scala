@@ -129,7 +129,36 @@ private[sources] final class GraftPartitionedWriteBuilder(
   private def stage(df: DataFrame): Seq[Snapshots.ManifestEntry] =
     Snapshots.stageOccPartitioned(spark, store, toPhysical(df), partCol, zoneCols)
 
-  override def build(): Write = mode match {
+  private def logicalOf(phys: String): String =
+    colMap.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
+
+  /** Identity-partitioned writes join the DSv2 layout contract when the
+    * partition type path-renders exactly (integral/string/date — the
+    * same set the scan's claims accept): the write declares
+    * `clustered(p)` + `[p asc]` ordering, the engine plans (and AQE
+    * sizes) the clustering shuffle, and the rolling writer lands ~one
+    * file per partition value instead of one per (task × value) — the
+    * small-files explosion every unclustered partitioned insert pays at
+    * scale. Unrenderable types (timestamps: session-timezone paths)
+    * keep the V1 legs, whose partitionBy rendering is authoritative.
+    */
+  private[sources] def clusteredCapable: Boolean = {
+    import org.apache.spark.sql.types._
+    tableSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == partCol)
+      .map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             DateType => true
+        case _ => false
+      }
+  }
+
+  override def build(): Write =
+    if (clusteredCapable)
+      new GraftPartitionedBatchWrite(spark, store, partCol, zoneCols,
+        tableSchema, colMap, logicalOf(partCol), mode, info, specFrom)
+    else buildV1(mode)
+
+  private def buildV1(mode: String): Write = mode match {
     case "append" => new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
@@ -344,9 +373,9 @@ private[sources] final class GraftBucketedBatchWrite(
       require(bIdx >= 0, s"bucket column '$bucketColLogical' missing from the " +
         s"write schema ${inSchema.fieldNames.mkString(",")}")
       val sIdx = sortColLogical.map(inSchema.fieldNames.indexOf(_)).getOrElse(-1)
-      new GraftBucketedWriterFactory(dataDir.toString, physSchema, owFactory,
+      new GraftClusteredWriterFactory(dataDir.toString, physSchema, owFactory,
         new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
-        bIdx, inSchema.fields(bIdx).dataType, bucketN,
+        GraftBucketKey(bIdx, inSchema.fields(bIdx).dataType, bucketN),
         sIdx, if (sIdx >= 0) Some(inSchema.fields(sIdx).dataType) else None)
     }
 
@@ -397,14 +426,65 @@ private[sources] final class GraftBucketedBatchWrite(
 private[sources] final case class GraftBucketedTaskFiles(n: Int)
   extends WriterCommitMessage
 
-private[sources] final class GraftBucketedWriterFactory(
+/** How a clustered-write task derives each row's `_pv=` DIRECTORY NAME
+  * — the serializable key spec shipped to executors.
+  */
+private[sources] sealed trait GraftClusterKey extends Serializable
+private[sources] final case class GraftBucketKey(
+    idx: Int, dt: org.apache.spark.sql.types.DataType, n: Int) extends GraftClusterKey
+private[sources] final case class GraftIdentityKey(
+    idx: Int, dt: org.apache.spark.sql.types.DataType) extends GraftClusterKey
+
+private[sources] object GraftClusterKey {
+  /** The dir-name rendering MUST byte-match what Spark's own
+    * `partitionBy` produced on the historical files: integral toString,
+    * strings through Spark's hive path escaping, dates as the ISO local
+    * date (what the scan's round-trip parses back), null and ""
+    * collapsing to the default-partition dir — or a dynamic overwrite
+    * would replace (or keep) the wrong directories.
+    */
+  def renderer(key: GraftClusterKey):
+      org.apache.spark.sql.catalyst.InternalRow => String = key match {
+    case GraftBucketKey(idx, dt, n) =>
+      val hashExpr =
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            idx, dt, nullable = true)))
+      row => {
+        val h = hashExpr.eval(row).asInstanceOf[Int]
+        (((h % n) + n) % n).toString
+      }
+    case GraftIdentityKey(idx, dt) =>
+      import org.apache.spark.sql.types._
+      val default =
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      row => {
+        if (row.isNullAt(idx)) default
+        else dt match {
+          case LongType    => row.getLong(idx).toString
+          case IntegerType => row.getInt(idx).toString
+          case ShortType   => row.getShort(idx).toString
+          case ByteType    => row.getByte(idx).toString
+          case DateType    =>
+            java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+          case StringType =>
+            val v = row.getUTF8String(idx).toString
+            if (v.isEmpty) default
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v)
+          case other => throw new IllegalStateException(
+            s"unrenderable identity partition type $other") // gated at build
+        }
+      }
+  }
+}
+
+private[sources] final class GraftClusteredWriterFactory(
     dataDir: String,
     physSchema: StructType,
     owFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    bucketIdx: Int,
-    bucketType: org.apache.spark.sql.types.DataType,
-    bucketN: Int,
+    key: GraftClusterKey,
     sortIdx: Int,
     sortType: Option[org.apache.spark.sql.types.DataType]) extends DataWriterFactory {
 
@@ -421,12 +501,7 @@ private[sources] final class GraftBucketedWriterFactory(
             org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
           (taskId & Int.MaxValue).toInt))
 
-      // the EXACT write-path bucket identity (pmod(murmur3, n), seed 42)
-      // — GraftBucketBound.produceResult's expression
-      private val hashExpr =
-        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
-          org.apache.spark.sql.catalyst.expressions.BoundReference(
-            bucketIdx, bucketType, nullable = true)))
+      private val keyOf = GraftClusterKey.renderer(key)
 
       // integral sort value accessor (validateSortCol pins integral)
       private val sortValOf: InternalRow => Long = sortType match {
@@ -438,15 +513,14 @@ private[sources] final class GraftBucketedWriterFactory(
       }
 
       private var current: org.apache.spark.sql.execution.datasources.OutputWriter = null
-      private var currentBucket = -1
-      private var haveFile = false
+      private var currentKey: String = null
       private var lastSort = Long.MinValue
       private var fileSeq = 0
       private var nFiles = 0
 
-      private def roll(bucket: Int): Unit = {
+      private def roll(k: String): Unit = {
         if (current != null) current.close()
-        val dir = new java.io.File(dataDir, s"_pv=$bucket")
+        val dir = new java.io.File(dataDir, s"_pv=$k")
         dir.mkdirs()
         val path = new java.io.File(dir,
           f"part-$partitionId%05d-$fileSeq%04d-$taskId" +
@@ -454,24 +528,22 @@ private[sources] final class GraftBucketedWriterFactory(
         fileSeq += 1
         nFiles += 1
         current = owFactory.newInstance(path, physSchema, ctx)
-        currentBucket = bucket
-        haveFile = true
+        currentKey = k
         lastSort = Long.MinValue
       }
 
       override def write(row: InternalRow): Unit = {
-        val h = hashExpr.eval(row).asInstanceOf[Int]
-        val b = ((h % bucketN) + bucketN) % bucketN
-        if (!haveFile || b != currentBucket) roll(b)
+        val k = keyOf(row)
+        if (current == null || k != currentKey) roll(k)
         if (sortIdx >= 0) {
           val sv = sortValOf(row)
-          // the declared contract: rows arrive [bucket, sortcol]-sorted.
+          // the declared contract: rows arrive [key, sortcol]-sorted.
           // A violated contract must REFUSE — a file written out of
           // order would still carry the sort column's zone range, and
           // the reader would prove an ordering the bytes don't have
           if (sv < lastSort) throw new IllegalStateException(
             s"clustered write received unsorted rows ($sv after $lastSort " +
-              s"in bucket $b): the engine did not honor requiredOrdering")
+              s"in _pv=$k): the engine did not honor requiredOrdering")
           lastSort = sv
         }
         current.write(row)
@@ -490,4 +562,148 @@ private[sources] final class GraftBucketedWriterFactory(
       override def close(): Unit =
         if (current != null) { current.close(); current = null }
     }
+}
+
+/** The REAL DSv2 write of an identity-partitioned catalog table — the
+  * value-pure twin of [[GraftBucketedBatchWrite]]. One writer serves
+  * all three statement shapes; only the COMMIT differs:
+  *
+  *  - append (`INSERT INTO`): OCC append of the fresh value-pure files;
+  *  - truncate (static `INSERT OVERWRITE`): OCC rewrite;
+  *  - dynamic (`INSERT OVERWRITE`, dynamic mode): ONE OccSurgical
+  *    replacing exactly the partitions the query produced rows for —
+  *    and because the engine-clustered writer lands value-pure files
+  *    DIRECTLY, the old scratch-then-restage shape (every row written
+  *    twice) is gone: dynamic overwrite now costs one write of the
+  *    replaced partitions, period.
+  *
+  * The dir rendering byte-matches Spark's own partitionBy form
+  * ([[GraftClusterKey.renderer]]), so new files, historical files and
+  * the dynamic overwrite's replace-by-value all agree. Mid-spec-
+  * migration dynamic overwrites refuse (old `_pv=` segments are not
+  * judgeable under the current spec).
+  */
+private[sources] final class GraftPartitionedBatchWrite(
+    spark: SparkSession,
+    store: JPath,
+    partColPhys: String,
+    zoneCols: Seq[String],
+    tableSchema: StructType, // LOGICAL
+    colMap: Map[String, String],
+    partColLogical: String,
+    mode: String, // append | truncate | dynamic
+    info: LogicalWriteInfo,
+    specFrom: Option[Int]) extends Write
+    with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+
+  override def requiredDistribution(): V2Distribution =
+    Distributions.clustered(Array(Expressions.column(partColLogical)))
+
+  override def requiredOrdering(): Array[V2SortOrder] =
+    Array(Expressions.sort(Expressions.column(partColLogical),
+      SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = 0 // AQE sizes the shuffle
+
+  override def description(): String =
+    s"GraftPartitionedBatchWrite($store, $mode)"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val dataDir: JPath = {
+      val d = store.resolve("data").resolve(
+        "occ-" + java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.createDirectories(d)
+      d
+    }
+
+    override def createBatchWriterFactory(
+        pInfo: PhysicalWriteInfo): DataWriterFactory = {
+      val inSchema = info.schema()
+      val physSchema = StructType(inSchema.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owFactory =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+          .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            job, Map.empty, physSchema)
+      val pIdx = inSchema.fieldNames.indexOf(partColLogical)
+      require(pIdx >= 0, s"partition column '$partColLogical' missing from the " +
+        s"write schema ${inSchema.fieldNames.mkString(",")}")
+      new GraftClusteredWriterFactory(dataDir.toString, physSchema, owFactory,
+        new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+        GraftIdentityKey(pIdx, inSchema.fields(pIdx).dataType), -1, None)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, zoneCols)
+      if (fresh.isEmpty && mode != "truncate") {
+        // nothing written: an empty append or an empty dynamic
+        // overwrite replaces nothing — no-op (an empty TRUNCATE still
+        // lands: it IS the truncation)
+        GraftCatalog.rmTree(dataDir)
+        return
+      }
+      var attempts = 0
+      while (true) {
+        val base = Snapshots.currentId(store)
+        try {
+          val seed = GraftCatalog.seedMetaFor(store)
+          (mode, base) match {
+            case ("append", _) | ("truncate", None) =>
+              Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                seedMeta = seed)
+            case ("truncate", Some(b)) =>
+              Snapshots.commitOcc(store, fresh, Snapshots.OccRewrite(b),
+                seedMeta = seed)
+            case ("dynamic", None) =>
+              Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                seedMeta = seed)
+            case ("dynamic", Some(b)) =>
+              val touched = fresh.flatMap(e =>
+                Snapshots.partValueOf(e.relPath)).toSet
+              val carried = Snapshots.manifest(store, b).filter { e =>
+                if (!Snapshots.isDelete(e) && specFrom.exists(e.seq <= _))
+                  throw new IllegalStateException(
+                    s"dynamic overwrite on $store mid-spec-migration: file " +
+                      s"${e.relPath} predates the current partition spec " +
+                      "(compact or INSERT OVERWRITE the whole table first)")
+                if (Snapshots.isDelete(e)) true // tombstones carry through
+                else Snapshots.partValueOf(e.relPath) match {
+                  case Some(v) => !touched(v)
+                  case None => throw new IllegalStateException(
+                    s"non-partitioned data file ${e.relPath}: dynamic " +
+                      "overwrite needs a value-pure table (write through " +
+                      "the partitioned catalog paths only)")
+                }
+              }
+              Snapshots.commitOcc(store, fresh,
+                Snapshots.OccSurgical(b, carried), seedMeta = seed)
+            case (other, _) =>
+              throw new IllegalStateException(s"unknown write mode $other")
+          }
+          return
+        } catch {
+          // fresh files are base-independent for every mode (new dirs);
+          // recompute the carried set against the advanced base and retry
+          case _: Snapshots.CommitConflictException if mode != "append" =>
+            attempts += 1
+            if (attempts >= 5) {
+              Snapshots.discardStaged(store, fresh)
+              throw new Snapshots.CommitConflictException(
+                s"INSERT OVERWRITE on $store lost the commit race $attempts times")
+            }
+          case e: Throwable =>
+            Snapshots.discardStaged(store, fresh)
+            throw e
+        }
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftCatalog.rmTree(dataDir)
+  }
 }

@@ -6,6 +6,7 @@ import scala.collection.JavaConverters._
 
 import graft.TestSpark
 import graft.etl.Snapshots
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Partitioned catalog tables (`PARTITIONED BY` → value-pure `_pv=`
@@ -200,6 +201,53 @@ class GraftPartitionedSpec extends AnyFunSuite {
       val cur = Snapshots.manifest(store, Snapshots.currentId(store).get)
       assert(cur.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
         "UPDATE must re-stage value-pure on a partitioned table")
+    } finally rm(root)
+  }
+
+  test("DSv2 clustered write: ~one file per partition value, exact rendering") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (p STRING, v BIGINT) PARTITIONED BY (p)")
+      // 16 input partitions x 4 values: an unclustered partitionBy would
+      // land up to 64 files; the engine-clustered write lands ~4
+      s.range(0, 40000).repartition(16)
+        .select(concat(lit("g="), col("id") % 4).as("p"), col("id").as("v"))
+        .writeTo(s"$cat.t").append()
+      val entries = graft.etl.Snapshots.manifest(root.resolve("t"), 1)
+      assert(entries.size <= 8,
+        s"clustered write should land ~one file per value, got ${entries.size}")
+      // pvOfPath DECODES the escaped dir names back to the raw values
+      val pvs = entries.flatMap(e => GraftScan.pvOfPath(e.relPath)).toSet
+      assert(pvs == Set("g=0", "g=1", "g=2", "g=3"), pvs.toString)
+      // and the ON-DISK rendering matches Spark's partitionBy escaping
+      // ('=' is in the hive-escape set: %3D)
+      assert(entries.forall(_.relPath.contains("_pv=g%3D")),
+        entries.map(_.relPath).mkString(","))
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 'g=2'")
+        .head.getLong(0) == 10000L)
+      // nulls and empty strings collapse to the default dir, stay exact
+      s.sql(s"INSERT INTO $cat.t VALUES (NULL, -1), ('', -2)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p IS NULL").head.getLong(0) == 1)
+      assert(s.sql(s"SELECT v FROM $cat.t WHERE p = ''").head.getLong(0) == -2)
+      // dynamic overwrite through the DIRECT writer: replace one value,
+      // carry the rest byte-identical — no scratch, no restaging
+      val pre = graft.etl.Snapshots.manifest(root.resolve("t"),
+        graft.etl.Snapshots.currentId(root.resolve("t")).get)
+      val pk = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.get(pk)
+      s.conf.set(pk, "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.t SELECT 'g=1', id FROM range(0, 5)")
+      finally s.conf.set(pk, prior)
+      val post = graft.etl.Snapshots.manifest(root.resolve("t"),
+        graft.etl.Snapshots.currentId(root.resolve("t")).get)
+      pre.filter(e => !GraftScan.pvOfPath(e.relPath).contains("g=1"))
+        .foreach(b => assert(post.exists(e =>
+          e.relPath == b.relPath && e.md5 == b.md5 && e.seq == b.seq),
+          s"dynamic overwrite touched untouched partition file ${b.relPath}"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 'g=1'")
+        .head.getLong(0) == 5L)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+        == 30000L + 2L + 5L)
     } finally rm(root)
   }
 }
