@@ -1574,7 +1574,8 @@ object Snapshots {
     */
   def metaPartitions(s: SparkSession, root: Path, n: Int,
                      sortCol: Option[String],
-                     statsCol: Option[String]): DataFrame = {
+                     statsCol: Option[String],
+                     specFrom: Option[Int] = None): DataFrame = {
     val es = (if (n <= 0) Nil else manifest(root, n)).filterNot(isDelete)
     def zoneOf(e: ManifestEntry, c: String): Option[(Long, Long)] =
       e.multi.find(_._1 == c).map(t => (t._2, t._3))
@@ -1594,14 +1595,19 @@ object Snapshots {
         }
         Row(pv.orNull, fs.size.toLong,
           fs.map(e => footerRows(s, root, e.relPath)).sum,
-          fs.map(_.bytes).sum, sortedDisjoint)
+          fs.map(_.bytes).sum, sortedDisjoint,
+          // spec-evolution visibility: FALSE = this partition still holds
+          // pre-evolution files (grouped claims decline; a compact is due)
+          fs.forall(e => specFrom.forall(e.seq > _)))
       }
     val schema = StructType(Seq(
       StructField("partition", StringType, nullable = true),
       StructField("n_files", LongType), StructField("n_rows", LongType),
       StructField("bytes", LongType),
       StructField("sorted_disjoint", org.apache.spark.sql.types.BooleanType,
-        nullable = true)))
+        nullable = true),
+      StructField("under_current_spec", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
     // LocalRelation, NOT parallelize: executeCollect stays driver-local
     s.createDataFrame(rows.asJava, schema)
   }

@@ -374,7 +374,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val (_, prs) = GraftCatalog.effectiveMarker(base, None)
             Snapshots.metaPartitions(spark, base,
               Snapshots.currentId(base).getOrElse(0),
-              prs.get("sortcol"), prs.get("statscol"))
+              prs.get("sortcol"), prs.get("statscol"),
+              prs.get("specfrom").flatMap(_.toIntOption))
           case _ => throw new NoSuchTableException(
             name() +: ident.namespace().toSeq :+ ident.name())
         }

@@ -742,6 +742,19 @@ class GraftBucketedSpec extends AnyFunSuite {
       assert(m3.length == 4 && m3.forall(_._4.contains(true)),
         s"compact should restore the claim: ${m3.mkString(",")}")
       assert(m3.map(_._3).sum == 8000L)
+      // SPEC EVOLUTION visibility: after an ALTER the partitions report
+      // under_current_spec = false (a compact is due); after the compact
+      // they report true again
+      def spec() = s.sql(
+        s"SELECT partition, under_current_spec FROM $cat.kv.partitions")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(spec().values.forall(_ == true))
+      s.sql(s"ALTER TABLE $cat.kv SET TBLPROPERTIES ('bucketn'='8')")
+      assert(spec().values.forall(_ == false),
+        "post-evolution partitions must report under_current_spec = false")
+      s.sql(s"CALL $cat.system.compact(tbl => 'kv', target_files => 8)")
+      assert(spec().values.forall(_ == true),
+        "compact must migrate every partition to the current spec")
     } finally rm(root)
   }
 }

@@ -133,4 +133,33 @@ class StreamCatalogCdfSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT count(*) FROM $cat.kv").head.getLong(0) == 50)
     } finally { rm(sink); rm(root) }
   }
+
+  test("changefeed from a pinned start: startsnapshot skips prior history") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_cdfspec_sink5")
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 100)")
+      s.sql(s"UPDATE $cat.kv SET v = 'U' WHERE k < 10")
+      // start AFTER snapshot 2: the founding inserts and the update's
+      // pairs never stream; only the delete below does
+      val q = s.readStream.option("changefeed", "true")
+        .option("startsnapshot", "2")
+        .table(s"$cat.kv")
+        .writeStream.format("parquet")
+        .option("path", sink.resolve("data").toString)
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        s.sql(s"DELETE FROM $cat.kv WHERE k >= 95")
+        q.processAllAvailable()
+      } finally q.stop()
+      val feed = s.read.parquet(sink.resolve("data").toString)
+      assert(feed.filter(col("_change_type") === "insert").isEmpty,
+        "a pinned start must not replay pre-pin inserts")
+      assert(feed.filter(col("_change_type") === "delete").count() == 5)
+    } finally { rm(sink); rm(root) }
+  }
 }
