@@ -587,12 +587,26 @@ object Snapshots {
     * data file rewritten, read cost folded away by the next compaction.
     */
   def publishUpsert(s: SparkSession, root: Path, rows: DataFrame, keyCol: String,
-                    statsCol: Option[String] = None): Int = {
+                    statsCol: Option[String]): Int =
+    publishUpsert(s, root, rows, Seq(keyCol), statsCol)
+
+  def publishUpsert(s: SparkSession, root: Path, rows: DataFrame,
+                    keyCol: String): Int =
+    publishUpsert(s, root, rows, Seq(keyCol), None)
+
+  /** COMPOSITE-key form: the tombstone carries every key column and the
+    * merged read anti-joins on the full set — the streaming mirror of a
+    * MySQL table whose PRIMARY KEY is multi-column.
+    */
+  def publishUpsert(s: SparkSession, root: Path, rows: DataFrame,
+                    keyCols: Seq[String],
+                    statsCol: Option[String]): Int = {
     val prev = currentId(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
     // allocate globally (past branch/staged manifests), like stage() will
     val id = nextManifestId(root)
-    val delEntries = writeTombstone(s, root, rows.select(keyCol), id, prev)
+    val delEntries = writeTombstone(s, root,
+      rows.select(keyCols.map(col): _*), id, prev)
     val staged = stage(s, root, rows, append = true, statsCol)
     require(staged == id, s"concurrent publish raced the upsert: $staged != $id")
     // fold the tombstone into the staged manifest BEFORE the commit —
@@ -672,10 +686,23 @@ object Snapshots {
     * skipped).
     */
   def publishUpsertBatch(s: SparkSession, root: Path, rows: DataFrame, keyCol: String,
+                         batchId: Long, deleteKeys: Option[DataFrame],
+                         statsCol: Option[String]): Boolean =
+    publishUpsertBatch(s, root, rows, Seq(keyCol), batchId, deleteKeys, statsCol)
+
+  def publishUpsertBatch(s: SparkSession, root: Path, rows: DataFrame,
+                         keyCol: String, batchId: Long): Boolean =
+    publishUpsertBatch(s, root, rows, Seq(keyCol), batchId, None, None)
+
+  /** COMPOSITE-key form — one row per key TUPLE per batch; delete keys
+    * carry all key columns.
+    */
+  def publishUpsertBatch(s: SparkSession, root: Path, rows: DataFrame,
+                         keyCols: Seq[String],
                          batchId: Long, deleteKeys: Option[DataFrame] = None,
                          statsCol: Option[String] = None): Boolean = {
     if (lastBatchId(root).exists(_ >= batchId)) return false
-    val delKeys = deleteKeys.map(_.toDF(keyCol))
+    val delKeys = deleteKeys.map(_.toDF(keyCols: _*))
     val founding = currentId(root).isEmpty
     if (founding) {
       // an all-empty founding batch cannot found the table (no schema to
@@ -696,13 +723,13 @@ object Snapshots {
       // path. Delete-only keys join with __n = 0 (exempt from the
       // duplicate gate — deleting a key twice is idempotent).
       val obs = new org.apache.spark.sql.Observation()
-      val keyed = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      val keyed = rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       val tombFrame = (delKeys match {
         case Some(dk) => keyed.unionByName(dk.withColumn("__n", lit(0L)))
         case None     => keyed
       }).observe(obs, max(col("__n")).as("__maxn"), sum(col("__n")).as("__rows"),
         count(lit(1)).as("__keys"))
-        .select(col(keyCol))
+        .select(keyCols.map(col): _*)
       val tombEntries = stageTombstoneOcc(s, root, tombFrame)
       val observed = obs.get // blocks on the staging write (already done)
       def longOf(name: String): Long = observed.get(name).flatMap(Option(_))

@@ -177,7 +177,10 @@ final class SnapshotSource extends RelationProvider
         // refused.
         require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
           s"graft-snapshot upsert sink supports Append/Update; $outputMode is not")
-        new SnapshotUpsertSink(sqlContext.sparkSession, rootOf(parameters), key,
+        // 'morkey' is a column LIST, like the catalog property: a
+        // composite key mirrors a multi-column MySQL PRIMARY KEY
+        new SnapshotUpsertSink(sqlContext.sparkSession, rootOf(parameters),
+          key.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           applyChangefeed = opts.get("applychangefeed").exists(_.toBoolean),
           statsCol = opts.get("statscol"))
       case None =>
@@ -269,7 +272,8 @@ final class SnapshotSink(spark: SparkSession, root: JPath) extends Sink {
   * table tracks a mutating upstream through inserts, updates AND
   * deletes, exactly once, across restarts.
   */
-final class SnapshotUpsertSink(spark: SparkSession, root: JPath, key: String,
+final class SnapshotUpsertSink(spark: SparkSession, root: JPath,
+                               keys: Seq[String], // composite: every column
                                applyChangefeed: Boolean,
                                statsCol: Option[String]) extends Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
@@ -280,16 +284,17 @@ final class SnapshotUpsertSink(spark: SparkSession, root: JPath, key: String,
         "applychangefeed=true expects a change-feed frame with _change_type " +
           "(readStream.option(\"changefeed\", true) produces one)")
       val inserts = df.filter(col("_change_type") === "insert").drop("_change_type")
-      val deleteOnly = df.filter(col("_change_type") === "delete").select(col(key))
-        .join(inserts.select(col(key)), Seq(key), "left_anti")
-      Snapshots.publishUpsertBatch(spark, root, inserts, key, batchId,
+      val deleteOnly = df.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+        .join(inserts.select(keys.map(col): _*), keys, "left_anti")
+      Snapshots.publishUpsertBatch(spark, root, inserts, keys, batchId,
         deleteKeys = Some(deleteOnly), statsCol = statsCol)
     } else {
-      Snapshots.publishUpsertBatch(spark, root, df, key, batchId,
+      Snapshots.publishUpsertBatch(spark, root, df, keys, batchId,
         statsCol = statsCol)
     }
   }
-  override def toString: String = s"SnapshotUpsertSink[$root key=$key]"
+  override def toString: String = s"SnapshotUpsertSink[$root key=${keys.mkString(",")}]"
 }
 
 /** Offset = a published snapshot id. JSON form is just the number, so

@@ -43,7 +43,7 @@ class UpsertSinkSpec extends AnyFunSuite {
       val st1 = Snapshots.readCurrent(s, root).as[(Long, String)].collect().toMap
       assert(st1 == Map(1L -> "a", 2L -> "B", 3L -> "c"))
       // delete-only batch: no rows, just keys
-      assert(Snapshots.publishUpsertBatch(s, root, kv().limit(0), "k", 2L,
+      assert(Snapshots.publishUpsertBatch(s, root, kv().limit(0), Seq("k"), 2L,
         deleteKeys = Some(Seq(1L).toDF("k"))))
       val st2 = Snapshots.readCurrent(s, root).as[(Long, String)].collect().toMap
       assert(st2 == Map(2L -> "B", 3L -> "c"))
