@@ -1168,6 +1168,13 @@ final class GraftTable(
     */
   private def partClusteredCapable: Boolean = {
     import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+    // 'writedistribution'='none' opts a table out of the engine-
+    // clustered write (back to the V1 partitionBy legs): clustering
+    // serializes each partition VALUE through one task, so a heavily
+    // skewed identity partition trades small-files for write
+    // parallelism — the operator picks per table (Iceberg's
+    // write.distribution-mode=none, same dial)
+    !props.get("writedistribution").contains("none") &&
     partCol.exists(p => schema.fields
       .find(f => physicalOf(f.name) == p).map(_.dataType).exists {
         case LongType | IntegerType | ShortType | ByteType | StringType |
@@ -1242,7 +1249,8 @@ final class GraftTable(
     partCol match {
       case Some(p) =>
         return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
-          info, colMap, props.get("specfrom").flatMap(_.toIntOption))
+          info, colMap, props.get("specfrom").flatMap(_.toIntOption),
+          clusteredOptOut = props.get("writedistribution").contains("none"))
       case None => ()
     }
     bucketSpec match {

@@ -99,7 +99,8 @@ private[sources] final class GraftPartitionedWriteBuilder(
     tableSchema: StructType, // LOGICAL shape (what the query hands us)
     info: LogicalWriteInfo,
     colMap: Map[String, String] = Map.empty,
-    specFrom: Option[Int] = None) extends WriteBuilder
+    specFrom: Option[Int] = None,
+    clusteredOptOut: Boolean = false) extends WriteBuilder
     with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -144,6 +145,7 @@ private[sources] final class GraftPartitionedWriteBuilder(
     */
   private[sources] def clusteredCapable: Boolean = {
     import org.apache.spark.sql.types._
+    !clusteredOptOut &&
     tableSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == partCol)
       .map(_.dataType).exists {
         case LongType | IntegerType | ShortType | ByteType | StringType |

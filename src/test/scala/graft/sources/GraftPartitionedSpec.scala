@@ -250,4 +250,25 @@ class GraftPartitionedSpec extends AnyFunSuite {
         == 30000L + 2L + 5L)
     } finally rm(root)
   }
+
+  test("'writedistribution'='none' opts out of the clustered write") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (p BIGINT, v BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('writedistribution'='none')")
+      // a skew-shaped insert: 16 input partitions, one dominant value —
+      // the V1 path keeps per-task write parallelism (up to 16 files
+      // for the hot value instead of 1)
+      s.range(0, 40000).repartition(16)
+        .select((col("id") % 2).as("p"), col("id").as("v"))
+        .writeTo(s"$cat.t").append()
+      val entries = graft.etl.Snapshots.manifest(root.resolve("t"), 1)
+      assert(entries.size > 4,
+        s"opt-out should keep per-task parallel files, got ${entries.size}")
+      assert(entries.forall(e =>
+        graft.etl.Snapshots.partValueOf(e.relPath).isDefined))
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE p = 1").head.getLong(0)
+        == 20000L)
+    } finally rm(root)
+  }
 }
