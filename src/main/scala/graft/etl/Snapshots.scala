@@ -1545,7 +1545,9 @@ object Snapshots {
       // the instant TIMESTAMP AS OF resolves against (epoch millis) —
       // trailing so positional consumers of the original five are safe
       StructField("committed_at", LongType)))
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    // LocalRelation, NOT parallelize: collecting a metadata relation
+    // must stay a driver-local read, never a Spark job
+    s.createDataFrame(rows.asJava, schema)
   }
 
   /** Metadata relation over one snapshot's FILES — the `.files` twin of
@@ -1568,7 +1570,7 @@ object Snapshots {
       StructField("stats_lo", LongType, nullable = true),
       StructField("stats_hi", LongType, nullable = true),
       StructField("n_named_stats", LongType)))
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    s.createDataFrame(rows.asJava, schema)
   }
 
   /** Per-file parquet row count from the FOOTER — one O(1) driver read
@@ -1657,7 +1659,7 @@ object Snapshots {
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("kind", StringType),
       StructField("snapshot_id", LongType)))
-    s.createDataFrame(s.sparkContext.parallelize(scan("branch") ++ scan("tag"), 1), schema)
+    s.createDataFrame((scan("branch") ++ scan("tag")).asJava, schema)
   }
 
   /** Raw manifest write, for encoding round-trip tests only. */

@@ -15,14 +15,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** MERGE-ON-READ row-level DML for [[GraftTable]] — the DSv2
   * `SupportsDelta` path, used when a table declares a `morkey` property
-  * (its logical key column):
+  * (its key column LIST — one column normally, several for a COMPOSITE
+  * key):
   *
   *  - Spark's rewrite rules plan a [[org.apache.spark.sql.catalyst
   *    .plans.logical.WriteDelta]]: the matched rows arrive as per-row
   *    DELETE / UPDATE / INSERT instructions instead of a whole-group
   *    rewrite, and [[GraftDeltaWriter]] splits them into the layer's two
   *    native MoR artifacts — an EQUALITY-DELETE tombstone (the key
-  *    column, `deletes/`) and ordinary insert data files — written
+  *    column(s), `deletes/`) and ordinary insert data files — written
   *    executor-side through Spark's own DSv2 parquet write.
   *  - The commit is `publishUpsert`'s shape under OCC: tombstone +
   *    replacement rows land in ONE [[Snapshots.OccSurgical]] commit
