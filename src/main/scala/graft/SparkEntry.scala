@@ -106,6 +106,7 @@ object SparkEntry {
     "catalog_dpp_date"    -> w(graft.sources.GraftCatalogQueries.catalogDppDate),
     "catalog_partitions"  -> w(graft.sources.GraftCatalogQueries.catalogPartitions),
     "catalog_respec"      -> w(graft.sources.GraftCatalogQueries.catalogRespec),
+    "catalog_clustered_write" -> w(graft.sources.GraftCatalogQueries.catalogClusteredWrite),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
@@ -583,6 +584,7 @@ object SparkEntry {
     "catalog_dpp_date" -> graft.sources.GraftCatalogQueries.catalogDppDateOracleSql,
     "catalog_partitions" -> graft.sources.GraftCatalogQueries.catalogPartitionsOracleSql,
     "catalog_respec" -> graft.sources.GraftCatalogQueries.catalogRespecOracleSql,
+    "catalog_clustered_write" -> graft.sources.GraftCatalogQueries.catalogClusteredWriteOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,

@@ -1388,6 +1388,71 @@ object GraftCatalogQueries {
       CAST(sum(cents) AS BIGINT) FROM f GROUP BY o_orderstatus
     ORDER BY stage, o_orderstatus"""
 
+  /** Query `catalog_clustered_write`: the write-side layout contract
+    * under the driver's oracle — an INSERT from a MANY-partition input
+    * (32 shuffled input partitions) into a value-pure partitioned
+    * table. The unclustered shape would land up to 32 x 8 files; the
+    * connector declares `clustered(p)` + `[p asc]` through
+    * RequiresDistributionAndOrdering, the engine plans (AQE sizes) the
+    * clustering shuffle, and the rolling writer lands ~one file per
+    * partition value. Required in-query: file count <= 2x the
+    * partition count (the small-files economics), every file
+    * value-pure, and the INSERT's executed plan carries the
+    * engine-planted exchange + sort (captured via a listener). The
+    * oracle restates the per-partition aggregate — the layout changes
+    * I/O shape, never answers.
+    */
+  def catalogClusteredWrite(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (p BIGINT, cents BIGINT) PARTITIONED BY (p)")
+      val captured = new java.util.concurrent.CopyOnWriteArrayList[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, t: Long): Unit =
+          captured.add(qe)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      val insertPlan = try {
+        Tables.orders(s, d).select((col("o_orderkey") % 8).as("p"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(32) // the adversarial input shape: 32 tasks x 8 values
+          .writeTo(s"$cat.fact").append()
+        var waited = 0
+        def find = captured.asScala.find(
+          _.executedPlan.toString.contains("GraftPartitionedBatchWrite"))
+        while (find.isEmpty && waited < 20000) { Thread.sleep(100); waited += 100 }
+        find.getOrElse(throw new IllegalStateException(
+          "INSERT's query execution never reached the listener"))
+      } finally s.listenerManager.unregister(listener)
+      val planStr = insertPlan.executedPlan.toString
+      require(planStr.contains("Exchange") && planStr.contains("Sort "),
+        s"write plan lacks the connector-negotiated clustering:\n$planStr")
+      val entries = Snapshots.manifest(root.resolve("fact"), 1)
+      require(entries.size <= 16,
+        s"clustered write should land ~one file per value (8 values), " +
+          s"got ${entries.size}")
+      require(entries.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "clustered write landed a layout-less file")
+      val out = s.sql(s"SELECT p, count(*) AS n, sum(cents) AS sum_cents " +
+        s"FROM $cat.fact GROUP BY 1").collect()
+        .map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2)))
+      val schema = StructType(Seq(StructField("p", LongType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("p")
+    } finally rm(root)
+  }
+
+  /** Per-partition aggregate restated from orders. */
+  val catalogClusteredWriteOracleSql: String = """
+    SELECT o_orderkey % 8 AS p, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** Query `catalog_partitions`: the `partitions` metadata table
     * (SURVEY §22's named continuation) — `cat.ns.t.partitions` lists
     * per-`_pv=` file/row/byte counts plus the LIVE `sorted_disjoint`
