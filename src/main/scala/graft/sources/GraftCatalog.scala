@@ -124,8 +124,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.toMap
     // fail on bad property keys NOW, before ANY filesystem effect: the
     // marker write rejecting them AFTER the data committed would leave
-    // an abort path no choice but to hurt something
-    GraftCatalog.validatePropertyKeys(keep)
+    // an abort path no choice but to hurt something. Validate the
+    // MERGED set — the PARTITIONED BY transform contributes
+    // bucketcol/bucketn, which sortcol's coherence check needs
+    GraftCatalog.validatePropertyKeys(keep ++ partProps)
     val createdDir = !JFiles.exists(dir)
     JFiles.createDirectories(dir)
     if (!existsAsTable) {
@@ -1571,11 +1573,21 @@ final class GraftStagedTable(
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 ov: Boolean): Unit = {
-              staged = props.get("partitioncol") match {
-                case Some(p) => Snapshots.stageOccPartitioned(spark, store, data, p,
+              staged = (props.get("partitioncol"),
+                  props.get("bucketcol").zip(props.get("bucketn").flatMap(_.toIntOption))) match {
+                case (Some(p), _) => Snapshots.stageOccPartitioned(spark, store, data, p,
                   props.get("statscol").toSeq)
                   .map(Snapshots.foldLegacyStats(_, props.get("statscol")))
-                case None => Snapshots.stageOcc(spark, store, data, props.get("statscol"))
+                case (None, Some((bc, nb))) =>
+                  // CTAS/RTAS into a BUCKETED table stages bucket-pure
+                  // (sorted when declared), so the SPJ/ordering claims
+                  // are live from the table's very first snapshot
+                  // instead of declining until a compact re-buckets it
+                  Snapshots.stageOccBucketed(spark, store, data, bc, nb,
+                    (props.get("statscol").toSeq ++ props.get("sortcol").toSeq).distinct,
+                    props.get("sortcol"))
+                case (None, None) =>
+                  Snapshots.stageOcc(spark, store, data, props.get("statscol"))
               }
               wrote = true
             }

@@ -757,4 +757,27 @@ class GraftBucketedSpec extends AnyFunSuite {
         "compact must migrate every partition to the current spec")
     } finally rm(root)
   }
+
+  test("CTAS into a bucketed sorted table: claims live from snapshot 1") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.a PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('sortcol'='k', 'statscol'='k') AS " +
+        "SELECT id AS k, id * 3 AS v FROM range(0, 20000)")
+      s.sql(s"CREATE TABLE $cat.b PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('sortcol'='k', 'statscol'='k') AS " +
+        "SELECT id AS k, id * 5 AS w FROM range(0, 20000)")
+      val entries = Snapshots.manifest(root.resolve("a"), 1)
+      assert(entries.forall(e => GraftScan.pvOfPath(e.relPath).isDefined),
+        "CTAS must stage bucket-pure")
+      withSpj {
+        val joined = s.table(s"$cat.a").join(s.table(s"$cat.b"), "k")
+          .groupBy("k").agg(sum(col("v") + col("w")).as("svw"))
+        assert(joined.collect().length == 20000)
+        val plan = joined.queryExecution.executedPlan
+        assert(countShuffles(plan) == 0 && countSorts(plan) == 0,
+          s"CTAS-staged claims should hold immediately:\n$plan")
+      }
+    } finally rm(root)
+  }
 }
