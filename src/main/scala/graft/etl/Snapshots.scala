@@ -708,8 +708,20 @@ object Snapshots {
       // an all-empty founding batch cannot found the table (no schema to
       // read back): skip, leaving the batch re-deliverable and still
       // empty. A founding batch has nothing to erase, so no tombstone —
-      // and nothing to collide with, so no duplicate-key gate either
-      // (the NEXT batch's tombstone erases any founding duplicate).
+      // but the one-row-per-key contract still binds: a key duplicated
+      // HERE and never upserted again would live as two rows forever
+      // (the "next batch's tombstone erases it" argument only covers
+      // keys that are touched again). The gate is one extra tiny job,
+      // paid ONCE per table lifetime — the founding batch — where the
+      // non-founding path folds it into the tombstone staging's
+      // observed metrics.
+      val dup = rows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"upsert batch $batchId carries a key more than once " +
+          s"(${dup.head.getLong(dup.head.length - 1)} times): one row per " +
+          "key per batch (emit Update-mode or net-per-window changes)")
       if (rows.isEmpty) return false
       val fresh = stageOcc(s, root, rows, statsCol)
       try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
@@ -1077,19 +1089,39 @@ object Snapshots {
     * [[stageOccMulti]], public so external writers that land files
     * through Spark's own write machinery (the catalog's row-level
     * BatchWrite) can join the commit protocol without re-writing data.
+    *
+    * `only` (dataDir-relative paths) restricts BOTH the manifested set
+    * and the stats read to an explicit allowlist — the clustered DSv2
+    * writers pass the paths their COMMITTED task attempts reported, so
+    * a straggling speculative attempt's file (complete or mid-write)
+    * can neither be manifested nor crash the stats scan. None keeps the
+    * historical everything-in-the-dir contract for single-writer
+    * stagings.
     */
   def entriesForStagedDir(s: SparkSession, root: Path, dataDir: Path,
-                          statsCols: Seq[String]): Seq[ManifestEntry] = {
+                          statsCols: Seq[String],
+                          only: Option[Set[String]] = None): Seq[ManifestEntry] = {
+    def relOf(p: Path): String =
+      dataDir.toAbsolutePath.relativize(p.toAbsolutePath).toString
+    val files = only match {
+      case Some(allow) => listParquetRecursive(dataDir).filter(p => allow(relOf(p)))
+      case None        => listParquetRecursive(dataDir)
+    }
     // an EMPTY staging (a filter selected no rows) writes only _SUCCESS;
     // reading it back for stats would die on schema inference — there is
     // nothing to manifest, return so before touching the reader
-    if (listParquetRecursive(dataDir).isEmpty) return Nil
+    if (files.isEmpty) return Nil
     val byFile: Map[String, Seq[(String, Long, Long)]] =
       if (statsCols.isEmpty) Map.empty
       else {
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
-        s.read.parquet(dataDir.toString)
+        // allowlisted mode reads the explicit files, never the dir: the
+        // dir listing could race a straggler's partial file
+        (only match {
+          case Some(_) => s.read.parquet(files.map(_.toString): _*)
+          case None    => s.read.parquet(dataDir.toString)
+        })
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -1107,11 +1139,9 @@ object Snapshots {
       }
     // recursive: a value-pure partitioned staging (stageOccPartitioned)
     // nests files under _pv=<value>/ dirs; flat stagings walk identically
-    listParquetRecursive(dataDir)
+    files
       .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        None, seq = 0,
-        multi = byFile.getOrElse(
-          dataDir.toAbsolutePath.relativize(p.toAbsolutePath).toString, Nil)))
+        None, seq = 0, multi = byFile.getOrElse(relOf(p), Nil)))
   }
 
   /** Z-ORDER compaction: rewrite the current merged view in Morton-curve
@@ -1286,7 +1316,10 @@ object Snapshots {
     // the changefeed cache ([[changeFeedFiles]]) is DERIVED data, never
     // manifest-referenced: age whole window dirs out by mtime — a
     // replay that loses its cache recomputes identically from the
-    // (still-retained) manifests
+    // (still-retained) manifests. The serve path refreshes a window's
+    // mtime on every read, so "old" means UNREAD for the cutoff — a
+    // live stream lagging on an old window keeps it alive. Crash-leaked
+    // .tmp-* stagings are ordinary children here and age out the same.
     val cfRoot = root.resolve("changefeeds")
     if (Files.exists(cfRoot)) {
       val l = Files.list(cfRoot)
@@ -2272,15 +2305,36 @@ object Snapshots {
         ".tmp-" + java.util.UUID.randomUUID().toString)
       Files.createDirectories(tmp.getParent)
       shaped.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
+      var moved = false
+      try {
+        Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moved = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.FileSystemException if Files.exists(dir) =>
           // lost the race: the winner's files are the batch
+      } finally {
+        // any unmoved staging is garbage NOW — the lost race above, and
+        // equally a move that failed for any other reason (the caller
+        // sees the rethrow; the bytes must not wait for the mtime GC).
+        // A crash between write and rename still leaves a .tmp-* dir,
+        // which removeOrphans' changefeed sweep ages out like any
+        // window dir.
+        if (!moved && Files.exists(tmp)) {
           val walk = Files.walk(tmp)
           try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
           finally walk.close()
+        }
       }
+    } else {
+      // SERVING an existing window refreshes its mtime: removeOrphans
+      // ages window dirs by mtime, and a LIVE stream replaying an old
+      // window (checkpoint lag) must not have its planned files swept
+      // between plan and execution. Age now means "unread for the
+      // cutoff", not "computed long ago". Best-effort (read-only FS ok).
+      try Files.setLastModifiedTime(dir,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
     }
     listParquetRecursive(dir)
   }

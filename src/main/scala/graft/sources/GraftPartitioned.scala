@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Path => JPath}
 
+import scala.jdk.CollectionConverters._
+
 import graft.etl.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.write._
@@ -382,7 +384,9 @@ private[sources] final class GraftBucketedBatchWrite(
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, statsCols)
+      val committed = GraftClusteredCommit.committedPaths(dataDir, messages)
+      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, statsCols,
+        only = Some(committed))
       val isReplace = replacing()
       if (fresh.isEmpty && !isReplace) { GraftCatalog.rmTree(dataDir); return }
       var attempts = 0
@@ -421,11 +425,15 @@ private[sources] final class GraftBucketedBatchWrite(
   }
 }
 
-/** Commit message of a clustered-write task: file count only — the
-  * driver builds manifest entries from the staged dir itself (same
-  * md5/zone-map kernel as every staging).
+/** Commit message of a clustered-write task: the dataDir-RELATIVE
+  * paths of exactly the files the COMMITTED attempt created. The driver
+  * manifests only paths named in these messages — a failed-then-retried
+  * or speculative task's leftovers (attempt-unique names, so they
+  * coexist on disk) are swept, never committed. This is the attempt
+  * isolation Spark's Hadoop commit protocol gives its own file writes,
+  * re-expressed for the direct-to-staging clustered writer.
   */
-private[sources] final case class GraftBucketedTaskFiles(n: Int)
+private[sources] final case class GraftBucketedTaskFiles(paths: Seq[String])
   extends WriterCommitMessage
 
 /** How a clustered-write task derives each row's `_pv=` DIRECTORY NAME
@@ -436,6 +444,30 @@ private[sources] final case class GraftBucketKey(
     idx: Int, dt: org.apache.spark.sql.types.DataType, n: Int) extends GraftClusterKey
 private[sources] final case class GraftIdentityKey(
     idx: Int, dt: org.apache.spark.sql.types.DataType) extends GraftClusterKey
+
+private[sources] object GraftClusteredCommit {
+  /** The attempt-isolation kernel shared by both clustered BatchWrites:
+    * collect the dataDir-relative paths the COMMITTED attempts reported,
+    * then sweep any parquet under the staging dir NOT in that set — a
+    * leftover from a failed attempt whose abort() never ran (executor
+    * crash) or a speculative loser still flushing. Only message-named
+    * files are ever manifested.
+    */
+  def committedPaths(dataDir: JPath,
+                     messages: Array[WriterCommitMessage]): Set[String] = {
+    val committed: Set[String] = messages.iterator
+      .filter(_ != null)
+      .collect { case GraftBucketedTaskFiles(ps) => ps }
+      .flatten.toSet
+    val walk = java.nio.file.Files.walk(dataDir)
+    try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !committed(dataDir.toAbsolutePath.relativize(p.toAbsolutePath).toString))
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    committed
+  }
+}
 
 private[sources] object GraftClusterKey {
   /** The dir-name rendering MUST byte-match what Spark's own
@@ -518,18 +550,23 @@ private[sources] final class GraftClusteredWriterFactory(
       private var currentKey: String = null
       private var lastSort = Long.MinValue
       private var fileSeq = 0
-      private var nFiles = 0
+      // dataDir-relative paths THIS attempt created — the commit message
+      // (the driver manifests only message-named files) and the abort
+      // cleanup list (a failed attempt deletes its own files, so a retry
+      // never leaves partial parquet beside the winner's)
+      private val created = scala.collection.mutable.ArrayBuffer.empty[String]
 
       private def roll(k: String): Unit = {
         if (current != null) current.close()
+        val rel = s"_pv=$k/" +
+          f"part-$partitionId%05d-$fileSeq%04d-$taskId" +
+          owFactory.getFileExtension(ctx)
         val dir = new java.io.File(dataDir, s"_pv=$k")
         dir.mkdirs()
-        val path = new java.io.File(dir,
-          f"part-$partitionId%05d-$fileSeq%04d-$taskId" +
-            owFactory.getFileExtension(ctx)).toString
         fileSeq += 1
-        nFiles += 1
-        current = owFactory.newInstance(path, physSchema, ctx)
+        created += rel
+        current = owFactory.newInstance(new java.io.File(dataDir, rel).toString,
+          physSchema, ctx)
         currentKey = k
         lastSort = Long.MinValue
       }
@@ -553,12 +590,20 @@ private[sources] final class GraftClusteredWriterFactory(
 
       override def commit(): WriterCommitMessage = {
         if (current != null) { current.close(); current = null }
-        GraftBucketedTaskFiles(nFiles)
+        GraftBucketedTaskFiles(created.toSeq)
       }
 
       override def abort(): Unit = {
-        if (current != null) { current.close(); current = null }
-        // files left on disk die with the driver's dataDir rmTree
+        if (current != null) {
+          try current.close() catch { case _: Throwable => () }
+          current = null
+        }
+        // delete THIS attempt's files: a retried task's replacement and a
+        // speculative loser must leave nothing for the driver to manifest
+        created.foreach { rel =>
+          val f = new java.io.File(dataDir, rel)
+          if (f.exists()) f.delete()
+        }
       }
 
       override def close(): Unit =
@@ -641,7 +686,9 @@ private[sources] final class GraftPartitionedBatchWrite(
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, zoneCols)
+      val committed = GraftClusteredCommit.committedPaths(dataDir, messages)
+      val fresh = Snapshots.entriesForStagedDir(spark, store, dataDir, zoneCols,
+        only = Some(committed))
       if (fresh.isEmpty && mode != "truncate") {
         // nothing written: an empty append or an empty dynamic
         // overwrite replaces nothing — no-op (an empty TRUNCATE still

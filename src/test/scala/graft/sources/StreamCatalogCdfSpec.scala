@@ -134,6 +134,38 @@ class StreamCatalogCdfSpec extends AnyFunSuite {
     } finally { rm(sink); rm(root) }
   }
 
+  test("serving a window refreshes its mtime: GC ages by last READ") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 20)")
+      s.sql(s"UPDATE $cat.kv SET v = 'U' WHERE k = 3")
+      val store = root.resolve("kv")
+      val cfSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      assert(Snapshots.changeFeedFiles(s, store, 1, 2, cfSchema).nonEmpty)
+      val dir = store.resolve("changefeeds").resolve("1-2")
+      // backdate the window (a computed-long-ago cache), then SERVE it:
+      // a live-but-lagging stream's read must keep the window alive
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 86400000L)
+      Files.setLastModifiedTime(dir, past)
+      assert(Snapshots.changeFeedFiles(s, store, 1, 2, cfSchema).nonEmpty)
+      assert(Files.getLastModifiedTime(dir).toMillis > past.toMillis + 1000,
+        "serve did not refresh the window's mtime")
+      // a GC cutoff older than "now" but newer than the backdate now
+      // spares the just-served window
+      Snapshots.removeOrphans(store, System.currentTimeMillis() - 3600000L)
+      assert(Files.exists(dir), "GC swept a freshly-served window")
+    } finally rm(root)
+  }
+
   test("changefeed from a pinned start: startsnapshot skips prior history") {
     val (cat, root) = freshCatalog()
     val sink = Files.createTempDirectory("graft_cdfspec_sink5")

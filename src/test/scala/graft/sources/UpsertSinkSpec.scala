@@ -32,6 +32,22 @@ class UpsertSinkSpec extends AnyFunSuite {
   private def kv(pairs: (Long, String)*) =
     pairs.toDF("k", "v")
 
+  test("publishUpsertBatch: FOUNDING batch refuses duplicate keys too") {
+    val root = tmp("founddup")
+    try {
+      // a key duplicated in the founding batch and never touched again
+      // would live as two rows forever — the gate must bind from birth
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.publishUpsertBatch(s, root, kv(1L -> "a", 1L -> "b"), "k", 0L)
+      }
+      assert(e.getMessage.contains("more than once"))
+      assert(Snapshots.currentId(root).isEmpty, "refused batch founded the table")
+      // the clean retry founds normally
+      assert(Snapshots.publishUpsertBatch(s, root, kv(1L -> "a", 2L -> "b"), "k", 0L))
+      assert(Snapshots.readCurrent(s, root).count() == 2)
+    } finally rm(root)
+  }
+
   test("publishUpsertBatch: founding, upsert, delete-only, empty batches") {
     val root = tmp("layer")
     try {
