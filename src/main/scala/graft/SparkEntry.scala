@@ -104,6 +104,7 @@ object SparkEntry {
     "catalog_timetravel"  -> w(graft.sources.GraftCatalogQueries.catalogTimetravel),
     "catalog_dpp"         -> w(graft.sources.GraftCatalogQueries.catalogDpp),
     "catalog_dpp_date"    -> w(graft.sources.GraftCatalogQueries.catalogDppDate),
+    "catalog_dpp_ts"      -> w(graft.sources.GraftCatalogQueries.catalogDppTs),
     "catalog_partitions"  -> w(graft.sources.GraftCatalogQueries.catalogPartitions),
     "catalog_respec"      -> w(graft.sources.GraftCatalogQueries.catalogRespec),
     "catalog_clustered_write" -> w(graft.sources.GraftCatalogQueries.catalogClusteredWrite),
@@ -582,6 +583,7 @@ object SparkEntry {
     "catalog_timetravel" -> graft.sources.GraftCatalogQueries.catalogTimetravelOracleSql,
     "catalog_dpp" -> graft.sources.GraftCatalogQueries.catalogDppOracleSql,
     "catalog_dpp_date" -> graft.sources.GraftCatalogQueries.catalogDppDateOracleSql,
+    "catalog_dpp_ts" -> graft.sources.GraftCatalogQueries.catalogDppTsOracleSql,
     "catalog_partitions" -> graft.sources.GraftCatalogQueries.catalogPartitionsOracleSql,
     "catalog_respec" -> graft.sources.GraftCatalogQueries.catalogRespecOracleSql,
     "catalog_clustered_write" -> graft.sources.GraftCatalogQueries.catalogClusteredWriteOracleSql,

@@ -1191,7 +1191,18 @@ object Snapshots {
     val dataDir = root.resolve("data").resolve(
       "occ-" + java.util.UUID.randomUUID().toString)
     Files.createDirectories(dataDir)
-    df.withColumn("_pv", col(partCol))
+    // TIMESTAMP partition columns render as UTC epoch-MICROS (the
+    // catalyst internal long) — Spark's own partitionBy rendering goes
+    // through the session timezone, so the same instant would name
+    // different dirs across sessions and no claim could ever trust the
+    // path. The micros form round-trips exactly, timezone-free, and is
+    // what the engine-clustered writer ([[graft.sources]]'
+    // GraftClusterKey) renders — every write path agrees byte-for-byte.
+    val pvCol = df.schema.fields.find(_.name == partCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) => unix_micros(col(partCol))
+      case _ => col(partCol)
+    }
+    df.withColumn("_pv", pvCol)
       .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
     entriesForStagedDir(s, root, dataDir, statsCols)
   }

@@ -1169,7 +1169,7 @@ final class GraftTable(
     * path; unrenderable types keep the V1 partitionBy legs.
     */
   private def partClusteredCapable: Boolean = {
-    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
     // 'writedistribution'='none' opts a table out of the engine-
     // clustered write (back to the V1 partitionBy legs): clustering
     // serializes each partition VALUE through one task, so a heavily
@@ -1180,7 +1180,7 @@ final class GraftTable(
     partCol.exists(p => schema.fields
       .find(f => physicalOf(f.name) == p).map(_.dataType).exists {
         case LongType | IntegerType | ShortType | ByteType | StringType |
-             DateType => true
+             DateType | TimestampType => true
         case _ => false
       })
   }

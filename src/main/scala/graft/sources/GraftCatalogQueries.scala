@@ -1959,6 +1959,124 @@ object GraftCatalogQueries {
     FROM f JOIN r ON f.od = r.od GROUP BY 2
     ORDER BY part, od"""
 
+  /** Query `catalog_dpp_ts`: TIMESTAMP partition columns — the r15
+    * verdict's top ask (hourly/daily timestamp-partitioned facts are
+    * the most common real layout after date). Timestamps render in
+    * partition paths as UTC epoch-MICROS (the catalyst internal long,
+    * `_pv=795225600000000`) — OUR contract, chosen precisely because
+    * Spark's own partitionBy rendering goes through the session
+    * timezone and the same instant would name different directories
+    * across sessions. The micros form round-trips exactly and
+    * timezone-free; every write path (the engine-clustered DSv2 writer
+    * and stageOccPartitioned) renders it identically. Same two proofs
+    * as `catalog_dpp_date`, both required in-query:
+    *  1. RUNTIME PRUNING: a date-dim join's IN-set (micros literals)
+    *     prunes the month-partitioned fact's files before fact I/O;
+    *  2. STORAGE-PARTITIONED JOIN: the fact joins a second
+    *     timestamp-partitioned table on the timestamp with ZERO shuffle
+    *     exchanges (broadcast disabled so the proof cannot be faked).
+    * The session timezone is UTC (GraftSession pins it), so the
+    * timestamp travels to the oracle as epoch SECONDS — DuckDB's naive
+    * TIMESTAMP epoch() agrees exactly and the hash gate pins the value.
+    */
+  def catalogDppTs(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.fact (ots TIMESTAMP, cents BIGINT) PARTITIONED BY (ots)")
+      s.sql(s"CREATE TABLE $cat.rev (ots TIMESTAMP, rev_cents BIGINT) PARTITIONED BY (ots)")
+      Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).as("ots"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.fact").append()
+      Tables.lineitem(s, d).select(
+        date_trunc("month", col("l_shipdate")).as("ots"),
+        round(col("l_extendedprice") * 100).cast("long").as("r"))
+        .groupBy("ots").agg(sum("r").as("rev_cents"))
+        .writeTo(s"$cat.rev").append()
+      // every committed fact file proves its value as digit-pure micros
+      val factPvs = Snapshots.manifest(root.resolve("fact"), 1)
+        .flatMap(e => GraftScan.pvOfPath(e.relPath))
+      require(factPvs.nonEmpty && factPvs.forall(_.forall(_.isDigit)),
+        s"timestamp _pv= segments are not epoch-micros longs: " +
+          factPvs.distinct.take(3).mkString(","))
+      val total = Snapshots.manifest(root.resolve("fact"), 1).size
+      // ---- proof 1: runtime pruning through the dim join's IN-set ----
+      val dimDir = root.resolve("ts_dim")
+      Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("dd"))
+        .distinct()
+        .write.mode("overwrite").parquet(dimDir.toString)
+      val dim = s.read.parquet(dimDir.toString).filter(month(col("dd")) === 3)
+      GraftScan.resetRuntimePrune(root.resolve("fact"))
+      val pruned = s.table(s"$cat.fact")
+        .join(dim, col("ots") === col("dd"))
+        .groupBy("ots")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      val dppRows = pruned.collect().map(r =>
+        Row("dpp", r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1),
+          r.getLong(2)))
+      val (kept, ttl) = GraftScan.lastRuntimePruneFor(root.resolve("fact"))
+      require(ttl == total && total > 0,
+        s"runtime filter never reached the ts-partitioned fact (saw $ttl of $total)")
+      require(kept < total,
+        s"timestamp runtime filter pruned nothing: kept $kept of $total files")
+      // ---- proof 2: storage-partitioned join on the TIMESTAMP column ----
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(s"$cat.fact").join(s.table(s"$cat.rev"), "ots")
+        .groupBy("ots")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+          case _ => 0
+        }) + kids.map(shuffles).sum
+      }
+      val spjRows = joined.collect().map(r =>
+        Row("spj", r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1),
+          r.getLong(2)))
+      require(shuffles(joined.queryExecution.executedPlan) == 0,
+        "timestamp-partitioned join was not storage-partitioned (shuffles in plan):\n" +
+          joined.queryExecution.executedPlan)
+      val schema = StructType(Seq(StructField("part", StringType),
+        StructField("epoch_s", LongType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize((dppRows ++ spjRows).toSeq, 1), schema)
+        .orderBy("part", "epoch_s")
+    } finally {
+      prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** Both timestamp joins restated flat; epoch seconds ride the hash
+    * (Spark's UTC session and DuckDB's naive TIMESTAMP agree exactly).
+    */
+  val catalogDppTsOracleSql: String = """
+    WITH f AS (SELECT date_trunc('month', o_orderdate) AS ots,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    r AS (SELECT date_trunc('month', l_shipdate) AS ots
+        FROM lineitem GROUP BY 1)
+    SELECT 'dpp' AS part, CAST(epoch(ots) AS BIGINT) AS epoch_s,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f WHERE month(ots) = 3 GROUP BY 2
+    UNION ALL
+    SELECT 'spj', CAST(epoch(f.ots) AS BIGINT), CAST(count(*) AS BIGINT),
+      CAST(sum(f.cents) AS BIGINT)
+    FROM f JOIN r ON f.ots = r.ots GROUP BY 2
+    ORDER BY part, epoch_s"""
+
   /** Query `catalog_spj`: the STORAGE-PARTITIONED JOIN — two catalog
     * tables `PARTITIONED BY` the same shard key join with ZERO shuffle.
     * [[GraftScan]] reports `KeyGroupedPartitioning(identity(shard))` and

@@ -136,14 +136,16 @@ private[sources] final class GraftPartitionedWriteBuilder(
     colMap.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
 
   /** Identity-partitioned writes join the DSv2 layout contract when the
-    * partition type path-renders exactly (integral/string/date — the
-    * same set the scan's claims accept): the write declares
+    * partition type path-renders exactly (integral/string/date/timestamp
+    * — the same set the scan's claims accept): the write declares
     * `clustered(p)` + `[p asc]` ordering, the engine plans (and AQE
     * sizes) the clustering shuffle, and the rolling writer lands ~one
     * file per partition value instead of one per (task × value) — the
     * small-files explosion every unclustered partitioned insert pays at
-    * scale. Unrenderable types (timestamps: session-timezone paths)
-    * keep the V1 legs, whose partitionBy rendering is authoritative.
+    * scale. Timestamps render as UTC epoch-micros (the catalyst
+    * internal), never the session-timezone partitionBy form — the V1
+    * legs' [[Snapshots.stageOccPartitioned]] renders the same, so the
+    * `'writedistribution'='none'` dial stays consistent.
     */
   private[sources] def clusteredCapable: Boolean = {
     import org.apache.spark.sql.types._
@@ -151,7 +153,7 @@ private[sources] final class GraftPartitionedWriteBuilder(
     tableSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == partCol)
       .map(_.dataType).exists {
         case LongType | IntegerType | ShortType | ByteType | StringType |
-             DateType => true
+             DateType | TimestampType => true
         case _ => false
       }
   }
@@ -501,6 +503,10 @@ private[sources] object GraftClusterKey {
           case ByteType    => row.getByte(idx).toString
           case DateType    =>
             java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+          // UTC epoch-micros: the catalyst internal long verbatim —
+          // timezone-free, exact round-trip, and what every other write
+          // path (stageOccPartitioned) renders for timestamps
+          case TimestampType => row.getLong(idx).toString
           case StringType =>
             val v = row.getUTF8String(idx).toString
             if (v.isEmpty) default

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.HasPartitionKey
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -293,14 +293,19 @@ final class GraftScan(
         }
     }
 
-  /** Only integral/string/DATE partition values round-trip the `_pv=`
-    * path rendering unambiguously — dates render as the timezone-free
-    * ISO local date (`_pv=1995-03-01`, Spark's own partition-path form
-    * for DateType, proleptic Gregorian both ways). TIMESTAMPS decline:
-    * their path rendering goes through the session timezone, so the
-    * same instant renders differently across sessions — a format
-    * mismatch would silently prune matching files. Other types decline
-    * path pruning (and key-grouped planning) likewise.
+  /** Only integral/string/DATE/TIMESTAMP partition values round-trip the
+    * `_pv=` path rendering unambiguously — dates render as the
+    * timezone-free ISO local date (`_pv=1995-03-01`, Spark's own
+    * partition-path form for DateType, proleptic Gregorian both ways);
+    * timestamps render as UTC epoch-MICROS (the catalyst internal long,
+    * `_pv=795225600000000`) — OUR contract, not Spark's partitionBy
+    * form, precisely because partitionBy goes through the session
+    * timezone and the same instant would render differently across
+    * sessions. Every graft write path (the clustered DSv2 writer AND
+    * stageOccPartitioned) renders the micros form; a `_pv=` segment
+    * that does not parse as a long is unjudgeable — kept by pruning,
+    * declined by grouping. Other types decline path pruning (and
+    * key-grouped planning) likewise.
     */
   private val partFieldType: Option[DataType] = partColPhys.flatMap { p =>
     logicalSchema.fields.find(f => colMap.getOrElse(f.name, f.name) == p)
@@ -308,13 +313,25 @@ final class GraftScan(
   }
   private val pathComparable: Boolean = partFieldType.exists {
     case LongType | IntegerType | ShortType | ByteType | StringType |
-         DateType => true
+         DateType | TimestampType => true
     case _ => false
+  }
+
+  /** Is this `_pv=` segment judgeable under the partition type's
+    * rendering contract? Timestamps require the epoch-micros long form
+    * (a legacy session-timezone rendering must never be compared).
+    */
+  private def pvJudgeable(pv: String): Boolean = partFieldType match {
+    case Some(TimestampType) => pv.nonEmpty &&
+      pv.forall(c => c.isDigit || c == '-') && (try { pv.toLong; true }
+        catch { case _: NumberFormatException => false })
+    case _ => true
   }
 
   /** Path form of one IN-set value of the partition column. DateType
     * literals arrive as epoch DAYS (catalyst internal) and must render
-    * to the ISO form the writer's partitionBy put in the path.
+    * to the ISO form the writer's partitionBy put in the path;
+    * TimestampType literals arrive as epoch MICROS and render verbatim.
     */
   private def pathRender(v: Any): String = (partFieldType, v) match {
     case (_, u: UTF8String) => u.toString
@@ -362,7 +379,8 @@ final class GraftScan(
         val wanted = values.map(pathRender).toSet
         kept = kept.filter(e => !validUnderSpec(e) ||
           GraftScan.pvOfPath(e.relPath).forall(pv =>
-            pv == "__HIVE_DEFAULT_PARTITION__" || wanted.contains(pv)))
+            pv == "__HIVE_DEFAULT_PARTITION__" || !pvJudgeable(pv) ||
+              wanted.contains(pv)))
       }
       bucketSpec.filter(_._1 == phys).foreach { case (_, n) =>
         // bucket ids of the build side's keys — the same hash the write
@@ -408,7 +426,8 @@ final class GraftScan(
         !entries.forall(validUnderSpec)) None
     else {
       val pvs = entries.map(e => GraftScan.pvOfPath(e.relPath))
-      if (pvs.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__"))) None
+      if (pvs.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__") ||
+          !v.forall(pvJudgeable))) None
       else Some(pvs.flatten.distinct.sorted)
     }
   }
@@ -424,6 +443,8 @@ final class GraftScan(
         case StringType  => UTF8String.fromString(pv)
         // inverse of the writer's ISO rendering: epoch days (internal)
         case DateType    => java.time.LocalDate.parse(pv).toEpochDay.toInt
+        // inverse of the micros rendering: the internal long verbatim
+        case TimestampType => pv.toLong
         case other => throw new IllegalStateException(
           s"unsupported key-grouped partition type $other") // unreachable: pathComparable gates
       }

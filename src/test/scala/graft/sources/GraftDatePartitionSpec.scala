@@ -112,25 +112,52 @@ class GraftDatePartitionSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
-  test("timestamp partition columns DECLINE path claims") {
+  test("timestamp partitions: UTC epoch-micros _pv=, SPJ exchange-free, TZ-proof") {
     val (cat, root) = freshCatalog()
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
     try {
       s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP, v BIGINT) PARTITIONED BY (ts)")
       s.sql(s"CREATE TABLE $cat.u (ts TIMESTAMP, w BIGINT) PARTITIONED BY (ts)")
       s.sql(s"INSERT INTO $cat.t SELECT timestamp_seconds(1700000000 + (id % 3) " +
         "* 86400), id FROM range(0, 300)")
+      // the second side written under a DIFFERENT session timezone: the
+      // micros rendering must agree anyway (that is its whole point)
+      s.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
       s.sql(s"INSERT INTO $cat.u SELECT timestamp_seconds(1700000000 + (id % 3) " +
         "* 86400), id FROM range(0, 300)")
+      val pvs = Snapshots.manifest(root.resolve("t"), 1)
+        .flatMap(e => GraftScan.pvOfPath(e.relPath)).toSet
+      assert(pvs == Set("1700000000000000", "1700086400000000",
+        "1700172800000000"), s"unexpected timestamp renderings: $pvs")
+      assert(pvs == Snapshots.manifest(root.resolve("u"), 1)
+        .flatMap(e => GraftScan.pvOfPath(e.relPath)).toSet,
+        "the two sessions' timezones leaked into the path rendering")
       withSpj {
         val joined = s.table(s"$cat.t").join(s.table(s"$cat.u"), "ts")
           .groupBy("ts").agg(count(lit(1)).as("n"))
-        // session-timezone-rendered paths cannot claim key grouping:
-        // the join must still be EXACT, just not exchange-free
-        assert(countShuffles(joined.queryExecution.executedPlan) > 0,
-          "timestamp partitioning must not claim storage-partitioned output")
+        assert(countShuffles(joined.queryExecution.executedPlan) == 0,
+          "timestamp-partitioned join was not storage-partitioned:\n" +
+            joined.queryExecution.executedPlan)
         assert(joined.collect().map(_.getLong(1)).sum == 3L * 100L * 100L)
       }
-    } finally rm(root)
+      // runtime pruning through a dim join's IN-set, same as dates (a
+      // REAL parquet dim with a selective filter — the planner declines
+      // to plant runtime filters from literal relations)
+      val dimDir = root.resolve("ts_dim")
+      s.sql("SELECT timestamp_seconds(1700000000 + id * 86400) AS dd, " +
+        "id AS tag FROM range(0, 3)")
+        .write.mode("overwrite").parquet(dimDir.toString)
+      val dim = s.read.parquet(dimDir.toString).filter(col("tag") === 1)
+      GraftScan.resetRuntimePrune(root.resolve("t"))
+      val cnt = s.table(s"$cat.t").join(dim, col("ts") === col("dd")).count()
+      assert(cnt == 100L)
+      val (kept, total) = GraftScan.lastRuntimePruneFor(root.resolve("t"))
+      assert(total > 0 && kept < total,
+        s"timestamp runtime filter pruned nothing: kept $kept of $total")
+    } finally {
+      s.conf.set("spark.sql.session.timeZone", prevTz)
+      rm(root)
+    }
   }
 
   test("null dates land the default dir: grouped claims decline, reads exact") {
