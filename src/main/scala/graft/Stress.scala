@@ -57,6 +57,11 @@ import org.apache.spark.sql.functions._
   *    zone-mapped UPDATE rewrites 1 file (1.6% of bytes) with 63
   *    carried byte-identical vs the stats-less full-table rewrite A/B;
   *    surgical DELETE locality; conservation + time-travel gates
+  *  - `skew_write` — 12M-row identity-partitioned write with 80% of
+  *    rows on one partition value: the rebalance-planned clustered
+  *    write (AQE skew-splits the hot value) vs the
+  *    'writedistribution'='none' V1 partitionBy leg, wall-clock and
+  *    file-count A/B with identical-answer gates
   *  - `curation_1000x` — the E7/E13 whole-pipeline soak at 5M docs
   *    (1000× sf0.1): fused projection + checkpoint staging + hash
   *    window + shingle broadcast competing for memory at once, with
@@ -1948,6 +1953,81 @@ object Stress {
         println(f"[stress] tomb_10m CDF retraction leg: $dels%d deletes in " +
           f"${(System.nanoTime() - tCdf0) / 1e9}%.1f s (no forced broadcast)")
         assert(dels == 10L * 1000 * 1000, s"CDF retractions $dels != 10M")
+
+      case "skew_write" =>
+        // SKEWED identity-partitioned write: 12M rows over 8 partition
+        // values with ONE value holding 80% of them. r15's strict
+        // clustering serialized that value through one task (the
+        // documented honest edge); the write now declares its
+        // clustering PREFERRED (distributionStrictlyRequired = false),
+        // so Spark plans a REBALANCE and AQE skew-splits the hot value
+        // across tasks while still coalescing the small ones. A/B
+        // against the 'writedistribution'='none' V1 partitionBy leg
+        // (full parallelism, task x value file explosion). Claims:
+        // (1) the hot value lands in >1 file — the split actually
+        //     happened, parallelism restored;
+        // (2) the clustered file count stays BOUNDED — well under the
+        //     V1 leg's task x value shape;
+        // (3) wall-clock parity with the V1 leg (the r15 edge was the
+        //     serial hot task, not the shuffle);
+        // (4) identical answers (count + checksum per partition).
+        val nw = 12L * 1000 * 1000
+        val rootW = java.nio.file.Files.createTempDirectory("graft_skeww")
+        spark.conf.set("spark.sql.catalog.sw", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.sw.root", rootW.toString)
+        // provoke real splits at this size: advisory 8MB (default 64MB)
+        val prevAdv = spark.conf
+          .getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        try {
+          def rowsW = spark.range(nw).select(
+            when(col("id") % 10 < 8, lit(7L)).otherwise(col("id") % 8).as("p"),
+            col("id").as("k"),
+            concat(lit("pad-"), col("id")).as("pad"))
+          def mk(name: String, props: String): Unit =
+            spark.sql(s"CREATE TABLE sw.$name (p BIGINT, k BIGINT, pad STRING) " +
+              s"PARTITIONED BY (p) $props")
+          // untimed warmup: absorb JVM/codegen/page-cache startup so the
+          // first timed leg is not penalized
+          mk("warm", "")
+          spark.range(100000).select((col("id") % 8).as("p"), col("id").as("k"),
+            lit("w").as("pad")).writeTo("sw.warm").append()
+          mk("v1", "TBLPROPERTIES ('writedistribution'='none')")
+          mk("clu", "")
+          val tV0 = System.nanoTime()
+          rowsW.repartition(32).writeTo("sw.v1").append()
+          val v1S = (System.nanoTime() - tV0) / 1e9
+          val tC0 = System.nanoTime()
+          rowsW.repartition(32).writeTo("sw.clu").append()
+          val cluS = (System.nanoTime() - tC0) / 1e9
+          def filesOf(t: String) = etl.Snapshots.manifest(rootW.resolve(t), 1)
+          val v1Files = filesOf("v1").size
+          val cluFiles = filesOf("clu").size
+          val hotFiles = filesOf("clu")
+            .count(e => etl.Snapshots.partValueOf(e.relPath).contains("7"))
+          println(f"[stress] skew_write 12M rows, 80%% on one value: " +
+            f"clustered $cluS%.2f s / $cluFiles files ($hotFiles hot) vs " +
+            f"V1 partitionBy $v1S%.2f s / $v1Files files")
+          assert(hotFiles > 1,
+            s"hot value still serialized through one task ($hotFiles file)")
+          assert(cluFiles < v1Files / 2,
+            s"clustered write lost the small-files win: $cluFiles vs $v1Files")
+          assert(cluS < v1S * 2.0,
+            f"clustered write fell behind the V1 leg: $cluS%.2f vs $v1S%.2f s")
+          // answers identical partition-by-partition
+          val a = spark.sql("SELECT p, count(*) AS n, sum(k) AS s FROM sw.clu GROUP BY 1")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+          val b = spark.sql("SELECT p, count(*) AS n, sum(k) AS s FROM sw.v1 GROUP BY 1")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+          assert(a.sameElements(b), "clustered and V1 legs diverged")
+        } finally {
+          prevAdv match {
+            case Some(v) => spark.conf.set(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+            case None => spark.conf.unset(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          }
+        }
 
       case "statements_sf1" =>
         // The statement-path family priced at sf1 (10x the bench gate),

@@ -661,6 +661,21 @@ private[sources] final class GraftPartitionedBatchWrite(
 
   override def requiredNumPartitions(): Int = 0 // AQE sizes the shuffle
 
+  /** Clustering is PREFERRED, never strict: Spark then plans the write
+    * shuffle as a REBALANCE on the partition column, which AQE both
+    * coalesces (several small values share a task — the writer still
+    * rolls one file per value) and SKEW-SPLITS (a hot value's rows
+    * spread across tasks, each rolling its own file for that value).
+    * Strict clustering was the r15 verdict's honest edge: one partition
+    * VALUE serialized through one task, so a partition holding 80% of
+    * the rows wrote on one core while the fleet idled. Value purity is
+    * per FILE (the writer rolls at value boundaries within each task's
+    * sorted run), so a value split across tasks stays pure — it just
+    * owns a few bounded files instead of exactly one, the same trade
+    * the partially-clustered SCAN makes for skewed buckets.
+    */
+  override def distributionStrictlyRequired(): Boolean = false
+
   override def description(): String =
     s"GraftPartitionedBatchWrite($store, $mode)"
 
