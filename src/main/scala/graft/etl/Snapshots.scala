@@ -1648,11 +1648,19 @@ object Snapshots {
   def metaPartitions(s: SparkSession, root: Path, n: Int,
                      sortCol: Option[String],
                      statsCol: Option[String],
-                     specFrom: Option[Int] = None): DataFrame = {
+                     specFrom: Option[Int] = None,
+                     specHistory: Seq[(Int, Int)] = Nil): DataFrame = {
     val es = (if (n <= 0) Nil else manifest(root, n)).filterNot(isDelete)
     def zoneOf(e: ManifestEntry, c: String): Option[(Long, Long)] =
       e.multi.find(_._1 == c).map(t => (t._2, t._3))
         .orElse(if (statsCol.contains(c)) e.stats else None)
+    // spec id a file was WRITTEN under: the newest spec whose base
+    // snapshot precedes the file's seq (spec 0 = the birth spec; the
+    // history is `spechistory`'s "<id>@<base>" stamps, one per
+    // spec-evolving ALTER). Replaces "was it current?" with "WHICH?" —
+    // a twice-evolved table audits per slice, not as one boolean.
+    def specOf(e: ManifestEntry): Int =
+      specHistory.filter(_._2 < e.seq).map(_._1).maxOption.getOrElse(0)
     val rows: Seq[Row] = es.groupBy(e => partValueOf(e.relPath)).toSeq
       .sortBy(_._1.getOrElse(""))
       .map { case (pv, fs) =>
@@ -1666,12 +1674,14 @@ object Snapshots {
               rs.zip(rs.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 }
             }
         }
+        val specs = fs.map(specOf)
         Row(pv.orNull, fs.size.toLong,
           fs.map(e => footerRows(s, root, e.relPath)).sum,
           fs.map(_.bytes).sum, sortedDisjoint,
           // spec-evolution visibility: FALSE = this partition still holds
           // pre-evolution files (grouped claims decline; a compact is due)
-          fs.forall(e => specFrom.forall(e.seq > _)))
+          fs.forall(e => specFrom.forall(e.seq > _)),
+          specs.min.toLong, specs.max.toLong)
       }
     val schema = StructType(Seq(
       StructField("partition", StringType, nullable = true),
@@ -1680,7 +1690,8 @@ object Snapshots {
       StructField("sorted_disjoint", org.apache.spark.sql.types.BooleanType,
         nullable = true),
       StructField("under_current_spec", org.apache.spark.sql.types.BooleanType,
-        nullable = false)))
+        nullable = false),
+      StructField("spec_id_min", LongType), StructField("spec_id_max", LongType)))
     // LocalRelation, NOT parallelize: executeCollect stays driver-local
     s.createDataFrame(rows.asJava, schema)
   }

@@ -377,7 +377,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Snapshots.metaPartitions(spark, base,
               Snapshots.currentId(base).getOrElse(0),
               prs.get("sortcol"), prs.get("statscol"),
-              prs.get("specfrom").flatMap(_.toIntOption))
+              prs.get("specfrom").flatMap(_.toIntOption),
+              GraftCatalog.parseSpecHistory(prs.get("spechistory")))
           case _ => throw new NoSuchTableException(
             name() +: ident.namespace().toSeq :+ ident.name())
         }
@@ -526,7 +527,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
           val prs1 =
             if (specTouching) Snapshots.currentId(dir) match {
-              case Some(base) => prs + ("specfrom" -> base.toString)
+              case Some(base) => GraftCatalog.stampSpec(prs, base)
               case None       => prs
             } else prs
           if (specTouching && set.property() != "bucketn") {
@@ -545,7 +546,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val prs1 =
             if (Seq("bucketcol", "bucketn", "partitioncol").contains(rm.property()))
               Snapshots.currentId(dir) match {
-                case Some(base) => prs + ("specfrom" -> base.toString)
+                case Some(base) => GraftCatalog.stampSpec(prs, base)
                 case None       => prs
               }
             else prs
@@ -889,6 +890,32 @@ object GraftCatalog {
     try walk.iterator().asScala.toSeq.reverse.foreach(JFiles.deleteIfExists(_))
     finally walk.close()
   }
+
+  /** Stamp a spec-evolving ALTER: `specfrom` keeps the LATEST change's
+    * base snapshot (what every per-file judgment reads), and
+    * `spechistory` accumulates ONE "<id>@<base>" entry per change (spec
+    * 0 is the birth spec, never listed) — the full evolution timeline a
+    * twice-evolved table needs to audit per-partition spec ids rather
+    * than a single current/not-current boolean.
+    */
+  private[sources] def stampSpec(prs: Map[String, String],
+                                 base: Int): Map[String, String] = {
+    val hist = prs.get("spechistory").filter(_.nonEmpty)
+    val nextId = hist.map(parseSpecHistoryStr(_).map(_._1).max + 1).getOrElse(1)
+    val entry = s"$nextId@$base"
+    prs + ("specfrom" -> base.toString) +
+      ("spechistory" -> hist.map(_ + "," + entry).getOrElse(entry))
+  }
+
+  /** `spechistory` parsed to (spec id, base snapshot id), base-ordered. */
+  private[sources] def parseSpecHistory(v: Option[String]): Seq[(Int, Int)] =
+    v.filter(_.nonEmpty).map(parseSpecHistoryStr).getOrElse(Nil)
+
+  private def parseSpecHistoryStr(s: String): Seq[(Int, Int)] =
+    s.split(',').toIndexedSeq.map { e =>
+      val Array(id, base) = e.split('@')
+      (id.toInt, base.toInt)
+    }.sortBy(_._2)
 }
 
 /** One named snapshot-store table of [[GraftCatalog]] — batch read via

@@ -1324,6 +1324,16 @@ object GraftCatalogQueries {
           Row(tag, r.getString(0), r.getLong(1), r.getLong(2)))
         (rows, shuffles(probe.queryExecution.executedPlan))
       }
+      // per-partition SPEC-ID audit from the partitions table: (min over
+      // partitions of spec_id_min, max over partitions of spec_id_max),
+      // carried to the oracle as literal rows — plus structural requires
+      // at each stage below
+      def specAudit(tag: String): Row = {
+        val rs = s.sql(
+          s"SELECT spec_id_min, spec_id_max FROM $cat.fact.partitions").collect()
+        require(rs.nonEmpty, s"$tag: partitions table is empty")
+        Row("zz_specs", tag, rs.map(_.getLong(0)).min, rs.map(_.getLong(1)).max)
+      }
       val (preRows, preShuffles) = stage("pre")
       require(preShuffles == 0,
         s"bucket(4) self-join should be storage-partitioned, saw $preShuffles shuffles")
@@ -1344,6 +1354,12 @@ object GraftCatalogQueries {
       require(midShuffles > 0,
         "mixed-spec snapshot must DECLINE the storage-partitioned join " +
           "(old _pv= ids mod 4 would misgroup under bucket(8))")
+      // a bucket id shared by both specs (pv 0..3) must surface as a
+      // genuinely MIXED partition: oldest file spec 0, newest spec 1
+      require(s.sql(s"SELECT count(*) FROM $cat.fact.partitions " +
+          "WHERE spec_id_min = 0 AND spec_id_max = 1").head.getLong(0) > 0,
+        "mid-migration exposes no mixed-spec partition")
+      val auditMid = specAudit("mid") // old files spec 0, new files spec 1
       // ---- migration: the bucket-aware compact rewrites to the new spec ----
       s.sql(s"CALL $cat.system.compact(tbl => 'fact', target_files => 8)")
       val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
@@ -1355,11 +1371,28 @@ object GraftCatalogQueries {
       val (postRows, postShuffles) = stage("post")
       require(postShuffles == 0,
         s"post-compact self-join should be storage-partitioned again, saw $postShuffles")
+      // ---- the SECOND evolution (bucket 8 -> 16): per-partition spec
+      // ids pinned across a twice-evolved table ----
+      val auditPost = specAudit("post") // all files re-staged under spec 1
+      s.sql(s"ALTER TABLE $cat.fact SET TBLPROPERTIES ('bucketn'='16')")
+      val hist = GraftCatalog.effectiveMarker(store, None)._2("spechistory")
+      require(hist.split(',').length == 2,
+        s"two evolutions should stamp two spechistory entries, got '$hist'")
+      val auditRespec2 = specAudit("respec2") // files unchanged: still spec 1
+      require(s.sql(s"SELECT count(*) FROM $cat.fact.partitions " +
+          "WHERE under_current_spec").head.getLong(0) == 0,
+        "after the second ALTER no partition should be under the current spec")
+      s.sql(s"CALL $cat.system.compact(tbl => 'fact', target_files => 8)")
+      val auditPost2 = specAudit("post2") // migrated again: all spec 2
+      require(s.sql(s"SELECT count(*) FROM $cat.fact.partitions " +
+          "WHERE NOT under_current_spec").head.getLong(0) == 0,
+        "post-compact every partition should be under the current spec")
       val schema = StructType(Seq(StructField("stage", StringType),
         StructField("o_orderstatus", StringType), StructField("n", LongType),
         StructField("sum_cents", LongType)))
       s.createDataFrame(s.sparkContext.parallelize(
-        (preRows ++ midRows ++ postRows).toSeq, 1), schema)
+        (preRows ++ midRows ++ postRows ++
+          Seq(auditMid, auditPost, auditRespec2, auditPost2)).toSeq, 1), schema)
         .orderBy("stage", "o_orderstatus")
     } finally {
       prevSpj match {
@@ -1373,6 +1406,12 @@ object GraftCatalogQueries {
 
   /** The three stages restated: pre = even keys, mid/post = all keys —
     * identical mid and post values prove the migration lost nothing.
+    * The zz_specs rows pin the per-partition spec-id history as
+    * literals: (min, max) over the partitions table at each stage of a
+    * TWICE-evolved table (bucket 4 -> 8 -> 16) — mixed (0,1) mid-
+    * migration, uniformly 1 after the first compact and still 1 after
+    * the second ALTER (metadata only), uniformly 2 after the second
+    * compact migrates the rows again.
     */
   val catalogRespecOracleSql: String = """
     WITH f AS (SELECT o_orderkey AS k, o_orderstatus,
@@ -1386,6 +1425,14 @@ object GraftCatalogQueries {
     UNION ALL
     SELECT 'post', o_orderstatus, CAST(count(*) AS BIGINT),
       CAST(sum(cents) AS BIGINT) FROM f GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'zz_specs', 'mid', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'zz_specs', 'post', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'zz_specs', 'post2', CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+    UNION ALL
+    SELECT 'zz_specs', 'respec2', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     ORDER BY stage, o_orderstatus"""
 
   /** Query `catalog_clustered_write`: the write-side layout contract
