@@ -2474,8 +2474,69 @@ object Snapshots {
     expire(root, math.min(keepFrom, cur))
   }
 
+  /** CHANGEFEED CONSUMER REGISTRY — the retention floor that turns the
+    * documented unreplayable-window hazard into a refusal. A streaming
+    * consumer registers under `consumers/<name>` with the snapshot id
+    * of its last COMMITTED offset (the DSv2 stream writes it on every
+    * `commit(end)` when the read carries `.option("consumer", name)`);
+    * [[expire]] then declines to drop any manifest a registered
+    * consumer could still replay from — a checkpointed restart resumes
+    * at that offset and needs manifest(offset) for the window's before
+    * state. The registry is advisory-by-opt-in (an unregistered stream
+    * keeps today's retention-outlives-lag convention) but CONTRACTUAL
+    * once registered: retention cannot silently strand it. Names are
+    * path-safe by construction; offsets only ever advance (a replayed
+    * commit never lowers the floor).
+    */
+  def registerConsumer(root: Path, name: String, offset: Int): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"consumer name '$name' is not path-safe ([A-Za-z0-9._-] only)")
+    val dir = root.resolve("consumers")
+    Files.createDirectories(dir)
+    val f = dir.resolve(name)
+    // monotone: a racing replay of an older batch must not lower the
+    // floor below what a newer commit already claimed safe to drop
+    val prior = consumerOffsetOf(f)
+    if (!prior.exists(_ >= offset)) atomicWrite(f, offset.toString)
+  }
+
+  def unregisterConsumer(root: Path, name: String): Boolean =
+    Files.deleteIfExists(root.resolve("consumers").resolve(name))
+
+  private def consumerOffsetOf(f: Path): Option[Int] =
+    if (!Files.exists(f)) None
+    else scala.util.Try(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+
+  /** The lowest registered consumer offset (and who holds it). */
+  def consumerFloor(root: Path): Option[(String, Int)] = {
+    val dir = root.resolve("consumers")
+    if (!Files.exists(dir)) None
+    else {
+      val l = Files.list(dir)
+      val offs = try l.iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .flatMap(p => consumerOffsetOf(p).map(o => (p.getFileName.toString, o)))
+      finally l.close()
+      offs.minByOption(_._2)
+    }
+  }
+
   def expire(root: Path, keepFrom: Int,
              allowNoPointer: Boolean = false): (Int, Long) = {
+    // the consumer floor: a registered changefeed consumer checkpointed
+    // at offset X resumes its next window as (X, latest] and needs
+    // manifest(X) for the before state — keepFrom may not exceed it
+    // (max(X, 1): an offset-0 consumer has consumed nothing; keepFrom=1
+    // expires nothing and stays legal)
+    consumerFloor(root).foreach { case (cname, off) =>
+      val needed = math.max(off, 1)
+      if (keepFrom > needed) throw new IllegalStateException(
+        s"expire(keepFrom=$keepFrom) on $root would drop manifests the " +
+          s"registered changefeed consumer '$cname' (offset $off) still " +
+          "needs for replay — advance its checkpoint or unregister it first")
+    }
     val manifestIds = manifestIdsOnDisk(root)
     if (manifestIds.isEmpty) return (0, 0L)
     // A store without a pointer is either (a) a standalone store whose

@@ -642,6 +642,12 @@ final class SnapshotMicroBatchStream(
                                    end: ConnectorOffset): Array[InputPartition] = {
     val from = parse(start)
     val to = parse(end)
+    // register at PLAN time too: `from` is the offset a killed-mid-batch
+    // restart re-executes this batch from, i.e. the true replay floor
+    // RIGHT NOW. The engine only invokes commit(end) while constructing
+    // the NEXT batch, so plan-time registration is what keeps the floor
+    // current for a stream that drains and stops.
+    consumerName.foreach(n => Snapshots.registerConsumer(store, n, from))
     if (to <= from) return Array.empty
     if (changeFeed) return changeFeedPartitions(from, to)
     val added = SnapshotDiff.added(store, from, to, skipRewrites)
@@ -656,7 +662,17 @@ final class SnapshotMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     scanOver(Nil, startExclusive).toBatch.createReaderFactory()
 
-  override def commit(end: ConnectorOffset): Unit = ()
+  /** Retention contract: a read carrying `.option("consumer", name)`
+    * registers its committed offset on every batch commit, and
+    * [[Snapshots.expire]] then REFUSES to drop manifests below it — a
+    * checkpointed restart can always replay. Opt-in: unregistered
+    * streams keep the retention-outlives-lag convention.
+    */
+  private val consumerName: Option[String] = Option(options.get("consumer"))
+
+  override def commit(end: ConnectorOffset): Unit =
+    consumerName.foreach(n => Snapshots.registerConsumer(store, n, parse(end)))
+
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotMicroBatchStream[$store > $startExclusive]"
 }

@@ -166,6 +166,56 @@ class StreamCatalogCdfSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("retention guard: expire refuses to strand a registered consumer") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_cdfspec_ret")
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.kv VALUES (1, 'a')")
+      s.sql(s"INSERT INTO $cat.kv VALUES (2, 'b')")
+      s.sql(s"INSERT INTO $cat.kv VALUES (3, 'c')")
+      val store = root.resolve("kv")
+      def mkQuery() = s.readStream.option("changefeed", "true")
+        .option("consumer", "mirror_a").table(s"$cat.kv")
+        .writeStream.format("parquet")
+        .option("path", sink.resolve("data").toString)
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .outputMode("append").start()
+      // batch 0 = (0,3]: the plan-time registration pins floor 0 (a
+      // kill mid-batch replays from 0); the next batch's plan advances
+      // it to 3 — deterministic, no reliance on the engine's lagging
+      // source.commit
+      val q = mkQuery()
+      try {
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $cat.kv VALUES (4, 'd')")
+        q.processAllAvailable() // batch 1 = (3,4] planned: floor -> 3
+      } finally q.stop()
+      assert(Snapshots.consumerFloor(store).contains(("mirror_a", 3)))
+      // the old silent data loss: expire past the consumer's floor
+      // would drop manifest(3), making window (3,4] unreplayable after
+      // its cache ages out — now a REFUSAL, not a convention
+      val e = intercept[IllegalStateException] { Snapshots.expire(store, 4) }
+      assert(e.getMessage.contains("mirror_a"))
+      // expiring UP TO the consumer's floor is fine
+      Snapshots.expire(store, 3)
+      // the consumer restarts from its checkpoint, catches up, and its
+      // floor advances: yesterday's refusal is now legal
+      s.sql(s"INSERT INTO $cat.kv VALUES (5, 'e')")
+      val q2 = mkQuery()
+      try q2.processAllAvailable() finally q2.stop() // plans (4,5]: floor -> 4
+      val feed = s.read.parquet(sink.resolve("data").toString)
+      assert(feed.filter(col("_change_type") === "insert").count() == 5)
+      assert(Snapshots.consumerFloor(store).contains(("mirror_a", 4)))
+      Snapshots.expire(store, 4)
+      intercept[IllegalStateException] { Snapshots.expire(store, 5) }
+      // unregistering lifts the guard entirely
+      assert(Snapshots.unregisterConsumer(store, "mirror_a"))
+      Snapshots.expire(store, 5)
+    } finally { rm(sink); rm(root) }
+  }
+
   test("changefeed from a pinned start: startsnapshot skips prior history") {
     val (cat, root) = freshCatalog()
     val sink = Files.createTempDirectory("graft_cdfspec_sink5")
