@@ -946,11 +946,16 @@ final class GraftTable(
 
   override def name(): String = fullName.mkString(".")
 
-  /** The feed-shaped streaming twin ([[graft.plans
-    * .ExpandChangeFeedRelation]] swaps it in when `readStream
-    * .option("changefeed", true)` targets this table): schema = table
-    * columns + `_change_type`, micro-batches = materialized change-data
-    * windows served as vectorized parquet scans.
+  /** The feed-shaped twin ([[graft.plans.ExpandChangeFeedRelation]]
+    * swaps it in when `.option("changefeed", true)` targets this table,
+    * streaming OR batch): schema = table columns + `_change_type`,
+    * rows = materialized change-data windows served as vectorized
+    * parquet scans. Streaming batches are per-commit windows; a BATCH
+    * read serves ONE pinned window `(startsnapshot, to]` where `to` is
+    * the load's `VERSION AS OF`/`versionAsOf` pin (or current) — the
+    * TVF's semantics behind `spark.read`, sharing the same
+    * `changefeeds/` cache so neither surface recomputes the other's
+    * window.
     */
   override def changeFeedTable(): Table = {
     val self = this
@@ -961,10 +966,11 @@ final class GraftTable(
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType, nullable = false))
       override def capabilities(): util.Set[TableCapability] =
-        util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+        util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+          TableCapability.BATCH_READ)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftChangeFeedScanBuilder(spark, store, self.schema,
-          physicalize(self.schema), statsCol, options)
+          physicalize(self.schema), statsCol, options, pin)
     }
   }
 
@@ -1243,15 +1249,14 @@ final class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the changefeed option is honored by ExpandChangeFeedRelation
-    // swapping in the feed-shaped twin BEFORE the scan is built;
-    // reaching here with it set means a batch read (unsupported) or a
-    // session without GraftExtensions (whose streamed rows would
-    // misalign with the declared output) — refuse loudly over either
+    // swapping in the feed-shaped twin BEFORE the scan is built (batch
+    // and streaming both); reaching here with it set means a session
+    // without GraftExtensions, whose rows would misalign with the
+    // declared output — refuse loudly rather than deliver them
     require(!Option(options.get("changefeed")).exists(_.toBoolean),
-      "'changefeed' is a STREAMING read option and needs " +
-        "graft.GraftExtensions registered (spark.sql.extensions): use " +
-        "spark.readStream.option(\"changefeed\", true).table(...); batch " +
-        "windows read via Snapshots.readChangeFeed or the snapshot TVF")
+      "the 'changefeed' read option needs graft.GraftExtensions " +
+        "registered (spark.sql.extensions); without them, batch windows " +
+        "read via Snapshots.readChangeFeed or the snapshot TVF")
     currentIdOpt match {
       case None =>
         new GraftScanBuilder(spark, store, 0, Nil, schema, statsCol, options)

@@ -2006,6 +2006,82 @@ object GraftCatalogQueries {
     FROM f JOIN r ON f.od = r.od GROUP BY 2
     ORDER BY part, od"""
 
+  /** Query `catalog_cdf_batch`: the change feed as a PINNED BATCH DSv2
+    * read — `spark.read.option("changefeed", true)
+    * .option("startsnapshot", a).option("versionAsOf", b).table(t)`
+    * serves the window `(a, b]` as insert/delete rows, unifying the TVF
+    * and streaming surfaces (the r15 verdict's continuation): one
+    * resolution rule swaps in the feed-shaped twin for BOTH, and both
+    * serve the same materialized `changefeeds/` cache, so an audit
+    * query and a mirror stream never recompute each other's windows.
+    * Required in-query: the batch read hash-matches the TVF kernel
+    * (`Snapshots.readChangeFeed`) over a window containing an UPDATE
+    * and a DELETE, and a commit AFTER the pin does not leak into the
+    * pinned window. The oracle restates the feed's per-change-type
+    * aggregates (old images surface as deletes at their pre-update
+    * values) plus the unpinned tail as a literal.
+    */
+  def catalogCdfBatch(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, cents BIGINT) " +
+        "TBLPROPERTIES ('morkey'='k')")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.kv SELECT * FROM $view")            // snap 1
+      s.sql(s"UPDATE $cat.kv SET cents = cents + 7 WHERE k % 10 = 3") // 2
+      s.sql(s"DELETE FROM $cat.kv WHERE k % 10 = 6")               // snap 3
+      s.sql(s"INSERT INTO $cat.kv VALUES (1000000007, 42)")        // snap 4
+      val store = root.resolve("kv")
+      def batchFeed(opts: (String, String)*): DataFrame =
+        opts.foldLeft(s.read.option("changefeed", "true"))(
+          (r, o) => r.option(o._1, o._2)).table(s"$cat.kv")
+      // the pinned window (1,3]: an UPDATE's pairs and a DELETE's
+      // retractions, read AFTER snapshot 4 exists — the pin must hold
+      val pinned = batchFeed("startsnapshot" -> "1", "versionAsOf" -> "3")
+      val pinnedRows = pinned.collect()
+      val tvfRows = Snapshots.readChangeFeed(s, store, 1, 3)
+        .select(pinned.columns.map(col).toIndexedSeq: _*).collect()
+      require(pinnedRows.toSet == tvfRows.toSet,
+        "batch DSv2 changefeed diverged from the TVF window (1,3]")
+      require(!pinnedRows.exists(_.getLong(0) == 1000000007L),
+        "VERSION AS OF pin leaked a post-pin commit into the window")
+      val agg = pinnedRows.groupBy(_.getString(2)).toSeq.map { case (ct, rs) =>
+        Row("pinned", ct, rs.length.toLong, rs.map(_.getLong(1)).sum)
+      }
+      // the unpinned tail (3, current]: exactly the late insert
+      val tail = batchFeed("startsnapshot" -> "3").collect()
+        .groupBy(_.getString(2)).toSeq.map { case (ct, rs) =>
+          Row("tail", ct, rs.length.toLong, rs.map(_.getLong(1)).sum)
+        }
+      val schema = StructType(Seq(StructField("part", StringType),
+        StructField("change_type", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize((agg ++ tail).toSeq, 1), schema)
+        .orderBy("part", "change_type")
+    } finally rm(root)
+  }
+
+  /** The window's per-change-type aggregates restated: inserts = the
+    * update's NEW images (cents + 7), deletes = the update's OLD images
+    * plus the deleted rows at their original values; the tail is the
+    * late insert as a literal.
+    */
+  val catalogCdfBatchOracleSql: String = """
+    WITH f AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT 'pinned' AS part, 'delete' AS change_type,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f WHERE k % 10 IN (3, 6)
+    UNION ALL
+    SELECT 'pinned', 'insert', CAST(count(*) AS BIGINT),
+      CAST(sum(cents + 7) AS BIGINT) FROM f WHERE k % 10 = 3
+    UNION ALL
+    SELECT 'tail', 'insert', CAST(1 AS BIGINT), CAST(42 AS BIGINT)
+    ORDER BY part, change_type"""
+
   /** Query `catalog_dpp_ts`: TIMESTAMP partition columns — the r15
     * verdict's top ask (hourly/daily timestamp-partitioned facts are
     * the most common real layout after date). Timestamps render in

@@ -677,17 +677,25 @@ final class SnapshotMicroBatchStream(
   override def toString: String = s"SnapshotMicroBatchStream[$store > $startExclusive]"
 }
 
-/** ScanBuilder for `spark.readStream.table(cat.ns.t).option("changefeed",
-  * true)` — the retraction-aware streaming consumer of a MUTATING
-  * catalog table. Read schema is the table's columns plus
-  * `_change_type` (insert/delete), physically delivered from
-  * materialized change-data files ([[Snapshots.changeFeedFiles]]), so
-  * tombstone windows (MoR DML, upserts) stream as row-level
-  * insert/delete pairs instead of refusing the way the append-only
-  * stream does. Streaming only: a BATCH read with the option set is
-  * refused loudly (use `Snapshots.readChangeFeed` / the snapshot TVF
-  * for a batch window). No pushdown — the feed window is O(changed
-  * rows) and filters apply above the scan.
+/** ScanBuilder for `.option("changefeed", true).table(cat.ns.t)` — the
+  * retraction-aware consumer of a MUTATING catalog table, both
+  * surfaces. Read schema is the table's columns plus `_change_type`
+  * (insert/delete), physically delivered from materialized change-data
+  * files ([[Snapshots.changeFeedFiles]]), so tombstone windows (MoR
+  * DML, upserts) surface as row-level insert/delete pairs instead of
+  * refusing the way the append-only stream does.
+  *
+  *  - STREAMING: per-commit windows as micro-batches
+  *    ([[SnapshotMicroBatchStream]] in changefeed mode).
+  *  - BATCH: ONE pinned window `(startsnapshot, to]` where `to` is the
+  *    table load's `VERSION AS OF` / `.option("versionAsOf", n)` pin
+  *    (current when unpinned) — the TVF's semantics as a DSv2 relation,
+  *    serving (and populating) the SAME `changefeeds/` window cache, so
+  *    a batch audit and a streaming mirror never recompute each other's
+  *    windows. Pinned + immutable ⇒ a re-read is bit-identical.
+  *
+  * No pushdown — the feed window is O(changed rows) and filters apply
+  * above the scan.
   */
 private[sources] final class GraftChangeFeedScanBuilder(
     spark: SparkSession,
@@ -695,10 +703,19 @@ private[sources] final class GraftChangeFeedScanBuilder(
     logicalSchema: StructType,
     physicalSchema: StructType,
     statsCol: Option[String],
-    options: CaseInsensitiveStringMap) extends ScanBuilder {
+    options: CaseInsensitiveStringMap,
+    pin: Option[Int] = None) extends ScanBuilder {
 
   private val cfField = org.apache.spark.sql.types.StructField(
     "_change_type", StringType, nullable = false)
+
+  private def startOf: Int = Option(options.get("startsnapshot")).map(_.toInt)
+    .orElse(Option(options.get("starttimestamp")).map(ms =>
+      Snapshots.idAsOfMillis(store, ms.toLong).getOrElse(0)))
+    .getOrElse(0)
+
+  private def skipRewrites: Boolean =
+    Option(options.get("skiprewrites")).exists(_.toBoolean)
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType =
@@ -706,22 +723,33 @@ private[sources] final class GraftChangeFeedScanBuilder(
 
     override def description(): String = s"GraftChangeFeedScan($store)"
 
-    override def toBatch: Batch = throw new UnsupportedOperationException(
-      "'changefeed' is a streaming option: use spark.readStream.table(...)" +
-        ".option(\"changefeed\", true); batch windows read via " +
-        "Snapshots.readChangeFeed")
+    override def toBatch: Batch = {
+      val from = startOf
+      val to = pin.orElse(Snapshots.currentId(store)).getOrElse(
+        throw new IllegalStateException(
+          s"no published snapshot under $store: nothing to feed"))
+      require(to >= from,
+        s"changefeed window ($from, $to] is inverted (startsnapshot " +
+          "beyond the pinned/current snapshot)")
+      val physCf = StructType(physicalSchema.fields.toIndexedSeq :+ cfField)
+      val entries =
+        if (to == from) Nil // empty window: a valid, empty feed
+        else Snapshots.changeFeedFiles(spark, store, from, to, physCf,
+          skipRewrites).map(p => Snapshots.ManifestEntry(
+          store.relativize(p).toString, "", java.nio.file.Files.size(p),
+          None, seq = to))
+      ParquetScanBuilder(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        new SnapshotV2FileIndex(spark, store, to, entries, Some(physCf),
+          statsCol),
+        physCf, physCf, options).build().toBatch
+    }
 
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-      val start = Option(options.get("startsnapshot")).map(_.toInt)
-        .orElse(Option(options.get("starttimestamp")).map(ms =>
-          Snapshots.idAsOfMillis(store, ms.toLong).getOrElse(0)))
-        .getOrElse(0)
-      val skipRewrites = Option(options.get("skiprewrites")).exists(_.toBoolean)
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       // the stream reads FILES (physical names + _change_type last);
       // rows are positionally identical to readSchema()
       new SnapshotMicroBatchStream(spark, store,
         StructType(physicalSchema.fields.toIndexedSeq :+ cfField),
-        statsCol, start, skipRewrites, options, changeFeed = true)
-    }
+        statsCol, startOf, skipRewrites, options, changeFeed = true)
   }
 }

@@ -90,16 +90,39 @@ class StreamCatalogCdfSpec extends AnyFunSuite {
     } finally { rm(sink); rm(root) }
   }
 
-  test("batch read with the changefeed option refuses loudly") {
+  test("batch changefeed read: pinned windows, hash-matches the TVF kernel") {
     val (cat, root) = freshCatalog()
     try {
       s.sql(s"CREATE TABLE $cat.kv (k BIGINT NOT NULL, v STRING) " +
         "TBLPROPERTIES ('morkey'='k')")
-      s.sql(s"INSERT INTO $cat.kv VALUES (1, 'x')")
-      val e = intercept[Exception] {
-        s.read.option("changefeed", "true").table(s"$cat.kv").collect()
-      }
-      assert(e.getMessage.contains("STREAMING"))
+      s.sql(s"INSERT INTO $cat.kv SELECT id, concat('v', id) FROM range(0, 50)")
+      s.sql(s"UPDATE $cat.kv SET v = 'U' WHERE k < 5")          // snapshot 2
+      s.sql(s"DELETE FROM $cat.kv WHERE k >= 45")               // snapshot 3
+      val store = root.resolve("kv")
+      // (1,3] spans an upsert AND a delete: batch DSv2 read == TVF kernel
+      val batch = s.read.option("changefeed", "true")
+        .option("startsnapshot", "1").option("versionAsOf", "3")
+        .table(s"$cat.kv")
+      assert(batch.columns.last == "_change_type")
+      val viaTvf = Snapshots.readChangeFeed(s, store, 1, 3)
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+      assert(batch.collect().toSet == viaTvf.collect().toSet,
+        "batch DSv2 changefeed diverged from the TVF window")
+      assert(batch.filter(col("_change_type") === "delete").count() == 10)
+      // a NEWER commit must not leak into the pinned window
+      s.sql(s"INSERT INTO $cat.kv VALUES (1000, 'late')")
+      val repinned = s.read.option("changefeed", "true")
+        .option("startsnapshot", "1").option("versionAsOf", "3")
+        .table(s"$cat.kv")
+      assert(repinned.collect().toSet == viaTvf.collect().toSet,
+        "VERSION AS OF pin leaked a post-pin commit into the window")
+      // unpinned = (start, current]: the late insert is the only change
+      val tail = s.read.option("changefeed", "true")
+        .option("startsnapshot", "3").table(s"$cat.kv")
+      assert(tail.collect().map(_.getString(2)).toSeq == Seq("insert"))
+      // empty window (to == from) is a valid empty feed
+      assert(s.read.option("changefeed", "true")
+        .option("startsnapshot", "4").table(s"$cat.kv").count() == 0)
     } finally rm(root)
   }
 
