@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // streaming relation's table for its feed-shaped twin (schema +
     // _change_type) before the stream materializes its scan
     e.injectResolutionRule(s => graft.plans.ExpandChangeFeedRelation(s))
+    // 'mergeschema'='true' tables: a plain MERGE from a wider source
+    // evolves as if WITH SCHEMA EVOLUTION had been written (the dial
+    // decides per table; the statements stay unannotated)
+    e.injectHintResolutionRule(s => graft.plans.AutoMergeSchemaEvolution(s))
     // opt-in optimizer rule: count(DISTINCT <integral>) → bitmap aggregate
     e.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap())
     // opt-in optimizer rule: drop dim joins proven redundant by declared

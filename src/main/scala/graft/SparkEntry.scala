@@ -106,6 +106,7 @@ object SparkEntry {
     "catalog_dpp_date"    -> w(graft.sources.GraftCatalogQueries.catalogDppDate),
     "catalog_dpp_ts"      -> w(graft.sources.GraftCatalogQueries.catalogDppTs),
     "catalog_cdf_batch"   -> w(graft.sources.GraftCatalogQueries.catalogCdfBatch),
+    "catalog_merge_evolve" -> w(graft.sources.GraftCatalogQueries.catalogMergeEvolve),
     "catalog_partitions"  -> w(graft.sources.GraftCatalogQueries.catalogPartitions),
     "catalog_respec"      -> w(graft.sources.GraftCatalogQueries.catalogRespec),
     "catalog_clustered_write" -> w(graft.sources.GraftCatalogQueries.catalogClusteredWrite),
@@ -586,6 +587,7 @@ object SparkEntry {
     "catalog_dpp_date" -> graft.sources.GraftCatalogQueries.catalogDppDateOracleSql,
     "catalog_dpp_ts" -> graft.sources.GraftCatalogQueries.catalogDppTsOracleSql,
     "catalog_cdf_batch" -> graft.sources.GraftCatalogQueries.catalogCdfBatchOracleSql,
+    "catalog_merge_evolve" -> graft.sources.GraftCatalogQueries.catalogMergeEvolveOracleSql,
     "catalog_partitions" -> graft.sources.GraftCatalogQueries.catalogPartitionsOracleSql,
     "catalog_respec" -> graft.sources.GraftCatalogQueries.catalogRespecOracleSql,
     "catalog_clustered_write" -> graft.sources.GraftCatalogQueries.catalogClusteredWriteOracleSql,

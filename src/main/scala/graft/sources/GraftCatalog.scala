@@ -942,7 +942,8 @@ final class GraftTable(
     pin: Option[Int]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with graft.plans.ExpandableMergeTable
-    with graft.plans.ChangeFeedCapableTable {
+    with graft.plans.ChangeFeedCapableTable
+    with graft.plans.AutoEvolveMergeTable {
 
   override def name(): String = fullName.mkString(".")
 
@@ -1236,6 +1237,15 @@ final class GraftTable(
       caps.add(TableCapability.BATCH_WRITE) // dynamic overwrite has no V1 fallback
       caps.add(TableCapability.OVERWRITE_DYNAMIC)
     }
+    // 'mergeschema'='true' (Delta's dial): a MERGE from a wider source
+    // auto-widens the table (Spark's ResolveMergeIntoSchemaEvolution
+    // routes the new columns through alterTable's AddColumn handling —
+    // the same metadata commit an explicit ALTER lands, so time travel
+    // below the merge keeps the narrow schema). Without the dial, the
+    // explicit `MERGE ... WITH SCHEMA EVOLUTION` clause still evolves;
+    // a plain MERGE from a wider source refuses at analysis.
+    if (props.get("mergeschema").contains("true"))
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 
@@ -1246,6 +1256,13 @@ final class GraftTable(
     currentIdOpt.foreach(n => m.put("snapshot", n.toString))
     m
   }
+
+  /** The 'mergeschema' dial, read by [[graft.plans
+    * .AutoMergeSchemaEvolution]]: a plain MERGE from a wider source
+    * evolves this table as if WITH SCHEMA EVOLUTION had been written.
+    */
+  override def autoEvolveMerge: Boolean =
+    props.get("mergeschema").contains("true")
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the changefeed option is honored by ExpandChangeFeedRelation

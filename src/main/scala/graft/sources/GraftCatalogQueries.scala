@@ -2006,6 +2006,90 @@ object GraftCatalogQueries {
     FROM f JOIN r ON f.od = r.od GROUP BY 2
     ORDER BY part, od"""
 
+  /** Query `catalog_merge_evolve`: MERGE SCHEMA EVOLUTION — the
+    * reference's release-over-release DDL can add columns (A9 parses
+    * them; E2c reads them); a MERGE from a wider-schema source into a
+    * narrower catalog table auto-widens under `'mergeschema'='true'`
+    * (Delta's dial, served through Spark 4's own
+    * AUTOMATIC_SCHEMA_EVOLUTION capability: the analyzer routes the new
+    * columns through the catalog's AddColumn ALTER — the same metadata
+    * commit an explicit ALTER lands, so history stays exact). Required
+    * in-query: the un-dialled twin runs the same wider MERGE WITHOUT
+    * evolving (Spark's star alignment assigns target columns only — the
+    * new column is the dial's doing, never an accident of a wide
+    * source); the dialled table widens, old rows surface NULL in the
+    * new column straight from the pre-evolution files, and time travel
+    * below the merge keeps the NARROW schema. The oracle restates the
+    * merged state grouped by the evolved column.
+    */
+  def catalogMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st0"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('mergeschema'='true', 'statscol'='k')")
+      s.sql(s"INSERT INTO $cat.t SELECT k, cents FROM $view") // snapshot 1
+      s.sql(s"CREATE TABLE $cat.frozen (k BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.frozen SELECT k, cents FROM $view")
+      // the wider source: matched keys re-land with +1 cents and their
+      // status in a NEW column; fresh keys insert with st='N'
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW ${view}_src AS
+        SELECT k, cents + 1 AS cents, st0 AS st FROM $view WHERE k % 3 = 0
+        UNION ALL
+        SELECT k + 3000000000 AS k, CAST(5 AS BIGINT) AS cents, 'N' AS st
+        FROM $view WHERE k % 3 = 0""")
+      def mergeSql(tbl: String) = s"""MERGE INTO $cat.$tbl t
+        USING ${view}_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *"""
+      // without the dial, Spark's star alignment assigns TARGET columns
+      // only: the same wider MERGE runs but must NOT change the schema —
+      // evolution is the dial's (or the explicit WITH SCHEMA EVOLUTION
+      // clause's) doing, never an accident of a wide source
+      s.sql(mergeSql("frozen"))
+      require(s.table(s"$cat.frozen").columns.toSeq == Seq("k", "cents"),
+        "un-dialled table evolved without WITH SCHEMA EVOLUTION: " +
+          s.table(s"$cat.frozen").columns.mkString(","))
+      s.sql(mergeSql("t")) // auto-widens: ALTER (metadata commit) + merge
+      require(s.table(s"$cat.t").columns.toSeq == Seq("k", "cents", "st"),
+        s"MERGE did not evolve the schema: ${s.table(s"$cat.t").columns.mkString(",")}")
+      // time travel below the merge keeps the narrow pre-evolution shape
+      val narrow = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq
+      require(narrow == Seq("k", "cents"),
+        s"VERSION AS OF 1 should keep the narrow schema, got ${narrow.mkString(",")}")
+      // old rows surface NULL st straight from pre-evolution files;
+      // collected and re-lifted (the store dies with the query)
+      val out = s.sql(s"SELECT coalesce(st, '') AS st, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM $cat.t GROUP BY 1").collect()
+        .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+      val schema = StructType(Seq(StructField("st", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .orderBy("st")
+    } finally rm(root)
+  }
+
+  /** The merged state grouped by the evolved column: '' = untouched
+    * narrow rows (NULL st), per-status = matched (+1 cents), 'N' = the
+    * merge's inserts.
+    */
+  val catalogMergeEvolveOracleSql: String = """
+    WITH f AS (SELECT o_orderkey AS k, o_orderstatus AS st0,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT '' AS st, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents FROM f WHERE k % 3 != 0
+    UNION ALL
+    SELECT st0, CAST(count(*) AS BIGINT), CAST(sum(cents + 1) AS BIGINT)
+    FROM f WHERE k % 3 = 0 GROUP BY st0
+    UNION ALL
+    SELECT 'N', CAST(count(*) AS BIGINT), CAST(5 * count(*) AS BIGINT)
+    FROM f WHERE k % 3 = 0
+    ORDER BY st"""
+
   /** Query `catalog_cdf_batch`: the change feed as a PINNED BATCH DSv2
     * read — `spark.read.option("changefeed", true)
     * .option("startsnapshot", a).option("versionAsOf", b).table(t)`
