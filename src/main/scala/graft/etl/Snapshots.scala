@@ -502,14 +502,26 @@ object Snapshots {
       rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     })
 
+  /** Manifest-proven tombstone size above which the per-file bitmap
+    * merge moves EXECUTOR-side ([[posBitmapsDistributed]]): below it the
+    * driver fold is a handful of small byte-array unions; above it the
+    * driver must not deserialize-union O(sum of inputs) when the final
+    * broadcast only needs O(merged bytes).
+    */
+  private val PosMergeDriverBytes = 64L << 20
+
   /** The merged per-file bitmaps of a delete-file SET: overlapping
     * names OR together (two purges may kill different rows of one
-    * file). Driver memory is O(total bitmap bytes) — the compressed
-    * form's whole point.
+    * file). Driver memory is O(FINAL bitmap bytes) — the broadcast
+    * probe's irreducible cost: small sets fold on the driver (memoized
+    * per immutable file); a set whose manifest-proven bytes exceed
+    * [[PosMergeDriverBytes]] unions in the executors and the driver
+    * collects only the merged result.
     */
   private[graft] def posBitmaps(s: SparkSession, root: Path,
                                 dels: Seq[ManifestEntry]): Map[String, Array[Byte]] =
-    dels.map(posFileBitmaps(s, root, _))
+    if (dels.map(_.bytes).sum > PosMergeDriverBytes) posBitmapsDistributed(s, root, dels)
+    else dels.map(posFileBitmaps(s, root, _))
       .foldLeft(Map.empty[String, Array[Byte]]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (f, b)) =>
           a.updatedWith(f) {
@@ -518,6 +530,47 @@ object Snapshots {
           }
         }
       }
+
+  /** Executor-side merge of a LARGE tombstone set (the buildBlooms
+    * sidecar shape): every delete file — compressed `__bitmap` rows and
+    * legacy `__pos` pair rows alike — feeds one shuffle keyed by named
+    * data file, the Roaring unions run in the executors
+    * ([[graft.functions.BitmapOr]] / BitmapBuild), and the driver
+    * collects only the final per-file bytes. One Spark job; not
+    * memoized (a set this large is a maintenance event, not a
+    * per-statement read path — compaction folds it away).
+    */
+  private[graft] def posBitmapsDistributed(s: SparkSession, root: Path,
+                                           dels: Seq[ManifestEntry]): Map[String, Array[Byte]] = {
+    def aggOf(df: DataFrame): DataFrame =
+      if (df.columns.contains("__bitmap"))
+        df.groupBy("__file").agg(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.BitmapOr(
+            org.apache.spark.sql.GraftBridge.expression(col("__bitmap")))
+            .toAggregateExpression()).as("__bitmap"))
+      else
+        df.groupBy("__file").agg(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.BitmapBuild(
+            org.apache.spark.sql.GraftBridge.expression(col("__pos")))
+            .toAggregateExpression()).as("__bitmap"))
+    // the two wire shapes cannot share one parquet read (different
+    // schemas); each shape reads as one multi-file scan, pre-aggregates,
+    // and the shapes' outputs union into the final per-file OR
+    val (bmFiles, pairFiles) = dels.partition { e =>
+      val df = s.read.parquet(root.resolve(e.relPath).toString)
+      df.columns.contains("__bitmap")
+    }
+    val legs = Seq(
+      bmFiles -> true,
+      pairFiles -> false
+    ).collect { case (es, _) if es.nonEmpty =>
+      aggOf(s.read.parquet(es.map(e => root.resolve(e.relPath).toString): _*))
+    }
+    val merged = legs.reduceLeft(_ unionByName _)
+    (if (legs.size > 1) aggOf(merged) else merged)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+  }
 
   private def posNamedFiles(s: SparkSession, root: Path,
                             dels: Seq[ManifestEntry]): Set[String] =

@@ -39,6 +39,53 @@ object PosBitmaps {
   }
 }
 
+/** OR-aggregate over SERIALIZED Roaring64 bitmaps — the executor-side
+  * merge of per-file position tombstones: when several delete files
+  * name the same data file, their ordinal bitmaps union in the
+  * executors (shuffle keyed by named file) and the driver receives only
+  * the FINAL merged bytes. The driver-side fold is fine to ~100M
+  * ordinals; above the manifest-proven threshold this is what keeps the
+  * driver at O(final bitmap bytes) instead of O(sum of inputs) — the
+  * buildBlooms sidecar shape applied to tombstones.
+  */
+case class BitmapOr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(b: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) b.or(PosBitmaps.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    b.or(other); b
+  }
+
+  override def eval(b: Roaring64Bitmap): Any = PosBitmaps.serialize(b)
+
+  override def serialize(b: Roaring64Bitmap): Array[Byte] = PosBitmaps.serialize(b)
+
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap =
+    PosBitmaps.deserialize(bytes)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BitmapOr =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapOr =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapOr =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "bitmap_or"
+}
+
 /** Is row (`file`, `pos`) position-deleted? The per-file ordinal
   * bitmaps ride a BROADCAST (serialized bytes — deserialized ONCE per
   * executor into the transient map below, never per row), so the

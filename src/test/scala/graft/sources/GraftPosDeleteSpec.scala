@@ -188,4 +188,43 @@ class GraftPosDeleteSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 980)
     } finally rm(root)
   }
+
+  test("executor-side bitmap merge equals the driver fold (mixed shapes)") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      // two OVERLAPPING bitmap tombstones (both name shared files) ...
+      s.sql(s"DELETE FROM $t WHERE v < 30")
+      s.sql(s"DELETE FROM $t WHERE v >= 20 AND v < 50")
+      // ... plus a forged LEGACY pair file naming the first data file
+      val target = Snapshots.manifest(store, 1).filterNot(Snapshots.isDelete).head
+      import org.apache.spark.sql.functions.{col, lit}
+      val legacyDir = store.resolve("deletes").resolve("pos-legacy-ab")
+      s.range(0, 7).select(lit(target.relPath).as("__file"),
+        col("id").as("__pos"))
+        .coalesce(1).write.mode("overwrite").parquet(legacyDir.toString)
+      val legacy = {
+        val l = Files.list(legacyDir)
+        try l.iterator().asScala.toSeq.filter(
+          _.getFileName.toString.endsWith(".parquet"))
+          .map(f => Snapshots.ManifestEntry(
+            store.relativize(f).toString, Snapshots.md5hex(f), Files.size(f)))
+        finally l.close()
+      }
+      val cur = Snapshots.currentId(store).get
+      val dels = Snapshots.manifest(store, cur).filter(Snapshots.isDelete) ++ legacy
+      assert(dels.size >= 3)
+      // the big-set executor-side merge must agree with the memoized
+      // driver fold file-for-file, ordinal-for-ordinal
+      val viaDriver = Snapshots.posBitmaps(s, store, dels)
+      val viaExec = Snapshots.posBitmapsDistributed(s, store, dels)
+      assert(viaDriver.keySet == viaExec.keySet)
+      viaDriver.foreach { case (f, bytes) =>
+        val a = graft.functions.PosBitmaps.deserialize(bytes)
+        val b = graft.functions.PosBitmaps.deserialize(viaExec(f))
+        assert(a.equals(b), s"merged bitmaps diverge for $f")
+      }
+    } finally rm(root)
+  }
 }
