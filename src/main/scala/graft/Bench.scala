@@ -95,7 +95,16 @@ object Bench {
     "catalog_bucket", "catalog_sorted",
     // r14c: footer-only COUNT/MIN/MAX through delegated agg pushdown,
     // and merge-on-read DML composed with the bucket layout
-    "catalog_agg_push", "catalog_mor_bucket")
+    "catalog_agg_push", "catalog_mor_bucket",
+    // r15: composite-key MoR DML, the catalog changefeed stream with a
+    // checkpointed restart, date partitions through DPP+SPJ, spec
+    // evolution (now two-step), the zero-job partitions table, and the
+    // engine-planned clustered write
+    "catalog_mor_multi", "stream_catalog_cdf", "catalog_dpp_date",
+    "catalog_respec", "catalog_partitions", "catalog_clustered_write",
+    // r16: timestamp partitions through DPP+SPJ, the pinned batch DSv2
+    // changefeed window, and MERGE schema evolution under the dial
+    "catalog_dpp_ts", "catalog_cdf_batch", "catalog_merge_evolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

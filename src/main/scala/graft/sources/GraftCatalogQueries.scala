@@ -2036,12 +2036,17 @@ object GraftCatalogQueries {
       s.sql(s"CREATE TABLE $cat.frozen (k BIGINT, cents BIGINT)")
       s.sql(s"INSERT INTO $cat.frozen SELECT k, cents FROM $view")
       // the wider source: matched keys re-land with +1 cents and their
-      // status in a NEW column; fresh keys insert with st='N'
+      // status in a NEW column; fresh keys insert with st='N'. The
+      // source aggregates PER KEY (max cents / max status): upscaled
+      // test dirs carry non-unique o_orderkey (the sf10 sweep's catch),
+      // and MERGE rightly refuses multiple source rows per target row
       s.sql(s"""CREATE OR REPLACE TEMP VIEW ${view}_src AS
-        SELECT k, cents + 1 AS cents, st0 AS st FROM $view WHERE k % 3 = 0
+        WITH agg AS (SELECT k, max(cents) AS mc, max(st0) AS ms
+          FROM $view WHERE k % 3 = 0 GROUP BY k)
+        SELECT k, mc + 1 AS cents, ms AS st FROM agg
         UNION ALL
         SELECT k + 3000000000 AS k, CAST(5 AS BIGINT) AS cents, 'N' AS st
-        FROM $view WHERE k % 3 = 0""")
+        FROM agg""")
       def mergeSql(tbl: String) = s"""MERGE INTO $cat.$tbl t
         USING ${view}_src s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET *
@@ -2079,15 +2084,17 @@ object GraftCatalogQueries {
     */
   val catalogMergeEvolveOracleSql: String = """
     WITH f AS (SELECT o_orderkey AS k, o_orderstatus AS st0,
-        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    agg AS (SELECT k, max(cents) AS mc, max(st0) AS ms
+        FROM f WHERE k % 3 = 0 GROUP BY k)
     SELECT '' AS st, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(cents) AS BIGINT) AS sum_cents FROM f WHERE k % 3 != 0
     UNION ALL
-    SELECT st0, CAST(count(*) AS BIGINT), CAST(sum(cents + 1) AS BIGINT)
-    FROM f WHERE k % 3 = 0 GROUP BY st0
+    SELECT ms, CAST(count(*) AS BIGINT), CAST(sum(mc + 1) AS BIGINT)
+    FROM f JOIN agg USING (k) GROUP BY ms
     UNION ALL
     SELECT 'N', CAST(count(*) AS BIGINT), CAST(5 * count(*) AS BIGINT)
-    FROM f WHERE k % 3 = 0
+    FROM agg
     ORDER BY st"""
 
   /** Query `catalog_cdf_batch`: the change feed as a PINNED BATCH DSv2
