@@ -2020,6 +2020,23 @@ object Stress {
           val b = spark.sql("SELECT p, count(*) AS n, sum(k) AS s FROM sw.v1 GROUP BY 1")
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
           assert(a.sameElements(b), "clustered and V1 legs diverged")
+          // UNSORTED bucketed leg: the hot key's bucket skew-splits too
+          // (sorted buckets stay strict — the ordering claim needs
+          // disjoint per-bucket ranges)
+          spark.sql("CREATE TABLE sw.bk (p BIGINT, k BIGINT, pad STRING) " +
+            "PARTITIONED BY (bucket(8, p))")
+          val tB0 = System.nanoTime()
+          rowsW.repartition(32).writeTo("sw.bk").append()
+          val bkS = (System.nanoTime() - tB0) / 1e9
+          val bkFiles = filesOf("bk")
+          val perBucket = bkFiles.groupBy(e =>
+            etl.Snapshots.partValueOf(e.relPath)).view.mapValues(_.size).toMap
+          val bkHot = perBucket.values.max
+          println(f"[stress] skew_write bucketed(8): $bkS%.2f s / " +
+            f"${bkFiles.size} files, hot bucket $bkHot files")
+          assert(bkHot > 1,
+            s"hot bucket still serialized through one task ($bkHot file)")
+          assert(spark.sql("SELECT count(*) FROM sw.bk").head.getLong(0) == nw)
         } finally {
           prevAdv match {
             case Some(v) => spark.conf.set(

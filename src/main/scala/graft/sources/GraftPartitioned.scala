@@ -353,6 +353,18 @@ private[sources] final class GraftBucketedBatchWrite(
 
   override def requiredNumPartitions(): Int = 0 // AQE sizes the shuffle
 
+  /** UNSORTED bucketed writes take the identity write's skew path:
+    * clustering preferred, not strict, so AQE may split a hot bucket
+    * across tasks (several bucket-pure files for that id — the
+    * partially-clustered scan already chunks multi-file buckets) and
+    * coalesce cold ones. SORTED buckets stay STRICT: two tasks sharing
+    * a bucket would land overlapping sort ranges, and the scan's
+    * ordering claim (pairwise-disjoint zone ranges per bucket) would
+    * silently decline — the declared price of `sortcol` is the
+    * clustered shuffle, so it stays whole.
+    */
+  override def distributionStrictlyRequired(): Boolean = sortColPhys.isDefined
+
   override def description(): String = s"GraftBucketedBatchWrite($store)"
 
   override def toBatch: BatchWrite = new BatchWrite {
