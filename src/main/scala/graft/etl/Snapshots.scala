@@ -1749,6 +1749,29 @@ object Snapshots {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** Metadata relation over the CHANGEFEED CONSUMER REGISTRY: name and
+    * registered replay-floor offset per consumer — the operator's view
+    * of who blocks retention and from where ([[registerConsumer]] /
+    * [[consumerFloor]]'s rows). LocalRelation: zero Spark jobs.
+    */
+  def metaConsumers(s: SparkSession, root: Path): DataFrame = {
+    val dir = root.resolve("consumers")
+    val rows: Seq[Row] =
+      if (!Files.exists(dir)) Nil
+      else {
+        val l = Files.list(dir)
+        try l.iterator().asScala.toSeq
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .sortBy(_.getFileName.toString)
+          .flatMap(p => consumerOffsetOf(p).map(o =>
+            Row(p.getFileName.toString, o.toLong)))
+        finally l.close()
+      }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("offset", LongType)))
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** Metadata relation over REFS: name, kind (branch|tag), snapshot_id. */
   def metaRefs(s: SparkSession, root: Path): DataFrame = {
     def scan(kind: String): Seq[Row] = {

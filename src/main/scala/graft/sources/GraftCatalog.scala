@@ -95,6 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try l.iterator().asScala.forall { p =>
       val n = p.getFileName.toString
       (n == "data" || n == "manifests" || n == "refs" || n == "deletes" ||
+        n == "consumers" || n == "changefeeds" ||
         n == "_current" || n.startsWith(".")) &&
         !(JFiles.isDirectory(p) && isTableDir(p))
     } finally l.close()
@@ -370,6 +371,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case None => Snapshots.metaFiles(spark, base, 0).limit(0)
           }
           case "refs" => Snapshots.metaRefs(spark, base)
+          case "consumers" => Snapshots.metaConsumers(spark, base)
           case "partitions" =>
             // claim inputs come from the table's marker: zone names are
             // PHYSICAL, exactly what `sortcol`/`statscol` record

@@ -151,6 +151,22 @@ private[sources] object GraftProcedures {
         val (n, bytes) = Snapshots.expireOlderThan(store, in.getLong(1))
         Seq(Row(n, bytes))
       }),
+    Spec("register_consumer",
+      Seq(p("tbl", StringType), p("name", StringType), p("offset", IntegerType)),
+      StructType(Seq(StructField("offset", IntegerType))),
+      (s, store, in) => {
+        // an EXTERNAL consumer (a foreachBatch pipeline, a downstream
+        // job tracking readChanges offsets) claims the same retention
+        // floor a `.option("consumer", ...)` stream registers; offsets
+        // are monotone, so replaying an old batch never lowers it
+        Snapshots.registerConsumer(store, str(in, 1), in.getInt(2))
+        Seq(Row(in.getInt(2)))
+      }),
+    Spec("unregister_consumer",
+      Seq(p("tbl", StringType), p("name", StringType)),
+      StructType(Seq(StructField("removed", org.apache.spark.sql.types.BooleanType))),
+      (s, store, in) =>
+        Seq(Row(Snapshots.unregisterConsumer(store, str(in, 1))))),
     Spec("create_tag",
       Seq(p("tbl", StringType), p("name", StringType), p("snapshot_id", IntegerType)),
       StructType(Seq(StructField("tagged", IntegerType))),

@@ -96,4 +96,37 @@ class GraftWidenSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 90)
     } finally rm(root)
   }
+
+  test("MERGE schema evolution composes with merge-on-read (morkey) targets") {
+    val (cat, root) = fresh()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
+        "TBLPROPERTIES ('morkey'='k', 'mergeschema'='true')")
+      s.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(0, 100)")
+      s.sql("CREATE OR REPLACE TEMP VIEW wsrc AS SELECT id AS k, " +
+        "id * 10 + 1 AS v, concat('t', id) AS tag FROM range(50, 120)")
+      // the unannotated MERGE auto-widens the MoR table: matched keys
+      // tombstone + re-land with the new column, inserts carry it,
+      // untouched old rows surface NULL from pre-evolution files
+      s.sql(s"MERGE INTO $cat.t t USING wsrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(s.table(s"$cat.t").columns.toSeq == Seq("k", "v", "tag"))
+      assert(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 120)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE tag IS NULL")
+        .head.getLong(0) == 50)
+      assert(s.sql(s"SELECT count(*) FROM $cat.t WHERE tag = concat('t', k)")
+        .head.getLong(0) == 70)
+      assert(s.sql(s"SELECT sum(v) FROM $cat.t WHERE k >= 50 AND k < 100")
+        .head.getLong(0) == (50L until 100L).map(_ * 10 + 1).sum)
+      // time travel below the merge keeps the narrow MoR shape
+      assert(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq ==
+        Seq("k", "v"))
+      // and the changefeed over the evolving window serves the widened
+      // shape with pre-evolution images NULL-padded
+      val feed = graft.etl.Snapshots.readChangeFeed(s, root.resolve("t"), 1,
+        graft.etl.Snapshots.currentId(root.resolve("t")).get)
+      assert(feed.columns.contains("tag"))
+      assert(feed.filter("_change_type = 'delete'").count() == 50)
+    } finally rm(root)
+  }
 }

@@ -233,9 +233,25 @@ class StreamCatalogCdfSpec extends AnyFunSuite {
       assert(Snapshots.consumerFloor(store).contains(("mirror_a", 4)))
       Snapshots.expire(store, 4)
       intercept[IllegalStateException] { Snapshots.expire(store, 5) }
-      // unregistering lifts the guard entirely
-      assert(Snapshots.unregisterConsumer(store, "mirror_a"))
-      Snapshots.expire(store, 5)
+      // the SQL surfaces: the consumers metadata table lists the
+      // registry, an external consumer registers by CALL, and
+      // unregistering by CALL lifts the guard
+      val listed = s.sql(s"SELECT name, offset FROM $cat.kv.consumers")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(listed == Seq(("mirror_a", 4L)), s"unexpected registry: $listed")
+      s.sql(s"CALL $cat.system.register_consumer(tbl => 'kv', " +
+        "name => 'audit_job', offset => 2)")
+      // CALL expire flows through the same guard: audit_job at 2 floors it
+      val eCall = intercept[Exception] {
+        s.sql(s"CALL $cat.system.expire(tbl => 'kv', keep_from => 4)").collect()
+      }
+      assert(eCall.getMessage.contains("audit_job"))
+      assert(s.sql(s"CALL $cat.system.unregister_consumer(tbl => 'kv', " +
+        "name => 'audit_job')").head.getBoolean(0))
+      assert(s.sql(s"CALL $cat.system.unregister_consumer(tbl => 'kv', " +
+        "name => 'mirror_a')").head.getBoolean(0))
+      s.sql(s"CALL $cat.system.expire(tbl => 'kv', keep_from => 5)").collect()
+      assert(s.sql(s"SELECT count(*) FROM $cat.kv.consumers").head.getLong(0) == 0)
     } finally { rm(sink); rm(root) }
   }
 
