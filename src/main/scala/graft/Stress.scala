@@ -2240,6 +2240,19 @@ object Stress {
           .filter(!(col("id").between(6000000, 6090000) && col("id") % 1000 < 500))
           .filter(!(col("id") % 1000 === 77)).count()
         assert(cntU == expU, s"untranslatable delete: $cntU != $expU (resurrection?)")
+        // EXECUTOR-SIDE bitmap merge A/B: force the distributed path
+        // (threshold 0) on the same live tombstone set and re-run the
+        // merged read — identical answer, wall-clock priced against the
+        // memoized driver fold. At production the dial only flips above
+        // 64 MB of compressed tombstones; the A/B proves the path at
+        // real row scale without fabricating billions of ordinals.
+        val tD = System.nanoTime()
+        spark.conf.set("spark.graft.posBitmapMerge.maxDriverBytes", "0")
+        val cD = try spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)
+          finally spark.conf.unset("spark.graft.posBitmapMerge.maxDriverBytes")
+        println(f"[stress] pos_12m merged read via EXECUTOR-side bitmap merge: " +
+          f"${(System.nanoTime() - tD) / 1e9}%.2f s (driver-fold read above)")
+        assert(cD == cntU, s"distributed bitmap merge diverged: $cD != $cntU")
         timed("compact folds the pairs")(spark.sql("CALL p12.system.compact('t', 64)"))
         val t3 = System.nanoTime()
         assert(spark.sql("SELECT count(*) FROM p12.t").head.getLong(0)

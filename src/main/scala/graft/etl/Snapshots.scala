@@ -506,9 +506,14 @@ object Snapshots {
     * merge moves EXECUTOR-side ([[posBitmapsDistributed]]): below it the
     * driver fold is a handful of small byte-array unions; above it the
     * driver must not deserialize-union O(sum of inputs) when the final
-    * broadcast only needs O(merged bytes).
+    * broadcast only needs O(merged bytes). Tunable per session
+    * (`spark.graft.posBitmapMerge.maxDriverBytes`) — the operator's dial
+    * for a memory-tight driver, and what the stress A/B turns to price
+    * the distributed path at real scale.
     */
-  private val PosMergeDriverBytes = 64L << 20
+  private def posMergeDriverBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.posBitmapMerge.maxDriverBytes")
+      .map(_.toLong).getOrElse(64L << 20)
 
   /** The merged per-file bitmaps of a delete-file SET: overlapping
     * names OR together (two purges may kill different rows of one
@@ -520,7 +525,7 @@ object Snapshots {
     */
   private[graft] def posBitmaps(s: SparkSession, root: Path,
                                 dels: Seq[ManifestEntry]): Map[String, Array[Byte]] =
-    if (dels.map(_.bytes).sum > PosMergeDriverBytes) posBitmapsDistributed(s, root, dels)
+    if (dels.map(_.bytes).sum > posMergeDriverBytes(s)) posBitmapsDistributed(s, root, dels)
     else dels.map(posFileBitmaps(s, root, _))
       .foldLeft(Map.empty[String, Array[Byte]]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (f, b)) =>
