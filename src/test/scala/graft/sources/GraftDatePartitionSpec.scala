@@ -160,6 +160,39 @@ class GraftDatePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp partitions compose with morkey DML and dynamic overwrite") {
+    val (cat, root) = freshCatalog()
+    val prevOw = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.sql(s"CREATE TABLE $cat.m (ts TIMESTAMP, k BIGINT NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (ts) TBLPROPERTIES ('morkey'='k')")
+      s.sql(s"INSERT INTO $cat.m SELECT timestamp_seconds(1700000000 + " +
+        "(id % 3) * 86400), id, id * 10 FROM range(0, 300)")
+      // MoR UPDATE: the delta re-stages through stageOccPartitioned,
+      // whose timestamp rendering must agree with the clustered writer's
+      s.sql(s"UPDATE $cat.m SET v = -1 WHERE k < 30")
+      assert(s.sql(s"SELECT count(*) FROM $cat.m WHERE v = -1").head.getLong(0) == 30)
+      assert(s.sql(s"SELECT count(*) FROM $cat.m").head.getLong(0) == 300)
+      val pvs = Snapshots.manifest(root.resolve("m"),
+        Snapshots.currentId(root.resolve("m")).get)
+        .filterNot(Snapshots.isDelete)
+        .flatMap(e => GraftScan.pvOfPath(e.relPath))
+      assert(pvs.nonEmpty && pvs.forall(_.forall(_.isDigit)),
+        s"MoR delta landed a non-micros timestamp rendering: ${pvs.distinct}")
+      // dynamic overwrite replaces exactly the micros-named partition
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql(s"INSERT OVERWRITE $cat.m SELECT timestamp_seconds(1700086400), " +
+        "id + 10000, CAST(7 AS BIGINT) FROM range(0, 50)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.m WHERE v = 7").head.getLong(0) == 50)
+      assert(s.sql(s"SELECT count(*) FROM $cat.m").head.getLong(0) == 250,
+        "dynamic overwrite replaced the wrong timestamp partition(s)")
+      assert(s.sql(s"SELECT count(*) FROM $cat.m WHERE v = -1").head.getLong(0) == 20)
+    } finally {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevOw)
+      rm(root)
+    }
+  }
+
   test("null dates land the default dir: grouped claims decline, reads exact") {
     val (cat, root) = freshCatalog()
     try {
