@@ -394,7 +394,8 @@ private[sources] final class GraftBucketedBatchWrite(
       new GraftClusteredWriterFactory(dataDir.toString, physSchema, owFactory,
         new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
         GraftBucketKey(bIdx, inSchema.fields(bIdx).dataType, bucketN),
-        sIdx, if (sIdx >= 0) Some(inSchema.fields(sIdx).dataType) else None)
+        sIdx, if (sIdx >= 0) Some(inSchema.fields(sIdx).dataType) else None,
+        spark.sessionState.conf.maxRecordsPerFile)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -538,7 +539,8 @@ private[sources] final class GraftClusteredWriterFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
     key: GraftClusterKey,
     sortIdx: Int,
-    sortType: Option[org.apache.spark.sql.types.DataType]) extends DataWriterFactory {
+    sortType: Option[org.apache.spark.sql.types.DataType],
+    maxRecordsPerFile: Long = 0L) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long):
       DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -589,9 +591,25 @@ private[sources] final class GraftClusteredWriterFactory(
         lastSort = Long.MinValue
       }
 
+      private var rowsInFile = 0L
+
       override def write(row: InternalRow): Unit = {
         val k = keyOf(row)
-        if (current == null || k != currentKey) roll(k)
+        // roll at value boundaries (purity) AND at Spark's own
+        // maxRecordsPerFile bound (a 10 GB hot partition must not land
+        // one 10 GB file). A size roll within a SORTED run keeps the
+        // ordering claim: consecutive slices of an ascending run carry
+        // pairwise-disjoint zone ranges by construction.
+        if (current == null || k != currentKey ||
+            (maxRecordsPerFile > 0 && rowsInFile >= maxRecordsPerFile)) {
+          val sizeRoll = current != null && k == currentKey
+          val prevSort = lastSort
+          roll(k)
+          // a size roll continues the same sorted run: the order check
+          // must survive the file boundary, not reset
+          if (sizeRoll) lastSort = prevSort
+          rowsInFile = 0L
+        }
         if (sortIdx >= 0) {
           val sv = sortValOf(row)
           // the declared contract: rows arrive [key, sortcol]-sorted.
@@ -604,6 +622,7 @@ private[sources] final class GraftClusteredWriterFactory(
           lastSort = sv
         }
         current.write(row)
+        rowsInFile += 1
       }
 
       override def commit(): WriterCommitMessage = {
@@ -715,7 +734,8 @@ private[sources] final class GraftPartitionedBatchWrite(
         s"write schema ${inSchema.fieldNames.mkString(",")}")
       new GraftClusteredWriterFactory(dataDir.toString, physSchema, owFactory,
         new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
-        GraftIdentityKey(pIdx, inSchema.fields(pIdx).dataType), -1, None)
+        GraftIdentityKey(pIdx, inSchema.fields(pIdx).dataType), -1, None,
+        spark.sessionState.conf.maxRecordsPerFile)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

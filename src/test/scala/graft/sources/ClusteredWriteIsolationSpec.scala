@@ -53,6 +53,41 @@ class ClusteredWriteIsolationSpec extends AnyFunSuite {
     finally walk.close()
   }
 
+  test("maxRecordsPerFile bounds clustered files; sorted claims survive the roll") {
+    val root = Files.createTempDirectory("graft_cwi_maxrec")
+    val cat = "gmaxrec"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    val prev = s.conf.get("spark.sql.files.maxRecordsPerFile")
+    s.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    try {
+      // a hot identity partition must not land one giant file
+      s.sql(s"CREATE TABLE $cat.hot (p BIGINT, k BIGINT) PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.hot SELECT 7L, id FROM range(0, 5000)")
+      val hotFiles = graft.etl.Snapshots.manifest(root.resolve("hot"), 1)
+      assert(hotFiles.size >= 10, s"expected >=10 bounded files, got ${hotFiles.size}")
+      assert(hotFiles.forall(e =>
+        graft.etl.Snapshots.partValueOf(e.relPath).contains("7")))
+      assert(s.sql(s"SELECT count(*), sum(k) FROM $cat.hot").head.toSeq ==
+        Seq(5000L, (0L until 5000L).sum))
+      // a SORTED bucket rolled at the size bound keeps the ordering
+      // claim: consecutive slices of one ascending run have disjoint
+      // zone ranges, so sorted_disjoint stays TRUE per bucket
+      s.sql(s"CREATE TABLE $cat.srt (k BIGINT NOT NULL, v BIGINT NOT NULL) " +
+        "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('sortcol'='v')")
+      s.sql(s"INSERT INTO $cat.srt SELECT id % 16, id FROM range(0, 4000)")
+      val parts = s.sql(s"SELECT partition, n_files, sorted_disjoint " +
+        s"FROM $cat.srt.partitions").collect()
+      assert(parts.forall(_.getLong(1) > 1),
+        s"sorted buckets should have rolled multiple files: ${parts.mkString(";")}")
+      assert(parts.forall(r => !r.isNullAt(2) && r.getBoolean(2)),
+        s"size rolls broke the sorted-disjoint claim: ${parts.mkString(";")}")
+    } finally {
+      s.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+      rm(root)
+    }
+  }
+
   test("abort() deletes the attempt's own files") {
     val dataDir = Files.createTempDirectory("graft_cwi_abort")
     try {
