@@ -560,11 +560,21 @@ object Snapshots {
             .toAggregateExpression()).as("__bitmap"))
     // the two wire shapes cannot share one parquet read (different
     // schemas); each shape reads as one multi-file scan, pre-aggregates,
-    // and the shapes' outputs union into the final per-file OR
-    val (bmFiles, pairFiles) = dels.partition { e =>
-      val df = s.read.parquet(root.resolve(e.relPath).toString)
-      df.columns.contains("__bitmap")
+    // and the shapes' outputs union into the final per-file OR.
+    // Classification is a RAW FOOTER read per file (microseconds), not a
+    // spark.read per file — a set large enough to take this path has
+    // many files, and N sequential DataFrame set-ups on the driver were
+    // seconds of latency for a one-bit question
+    val conf = s.sessionState.newHadoopConf()
+    def isBitmapShaped(e: ManifestEntry): Boolean = {
+      val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(root.resolve(e.relPath).toUri), conf))
+      try f.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .exists(_.getName == "__bitmap")
+      finally f.close()
     }
+    val (bmFiles, pairFiles) = dels.partition(isBitmapShaped)
     val legs = Seq(
       bmFiles -> true,
       pairFiles -> false
@@ -765,14 +775,16 @@ object Snapshots {
     if (founding) {
       // an all-empty founding batch cannot found the table (no schema to
       // read back): skip, leaving the batch re-deliverable and still
-      // empty. A founding batch has nothing to erase, so no tombstone —
-      // but the one-row-per-key contract still binds: a key duplicated
-      // HERE and never upserted again would live as two rows forever
-      // (the "next batch's tombstone erases it" argument only covers
-      // keys that are touched again). The gate is one extra tiny job,
-      // paid ONCE per table lifetime — the founding batch — where the
-      // non-founding path folds it into the tombstone staging's
-      // observed metrics.
+      // empty — checked FIRST, so a source that starts empty and
+      // re-delivers its founding batch never pays the duplicate-gate job
+      if (rows.isEmpty) return false
+      // A founding batch has nothing to erase, so no tombstone — but the
+      // one-row-per-key contract still binds: a key duplicated HERE and
+      // never upserted again would live as two rows forever (the "next
+      // batch's tombstone erases it" argument only covers keys that are
+      // touched again). The gate is one extra tiny job, paid ONCE per
+      // table lifetime — the founding batch — where the non-founding
+      // path folds it into the tombstone staging's observed metrics.
       val dup = rows.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
         .limit(1).collect()
@@ -780,7 +792,6 @@ object Snapshots {
         s"upsert batch $batchId carries a key more than once " +
           s"(${dup.head.getLong(dup.head.length - 1)} times): one row per " +
           "key per batch (emit Update-mode or net-per-window changes)")
-      if (rows.isEmpty) return false
       val fresh = stageOcc(s, root, rows, statsCol)
       try { commitOcc(root, fresh, OccAppend, batchIdOverride = Some(batchId)); true }
       catch { case e: Throwable => discardStaged(root, fresh); throw e }

@@ -56,12 +56,23 @@ case class AutoMergeSchemaEvolution(session: SparkSession) extends Rule[LogicalP
               (cm.catalog(parts.head),
                 Identifier.of(parts.tail.init.toArray, parts.last))
             else
-              (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+              // Spark's own resolution for catalog-less names: a bare
+              // single-part name lives in the session's CURRENT
+              // namespace, not the catalog root (`USE cat.ns` must not
+              // make the dial silently inert)
+              (cm.currentCatalog, Identifier.of(
+                if (parts.length == 1) cm.currentNamespace
+                else parts.init.toArray, parts.last))
           cat match {
-            case tc: TableCatalog => tc.loadTable(ident) match {
-              case a: AutoEvolveMergeTable => a.autoEvolveMerge
-              case _ => false
-            }
+            // only a graft catalog can serve AutoEvolveMergeTable, and
+            // its loadTable is an O(1) local marker read — never pay a
+            // foreign catalog (metastore RPC) for a dial it cannot have
+            case tc: TableCatalog
+                if tc.getClass.getName.startsWith("graft.") =>
+              tc.loadTable(ident) match {
+                case a: AutoEvolveMergeTable => a.autoEvolveMerge
+                case _ => false
+              }
             case _ => false
           }
         } catch { case scala.util.control.NonFatal(_) => false }

@@ -380,7 +380,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               Snapshots.currentId(base).getOrElse(0),
               prs.get("sortcol"), prs.get("statscol"),
               prs.get("specfrom").flatMap(_.toIntOption),
-              GraftCatalog.parseSpecHistory(prs.get("spechistory")))
+              GraftCatalog.parseSpecHistory(prs.get("spechistory"),
+                prs.get("specfrom").flatMap(_.toIntOption)))
           case _ => throw new NoSuchTableException(
             name() +: ident.namespace().toSeq :+ ident.name())
         }
@@ -909,9 +910,17 @@ object GraftCatalog {
       ("spechistory" -> hist.map(_ + "," + entry).getOrElse(entry))
   }
 
-  /** `spechistory` parsed to (spec id, base snapshot id), base-ordered. */
-  private[sources] def parseSpecHistory(v: Option[String]): Seq[(Int, Int)] =
-    v.filter(_.nonEmpty).map(parseSpecHistoryStr).getOrElse(Nil)
+  /** `spechistory` parsed to (spec id, base snapshot id), base-ordered.
+    * A table whose spec evolved BEFORE the history stamp existed carries
+    * `specfrom` alone — synthesize its one-change history (spec 1 at
+    * that base) rather than report every post-evolution file as the
+    * birth spec while `under_current_spec` says otherwise.
+    */
+  private[sources] def parseSpecHistory(v: Option[String],
+                                        specFrom: Option[Int] = None): Seq[(Int, Int)] =
+    v.filter(_.nonEmpty).map(parseSpecHistoryStr)
+      .orElse(specFrom.map(b => Seq((1, b))))
+      .getOrElse(Nil)
 
   private def parseSpecHistoryStr(s: String): Seq[(Int, Int)] =
     s.split(',').toIndexedSeq.map { e =>

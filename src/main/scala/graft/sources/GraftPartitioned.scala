@@ -210,7 +210,10 @@ private[sources] final class GraftPartitionedWriteBuilder(
         }
     }
     case "dynamic" =>
-      new GraftDynamicOverwrite(spark, store, partCol, info, stage, specFrom)
+      new GraftDynamicOverwrite(spark, store, partCol, info, stage, specFrom,
+        tableSchema.fields
+          .find(f => colMap.getOrElse(f.name, f.name) == partCol)
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampType))
   }
 }
 
@@ -227,7 +230,8 @@ private[sources] final class GraftDynamicOverwrite(
     partCol: String,
     info: LogicalWriteInfo,
     stage: DataFrame => Seq[Snapshots.ManifestEntry],
-    specFrom: Option[Int] = None) extends Write {
+    specFrom: Option[Int] = None,
+    partIsTimestamp: Boolean = false) extends Write {
 
   private val scratchDir: JPath = {
     val d = store.resolve("data").resolve(
@@ -273,12 +277,15 @@ private[sources] final class GraftDynamicOverwrite(
                         s"${e.relPath} predates the current partition spec " +
                         "(compact or INSERT OVERWRITE the whole table first)")
                   if (Snapshots.isDelete(e)) true // tombstones carry through
-                  else Snapshots.partValueOf(e.relPath) match {
-                    case Some(v) => !touched(v)
-                    case None => throw new IllegalStateException(
-                      s"non-partitioned data file ${e.relPath}: dynamic overwrite " +
-                        "needs a value-pure table (write through the partitioned " +
-                        "catalog paths only)")
+                  else {
+                    GraftDynamicGuards.requireJudgeablePv(store, e, partIsTimestamp)
+                    Snapshots.partValueOf(e.relPath) match {
+                      case Some(v) => !touched(v)
+                      case None => throw new IllegalStateException(
+                        s"non-partitioned data file ${e.relPath}: dynamic overwrite " +
+                          "needs a value-pure table (write through the partitioned " +
+                          "catalog paths only)")
+                    }
                   }
                 }
                 Snapshots.commitOcc(store, fresh, Snapshots.OccSurgical(b, carried),
@@ -459,6 +466,26 @@ private[sources] final case class GraftBucketKey(
     idx: Int, dt: org.apache.spark.sql.types.DataType, n: Int) extends GraftClusterKey
 private[sources] final case class GraftIdentityKey(
     idx: Int, dt: org.apache.spark.sql.types.DataType) extends GraftClusterKey
+
+private[sources] object GraftDynamicGuards {
+  /** Dynamic overwrite judges carried files BY their rendered `_pv=`
+    * value; on a TIMESTAMP-partitioned table every graft write renders
+    * UTC epoch-micros, but a file adopted from (or written by) a
+    * pre-micros session-timezone rendering is NOT comparable — matching
+    * it against the fresh micros values would silently carry (duplicate)
+    * the very partition being replaced. Refuse, exactly like the
+    * mid-spec-migration case: maintenance (compact / whole-table
+    * overwrite) re-renders, then dynamic overwrite is judgeable again.
+    */
+  def requireJudgeablePv(store: JPath, e: Snapshots.ManifestEntry,
+                         partIsTimestamp: Boolean): Unit =
+    if (partIsTimestamp) Snapshots.partValueOf(e.relPath).foreach { pv =>
+      if (scala.util.Try(pv.toLong).isFailure) throw new IllegalStateException(
+        s"dynamic overwrite on $store: file ${e.relPath} carries a " +
+          "non-epoch-micros (legacy session-timezone) timestamp partition " +
+          "rendering — compact or INSERT OVERWRITE the whole table first")
+    }
+}
 
 private[sources] object GraftClusteredCommit {
   /** The attempt-isolation kernel shared by both clustered BatchWrites:
@@ -767,6 +794,9 @@ private[sources] final class GraftPartitionedBatchWrite(
             case ("dynamic", Some(b)) =>
               val touched = fresh.flatMap(e =>
                 Snapshots.partValueOf(e.relPath)).toSet
+              val partIsTs = tableSchema.fields
+                .find(f => colMap.getOrElse(f.name, f.name) == partColPhys)
+                .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
               val carried = Snapshots.manifest(store, b).filter { e =>
                 if (!Snapshots.isDelete(e) && specFrom.exists(e.seq <= _))
                   throw new IllegalStateException(
@@ -774,12 +804,15 @@ private[sources] final class GraftPartitionedBatchWrite(
                       s"${e.relPath} predates the current partition spec " +
                       "(compact or INSERT OVERWRITE the whole table first)")
                 if (Snapshots.isDelete(e)) true // tombstones carry through
-                else Snapshots.partValueOf(e.relPath) match {
-                  case Some(v) => !touched(v)
-                  case None => throw new IllegalStateException(
-                    s"non-partitioned data file ${e.relPath}: dynamic " +
-                      "overwrite needs a value-pure table (write through " +
-                      "the partitioned catalog paths only)")
+                else {
+                  GraftDynamicGuards.requireJudgeablePv(store, e, partIsTs)
+                  Snapshots.partValueOf(e.relPath) match {
+                    case Some(v) => !touched(v)
+                    case None => throw new IllegalStateException(
+                      s"non-partitioned data file ${e.relPath}: dynamic " +
+                        "overwrite needs a value-pure table (write through " +
+                        "the partitioned catalog paths only)")
+                  }
                 }
               }
               Snapshots.commitOcc(store, fresh,

@@ -129,4 +129,27 @@ class GraftWidenSpec extends AnyFunSuite {
       assert(feed.filter("_change_type = 'delete'").count() == 50)
     } finally rm(root)
   }
+
+  test("merge evolution dial binds bare names under USE cat.ns") {
+    val (cat, root) = fresh()
+    val prevCat = s.catalog.currentCatalog()
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.ns")
+      s.sql(s"CREATE TABLE $cat.ns.t (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('mergeschema'='true')")
+      s.sql(s"INSERT INTO $cat.ns.t VALUES (1, 10), (2, 20)")
+      s.sql("CREATE OR REPLACE TEMP VIEW nssrc AS " +
+        "SELECT CAST(1 AS BIGINT) AS k, CAST(11 AS BIGINT) AS v, 'x' AS tag")
+      s.sql(s"USE $cat.ns")
+      // the dial must resolve the BARE name through the session's
+      // current namespace, not the catalog root
+      s.sql("MERGE INTO t tt USING nssrc src ON tt.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(s.table(s"$cat.ns.t").columns.toSeq == Seq("k", "v", "tag"))
+      assert(s.sql(s"SELECT tag FROM $cat.ns.t WHERE k = 1").head.getString(0) == "x")
+    } finally {
+      s.sql(s"USE $prevCat")
+      rm(root)
+    }
+  }
 }
