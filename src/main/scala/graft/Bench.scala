@@ -104,7 +104,11 @@ object Bench {
     "catalog_respec", "catalog_partitions", "catalog_clustered_write",
     // r16: timestamp partitions through DPP+SPJ, the pinned batch DSv2
     // changefeed window, and MERGE schema evolution under the dial
-    "catalog_dpp_ts", "catalog_cdf_batch", "catalog_merge_evolve")
+    "catalog_dpp_ts", "catalog_cdf_batch", "catalog_merge_evolve",
+    // r16b: admission-controlled AvailableNow catch-up, the DSv2
+    // streaming sink (catalog-to-catalog mirror), and the update-mode
+    // streaming materialized view over a morkey table
+    "stream_catalog_paced", "stream_catalog_sink", "stream_catalog_matview")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

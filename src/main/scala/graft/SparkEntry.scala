@@ -120,6 +120,9 @@ object SparkEntry {
     "catalog_overwrite"   -> w(graft.sources.GraftCatalogQueries.catalogOverwrite),
     "catalog_rename"      -> w(graft.sources.GraftCatalogQueries.catalogRename),
     "stream_catalog_source" -> w(graft.sources.GraftCatalogQueries.streamCatalogSource),
+    "stream_catalog_paced" -> w(graft.sources.GraftCatalogQueries.streamCatalogPaced),
+    "stream_catalog_sink"  -> w(graft.sources.GraftCatalogQueries.streamCatalogSink),
+    "stream_catalog_matview" -> w(graft.sources.GraftCatalogQueries.streamCatalogMatview),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
@@ -601,6 +604,9 @@ object SparkEntry {
     "catalog_overwrite" -> graft.sources.GraftCatalogQueries.catalogOverwriteOracleSql,
     "catalog_rename" -> graft.sources.GraftCatalogQueries.catalogRenameOracleSql,
     "stream_catalog_source" -> graft.sources.GraftCatalogQueries.streamCatalogSourceOracleSql,
+    "stream_catalog_paced" -> graft.sources.GraftCatalogQueries.streamCatalogPacedOracleSql,
+    "stream_catalog_sink" -> graft.sources.GraftCatalogQueries.streamCatalogSinkOracleSql,
+    "stream_catalog_matview" -> graft.sources.GraftCatalogQueries.streamCatalogMatviewOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,

@@ -62,6 +62,10 @@ import org.apache.spark.sql.functions._
   *    write (AQE skew-splits the hot value) vs the
   *    'writedistribution'='none' V1 partitionBy leg, wall-clock and
   *    file-count A/B with identical-answer gates
+  *  - `stream_backlog_12m` — the DSv2 streaming pipe draining a 12M-row
+  *    8-commit backlog: unpaced (one all-or-nothing epoch) vs
+  *    maxbytespertrigger-paced AvailableNow epochs, per-window byte
+  *    caps, exactly-once and wall-clock parity gated
   *  - `curation_1000x` — the E7/E13 whole-pipeline soak at 5M docs
   *    (1000× sf0.1): fused projection + checkpoint staging + hash
   *    window + shingle broadcast competing for memory at once, with
@@ -2045,6 +2049,94 @@ object Stress {
               "spark.sql.adaptive.advisoryPartitionSizeInBytes")
           }
         }
+
+      case "stream_backlog_12m" =>
+        // A MIRROR THAT FELL BEHIND: 12M rows sitting in a source
+        // catalog table as 8 commits, drained by the DSv2 streaming
+        // pipe (readStream.table -> writeStream.toTable). Unpaced, the
+        // first micro-batch IS the whole backlog — one 12M-row epoch,
+        // all-or-nothing on a crash; paced by manifest-proven bytes
+        // (maxbytespertrigger), the same backlog drains as bounded
+        // AvailableNow epochs. Claims:
+        //  (1) pacing engaged: >=4 data batches, every window's
+        //      manifest bytes inside the cap (modulo the first-commit
+        //      progress allowance);
+        //  (2) bounded per-epoch work: the largest paced batch carries
+        //      well under half the backlog;
+        //  (3) exactly-once at scale: 12M rows in the sink, no
+        //      duplicated key, snapshot count == batch count;
+        //  (4) paced wall-clock within 2x of the unpaced drain —
+        //      pacing buys bounded batches, not a throughput cliff.
+        val nb = 12L * 1000 * 1000
+        val rootB = java.nio.file.Files.createTempDirectory("graft_backlog")
+        spark.conf.set("spark.sql.catalog.bklog", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.bklog.root", rootB.toString)
+        spark.sql("CREATE TABLE bklog.src (k BIGINT, pad STRING)")
+        (0 until 8).foreach { i =>
+          spark.range(i * nb / 8, (i + 1) * nb / 8)
+            .select(col("id").as("k"), concat(lit("pad-"), col("id")).as("pad"))
+            .writeTo("bklog.src").append()
+        }
+        val srcStore = rootB.resolve("src")
+        val bySeq = etl.Snapshots.manifest(srcStore, 8).groupBy(_.seq)
+          .map { case (s0, es) => (s0, es.map(_.bytes).sum) }
+        val cap = bySeq.values.max * 2 // ~2 commits per epoch
+        def drain(dst: String, paced: Boolean): (Double, Seq[(Int, Int, Long)]) = {
+          spark.sql(s"CREATE TABLE bklog.$dst (k BIGINT, pad STRING)")
+          val ckpt = java.nio.file.Files.createTempDirectory(s"graft_backlog_$dst")
+          val t0 = System.nanoTime()
+          val rd = spark.readStream
+          val q = (if (paced) rd.option("maxbytespertrigger", cap) else rd)
+            .table("bklog.src")
+            .writeStream.option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"bklog.$dst")
+          assert(q.awaitTermination(600000L), s"$dst drain did not terminate")
+          val secs = (System.nanoTime() - t0) / 1e9
+          val windows = q.recentProgress.toIndexedSeq.filter(_.numInputRows > 0)
+            .map { p =>
+              (Option(p.sources.head.startOffset).map(_.trim.toInt).getOrElse(0),
+                p.sources.head.endOffset.trim.toInt, p.numInputRows)
+            }
+          (secs, windows)
+        }
+        // untimed warmup: absorb stream-engine startup
+        spark.sql("CREATE TABLE bklog.wsrc (k BIGINT, pad STRING)")
+        spark.sql("INSERT INTO bklog.wsrc SELECT id, 'w' FROM range(0, 1000)")
+        spark.sql("CREATE TABLE bklog.wdst (k BIGINT, pad STRING)")
+        val wq = spark.readStream.table("bklog.wsrc")
+          .writeStream.option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_backlog_w").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("bklog.wdst")
+        assert(wq.awaitTermination(600000L))
+        val (unpacedS, unpacedW) = drain("all", paced = false)
+        val (pacedS, pacedW) = drain("paced", paced = true)
+        println(f"[stress] stream_backlog_12m: unpaced $unpacedS%.2f s / " +
+          f"${unpacedW.size} batch (max ${unpacedW.map(_._3).max} rows) vs " +
+          f"paced $pacedS%.2f s / ${pacedW.size} batches " +
+          f"(max ${pacedW.map(_._3).max} rows, cap ${cap / (1 << 20)} MB)")
+        assert(unpacedW.size == 1 && unpacedW.head._3 == nb,
+          s"unpaced drain must be one 12M-row epoch, saw $unpacedW")
+        assert(pacedW.size >= 4, s"pacing did not engage: $pacedW")
+        pacedW.foreach { case (a, b, _) =>
+          val wBytes = bySeq.filter { case (s0, _) => s0 > a && s0 <= b }.values.sum
+          // windows past the first commit obey the cap exactly; a
+          // single over-cap commit may stand alone (progress guarantee)
+          assert(b - a == 1 || wBytes <= cap,
+            s"window ($a,$b] carries $wBytes bytes over the $cap cap")
+        }
+        assert(pacedW.map(_._3).max <= nb / 2,
+          "a paced epoch carried over half the backlog")
+        val dstStore = rootB.resolve("paced")
+        assert(etl.Snapshots.currentId(dstStore).contains(pacedW.size),
+          "sink snapshot count != paced batch count")
+        assert(spark.sql("SELECT count(*) FROM bklog.paced").head.getLong(0) == nb)
+        assert(spark.sql(
+          "SELECT max(c) FROM (SELECT count(*) c FROM bklog.paced GROUP BY k)")
+          .head.getLong(0) == 1L, "duplicated key in the paced sink")
+        assert(pacedS < unpacedS * 2.0,
+          f"paced drain fell off a cliff: $pacedS%.2f vs $unpacedS%.2f s")
 
       case "statements_sf1" =>
         // The statement-path family priced at sf1 (10x the bench gate),

@@ -842,6 +842,79 @@ object Snapshots {
     }
   }
 
+  /** Advance the micro-batch replay watermark WITHOUT new rows: re-point
+    * the current manifest with `batchId` riding the same rename — how an
+    * EMPTY epoch commits on an existing table (the manifest is carried
+    * forward unchanged; a replayed empty epoch then no-ops like any
+    * other). False (and a no-op) when the table is unfounded — an empty
+    * batch cannot found a table (no schema to read back) — or when the
+    * watermark already covers `batchId`.
+    */
+  def advanceBatchWatermark(root: Path, batchId: Long): Boolean =
+    withWriterLock(root) {
+      currentId(root) match {
+        case Some(id) if !lastBatchId(root).exists(_ >= batchId) =>
+          commit(root, id, Some(batchId)); true
+        case _ => false
+      }
+    }
+
+  /** [[publishUpsertBatch]] over PRE-STAGED row files — the DSv2
+    * streaming-write twin ([[graft.sources]]' `GraftStreamingWrite`):
+    * executors already landed the epoch's rows as staged parquet (layout
+    * included, when the table is partitioned/bucketed — staged `_pv=`
+    * dirs ride `entries` verbatim), so this stages ONLY the tombstone of
+    * every key the batch touches and commits both atomically with the
+    * batch id riding the pointer. Zero re-write of the batch's rows —
+    * the V1 sink's publishUpsertBatch stages the frame itself; here the
+    * staging already happened inside the engine-planned write pipeline.
+    *
+    * `keyCols` are PHYSICAL names (what the staged files carry). The
+    * one-row-per-key gate binds exactly as in the frame form; a refusal
+    * discards the tombstone staging and throws — the CALLER owns the
+    * pre-staged row files (its epoch dir) and must reclaim them.
+    */
+  def publishUpsertStagedBatch(s: SparkSession, root: Path,
+                               entries: Seq[ManifestEntry], keyCols: Seq[String],
+                               batchId: Long): Boolean = {
+    require(entries.nonEmpty, "empty staged upsert batch: advance the watermark instead")
+    if (lastBatchId(root).exists(_ >= batchId)) return false
+    val rows = s.read.parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+    if (currentId(root).isEmpty) {
+      // founding batch: nothing to erase, no tombstone — but the
+      // one-row-per-key contract still binds (same gate, same reason as
+      // the frame form's founding path)
+      val dup = rows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"upsert batch $batchId carries a key more than once " +
+          s"(${dup.head.getLong(dup.head.length - 1)} times): one row per " +
+          "key per batch (emit Update-mode or net-per-window changes)")
+      commitOcc(root, entries, OccAppend, batchIdOverride = Some(batchId))
+      true
+    } else {
+      val obs = new org.apache.spark.sql.Observation()
+      val tombFrame = rows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .observe(obs, max(col("__n")).as("__maxn"))
+        .select(keyCols.map(col): _*)
+      val tombEntries = stageTombstoneOcc(s, root, tombFrame)
+      val maxPerKey = obs.get.get("__maxn").flatMap(Option(_))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      if (maxPerKey > 1) {
+        discardStaged(root, tombEntries)
+        throw new IllegalArgumentException(
+          s"upsert batch $batchId carries a key more than once ($maxPerKey " +
+            "times): one row per key per batch (emit Update-mode or " +
+            "net-per-window changes)")
+      }
+      try { commitOcc(root, entries ++ tombEntries, OccAppend,
+        batchIdOverride = Some(batchId)); true }
+      catch { case e: Throwable => discardStaged(root, tombEntries); throw e }
+    }
+  }
+
   def publish(s: SparkSession, root: Path, df: DataFrame, append: Boolean = false,
               statsCol: Option[String] = None): Int = {
     val id = stage(s, root, df, append, statsCol)

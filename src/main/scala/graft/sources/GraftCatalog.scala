@@ -1233,6 +1233,12 @@ final class GraftTable(
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
+    // `writeStream.toTable`: every table flavor streams — plain appends,
+    // value/bucket-pure clustered epochs, upsert-per-epoch on `morkey`
+    // tables, complete-mode replace ([[GraftStreamingWrite]]); the
+    // `'writedistribution'='none'` opt-out legs are V1-only and refuse
+    // at stream start (V1Write has no streaming face)
+    caps.add(TableCapability.STREAMING_WRITE)
     if (bucketSpec.isDefined || partClusteredCapable) {
       // these writers are REAL DSv2 BatchWrites — only that path honors
       // RequiresDistributionAndOrdering (the V1 fallback hands
@@ -1308,68 +1314,41 @@ final class GraftTable(
     if (pin.isDefined) throw new UnsupportedOperationException(
       s"table ${name()} is pinned at snapshot ${pin.get} (VERSION AS OF): " +
         "historical views are read-only; write through the current table")
+    // `morkey` tables upsert per streamed epoch, so Update-mode output
+    // (a stateful aggregation's natural mode) is legal AS append there
+    // — the marker interface rides only when the key contract backs it;
+    // a keyless table accepting update-as-append would silently append
+    // every revision of a row
+    val mk = morKeys.getOrElse(Nil)
     partCol match {
       case Some(p) =>
-        return new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
-          info, colMap, props.get("specfrom").flatMap(_.toIntOption),
-          clusteredOptOut = props.get("writedistribution").contains("none"))
+        val specFrom = props.get("specfrom").flatMap(_.toIntOption)
+        val optOut = props.get("writedistribution").contains("none")
+        return if (mk.nonEmpty)
+          new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
+            info, colMap, specFrom, optOut, mk)
+            with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+        else
+          new GraftPartitionedWriteBuilder(spark, store, p, statsCol, schema,
+            info, colMap, specFrom, optOut)
       case None => ()
     }
     bucketSpec match {
       case Some((c, nb)) =>
-        return new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
-          schema, colMap, sortCol, Some(info))
+        return if (mk.nonEmpty)
+          new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
+            schema, colMap, sortCol, Some(info), mk)
+            with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+        else
+          new GraftBucketedWriteBuilder(spark, store, c, nb, statsCol,
+            schema, colMap, sortCol, Some(info))
       case None => ()
     }
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data0: org.apache.spark.sql.DataFrame,
-                                ov: Boolean): Unit = {
-              // files carry PHYSICAL column names (stable across renames)
-              val data = toPhysical(data0)
-              val seed = GraftCatalog.seedMetaFor(store)
-              if (overwrite || ov) {
-                var attempts = 0
-                while (attempts < 5) {
-                  val base = Snapshots.currentId(store)
-                  val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
-                  try {
-                    Snapshots.commitOcc(store, fresh,
-                      base.map(Snapshots.OccRewrite).getOrElse(Snapshots.OccAppend),
-                      seedMeta = seed)
-                    return
-                  } catch {
-                    case _: Snapshots.CommitConflictException =>
-                      attempts += 1
-                      Snapshots.discardStaged(store, fresh)
-                      if (attempts >= 5) throw new Snapshots.CommitConflictException(
-                        s"INSERT OVERWRITE on ${name()} lost the commit race $attempts times")
-                    case e: Throwable =>
-                      Snapshots.discardStaged(store, fresh)
-                      throw e
-                  }
-                }
-              } else {
-                // OCC append: founds the table if no snapshot exists and
-                // REBASES onto whatever is latest at commit time, so two
-                // concurrent first INSERT INTOs both land (an
-                // append-vs-found decision taken outside the lock would
-                // let the second founding commit silently replace the
-                // first's manifest)
-                val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
-                try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
-                  seedMeta = seed)
-                catch { case e: Throwable =>
-                  Snapshots.discardStaged(store, fresh); throw e }
-              }
-            }
-          }
-      }
-    }
+    if (mk.nonEmpty)
+      new GraftPlainWriteBuilder(spark, store, statsCol, colMap, name(), mk, info)
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else
+      new GraftPlainWriteBuilder(spark, store, statsCol, colMap, name(), Nil, info)
   }
 
   // ---- UPDATE / MERGE INTO: group-based copy-on-write ----
@@ -1790,5 +1769,105 @@ object GraftTable {
     case _: AlwaysTrue  => Some(lit(true))
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
+  }
+}
+
+/** Write builder of a PLAIN (unpartitioned, unbucketed) catalog table.
+  * Batch statements keep the V1 path (InsertableRelation over the
+  * layer's OCC stage+commit — there is no layout for the engine to
+  * plan, so V1's mature fallback costs nothing); `writeStream.toTable`
+  * gets the DSv2 [[GraftStreamingWrite]]: flat epoch staging
+  * ([[GraftEpochPlainFactory]]) committed append-wise, upsert-wise on
+  * `morkey` tables, or as a whole-table replace in complete mode.
+  * Instantiated `with SupportsStreamingUpdateAsAppend` iff the table
+  * declares a `morkey` — update-mode output is only sound when each
+  * epoch upserts by key.
+  */
+private[sources] class GraftPlainWriteBuilder(
+    spark: SparkSession,
+    store: JPath,
+    statsCol: Option[String],
+    colMap: Map[String, String],
+    tableName: String,
+    morKeysPhys: Seq[String],
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** Incoming frames carry LOGICAL names; files carry PHYSICAL. */
+  private def toPhysical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.map(c => colMap.getOrElse(c, c)).toIndexedSeq: _*)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data0: org.apache.spark.sql.DataFrame,
+                            ov: Boolean): Unit = {
+          // files carry PHYSICAL column names (stable across renames)
+          val data = toPhysical(data0)
+          val seed = GraftCatalog.seedMetaFor(store)
+          if (overwrite || ov) {
+            var attempts = 0
+            while (attempts < 5) {
+              val base = Snapshots.currentId(store)
+              val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
+              try {
+                Snapshots.commitOcc(store, fresh,
+                  base.map(Snapshots.OccRewrite).getOrElse(Snapshots.OccAppend),
+                  seedMeta = seed)
+                return
+              } catch {
+                case _: Snapshots.CommitConflictException =>
+                  attempts += 1
+                  Snapshots.discardStaged(store, fresh)
+                  if (attempts >= 5) throw new Snapshots.CommitConflictException(
+                    s"INSERT OVERWRITE on $tableName lost the commit race $attempts times")
+                case e: Throwable =>
+                  Snapshots.discardStaged(store, fresh)
+                  throw e
+              }
+            }
+          } else {
+            // OCC append: founds the table if no snapshot exists and
+            // REBASES onto whatever is latest at commit time, so two
+            // concurrent first INSERT INTOs both land (an
+            // append-vs-found decision taken outside the lock would
+            // let the second founding commit silently replace the
+            // first's manifest)
+            val fresh = Snapshots.stageOcc(spark, store, data, statsCol)
+            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+              seedMeta = seed)
+            catch { case e: Throwable =>
+              Snapshots.discardStaged(store, fresh); throw e }
+          }
+        }
+      }
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val inSchema = info.schema()
+      val physSchema = StructType(inSchema.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owFactory =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+          .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            job, Map.empty, physSchema)
+      val baseDir = store.resolve("data").resolve(
+        "stream-" + java.util.UUID.randomUUID().toString)
+      JFiles.createDirectories(baseDir)
+      val factory = new GraftEpochPlainFactory(baseDir.toString, physSchema,
+        owFactory,
+        new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+        spark.sessionState.conf.maxRecordsPerFile)
+      val streamMode =
+        if (overwrite) GraftStreamComplete
+        else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
+        else GraftStreamAppend
+      new GraftStreamingWrite(spark, store, statsCol.toSeq, factory, baseDir,
+        streamMode, () => GraftCatalog.seedMetaFor(store))
+    }
   }
 }

@@ -1265,6 +1265,235 @@ object GraftCatalogQueries {
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `stream_catalog_paced`: RATE-LIMITED catch-up of the DSv2
+    * catalog stream — `maxsnapshotspertrigger` admission control plus
+    * `Trigger.AvailableNow`, the run-as-a-scheduled-job shape every
+    * production mirror uses. Without admission, a stream started
+    * against a table with a deep backlog (here: six committed INSERTs)
+    * replays EVERYTHING as one giant micro-batch — one batch's shuffle
+    * must fit the whole backlog and a mid-batch crash loses all
+    * progress; with it, the backlog drains as bounded windows and the
+    * AvailableNow run STOPS ITSELF at the id that was current at
+    * start. Required in-query: the first run delivers exactly THREE
+    * data batches whose snapshot-id windows each span at most 2
+    * commits and tile (0,6] with no gap or overlap; a seventh commit
+    * lands AFTER it terminates, and a second AvailableNow run over the
+    * SAME checkpoint drains exactly the one pending window — pacing,
+    * the pinned ceiling, and checkpointed offsets composing across
+    * scheduled runs. The oracle gates the final mirrored state.
+    */
+  def streamCatalogPaced(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val sinkDir = JFiles.createTempDirectory("graft_paced_sink")
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.orders (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      // the backlog: six commits BEFORE the stream exists
+      (0 until 6).foreach { k =>
+        s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 7 = $k")
+      }
+      def runAvailableNow(): Seq[(Int, Int)] = {
+        val q = s.readStream
+          .option("maxsnapshotspertrigger", 2)
+          .table(s"$cat.orders")
+          .writeStream.format("parquet")
+          .option("path", sinkDir.resolve("data").toString)
+          .option("checkpointLocation", sinkDir.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // AvailableNow must STOP ITSELF once the pinned backlog drains
+        require(q.awaitTermination(300000L),
+          "AvailableNow run did not self-terminate inside 300s")
+        // each data batch's (start, end] snapshot-id window, from the
+        // engine's own progress records
+        q.recentProgress.toIndexedSeq.filter(_.numInputRows > 0).map { p =>
+          val src = p.sources.head
+          val from = Option(src.startOffset).map(_.trim.toInt).getOrElse(0)
+          (from, src.endOffset.trim.toInt)
+        }
+      }
+      val windows1 = runAvailableNow()
+      require(windows1.size == 3,
+        s"6-commit backlog at 2 commits/trigger must drain as 3 data batches, saw $windows1")
+      require(windows1.forall { case (a, b) => b - a <= 2 },
+        s"a window exceeded maxsnapshotspertrigger=2: $windows1")
+      val tiled = windows1.sortBy(_._1)
+      require(tiled.head._1 == 0 && tiled.last._2 == 6 &&
+          tiled.sliding(2).forall {
+            case Seq((_, e), (s2, _)) => s2 == e
+            case _                    => true
+          },
+        s"windows must tile (0,6] with no gap or overlap: $windows1")
+      // a commit landing AFTER the run terminated waits for the NEXT one
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 7 = 6")
+      val windows2 = runAvailableNow()
+      require(windows2 == Seq((6, 7)),
+        s"second AvailableNow run must drain exactly the one pending window, saw $windows2")
+      val sinkSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("cents", LongType)))
+      val out = s.read.schema(sinkSchema).parquet(sinkDir.resolve("data").toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      // materialize BEFORE rm() deletes the sink dir the plan reads
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(sinkDir); rm(root) }
+  }
+
+  /** Seven disjoint slices (o_orderkey % 7 = 0..6) = the whole table. */
+  val streamCatalogPacedOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_catalog_sink`: the DSv2 STREAMING SINK half of the
+    * catalog surface — `readStream.table(src)` piped straight into
+    * `writeStream.toTable(dst)`, the catalog-to-catalog mirror with
+    * ZERO format-level glue (the V1 `graft-snapshot` sinks cover the
+    * path-addressed surface; this is the named-table twin, the thing a
+    * pure-SQL user actually writes). The destination is PARTITIONED:
+    * each paced epoch runs the same engine-planned clustering pipeline
+    * as a batch INSERT (streaming writes pass through
+    * RequiresDistributionAndOrdering too) and lands value-pure `_pv=`
+    * files under its own epoch dir, committed atomically with the epoch
+    * id riding the pointer. Required in-query: three source commits
+    * drain as three paced AvailableNow epochs (destination snapshot id
+    * == 3); EVERY destination file proves its partition value; a fourth
+    * source commit after termination plus a checkpointed re-run deliver
+    * exactly the increment (snapshot 4, no replayed rows — the oracle's
+    * hash would catch one duplicated order). Partition pruning on the
+    * destination then serves the oracled per-status aggregate.
+    */
+  def streamCatalogSink(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val ckpt = JFiles.createTempDirectory("graft_scsink_ckpt")
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.src (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      s.sql(s"CREATE TABLE $cat.dst (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "PARTITIONED BY (o_orderstatus)")
+      (0 until 3).foreach { k =>
+        s.sql(s"INSERT INTO $cat.src SELECT * FROM $view WHERE o_orderkey % 4 = $k")
+      }
+      def run(): Unit = {
+        val q = s.readStream
+          .option("maxsnapshotspertrigger", 1)
+          .table(s"$cat.src")
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.dst")
+        require(q.awaitTermination(300000L),
+          "AvailableNow mirror run did not self-terminate inside 300s")
+      }
+      run()
+      val store = root.resolve("dst")
+      require(Snapshots.currentId(store).contains(3),
+        s"3 paced source commits must land as 3 destination snapshots, " +
+          s"saw ${Snapshots.currentId(store)}")
+      val entries = Snapshots.manifest(store, 3)
+      require(entries.nonEmpty && entries.forall(e =>
+          Snapshots.partValueOf(e.relPath).isDefined),
+        "streamed destination files must be value-pure (_pv= layout)")
+      // late source commit + checkpointed re-run: exactly the increment
+      s.sql(s"INSERT INTO $cat.src SELECT * FROM $view WHERE o_orderkey % 4 = 3")
+      run()
+      require(Snapshots.currentId(store).contains(4),
+        "the re-run must commit exactly one incremental epoch")
+      val out = s.table(s"$cat.dst")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(ckpt); rm(root) }
+  }
+
+  val streamCatalogSinkOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Query `stream_catalog_matview`: a continuously-maintained
+    * MATERIALIZED VIEW as nothing but a streaming aggregation written
+    * to a `morkey` table — `groupBy(...).agg(...)` in UPDATE mode,
+    * `writeStream.toTable(cat.mv)`. Each epoch carries only the keys
+    * the batch CHANGED (update mode's contract); the sink commits them
+    * as one atomic merge-on-read upsert — a tombstone of the touched
+    * keys plus their new images, O(changed keys) per epoch, no base
+    * file rewritten (the same publish contract as the V1 upsert sink,
+    * minus one full write: the epoch's rows are staged once, by the
+    * engine's own write pipeline, and manifested verbatim). Required
+    * in-query: after a second upstream commit shifts half the keys,
+    * the view still holds EXACTLY one row per key (max multiplicity
+    * gated in-query), tombstones exist physically (merge-on-read, not
+    * rewrite), and the oracle restates the view as the plain aggregate
+    * over all orders — one dropped retraction or doubled key fails the
+    * hash.
+    */
+  def streamCatalogMatview(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val ckpt = JFiles.createTempDirectory("graft_scmv_ckpt")
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.src (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      s.sql(s"CREATE TABLE $cat.mv (o_orderstatus STRING NOT NULL, n BIGINT, " +
+        "sum_cents BIGINT) TBLPROPERTIES ('morkey'='o_orderstatus')")
+      s.sql(s"INSERT INTO $cat.src SELECT * FROM $view WHERE o_orderkey % 2 = 0")
+      def run(): Unit = {
+        val q = s.readStream.table(s"$cat.src")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.mv")
+        require(q.awaitTermination(300000L),
+          "AvailableNow matview run did not self-terminate inside 300s")
+      }
+      run()
+      // second upstream commit: every status's aggregate shifts — the
+      // epoch must upsert (retract old images), never append beside them
+      s.sql(s"INSERT INTO $cat.src SELECT * FROM $view WHERE o_orderkey % 2 = 1")
+      run()
+      val mv = s.table(s"$cat.mv")
+      val maxPerKey = mv.groupBy("o_orderstatus").count()
+        .agg(max(col("count"))).head.getLong(0)
+      require(maxPerKey == 1L,
+        s"materialized view carries a status $maxPerKey times: upsert failed")
+      // physically merge-on-read: the view's history is tombstone deltas
+      val store = root.resolve("mv")
+      require(Snapshots.manifest(store, Snapshots.currentId(store).get)
+          .exists(Snapshots.isDelete),
+        "expected equality tombstones (merge-on-read upserts), found none")
+      val out = mv.orderBy("o_orderstatus")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("o_orderstatus")
+    } finally { rm(ckpt); rm(root) }
+  }
+
+  val streamCatalogMatviewOracleSql: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Query `catalog_respec`: PARTITION-SPEC EVOLUTION as metadata — the
     * Iceberg-class capability the r14 verdict named: `ALTER TABLE ...
     * SET TBLPROPERTIES ('bucketn'='8')` on a bucket(4) table with

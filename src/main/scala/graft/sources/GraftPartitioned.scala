@@ -45,7 +45,7 @@ import org.apache.spark.sql.types.StructType
   * the bucket ids my query produced" is not a statement with user-level
   * meaning (ids are hashes, not domains).
   */
-private[sources] final class GraftBucketedWriteBuilder(
+private[sources] class GraftBucketedWriteBuilder(
     spark: SparkSession,
     store: JPath,
     bucketCol: String, // PHYSICAL name
@@ -54,7 +54,8 @@ private[sources] final class GraftBucketedWriteBuilder(
     tableSchema: StructType,
     colMap: Map[String, String] = Map.empty,
     sortCol: Option[String] = None,
-    info: Option[LogicalWriteInfo] = None) extends WriteBuilder
+    info: Option[LogicalWriteInfo] = None,
+    morKeysPhys: Seq[String] = Nil) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwrite = false
@@ -90,10 +91,11 @@ private[sources] final class GraftBucketedWriteBuilder(
     tableSchema, colMap, logicalOf(bucketCol), sortCol.map(logicalOf),
     () => overwrite,
     info.getOrElse(throw new IllegalStateException(
-      "bucketed catalog write needs its LogicalWriteInfo")))
+      "bucketed catalog write needs its LogicalWriteInfo")),
+    morKeysPhys)
 }
 
-private[sources] final class GraftPartitionedWriteBuilder(
+private[sources] class GraftPartitionedWriteBuilder(
     spark: SparkSession,
     store: JPath,
     partCol: String, // PHYSICAL name (what files carry; stable across renames)
@@ -102,7 +104,8 @@ private[sources] final class GraftPartitionedWriteBuilder(
     info: LogicalWriteInfo,
     colMap: Map[String, String] = Map.empty,
     specFrom: Option[Int] = None,
-    clusteredOptOut: Boolean = false) extends WriteBuilder
+    clusteredOptOut: Boolean = false,
+    morKeysPhys: Seq[String] = Nil) extends WriteBuilder
     with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -161,7 +164,8 @@ private[sources] final class GraftPartitionedWriteBuilder(
   override def build(): Write =
     if (clusteredCapable)
       new GraftPartitionedBatchWrite(spark, store, partCol, zoneCols,
-        tableSchema, colMap, logicalOf(partCol), mode, info, specFrom)
+        tableSchema, colMap, logicalOf(partCol), mode, info, specFrom,
+        morKeysPhys)
     else buildV1(mode)
 
   private def buildV1(mode: String): Write = mode match {
@@ -342,7 +346,8 @@ private[sources] final class GraftBucketedBatchWrite(
     bucketColLogical: String,
     sortColLogical: Option[String],
     replacing: () => Boolean,
-    info: LogicalWriteInfo) extends Write
+    info: LogicalWriteInfo,
+    morKeysPhys: Seq[String] = Nil) extends Write
     with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
@@ -373,6 +378,45 @@ private[sources] final class GraftBucketedBatchWrite(
   override def distributionStrictlyRequired(): Boolean = sortColPhys.isDefined
 
   override def description(): String = s"GraftBucketedBatchWrite($store)"
+
+  /** `writeStream.toTable` into a bucketed catalog table — bucket-pure
+    * epoch staging through the same clustered writer (sorted buckets
+    * keep their strict clustering and in-file ordering: the engine
+    * plans the shuffle and sort inside the micro-batch write, and the
+    * writer still REFUSES out-of-order rows rather than land a false
+    * zone claim). Commit semantics per [[GraftStreamingWrite]]: append,
+    * upsert on `morkey` tables, complete-mode replace.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val inSchema = info.schema()
+    val physSchema = StructType(inSchema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owFactory =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          job, Map.empty, physSchema)
+    val bIdx = inSchema.fieldNames.indexOf(bucketColLogical)
+    require(bIdx >= 0, s"bucket column '$bucketColLogical' missing from the " +
+      s"write schema ${inSchema.fieldNames.mkString(",")}")
+    val sIdx = sortColLogical.map(inSchema.fieldNames.indexOf(_)).getOrElse(-1)
+    val baseDir = store.resolve("data").resolve(
+      "stream-" + java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(baseDir)
+    val factory = new GraftEpochClusteredFactory(baseDir.toString, physSchema,
+      owFactory,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+      GraftBucketKey(bIdx, inSchema.fields(bIdx).dataType, bucketN),
+      sIdx, if (sIdx >= 0) Some(inSchema.fields(sIdx).dataType) else None,
+      spark.sessionState.conf.maxRecordsPerFile)
+    val streamMode =
+      if (replacing()) GraftStreamComplete
+      else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
+      else GraftStreamAppend
+    new GraftStreamingWrite(spark, store, statsCols, factory, baseDir,
+      streamMode, () => GraftCatalog.seedMetaFor(store))
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val dataDir: JPath = {
@@ -704,7 +748,8 @@ private[sources] final class GraftPartitionedBatchWrite(
     partColLogical: String,
     mode: String, // append | truncate | dynamic
     info: LogicalWriteInfo,
-    specFrom: Option[Int]) extends Write
+    specFrom: Option[Int],
+    morKeysPhys: Seq[String] = Nil) extends Write
     with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
@@ -736,6 +781,46 @@ private[sources] final class GraftPartitionedBatchWrite(
 
   override def description(): String =
     s"GraftPartitionedBatchWrite($store, $mode)"
+
+  /** `writeStream.toTable` into a partitioned catalog table: the SAME
+    * engine-planned clustering pipeline (streaming writes go through
+    * [[org.apache.spark.sql.execution.datasources.v2.V2Writes]]'
+    * prepareQuery too), with each epoch staged value-pure under its own
+    * `epoch-<id>/` dir and committed by [[GraftStreamingWrite]] —
+    * append, upsert-by-table-key on `morkey` tables, or whole-table
+    * replace for `outputMode("complete")`. Dynamic overwrite has no
+    * streaming statement shape, so it cannot reach here.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode != "dynamic",
+      s"streaming write on $store cannot run in dynamic-overwrite mode")
+    val inSchema = info.schema()
+    val physSchema = StructType(inSchema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owFactory =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          job, Map.empty, physSchema)
+    val pIdx = inSchema.fieldNames.indexOf(partColLogical)
+    require(pIdx >= 0, s"partition column '$partColLogical' missing from the " +
+      s"write schema ${inSchema.fieldNames.mkString(",")}")
+    val baseDir = store.resolve("data").resolve(
+      "stream-" + java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(baseDir)
+    val factory = new GraftEpochClusteredFactory(baseDir.toString, physSchema,
+      owFactory,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+      GraftIdentityKey(pIdx, inSchema.fields(pIdx).dataType), -1, None,
+      spark.sessionState.conf.maxRecordsPerFile)
+    val streamMode =
+      if (mode == "truncate") GraftStreamComplete
+      else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
+      else GraftStreamAppend
+    new GraftStreamingWrite(spark, store, zoneCols, factory, baseDir,
+      streamMode, () => GraftCatalog.seedMetaFor(store))
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val dataDir: JPath = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => ConnectorOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.connector.read.HasPartitionKey
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
@@ -577,6 +577,15 @@ private[sources] class KeyedFilePartition(
   override def partitionKey(): InternalRow = key
 }
 
+/** [[ReadLimit]] in this source's own units: at most `maxSnapshots`
+  * commits and `maxBytes` manifest-proven data bytes per micro-batch.
+  * Spark treats a ReadLimit as an opaque token — it hands back whatever
+  * `getDefaultReadLimit` returned — so a source whose admission atom is
+  * a COMMIT (not a row or a file) is expected to define its own.
+  */
+private[sources] final case class SnapshotAdmission(maxSnapshots: Int, maxBytes: Long)
+  extends ReadLimit
+
 /** DSv2 micro-batch stream over a catalog table — the V1 snapshot
   * source's contract behind the connector API: OFFSETS ARE SNAPSHOT IDS
   * (`latestOffset` is one pointer read), a batch is the manifest diff
@@ -587,7 +596,12 @@ private[sources] class KeyedFilePartition(
   * manifests reproduce bit-identical batches after a checkpointed
   * restart. Rewrite windows fail loudly (or are skipped whole with
   * `skiprewrites=true`), exactly like the V1 source — one shared
-  * [[SnapshotDiff]] definition. Evolution replays conform: the read
+  * [[SnapshotDiff]] definition. Triggers admit work under
+  * `maxsnapshotspertrigger` / `maxbytespertrigger` caps
+  * ([[SupportsAdmissionControl]]; kernel shared with the V1 source via
+  * [[SnapshotDiff.admit]]) and `Trigger.AvailableNow` runs drain the
+  * backlog paced, pinned to the id current at start
+  * ([[SupportsTriggerAvailableNow]]). Evolution replays conform: the read
   * schema is the TABLE schema, so pre-evolution files surface appended
   * columns as NULL straight from the vectorized reader.
   */
@@ -599,7 +613,8 @@ final class SnapshotMicroBatchStream(
     startExclusive: Int,
     skipRewrites: Boolean,
     options: CaseInsensitiveStringMap,
-    changeFeed: Boolean = false) extends MicroBatchStream {
+    changeFeed: Boolean = false) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def parse(o: ConnectorOffset): Int = o match {
     case SnapshotOffset(id) => id
@@ -620,6 +635,72 @@ final class SnapshotMicroBatchStream(
 
   override def deserializeOffset(json: String): ConnectorOffset =
     SnapshotOffset(json.trim.toInt)
+
+  // --- Admission control (rate-limited triggers) -----------------------
+  //
+  // Without a cap, a stream that fell behind — or a fresh mirror started
+  // against a table with months of commits — replays EVERYTHING pending
+  // in one giant micro-batch: one batch's shuffle must fit the whole
+  // backlog, and a mid-batch crash loses all of its progress. The caps
+  // below bound a trigger the way maxFilesPerTrigger bounds the file
+  // source, in this source's own units:
+  //
+  //  - `maxsnapshotspertrigger` — at most N COMMITS per micro-batch
+  //    (a commit is this source's atom: windows are snapshot-id ranges,
+  //    so capping commits also keeps changefeed windows small).
+  //  - `maxbytespertrigger`    — manifest-proven data bytes per batch;
+  //    the first pending commit is always admitted even when it alone
+  //    exceeds the cap, so progress is guaranteed.
+  //
+  // Pacing is a PLANNING hint, never a correctness device: the capped
+  // end offset feeds the same (from, to] window logic, whose rewrite /
+  // tombstone guards still decide what a window may deliver.
+
+  private val maxSnapshotsPerTrigger: Option[Int] =
+    Option(options.get("maxsnapshotspertrigger")).map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxsnapshotspertrigger must be >= 1, got $n")
+      n
+    }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxbytespertrigger")).map { v =>
+      val n = v.toLong
+      require(n >= 1L, s"maxbytespertrigger must be >= 1, got $n")
+      n
+    }
+
+  /** Trigger.AvailableNow pin: the id current when the run STARTED.
+    * Batches drain up to it (paced), then the query stops on its own;
+    * commits landing mid-run wait for the next scheduled run.
+    */
+  @volatile private var availableNowCeiling: Option[Int] = None
+
+  private def trueLatest: Int =
+    Snapshots.currentId(store).filter(_ > startExclusive).getOrElse(startExclusive)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(trueLatest)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSnapshotsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else SnapshotAdmission(maxSnapshotsPerTrigger.getOrElse(Int.MaxValue),
+      maxBytesPerTrigger.getOrElse(Long.MaxValue))
+
+  override def reportLatestOffset(): ConnectorOffset = SnapshotOffset(trueLatest)
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val from = parse(start)
+    val ceiling = math.max(from, availableNowCeiling.getOrElse(trueLatest))
+    val to = limit match {
+      case SnapshotAdmission(maxSnaps, maxBytes) => admit(from, ceiling, maxSnaps, maxBytes)
+      case _                                     => ceiling // ReadAllAvailable
+    }
+    SnapshotOffset(to)
+  }
+
+  private def admit(from: Int, ceiling: Int, maxSnaps: Int, maxBytes: Long): Int =
+    SnapshotDiff.admit(store, from, ceiling, maxSnaps, maxBytes)
 
   /** CHANGE-FEED batch (`changeFeed = true`, `schema` then already ends
     * in `_change_type`): the window's materialized change-data files

@@ -235,8 +235,19 @@ final class SnapshotSource extends RelationProvider
       .getOrElse(0)
     val skipRewrites = opts.get("skiprewrites").exists(_.toBoolean)
     val cdf = opts.get("changefeed").exists(_.toBoolean)
+    val maxSnaps = opts.get("maxsnapshotspertrigger").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxsnapshotspertrigger must be >= 1, got $n")
+      n
+    }.getOrElse(Int.MaxValue)
+    val maxBytes = opts.get("maxbytespertrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1L, s"maxbytespertrigger must be >= 1, got $n")
+      n
+    }.getOrElse(Long.MaxValue)
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start, skipRewrites, cdf)
+    new SnapshotStreamSource(sqlContext.sparkSession, root, st, start, skipRewrites, cdf,
+      maxSnaps, maxBytes)
   }
 }
 
@@ -353,6 +364,48 @@ private[sources] object SnapshotDiff {
     if (dropped.nonEmpty || newTombstones > 0) Nil
     else after.filterNot(e => before(e.relPath))
   }
+
+  /** ADMISSION: the largest id in `(from, ceiling]` whose window stays
+    * inside `maxSnaps` commits / `maxBytes` manifest-proven data bytes —
+    * the shared kernel behind `maxsnapshotspertrigger` /
+    * `maxbytespertrigger` on BOTH streaming stacks.
+    *
+    * One manifest read (the ceiling's), bucketed by each entry's commit
+    * seq — O(#files) driver work, no data touched. The first pending
+    * commit always admits even when it alone exceeds the byte cap
+    * (progress guarantee), and admission is PREFIX-only: a rejected seq
+    * ends the window — skipping around a too-big commit would deliver a
+    * window the offset does not describe. Ids with no surviving entries
+    * (empty commits, metadata-only ALTERs, fully-compacted-away adds)
+    * cost no budget: pacing bounds WORK per batch, not wall-clock ticks.
+    * Best-effort under concurrent rewrites by design — [[added]] and the
+    * changefeed materialization stay the source of truth for what a
+    * window may DELIVER; this only decides where a window may END.
+    */
+  def admit(root: JPath, from: Int, ceiling: Int,
+            maxSnaps: Int, maxBytes: Long): Int = {
+    if (ceiling <= from) return from
+    val pending = Snapshots.manifest(root, ceiling)
+      .filter(e => e.seq > from && e.seq <= ceiling)
+    if (pending.isEmpty) return ceiling
+    val bySeq: Seq[(Int, Long)] = pending.groupBy(_.seq).iterator
+      .map { case (seq, es) => (seq, es.map(_.bytes).sum) }.toSeq.sortBy(_._1)
+    var admitted = 0
+    var bytes = 0L
+    var to = from
+    var stop = false
+    for ((seq, b) <- bySeq if !stop) {
+      if (admitted == 0 || (admitted < maxSnaps && bytes + b <= maxBytes)) {
+        admitted += 1
+        bytes += b
+        to = seq
+      } else stop = true
+    }
+    // trailing ids past the last ENTRY-carrying seq are free (they add
+    // no files): admitting them closes the stream's catch-up loop in
+    // the same batch instead of one empty trigger later
+    if (to == bySeq.last._1) ceiling else to
+  }
 }
 
 /** V1 micro-batch source over a snapshot store. Progress is driven by
@@ -368,15 +421,36 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
                                  override val schema: StructType,
                                  startExclusive: Int,
                                  skipRewrites: Boolean = false,
-                                 changeFeed: Boolean = false) extends Source {
+                                 changeFeed: Boolean = false,
+                                 maxSnapshotsPerTrigger: Int = Int.MaxValue,
+                                 maxBytesPerTrigger: Long = Long.MaxValue) extends Source {
 
   private def parse(o: Offset): Int = o match {
     case SnapshotOffset(id) => id
     case other              => other.json.trim.toInt
   }
 
-  override def getOffset: Option[Offset] =
-    Snapshots.currentId(root).filter(_ > startExclusive).map(SnapshotOffset)
+  /** The V1 face of `maxsnapshotspertrigger` / `maxbytespertrigger`
+    * (shared kernel: [[SnapshotDiff.admit]]). V1 has no admission-control
+    * API, so the source paces itself the way FileStreamSource does: track
+    * the last batch end delivered (`getBatch` seeds it — Spark's restart
+    * contract replays the last committed batch through `getBatch`
+    * precisely so V1 sources can recover internal state) and have
+    * `getOffset` advance at most one admitted window past it.
+    */
+  @volatile private var pacedFloor: Int = startExclusive
+
+  private def paced: Boolean =
+    maxSnapshotsPerTrigger != Int.MaxValue || maxBytesPerTrigger != Long.MaxValue
+
+  override def getOffset: Option[Offset] = {
+    val latest = Snapshots.currentId(root).filter(_ > startExclusive)
+    if (!paced) latest.map(SnapshotOffset)
+    else latest.map { l =>
+      SnapshotOffset(SnapshotDiff.admit(root, pacedFloor, l,
+        maxSnapshotsPerTrigger, maxBytesPerTrigger))
+    }.filter(_.id > startExclusive)
+  }
 
   /** CHANGE-FEED batch: the window's NET row-level changes with
     * retractions, straight from [[Snapshots.readChangeFeed]] — inserts
@@ -415,6 +489,10 @@ final class SnapshotStreamSource(spark: SparkSession, root: JPath,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(parse).getOrElse(startExclusive)
     val to = parse(end)
+    // seed/advance the pacing floor: on restart Spark replays the last
+    // committed batch through getBatch before the first getOffset, so
+    // the floor is correct before pacing ever consults it
+    if (to > pacedFloor) pacedFloor = to
     if (changeFeed) return GraftSqlShims.asStreamingFrame(changeBatch(from, to))
     val added = SnapshotDiff.added(root, from, to, skipRewrites)
     val batch =
