@@ -954,9 +954,24 @@ final class GraftTable(
     with SupportsDelete with SupportsRowLevelOperations
     with graft.plans.ExpandableMergeTable
     with graft.plans.ChangeFeedCapableTable
-    with graft.plans.AutoEvolveMergeTable {
+    with graft.plans.AutoEvolveMergeTable
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
 
   override def name(): String = fullName.mkString(".")
+
+  /** SINK observability (`StreamingQueryProgress.sink.metrics` when this
+    * table is a `writeStream.toTable` target): the committed snapshot id
+    * and the replay watermark after each epoch — enough to correlate a
+    * progress line with the exact table version it produced (and to
+    * time-travel to it), from the progress log alone. Pointer reads
+    * only, no manifest parse.
+    */
+  override def metrics(): util.Map[String, String] = {
+    val out = new util.HashMap[String, String]()
+    Snapshots.currentId(store).foreach(n => out.put("snapshotId", n.toString))
+    Snapshots.lastBatchId(store).foreach(b => out.put("lastBatchId", b.toString))
+    out
+  }
 
   /** The feed-shaped twin ([[graft.plans.ExpandChangeFeedRelation]]
     * swaps it in when `.option("changefeed", true)` targets this table,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.connector.read.HasPartitionKey
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
@@ -614,7 +614,8 @@ final class SnapshotMicroBatchStream(
     skipRewrites: Boolean,
     options: CaseInsensitiveStringMap,
     changeFeed: Boolean = false) extends MicroBatchStream
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   private def parse(o: ConnectorOffset): Int = o match {
     case SnapshotOffset(id) => id
@@ -688,6 +689,35 @@ final class SnapshotMicroBatchStream(
       maxBytesPerTrigger.getOrElse(Long.MaxValue))
 
   override def reportLatestOffset(): ConnectorOffset = SnapshotOffset(trueLatest)
+
+  /** LAG observability ([[ReportsSourceMetrics]], surfaced per batch in
+    * `StreamingQueryProgress.sources[i].metrics`): how far behind the
+    * table's head this stream is, in the source's own units — pending
+    * COMMITS and manifest-proven pending BYTES. The operational question
+    * a paced mirror asks ("is the backlog shrinking?") answered from the
+    * progress log alone, no table access needed. One manifest read per
+    * progress event, O(#files) driver text parse — the same price the
+    * batch's own planning already paid.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[ConnectorOffset]):
+      java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumedOffset.isPresent) parse(latestConsumedOffset.get)
+      else startExclusive
+    val head = trueLatest
+    val out = new java.util.HashMap[String, String]()
+    if (head <= consumed) {
+      out.put("pendingSnapshots", "0")
+      out.put("pendingBytes", "0")
+    } else {
+      val pending = Snapshots.manifest(store, head)
+        .filter(e => e.seq > consumed && e.seq <= head)
+      out.put("pendingSnapshots",
+        math.max(pending.map(_.seq).distinct.size.toLong, 0L).toString)
+      out.put("pendingBytes", pending.map(_.bytes).sum.toString)
+    }
+    out
+  }
 
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val from = parse(start)

@@ -100,6 +100,83 @@ class StreamPacingSpec extends AnyFunSuite {
     } finally { rm(sink); rm(root) }
   }
 
+  test("paced consumer floors compose with expire across scheduled runs") {
+    val (cat, root) = freshCatalog()
+    val sink = Files.createTempDirectory("graft_pacespec_flr")
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+      (1 to 3).foreach { i =>
+        s.sql(s"INSERT INTO $cat.t SELECT id, 'c$i' FROM range(${i * 10}, ${i * 10 + 10})")
+      }
+      val store = root.resolve("t")
+      def drain(): Unit = {
+        val q = s.readStream
+          .option("maxsnapshotspertrigger", 1)
+          .option("consumer", "lagger")
+          .table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", sink.resolve("data").toString)
+          .option("checkpointLocation", sink.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000L))
+      }
+      drain()
+      // the floor is at least the last batch's PLAN-time start (the
+      // engine commits an offset only while constructing the NEXT batch)
+      val floor0 = Snapshots.consumerFloor(store).map(_._2).getOrElse(-1)
+      assert(floor0 >= 2, s"paced drain left the floor at $floor0")
+      // the consumer now LAGS: three more commits land while it is down
+      (4 to 6).foreach { i =>
+        s.sql(s"INSERT INTO $cat.t SELECT id, 'c$i' FROM range(${i * 10}, ${i * 10 + 10})")
+      }
+      // expiring past the lagging consumer's floor must refuse — the
+      // un-replayed windows would become unreadable
+      val e = intercept[IllegalStateException](Snapshots.expire(store, 6))
+      assert(e.getMessage.contains("lagger"))
+      // the consumer catches up (paced again); its floor advances and
+      // the same expire becomes legal
+      drain()
+      assert(s.read.parquet(sink.resolve("data").toString).count() == 60)
+      assert(Snapshots.consumerFloor(store).map(_._2).exists(_ >= 5))
+      // a caught-up consumer releases history up to its floor
+      Snapshots.expire(store, Snapshots.consumerFloor(store).get._2)
+      ()
+    } finally { rm(sink); rm(root) }
+  }
+
+  test("lag and sink metrics ride the progress log (ReportsSource/SinkMetrics)") {
+    val (cat, root) = freshCatalog()
+    val ckpt = Files.createTempDirectory("graft_pacespec_met")
+    try {
+      s.sql(s"CREATE TABLE $cat.src (k BIGINT, v STRING)")
+      s.sql(s"CREATE TABLE $cat.dst (k BIGINT, v STRING)")
+      (1 to 4).foreach { i =>
+        s.sql(s"INSERT INTO $cat.src SELECT id, 'c$i' FROM range(${i * 10}, ${i * 10 + 10})")
+      }
+      val q = s.readStream
+        .option("maxsnapshotspertrigger", 1)
+        .table(s"$cat.src")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.dst")
+      assert(q.awaitTermination(300000L))
+      val ps = q.recentProgress.toIndexedSeq.filter(_.numInputRows > 0)
+      assert(ps.size == 4)
+      // the source reports its LAG per batch: strictly shrinking commit
+      // and byte backlogs, 0 when the final batch's progress is cut
+      val lags = ps.map(_.sources.head.metrics.get("pendingSnapshots").toLong)
+      assert(lags.last == 0L && lags == lags.sorted.reverse,
+        s"pendingSnapshots must shrink to 0 across the drain: $lags")
+      assert(ps.map(_.sources.head.metrics.get("pendingBytes").toLong).last == 0L)
+      // the sink reports WHICH table version each epoch produced
+      val sm = ps.last.sink.metrics
+      assert(sm.get("snapshotId") == "4" && sm.get("lastBatchId") == "3",
+        s"sink metrics off: $sm")
+    } finally { rm(ckpt); rm(root) }
+  }
+
   test("V1 graft-snapshot source self-paces getOffset under the snapshot cap") {
     val root = Files.createTempDirectory("graft_pacespec_v1")
     val sink = Files.createTempDirectory("graft_pacespec_v1sink")
