@@ -108,7 +108,10 @@ object Bench {
     // r16b: admission-controlled AvailableNow catch-up, the DSv2
     // streaming sink (catalog-to-catalog mirror), and the update-mode
     // streaming materialized view over a morkey table
-    "stream_catalog_paced", "stream_catalog_sink", "stream_catalog_matview")
+    "stream_catalog_paced", "stream_catalog_sink", "stream_catalog_matview",
+    // r16b: selective small-file compaction (the streaming sink's
+    // maintenance pass — O(fragmented partitions), never the table)
+    "catalog_compact_small")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_catalog_paced" -> w(graft.sources.GraftCatalogQueries.streamCatalogPaced),
     "stream_catalog_sink"  -> w(graft.sources.GraftCatalogQueries.streamCatalogSink),
     "stream_catalog_matview" -> w(graft.sources.GraftCatalogQueries.streamCatalogMatview),
+    "catalog_compact_small" -> w(graft.sources.GraftCatalogQueries.catalogCompactSmall),
     "catalog_meta"        -> w(graft.sources.GraftCatalogQueries.catalogMeta),
     "catalog_call"        -> w(graft.sources.GraftCatalogQueries.catalogCall),
     "snapshot_point"      -> w(Snapshots.snapshotPoint),
@@ -607,6 +608,7 @@ object SparkEntry {
     "stream_catalog_paced" -> graft.sources.GraftCatalogQueries.streamCatalogPacedOracleSql,
     "stream_catalog_sink" -> graft.sources.GraftCatalogQueries.streamCatalogSinkOracleSql,
     "stream_catalog_matview" -> graft.sources.GraftCatalogQueries.streamCatalogMatviewOracleSql,
+    "catalog_compact_small" -> graft.sources.GraftCatalogQueries.catalogCompactSmallOracleSql,
     "catalog_meta" -> graft.sources.GraftCatalogQueries.catalogMetaOracleSql,
     "catalog_call" -> graft.sources.GraftCatalogQueries.catalogCallOracleSql,
     "snapshot_point" -> graft.etl.Snapshots.snapshotPointOracleSql,

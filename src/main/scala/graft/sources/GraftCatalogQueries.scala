@@ -1494,6 +1494,94 @@ object GraftCatalogQueries {
       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Query `catalog_compact_small`: SELECTIVE small-file compaction —
+    * `CALL system.compact_partitions(tbl, min_files)` rewrites ONLY the
+    * partition values fragmented past the threshold and carries every
+    * other file BYTE-IDENTICAL through one OccSurgical commit. This is
+    * the maintenance pass the streaming sink makes necessary (per-epoch
+    * commits fragment hot partitions) priced the way 100 TB requires:
+    * I/O of O(fragmented partitions), never the table. Six appends give
+    * one partition six files and the rest five; min_files=5 must
+    * rewrite exactly that one. Required in-query: the CALL's result row
+    * says (1 partition, 21 -> 16 files); every untouched file survives
+    * with IDENTICAL relPath+md5 (zero write amplification proven from
+    * the manifest, not inferred); the hot partition folds to one file;
+    * every file stays value-pure. Then the FULL `CALL system.compact`
+    * on the same identity-partitioned table — which previously fell to
+    * the generic flat rewrite and silently STRIPPED the `_pv=` layout —
+    * folds to one file per value with the layout intact. The oracle
+    * restates the per-partition aggregate; one row lost by either
+    * rewrite fails the hash.
+    */
+  def catalogCompactSmall(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val view = cat + "_orders"
+    try {
+      Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") % 4).as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.t (o_orderkey BIGINT, grp BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (grp) TBLPROPERTIES ('statscol'='o_orderkey')")
+      // five appends across ALL partitions, a sixth touching ONLY grp=0
+      (0 until 5).foreach { k =>
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM $view WHERE o_orderkey % 7 = $k")
+      }
+      s.sql(s"INSERT INTO $cat.t SELECT * FROM $view " +
+        "WHERE o_orderkey % 7 = 5 AND o_orderkey % 4 = 0")
+      val store = root.resolve("t")
+      val before = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val hot = before.filter(e => Snapshots.partValueOf(e.relPath).contains("0"))
+      val cold = before.filterNot(e => Snapshots.partValueOf(e.relPath).contains("0"))
+      require(hot.size == 6 && cold.size == 15,
+        s"fragmentation setup off: ${hot.size} hot / ${cold.size} cold files")
+      val res = s.sql(s"CALL $cat.system.compact_partitions(tbl => 't', " +
+        "min_files => 5)").head
+      require(res.getInt(0) == 1 && res.getInt(1) == 21 && res.getInt(2) == 16,
+        s"expected (1 partition, 21 -> 16 files), got $res")
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      // zero write amplification, proven from the manifest: every cold
+      // file survives byte-identical (relPath AND md5)
+      val coldIds = cold.map(e => (e.relPath, e.md5)).toSet
+      require(after.count(e => coldIds((e.relPath, e.md5))) == cold.size,
+        "an untouched partition's file was rewritten or dropped")
+      val hotAfter = after.filter(e => Snapshots.partValueOf(e.relPath).contains("0"))
+      require(hotAfter.size == 1 && after.size == 16,
+        s"hot partition did not fold to one file: ${hotAfter.size}, total ${after.size}")
+      require(after.forall(e => Snapshots.partValueOf(e.relPath).isDefined),
+        "selective compaction produced a non-value-pure file")
+      // idempotence: nothing left over the threshold — a second call
+      // must rewrite nothing and commit nothing
+      val res2 = s.sql(s"CALL $cat.system.compact_partitions(tbl => 't', " +
+        "min_files => 5)").head
+      require(res2.getInt(0) == 0 && res2.getInt(3) == res.getInt(3),
+        s"second pass was not a no-op: $res2")
+      // the FULL compact on an identity-partitioned table keeps the
+      // layout (the pre-fix generic rewrite stripped _pv= silently)
+      s.sql(s"CALL $cat.system.compact(tbl => 't', target_files => 4)")
+      val folded = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      require(folded.size == 4 &&
+          folded.forall(e => Snapshots.partValueOf(e.relPath).isDefined) &&
+          folded.flatMap(e => Snapshots.partValueOf(e.relPath)).toSet ==
+            Set("0", "1", "2", "3"),
+        s"full compact lost the partition layout: ${folded.map(_.relPath).take(4)}")
+      val out = s.table(s"$cat.t").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("grp")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        .orderBy("grp")
+    } finally rm(root)
+  }
+
+  /** Slices %7 in 0..4 over all groups, plus %7=5 for group 0 only. */
+  val catalogCompactSmallOracleSql: String = """
+    SELECT o_orderkey % 4 AS grp, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 7 < 5 OR (o_orderkey % 7 = 5 AND o_orderkey % 4 = 0)
+    GROUP BY 1 ORDER BY 1"""
+
   /** Query `catalog_respec`: PARTITION-SPEC EVOLUTION as metadata — the
     * Iceberg-class capability the r14 verdict named: `ALTER TABLE ...
     * SET TBLPROPERTIES ('bucketn'='8')` on a bucket(4) table with

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types._
   *
   * {{{
   *   CALL cat.system.compact(tbl => 'ns.t', target_files => 8)
+  *   CALL cat.system.compact_partitions(tbl => 'ns.t', min_files => 4)
   *   CALL cat.system.zorder(tbl => 'ns.t', target_files => 16,
   *                          c1 => 'k', c2 => 'g')
   *   CALL cat.system.expire(tbl => 'ns.t', keep_from => 5)
@@ -85,10 +86,118 @@ private[sources] object GraftProcedures {
                 Snapshots.stageOccBucketed(s, store, baseDf, c, nb,
                   (statsCol.toSeq ++ sortC.toSeq).distinct, sortC, cluster = true)
               }
-            case _ =>
-              Snapshots.compactOcc(s, store, in.getInt(1), statsCol)
+            case _ => props.get("partitioncol") match {
+              case Some(pc) =>
+                // IDENTITY-partitioned tables compact VALUE-PURE, for
+                // the same reason bucketed ones compact bucket-aware: a
+                // generic compact would strip the _pv= layout and
+                // silently forfeit partition pruning, SPJ and dynamic
+                // overwrite until the next full overwrite. One task per
+                // value folds each partition to ~one file (rolled at
+                // maxRecordsPerFile); target_files is the layout's call
+                // here, not the argument's.
+                Snapshots.rewriteOcc(s, store) { baseDf =>
+                  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+                  val integral = baseDf.schema.fields.find(_.name == pc)
+                    .map(_.dataType).exists {
+                      case LongType | IntegerType | ShortType | ByteType => true
+                      case _ => false
+                    }
+                  val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
+                  Snapshots.stageOccPartitioned(s, store,
+                    baseDf.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
+                }
+              case None =>
+                Snapshots.compactOcc(s, store, in.getInt(1), statsCol)
+            }
           }
         Seq(Row(id, conflicts))
+      }),
+    Spec("compact_partitions",
+      Seq(p("tbl", StringType), pDefault("min_files", IntegerType, "4")),
+      StructType(Seq(StructField("rewritten_partitions", IntegerType),
+        StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType),
+        StructField("snapshot_id", IntegerType))),
+      (s, store, in) => {
+        // SELECTIVE small-file compaction — the maintenance pass a
+        // streaming sink needs: per-epoch commits fragment the hot
+        // partitions, and at scale a whole-table rewrite to fix one
+        // partition's fragmentation is a non-starter. Rewrites ONLY the
+        // partition values holding more than `min_files` files (each
+        // folded value-pure, one task per value) and carries every
+        // other file BYTE-IDENTICAL through one OccSurgical commit —
+        // I/O is O(fragmented partitions), never the table.
+        val props = GraftCatalog.readMarker(store)._2
+        val pc = props.getOrElse("partitioncol", throw new IllegalArgumentException(
+          "compact_partitions needs an identity-PARTITIONED table; bucketed " +
+            "and flat tables compact whole (CALL system.compact)"))
+        val minFiles = in.getInt(1)
+        require(minFiles >= 2, s"min_files must be >= 2, got $minFiles")
+        val statsCol = props.get("statscol")
+        var attempts = 0
+        var out: Seq[Row] = null
+        while (out == null) {
+          val base = Snapshots.currentId(store).getOrElse(
+            throw new IllegalStateException(s"no published snapshot under $store"))
+          val entries = Snapshots.manifest(store, base)
+          // live tombstones make "this partition's rows" a table-wide
+          // question (equality keys erase across files); the selective
+          // carry below would need the merged view's provenance. The
+          // full bucket-aware/partitioned compact folds tombstones —
+          // run it first; this pass is for APPEND fragmentation.
+          require(!entries.exists(Snapshots.isDelete),
+            s"$store carries live tombstones: fold them first " +
+              "(CALL system.compact), then compact_partitions")
+          val byVal = entries.groupBy(e => Snapshots.partValueOf(e.relPath))
+          if (byVal.contains(None)) throw new IllegalStateException(
+            s"$store holds non-value-pure data files: selective partition " +
+              "compaction cannot attribute them; run a full compact")
+          val frag: Map[String, Seq[Snapshots.ManifestEntry]] =
+            byVal.collect { case (Some(v), es) if es.size > minFiles => v -> es }
+          if (frag.isEmpty) {
+            out = Seq(Row(0, entries.size, entries.size, base))
+          } else {
+            val fragSet = frag.values.flatten.map(_.relPath).toSet
+            val carried = entries.filterNot(e => fragSet(e.relPath))
+            // exact file-list read of JUST the fragmented partitions;
+            // mergeSchema conforms across evolution, like every rewrite
+            val df = s.read.option("mergeSchema", "true").parquet(
+              fragSet.toSeq.sorted.map(r => store.resolve(r).toString): _*)
+            val before = df.count()
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            val integral = df.schema.fields.find(_.name == pc)
+              .map(_.dataType).exists {
+                case LongType | IntegerType | ShortType | ByteType => true
+                case _ => false
+              }
+            val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
+            val fresh = Snapshots.stageOccPartitioned(s, store,
+              df.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
+            // parity gate before the commit, like rewriteOcc's: a
+            // rewrite that changed the row count must never land
+            val after = s.read.option("mergeSchema", "true").parquet(
+              fresh.map(e => store.resolve(e.relPath).toString): _*).count()
+            if (after != before) {
+              Snapshots.discardStaged(store, fresh)
+              throw new IllegalStateException(
+                s"selective compaction row-count mismatch: $before read, $after staged")
+            }
+            try {
+              val id = Snapshots.commitOcc(store, fresh,
+                Snapshots.OccSurgical(base, carried))
+              out = Seq(Row(frag.size, entries.size, carried.size + fresh.size, id))
+            } catch {
+              case _: Snapshots.CommitConflictException =>
+                Snapshots.discardStaged(store, fresh)
+                attempts += 1
+                if (attempts >= 5) throw new Snapshots.CommitConflictException(
+                  s"compact_partitions on $store lost the commit race $attempts times")
+              // recompute the fragmentation map against the new base
+            }
+          }
+        }
+        out
       }),
     Spec("zorder",
       Seq(p("tbl", StringType), p("target_files", IntegerType),

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.TestSpark
+import graft.etl.Snapshots
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge contracts of `CALL system.compact_partitions` (the selective
+  * small-file binpack) and the value-pure full compact on
+  * identity-partitioned tables. The happy path, zero-amplification
+  * manifest proof and idempotence are oracled end-to-end in the
+  * registered `catalog_compact_small` query.
+  */
+class CompactPartitionsSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private var n = 0
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gcps$n"
+    val root = Files.createTempDirectory(s"graft_cpsspec$n")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def rm(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  test("refuses flat and bucketed tables, bad thresholds, live tombstones") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.flat (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.flat SELECT id, 'a' FROM range(0, 10)")
+      val eFlat = intercept[Exception](
+        s.sql(s"CALL $cat.system.compact_partitions(tbl => 'flat', min_files => 2)"))
+      assert(eFlat.getMessage.contains("PARTITIONED"))
+      s.sql(s"CREATE TABLE $cat.p (k BIGINT, g BIGINT) PARTITIONED BY (g)")
+      s.sql(s"INSERT INTO $cat.p SELECT id, id % 2 FROM range(0, 10)")
+      val eMin = intercept[Exception](
+        s.sql(s"CALL $cat.system.compact_partitions(tbl => 'p', min_files => 1)"))
+      assert(eMin.getMessage.contains("min_files"))
+      // live tombstones: selective carry cannot attribute rows — refuse
+      s.sql(s"CREATE TABLE $cat.m (k BIGINT NOT NULL, g BIGINT) " +
+        "PARTITIONED BY (g) TBLPROPERTIES ('morkey'='k')")
+      (0 until 3).foreach { _ =>
+        s.sql(s"INSERT INTO $cat.m SELECT id, id % 2 FROM range(0, 10)")
+      }
+      s.sql(s"DELETE FROM $cat.m WHERE k < 3")
+      val eTomb = intercept[Exception](
+        s.sql(s"CALL $cat.system.compact_partitions(tbl => 'm', min_files => 2)"))
+      assert(eTomb.getMessage.contains("tombstone"))
+    } finally rm(root)
+  }
+
+  test("string partition values compact selectively and stay value-pure") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+      (0 until 4).foreach { i =>
+        s.sql(s"INSERT INTO $cat.t SELECT id + ${i * 100}, 'en' FROM range(0, 50)")
+      }
+      s.sql(s"INSERT INTO $cat.t SELECT id, 'de' FROM range(0, 50)")
+      val store = root.resolve("t")
+      val res = s.sql(s"CALL $cat.system.compact_partitions(tbl => 't', " +
+        "min_files => 3)").head
+      assert(res.getInt(0) == 1 && res.getInt(2) == 2, s"got $res")
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(after.flatMap(e => Snapshots.partValueOf(e.relPath)).toSet ==
+        Set("en", "de"))
+      assert(after.count(e => Snapshots.partValueOf(e.relPath).contains("en")) == 1)
+      assert(s.table(s"$cat.t").count() == 250)
+      assert(s.table(s"$cat.t").filter(org.apache.spark.sql.functions
+        .col("lang") === "en").count() == 200)
+    } finally rm(root)
+  }
+
+  test("streamed epochs fragment; compact_partitions folds them; stream resumes") {
+    val (cat, root) = freshCatalog()
+    val ckpt = Files.createTempDirectory("graft_cps_ckpt")
+    try {
+      s.sql(s"CREATE TABLE $cat.src (k BIGINT, g BIGINT)")
+      s.sql(s"CREATE TABLE $cat.dst (k BIGINT, g BIGINT) PARTITIONED BY (g)")
+      def drain(): Unit = {
+        val q = s.readStream.option("maxsnapshotspertrigger", 1)
+          .table(s"$cat.src")
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.dst")
+        assert(q.awaitTermination(300000L))
+      }
+      (0 until 5).foreach { i =>
+        s.sql(s"INSERT INTO $cat.src SELECT id + ${i * 1000}, id % 2 FROM range(0, 100)")
+      }
+      drain() // 5 paced epochs -> 5 files per partition value
+      val store = root.resolve("dst")
+      val before = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      assert(before.size == 10)
+      val res = s.sql(s"CALL $cat.system.compact_partitions(tbl => 'dst', " +
+        "min_files => 3)").head
+      assert(res.getInt(0) == 2 && res.getInt(2) == 2, s"got $res")
+      // the stream keeps going after maintenance: a new upstream commit
+      // drains into the compacted table (the compaction snapshot carried
+      // the batch watermark, so the epoch replay contract held)
+      s.sql(s"INSERT INTO $cat.src SELECT id + 9000, id % 2 FROM range(0, 10)")
+      drain()
+      assert(s.table(s"$cat.dst").count() == 510)
+      assert(s.sql(s"SELECT max(c) FROM (SELECT count(*) c FROM $cat.dst GROUP BY k)")
+        .head.getLong(0) == 1L)
+    } finally { rm(ckpt); rm(root) }
+  }
+}
