@@ -129,12 +129,19 @@ private[sources] object GraftProcedures {
         // other file BYTE-IDENTICAL through one OccSurgical commit —
         // I/O is O(fragmented partitions), never the table.
         val props = GraftCatalog.readMarker(store)._2
-        val pc = props.getOrElse("partitioncol", throw new IllegalArgumentException(
-          "compact_partitions needs an identity-PARTITIONED table; bucketed " +
-            "and flat tables compact whole (CALL system.compact)"))
+        val pcOpt = props.get("partitioncol")
+        val bucketOpt = (props.get("bucketcol"),
+          props.get("bucketn").flatMap(_.toIntOption)) match {
+          case (Some(c), Some(nb)) => Some((c, nb))
+          case _                   => None
+        }
+        if (pcOpt.isEmpty && bucketOpt.isEmpty) throw new IllegalArgumentException(
+          "compact_partitions needs a PARTITIONED BY table (identity or " +
+            "bucket transform); flat tables compact whole (CALL system.compact)")
         val minFiles = in.getInt(1)
         require(minFiles >= 2, s"min_files must be >= 2, got $minFiles")
         val statsCol = props.get("statscol")
+        val sortC = props.get("sortcol")
         var attempts = 0
         var out: Seq[Row] = null
         while (out == null) {
@@ -165,15 +172,28 @@ private[sources] object GraftProcedures {
             val df = s.read.option("mergeSchema", "true").parquet(
               fragSet.toSeq.sorted.map(r => store.resolve(r).toString): _*)
             val before = df.count()
-            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-            val integral = df.schema.fields.find(_.name == pc)
-              .map(_.dataType).exists {
-                case LongType | IntegerType | ShortType | ByteType => true
-                case _ => false
-              }
-            val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
-            val fresh = Snapshots.stageOccPartitioned(s, store,
-              df.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
+            // re-stage the fragmented values in the table's OWN layout:
+            // identity values fold value-pure; BUCKET ids fold through
+            // the bucketed (and, with 'sortcol', sorted) stager, so the
+            // rewritten buckets come back one-file-each with their
+            // ordering claim restored — rows land under the CURRENT
+            // spec (new seq), exactly like the full bucket-aware compact
+            val fresh = (pcOpt, bucketOpt) match {
+              case (Some(pc), _) =>
+                import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+                val integral = df.schema.fields.find(_.name == pc)
+                  .map(_.dataType).exists {
+                    case LongType | IntegerType | ShortType | ByteType => true
+                    case _ => false
+                  }
+                val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
+                Snapshots.stageOccPartitioned(s, store,
+                  df.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
+              case (None, Some((c, nb))) =>
+                Snapshots.stageOccBucketed(s, store, df, c, nb,
+                  (statsCol.toSeq ++ sortC.toSeq).distinct, sortC, cluster = true)
+              case _ => throw new IllegalStateException("unreachable: layout checked above")
+            }
             // parity gate before the commit, like rewriteOcc's: a
             // rewrite that changed the row count must never land
             val after = s.read.option("mergeSchema", "true").parquet(

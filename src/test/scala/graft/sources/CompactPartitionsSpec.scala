@@ -33,7 +33,7 @@ class CompactPartitionsSpec extends AnyFunSuite {
     finally walk.close()
   }
 
-  test("refuses flat and bucketed tables, bad thresholds, live tombstones") {
+  test("refuses flat tables, bad thresholds, live tombstones") {
     val (cat, root) = freshCatalog()
     try {
       s.sql(s"CREATE TABLE $cat.flat (k BIGINT, v STRING)")
@@ -78,6 +78,44 @@ class CompactPartitionsSpec extends AnyFunSuite {
       assert(s.table(s"$cat.t").count() == 250)
       assert(s.table(s"$cat.t").filter(org.apache.spark.sql.functions
         .col("lang") === "en").count() == 200)
+    } finally rm(root)
+  }
+
+  test("bucketed tables compact selectively too, sorted claim restored") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.b (k BIGINT, ord BIGINT NOT NULL) " +
+        "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('sortcol'='ord')")
+      // four appends fragment both buckets; then one append hits ONLY
+      // bucket pmod(hash(0),2) rows (k=0 constant)
+      (0 until 4).foreach { i =>
+        s.sql(s"INSERT INTO $cat.b SELECT id, id + ${i * 1000} FROM range(0, 100)")
+      }
+      s.sql(s"INSERT INTO $cat.b SELECT 0, 9000 + id FROM range(0, 10)")
+      val store = root.resolve("b")
+      val before = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val perVal = before.groupBy(e => Snapshots.partValueOf(e.relPath).get)
+        .view.mapValues(_.size).toMap
+      assert(perVal.values.max == 5 && perVal.values.min == 4, s"setup: $perVal")
+      val res = s.sql(s"CALL $cat.system.compact_partitions(tbl => 'b', " +
+        "min_files => 4)").head
+      assert(res.getInt(0) == 1, s"expected exactly the 5-file bucket rewritten: $res")
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val hotVal = perVal.maxBy(_._2)._1
+      assert(after.count(e => Snapshots.partValueOf(e.relPath).contains(hotVal)) == 1)
+      // carried bucket untouched byte-for-byte
+      val coldIds = before.filterNot(e =>
+        Snapshots.partValueOf(e.relPath).contains(hotVal))
+        .map(e => (e.relPath, e.md5)).toSet
+      assert(after.count(e => coldIds((e.relPath, e.md5))) == coldIds.size)
+      // the rewritten bucket's single file is ascending in ord (the
+      // sorted stager restored the ordering claim)
+      val hotFile = after.find(e =>
+        Snapshots.partValueOf(e.relPath).contains(hotVal)).get
+      val ords = s.read.parquet(store.resolve(hotFile.relPath).toString)
+        .select("ord").collect().map(_.getLong(0))
+      assert(ords.sameElements(ords.sorted))
+      assert(s.table(s"$cat.b").count() == 410)
     } finally rm(root)
   }
 
