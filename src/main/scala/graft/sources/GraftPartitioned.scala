@@ -415,7 +415,9 @@ private[sources] final class GraftBucketedBatchWrite(
       else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
       else GraftStreamAppend
     new GraftStreamingWrite(spark, store, statsCols, factory, baseDir,
-      streamMode, () => GraftCatalog.seedMetaFor(store))
+      streamMode, () => GraftCatalog.seedMetaFor(store),
+      autoCompact = GraftCatalog.readMarker(store)._2
+        .get("autocompact").flatMap(_.toIntOption))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -819,7 +821,9 @@ private[sources] final class GraftPartitionedBatchWrite(
       else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
       else GraftStreamAppend
     new GraftStreamingWrite(spark, store, zoneCols, factory, baseDir,
-      streamMode, () => GraftCatalog.seedMetaFor(store))
+      streamMode, () => GraftCatalog.seedMetaFor(store),
+      autoCompact = GraftCatalog.readMarker(store)._2
+        .get("autocompact").flatMap(_.toIntOption))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {

@@ -128,96 +128,10 @@ private[sources] object GraftProcedures {
         // folded value-pure, one task per value) and carries every
         // other file BYTE-IDENTICAL through one OccSurgical commit —
         // I/O is O(fragmented partitions), never the table.
-        val props = GraftCatalog.readMarker(store)._2
-        val pcOpt = props.get("partitioncol")
-        val bucketOpt = (props.get("bucketcol"),
-          props.get("bucketn").flatMap(_.toIntOption)) match {
-          case (Some(c), Some(nb)) => Some((c, nb))
-          case _                   => None
-        }
-        if (pcOpt.isEmpty && bucketOpt.isEmpty) throw new IllegalArgumentException(
-          "compact_partitions needs a PARTITIONED BY table (identity or " +
-            "bucket transform); flat tables compact whole (CALL system.compact)")
         val minFiles = in.getInt(1)
-        require(minFiles >= 2, s"min_files must be >= 2, got $minFiles")
-        val statsCol = props.get("statscol")
-        val sortC = props.get("sortcol")
-        var attempts = 0
-        var out: Seq[Row] = null
-        while (out == null) {
-          val base = Snapshots.currentId(store).getOrElse(
-            throw new IllegalStateException(s"no published snapshot under $store"))
-          val entries = Snapshots.manifest(store, base)
-          // live tombstones make "this partition's rows" a table-wide
-          // question (equality keys erase across files); the selective
-          // carry below would need the merged view's provenance. The
-          // full bucket-aware/partitioned compact folds tombstones —
-          // run it first; this pass is for APPEND fragmentation.
-          require(!entries.exists(Snapshots.isDelete),
-            s"$store carries live tombstones: fold them first " +
-              "(CALL system.compact), then compact_partitions")
-          val byVal = entries.groupBy(e => Snapshots.partValueOf(e.relPath))
-          if (byVal.contains(None)) throw new IllegalStateException(
-            s"$store holds non-value-pure data files: selective partition " +
-              "compaction cannot attribute them; run a full compact")
-          val frag: Map[String, Seq[Snapshots.ManifestEntry]] =
-            byVal.collect { case (Some(v), es) if es.size > minFiles => v -> es }
-          if (frag.isEmpty) {
-            out = Seq(Row(0, entries.size, entries.size, base))
-          } else {
-            val fragSet = frag.values.flatten.map(_.relPath).toSet
-            val carried = entries.filterNot(e => fragSet(e.relPath))
-            // exact file-list read of JUST the fragmented partitions;
-            // mergeSchema conforms across evolution, like every rewrite
-            val df = s.read.option("mergeSchema", "true").parquet(
-              fragSet.toSeq.sorted.map(r => store.resolve(r).toString): _*)
-            val before = df.count()
-            // re-stage the fragmented values in the table's OWN layout:
-            // identity values fold value-pure; BUCKET ids fold through
-            // the bucketed (and, with 'sortcol', sorted) stager, so the
-            // rewritten buckets come back one-file-each with their
-            // ordering claim restored — rows land under the CURRENT
-            // spec (new seq), exactly like the full bucket-aware compact
-            val fresh = (pcOpt, bucketOpt) match {
-              case (Some(pc), _) =>
-                import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-                val integral = df.schema.fields.find(_.name == pc)
-                  .map(_.dataType).exists {
-                    case LongType | IntegerType | ShortType | ByteType => true
-                    case _ => false
-                  }
-                val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
-                Snapshots.stageOccPartitioned(s, store,
-                  df.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
-              case (None, Some((c, nb))) =>
-                Snapshots.stageOccBucketed(s, store, df, c, nb,
-                  (statsCol.toSeq ++ sortC.toSeq).distinct, sortC, cluster = true)
-              case _ => throw new IllegalStateException("unreachable: layout checked above")
-            }
-            // parity gate before the commit, like rewriteOcc's: a
-            // rewrite that changed the row count must never land
-            val after = s.read.option("mergeSchema", "true").parquet(
-              fresh.map(e => store.resolve(e.relPath).toString): _*).count()
-            if (after != before) {
-              Snapshots.discardStaged(store, fresh)
-              throw new IllegalStateException(
-                s"selective compaction row-count mismatch: $before read, $after staged")
-            }
-            try {
-              val id = Snapshots.commitOcc(store, fresh,
-                Snapshots.OccSurgical(base, carried))
-              out = Seq(Row(frag.size, entries.size, carried.size + fresh.size, id))
-            } catch {
-              case _: Snapshots.CommitConflictException =>
-                Snapshots.discardStaged(store, fresh)
-                attempts += 1
-                if (attempts >= 5) throw new Snapshots.CommitConflictException(
-                  s"compact_partitions on $store lost the commit race $attempts times")
-              // recompute the fragmentation map against the new base
-            }
-          }
-        }
-        out
+        val (parts, fb, fa, id) =
+          GraftMaintenance.compactPartitions(s, store, minFiles)
+        Seq(Row(parts, fb, fa, id))
       }),
     Spec("zorder",
       Seq(p("tbl", StringType), p("target_files", IntegerType),
@@ -368,5 +282,122 @@ private[sources] object GraftProcedures {
       }
       java.util.List.of(scan).iterator()
     }
+  }
+}
+
+/** The selective small-file compaction kernel, shared by the
+  * `compact_partitions` procedure and the streaming sink's
+  * `'autocompact'` dial ([[GraftStreamingWrite]]). Rewrites ONLY the
+  * partition values (identity `_pv=` values or bucket ids) holding more
+  * than `minFiles` files — each folded in the table's OWN layout (the
+  * sorted bucketed stager restores ordering claims) — and carries every
+  * other file BYTE-IDENTICAL through one [[Snapshots.OccSurgical]]
+  * commit. I/O is O(fragmented partitions), never the table.
+  *
+  * Live tombstones and non-value-pure files throw when `lenient=false`
+  * (the CALL surface: a user asked and must hear why nothing happened);
+  * with `lenient=true` (the in-sink auto pass: maintenance must never
+  * fail ingestion) they return a no-op result instead.
+  *
+  * Returns (rewritten partitions, files before, files after, snapshot).
+  */
+private[sources] object GraftMaintenance {
+  def compactPartitions(s: SparkSession, store: JPath, minFiles: Int,
+                        lenient: Boolean = false): (Int, Int, Int, Int) = {
+    val props = GraftCatalog.readMarker(store)._2
+    val pcOpt = props.get("partitioncol")
+    val bucketOpt = (props.get("bucketcol"),
+      props.get("bucketn").flatMap(_.toIntOption)) match {
+      case (Some(c), Some(nb)) => Some((c, nb))
+      case _                   => None
+    }
+    if (pcOpt.isEmpty && bucketOpt.isEmpty) throw new IllegalArgumentException(
+      "compact_partitions needs a PARTITIONED BY table (identity or " +
+        "bucket transform); flat tables compact whole (CALL system.compact)")
+    require(minFiles >= 2, s"min_files must be >= 2, got $minFiles")
+    val statsCol = props.get("statscol")
+    val sortC = props.get("sortcol")
+    var attempts = 0
+    var out: (Int, Int, Int, Int) = null
+    while (out == null) {
+      val base = Snapshots.currentId(store).getOrElse(
+        throw new IllegalStateException(s"no published snapshot under $store"))
+      val entries = Snapshots.manifest(store, base)
+      // live tombstones make "this partition's rows" a table-wide
+      // question (equality keys erase across files); the selective
+      // carry below would need the merged view's provenance. The full
+      // bucket-aware/partitioned compact folds tombstones — run it
+      // first; this pass is for APPEND fragmentation.
+      if (entries.exists(Snapshots.isDelete)) {
+        if (lenient) return (0, entries.size, entries.size, base)
+        throw new IllegalStateException(
+          s"$store carries live tombstones: fold them first " +
+            "(CALL system.compact), then compact_partitions")
+      }
+      val byVal = entries.groupBy(e => Snapshots.partValueOf(e.relPath))
+      if (byVal.contains(None)) {
+        if (lenient) return (0, entries.size, entries.size, base)
+        throw new IllegalStateException(
+          s"$store holds non-value-pure data files: selective partition " +
+            "compaction cannot attribute them; run a full compact")
+      }
+      val frag: Map[String, Seq[Snapshots.ManifestEntry]] =
+        byVal.collect { case (Some(v), es) if es.size > minFiles => v -> es }
+      if (frag.isEmpty) {
+        out = (0, entries.size, entries.size, base)
+      } else {
+        val fragSet = frag.values.flatten.map(_.relPath).toSet
+        val carried = entries.filterNot(e => fragSet(e.relPath))
+        // exact file-list read of JUST the fragmented partitions;
+        // mergeSchema conforms across evolution, like every rewrite
+        val df = s.read.option("mergeSchema", "true").parquet(
+          fragSet.toSeq.sorted.map(r => store.resolve(r).toString): _*)
+        val before = df.count()
+        // re-stage the fragmented values in the table's OWN layout:
+        // identity values fold value-pure; BUCKET ids fold through the
+        // bucketed (and, with 'sortcol', sorted) stager, so the
+        // rewritten buckets come back one-file-each with their ordering
+        // claim restored — rows land under the CURRENT spec (new seq),
+        // exactly like the full bucket-aware compact
+        val fresh = (pcOpt, bucketOpt) match {
+          case (Some(pc), _) =>
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            val integral = df.schema.fields.find(_.name == pc)
+              .map(_.dataType).exists {
+                case LongType | IntegerType | ShortType | ByteType => true
+                case _ => false
+              }
+            val zone = (statsCol.toSeq ++ (if (integral) Seq(pc) else Nil)).distinct
+            Snapshots.stageOccPartitioned(s, store,
+              df.repartition(org.apache.spark.sql.functions.col(pc)), pc, zone)
+          case (None, Some((c, nb))) =>
+            Snapshots.stageOccBucketed(s, store, df, c, nb,
+              (statsCol.toSeq ++ sortC.toSeq).distinct, sortC, cluster = true)
+          case _ => throw new IllegalStateException("unreachable: layout checked above")
+        }
+        // parity gate before the commit, like rewriteOcc's: a rewrite
+        // that changed the row count must never land
+        val after = s.read.option("mergeSchema", "true").parquet(
+          fresh.map(e => store.resolve(e.relPath).toString): _*).count()
+        if (after != before) {
+          Snapshots.discardStaged(store, fresh)
+          throw new IllegalStateException(
+            s"selective compaction row-count mismatch: $before read, $after staged")
+        }
+        try {
+          val id = Snapshots.commitOcc(store, fresh,
+            Snapshots.OccSurgical(base, carried))
+          out = (frag.size, entries.size, carried.size + fresh.size, id)
+        } catch {
+          case _: Snapshots.CommitConflictException =>
+            Snapshots.discardStaged(store, fresh)
+            attempts += 1
+            if (attempts >= 5) throw new Snapshots.CommitConflictException(
+              s"compact_partitions on $store lost the commit race $attempts times")
+          // recompute the fragmentation map against the new base
+        }
+      }
+    }
+    out
   }
 }

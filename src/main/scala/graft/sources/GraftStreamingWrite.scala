@@ -47,7 +47,8 @@ private[sources] final class GraftStreamingWrite(
     factory: StreamingDataWriterFactory,
     baseDir: JPath,
     mode: GraftStreamMode,
-    seedMeta: () => Map[String, String]) extends StreamingWrite {
+    seedMeta: () => Map[String, String],
+    autoCompact: Option[Int] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = factory
@@ -79,7 +80,20 @@ private[sources] final class GraftStreamingWrite(
         case GraftStreamAppend =>
           Snapshots.commitOcc(store, entries, Snapshots.OccAppend,
             seedMeta = seedMeta(), batchIdOverride = Some(epochId))
-          ()
+          // 'autocompact' dial: the sink self-heals the fragmentation
+          // its own epochs create — selective fold of any partition
+          // value past the threshold, AFTER the epoch committed (the
+          // compaction snapshot carries the batch watermark, so the
+          // replay contract is untouched). Best-effort by design:
+          // maintenance must never fail ingestion.
+          autoCompact.foreach { minFiles =>
+            try { GraftMaintenance.compactPartitions(spark, store, minFiles,
+              lenient = true); () }
+            catch { case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamingWrite])
+                .warn(s"autocompact($minFiles) on $store skipped: ${e.getMessage}")
+            }
+          }
         case GraftStreamUpsert(keysPhys) =>
           Snapshots.publishUpsertStagedBatch(spark, store, entries, keysPhys,
             epochId)

@@ -119,6 +119,40 @@ class CompactPartitionsSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("'autocompact' dial: the streaming sink self-heals its fragmentation") {
+    val (cat, root) = freshCatalog()
+    val ckpt = Files.createTempDirectory("graft_cps_auto")
+    try {
+      s.sql(s"CREATE TABLE $cat.src (k BIGINT, g BIGINT)")
+      s.sql(s"CREATE TABLE $cat.dst (k BIGINT, g BIGINT) PARTITIONED BY (g) " +
+        "TBLPROPERTIES ('autocompact'='3')")
+      (0 until 6).foreach { i =>
+        s.sql(s"INSERT INTO $cat.src SELECT id + ${i * 1000}, id % 2 FROM range(0, 100)")
+      }
+      val q = s.readStream.option("maxsnapshotspertrigger", 1)
+        .table(s"$cat.src")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.dst")
+      assert(q.awaitTermination(300000L))
+      val store = root.resolve("dst")
+      // per-epoch growth: 1,2,3,4 -> auto-fold to 1 -> 2,3; the manifest
+      // never exceeds the dial for long and ends bounded
+      val after = Snapshots.manifest(store, Snapshots.currentId(store).get)
+      val perVal = after.groupBy(e => Snapshots.partValueOf(e.relPath).get)
+        .view.mapValues(_.size).toMap
+      assert(perVal.values.max <= 3, s"sink did not self-heal: $perVal")
+      // 6 epochs + 1 auto-compaction commit
+      assert(Snapshots.currentId(store).contains(7),
+        s"expected 7 snapshots (6 epochs + 1 fold), saw ${Snapshots.currentId(store)}")
+      // exactly-once held THROUGH the in-sink maintenance (the
+      // compaction commit carries the batch watermark)
+      assert(s.table(s"$cat.dst").count() == 600)
+      assert(s.sql(s"SELECT max(c) FROM (SELECT count(*) c FROM $cat.dst GROUP BY k)")
+        .head.getLong(0) == 1L)
+    } finally { rm(ckpt); rm(root) }
+  }
+
   test("streamed epochs fragment; compact_partitions folds them; stream resumes") {
     val (cat, root) = freshCatalog()
     val ckpt = Files.createTempDirectory("graft_cps_ckpt")
