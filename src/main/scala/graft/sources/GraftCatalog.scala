@@ -1882,7 +1882,9 @@ private[sources] class GraftPlainWriteBuilder(
         else if (morKeysPhys.nonEmpty) GraftStreamUpsert(morKeysPhys)
         else GraftStreamAppend
       new GraftStreamingWrite(spark, store, statsCol.toSeq, factory, baseDir,
-        streamMode, () => GraftCatalog.seedMetaFor(store))
+        streamMode, () => GraftCatalog.seedMetaFor(store),
+        autoExpire = GraftCatalog.readMarker(store)._2
+          .get("autoexpire").flatMap(_.toIntOption))
     }
   }
 }

@@ -417,7 +417,9 @@ private[sources] final class GraftBucketedBatchWrite(
     new GraftStreamingWrite(spark, store, statsCols, factory, baseDir,
       streamMode, () => GraftCatalog.seedMetaFor(store),
       autoCompact = GraftCatalog.readMarker(store)._2
-        .get("autocompact").flatMap(_.toIntOption))
+        .get("autocompact").flatMap(_.toIntOption),
+      autoExpire = GraftCatalog.readMarker(store)._2
+        .get("autoexpire").flatMap(_.toIntOption))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -823,7 +825,9 @@ private[sources] final class GraftPartitionedBatchWrite(
     new GraftStreamingWrite(spark, store, zoneCols, factory, baseDir,
       streamMode, () => GraftCatalog.seedMetaFor(store),
       autoCompact = GraftCatalog.readMarker(store)._2
-        .get("autocompact").flatMap(_.toIntOption))
+        .get("autocompact").flatMap(_.toIntOption),
+      autoExpire = GraftCatalog.readMarker(store)._2
+        .get("autoexpire").flatMap(_.toIntOption))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {

@@ -48,7 +48,8 @@ private[sources] final class GraftStreamingWrite(
     baseDir: JPath,
     mode: GraftStreamMode,
     seedMeta: () => Map[String, String],
-    autoCompact: Option[Int] = None) extends StreamingWrite {
+    autoCompact: Option[Int] = None,
+    autoExpire: Option[Int] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = factory
@@ -119,6 +120,25 @@ private[sources] final class GraftStreamingWrite(
                     s"race $attempts times")
             }
           }
+      }
+      // 'autoexpire' dial: keep only the newest K snapshots — the
+      // retention bound a CONTINUOUS writer needs (a complete-mode
+      // matview at one epoch a minute pins a full table copy per
+      // snapshot; unbounded history is unbounded storage). Runs AFTER
+      // the mode commit (and after any autocompact commit), best-effort:
+      // a registered changefeed consumer's floor still REFUSES inside
+      // expire — logged and retained, never fatal, exactly the
+      // maintenance-never-fails-ingestion contract.
+      autoExpire.foreach { keepN =>
+        try {
+          val cur = Snapshots.currentId(store).getOrElse(0)
+          val keepFrom = cur - math.max(keepN, 1) + 1
+          if (keepFrom > 1) { Snapshots.expire(store, keepFrom); () }
+        } catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamingWrite])
+              .warn(s"autoexpire($keepN) on $store skipped: ${e.getMessage}")
+        }
       }
     } catch {
       case e: Throwable =>

@@ -191,6 +191,47 @@ class GraftStreamingWriteSpec extends AnyFunSuite {
     } finally { rm(ckpt); rm(root) }
   }
 
+  test("'autoexpire' bounds a complete-mode matview's snapshot history") {
+    val (cat, root) = freshCatalog()
+    val ckpt = Files.createTempDirectory("graft_gsw_ckpt7")
+    try {
+      s.sql(s"CREATE TABLE $cat.src (k BIGINT)")
+      // a continuously-rewritten matview pins one full table copy per
+      // epoch; the dial keeps only the newest K snapshots
+      s.sql(s"CREATE TABLE $cat.cnt (k BIGINT, n BIGINT) " +
+        "TBLPROPERTIES ('autoexpire'='2')")
+      def run(): Unit = {
+        val q = s.readStream.table(s"$cat.src")
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.cnt")
+        assert(q.awaitTermination(300000L))
+      }
+      (1 to 3).foreach { i =>
+        s.sql(s"INSERT INTO $cat.src SELECT id % 3 FROM range(0, ${i * 30})")
+        run()
+      }
+      val store = root.resolve("cnt")
+      assert(Snapshots.currentId(store).contains(3))
+      // history is BOUNDED: snapshot 1's manifest and files are gone...
+      val e = intercept[Exception](
+        s.sql(s"SELECT * FROM $cat.cnt VERSION AS OF 1").collect())
+      assert(e != null)
+      // ...while the kept window still time-travels
+      assert(s.sql(s"SELECT sum(n) FROM $cat.cnt VERSION AS OF 2")
+        .head.getLong(0) == 90L)
+      assert(s.sql(s"SELECT sum(n) FROM $cat.cnt").head.getLong(0) == 180L)
+      // storage bound, not just metadata: only the kept epochs' files
+      // remain on disk
+      val walk = Files.walk(store.resolve("data"))
+      val live = try walk.iterator().asScala.count(
+        _.getFileName.toString.endsWith(".parquet")) finally walk.close()
+      assert(live <= 6, s"expired epochs left $live files on disk")
+    } finally { rm(ckpt); rm(root) }
+  }
+
   test("'writedistribution'='none' partitioned table refuses streaming writes") {
     val (cat, root) = freshCatalog()
     val ckpt = Files.createTempDirectory("graft_gsw_ckpt6")
