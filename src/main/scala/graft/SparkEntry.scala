@@ -110,6 +110,9 @@ object SparkEntry {
     "catalog_partitions"  -> w(graft.sources.GraftCatalogQueries.catalogPartitions),
     "catalog_respec"      -> w(graft.sources.GraftCatalogQueries.catalogRespec),
     "catalog_clustered_write" -> w(graft.sources.GraftCatalogQueries.catalogClusteredWrite),
+    "catalog_limit_push"  -> w(graft.sources.GraftCatalogQueries.catalogLimitPush),
+    "catalog_clone"       -> w(graft.sources.GraftCatalogQueries.catalogClone),
+    "catalog_topn_push"   -> w(graft.sources.GraftCatalogQueries.catalogTopnPush),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
     "catalog_sorted"      -> w(graft.sources.GraftCatalogQueries.catalogSorted),
@@ -595,6 +598,9 @@ object SparkEntry {
     "catalog_partitions" -> graft.sources.GraftCatalogQueries.catalogPartitionsOracleSql,
     "catalog_respec" -> graft.sources.GraftCatalogQueries.catalogRespecOracleSql,
     "catalog_clustered_write" -> graft.sources.GraftCatalogQueries.catalogClusteredWriteOracleSql,
+    "catalog_limit_push" -> graft.sources.GraftCatalogQueries.catalogLimitPushOracleSql,
+    "catalog_clone" -> graft.sources.GraftCatalogQueries.catalogCloneOracleSql,
+    "catalog_topn_push" -> graft.sources.GraftCatalogQueries.catalogTopnPushOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,
     "catalog_sorted" -> graft.sources.GraftCatalogQueries.catalogSortedOracleSql,

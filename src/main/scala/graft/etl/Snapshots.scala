@@ -1139,6 +1139,58 @@ object Snapshots {
     id
   }
 
+  /** ZERO-COPY SHALLOW CLONE kernel: materialize snapshot `atId` of
+    * `srcRoot` as snapshot 1 of a brand-new store at `dstRoot` — the
+    * dev/test-on-100-TB shape (Delta's SHALLOW CLONE; the reference's
+    * per-release copied staging dirs, minus the copy). Data files are
+    * referenced IN PLACE through sibling-relative manifest paths
+    * (`../<src>/data/...`) with md5/bytes/zone stats/seq carried
+    * verbatim, so the clone costs O(metadata) regardless of table size
+    * and every reader capability (pruning, SPJ, statistics, time
+    * travel going forward) works unchanged. Equality tombstones are
+    * PHYSICALLY copied (O(delta) — their `deletes/` prefix is what
+    * marks them as tombstones, and their keys address rows by VALUE,
+    * so copies stay correct); position tombstones refuse (they address
+    * rows by source-relative file path + ordinal — a clone would
+    * mis-resolve them; compact first). The snapshot's `#meta`-carried
+    * marker rides along, so the clone is born with the source's
+    * declared shape AT THAT SNAPSHOT, not the source's current one.
+    *
+    * Contracts, each spec-pinned: the two tables diverge independently
+    * after the clone (writes to either never surface in the other);
+    * the clone's OWN GC never reaches through a foreign reference
+    * (see [[expire]]'s root-containment guard); `compact` on the clone
+    * rewrites into its own dir, making it self-contained. The honest
+    * edge — shared with every shallow-clone design: `expire` on the
+    * SOURCE can reclaim files a clone still references (the clone's
+    * refs are invisible to the source's GC by design); compact the
+    * clone to detach it before expiring the source.
+    *
+    * Returns (referenced data files, copied tombstone files).
+    */
+  def cloneSnapshot(srcRoot: Path, dstRoot: Path, atId: Int): (Int, Int) = {
+    require(!Files.exists(dstRoot.resolve("_current")) &&
+      manifestIdsOnDisk(dstRoot).isEmpty,
+      s"clone destination $dstRoot already holds a store")
+    val entries = manifest(srcRoot, atId) // throws loudly if missing
+    val (dels, datas) = entries.partition(isDelete)
+    require(!dels.exists(isPosDelete),
+      "clone: source snapshot carries POSITION tombstones, which address " +
+        "rows by source-relative file path + ordinal and would mis-resolve " +
+        "through a clone's foreign references — CALL system.compact first")
+    val rel = "../" + srcRoot.getFileName.toString + "/"
+    Files.createDirectories(dstRoot)
+    dels.foreach { e =>
+      val target = dstRoot.resolve(e.relPath)
+      Files.createDirectories(target.getParent)
+      Files.copy(srcRoot.resolve(e.relPath), target)
+    }
+    val cloned = datas.map(e => e.copy(relPath = rel + e.relPath)) ++ dels
+    writeManifestFile(dstRoot, 1, cloned, manifestMeta(srcRoot, atId))
+    commit(dstRoot, 1)
+    (datas.size, dels.size)
+  }
+
   /** stage + commit, optimistically: concurrent callers overlap their
     * entire data-write phase and serialize only on the tiny metadata
     * commit. Appends never conflict — every interleaving commits every
@@ -1772,6 +1824,46 @@ object Snapshots {
           new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
           s.sessionState.newHadoopConf()))
       try java.lang.Long.valueOf(f.getRecordCount) finally f.close()
+    })
+
+  /** The memoized per-file row count, for scan-side planning (limit /
+    * top-N file pruning): same cache as the metadata tables.
+    */
+  private[graft] def fileRows(s: SparkSession, root: Path, relPath: String): Long =
+    footerRows(s, root, relPath)
+
+  /** Per-(file, column) NULL count from the parquet FOOTER — `Some(n)`
+    * only when EVERY row group of the file carries statistics with a
+    * known null count for a top-level column named `col`; `None` means
+    * "unprovable", which callers must treat as "cannot skip". One O(1)
+    * driver read per file, memoized forever (files are immutable);
+    * negative cache included (a file without stats stays without them).
+    */
+  private val footerNullsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  private[graft] def fileColNulls(s: SparkSession, root: Path, relPath: String,
+      col: String): Option[Long] =
+    footerNullsCache.computeIfAbsent(root.resolve(relPath).toString + "#" + col, { _ =>
+      val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(root.resolve(relPath).toUri),
+          s.sessionState.newHadoopConf()))
+      try {
+        val blocks = f.getFooter.getBlocks
+        var total = 0L
+        var ok = blocks.size() > 0
+        val it = blocks.iterator()
+        while (ok && it.hasNext) {
+          val chunk = it.next().getColumns.asScala
+            .find(c => c.getPath.size() == 1 && c.getPath.toDotString == col)
+          chunk.map(_.getStatistics) match {
+            case Some(st) if st != null && st.isNumNullsSet => total += st.getNumNulls
+            case _ => ok = false
+          }
+        }
+        if (ok) Some(total) else None
+      } finally f.close()
     })
 
   /** Metadata relation over one snapshot's PARTITIONS — the operator's
@@ -2723,13 +2815,21 @@ object Snapshots {
     var n = 0
     var bytes = 0L
     val parents = scala.collection.mutable.LinkedHashSet[Path]()
+    val rootNorm = root.toAbsolutePath.normalize
     expired.flatMap(manifest(root, _)).map(_.relPath).distinct
       .filterNot(keepFiles).foreach { rel =>
         val p = root.resolve(rel)
-        if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); n += 1; parents += p.getParent }
-        // a bloom sidecar is metadata OF the data file: it dies with it
-        val b = bloomPath(root, rel)
-        if (Files.exists(b)) { bytes += Files.size(b); Files.delete(b) }
+        // a shallow clone's FOREIGN reference (`../src/...`) is never
+        // this store's to reclaim: its GC owns only paths inside its
+        // own root — deleting through the relative ref would reach
+        // into the SOURCE table's data
+        if (p.toAbsolutePath.normalize.startsWith(rootNorm) && Files.exists(p)) {
+          bytes += Files.size(p); Files.delete(p); n += 1; parents += p.getParent
+          // a bloom sidecar is metadata OF the data file: it dies with
+          // it (and shares its foreign-path protection)
+          val b = bloomPath(root, rel)
+          if (Files.exists(b)) { bytes += Files.size(b); Files.delete(b) }
+        }
       }
     // crumb sweep: a staging dir whose LAST data file was just reclaimed
     // holds only writer crumbs (_SUCCESS, .crc) — remove them and the

@@ -2986,4 +2986,244 @@ object GraftCatalogQueries {
       CAST(max(r.rev_cents) AS BIGINT) AS shard_rev_cents
     FROM o JOIN r ON o.shard = r.shard
     GROUP BY o.shard ORDER BY o.shard"""
+
+  /** Query `catalog_limit_push`: LIMIT pushdown as FILE pruning —
+    * `SELECT * FROM t LIMIT k` over a 100 TB table must not plan the
+    * table; the scan keeps a manifest-order file PREFIX whose memoized
+    * footer row counts cover the limit (here: 1 of 4 files) and Spark's
+    * own Limit stays on top (partial pushdown), so the answer is exact
+    * by construction. The pushdown is also proven to DECLINE whenever a
+    * pushed filter is active underneath — a filter could empty the kept
+    * prefix while a dropped file still held matching rows, so declining
+    * is soundness, not a missed optimization.
+    */
+  def catalogLimitPush(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT)")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // four commits, one file each — the prunable unit is the file
+      (0 until 4).foreach { i =>
+        src.filter(pmod(col("k"), lit(4)) === i)
+          .repartition(1).writeTo(s"$cat.t").append()
+      }
+      val store = root.resolve("t")
+      val totalFiles =
+        Snapshots.manifest(store, Snapshots.currentId(store).get).size
+      require(totalFiles >= 4, s"expected >=4 files, saw $totalFiles")
+
+      GraftScan.resetLimitPrune(store)
+      val limCnt = s.sql(
+        s"SELECT count(*) AS c FROM (SELECT * FROM $cat.t LIMIT 100)")
+        .head().getLong(0)
+      val (kept, ttl) = GraftScan.lastLimitPruneFor(store)
+      require(ttl == totalFiles && kept == 1,
+        s"LIMIT did not prune to the one-file prefix: kept $kept of $ttl " +
+          s"(files: $totalFiles)")
+
+      // a pushed filter underneath must decline the file prune
+      GraftScan.resetLimitPrune(store)
+      val limFiltered = s.sql(s"SELECT count(*) AS c FROM " +
+        s"(SELECT * FROM $cat.t WHERE k % 3 = 0 LIMIT 70)").head().getLong(0)
+      require(GraftScan.lastLimitPruneFor(store) == ((0, 0)),
+        "LIMIT file prune fired under a pushed filter — unsound")
+
+      val totalRows = s.table(s"$cat.t").count()
+      val schema = StructType(Seq(StructField("lim_cnt", LongType),
+        StructField("lim_filtered", LongType), StructField("total_rows", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(
+        Seq(Row(limCnt, limFiltered, totalRows)), 1), schema)
+    } finally rm(root)
+  }
+
+  /** The three counts restated (LIMIT counts are cardinalities, so
+    * row-pick nondeterminism never reaches the hash).
+    */
+  val catalogLimitPushOracleSql: String = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM orders LIMIT 100) t1)
+        AS lim_cnt,
+      (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT * FROM orders WHERE o_orderkey % 3 = 0 LIMIT 70) t2) AS lim_filtered,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS total_rows"""
+
+  /** Query `catalog_topn_push`: ORDER BY + LIMIT pushdown as ZONE-MAP
+    * file pruning — a top-k on the statscol keeps only files whose zone
+    * range can still reach the k-th bound (ASC: >= k rows provably sort
+    * at-or-below some file's zone-hi; every file whose zone-lo exceeds
+    * that bound is dropped), with per-file footer NULL counts proving
+    * the column carries no nulls (a null sorts to one end with no zone
+    * evidence — one unprovable footer declines the pushdown). Both
+    * directions proven; Spark's TakeOrderedAndProject stays on top, so
+    * exactness never depends on the prune. The decline contract rides
+    * the same query: a top-k above a pushed filter keeps every file.
+    */
+  def catalogTopnPush(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT) " +
+        "TBLPROPERTIES ('statscol'='k')")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val maxK = src.agg(max("k")).head().getLong(0)
+      // four RANGE-DISJOINT commits: per-file zone ranges partition the
+      // key space, so a top-50 needs exactly one file per direction
+      val cut = maxK / 4 + 1
+      (0 until 4).foreach { i =>
+        src.filter(col("k") >= i * cut && col("k") < (i + 1) * cut)
+          .repartition(1).writeTo(s"$cat.t").append()
+      }
+      val store = root.resolve("t")
+      val totalFiles =
+        Snapshots.manifest(store, Snapshots.currentId(store).get).size
+      require(totalFiles >= 4, s"expected >=4 files, saw $totalFiles")
+
+      GraftScan.resetLimitPrune(store)
+      val ascRows = s.table(s"$cat.t").orderBy(col("k").asc).limit(50)
+        .collect().map(r => Row("asc", r.getLong(0), r.getLong(1)))
+      val (ka, ta) = GraftScan.lastLimitPruneFor(store)
+      require(ta == totalFiles && ka < totalFiles,
+        s"ASC top-k pruned nothing: kept $ka of $ta (files: $totalFiles)")
+
+      GraftScan.resetLimitPrune(store)
+      val descRows = s.table(s"$cat.t").orderBy(col("k").desc).limit(50)
+        .collect().map(r => Row("desc", r.getLong(0), r.getLong(1)))
+      val (kd, td) = GraftScan.lastLimitPruneFor(store)
+      require(td == totalFiles && kd < totalFiles,
+        s"DESC top-k pruned nothing: kept $kd of $td")
+
+      // decline contract: a pushed filter underneath keeps every file
+      GraftScan.resetLimitPrune(store)
+      s.table(s"$cat.t").filter(col("cents") > 0)
+        .orderBy(col("k").asc).limit(10).collect()
+      require(GraftScan.lastLimitPruneFor(store) == ((0, 0)),
+        "top-k file prune fired under a pushed filter — unsound")
+
+      val schema = StructType(Seq(StructField("leg", StringType),
+        StructField("k", LongType), StructField("cents", LongType)))
+      s.createDataFrame(
+        s.sparkContext.parallelize((ascRows ++ descRows).toSeq, 1), schema)
+        .orderBy("leg", "k")
+    } finally rm(root)
+  }
+
+  /** Both top-k legs restated (o_orderkey is unique, so each leg is
+    * fully deterministic row-for-row).
+    */
+  val catalogTopnPushOracleSql: String = """
+    WITH t AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT * FROM (
+      SELECT 'asc' AS leg, k, cents FROM t ORDER BY k LIMIT 50)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'desc' AS leg, k, cents FROM t ORDER BY k DESC LIMIT 50)
+    ORDER BY leg, k"""
+
+  /** Query `catalog_clone`: ZERO-COPY SHALLOW CLONE — `CALL
+    * system.clone(src, dst[, snapshot_id])` materializes a snapshot of
+    * one table as a brand-new sibling table in O(metadata): data files
+    * are referenced in place through sibling-relative manifest paths
+    * (ZERO parquet lands under the clone — proven from the disk),
+    * equality tombstones copy physically (O(delta) — the cloned
+    * merge-on-read state must keep anti-joining), and a version-pinned
+    * clone is born with the SOURCE'S state and schema at that snapshot.
+    * The tables then diverge independently (writes to either never
+    * surface in the other — both directions proven), `CALL
+    * system.compact` DETACHES the clone (afterwards no manifest entry
+    * escapes its root — proven), and the clone's own `expire` GC
+    * refuses to reach through a foreign reference, so even a
+    * full-history expire of a still-attached clone can never damage
+    * the source (proven by expiring the detached-but-historied clone
+    * and re-reading the source). At 100 TB this is the dev/test-table
+    * story: a writable copy of production for the price of a manifest.
+    */
+  def catalogClone(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.src (k BIGINT NOT NULL, cents BIGINT NOT NULL) " +
+        "TBLPROPERTIES ('morkey'='k', 'statscol'='k')")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).writeTo(s"$cat.src").append()
+      val idAfterFirst = Snapshots.currentId(root.resolve("src")).get
+      src.filter(col("k") % 2 === 1).writeTo(s"$cat.src").append()
+      s.sql(s"DELETE FROM $cat.src WHERE k % 10 = 3")
+
+      // ---- clone at current (carries the live tombstones) ----------
+      val res = s.sql(s"CALL $cat.system.clone('src', 'dev')").collect()(0)
+      require(res.getInt(0) > 0 && res.getInt(1) >= 1,
+        s"clone saw ${res.getInt(0)} files / ${res.getInt(1)} tombstones")
+      // disk proof: NOT ONE data parquet landed under the clone
+      val devData = root.resolve("dev").resolve("data")
+      require(!JFiles.exists(devData) || {
+        val w = JFiles.walk(devData)
+        try !w.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+        finally w.close()
+      }, "shallow clone copied data files")
+      // the clone reads EXACTLY the source's merged state
+      val srcNow = s.table(s"$cat.src")
+      val devNow = s.table(s"$cat.dev")
+      require(devNow.exceptAll(srcNow).isEmpty && srcNow.exceptAll(devNow).isEmpty,
+        "clone diverged from source at birth")
+
+      // ---- version-pinned clone: born at the FIRST append's state ---
+      s.sql(s"CALL $cat.system.clone('src', 'hist', $idAfterFirst)")
+
+      // ---- independent divergence ----------------------------------
+      s.sql(s"INSERT INTO $cat.dev VALUES (-1, 11), (-2, 22)")
+      s.sql(s"DELETE FROM $cat.src WHERE k % 10 = 7")
+      // neither write surfaces in the other table
+      require(s.table(s"$cat.dev").filter(col("k") % 10 === 7 && col("k") > 0)
+        .count() > 0, "source's post-clone DELETE leaked into the clone")
+      require(s.table(s"$cat.src").filter(col("k") < 0).count() == 0,
+        "clone's post-clone INSERT leaked into the source")
+
+      // ---- detach + GC-guard proof ---------------------------------
+      s.sql(s"CALL $cat.system.compact('dev', 4)")
+      val devStore = root.resolve("dev")
+      val devHead = Snapshots.currentId(devStore).get
+      require(!Snapshots.manifest(devStore, devHead).exists(_.relPath.startsWith("../")),
+        "compact left the clone attached (foreign refs survive)")
+      val srcCountBefore = s.table(s"$cat.src").count()
+      // expire the clone's ENTIRE pre-compact history: its manifest-1
+      // references the source's files, and the guard must refuse to
+      // reach through them
+      s.sql(s"CALL $cat.system.expire('dev', $devHead)")
+      require(s.table(s"$cat.src").count() == srcCountBefore,
+        "expiring the clone reclaimed SOURCE files through foreign refs")
+
+      // ---- final states, one leg per table -------------------------
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .head()
+        Row(name, r.getLong(0), r.getLong(1))
+      }
+      val out = Seq(leg("src", s.table(s"$cat.src")),
+        leg("dev", s.table(s"$cat.dev")), leg("hist", s.table(s"$cat.hist")))
+      val schema = StructType(Seq(StructField("leg", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("leg")
+    } finally rm(root)
+  }
+
+  /** The three table states restated from orders: src = both deletes
+    * applied; dev = first delete only, plus the two divergence rows;
+    * hist = the even-key first append, pre-delete.
+    */
+  val catalogCloneOracleSql: String = """
+    WITH t AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT 'dev' AS leg, CAST(count(*) + 2 AS BIGINT) AS n,
+      CAST(sum(cents) + 33 AS BIGINT) AS sum_cents
+    FROM t WHERE k % 10 <> 3
+    UNION ALL
+    SELECT 'hist', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM t WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'src', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM t WHERE k % 10 <> 3 AND k % 10 <> 7
+    ORDER BY leg"""
 }

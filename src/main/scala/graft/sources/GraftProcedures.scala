@@ -234,6 +234,32 @@ private[sources] object GraftProcedures {
       Seq(p("tbl", StringType), p("snapshot_id", IntegerType)),
       StructType(Seq(StructField("current", IntegerType))),
       (s, store, in) => Seq(Row(Snapshots.rollback(store, in.getInt(1))))),
+    Spec("clone",
+      Seq(p("tbl", StringType), p("dst", StringType),
+        pDefault("snapshot_id", IntegerType, "NULL")),
+      StructType(Seq(StructField("cloned_files", IntegerType),
+        StructField("copied_tombstones", IntegerType))),
+      (s, store, in) => {
+        // zero-copy SHALLOW CLONE into a sibling table of the same
+        // namespace (the manifest references are sibling-relative, so
+        // the destination must live beside the source). The marker is
+        // the source's EFFECTIVE shape at the cloned snapshot — an
+        // older snapshot clones with its own schema, not today's.
+        val dstName = str(in, 1)
+        require(!dstName.contains('.') && !dstName.contains('/') &&
+          dstName.nonEmpty && dstName != store.getFileName.toString,
+          s"clone destination '$dstName' must be a bare sibling table name")
+        val dstDir = store.getParent.resolve(dstName)
+        require(!java.nio.file.Files.exists(dstDir),
+          s"clone destination '$dstName' already exists")
+        val atId = if (in.isNullAt(2)) Snapshots.currentId(store).getOrElse(
+          throw new IllegalStateException(s"no published snapshot under $store"))
+        else in.getInt(2)
+        val (sch, props) = GraftCatalog.effectiveMarker(store, Some(atId))
+        val (files, tombs) = Snapshots.cloneSnapshot(store, dstDir, atId)
+        GraftCatalog.writeMarker(dstDir, sch, props)
+        Seq(Row(files, tombs))
+      }),
     Spec("build_blooms",
       Seq(p("tbl", StringType), p("key_col", StringType),
         pDefault("est_items", LongType, "262144")),

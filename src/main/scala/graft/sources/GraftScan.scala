@@ -44,7 +44,9 @@ final class GraftScanBuilder(
     specFrom: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   // files carry PHYSICAL column names; the scan negotiates pushdown in
   // physical terms and translates at its boundary (rows are positional,
@@ -117,6 +119,107 @@ final class GraftScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     colMap.isEmpty && inner.supportCompletePushDown(agg)
 
+  // ---- limit / top-N FILE pruning over manifest metadata --------------
+  //
+  // Both pushdowns are PARTIAL by declaration (`isPartiallyPushed`
+  // stays true, Spark keeps its Limit / TakeOrderedAndProject on top):
+  // the scan never truncates rows, it only plans FEWER FILES when the
+  // manifest + footers PROVE the dropped files cannot contribute —
+  // per-file row counts for a bare LIMIT (a 100 TB `LIMIT 100` opens
+  // one file), zone ranges + proven-zero null counts for ORDER BY +
+  // LIMIT. Both decline whenever any row-dropping machinery is active
+  // underneath (pushed filters, pushed aggregates): a filter could
+  // empty the kept prefix while a dropped file still held matching
+  // rows — so the guard is soundness, not caution. Tombstones never
+  // reach this builder (MoR snapshots route to GraftMergeScanBuilder).
+  private var keptForLimit: Option[Seq[Snapshots.ManifestEntry]] = None
+
+  private def limitPushable: Boolean =
+    entries.nonEmpty && pushedPhys.isEmpty && !aggPushed
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (!limitPushable || limit <= 0) false
+    else {
+      // manifest-order prefix whose footer row counts cover the limit
+      val prefix = scala.collection.mutable.ArrayBuffer[Snapshots.ManifestEntry]()
+      var acc = 0L
+      val it = entries.iterator
+      while (acc < limit && it.hasNext) {
+        val e = it.next()
+        prefix += e
+        acc += Snapshots.fileRows(spark, store, e.relPath)
+      }
+      if (acc >= limit && prefix.size < entries.size) {
+        keptForLimit = Some(prefix.toSeq)
+        GraftScan.recordLimitPrune(store, prefix.size, entries.size)
+        true
+      } else false
+    }
+  }
+
+  /** Zone range of `col` (PHYSICAL name) in one manifest entry: the
+    * named multi-column map first, then the anonymous statscol range.
+    */
+  private def zoneOf(e: Snapshots.ManifestEntry, col: String): Option[(Long, Long)] =
+    e.multi.collectFirst { case (n, lo, hi) if n == col => (lo, hi) }
+      .orElse(if (statsCol.contains(col)) e.stats else None)
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (!limitPushable || limit <= 0 || orders.length != 1) return false
+    val col = orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => physName(r.fieldNames()(0))
+      case _ => return false
+    }
+    // only types whose zone-map Long ordering IS the column ordering
+    val sortable = physicalSchema.fields.find(_.name == col).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType => true
+      case _ => false
+    })
+    if (!sortable) return false
+    val asc = orders(0).direction() == SortDirection.ASCENDING
+    // every file must PROVE zero nulls in the column — a null sorts to
+    // one end of the output and carries no zone evidence of where it
+    // lives, so one unprovable footer declines the whole pushdown
+    if (!entries.forall(e =>
+        Snapshots.fileColNulls(spark, store, e.relPath, col).contains(0L)))
+      return false
+    val ranged = entries.flatMap(e => zoneOf(e, col).map(r => (e, r._1, r._2)))
+    val unranged = {
+      val withZone = ranged.map(_._1.relPath).toSet
+      entries.filterNot(e => withZone.contains(e.relPath))
+    }
+    // threshold: the tightest bound B such that >= limit rows provably
+    // sort at-or-inside B, using ranged files only (ASC: files sorted
+    // by zone-hi — all their rows are <= that hi; DESC symmetric)
+    val ordered =
+      if (asc) ranged.sortBy(_._3) else ranged.sortBy(_._2)(Ordering[Long].reverse)
+    var acc = 0L
+    var bound: Option[Long] = None
+    val it = ordered.iterator
+    while (acc < limit && it.hasNext) {
+      val (e, lo, hi) = it.next()
+      acc += Snapshots.fileRows(spark, store, e.relPath)
+      bound = Some(if (asc) hi else lo)
+    }
+    if (acc < limit) return false // ranged rows alone cannot cover the top-k
+    val b = bound.get
+    val keptPaths = (unranged.map(_.relPath) ++ ordered.collect {
+      case (e, lo, hi) if (asc && lo <= b) || (!asc && hi >= b) => e.relPath
+    }).toSet
+    val kept = entries.filter(e => keptPaths.contains(e.relPath)) // manifest order
+    if (kept.size < entries.size) {
+      keptForLimit = Some(kept)
+      GraftScan.recordLimitPrune(store, kept.size, entries.size)
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan = {
     val rebuild: Seq[Snapshots.ManifestEntry] => ParquetScan = { kept =>
       val b = mkInner(kept)
@@ -124,9 +227,21 @@ final class GraftScanBuilder(
       prunedPhys.foreach(b.pruneColumns)
       b.build()
     }
-    new GraftScan(spark, store, inner.build(), physicalSchema, statsCol, options,
-      logicalize, entries, Some(rebuild), colMap, partColPhys, aggPushed,
-      tableSchema, bucketSpec, sortColPhys, specFrom)
+    keptForLimit match {
+      case Some(kept) =>
+        // a limit/top-N pruned the file set after `inner` was built:
+        // rebuild over the kept files (replaying the pruned schema; no
+        // filters/aggregates by the pushdown guard). Runtime filtering
+        // is withheld (rebuild=None): a limit-pruned scan sits directly
+        // under its Limit, never under a join's DPP.
+        new GraftScan(spark, store, rebuild(kept), physicalSchema, statsCol,
+          options, logicalize, kept, None, colMap, partColPhys, aggPushed,
+          tableSchema, bucketSpec, sortColPhys, specFrom)
+      case None =>
+        new GraftScan(spark, store, inner.build(), physicalSchema, statsCol,
+          options, logicalize, entries, Some(rebuild), colMap, partColPhys,
+          aggPushed, tableSchema, bucketSpec, sortColPhys, specFrom)
+    }
   }
 }
 
@@ -149,6 +264,22 @@ object GraftScan {
 
   def lastRuntimePruneFor(store: JPath): (Int, Int) =
     runtimePrunes.getOrDefault(store.toAbsolutePath.toString, (0, 0))
+
+  /** (kept, total) of the last LIMIT/TOP-N file prune per store — same
+    * proof-hook contract as [[runtimePrunes]]: written at pushdown
+    * time, read only by specs and oracled queries.
+    */
+  private val limitPrunes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[graft] def recordLimitPrune(store: JPath, kept: Int, total: Int): Unit =
+    limitPrunes.put(store.toAbsolutePath.toString, (kept, total))
+
+  def resetLimitPrune(store: JPath): Unit =
+    limitPrunes.remove(store.toAbsolutePath.toString)
+
+  def lastLimitPruneFor(store: JPath): (Int, Int) =
+    limitPrunes.getOrDefault(store.toAbsolutePath.toString, (0, 0))
 
   /** Partition value of a value-pure path: the LAST `_pv=` segment,
     * unescaped from Spark's partition-path escaping (%XX). None when the
