@@ -536,16 +536,39 @@ object Snapshots {
         }
       }
 
+  /** Single-slot per-store memo of the DISTRIBUTED merge result, keyed
+    * by the exact delete-file set (relPath+md5 — immutable files, so
+    * set identity IS content identity). One slot, replace-on-change:
+    * the set readers hit repeatedly is the CURRENT snapshot's; a
+    * compaction or new purge mints a new set and evicts the old one,
+    * so the cache holds O(one final bitmap map) per store — the same
+    * bytes the live broadcast needs anyway, never a history of them.
+    */
+  private val posDistributedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Array[Byte]])]()
+
   /** Executor-side merge of a LARGE tombstone set (the buildBlooms
     * sidecar shape): every delete file — compressed `__bitmap` rows and
     * legacy `__pos` pair rows alike — feeds one shuffle keyed by named
     * data file, the Roaring unions run in the executors
     * ([[graft.functions.BitmapOr]] / BitmapBuild), and the driver
-    * collects only the final per-file bytes. One Spark job; not
-    * memoized (a set this large is a maintenance event, not a
-    * per-statement read path — compaction folds it away).
+    * collects only the final per-file bytes. One Spark job on first
+    * touch, then memoized per store for the life of the tombstone SET
+    * ([[posDistributedCache]]) — a read-hot table above the driver
+    * threshold pays the merge once, not per statement.
     */
   private[graft] def posBitmapsDistributed(s: SparkSession, root: Path,
+                                           dels: Seq[ManifestEntry]): Map[String, Array[Byte]] = {
+    val setKey = dels.map(e => e.relPath + "@" + e.md5).sorted.mkString("\n")
+    val storeKey = root.toAbsolutePath.normalize.toString
+    val hit = posDistributedCache.get(storeKey)
+    if (hit != null && hit._1 == setKey) return hit._2
+    val computed = posBitmapsDistributedCompute(s, root, dels)
+    posDistributedCache.put(storeKey, (setKey, computed))
+    computed
+  }
+
+  private def posBitmapsDistributedCompute(s: SparkSession, root: Path,
                                            dels: Seq[ManifestEntry]): Map[String, Array[Byte]] = {
     def aggOf(df: DataFrame): DataFrame =
       if (df.columns.contains("__bitmap"))
@@ -2246,6 +2269,66 @@ object Snapshots {
     */
   def readAt(s: SparkSession, root: Path, n: Int): DataFrame =
     readAt(s, root, n, None, None)
+
+  /** ANALYZE kernel: exact per-column (distinct count, null count) of
+    * snapshot `id`'s MERGED view, computed in ONE Spark job and written
+    * as a `stats/colstats-<id>` sidecar (write-temp + atomic rename;
+    * re-analyzing merges column-wise, newest wins). The sidecar is
+    * ADVISORY metadata for the scan's reported column statistics —
+    * Spark's CBO turns NDV into post-filter cardinality and with it
+    * broadcast decisions a raw size estimate can never make. Column
+    * names are PHYSICAL (the store's own); callers translate. Never
+    * read by any correctness path, never GC'd (tiny), and staleness is
+    * by contract: [[colStats]] serves the NEWEST sidecar at-or-below
+    * the read snapshot, stamped with the id it was computed at —
+    * estimates, not facts, exactly like every ANALYZE-based optimizer.
+    */
+  def analyzeColumns(s: SparkSession, root: Path, id: Int,
+                     cols: Seq[String]): Seq[(String, Long, Long)] = {
+    require(cols.nonEmpty, "analyze: no columns named")
+    val df = readAt(s, root, id)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"analyze: no column '$c' in snapshot $id (have: ${df.columns.mkString(", ")})"))
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        count_distinct(col(c)).as(s"__ndv_$c"),
+        count(col(c)).as(s"__nn_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val fresh = cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(1 + 2 * i), n - row.getLong(2 + 2 * i))
+    }
+    val dir = root.resolve("stats")
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"colstats-$id")
+    val existing: Map[String, (Long, Long)] =
+      if (Files.exists(target)) parseColStats(target) else Map.empty
+    val merged = existing ++ fresh.map { case (c, d, u) => c -> (d, u) }
+    atomicWrite(target, merged.toSeq.sortBy(_._1)
+      .map { case (c, (d, u)) => s"$c\t$d\t$u" }.mkString("\n"))
+    fresh
+  }
+
+  private def parseColStats(p: Path): Map[String, (Long, Long)] =
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val f = l.split('\t')
+      f(0) -> (f(1).toLong, f(2).toLong)
+    }.toMap
+
+  /** The newest analyze sidecar at-or-below snapshot `atId`:
+    * (computed-at id, physical column -> (ndv, nulls)). Empty when the
+    * table was never analyzed that far back.
+    */
+  def colStats(root: Path, atId: Int): Option[(Int, Map[String, (Long, Long)])] = {
+    val dir = root.resolve("stats")
+    if (!Files.exists(dir)) return None
+    val l = Files.list(dir)
+    val ids = try l.iterator().asScala
+      .flatMap(p => numericSuffix(p.getFileName.toString, "colstats-")).toSeq
+    finally l.close()
+    ids.filter(_ <= atId).sorted.lastOption
+      .map(i => (i, parseColStats(dir.resolve(s"colstats-$i"))))
+  }
 
   /** [[readAt]] with the reader's extra knowledge: `pruneCol` declares
     * that the store's zone-map stats column is ALSO the tombstone key

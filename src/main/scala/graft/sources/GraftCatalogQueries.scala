@@ -3209,6 +3209,106 @@ object GraftCatalogQueries {
     } finally rm(root)
   }
 
+  /** Query `catalog_analyze`: COLUMN STATISTICS → Spark's own CBO —
+    * `CALL system.analyze(tbl, cols)` computes exact per-column NDV +
+    * null counts in one job and persists them as a stats sidecar; the
+    * scan then reports them (plus exact footer row counts and manifest
+    * zone min/max — both zero-job) through DSv2 `columnStats()`, which
+    * Spark folds into catalyst ColumnStats. The pay-off proven
+    * in-query: under `spark.sql.cbo.enabled`, a selective filter on
+    * the analyzed column shrinks the estimated join side from
+    * "the whole dimension table" to rowCount/NDV rows, flipping a
+    * sort-merge join to broadcast — the decision a bytes-only estimate
+    * can never make, and at 100 TB the difference between shuffling a
+    * fact table and shipping a kilobyte. Both plans' ANSWERS are
+    * asserted identical and the analyze numbers themselves ride the
+    * oracle hash.
+    */
+  def catalogAnalyze(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"CREATE TABLE $cat.dim (k BIGINT NOT NULL, cents BIGINT NOT NULL) " +
+        "TBLPROPERTIES ('statscol'='cents')")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.dim").append()
+      s.sql(s"CREATE TABLE $cat.fact (k BIGINT NOT NULL, qty BIGINT NOT NULL)")
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        round(col("l_quantity") * 100).cast("long").as("qty"))
+        .writeTo(s"$cat.fact").append()
+      val stats = s.sql(s"CALL $cat.system.analyze('dim', 'k,cents')")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // the filter value: the first order's cents — deterministic
+      val minK = s.table(s"$cat.dim").agg(min("k")).head().getLong(0)
+      val cval = s.table(s"$cat.dim").filter(col("k") === minK)
+        .head().getLong(1)
+      // the dim file is PROVABLY above the threshold; only a
+      // stats-shrunk estimate may broadcast it
+      val dimBytes = Snapshots.manifest(root.resolve("dim"),
+        Snapshots.currentId(root.resolve("dim")).get).map(_.bytes).sum
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(4096L, dimBytes / 2).toString)
+      def q() = s.table(s"$cat.fact")
+        .join(s.table(s"$cat.dim").filter(col("cents") === cval), "k")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+      def joins(p: org.apache.spark.sql.execution.SparkPlan, want: String): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if want == "smj" => 1
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if want == "bhj" => 1
+          case _ => 0
+        }
+        here + p.children.map(joins(_, want)).sum
+      }
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val off = q()
+      val offRow = off.collect().head
+      require(joins(off.queryExecution.sparkPlan, "smj") > 0,
+        s"bytes-only baseline unexpectedly broadcast:\n${off.queryExecution.sparkPlan}")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val on = q()
+      val onRow = on.collect().head
+      require(joins(on.queryExecution.sparkPlan, "bhj") > 0,
+        s"CBO column stats did not flip the join to broadcast:\n" +
+          on.queryExecution.sparkPlan)
+      require(offRow == onRow, s"plans disagree: $offRow vs $onRow")
+      val schema = StructType(Seq(StructField("n", LongType),
+        StructField("sum_qty", LongType), StructField("ndv_k", LongType),
+        StructField("ndv_cents", LongType), StructField("nulls_k", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(Row(
+        onRow.getLong(0), onRow.getLong(1), stats("k")._1, stats("cents")._1,
+        stats("k")._2)), 1), schema)
+    } finally {
+      prevCbo match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None    => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rm(root)
+    }
+  }
+
+  /** The join under the analyzed filter plus the analyze numbers
+    * themselves, restated flat.
+    */
+  val catalogAnalyzeOracleSql: String = """
+    WITH d AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    f AS (SELECT l_orderkey AS k,
+        CAST(round(l_quantity * 100) AS BIGINT) AS qty FROM lineitem),
+    cv AS (SELECT cents FROM d WHERE k = (SELECT min(k) FROM d))
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM f JOIN d ON f.k = d.k
+        WHERE d.cents = (SELECT cents FROM cv)) AS n,
+      (SELECT CAST(sum(f.qty) AS BIGINT) FROM f JOIN d ON f.k = d.k
+        WHERE d.cents = (SELECT cents FROM cv)) AS sum_qty,
+      (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM d) AS ndv_k,
+      (SELECT CAST(count(DISTINCT cents) AS BIGINT) FROM d) AS ndv_cents,
+      CAST(0 AS BIGINT) AS nulls_k"""
+
   /** The three table states restated from orders: src = both deletes
     * applied; dev = first delete only, plus the two divergence rows;
     * hist = the even-key first append, pre-delete.

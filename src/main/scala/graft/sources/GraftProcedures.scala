@@ -260,6 +260,25 @@ private[sources] object GraftProcedures {
         GraftCatalog.writeMarker(dstDir, sch, props)
         Seq(Row(files, tombs))
       }),
+    Spec("analyze",
+      Seq(p("tbl", StringType), p("cols", StringType)),
+      StructType(Seq(StructField("column", StringType),
+        StructField("ndv", LongType), StructField("nulls", LongType))),
+      (s, store, in) => {
+        // exact NDV + null counts of the CURRENT merged view, one job,
+        // persisted as a stats sidecar the scan's reported column
+        // statistics serve to Spark's CBO (see GraftScan) — the
+        // ANALYZE TABLE of this catalog. Columns arrive logical,
+        // comma-separated; the sidecar stores physical.
+        val cur = Snapshots.currentId(store).getOrElse(
+          throw new IllegalStateException(s"no published snapshot under $store"))
+        val props = GraftCatalog.readMarker(store)._2
+        val logicals = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(logicals.nonEmpty, "analyze: no columns named")
+        val phys = logicals.map(l => props.getOrElse("colmap." + l, l))
+        val res = Snapshots.analyzeColumns(s, store, cur, phys)
+        logicals.zip(res).map { case (l, (_, d, u)) => Row(l, d, u) }
+      }),
     Spec("build_blooms",
       Seq(p("tbl", StringType), p("key_col", StringType),
         pDefault("est_items", LongType, "262144")),

@@ -236,11 +236,11 @@ final class GraftScanBuilder(
         // under its Limit, never under a join's DPP.
         new GraftScan(spark, store, rebuild(kept), physicalSchema, statsCol,
           options, logicalize, kept, None, colMap, partColPhys, aggPushed,
-          tableSchema, bucketSpec, sortColPhys, specFrom)
+          tableSchema, bucketSpec, sortColPhys, specFrom, snapshotId)
       case None =>
         new GraftScan(spark, store, inner.build(), physicalSchema, statsCol,
           options, logicalize, entries, Some(rebuild), colMap, partColPhys,
-          aggPushed, tableSchema, bucketSpec, sortColPhys, specFrom)
+          aggPushed, tableSchema, bucketSpec, sortColPhys, specFrom, snapshotId)
     }
   }
 }
@@ -351,7 +351,8 @@ final class GraftScan(
     logicalSchema: StructType = new StructType(),
     bucketSpec: Option[(String, Int)] = None,
     sortColPhys: Option[String] = None,
-    specFrom: Option[Int] = None) extends Scan
+    specFrom: Option[Int] = None,
+    snapshotIdOf: Int = 0) extends Scan
     with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
@@ -383,7 +384,97 @@ final class GraftScan(
     currentParquet.columnarSupportMode()
 
   // ---- statistics: manifest bytes → join planning (broadcast decisions)
-  override def estimateStatistics(): Statistics = currentParquet.estimateStatistics()
+
+  /** Beyond the wrapped FileScan's size estimate, the scan reports what
+    * the METADATA already proves — at zero data I/O:
+    *
+    *  - `numRows`: exact, from memoized footer row counts (FileScan
+    *    leaves it empty, and CBO's filter/join estimation needs a row
+    *    count to do anything at all);
+    *  - per-column `min`/`max`: the manifest zone maps, folded across
+    *    files (only when EVERY file carries the column's zone — absent
+    *    stats mean unknown, never zero-width);
+    *  - per-column `nullCount`: summed footer null counts (only when
+    *    every footer proves one);
+    *  - per-column `distinctCount`: the newest `CALL system.analyze`
+    *    sidecar at-or-below this snapshot ([[Snapshots.colStats]]) —
+    *    estimates by contract, like every ANALYZE-fed optimizer.
+    *
+    * Spark folds these into catalyst ColumnStats
+    * (`DataSourceV2Relation.transformV2Stats`), so with
+    * `spark.sql.cbo.enabled` a selective filter on an analyzed column
+    * shrinks the estimated join side below the broadcast threshold —
+    * the decision a bytes-only estimate can never make. Declined when
+    * an aggregate was pushed (the output is no longer row-shaped).
+    */
+  override def estimateStatistics(): Statistics = {
+    val inner = currentParquet.estimateStatistics()
+    val ents = currentEntries
+    if (ents.isEmpty || aggPushed) return inner
+    val rowsTotal = ents.map(e => Snapshots.fileRows(spark, store, e.relPath)).sum
+    val cstats = buildColumnStats(ents, rowsTotal)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = inner.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowsTotal)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cstats
+    }
+  }
+
+  private def buildColumnStats(ents: Seq[Snapshots.ManifestEntry], rowsTotal: Long):
+      java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val analyzed: Map[String, (Long, Long)] =
+      Snapshots.colStats(store, snapshotIdOf).map(_._2).getOrElse(Map.empty)
+    // candidates: every zone-mapped column plus every analyzed one
+    val zoneCols = (statsCol.toSeq ++ ents.flatMap(_.multi.map(_._1))).distinct
+    (zoneCols ++ analyzed.keys).distinct.foreach { phys =>
+      val dt = tableSchema.fields.find(_.name == phys).map(_.dataType)
+      // zone fold: defined only when EVERY file proves the range
+      val zones = ents.map(e =>
+        e.multi.collectFirst { case (n, lo, hi) if n == phys => (lo, hi) }
+          .orElse(if (statsCol.contains(phys)) e.stats else None))
+      val range: Option[(Long, Long)] =
+        if (zones.nonEmpty && zones.forall(_.isDefined))
+          Some((zones.flatten.map(_._1).min, zones.flatten.map(_._2).max))
+        else None
+      // render the zone Long in the attribute's catalyst-internal type
+      def render(v: Long): Option[AnyRef] = dt match {
+        case Some(LongType) | Some(TimestampType) => Some(java.lang.Long.valueOf(v))
+        case Some(IntegerType) | Some(DateType) => Some(java.lang.Integer.valueOf(v.toInt))
+        case Some(ShortType) => Some(java.lang.Short.valueOf(v.toShort))
+        case Some(ByteType) => Some(java.lang.Byte.valueOf(v.toByte))
+        case _ => None
+      }
+      val minV = range.flatMap(r => render(r._1))
+      val maxV = range.flatMap(r => render(r._2))
+      // footer-proven null count (exact, current); analyze's as fallback
+      val footerNulls: Option[Long] = {
+        val per = ents.map(e => Snapshots.fileColNulls(spark, store, e.relPath, phys))
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+      val nulls = footerNulls.orElse(analyzed.get(phys).map(_._2))
+      val ndv = analyzed.get(phys).map(_._1)
+      if (minV.isDefined || nulls.isDefined || ndv.isDefined) {
+        out.put(Expressions.column(logicalOf(phys)), new ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def min(): java.util.Optional[Object] =
+            minV.fold(java.util.Optional.empty[Object]())(v =>
+              java.util.Optional.of(v.asInstanceOf[Object]))
+          override def max(): java.util.Optional[Object] =
+            maxV.fold(java.util.Optional.empty[Object]())(v =>
+              java.util.Optional.of(v.asInstanceOf[Object]))
+          override def nullCount(): java.util.OptionalLong =
+            nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+        })
+      }
+    }
+    out
+  }
 
   // ---- runtime (DPP-style) filtering over manifest metadata -----------
 

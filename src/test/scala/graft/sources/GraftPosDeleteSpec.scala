@@ -227,4 +227,45 @@ class GraftPosDeleteSpec extends AnyFunSuite {
       }
     } finally rm(root)
   }
+
+  test("distributed merge memoizes per tombstone SET: a re-serve runs zero jobs") {
+    val (cat, root) = fresh()
+    try {
+      val t = mk(cat)
+      val store = root.resolve("t")
+      s.sql(s"DELETE FROM $t WHERE v < 30")
+      s.sql(s"DELETE FROM $t WHERE v >= 20 AND v < 50")
+      val cur = Snapshots.currentId(store).get
+      val dels = Snapshots.manifest(store, cur).filter(Snapshots.isDelete)
+      val first = Snapshots.posBitmapsDistributed(s, store, dels)
+      // same set, second serve: memo hit — NO Spark job
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      val second = try {
+        val r = Snapshots.posBitmapsDistributed(s, store, dels)
+        Thread.sleep(1500) // async listener bus
+        r
+      } finally s.sparkContext.removeSparkListener(listener)
+      assert(jobs.get() == 0,
+        s"memoized distributed merge still launched ${jobs.get()} job(s)")
+      assert(second.keySet == first.keySet)
+      // a CHANGED set (new purge) evicts the slot and recomputes
+      s.sql(s"DELETE FROM $t WHERE v >= 90 AND v < 95")
+      val cur2 = Snapshots.currentId(store).get
+      val dels2 = Snapshots.manifest(store, cur2).filter(Snapshots.isDelete)
+      val third = Snapshots.posBitmapsDistributed(s, store, dels2)
+      val removed = third.values.map(b =>
+        graft.functions.PosBitmaps.deserialize(b).getLongCardinality).sum
+      val removedBefore = first.values.map(b =>
+        graft.functions.PosBitmaps.deserialize(b).getLongCardinality).sum
+      // v = id % 100 over 1000 rows: 5 more values x 10 rows each
+      assert(removed == removedBefore + 50,
+        s"recomputed set lost ordinals: $removed vs $removedBefore + 50")
+    } finally rm(root)
+  }
 }
