@@ -1350,8 +1350,14 @@ object Snapshots {
             // pruning (rows dropped), caught by GraftPartitionedSpec
             val full = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
             dataDir.toAbsolutePath.relativize(full.toAbsolutePath).toString ->
-              statsCols.map(c =>
-                (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c"))))
+              // a file whose stats column is entirely NULL has no zone
+              // (min/max come back null): stage it with NO range —
+              // absent stats mean "cannot skip", never a fabricated one
+              statsCols.flatMap(c =>
+                if (r.isNullAt(r.fieldIndex(s"lo_$c")) ||
+                    r.isNullAt(r.fieldIndex(s"hi_$c"))) None
+                else Some(
+                  (c, r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c")))))
           }.toMap
       }
     // recursive: a value-pure partitioned staging (stageOccPartitioned)

@@ -1504,9 +1504,38 @@ final class GraftTable(
         .map(c => c.copy(col = physicalOf(c.col)))
       val bloomOf = SnapshotPruning.bloomLoader(store)
       val bloomCol = SnapshotPruning.bloomColumn(store)
-      val (cands, untouched) = entries.partition(e =>
+      val (cands0, untouched) = entries.partition(e =>
         cs.isEmpty || !SnapshotPruning.skippable(store, e, cs, statsCol, bloomCol, bloomOf))
-      if (cands.isEmpty) return // every file provably predicate-free
+      if (cands0.isEmpty) return // every file provably predicate-free
+      // METADATA-ONLY DROPS: a candidate whose metadata PROVES every
+      // row matches the whole predicate — a value-pure `_pv=` file
+      // under an equality on the partition column, or a zone range
+      // strictly inside the predicate's with a footer-proven zero null
+      // count (a NULL-condition row SURVIVES a SQL DELETE, so one
+      // possible null voids the proof) — is dropped from the manifest
+      // without being read: purging a partition of a 100 TB table is a
+      // manifest edit, not a rewrite. Partial matches rewrite as
+      // before; a delete that would empty the manifest declines the
+      // shortcut and takes the rewrite path (an all-files metadata
+      // drop has no manifest left to commit).
+      val (droppedMeta, candsMeta) = cands0.partition(provablyAllMatch(_, filters))
+      val (dropped, cands) =
+        if (untouched.isEmpty && candsMeta.isEmpty) (Nil, cands0)
+        else (droppedMeta, candsMeta)
+      if (cands.isEmpty) {
+        // pure metadata delete: zero files read, zero rows shuffled,
+        // zero files written — one surgical commit carrying the rest
+        try {
+          Snapshots.commitOcc(store, Nil, Snapshots.OccSurgical(base, untouched),
+            seedMeta = GraftCatalog.seedMetaFor(store))
+          return
+        } catch {
+          case _: Snapshots.CommitConflictException =>
+            attempts += 1
+            if (attempts >= 5) throw new Snapshots.CommitConflictException(
+              s"DELETE on ${name()} lost the commit race $attempts times")
+        }
+      } else {
       val tableSchema = schema
       val raw = spark.read.option("mergeSchema", "true")
         .parquet(cands.map(e => store.resolve(e.relPath).toString): _*)
@@ -1556,8 +1585,18 @@ final class GraftTable(
           } else (conformed.count(), stagedCount())
         require(after <= before,
           s"delete rewrite grew rows: $before -> $after; NOT committed")
+        if (after == before && dropped.isEmpty) {
+          // no row matched anywhere: commit nothing, reclaim staging
+          Snapshots.discardStaged(store, fresh)
+          return
+        }
         if (after == before) {
-          // no row matched: commit nothing, reclaim staging
+          // candidates all survived but metadata drops still delete
+          // rows: carry the ORIGINAL candidate files (no pointless
+          // rewrite churn) and commit the drops alone
+          Snapshots.commitOcc(store, Nil,
+            Snapshots.OccSurgical(base, untouched ++ cands),
+            seedMeta = GraftCatalog.seedMetaFor(store))
           Snapshots.discardStaged(store, fresh)
           return
         }
@@ -1575,7 +1614,65 @@ final class GraftTable(
           throw e
       }
       }
+      }
     }
+  }
+
+  /** Does the file's METADATA prove that EVERY row matches every one of
+    * `filters` (a conjunction)? Evidence, per column: a value-pure
+    * `_pv=` path segment on the partition column (all rows carry that
+    * value, nulls structurally impossible — they land the default dir),
+    * or the manifest zone range PLUS a footer-proven zero null count (a
+    * zone map ignores nulls, and a NULL-condition row survives a SQL
+    * DELETE — one possible null voids the proof). Integral domains
+    * only; anything unprovable is simply not dropped.
+    */
+  private def provablyAllMatch(e: Snapshots.ManifestEntry,
+                               filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def zoneOf(physCol: String): Option[(Long, Long)] =
+      if (partCol.contains(physCol))
+        GraftScan.pvOfPath(e.relPath).flatMap(_.toLongOption).map(v => (v, v))
+      else e.multi.collectFirst { case (n, lo, hi) if n == physCol => (lo, hi) }
+        .orElse(if (statsCol.contains(physCol)) e.stats else None)
+        .filter(_ =>
+          Snapshots.fileColNulls(spark, store, e.relPath, physCol).contains(0L))
+    def lv(v: Any): Option[Long] = v match {
+      case l: Long  => Some(l)
+      case i: Int   => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte  => Some(b.toLong)
+      case _        => None
+    }
+    def allMatch(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => (zoneOf(physicalOf(c)), lv(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo == x && hi == x
+        case _ => false
+      }
+      case GreaterThan(c, v) => (zoneOf(physicalOf(c)), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo > x
+        case _ => false
+      }
+      case GreaterThanOrEqual(c, v) => (zoneOf(physicalOf(c)), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo >= x
+        case _ => false
+      }
+      case LessThan(c, v) => (zoneOf(physicalOf(c)), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi < x
+        case _ => false
+      }
+      case LessThanOrEqual(c, v) => (zoneOf(physicalOf(c)), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi <= x
+        case _ => false
+      }
+      case In(c, vs) => zoneOf(physicalOf(c)) match {
+        case Some((lo, hi)) => lo == hi && vs.flatMap(lv(_)).contains(lo)
+        case None => false
+      }
+      case And(l, r) => allMatch(l) && allMatch(r)
+      case _ => false
+    }
+    filters.nonEmpty && filters.forall(allMatch)
   }
 
   override def toString: String = s"GraftTable(${name()} @ $store pin=$pin)"

@@ -3209,6 +3209,103 @@ object GraftCatalogQueries {
     } finally rm(root)
   }
 
+  /** Query `catalog_meta_delete`: METADATA-ONLY DELETE — a predicate
+    * that provably matches EVERY row of a file (a value-pure `_pv=`
+    * file under equality on the partition column; a zone range strictly
+    * inside the predicate's with a footer-proven zero null count) drops
+    * the file from the manifest WITHOUT reading it. Proven in-query:
+    * the partition purge runs ZERO Spark jobs (asserted by listener),
+    * every surviving file carries byte-identical (relPath+md5 against
+    * the pre-delete manifest), and the range delete composes drops with
+    * partial rewrites (one file gone wholesale, one rewritten, the rest
+    * untouched). At 100 TB, purging a partition — the reference's
+    * release-retirement shape — is a manifest edit, not a rewrite.
+    */
+  def catalogMetaDelete(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      // ---- leg 1: partition purge, zero jobs ------------------------
+      s.sql(s"CREATE TABLE $cat.t1 (shard BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (shard)")
+      Tables.orders(s, d).select((col("o_orderkey") % 8).as("shard"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo(s"$cat.t1").append()
+      val store1 = root.resolve("t1")
+      val before1 = Snapshots.manifest(store1, Snapshots.currentId(store1).get)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        s.sql(s"DELETE FROM $cat.t1 WHERE shard = 3")
+        Thread.sleep(1500) // async listener bus
+      } finally s.sparkContext.removeSparkListener(listener)
+      require(jobs.get() == 0,
+        s"partition purge launched ${jobs.get()} Spark job(s) — not metadata-only")
+      val after1 = Snapshots.manifest(store1, Snapshots.currentId(store1).get)
+      val by1 = before1.map(e => e.relPath -> e.md5).toMap
+      require(after1.forall(e => by1.get(e.relPath).contains(e.md5)),
+        "metadata delete rewrote or added files")
+      val gone = before1.map(_.relPath).toSet -- after1.map(_.relPath).toSet
+      require(gone.nonEmpty && gone.forall(_.contains("_pv=3")),
+        s"wrong files dropped: $gone")
+
+      // ---- leg 2: zone drop + partial rewrite -----------------------
+      s.sql(s"CREATE TABLE $cat.t2 (k BIGINT NOT NULL, cents BIGINT NOT NULL) " +
+        "TBLPROPERTIES ('statscol'='k')")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val maxK = src.agg(max("k")).head().getLong(0)
+      val cut = maxK / 4 + 1
+      (0 until 4).foreach { i =>
+        src.filter(col("k") >= i * cut && col("k") < (i + 1) * cut)
+          .repartition(1).writeTo(s"$cat.t2").append()
+      }
+      val store2 = root.resolve("t2")
+      val before2 = Snapshots.manifest(store2, Snapshots.currentId(store2).get)
+      s.sql(s"DELETE FROM $cat.t2 WHERE k < ${cut + cut / 2}")
+      val after2 = Snapshots.manifest(store2, Snapshots.currentId(store2).get)
+      val by2 = before2.map(e => e.relPath -> e.md5).toMap
+      val (carried2, fresh2) = after2.partition(e => by2.get(e.relPath).contains(e.md5))
+      require(carried2.size == 2 && fresh2.size == 1,
+        s"expected 2 byte-identical carries + 1 rewrite, got " +
+          s"${carried2.size} + ${fresh2.size}")
+
+      // ---- final states, oracled -----------------------------------
+      val t1 = s.table(s"$cat.t1").groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .collect().map(r => Row("purge", r.getLong(0), r.getLong(1), r.getLong(2)))
+      val t2r = s.table(s"$cat.t2")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"), min("k").as("m"))
+        .head()
+      val t2 = Array(Row("range", t2r.getLong(2), t2r.getLong(0), t2r.getLong(1)))
+      val schema = StructType(Seq(StructField("leg", StringType),
+        StructField("k", LongType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize((t1 ++ t2).toSeq, 1), schema)
+        .orderBy("leg", "k")
+    } finally rm(root)
+  }
+
+  /** Both post-delete states restated flat (the range cut re-derived
+    * the same way: max/4+1, predicate below 1.5 cuts).
+    */
+  val catalogMetaDeleteOracleSql: String = """
+    WITH t AS (SELECT o_orderkey AS k, o_orderkey % 8 AS shard,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    cut AS (SELECT max(k) // 4 + 1 AS c FROM t)
+    SELECT 'purge' AS leg, shard AS k, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM t WHERE shard <> 3 GROUP BY shard
+    UNION ALL
+    SELECT 'range', CAST(min(k) AS BIGINT), CAST(count(*) AS BIGINT),
+      CAST(sum(cents) AS BIGINT)
+    FROM t WHERE k >= (SELECT c + c // 2 FROM cut)
+    ORDER BY leg, k"""
+
   /** Query `catalog_analyze`: COLUMN STATISTICS → Spark's own CBO —
     * `CALL system.analyze(tbl, cols)` computes exact per-column NDV +
     * null counts in one job and persists them as a stats sidecar; the
