@@ -111,7 +111,14 @@ object Bench {
     "stream_catalog_paced", "stream_catalog_sink", "stream_catalog_matview",
     // r16b: selective small-file compaction (the streaming sink's
     // maintenance pass — O(fragmented partitions), never the table)
-    "catalog_compact_small")
+    "catalog_compact_small",
+    // r16c: the scan-side planning economics — LIMIT/top-N file
+    // pruning, the zero-copy shallow clone lifecycle, ANALYZE-fed CBO
+    // (each query pays its own A/B plan assertions), and the
+    // metadata-only DELETE (zero-job partition purge + composed
+    // drop/rewrite)
+    "catalog_limit_push", "catalog_topn_push", "catalog_clone",
+    "catalog_analyze", "catalog_meta_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

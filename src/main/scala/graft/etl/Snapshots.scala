@@ -2289,43 +2289,174 @@ object Snapshots {
     * the read snapshot, stamped with the id it was computed at —
     * estimates, not facts, exactly like every ANALYZE-based optimizer.
     */
+  /** One analyzed column: exact NDV + null count, and for
+    * string/binary columns the average (ceil) and max byte lengths —
+    * CBO's row-width inputs, which default-size guesses get badly
+    * wrong on a documents table.
+    */
+  final case class ColStat(ndv: Long, nulls: Long,
+                           avgLen: Option[Long] = None, maxLen: Option[Long] = None)
+
   def analyzeColumns(s: SparkSession, root: Path, id: Int,
                      cols: Seq[String]): Seq[(String, Long, Long)] = {
     require(cols.nonEmpty, "analyze: no columns named")
     val df = readAt(s, root, id)
     cols.foreach(c => require(df.columns.contains(c),
       s"analyze: no column '$c' in snapshot $id (have: ${df.columns.mkString(", ")})"))
+    val sized = cols.filter(c => df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }).toSet
     val aggs = count(lit(1)).as("__n") +:
       cols.flatMap(c => Seq(
         count_distinct(col(c)).as(s"__ndv_$c"),
-        count(col(c)).as(s"__nn_$c")))
+        count(col(c)).as(s"__nn_$c")) ++
+        (if (sized(c)) Seq(
+          ceil(avg(length(col(c)))).cast("long").as(s"__al_$c"),
+          max(length(col(c))).cast("long").as(s"__ml_$c")) else Nil))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
-    val fresh = cols.zipWithIndex.map { case (c, i) =>
-      (c, row.getLong(1 + 2 * i), n - row.getLong(2 + 2 * i))
+    def g(name: String): Option[Long] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    val fresh = cols.map { c =>
+      c -> ColStat(g(s"__ndv_$c").getOrElse(0L),
+        n - g(s"__nn_$c").getOrElse(0L),
+        if (sized(c)) g(s"__al_$c") else None,
+        if (sized(c)) g(s"__ml_$c") else None)
     }
     val dir = root.resolve("stats")
     Files.createDirectories(dir)
     val target = dir.resolve(s"colstats-$id")
-    val existing: Map[String, (Long, Long)] =
+    val existing: Map[String, ColStat] =
       if (Files.exists(target)) parseColStats(target) else Map.empty
-    val merged = existing ++ fresh.map { case (c, d, u) => c -> (d, u) }
-    atomicWrite(target, merged.toSeq.sortBy(_._1)
-      .map { case (c, (d, u)) => s"$c\t$d\t$u" }.mkString("\n"))
+    val merged = existing ++ fresh
+    atomicWrite(target, merged.toSeq.sortBy(_._1).map { case (c, st) =>
+      (Seq(c, st.ndv.toString, st.nulls.toString) ++
+        st.avgLen.map(_.toString).toSeq ++ st.maxLen.map(_.toString).toSeq)
+        .mkString("\t")
+    }.mkString("\n"))
+    fresh.map { case (c, st) => (c, st.ndv, st.nulls) }
+  }
+
+  /** SKETCH-MODE ANALYZE — the incremental path a 100 TB table needs:
+    * NDV via per-FILE KMV (bottom-k) sketches, each persisted as a
+    * sidecar keyed by the data file's md5 (`stats/kmv/<md5>-<col>`).
+    * Data files are immutable, so a sketch is computed ONCE per file
+    * ever: a re-analyze after an append scans ONLY the files without
+    * sidecars (one job over just them), then merges all sidecars
+    * driver-side with a k-capped ordered set — O(k) memory however
+    * many files. Estimator = B11b's (k−1)·2⁶³/h_k bottom-k form
+    * (σ ≈ 1/√(k−2) ≈ 6.3% at k=256); when the merged sample holds
+    * fewer than k distinct hashes every file's sample was complete and
+    * the count is EXACT. Null counts are exact (summed per-file).
+    * Tombstone-bearing snapshots refuse — raw-file sketches would
+    * count deleted rows; compact first (the clone/selective-compact
+    * contract shape). Results land in the same `colstats-<id>` sidecar
+    * the scan's reported statistics serve, merged column-wise with any
+    * exact-mode entries.
+    */
+  def analyzeSketch(s: SparkSession, root: Path, id: Int,
+                    cols: Seq[String], k: Int = 256): Seq[(String, Long, Long)] = {
+    require(cols.nonEmpty, "analyze: no columns named")
+    val (datas, dels) = dataAndDeletes(root, id)
+    require(dels.isEmpty,
+      "sketch-mode analyze on a tombstoned snapshot would count deleted " +
+        "rows (sketches are per raw file) — CALL system.compact first, or " +
+        "use exact mode")
+    require(datas.nonEmpty, s"snapshot $id of $root lists no data files")
+    graft.ops.TextKernels.register(s)
+    val dir = root.resolve("stats").resolve("kmv")
+    Files.createDirectories(dir)
+    def sidecar(e: ManifestEntry, c: String): Path = dir.resolve(s"${e.md5}-$c")
+    // one job per column over ONLY the sidecar-less files
+    cols.foreach { c =>
+      val missing = datas.filterNot(e => Files.exists(sidecar(e, c)))
+      if (missing.nonEmpty) {
+        val df = s.read.parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
+        require(df.columns.contains(c),
+          s"analyze: no column '$c' (have: ${df.columns.mkString(", ")})")
+        import org.apache.spark.sql.expressions.Window
+        val hashed = df
+          .select(input_file_name().as("__f"), col(c).as("__c"))
+          .select(col("__f"),
+            when(col("__c").isNull, lit(null))
+              .otherwise(call_function("fnv64mix", col("__c").cast("string")))
+              .as("__h"))
+        val nullsPer = hashed.groupBy("__f")
+          .agg(count(lit(1)).as("__n"), count(col("__h")).as("__nn"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val sample = hashed.filter(col("__h").isNotNull).distinct()
+          .withColumn("__rk",
+            dense_rank().over(Window.partitionBy("__f").orderBy("__h")))
+          .filter(col("__rk") <= k)
+          .select("__f", "__h")
+          .collect().groupBy(_.getString(0))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+        // input_file_name renders file:// URIs — normalize once
+        val uriOf: Map[String, String] = (nullsPer.keys ++ sample.keys)
+          .toSeq.distinct.map(u =>
+            java.nio.file.Paths.get(new java.net.URI(u).getPath)
+              .toAbsolutePath.normalize.toString -> u).toMap
+        missing.foreach { e =>
+          val key = root.resolve(e.relPath).toAbsolutePath.normalize.toString
+          val norm = uriOf.get(key)
+          val (n, nn) = norm.flatMap(nullsPer.get).getOrElse((0L, 0L))
+          val hs = norm.flatMap(sample.get).getOrElse(Array.empty[Long])
+          atomicWrite(sidecar(e, c),
+            (s"${n - nn}" +: hs.map(_.toString)).mkString("\n"))
+        }
+      }
+    }
+    // driver-side merge: k-capped ordered distinct set + exact null sum
+    val fresh = cols.map { c =>
+      var nulls = 0L
+      val set = new java.util.TreeSet[java.lang.Long]()
+      datas.foreach { e =>
+        val lines = Files.readAllLines(sidecar(e, c)).asScala
+        nulls += lines.head.toLong
+        lines.tail.foreach { h =>
+          set.add(h.toLong)
+          if (set.size > k) set.remove(set.last())
+        }
+      }
+      val ndv =
+        if (set.size < k) set.size.toLong
+        else {
+          val kth = set.last().longValue()
+          ((BigInt(k - 1) * (BigInt(1) << 63)) / BigInt(kth)).toLong
+        }
+      (c, ndv, nulls)
+    }
+    // merge into the same colstats sidecar exact mode writes
+    val statsDir = root.resolve("stats")
+    val target = statsDir.resolve(s"colstats-$id")
+    val existing: Map[String, ColStat] =
+      if (Files.exists(target)) parseColStats(target) else Map.empty
+    val merged = existing ++ fresh.map { case (c, d, u) => c -> ColStat(d, u) }
+    atomicWrite(target, merged.toSeq.sortBy(_._1).map { case (c, st) =>
+      (Seq(c, st.ndv.toString, st.nulls.toString) ++
+        st.avgLen.map(_.toString).toSeq ++ st.maxLen.map(_.toString).toSeq)
+        .mkString("\t")
+    }.mkString("\n"))
     fresh
   }
 
-  private def parseColStats(p: Path): Map[String, (Long, Long)] =
+  private def parseColStats(p: Path): Map[String, ColStat] =
     Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
       val f = l.split('\t')
-      f(0) -> (f(1).toLong, f(2).toLong)
+      f(0) -> ColStat(f(1).toLong, f(2).toLong,
+        if (f.length > 3) Some(f(3).toLong) else None,
+        if (f.length > 4) Some(f(4).toLong) else None)
     }.toMap
 
   /** The newest analyze sidecar at-or-below snapshot `atId`:
-    * (computed-at id, physical column -> (ndv, nulls)). Empty when the
-    * table was never analyzed that far back.
+    * (computed-at id, physical column -> stats). Empty when the table
+    * was never analyzed that far back.
     */
-  def colStats(root: Path, atId: Int): Option[(Int, Map[String, (Long, Long)])] = {
+  def colStats(root: Path, atId: Int): Option[(Int, Map[String, ColStat])] = {
     val dir = root.resolve("stats")
     if (!Files.exists(dir)) return None
     val l = Files.list(dir)

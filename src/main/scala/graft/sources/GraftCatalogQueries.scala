@@ -3388,6 +3388,72 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_analyze_incr`: INCREMENTAL sketch-mode ANALYZE —
+    * per-file KMV sidecars keyed by data-file md5 mean a re-analyze
+    * after an append scans ONLY the new files: proven in-query by task
+    * input-bytes (the refresh reads less than the pre-append table —
+    * it could not have rescanned the old files) while the refreshed
+    * bottom-k estimate stays within its statistical envelope of the
+    * exact NDV (also asserted in-query). At 100 TB this is the only
+    * ANALYZE that can keep up with a continuously-appending table:
+    * O(appended files) per refresh, sketches computed once per
+    * immutable file ever. The oracled output is the EXACT side —
+    * per-column true NDV and null counts restated in SQL — with the
+    * sketch bounds riding as in-query gates.
+    */
+  def catalogAnalyzeIncr(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.t (pk BIGINT NOT NULL, sk BIGINT NOT NULL)")
+      val src = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      src.filter(col("pk") % 2 === 0).repartition(2).writeTo(s"$cat.t").append()
+      s.sql(s"CALL $cat.system.analyze('t', 'pk,sk', 'sketch')").collect()
+      val store = root.resolve("t")
+      val oldBytes = Snapshots.manifest(store, Snapshots.currentId(store).get)
+        .map(_.bytes).sum
+      src.filter(col("pk") % 2 === 1).repartition(1).writeTo(s"$cat.t").append()
+      val read = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            read.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      s.sparkContext.addSparkListener(listener)
+      val est = try {
+        val r = s.sql(s"CALL $cat.system.analyze('t', 'pk,sk', 'sketch')")
+          .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+        Thread.sleep(1500) // async listener bus
+        r
+      } finally s.sparkContext.removeSparkListener(listener)
+      require(read.get() > 0 && read.get() < oldBytes,
+        s"incremental re-analyze read ${read.get()} bytes vs pre-append " +
+          s"table of $oldBytes — it rescanned old files")
+      // exact truth, computed once, both the gate and the oracle output
+      val exact = s.table(s"$cat.t").agg(
+        countDistinct("pk").as("ek"), countDistinct("sk").as("es")).head()
+      val (ek, es) = (exact.getLong(0), exact.getLong(1))
+      def within(a: Long, b: Long): Boolean = math.abs(a - b) <= b * 20 / 100
+      require(within(est("pk")._1, ek) && within(est("sk")._1, es),
+        s"sketch NDVs ${est("pk")._1}/${est("sk")._1} outside 20% of $ek/$es")
+      require(est("pk")._2 == 0L && est("sk")._2 == 0L, "phantom nulls")
+      val schema = StructType(Seq(StructField("col_name", StringType),
+        StructField("exact_ndv", LongType), StructField("nulls", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(
+        Seq(Row("pk", ek, 0L), Row("sk", es, 0L)), 1), schema).orderBy("col_name")
+    } finally rm(root)
+  }
+
+  /** The exact NDV truth restated; the sketch bounds are in-query. */
+  val catalogAnalyzeIncrOracleSql: String = """
+    SELECT 'pk' AS col_name, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndv,
+      CAST(0 AS BIGINT) AS nulls FROM lineitem
+    UNION ALL
+    SELECT 'sk', CAST(count(DISTINCT l_suppkey) AS BIGINT), CAST(0 AS BIGINT)
+    FROM lineitem
+    ORDER BY col_name"""
+
   /** The join under the analyzed filter plus the analyze numbers
     * themselves, restated flat.
     */

@@ -261,22 +261,30 @@ private[sources] object GraftProcedures {
         Seq(Row(files, tombs))
       }),
     Spec("analyze",
-      Seq(p("tbl", StringType), p("cols", StringType)),
+      Seq(p("tbl", StringType), p("cols", StringType),
+        pDefault("mode", StringType, "'exact'")),
       StructType(Seq(StructField("column", StringType),
         StructField("ndv", LongType), StructField("nulls", LongType))),
       (s, store, in) => {
-        // exact NDV + null counts of the CURRENT merged view, one job,
-        // persisted as a stats sidecar the scan's reported column
-        // statistics serve to Spark's CBO (see GraftScan) — the
-        // ANALYZE TABLE of this catalog. Columns arrive logical,
-        // comma-separated; the sidecar stores physical.
+        // per-column NDV + null counts, persisted as a stats sidecar
+        // the scan's reported column statistics serve to Spark's CBO
+        // (see GraftScan) — the ANALYZE TABLE of this catalog. Columns
+        // arrive logical, comma-separated; sidecars store physical.
+        // mode='exact' (default): one job over the merged view.
+        // mode='sketch': incremental per-file KMV — a re-analyze after
+        // an append scans only the NEW files (see analyzeSketch).
         val cur = Snapshots.currentId(store).getOrElse(
           throw new IllegalStateException(s"no published snapshot under $store"))
         val props = GraftCatalog.readMarker(store)._2
         val logicals = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(logicals.nonEmpty, "analyze: no columns named")
         val phys = logicals.map(l => props.getOrElse("colmap." + l, l))
-        val res = Snapshots.analyzeColumns(s, store, cur, phys)
+        val res = str(in, 2) match {
+          case "exact"  => Snapshots.analyzeColumns(s, store, cur, phys)
+          case "sketch" => Snapshots.analyzeSketch(s, store, cur, phys)
+          case other => throw new IllegalArgumentException(
+            s"analyze: unknown mode '$other' (use 'exact' or 'sketch')")
+        }
         logicals.zip(res).map { case (l, (_, d, u)) => Row(l, d, u) }
       }),
     Spec("build_blooms",

@@ -137,6 +137,8 @@ final class GraftScanBuilder(
   private def limitPushable: Boolean =
     entries.nonEmpty && pushedPhys.isEmpty && !aggPushed
 
+  private def footerGatherCap: Int = GraftScan.footerGatherCap(spark)
+
   override def pushLimit(limit: Int): Boolean = {
     if (!limitPushable || limit <= 0) false
     else {
@@ -184,7 +186,8 @@ final class GraftScanBuilder(
     // every file must PROVE zero nulls in the column — a null sorts to
     // one end of the output and carries no zone evidence of where it
     // lives, so one unprovable footer declines the whole pushdown
-    if (!entries.forall(e =>
+    // (bounded: see footerGatherCap)
+    if (entries.size > footerGatherCap || !entries.forall(e =>
         Snapshots.fileColNulls(spark, store, e.relPath, col).contains(0L)))
       return false
     val ranged = entries.flatMap(e => zoneOf(e, col).map(r => (e, r._1, r._2)))
@@ -280,6 +283,19 @@ object GraftScan {
 
   def lastLimitPruneFor(store: JPath): (Int, Int) =
     limitPrunes.getOrDefault(store.toAbsolutePath.toString, (0, 0))
+
+  /** Ceiling on driver-side footer opens for per-file NULL-count
+    * proofs (top-N pushdown, reported column statistics). Footer reads
+    * are O(1) each and memoized per JVM, but the FIRST plan over an
+    * N-file table pays N of them — fine at thousands, wrong at a
+    * million-file 100 TB manifest. Beyond the cap the proof is simply
+    * "unprovable": top-N declines its prune, column stats omit the
+    * null count — graceful degradation, never a stall. Tunable per
+    * session for operators who know their manifest.
+    */
+  private[sources] def footerGatherCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.footerNullGather.maxFiles")
+      .flatMap(_.toIntOption).getOrElse(4096)
 
   /** Partition value of a value-pure path: the LAST `_pv=` segment,
     * unescaped from Spark's partition-path escaping (%XX). None when the
@@ -410,7 +426,8 @@ final class GraftScan(
   override def estimateStatistics(): Statistics = {
     val inner = currentParquet.estimateStatistics()
     val ents = currentEntries
-    if (ents.isEmpty || aggPushed) return inner
+    if (ents.isEmpty || aggPushed ||
+      ents.size > GraftScan.footerGatherCap(spark)) return inner
     val rowsTotal = ents.map(e => Snapshots.fileRows(spark, store, e.relPath)).sum
     val cstats = buildColumnStats(ents, rowsTotal)
     new Statistics {
@@ -427,7 +444,7 @@ final class GraftScan(
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
-    val analyzed: Map[String, (Long, Long)] =
+    val analyzed: Map[String, Snapshots.ColStat] =
       Snapshots.colStats(store, snapshotIdOf).map(_._2).getOrElse(Map.empty)
     // candidates: every zone-mapped column plus every analyzed one
     val zoneCols = (statsCol.toSeq ++ ents.flatMap(_.multi.map(_._1))).distinct
@@ -451,13 +468,18 @@ final class GraftScan(
       }
       val minV = range.flatMap(r => render(r._1))
       val maxV = range.flatMap(r => render(r._2))
-      // footer-proven null count (exact, current); analyze's as fallback
-      val footerNulls: Option[Long] = {
-        val per = ents.map(e => Snapshots.fileColNulls(spark, store, e.relPath, phys))
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      }
-      val nulls = footerNulls.orElse(analyzed.get(phys).map(_._2))
-      val ndv = analyzed.get(phys).map(_._1)
+      // footer-proven null count (exact, current); analyze's as
+      // fallback. Bounded by footerGatherCap — beyond it, unprovable.
+      val footerNulls: Option[Long] =
+        if (ents.size > GraftScan.footerGatherCap(spark)) None
+        else {
+          val per = ents.map(e => Snapshots.fileColNulls(spark, store, e.relPath, phys))
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        }
+      val nulls = footerNulls.orElse(analyzed.get(phys).map(_.nulls))
+      val ndv = analyzed.get(phys).map(_.ndv)
+      val aLen = analyzed.get(phys).flatMap(_.avgLen)
+      val mLen = analyzed.get(phys).flatMap(_.maxLen)
       if (minV.isDefined || nulls.isDefined || ndv.isDefined) {
         out.put(Expressions.column(logicalOf(phys)), new ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
@@ -470,6 +492,10 @@ final class GraftScan(
               java.util.Optional.of(v.asInstanceOf[Object]))
           override def nullCount(): java.util.OptionalLong =
             nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def avgLen(): java.util.OptionalLong =
+            aLen.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def maxLen(): java.util.OptionalLong =
+            mLen.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
         })
       }
     }
