@@ -115,6 +115,7 @@ object SparkEntry {
     "catalog_analyze"     -> w(graft.sources.GraftCatalogQueries.catalogAnalyze),
     "catalog_meta_delete" -> w(graft.sources.GraftCatalogQueries.catalogMetaDelete),
     "catalog_analyze_incr" -> w(graft.sources.GraftCatalogQueries.catalogAnalyzeIncr),
+    "catalog_wap"         -> w(graft.sources.GraftCatalogQueries.catalogWap),
     "catalog_topn_push"   -> w(graft.sources.GraftCatalogQueries.catalogTopnPush),
     "catalog_spj"         -> w(graft.sources.GraftCatalogQueries.catalogSpj),
     "catalog_bucket"      -> w(graft.sources.GraftCatalogQueries.catalogBucket),
@@ -606,6 +607,7 @@ object SparkEntry {
     "catalog_analyze" -> graft.sources.GraftCatalogQueries.catalogAnalyzeOracleSql,
     "catalog_meta_delete" -> graft.sources.GraftCatalogQueries.catalogMetaDeleteOracleSql,
     "catalog_analyze_incr" -> graft.sources.GraftCatalogQueries.catalogAnalyzeIncrOracleSql,
+    "catalog_wap" -> graft.sources.GraftCatalogQueries.catalogWapOracleSql,
     "catalog_topn_push" -> graft.sources.GraftCatalogQueries.catalogTopnPushOracleSql,
     "catalog_spj" -> graft.sources.GraftCatalogQueries.catalogSpjOracleSql,
     "catalog_bucket" -> graft.sources.GraftCatalogQueries.catalogBucketOracleSql,

@@ -1335,6 +1335,18 @@ final class GraftTable(
     // a keyless table accepting update-as-append would silently append
     // every revision of a row
     val mk = morKeys.getOrElse(Nil)
+    // BRANCH WRITES (`.option("branch", name)`): supported on the plain
+    // append/overwrite path — the WAP staging shape (write behind a
+    // ref, audit via VERSION AS OF 'ref', adopt_branch to go live).
+    // Layout-carrying tables refuse LOUDLY rather than stage a branch
+    // whose files would silently lack the value-pure/bucket claims the
+    // main line's readers depend on after adoption.
+    if (Option(info.options.get("branch")).isDefined &&
+        (partCol.isDefined || bucketSpec.isDefined || mk.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"table ${name()}: branch writes are supported on plain tables " +
+          "(no PARTITIONED BY / bucket / morkey) — stage the branch " +
+          "through the snapshot API's publishToBranch for layouts")
     partCol match {
       case Some(p) =>
         val specFrom = props.get("specfrom").flatMap(_.toIntOption)
@@ -1920,6 +1932,19 @@ private[sources] class GraftPlainWriteBuilder(
           // files carry PHYSICAL column names (stable across renames)
           val data = toPhysical(data0)
           val seed = GraftCatalog.seedMetaFor(store)
+          Option(info.options.get("branch")) match {
+            case Some(b) =>
+              // WAP staging: the write lands BEHIND the named branch
+              // ref — `_current` readers can never see it until
+              // adopt_branch. Append extends the branch head;
+              // overwrite replaces it. The branch must already exist
+              // (CALL system.create_branch) — publishToBranch refuses
+              // loudly otherwise, and refuses tags always.
+              Snapshots.publishToBranch(spark, store, b, data,
+                append = !(overwrite || ov), statsCol = statsCol)
+              return
+            case None => ()
+          }
           if (overwrite || ov) {
             var attempts = 0
             while (attempts < 5) {

@@ -3388,6 +3388,80 @@ object GraftCatalogQueries {
     }
   }
 
+  /** Query `catalog_wap`: WRITE-AUDIT-PUBLISH through the catalog, no
+    * Scala API — the reference's prerelease-verify-rename release
+    * discipline as three SQL-visible steps: `CALL create_branch`
+    * stages a ref, `.option("branch", name)` writes land BEHIND it
+    * (readers of `_current` provably never see them), the audit runs
+    * over `VERSION AS OF 'branch'`, and `CALL adopt_branch` swaps the
+    * audited head live in one pointer rename. A REJECTED audit is a
+    * `drop_ref` — the main line never moved. Both directions proven
+    * in-query: the staged rows are invisible pre-adoption, a
+    * bad-data branch is dropped without a trace on main, and the
+    * pre-adoption snapshot still time-travels after the publish.
+    */
+  def catalogWap(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT NOT NULL)")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).writeTo(s"$cat.t").append()
+      val store = root.resolve("t")
+      val base = Snapshots.currentId(store).get
+      val baseCount = s.table(s"$cat.t").count()
+
+      // ---- stage the release behind a branch ------------------------
+      s.sql(s"CALL $cat.system.create_branch('t', 'audit', $base)")
+      src.filter(col("k") % 2 === 1).writeTo(s"$cat.t")
+        .option("branch", "audit").append()
+      require(s.table(s"$cat.t").count() == baseCount,
+        "staged branch rows leaked to _current readers before adoption")
+      // ---- audit over the branch's WHOLE post-append view -----------
+      val audited = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 'audit'")
+      require(audited.filter(col("cents") < 0).count() == 0, "audit failed")
+      require(audited.count() > baseCount, "branch write landed nothing")
+
+      // ---- a REJECTED audit: drop the ref, main never moved ---------
+      s.sql(s"CALL $cat.system.create_branch('t', 'bad', $base)")
+      s.range(0, 10).select((col("id") - 1000000L).as("k"), lit(-1L).as("cents"))
+        .writeTo(s"$cat.t").option("branch", "bad").append()
+      val badN = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 'bad'")
+        .filter(col("cents") < 0).count()
+      require(badN == 10L, s"bad branch staged $badN negative rows")
+      s.sql(s"CALL $cat.system.drop_ref('t', 'bad')")
+      require(s.table(s"$cat.t").count() == baseCount,
+        "rejected branch touched the main line")
+
+      // ---- publish: one pointer rename ------------------------------
+      s.sql(s"CALL $cat.system.adopt_branch('t', 'audit')")
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)).as("n"), sum("cents").as("sc")).head()
+        Row(name, r.getLong(0), r.getLong(1))
+      }
+      val out = Seq(
+        leg("main", s.table(s"$cat.t")),
+        // the pre-adoption snapshot still time-travels
+        leg("base", s.sql(s"SELECT * FROM $cat.t VERSION AS OF $base")))
+      val schema = StructType(Seq(StructField("leg", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("leg")
+    } finally rm(root)
+  }
+
+  /** Post-publish main (all orders) and the pre-adoption base (even
+    * keys), restated flat.
+    */
+  val catalogWapOracleSql: String = """
+    WITH t AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT 'base' AS leg, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents FROM t WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'main', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM t
+    ORDER BY leg"""
+
   /** Query `catalog_analyze_incr`: INCREMENTAL sketch-mode ANALYZE —
     * per-file KMV sidecars keyed by data-file md5 mean a re-analyze
     * after an append scans ONLY the new files: proven in-query by task
