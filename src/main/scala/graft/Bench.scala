@@ -118,7 +118,10 @@ object Bench {
     // metadata-only DELETE (zero-job partition purge + composed
     // drop/rewrite)
     "catalog_limit_push", "catalog_topn_push", "catalog_clone",
-    "catalog_analyze", "catalog_meta_delete")
+    "catalog_analyze", "catalog_meta_delete",
+    // r16c: incremental sketch analyze (per-file KMV sidecars) and the
+    // catalog WAP loop (branch write -> audit -> adopt)
+    "catalog_analyze_incr", "catalog_wap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1703,6 +1703,33 @@ object Snapshots {
       id
     }
 
+  /** Commit ALREADY-STAGED entries onto a branch head — the branch twin
+    * of [[commitOcc]], for writers that stage outside the lock (the
+    * engine-clustered DSv2 writes, the value-pure V1 partitioned legs):
+    * only the manifest write + ref advance serialize. `append` extends
+    * the branch head; `!append` replaces it. Tags refuse (immutable);
+    * a missing branch refuses loudly (create it first). The head's
+    * `#meta` marker carries, so the branch keeps the schema it was
+    * forked with until an ALTER lands on the MAIN line and a new fork
+    * picks it up — branch adoption re-serves whatever meta the branch
+    * head carries, exactly like every other snapshot.
+    */
+  def commitStagedToBranch(root: Path, fresh: Seq[ManifestEntry], name: String,
+                           append: Boolean): Int = withWriterLock(root) {
+    require(!Files.exists(refPath(root, name, tag = true)),
+      s"'$name' is a tag: tags are immutable")
+    val head = readRef(refPath(root, name, tag = false)).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root"))
+    val id = nextManifestId(root)
+    val carried = if (append) manifest(root, head) else Nil
+    require(carried.nonEmpty || fresh.nonEmpty,
+      s"refusing to commit an empty branch manifest under $root")
+    writeManifestFile(root, id, carried ++ fresh.map(_.copy(seq = id)),
+      manifestMeta(root, head))
+    atomicWrite(refPath(root, name, tag = false), id.toString)
+    id
+  }
+
   /** Read a branch or tag head through its manifest. */
   def readRefAt(s: SparkSession, root: Path, name: String): DataFrame =
     readAt(s, root, refId(root, name).getOrElse(

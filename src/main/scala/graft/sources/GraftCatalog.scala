@@ -1335,18 +1335,19 @@ final class GraftTable(
     // a keyless table accepting update-as-append would silently append
     // every revision of a row
     val mk = morKeys.getOrElse(Nil)
-    // BRANCH WRITES (`.option("branch", name)`): supported on the plain
+    // BRANCH WRITES (`.option("branch", name)`): supported on every
     // append/overwrite path — the WAP staging shape (write behind a
     // ref, audit via VERSION AS OF 'ref', adopt_branch to go live).
-    // Layout-carrying tables refuse LOUDLY rather than stage a branch
-    // whose files would silently lack the value-pure/bucket claims the
-    // main line's readers depend on after adoption.
-    if (Option(info.options.get("branch")).isDefined &&
-        (partCol.isDefined || bucketSpec.isDefined || mk.nonEmpty))
+    // Layout tables stage through their OWN writers (value-pure /
+    // bucket-pure files, claims intact after adoption); only the
+    // commit targets the ref. `morkey` tables refuse: a tombstone
+    // staged behind a branch would need branch-scoped merge semantics
+    // the read path does not carry.
+    if (Option(info.options.get("branch")).isDefined && mk.nonEmpty)
       throw new UnsupportedOperationException(
-        s"table ${name()}: branch writes are supported on plain tables " +
-          "(no PARTITIONED BY / bucket / morkey) — stage the branch " +
-          "through the snapshot API's publishToBranch for layouts")
+        s"table ${name()}: branch writes do not compose with 'morkey' " +
+          "(merge-on-read tombstones have no branch-scoped read) — " +
+          "write to the main line or drop the key contract")
     partCol match {
       case Some(p) =>
         val specFrom = props.get("specfrom").flatMap(_.toIntOption)
@@ -1983,6 +1984,9 @@ private[sources] class GraftPlainWriteBuilder(
       }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(Option(info.options.get("branch")).isEmpty,
+        "branch writes have no streaming face — epochs commit to _current " +
+          "(stage a mirror table and adopt, or drop the option)")
       val inSchema = info.schema()
       val physSchema = StructType(inSchema.fields.map(f =>
         f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)

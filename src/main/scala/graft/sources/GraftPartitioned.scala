@@ -174,8 +174,13 @@ private[sources] class GraftPartitionedWriteBuilder(
         new InsertableRelation {
           override def insert(data: DataFrame, ov: Boolean): Unit = {
             val fresh = stage(data)
-            try Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
-              seedMeta = GraftCatalog.seedMetaFor(store))
+            try Option(info.options.get("branch")) match {
+              case Some(b) =>
+                Snapshots.commitStagedToBranch(store, fresh, b, append = true)
+              case None =>
+                Snapshots.commitOcc(store, fresh, Snapshots.OccAppend,
+                  seedMeta = GraftCatalog.seedMetaFor(store))
+            }
             catch { case e: Throwable => Snapshots.discardStaged(store, fresh); throw e }
           }
         }
@@ -184,6 +189,15 @@ private[sources] class GraftPartitionedWriteBuilder(
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: DataFrame, ov: Boolean): Unit = {
+            Option(info.options.get("branch")) match {
+              case Some(b) =>
+                val fresh = stage(data)
+                try Snapshots.commitStagedToBranch(store, fresh, b, append = false)
+                catch { case e: Throwable =>
+                  Snapshots.discardStaged(store, fresh); throw e }
+                return
+              case None => ()
+            }
             var attempts = 0
             while (true) {
               val base = Snapshots.currentId(store)
@@ -214,6 +228,10 @@ private[sources] class GraftPartitionedWriteBuilder(
         }
     }
     case "dynamic" =>
+      if (Option(info.options.get("branch")).isDefined)
+        throw new UnsupportedOperationException(
+          "dynamic partition overwrite has no branch face — append to or " +
+            "truncate the branch")
       new GraftDynamicOverwrite(spark, store, partCol, info, stage, specFrom,
         tableSchema.fields
           .find(f => colMap.getOrElse(f.name, f.name) == partCol)
@@ -388,6 +406,9 @@ private[sources] final class GraftBucketedBatchWrite(
     * upsert on `morkey` tables, complete-mode replace.
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(Option(info.options.get("branch")).isEmpty,
+      "branch writes have no streaming face — epochs commit to _current " +
+        "(stage a mirror table and adopt, or drop the option)")
     val inSchema = info.schema()
     val physSchema = StructType(inSchema.fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))).toIndexedSeq)
@@ -459,6 +480,16 @@ private[sources] final class GraftBucketedBatchWrite(
         only = Some(committed))
       val isReplace = replacing()
       if (fresh.isEmpty && !isReplace) { GraftCatalog.rmTree(dataDir); return }
+      // branch (WAP) target: the SAME bucket-pure staged files — the
+      // layout claims survive adoption — only the commit moves the ref
+      Option(info.options.get("branch")) match {
+        case Some(b) =>
+          try Snapshots.commitStagedToBranch(store, fresh, b, append = !isReplace)
+          catch { case e: Throwable =>
+            Snapshots.discardStaged(store, fresh); throw e }
+          return
+        case None => ()
+      }
       var attempts = 0
       while (true) {
         val base = Snapshots.currentId(store)
@@ -796,6 +827,9 @@ private[sources] final class GraftPartitionedBatchWrite(
     * streaming statement shape, so it cannot reach here.
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(Option(info.options.get("branch")).isEmpty,
+      "branch writes have no streaming face — epochs commit to _current " +
+        "(stage a mirror table and adopt, or drop the option)")
     require(mode != "dynamic",
       s"streaming write on $store cannot run in dynamic-overwrite mode")
     val inSchema = info.schema()
@@ -868,6 +902,25 @@ private[sources] final class GraftPartitionedBatchWrite(
         // lands: it IS the truncation)
         GraftCatalog.rmTree(dataDir)
         return
+      }
+      // branch (WAP) target: value-pure staged files, ref-only commit.
+      // Dynamic overwrite refuses — replaced-partition semantics
+      // against a branch head are a contract the read path doesn't
+      // carry; append or truncate the branch instead.
+      Option(info.options.get("branch")) match {
+        case Some(b) =>
+          if (mode == "dynamic") {
+            Snapshots.discardStaged(store, fresh)
+            throw new UnsupportedOperationException(
+              "dynamic partition overwrite has no branch face — " +
+                "append to or truncate the branch")
+          }
+          try Snapshots.commitStagedToBranch(store, fresh, b,
+            append = mode == "append")
+          catch { case e: Throwable =>
+            Snapshots.discardStaged(store, fresh); throw e }
+          return
+        case None => ()
       }
       var attempts = 0
       while (true) {

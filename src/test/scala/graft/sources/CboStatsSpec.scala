@@ -69,6 +69,35 @@ class CboStatsSpec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  test("string columns analyze avg/max byte lengths; served to catalyst") {
+    val (cat, root) = freshCatalog()
+    try {
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, txt STRING)")
+      // lengths 1..10 uniformly, plus nulls: avg = ceil(5.5) = 6, max = 10
+      s.range(0, 1000).select(col("id").as("k"),
+        when(col("id") % 100 === 0, lit(null).cast("string"))
+          .otherwise(substring(lit("abcdefghij"), lit(1),
+            (col("id") % 10 + 1).cast("int"))).as("txt"))
+        .writeTo(s"$cat.t").append()
+      s.sql(s"CALL $cat.system.analyze('t', 'txt')").collect()
+      val prev = s.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val st = s.table(s"$cat.t").queryExecution.optimizedPlan.stats
+        val txt = st.attributeStats.toSeq.collectFirst {
+          case (a, cs) if a.name == "txt" => cs }.get
+        assert(txt.nullCount.contains(BigInt(10)), s"nulls: ${txt.nullCount}")
+        assert(txt.maxLen.contains(10L), s"maxLen: ${txt.maxLen}")
+        assert(txt.avgLen.exists(l => l >= 5L && l <= 7L), s"avgLen: ${txt.avgLen}")
+        assert(txt.distinctCount.contains(BigInt(10)), // the 10 prefixes
+          s"ndv: ${txt.distinctCount}")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None    => s.conf.unset("spark.sql.cbo.enabled")
+      }
+    } finally rm(root)
+  }
+
   test("CBO broadcast flip: analyzed NDV shrinks a filtered join side") {
     val (cat, root) = freshCatalog()
     val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
