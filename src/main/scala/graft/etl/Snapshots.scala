@@ -1844,6 +1844,32 @@ object Snapshots {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** Metadata relation over the table's ANALYZE state — the `.stats`
+    * twin of [[metaSnapshots]]: one row per analyzed column of the
+    * newest sidecar at-or-below the current snapshot (the exact map
+    * the scan's reported column statistics serve), with the snapshot
+    * id it was computed at — the operator's staleness check ("is a
+    * re-analyze due?") in one zero-job read. Empty when never
+    * analyzed.
+    */
+  def metaColStats(s: SparkSession, root: Path): DataFrame = {
+    val rows = currentId(root).flatMap(colStats(root, _)) match {
+      case Some((atId, m)) => m.toSeq.sortBy(_._1).map { case (c, st) =>
+        Row(c, atId.toLong, st.ndv, st.nulls,
+          st.avgLen.map(Long.box).orNull, st.maxLen.map(Long.box).orNull)
+      }
+      case None => Nil
+    }
+    val schema = StructType(Seq(
+      StructField("col_name", StringType),
+      StructField("computed_at_snapshot", LongType),
+      StructField("ndv", LongType), StructField("nulls", LongType),
+      StructField("avg_len", LongType, nullable = true),
+      StructField("max_len", LongType, nullable = true)))
+    // LocalRelation: collecting a metadata relation is a driver read
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** Metadata relation over one snapshot's FILES — the `.files` twin of
     * [[metaSnapshots]]: rel_path, kind (data|delete), seq, bytes, md5,
     * the anonymous zone-map bounds if present, and how many named zone

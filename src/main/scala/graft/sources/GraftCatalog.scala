@@ -372,6 +372,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
           case "refs" => Snapshots.metaRefs(spark, base)
           case "consumers" => Snapshots.metaConsumers(spark, base)
+          case "stats" => Snapshots.metaColStats(spark, base)
           case "partitions" =>
             // claim inputs come from the table's marker: zone names are
             // PHYSICAL, exactly what `sortcol`/`statscol` record

@@ -1850,7 +1850,7 @@ object GraftCatalogQueries {
         val r = s.sql(s"SELECT partition, n_files, n_rows, bytes " +
           s"FROM $cat.fact.partitions").collect().sortBy(_.getString(0))
         // the listener bus is async — give submitted jobs time to surface
-        Thread.sleep(1500)
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
         r
       } finally s.sparkContext.removeSparkListener(listener)
       require(jobs.get() == 0,
@@ -3241,7 +3241,7 @@ object GraftCatalogQueries {
       s.sparkContext.addSparkListener(listener)
       try {
         s.sql(s"DELETE FROM $cat.t1 WHERE shard = 3")
-        Thread.sleep(1500) // async listener bus
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
       } finally s.sparkContext.removeSparkListener(listener)
       require(jobs.get() == 0,
         s"partition purge launched ${jobs.get()} Spark job(s) — not metadata-only")
@@ -3498,7 +3498,7 @@ object GraftCatalogQueries {
       val est = try {
         val r = s.sql(s"CALL $cat.system.analyze('t', 'pk,sk', 'sketch')")
           .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
-        Thread.sleep(1500) // async listener bus
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
         r
       } finally s.sparkContext.removeSparkListener(listener)
       require(read.get() > 0 && read.get() < oldBytes,

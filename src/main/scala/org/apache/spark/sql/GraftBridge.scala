@@ -30,4 +30,12 @@ object GraftBridge {
     */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+  /** Drain the async listener bus — the zero-job / task-metrics proof
+    * queries must not assert on a counter before the bus delivered the
+    * events (the alternative, a fixed sleep, is both slower and
+    * flakier). `waitUntilEmpty` is `private[spark]`, hence here.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -248,7 +248,7 @@ class GraftPosDeleteSpec extends AnyFunSuite {
       s.sparkContext.addSparkListener(listener)
       val second = try {
         val r = Snapshots.posBitmapsDistributed(s, store, dels)
-        Thread.sleep(1500) // async listener bus
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
         r
       } finally s.sparkContext.removeSparkListener(listener)
       assert(jobs.get() == 0,

@@ -56,7 +56,7 @@ class MetaDeleteSpec extends AnyFunSuite {
       s.sparkContext.addSparkListener(listener)
       try {
         s.sql(s"DELETE FROM $cat.t WHERE pk = 3")
-        Thread.sleep(1500) // async listener bus
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
       } finally s.sparkContext.removeSparkListener(listener)
       assert(jobs.get() == 0,
         s"partition purge launched ${jobs.get()} Spark job(s) — not metadata-only")

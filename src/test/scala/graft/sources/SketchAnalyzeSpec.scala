@@ -53,6 +53,23 @@ class SketchAnalyzeSpec extends AnyFunSuite {
       val store = root.resolve("t")
       val served = Snapshots.colStats(store, Snapshots.currentId(store).get).get._2
       assert(served("k").ndv == ndvK && served("g").ndv == 40L)
+      // ... and the `.stats` metadata table surfaces them ZERO-JOB
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      val meta = try {
+        val r = s.sql(s"SELECT col_name, ndv, nulls FROM $cat.t.stats")
+          .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
+        r
+      } finally s.sparkContext.removeSparkListener(listener)
+      assert(jobs.get() == 0, s"t.stats launched ${jobs.get()} Spark job(s)")
+      assert(meta("k") == ((ndvK, 0L)) && meta("g") == ((40L, 0L)),
+        s"t.stats diverged from the sidecar: $meta")
     } finally rm(root)
   }
 
@@ -81,7 +98,7 @@ class SketchAnalyzeSpec extends AnyFunSuite {
       s.sparkContext.addSparkListener(listener)
       val out2 = try {
         val r = s.sql(s"CALL $cat.system.analyze('t', 'k', 'sketch')").collect()
-        Thread.sleep(1500) // async listener bus
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
         r
       } finally s.sparkContext.removeSparkListener(listener)
       assert(read.get() < oldBytes,
