@@ -32,10 +32,21 @@ object JobProf {
       val listener = new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
           val r = JobRow(e.jobId, e.time)
-          r.desc = Option(e.properties)
+          val props = Option(e.properties)
+          val execDesc = props
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap { id =>
+              org.apache.spark.sql.GraftBridge.queryExecutionFor(id.toLong)
+                .map { qe =>
+                  val head = qe.analyzed.toString.linesIterator
+                    .take(2).mkString(" | ").take(150)
+                  s"exec=$id $head"
+                }
+            }
+          r.desc = props
             .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .orElse(Option(e.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .orElse(execDesc)
+            .orElse(props.flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("")
           jobs.add(r)
         }
@@ -65,7 +76,7 @@ object JobProf {
             f"taskMs=${taskMs.get}%d shufRead=${shufR.get / 1024}%dKiB")
           rows.foreach { r =>
             val dur = if (r.end > 0) r.end - r.start else -1
-            println(f"  job ${r.id}%4d ${dur}%6d ms  ${r.desc.take(110)}")
+            println(f"  job ${r.id}%4d ${dur}%6d ms  ${r.desc.take(160)}")
           }
         }
       }

@@ -78,6 +78,86 @@ object Snapshots {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** Exact per-file `(col, min, max)` zone maps read from the parquet
+    * FOOTERS of freshly-staged files, replacing the scan JOB the stats
+    * gather used to pay (guide §1.2: never re-compute what storage
+    * already recorded — staging re-read every written byte just to
+    * learn min/max the writer had already footered). Returns None — and
+    * the caller falls back to the exact one-job scan — unless EVERY
+    * file yields decisive evidence for every column:
+    *
+    *  - the column is physical INT32/INT64 with no, or a signed-int,
+    *    logical annotation (the exact cases where footer min/max equals
+    *    the scan's `min(col).cast("long")`; DATE/DECIMAL/unsigned
+    *    annotations have different cast semantics and decline), and
+    *  - every row group either carries real min/max or proves itself
+    *    all-null (`numNulls == rowCount`); absent or ambiguous
+    *    statistics decline.
+    *
+    * A file whose column is entirely NULL gets no entry for it — the
+    * same "no zone, cannot skip" the scan produced. Behavior is thus
+    * bit-identical to the job on every accepted input; everything else
+    * still pays the job.
+    */
+  private def footerZones(s: SparkSession, files: Seq[Path], cols: Seq[String])
+      : Option[Map[Path, Seq[(String, Long, Long)]]] = {
+    if (cols.isEmpty) return Some(files.map(f => f -> Seq.empty[(String, Long, Long)]).toMap)
+    val conf = s.sessionState.newHadoopConf()
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    val out = Map.newBuilder[Path, Seq[(String, Long, Long)]]
+    files.foreach { p =>
+      val zones: Option[Seq[(String, Long, Long)]] =
+        try {
+          val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toUri), conf))
+          try {
+            val sch = f.getFooter.getFileMetaData.getSchema
+            val blocks = f.getFooter.getBlocks.asScala.toSeq
+            val perCol: Seq[Option[Seq[(String, Long, Long)]]] = cols.map { c =>
+              val idx = (0 until sch.getFieldCount)
+                .find(i => sch.getFields.get(i).getName == c)
+              idx.flatMap { i =>
+                val fld = sch.getFields.get(i)
+                val eligible = fld.isPrimitive && {
+                  val pt = fld.asPrimitiveType()
+                  (pt.getPrimitiveTypeName == INT64 || pt.getPrimitiveTypeName == INT32) &&
+                    (pt.getLogicalTypeAnnotation match {
+                      case null => true
+                      case ann: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                        ann.isSigned
+                      case _ => false
+                    })
+                }
+                if (!eligible) None
+                else {
+                  val sts = blocks.map(b => (Option(b.getColumns.get(i).getStatistics), b.getRowCount))
+                  val decisive = sts.forall { case (st, rows) =>
+                    st.exists(x => x.hasNonNullValue ||
+                      (x.isNumNullsSet && x.getNumNulls == rows))
+                  }
+                  if (!decisive) None
+                  else {
+                    val vals = sts.flatMap(_._1).filter(_.hasNonNullValue)
+                    if (vals.isEmpty) Some(Nil) // all-null: no zone, decisively
+                    else Some(Seq((c,
+                      vals.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+                      vals.map(_.genericGetMax.asInstanceOf[Number].longValue).max)))
+                  }
+                }
+              }
+            }
+            if (perCol.exists(_.isEmpty)) None else Some(perCol.flatMap(_.get))
+          } finally f.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      zones match {
+        case Some(z) => out += (p -> z)
+        case None    => return None
+      }
+    }
+    Some(out.result())
+  }
+
   /** Write-temp + atomic rename. The temp name is DOT-prefixed so a
     * crash between write and rename leaves a crumb no directory scan
     * mistakes for a real manifest/version/ref (every scan below also
@@ -267,26 +347,37 @@ object Snapshots {
     val dataDir = root.resolve("data").resolve(f"snap-$id%05d")
     Files.createDirectories(dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
-    // Per-file (min, max) of the stats column, gathered in ONE job over
-    // the freshly-written files (grouped by file, not a job per file).
+    val listing = Files.list(dataDir)
+    val freshFiles = try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+    finally listing.close()
+    // Per-file (min, max) of the stats column: from the parquet FOOTERS
+    // when they are decisive (zero jobs, O(#files) driver reads), else
+    // gathered in ONE job over the freshly-written files (grouped by
+    // file, not a job per file) — identical values either way.
     val statsByFile: Map[String, (Long, Long)] = statsCol match {
       case None => Map.empty
       case Some(c) =>
-        s.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
-          .collect()
-          .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-            .getFileName.toString -> (r.getLong(1), r.getLong(2)))
-          .toMap
+        footerZones(s, freshFiles, Seq(c)) match {
+          case Some(zones) =>
+            zones.flatMap { case (p, z) =>
+              z.headOption.map { case (_, lo, hi) =>
+                p.getFileName.toString -> (lo, hi) }
+            }
+          case None =>
+            s.read.parquet(dataDir.toString)
+              .groupBy(input_file_name().as("f"))
+              .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+              .collect()
+              .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+                .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+              .toMap
+        }
     }
-    val listing = Files.list(dataDir)
-    val fresh = try listing.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
+    val fresh = freshFiles
       .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
         statsByFile.get(p.getFileName.toString), seq = id))
-    finally listing.close()
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
     // meta carries across append AND rewrite: a compaction/overwrite
@@ -1330,7 +1421,12 @@ object Snapshots {
     if (files.isEmpty) return Nil
     val byFile: Map[String, Seq[(String, Long, Long)]] =
       if (statsCols.isEmpty) Map.empty
-      else {
+      else footerZones(s, files, statsCols) match {
+        // footer fast path: same named zones, zero jobs (guide §1.2) —
+        // keyed by the staging-relative path exactly like the scan path
+        case Some(zones) =>
+          zones.map { case (p, z) => relOf(p) -> z }
+        case None =>
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
         // allowlisted mode reads the explicit files, never the dir: the

@@ -38,4 +38,12 @@ object GraftBridge {
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** JobProf only: resolve a SQL execution id (the `spark.sql.execution.id`
+    * job property) to its live QueryExecution, so per-job measurements can
+    * be grouped by the STATEMENT that launched them. `SQLExecution` is
+    * `private[sql]`, hence here.
+    */
+  def queryExecutionFor(id: Long): Option[org.apache.spark.sql.execution.QueryExecution] =
+    Option(org.apache.spark.sql.execution.SQLExecution.getQueryExecution(id))
 }
