@@ -26,8 +26,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap scales with the benched core count: local[N] runs driver AND all
+// executor task slots in ONE JVM, so a flat 8g gives 32 concurrent tasks
+// ~150 MB of execution memory each and the stateful/aggregating queries
+// GC-thrash (measured: stream_token_sketch 39.8s at 8g vs 8.0s at 16g in
+// the same 5-query sequence). 0.5 GB/slot, floor 8g, cap 16g — the same
+// per-slot memory a production executor sizing would give, parameterized
+// by SPARK_GRAFT_CPUS so lower-core driver runs keep their old envelope,
+// and SPARK_DRIVER_MEM still overrides explicitly.
+val graftHeap = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(c => scala.util.Try(c.trim.toInt).toOption).getOrElse(4)
+  s"${math.min(16, math.max(8, cpus / 2))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
 )

@@ -33,6 +33,30 @@ object GraftSession {
       // directory-discovery scans with thousands of paths still go
       // parallel above this.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // Spark 4.1's checkpoint file checksums (new, default-on) spawn a
+      // checksum-writer THREAD per state/offset/commit file and park the
+      // writing task until it finishes (ChecksumCheckpointFileManager
+      // .createWithChecksum → awaitResult); with N concurrent state
+      // partitions the handoff serializes every stateful micro-batch —
+      // measured on stream_topk at local[32]: state-commit stages of
+      // 158 s task run time vs 0.8 s task CPU, all parked on the
+      // checksum latch (jstack), 13.0 s → ~5 s wall with the dial off.
+      // The cost is per checkpoint FILE, so it scales with state
+      // partitions × batches — a cluster pays it too, it is not a
+      // local-mode artifact. Checkpoint-corruption detection is a real
+      // feature; the env dial restores it for deployments that want the
+      // integrity guarantee over the latency.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // Without libhadoop, Hadoop's local FileContext shells out (`ls`,
+      // `chmod`) for every checkpoint file op — a process fork per
+      // offset/commit/state file per micro-batch (sampled: state-commit
+      // stages 48 s run / 1.2 s CPU, parked in forkAndExec). The NIO
+      // manager keeps the identical temp-file + atomic-rename protocol
+      // via rename(2) and delegates non-file schemes to Spark's default,
+      // so production object-store checkpoints are untouched.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
       // InferFiltersFromGenerate adds size(g)>0/isnotnull(g) above every
       // explode; predicate pushdown then substitutes the generator's WHOLE
       // expression into those filters, so an expensive computed array

@@ -27,6 +27,7 @@ object JobProf {
 
     args.drop(1).foreach { name =>
       val jobs = new ConcurrentLinkedQueue[JobRow]()
+      val stages = new ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, String)]()
       val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
       val shufR = new java.util.concurrent.atomic.AtomicLong(0)
       val listener = new SparkListener {
@@ -55,11 +56,16 @@ object JobProf {
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
           taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
           shufR.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          stages.add((e.stageInfo.stageId, e.stageInfo.numTasks,
+            e.stageInfo.taskMetrics.executorRunTime,
+            e.stageInfo.taskMetrics.executorCpuTime / 1000000L,
+            e.stageInfo.taskMetrics.jvmGCTime,
+            e.stageInfo.name.take(90)))
         }
       }
       // two passes: pass 1 warms (page cache, codegen); pass 2 is measured
       (1 to 2).foreach { pass =>
-        jobs.clear(); taskMs.set(0); shufR.set(0)
+        jobs.clear(); stages.clear(); taskMs.set(0); shufR.set(0)
         s.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(s, d).write.mode("overwrite").format("noop").save()
@@ -77,6 +83,10 @@ object JobProf {
           rows.foreach { r =>
             val dur = if (r.end > 0) r.end - r.start else -1
             println(f"  job ${r.id}%4d ${dur}%6d ms  ${r.desc.take(160)}")
+          }
+          stages.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+            case (sid, nt, run, cpu, gc, nm) =>
+              println(f"  stage $sid%4d tasks=$nt%3d run=${run}%7d cpu=${cpu}%7d gc=${gc}%6d  $nm")
           }
         }
       }
