@@ -78,6 +78,27 @@ object Snapshots {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** MD5 of many files CONCURRENTLY (guide §5 — keep the driver out of
+    * serial data work): manifesting used to stream every freshly staged
+    * byte through one thread, so a commit's wall time carried
+    * O(staged bytes) single-threaded I/O on top of the write itself.
+    * The files were written by N parallel tasks and are independent, so
+    * hash them on a bounded pool — the bytes are page-cache-warm right
+    * after the write and the hash is CPU-bound, which parallelizes
+    * cleanly. One file (the common tiny-commit case) stays inline.
+    */
+  private[graft] def md5hexAll(files: Seq[Path]): Map[Path, String] = {
+    val n = math.min(files.size, Runtime.getRuntime.availableProcessors)
+    if (n <= 1) files.map(p => p -> md5hex(p)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try files.map(p => p -> pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = md5hex(p)
+        })).map { case (p, f) => p -> f.get() }.toMap
+      finally pool.shutdown()
+    }
+  }
+
   /** Exact per-file `(col, min, max)` zone maps read from the parquet
     * FOOTERS of freshly-staged files, replacing the scan JOB the stats
     * gather used to pay (guide §1.2: never re-compute what storage
@@ -131,7 +152,18 @@ object Snapshots {
                 }
                 if (!eligible) None
                 else {
-                  val sts = blocks.map(b => (Option(b.getColumns.get(i).getStatistics), b.getRowCount))
+                  // Column chunks are in LEAF order, not top-level field
+                  // order: with any group field in the schema the field
+                  // index would address the wrong chunk and silently
+                  // accept a different column's min/max into the zone
+                  // map. Match the chunk by its dotted path instead; a
+                  // top-level primitive's path is exactly [name].
+                  val cpath = org.apache.parquet.hadoop.metadata.ColumnPath.get(c)
+                  val chunks = blocks.map(_.getColumns.asScala.find(_.getPath == cpath))
+                  if (chunks.exists(_.isEmpty)) None
+                  else {
+                  val sts = chunks.zip(blocks).map { case (ch, b) =>
+                    (Option(ch.get.getStatistics), b.getRowCount) }
                   val decisive = sts.forall { case (st, rows) =>
                     st.exists(x => x.hasNonNullValue ||
                       (x.isNumNullsSet && x.getNumNulls == rows))
@@ -143,6 +175,7 @@ object Snapshots {
                     else Some(Seq((c,
                       vals.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
                       vals.map(_.genericGetMax.asInstanceOf[Number].longValue).max)))
+                  }
                   }
                 }
               }
@@ -370,13 +403,20 @@ object Snapshots {
               .groupBy(input_file_name().as("f"))
               .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
               .collect()
-              .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-                .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+              // a file whose stats column is entirely NULL has no zone
+              // (min/max come back null): stage it with NO range — the
+              // same "cannot skip" the footer path emits, never a
+              // fabricated (0,0) that could wrongly prune
+              .flatMap(r =>
+                if (r.isNullAt(1) || r.isNullAt(2)) None
+                else Some(java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+                  .getFileName.toString -> (r.getLong(1), r.getLong(2))))
               .toMap
         }
     }
+    val md5s = md5hexAll(freshFiles)
     val fresh = freshFiles
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+      .map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p),
         statsByFile.get(p.getFileName.toString), seq = id))
     val carried =
       if (append) prev.map(manifest(root, _)).getOrElse(Nil) else Nil
@@ -451,12 +491,13 @@ object Snapshots {
     // free semantically.
     keys.distinct().write.mode("overwrite").parquet(delDir.toString)
     val listing = Files.list(delDir)
-    try listing.iterator().asScala.toSeq
+    val tombFiles = try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        None, seq = id))
     finally listing.close()
+    val md5s = md5hexAll(tombFiles)
+    tombFiles.map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p),
+      None, seq = id))
   }
 
   /** Row-level delete as a snapshot commit (merge-on-read): write the
@@ -544,11 +585,13 @@ object Snapshots {
         .as("__bitmap"))
       .write.mode("overwrite").parquet(delDir.toString)
     val listing = Files.list(delDir)
-    val entries = try listing.iterator().asScala.toSeq
+    val posFiles = try listing.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p)))
     finally listing.close()
+    val md5s = md5hexAll(posFiles)
+    val entries = posFiles
+      .map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p)))
     if (entries.nonEmpty && s.read.parquet(
         entries.map(e => root.resolve(e.relPath).toString): _*).isEmpty) {
       discardStaged(root, entries)
@@ -833,12 +876,13 @@ object Snapshots {
     Files.createDirectories(delDir)
     keys.distinct().write.mode("overwrite").parquet(delDir.toString)
     val l = Files.list(delDir)
-    try l.iterator().asScala.toSeq
+    val occFiles = try l.iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
-        None, seq = 0))
     finally l.close()
+    val md5s = md5hexAll(occFiles)
+    occFiles.map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p),
+      None, seq = 0))
   }
 
   /** Exactly-once streaming UPSERT: one micro-batch applied as ONE
@@ -1458,8 +1502,9 @@ object Snapshots {
       }
     // recursive: a value-pure partitioned staging (stageOccPartitioned)
     // nests files under _pv=<value>/ dirs; flat stagings walk identically
+    val md5s = md5hexAll(files)
     files
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+      .map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p),
         None, seq = 0, multi = byFile.getOrElse(relOf(p), Nil)))
   }
 
@@ -1709,8 +1754,10 @@ object Snapshots {
     Files.createDirectories(dataDir)
     df.withColumn("_pv", col(partCol))
       .write.partitionBy("_pv").mode("overwrite").parquet(dataDir.toString)
-    val fresh = listParquetRecursive(dataDir)
-      .map(p => ManifestEntry(root.relativize(p).toString, md5hex(p), Files.size(p),
+    val ovFiles = listParquetRecursive(dataDir)
+    val md5s = md5hexAll(ovFiles)
+    val fresh = ovFiles
+      .map(p => ManifestEntry(root.relativize(p).toString, md5s(p), Files.size(p),
         None, seq = id))
     require(fresh.nonEmpty, "refusing an empty overwrite: no partitions to replace")
     val touched = fresh.flatMap(e => partValueOf(e.relPath)).toSet
@@ -2994,16 +3041,20 @@ object Snapshots {
   /** A5-style integrity replay over snapshot `n`'s manifest: recompute
     * every file's MD5 and size, return the mismatches (empty = intact).
     */
-  def verify(root: Path, n: Int): Seq[(String, String, String)] =
-    manifest(root, n).flatMap { e =>
+  def verify(root: Path, n: Int): Seq[(String, String, String)] = {
+    val entries = manifest(root, n)
+    val present = entries.filter(e => Files.exists(root.resolve(e.relPath)))
+    val md5s = md5hexAll(present.map(e => root.resolve(e.relPath)))
+    entries.flatMap { e =>
       val p = root.resolve(e.relPath)
       if (!Files.exists(p)) Seq((e.relPath, e.md5, "MISSING"))
       else {
-        val actual = md5hex(p)
+        val actual = md5s(p)
         if (actual != e.md5 || Files.size(p) != e.bytes) Seq((e.relPath, e.md5, actual))
         else Nil
       }
     }
+  }
 
   /** Incremental (CDC-style) read between snapshots: the rows ADDED
     * after `from` as of `to`, resolved by MANIFEST DIFF — only files

@@ -2028,10 +2028,10 @@ object GraftCatalogQueries {
         .repartition(4).write.mode("overwrite").parquet(ext.toString)
       val extMd5: Map[String, String] = {
         val l = JFiles.list(ext)
-        try l.iterator().asScala.toSeq
+        val fs = try l.iterator().asScala.toSeq
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => p.getFileName.toString -> Snapshots.md5hex(p)).toMap
         finally l.close()
+        Snapshots.md5hexAll(fs).map { case (p, h) => p.getFileName.toString -> h }
       }
       val res = s.sql(s"CALL $cat.system.add_files(tbl => 'orders', " +
         s"src => '${ext.toString}')").head

@@ -317,12 +317,14 @@ private[sources] final class GraftDeltaWrite(
       // whole-partition purge parallelizes across N tasks/files
       keys.distinct().write.mode("overwrite").parquet(delDir.toString)
       val l = JFiles.list(delDir)
-      val entries = try l.iterator().asScala.toSeq
+      val tombFiles = try l.iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString)
-        .map(p => Snapshots.ManifestEntry(store.relativize(p).toString,
-          Snapshots.md5hex(p), JFiles.size(p)))
       finally l.close()
+      val md5s = Snapshots.md5hexAll(tombFiles)
+      val entries = tombFiles
+        .map(p => Snapshots.ManifestEntry(store.relativize(p).toString,
+          md5s(p), JFiles.size(p)))
       if (entries.nonEmpty && spark.read.parquet(
           entries.map(e => store.resolve(e.relPath).toString): _*).isEmpty) {
         Snapshots.discardStaged(store, entries)

@@ -94,27 +94,33 @@ class NioCheckpointFileManager(root: HPath, conf: Configuration)
   private def renameNio(src: java.nio.file.Path, dst: java.nio.file.Path,
                         overwriteIfPossible: Boolean): Unit =
     translate {
-      // POSIX rename(2) — which ATOMIC_MOVE maps to on Linux — REPLACES
-      // an existing destination silently, so the committed-first check
-      // HDFSMetadataLog keys on must be explicit, exactly like Hadoop's
-      // FileContext.rename(Options.Rename.NONE) does on local paths
-      // (exists probe + rename; a same-instant racer overwrites with the
-      // same batch's identical bytes, the documented local-rename edge).
-      if (!overwriteIfPossible && Files.exists(dst)) {
-        Files.deleteIfExists(src) // don't leave the loser's temp crumb
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-          s"rename destination $dst already exists")
-      }
       try {
         if (overwriteIfPossible)
           Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-        else
-          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        else {
+          // POSIX rename(2) — which ATOMIC_MOVE maps to on Linux —
+          // REPLACES an existing destination silently, so the
+          // committed-first refusal HDFSMetadataLog keys on cannot be a
+          // check-then-move (two same-instant racers both pass the
+          // exists probe and the loser silently replaces the winner).
+          // link(2) IS an atomic no-replace publish: it fails with
+          // EEXIST if dst appeared at any point, so exactly one racer
+          // wins and the other gets the FileAlreadyExists the protocol
+          // demands. Filesystems without hard links fall back to the
+          // probe+rename Hadoop's local FileContext itself uses.
+          try { Files.createLink(dst, src); Files.delete(src) }
+          catch {
+            case _: UnsupportedOperationException =>
+              if (Files.exists(dst))
+                throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+              Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
         ()
       } catch {
-        // filesystems whose atomic move does enforce no-replace
         case e: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(src) // don't leave the loser's temp crumb
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(
             s"rename destination ${e.getFile} already exists")
       }
