@@ -98,12 +98,24 @@ object Tokenize {
           s"concat('$Sep', __a, __b, '$Sep'))"), col("seq")))
       .select("word", "freq", "seq")
 
-  /** Unfold K merge steps; returns (merge rules m1..mK, final vocab state). */
+  /** Unfold K merge steps; returns (merge rules m1..mK, final vocab state).
+    *
+    * The vocab state is localCheckpoint'd each step (the scaladoc's own
+    * depth bound, semantics unchanged): without it s_k's plan tree holds
+    * s_{k-1} TWICE (once directly, once inside m_k), so the logical plan
+    * grows 2^K subtrees and Catalyst re-analyzes all of them — measured
+    * at K=4/sf0.1, bpe_train spent 3.8 s of a 6.4 s wall in the driver
+    * gap (planning), against 2.6 s of actual jobs (guide §7.3: very
+    * large plans spend minutes in the optimizer; truncate them). Each
+    * checkpoint is one vocab-sized job — the relation BPE already
+    * collapsed the corpus to — and every m_k / pairCounts now plans
+    * against constant-size checkpointed leaves.
+    */
   private def unfold(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    var cur = seed(wordFreq(s, d))
+    var cur = seed(wordFreq(s, d)).localCheckpoint()
     val ms = (1 to Merges).map { _ =>
       val m = argmax(pairCounts(cur))
-      cur = applyMerge(cur, m)
+      cur = applyMerge(cur, m).localCheckpoint()
       m
     }
     (ms, cur)

@@ -576,13 +576,18 @@ object GraftCatalogQueries {
         "TBLPROPERTIES ('morkey'='l_orderkey,l_linenumber', 'statscol'='l_orderkey')")
       // the synthetic lineitem repeats (l_orderkey, l_linenumber) pairs;
       // aggregate to a frame where the composite key is genuinely unique
-      // — the shape a mirrored link table actually has
+      // — the shape a mirrored link table actually has. Materialized
+      // ONCE (localCheckpoint): five statements reference the view
+      // (INSERT, two count gates, the MERGE source twice), and without
+      // it each re-ran the full lineitem aggregation (guide §5:
+      // persist exactly the reused-and-expensive frame).
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
         .agg(sum(col("l_quantity").cast("long")).as("qty"),
           min(col("l_returnflag")).as("l_returnflag"))
         .withColumn("p", col("l_orderkey") % 4)
         .select("l_orderkey", "l_linenumber", "qty", "l_returnflag", "p")
+        .localCheckpoint()
         .createOrReplaceTempView(view)
       s.sql(s"INSERT INTO $cat.li SELECT * FROM $view")
       val store = root.resolve("li")
@@ -757,7 +762,11 @@ object GraftCatalogQueries {
         s.sql(s"INSERT INTO $cat.orders SELECT * FROM $view WHERE o_orderkey % 4 = 2")
         q2.processAllAvailable()
       } finally q2.stop()
-      val feed = sinkDf
+      // materialized ONCE each: the hash-match runs exceptAll in both
+      // directions and the retraction-consumer state reads the feed
+      // twice more — without the checkpoint every consumer re-ran the
+      // four readChangeFeed window joins / re-scanned the sink (§5)
+      val feed = sinkDf.localCheckpoint()
       val orders = s.table(view)
       val expectedDeletes = orders.filter(k % 8 === 1).count() +
         orders.filter(k % 8 === 0).count()
@@ -771,6 +780,7 @@ object GraftCatalogQueries {
         Snapshots.readChangeFeed(s, store, n - 1, n)
           .select("o_orderkey", "o_orderstatus", "cents", "_change_type"))
         .reduce(_.unionByName(_))
+        .localCheckpoint()
       require(feed.exceptAll(batchUnion).isEmpty &&
           batchUnion.exceptAll(feed).isEmpty,
         "streamed catalog changefeed diverged from the batch feed")
@@ -1456,14 +1466,20 @@ object GraftCatalogQueries {
         "sum_cents BIGINT) TBLPROPERTIES ('morkey'='o_orderstatus')")
       s.sql(s"INSERT INTO $cat.src SELECT * FROM $view WHERE o_orderkey % 2 = 0")
       def run(): Unit = {
-        val q = s.readStream.table(s"$cat.src")
-          .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-          .writeStream
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .toTable(s"$cat.mv")
+        // stateful (update-mode agg): born with the bounded state-
+        // partition count, like every StreamRun stream (provider count
+        // is per-partition-per-batch; the state here is a handful of
+        // status keys)
+        val q = graft.streaming.StreamRun.withStateParts(s) {
+          s.readStream.table(s"$cat.src")
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"$cat.mv")
+        }
         require(q.awaitTermination(300000L),
           "AvailableNow matview run did not self-terminate inside 300s")
       }

@@ -599,9 +599,13 @@ object SnapshotSourceQueries {
         Snapshots.publish(s, up, orders.filter(k % 4 === 3), append = true)
         q2.processAllAvailable()
       } finally q2.stop()
-      // the mirror IS the upstream: row-for-row, both directions
-      val upNow = Snapshots.readCurrent(s, up)
-      val mirNow = Snapshots.readCurrent(s, mirror)
+      // the mirror IS the upstream: row-for-row, both directions. Both
+      // sides are MERGE-ON-READ reads (base ⟕ tombstone anti-joins);
+      // materialize each ONCE — the two exceptAll directions plus the
+      // final aggregate would otherwise re-run both merged reads five
+      // times (guide §5: persist the reused-and-expensive frame).
+      val upNow = Snapshots.readCurrent(s, up).localCheckpoint()
+      val mirNow = Snapshots.readCurrent(s, mirror).localCheckpoint()
       require(mirNow.exceptAll(upNow).isEmpty && upNow.exceptAll(mirNow).isEmpty,
         "mirror diverged from the upstream it tracks")
       val out = mirNow.groupBy("o_orderstatus")

@@ -32,6 +32,40 @@ import org.apache.spark.sql.functions._
   */
 object StreamRun {
 
+  /** Number of STATE partitions a stateful streaming query is born with
+    * (`spark.sql.shuffle.partitions` at first start — Spark pins it in
+    * the checkpoint's offset log, so restarts keep it regardless of the
+    * session value). Default min(8, cores): every stateful stage runs
+    * one task AND one state-store provider per partition PER
+    * MICRO-BATCH, and a restart re-initializes every provider under
+    * Spark's global `loadedProviders` lock — measured on stream_recovery
+    * at local[32], state-commit stages carried 20-50 s of task run time
+    * against ~1 s of task CPU (31/32 of every stage was provider/commit
+    * blocking, and 8 cores beat 32: inverse scaling). The gate streams
+    * carry trivial state (KBs), so 8 partitions bound the provider count
+    * without ever being the compute bottleneck. Production streams with
+    * LARGE state set SPARK_GRAFT_STREAM_STATE_PARTS to size state
+    * volume / partition, exactly like any shuffle-partition choice —
+    * the dial is the declared knob, the default is the small-state
+    * envelope. Set at stream BIRTH only; an existing checkpoint keeps
+    * the count it was born with (Spark's own contract).
+    */
+  private[graft] def statePartitions(s: SparkSession): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS",
+      math.min(8, s.sparkContext.defaultParallelism).toString)
+
+  /** Run `body` (which STARTS streaming queries) with the birth-time
+    * state-partition count applied, restoring the session value after.
+    * StreamExecution clones the session conf at query start, so the
+    * narrow window covers exactly the queries `body` starts.
+    */
+  private[graft] def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, statePartitions(s))
+    try body finally s.conf.set(key, old)
+  }
+
   /** Stage `input` as `nFiles` files, stream it through `transform` in
     * Append mode, optionally flush with `sentinel`, return the sink.
     *
@@ -54,8 +88,10 @@ object StreamRun {
     val src = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val name = "graft_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = transform(src).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    val q = withStateParts(s) {
+      transform(src).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+    }
     q.processAllAvailable()
     sentinel.foreach { extra =>
       extra.write.mode("append").parquet(dir)
@@ -80,8 +116,10 @@ object StreamRun {
       .write.mode("overwrite").parquet(dir)
     val src = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = transform(src).writeStream
-      .foreachBatch(sink).outputMode("append").start()
+    val q = withStateParts(s) {
+      transform(src).writeStream
+        .foreachBatch(sink).outputMode("append").start()
+    }
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
   }
@@ -126,11 +164,13 @@ object StreamRun {
     // (observed: a 7.5 h window band vanished at sf0.01). Feeding ONE file
     // per drain cycle puts arrival order under harness control.
     def leg(files: Seq[java.nio.file.Path]): Unit = {
-      val q = transform(
-        s.readStream.schema(input.schema).option("maxFilesPerTrigger", 1)
-          .parquet(src.toString))
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q = withStateParts(s) {
+        transform(
+          s.readStream.schema(input.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src.toString))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
       files.foreach { p =>
         Files.copy(p, src.resolve(p.getFileName.toString))
         q.processAllAvailable()

@@ -95,11 +95,15 @@ class TokenizeSpec extends AnyFunSuite {
     assert((e.getLong(1), e.getLong(2), e.getLong(3)) == ((3L, 12L, 3L)), e)
   }
 
-  test("the unfolded K-step plan reuses repeated exchanges instead of recomputing them") {
+  test("the unfolded K-step plan never re-derives a step: all leaves are checkpointed vocab state") {
+    // Each step's vocab state is localCheckpoint'd (bounds the 2^K plan
+    // blowup the old shared-subtree form paid at analysis time), so the
+    // final train plan must read ONLY materialized vocab blocks — zero
+    // corpus scans, zero recomputation of any earlier step.
     val df = Tokenize.bpeTrain(s, TestSpark.sf)
-    df.collect() // adaptive plan finalizes reuse only at execution
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
-      p.contains("ReusedQueryStage"), p.take(4000))
+    assert(!p.contains("FileScan"), p.take(4000))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p.take(4000))
   }
 }
