@@ -51,4 +51,49 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** Decouple MAP parallelism from input splits ahead of a CPU-heavy
+    * per-row transform (shingling, window hashing, tokenization).
+    *
+    * Guide §2.5 (input skew): a table that arrives as fewer splits than
+    * the cluster has slots runs the whole transform on those few tasks —
+    * the gate corpus is ONE parquet file, so every expensive map stage
+    * was serial no matter the core count. Scale-adaptive by
+    * construction: when the scan already yields >= defaultParallelism
+    * splits (any real 100 TB table), this is the identity — no exchange
+    * is added at scale, the shuffle only exists exactly when the input
+    * is too few splits to feed the machine. Round-robin repartition
+    * keeps Spark's sort-before-repartition determinism (retried tasks
+    * reproduce the same assignment); results never depend on
+    * partitioning.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Decide WITHOUT executing anything (`.rdd.getNumPartitions` on an
+    // AQE plan materializes its shuffle stages eagerly — a whole extra
+    // execution). A plan that already contains an exchange runs at the
+    // configured shuffle parallelism — identity. Otherwise the input is
+    // a narrow chain over the scan, whose task count is the file-split
+    // count: estimate it from the leaf files' sizes (driver-cheap: we
+    // only stat when there are FEWER files than cores).
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    if (hasExchange) return df
+    val files = df.inputFiles
+    if (files.length >= target) return df
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = files.map { f =>
+      val size = try {
+        val u = new java.net.URI(f)
+        if (u.getScheme == null || u.getScheme == "file")
+          java.nio.file.Files.size(java.nio.file.Paths.get(u.getPath))
+        else maxSplit * target // non-local: assume enough splits, skip
+      } catch { case scala.util.control.NonFatal(_) => maxSplit * target }
+      (size + maxSplit - 1) / maxSplit
+    }.sum
+    if (splits >= target) df else df.repartition(target)
+  }
 }

@@ -78,21 +78,30 @@ object Clustering {
       // one hop (comp := label[comp]). Label propagation alone needs
       // diameter rounds; the jump compounds the progress geometrically,
       // which is what keeps round counts sane on chain-shaped components.
+      // Materialized ONCE per round WITH the per-vertex changed flag
+      // fused in (comp != previous label): the old loop left the jump
+      // lazy, so the changed-count job ran the self-join once and the
+      // next round's propagation ran it again — twice the label-relation
+      // shuffle per round. The convergence probe is now a scan of the
+      // materialized blocks, and the payload every round shuffles stays
+      // two longs + a boolean per vertex.
       val next = prop.as("p")
         .join(prop.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
           col("p.comp") === col("j.jid"), "left")
-        .select(col("p.id").as("id"), coalesce(col("j.jcomp"), col("p.comp")).as("comp"))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      // `prop` was materialized eagerly and `changed` is an action, so the
-      // previous round's checkpoint blocks have no remaining consumers —
-      // drop them at the RDD level (Dataset.unpersist wouldn't; see
-      // unpersistCheckpoint)
+        .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
+          col("p.id") === col("oid"))
+        .select(col("p.id").as("id"),
+          coalesce(col("j.jcomp"), col("p.comp")).as("comp"),
+          (coalesce(col("j.jcomp"), col("p.comp")) =!= col("ocomp")).as("chg"))
+        .localCheckpoint()
+      val changed = next.filter(col("chg")).limit(1).count()
+      // `next` is materialized, so neither `prop`'s blocks nor the
+      // previous round's have a remaining consumer — drop both at the
+      // RDD level (Dataset.unpersist wouldn't; see unpersistCheckpoint)
+      unpersistCheckpoint(prop)
       unpersistCheckpoint(backing)
-      backing = prop
-      labels = next
+      backing = next
+      labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
     }
@@ -100,7 +109,7 @@ object Clustering {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
-    // `labels` is a lazy self-join over the LAST round's checkpoint blocks;
+    // `labels` is a projection over the LAST round's checkpoint blocks;
     // materialize the (tiny — one (id, comp) pair per vertex) result into
     // its own checkpoint so that round's blocks can be freed too. The
     // returned Dataset's own blocks are reclaimed by ContextCleaner once
@@ -234,7 +243,10 @@ object Clustering {
       Tables.documents(s, d).select("doc_id", "lang", "n_chars")).localCheckpoint())
 
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // fanOut: both normalization hashes (md5 over regexp-normalized full
+    // text) are computed map-side before their window exchanges — keep
+    // that CPU off the input split count (identity at real split counts)
+    val docs = Tables.fanOut(Tables.documents(s, d))
     val withKeeper = docs
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))

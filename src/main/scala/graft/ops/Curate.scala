@@ -350,7 +350,7 @@ object Curate {
       transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
       .otherwise(array().cast("array<string>"))
-    val perRow = Tables.documents(s, d)
+    val perRow = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("graft_w"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_ws"),
         call_function("classifier_logit", col("text")).as("logit"))

@@ -37,7 +37,7 @@ object Dedup {
     * other columns, drops docs with no shingles.
     */
   def withShingles(documents: DataFrame): DataFrame =
-    documents
+    Tables.fanOut(documents)
       .withColumn("graft_ws", split(lower(col("text")), " "))
       // same set as filter(size(sh) > 0) — a doc shingles iff it has ≥3
       // words — but this predicate pushes down as ONE split() per row,
@@ -397,7 +397,9 @@ object Dedup {
     val w = col("graft_w")
     // md5 of the k-token window text: identical in DuckDB, so the full
     // pipeline (hash → cross-doc test → island merge) SQL-replays exactly.
-    val wins = documents
+    // fanOut: the window hashing is the query's dominant CPU (an md5 per
+    // k-token window) and must not be bound to the input split count.
+    val wins = Tables.fanOut(documents)
       .select(col("doc_id"), split(lower(col("text")), " ").as("graft_w"))
       .select(col("doc_id"),
         when(size(w) >= k,

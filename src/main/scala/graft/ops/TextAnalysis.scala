@@ -385,7 +385,10 @@ object TextAnalysis {
     * the vocabulary and shuffle only the tail.
     */
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // fanOut at every corpus tokenization below: the explode/ngram
+    // projection is the query's CPU and must not be bound to the input
+    // split count (identity at real split counts — see Tables.fanOut)
+    val tok = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -415,7 +418,7 @@ object TextAnalysis {
     */
   def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val w = col("graft_w")
-    val pairs = Tables.documents(s, d)
+    val pairs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), words(col("text")).as("graft_w"))
       .filter(size(w) >= 2)
       .select(col("doc_id"), explode(
@@ -463,7 +466,7 @@ object TextAnalysis {
     TextKernels.register(s)
     val B = 1024
     val w = col("graft_w")
-    val occ = Tables.documents(s, d)
+    val occ = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), words(col("text")).as("graft_w"))
       .filter(size(w) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -498,7 +501,7 @@ object TextAnalysis {
     */
   def ngramLm(s: SparkSession, d: String): DataFrame = {
     val w = col("graft_w")
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), words(col("text")).as("graft_w"))
       .filter(size(w) >= 3)
       .select(col("doc_id"), explode(

@@ -58,7 +58,7 @@ object Tokenize {
 
   /** Corpus → (word, freq): the ONLY corpus-sized stage. */
   private def wordFreq(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")

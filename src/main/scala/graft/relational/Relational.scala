@@ -1125,7 +1125,10 @@ object Relational {
     * arithmetic against `percentile()` on arbitrary distributions.
     */
   def quantileHistOn(s: SparkSession, base: DataFrame): DataFrame = {
-    val hist = base
+    // fanOut: the stack doubles the rows map-side and the histogram's
+    // partial aggregation eats them in the same stage — at one input
+    // split that whole pass is serial (identity at real split counts)
+    val hist = graft.Tables.fanOut(base)
       .selectExpr("flag", "stack(2, 'qty', qty_c, 'price', price_c) AS (metric, v)")
       .groupBy("flag", "metric", "v").agg(count(lit(1)).as("cnt"))
     val byVal = Window.partitionBy("flag", "metric").orderBy("v")
