@@ -62,9 +62,14 @@ object Tables {
     * construction: when the scan already yields >= defaultParallelism
     * splits (any real 100 TB table), this is the identity — no exchange
     * is added at scale, the shuffle only exists exactly when the input
-    * is too few splits to feed the machine. Round-robin repartition
-    * keeps Spark's sort-before-repartition determinism (retried tasks
-    * reproduce the same assignment); results never depend on
+    * is too few splits to feed the machine. HASH partitioning over
+    * every column, not round-robin: a keyless repartition(n) first
+    * pays a LOCAL SORT of its input inside the (single!) map task
+    * (sortBeforeRepartition, guide §2.5) — measured to eat the whole
+    * parallelism win on a 6M-row input. Hashing the full row spreads
+    * as evenly (the call sites all carry a unique id or near-unique
+    * measures), costs one murmur3 per row, is deterministic under
+    * task retry by construction, and results never depend on
     * partitioning.
     */
   def fanOut(df: DataFrame): DataFrame = {
@@ -94,6 +99,7 @@ object Tables {
       } catch { case scala.util.control.NonFatal(_) => maxSplit * target }
       (size + maxSplit - 1) / maxSplit
     }.sum
-    if (splits >= target) df else df.repartition(target)
+    if (splits >= target) df
+    else df.repartition(target, df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -385,10 +385,12 @@ object TextAnalysis {
     * the vocabulary and shuffle only the tail.
     */
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
-    // fanOut at every corpus tokenization below: the explode/ngram
-    // projection is the query's CPU and must not be bound to the input
-    // split count (identity at real split counts — see Tables.fanOut)
-    val tok = Tables.fanOut(Tables.documents(s, d))
+    // NO fanOut here, deliberately: the token stream is consumed twice
+    // (vocab build + the token↔vocab join), and an exchange ahead of the
+    // explode measurably cost more than the single-split explode did
+    // (0.82 s → 1.43 s at sf0.1) — the downstream joins already spread
+    // the work. The ngram producers below DO fan out (one consumer).
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -3178,9 +3178,12 @@ object GraftCatalogQueries {
         try !w.iterator().asScala.exists(_.toString.endsWith(".parquet"))
         finally w.close()
       }, "shallow clone copied data files")
-      // the clone reads EXACTLY the source's merged state
-      val srcNow = s.table(s"$cat.src")
-      val devNow = s.table(s"$cat.dev")
+      // the clone reads EXACTLY the source's merged state. Both sides
+      // are merge-on-read reads, each consumed by BOTH exceptAll
+      // directions — materialize once instead of re-running the merged
+      // read four times (guide §5)
+      val srcNow = s.table(s"$cat.src").localCheckpoint()
+      val devNow = s.table(s"$cat.dev").localCheckpoint()
       require(devNow.exceptAll(srcNow).isEmpty && srcNow.exceptAll(devNow).isEmpty,
         "clone diverged from source at birth")
 
