@@ -99,6 +99,20 @@ object Snapshots {
     }
   }
 
+  /** ONE Hadoop conf per session for the driver's raw parquet FOOTER
+    * reads (read-only use: opening local files). `newHadoopConf()`
+    * re-copies the shared conf and re-applies every SQL conf entry per
+    * call, and the copies were observed re-parsing the default XML
+    * resources from the jars on the commit path (sampled ~14% of
+    * catalog_dpp_ts's driver wall in Configuration.loadResources).
+    * Never hand this to a WRITER path — prepareWrite mutates its conf.
+    */
+  private val footerConfCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.hadoop.conf.Configuration]()
+  private[graft] def footerConf(s: SparkSession): org.apache.hadoop.conf.Configuration =
+    footerConfCache.computeIfAbsent(s, s2 => s2.sessionState.newHadoopConf())
+
   /** Exact per-file `(col, min, max)` zone maps read from the parquet
     * FOOTERS of freshly-staged files, replacing the scan JOB the stats
     * gather used to pay (guide §1.2: never re-compute what storage
@@ -123,11 +137,13 @@ object Snapshots {
   private def footerZones(s: SparkSession, files: Seq[Path], cols: Seq[String])
       : Option[Map[Path, Seq[(String, Long, Long)]]] = {
     if (cols.isEmpty) return Some(files.map(f => f -> Seq.empty[(String, Long, Long)]).toMap)
-    val conf = s.sessionState.newHadoopConf()
+    val conf = footerConf(s)
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
-    val out = Map.newBuilder[Path, Seq[(String, Long, Long)]]
-    files.foreach { p =>
-      val zones: Option[Seq[(String, Long, Long)]] =
+    // one footer open per file, CONCURRENT like md5hexAll (guide §5): a
+    // partitioned commit stages O(partitions) small files and a serial
+    // footer loop put O(files) driver round-trips on the commit path —
+    // measured ~1-1.5 s of the dpp appends' 3 s driver gap at 84 files
+    def zonesOf(p: Path): Option[Seq[(String, Long, Long)]] =
         try {
           val f = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -183,12 +199,21 @@ object Snapshots {
             if (perCol.exists(_.isEmpty)) None else Some(perCol.flatMap(_.get))
           } finally f.close()
         } catch { case scala.util.control.NonFatal(_) => None }
-      zones match {
-        case Some(z) => out += (p -> z)
-        case None    => return None
+    val n = math.min(files.size, Runtime.getRuntime.availableProcessors)
+    val perFile: Seq[(Path, Option[Seq[(String, Long, Long)]])] =
+      if (n <= 1) files.map(p => p -> zonesOf(p))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        try files.map(p => p -> pool.submit(
+            new java.util.concurrent.Callable[Option[Seq[(String, Long, Long)]]] {
+              override def call(): Option[Seq[(String, Long, Long)]] = zonesOf(p)
+            })).map { case (p, f) => p -> f.get() }
+        finally pool.shutdown()
       }
-    }
-    Some(out.result())
+    // any indecisive file declines the WHOLE fast path (the caller pays
+    // the exact one-job scan), exactly as the serial loop did
+    if (perFile.exists(_._2.isEmpty)) None
+    else Some(perFile.map { case (p, z) => p -> z.get }.toMap)
   }
 
   /** Write-temp + atomic rename. The temp name is DOT-prefixed so a
@@ -722,7 +747,7 @@ object Snapshots {
     // spark.read per file — a set large enough to take this path has
     // many files, and N sequential DataFrame set-ups on the driver were
     // seconds of latency for a one-bit question
-    val conf = s.sessionState.newHadoopConf()
+    val conf = footerConf(s)
     def isBitmapShaped(e: ManifestEntry): Boolean = {
       val f = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -2047,7 +2072,7 @@ object Snapshots {
       val f = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
-          s.sessionState.newHadoopConf()))
+          footerConf(s)))
       try java.lang.Long.valueOf(f.getRecordCount) finally f.close()
     })
 
@@ -2073,7 +2098,7 @@ object Snapshots {
       val f = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(root.resolve(relPath).toUri),
-          s.sessionState.newHadoopConf()))
+          footerConf(s)))
       try {
         val blocks = f.getFooter.getBlocks
         var total = 0L
@@ -2435,7 +2460,7 @@ object Snapshots {
           val f = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
-              s.sessionState.newHadoopConf()))
+              footerConf(s)))
           try {
             // the declared column may sit anywhere in the tombstone's
             // schema: a COMPOSITE key lands a multi-column tombstone,
@@ -2768,7 +2793,7 @@ object Snapshots {
       else if (estItems > 0) (estItems,
         math.min(1L << 26, math.max(1L << 16, estItems * 16L)))
       else {
-        val conf = s.sessionState.newHadoopConf()
+        val conf = footerConf(s)
         val maxRows = missing.map { e =>
           val f = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -244,19 +244,36 @@ object Clustering {
 
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
     // fanOut: both normalization hashes (md5 over regexp-normalized full
-    // text) are computed map-side before their window exchanges — keep
-    // that CPU off the input split count (identity at real split counts)
+    // text) are computed map-side before any exchange — keep that CPU
+    // off the input split count (identity at real split counts)
     val docs = Tables.fanOut(Tables.documents(s, d))
-    val withKeeper = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
-      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
-    val exactPairs = withKeeper.filter(col("doc_id") =!= col("keeper"))
+    // Shuffle KEYS, not payloads (guide §2.3): the old form ran two
+    // windows and a distinct over rows CARRYING the full text — three
+    // corpus-payload shuffles to learn facts that depend only on
+    // (doc_id, lang, two 128-bit content hashes). `slim` computes both
+    // hashes in one map pass and is materialized once; every grouping
+    // below moves ~50-byte rows. The text itself is re-attached ONLY
+    // for the representatives, via a join the planner can broadcast
+    // (reps ≪ corpus), so at any scale the payload crosses the wire at
+    // most once here instead of three times.
+    val slim = docs
+      .select(col("doc_id"), col("lang"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h1"),
+        md5(col("text")).as("h2"))
+      .localCheckpoint()
+    val k1 = slim.groupBy("h1").agg(min("doc_id").as("keeper"))
+    val exactPairs = slim.join(k1, "h1").filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    val rawReps = withKeeper
-      .withColumn("rkeeper", min("doc_id").over(Window.partitionBy(md5(col("text")))))
-      .select(col("rkeeper").as("doc_id"), col("lang"), col("n_chars"), col("text"))
-      .distinct() // one row per (raw text, lang); n_chars/text equal within a raw group
+    // one row per (raw text, lang), exactly as before: the rep is the
+    // min doc_id of its byte-identical group and inherits EVERY lang
+    // label the group carries (banding keys on lang — see scaladoc)
+    val k2 = slim.groupBy("h2").agg(min("doc_id").as("rep"))
+    val repLang = slim.select("h2", "lang").distinct()
+      .join(k2, "h2")
+      .select(col("rep").as("doc_id"), col("lang"))
+    val rawReps = repLang
+      .join(docs.select("doc_id", "n_chars", "text"), "doc_id")
+      .select("doc_id", "lang", "n_chars", "text")
     val jaccPairs = Dedup.ngramJaccardOn(rawReps).select("a", "b")
     val edges = exactPairs.union(jaccPairs).distinct()
     connectedComponents(edges)

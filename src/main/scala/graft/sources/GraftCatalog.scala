@@ -1199,7 +1199,7 @@ final class GraftTable(
             // Raw footer reads (no DataFrameReader: each of those costs
             // a file index + session plumbing, ~100ms/commit on the
             // catalog_sql bench) — one O(1) driver read per commit.
-            val conf = spark.sessionState.newHadoopConf()
+            val conf = graft.etl.Snapshots.footerConf(spark)
             val converter =
               new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
             val footerSchemas = perSeq.map { e =>
